@@ -1,13 +1,238 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import graft.sources.{StarDocs, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the mandated LLM-pipeline extensions), each with a
+  * DuckDB-equivalent `oracleSql` over the same parquet fixtures
+  * (plan↔star-schema mapping: FIXTURES.md §B).
+  *
+  * Oracle-compat conventions (the driver hash-compares values after
+  * sorting columns by name):
+  *  - aggregate/computed columns aliased identically on both sides;
+  *  - money aggregates go through DECIMAL(18,2) before SUM (exact and
+  *    order-independent in both engines) and only then to DOUBLE;
+  *  - counts cast to BIGINT in DuckDB (its count/sum would widen to
+  *    HUGEINT);
+  *  - result sets are either keyed (every row unique by a key column) or
+  *    explicitly ordered where a LIMIT applies.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: P3/P4-family parent-child semi-join + renest-shaped output
+    * on sf0.001 — the reference's `/allParentsHaving` path end-to-end. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("p3_child_range_gt")(spark, "/root/testdata/sf0.001")
+
+  private final class Ctx(val s: SparkSession, val d: String) {
+    def t(name: String): DataFrame = Tables.load(s, d, name)
+  }
+
+  // Decimal-safe revenue-ish aggregation helper
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----- P: search surface (SURVEY §2.3) -----
+    "p1_conj_eq" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
+      Search.conjEquals(t("orders"),
+        Seq(("o_orderstatus", "F"), ("o_orderpriority", "1-URGENT")))
+    },
+    "p3_child_range_gt" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
+      Search.hasChildRange(t("orders"), t("lineitem"),
+        "o_orderkey", "l_orderkey", col("l_quantity"), 45.0, lt = false)
+    },
+    "p3_child_range_lt" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
+      Search.hasChildRange(t("orders"), t("lineitem"),
+        "o_orderkey", "l_orderkey", col("l_quantity"), 2.0, lt = true)
+    },
+    "p4_child_eq" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
+      Search.hasChildEquals(t("orders"), t("lineitem"), "o_orderkey", "l_orderkey",
+        Seq(("l_returnflag", "R"), ("l_linestatus", "F")))
+    },
+    "p5_child_dotted" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
+      // dotted-path child property (reference: linkedService.name) — the
+      // child's nested part attribute; part is dimension-sized → broadcast
+      val liBrand = t("lineitem").join(
+        broadcast(t("part").where(col("p_brand") === "Brand#13").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      Search.hasChild(t("orders"), liBrand, "o_orderkey", "l_orderkey")
+    },
+    "p6_has_parent" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
+      Search.hasParent(t("lineitem"),
+        t("orders").where(col("o_orderstatus") === "P"), "l_orderkey", "o_orderkey")
+    },
+    "p7_by_id" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
+      t("orders").where(col("o_orderkey") === 7L)
+    },
+    "p8_count" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
+      t("lineitem").agg(count(lit(1)).as("n_rows"))
+    },
+    "s9_scan_cap" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
+      Kv.cappedScan(t("orders"), 1000, "o_orderkey")
+    },
+
+    // ----- J: shred / renest (SURVEY §2.2) -----
+    "j1_shred_counts" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
+      Shred.nodes(StarDocs.docs(s, dir))
+        .groupBy(col("relName").as("rel_name")).agg(count(lit(1)).as("n"))
+    },
+    "j2_renest_flat" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
+      // full shred → renest round trip, then flattened for the oracle
+      val docs = StarDocs.docs(s, dir)
+      val back = Renest(Shred.shredTyped(docs), docs.schema)
+      back.select(col("objectId").as("order_id"), col("o_orderstatus"),
+          col("o_totalprice"), explode(col("lineitems")).as("li"))
+        .select(col("order_id"), col("o_orderstatus"), col("o_totalprice"),
+          col("li.objectId").as("li_id"), col("li.l_quantity").as("qty"),
+          col("li.part.p_brand").as("brand"))
+    },
+    "j4_cascade_counts" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
+      // cascading delete of root order_7: one anti-predicate on the routing
+      // key removes the whole subtree (vs the reference's recursive DFS)
+      Kv.cascadeDeleteRoot(Shred.nodes(StarDocs.docs(s, dir)), "order_7")
+        .groupBy(col("relName").as("rel_name")).agg(count(lit(1)).as("n"))
+    },
+
+    // ----- S/M: KV + mutation algebra (SURVEY §2.1, §2.4) -----
+    "s3_create_only" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
+      // create-only gate: customers whose key is NOT already present among
+      // order owners (the 409 path is the complement)
+      t("customer").join(
+        t("orders").where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    },
+    "s4_upsert" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
+      val kv = t("orders").select(col("o_orderkey").cast("string").as("key"),
+        col("o_totalprice"), col("o_orderpriority"))
+      val updates = t("orders").where(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").cast("string").as("key"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          lit("0-UPSERTED").as("o_orderpriority"))
+      Kv.upsert(kv, updates)
+    },
+    "m2_etag" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
+      t("orders").select(col("o_orderkey").cast("string").as("key"),
+        md5(concat_ws("|", col("o_orderkey").cast("string"),
+          col("o_orderstatus"), col("o_orderpriority"))).as("etag"))
+    },
+    "m3_if_none_match" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
+      // conditional-read gate over a deterministic request mix: even keys
+      // send the current etag (→304), odd send a stale one (→200)
+      val tag = md5(concat_ws("|", col("o_orderkey").cast("string"), col("o_orderstatus")))
+      val tagged = t("orders").select(col("o_orderkey").cast("string").as("__key"),
+        tag.as("__etag"), col("o_orderstatus"))
+      val reqs = t("orders").select(col("o_orderkey").cast("string").as("key"),
+        when(col("o_orderkey") % 2 === 0,
+          md5(concat_ws("|", col("o_orderkey").cast("string"), col("o_orderstatus"))))
+          .otherwise(lit("stale")).as("ifNoneMatch"))
+      Etag.conditionalRead(tagged, reqs).select("key", "status")
+    },
+
+    // ----- ST: streaming upsert semantics, batch-checkable core (SURVEY §2.6) -----
+    "st3_upsert_latest" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
+      // the changelog-apply kernel: latest event per user wins (idempotent
+      // under replay — applying twice yields the same table)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t("events").withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
+    },
+
+    // ----- X: LLM-pipeline extensions (north star) -----
+    "x_dedup_exact" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
+      // exact dedup: content-hash groupBy, keep lowest doc_id per group
+      t("documents").groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dupes"))
+    },
+    "x_text_tokens" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
+      t("documents").select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_obs"))
+    },
+    "x_window_tumbling" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
+      // event-time tumbling window aggregation (batch form; streaming form
+      // in graft.streaming uses the same expressions behind a watermark)
+      t("events").groupBy(date_trunc("hour", col("ts")).as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("total_value"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "p1_conj_eq" ->
+      "SELECT * FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'",
+    "p3_child_range_gt" ->
+      ("SELECT * FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l " +
+        "WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45.0)"),
+    "p3_child_range_lt" ->
+      ("SELECT * FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l " +
+        "WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity < 2.0)"),
+    "p4_child_eq" ->
+      ("SELECT * FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l " +
+        "WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R' AND l.l_linestatus = 'F')"),
+    "p5_child_dotted" ->
+      ("SELECT * FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l JOIN part p " +
+        "ON l.l_partkey = p.p_partkey WHERE l.l_orderkey = o.o_orderkey AND p.p_brand = 'Brand#13')"),
+    "p6_has_parent" ->
+      ("SELECT * FROM lineitem l WHERE EXISTS (SELECT 1 FROM orders o " +
+        "WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'P')"),
+    "p7_by_id" -> "SELECT * FROM orders WHERE o_orderkey = 7",
+    "p8_count" -> "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem",
+    "s9_scan_cap" -> "SELECT * FROM orders ORDER BY o_orderkey LIMIT 1000",
+    "j1_shred_counts" ->
+      ("SELECT 'order' AS rel_name, CAST(count(*) AS BIGINT) AS n FROM orders " +
+        "UNION ALL SELECT 'order_lineitem', CAST(count(*) AS BIGINT) FROM lineitem " +
+        "UNION ALL SELECT 'lineitem_part', CAST(count(*) AS BIGINT) FROM lineitem"),
+    "j2_renest_flat" ->
+      ("WITH li AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY " +
+        "l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, " +
+        "l_tax, l_returnflag, l_linestatus, l_shipdate) AS seq FROM lineitem) " +
+        "SELECT CAST(o.o_orderkey AS VARCHAR) AS order_id, o.o_orderstatus, o.o_totalprice, " +
+        "'li' || CAST(l.l_orderkey AS VARCHAR) || '_' || CAST(l.seq AS VARCHAR) AS li_id, " +
+        "l.l_quantity AS qty, p.p_brand AS brand " +
+        "FROM orders o JOIN li l ON o.o_orderkey = l.l_orderkey " +
+        "JOIN part p ON l.l_partkey = p.p_partkey"),
+    "j4_cascade_counts" ->
+      ("SELECT 'order' AS rel_name, CAST(count(*) AS BIGINT) AS n FROM orders WHERE o_orderkey <> 7 " +
+        "UNION ALL SELECT 'order_lineitem', CAST(count(*) AS BIGINT) FROM lineitem WHERE l_orderkey <> 7 " +
+        "UNION ALL SELECT 'lineitem_part', CAST(count(*) AS BIGINT) FROM lineitem WHERE l_orderkey <> 7"),
+    "s3_create_only" ->
+      ("SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o " +
+        "WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')"),
+    "s4_upsert" ->
+      ("SELECT CAST(o_orderkey AS VARCHAR) AS key, " +
+        "CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice, " +
+        "CASE WHEN o_orderkey % 10 = 0 THEN '0-UPSERTED' ELSE o_orderpriority END AS o_orderpriority " +
+        "FROM orders"),
+    "m2_etag" ->
+      ("SELECT CAST(o_orderkey AS VARCHAR) AS key, " +
+        "md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus, o_orderpriority)) AS etag " +
+        "FROM orders"),
+    "m3_if_none_match" ->
+      ("SELECT CAST(o_orderkey AS VARCHAR) AS key, " +
+        "CAST(CASE WHEN o_orderkey % 2 = 0 THEN 304 ELSE 200 END AS INT) AS status FROM orders"),
+    "st3_upsert_latest" ->
+      ("SELECT user_id, event_id AS last_event_id, event_type AS last_type, value AS last_value " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn " +
+        "FROM events) WHERE rn = 1"),
+    "x_dedup_exact" ->
+      ("SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id, " +
+        "CAST(count(*) AS BIGINT) AS n_dupes FROM documents GROUP BY md5(text)"),
+    "x_text_tokens" ->
+      ("SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens, " +
+        "CAST(length(text) AS BIGINT) AS n_chars_obs FROM documents"),
+    "x_window_tumbling" ->
+      ("SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
+        "FROM events GROUP BY 1, 2")
+  )
 }

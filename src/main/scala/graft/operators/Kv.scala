@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** S1–S8 + M7/M8 — the authoritative key/value surface.
+  *
+  * The reference's Redis store holds `(key = objectType_objectId,
+  * value = JSON string)` (`/root/reference/src/utils/elasticSearch.ts:3-11`;
+  * schema record at `apiLogicForCRUD.ts:417-425`). Here the store is a
+  * keyed DataFrame/Parquet table `(key, payload, …)` — at 100 TB written
+  * bucketed by `key` (point reads become partition/bucket-pruned scans, and
+  * all of the merge joins below are co-partitioned). All mutating "ops" are
+  * pure `DataFrame => DataFrame` functions producing the next version of
+  * the table — the batch analogue of the reference's per-request writes;
+  * the streaming path ([[graft.streaming.Ingest]]) applies them per
+  * micro-batch.
+  */
+object Kv {
+
+  /** S1 — point get (`apiLogicForCRUD.ts:360-363`). Equality filter on the
+    * key: Catalyst pushes it to the scan (bucket pruning on the 100 TB
+    * layout); miss ⇒ empty result, the caller's 404
+    * (`apiLogicForCRUD.ts:66-68`). */
+  def get(kv: DataFrame, key: String): DataFrame =
+    kv.where(col("key") === lit(key))
+
+  /** S2 — existence probe (`apiLogicForCRUD.ts:356-359`), drives 409/404
+    * gates (M8). */
+  def exists(kv: DataFrame, key: String): Boolean =
+    !get(kv, key).isEmpty
+
+  /** S3 — create-only batch set (`apiLogicForCRUD.ts:390-416`: 409 when the
+    * key exists). Left-anti join keeps only genuinely new keys; returns
+    * (next table, rejected rows). */
+  def setIfAbsent(kv: DataFrame, rows: DataFrame): (DataFrame, DataFrame) = {
+    val fresh = rows.join(kv.select("key"), Seq("key"), "left_anti")
+    val rejected = rows.join(kv.select("key"), Seq("key"), "left_semi")
+    (kv.unionByName(fresh, allowMissingColumns = true), rejected)
+  }
+
+  /** S4 — unconditional upsert (`elasticSearch.ts:3-11`): updates win per
+    * key. Full-outer merge + coalesce, one shuffle on `key` (none at all
+    * when both sides are bucketed by `key`). */
+  def upsert(kv: DataFrame, updates: DataFrame): DataFrame = {
+    val cols = kv.columns.filterNot(_ == "key")
+    val u = updates.select("key", cols: _*)
+    kv.alias("__o").join(u.alias("__n"), Seq("key"), "full_outer")
+      .select(col("key") +: cols.toSeq.map(c =>
+        coalesce(col(s"__n.$c"), col(s"__o.$c")).as(c)): _*)
+  }
+
+  /** S5 — delete one key (`apiLogicForCRUD.ts:364-389`); batch form is the
+    * anti-join below. */
+  def delete(kv: DataFrame, key: String): DataFrame =
+    kv.where(col("key") =!= lit(key))
+
+  /** S5/S7 — batch delete by key set (anti-join; the index-side doc delete
+    * `elasticSearch.ts:347-350` is the same operation on the nodes table). */
+  def deleteAll(kv: DataFrame, keys: DataFrame): DataFrame =
+    kv.join(keys.select("key"), Seq("key"), "left_anti")
+
+  /** S8 — delete-by-query (`elasticSearch.ts:186-200`, match_all variant
+    * wipes the table). */
+  def deleteWhere(kv: DataFrame, pred: Column): DataFrame =
+    kv.where(!pred)
+
+  /** S9 — capped full scan (`elasticSearch.ts:201-215`, `size: 1000`).
+    * Global limit ⇒ `CollectLimitExec`; we order first so the cap is
+    * deterministic (the reference returns ES doc order, which is not). */
+  def cappedScan(kv: DataFrame, n: Int = 1000, orderCol: String = "key"): DataFrame =
+    kv.orderBy(col(orderCol)).limit(n)
+
+  /** M7 — key/shape precheck (`apiLogicForCRUD.ts:93-102`): objectId
+    * present and the addressed key equals `objectType_objectId`. */
+  def keyMatches(urlKey: String): Column =
+    col("objectId").isNotNull &&
+      concat_ws("_", col("objectType").cast("string"), col("objectId").cast("string")) === lit(urlKey)
+
+  /** J4 — cascading delete (`elasticSearch.ts:311-357`): the reference
+    * recursively DFS-deletes every descendant with per-object round trips.
+    * Because [[Shred]] stamps every node with its `rootKey`, the entire
+    * descendant closure of a root is one predicate — a single anti-join
+    * rewrite, no recursion at runtime. For non-root subtrees, the closure
+    * is an iterative join on `parentKey` (depth ≤ schema depth, known at
+    * plan time). */
+  def cascadeDeleteRoot(nodes: DataFrame, rootKey: String): DataFrame =
+    nodes.where(col("rootKey") =!= lit(rootKey))
+
+  /** Descendant closure of an arbitrary node (for subtree deletes):
+    * iterates parentKey joins down the (schema-bounded) depth. */
+  def subtreeKeys(nodes: DataFrame, key: String, maxDepth: Int = 8): DataFrame = {
+    var frontier = nodes.select(col("key")).where(col("key") === lit(key))
+    var acc = frontier
+    var i = 0
+    var done = false
+    while (i < maxDepth && !done) {
+      val next = nodes.alias("n")
+        .join(frontier.alias("f"), col("n.parentKey") === col("f.key"), "left_semi")
+        .select(col("key"))
+      // schema depth is tiny and known, so this loop is short; stop early
+      // when a level is empty to avoid planning dead joins.
+      if (next.isEmpty) done = true
+      else { acc = acc.unionByName(next); frontier = next }
+      i += 1
+    }
+    acc.distinct()
+  }
+
+  def cascadeDelete(nodes: DataFrame, key: String): DataFrame =
+    deleteAll(nodes, subtreeKeys(nodes, key))
+}

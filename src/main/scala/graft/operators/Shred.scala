@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** J1 — generic document shredder.
+  *
+  * The reference (`/root/reference/src/utils/elasticSearch.ts:12-49`,
+  * `saveObjectRecursive`) walks a nested JSON *value* at runtime and writes
+  * every `objectId`-bearing sub-object as an independent KV record keyed
+  * `objectType_objectId`. Spark lets us do strictly better: we recurse over
+  * the DataFrame *schema* once at plan-build time and emit a chain of
+  * `select`/`posexplode` operators — no UDFs, fully codegen'd, and one
+  * distributed job regardless of document count.
+  *
+  * A field is a "node" iff its struct carries both `objectId` and
+  * `objectType` (the reference's contract: README "Version 2 Requirements"
+  * item 4). Non-node structs stay inline in their parent's payload, exactly
+  * like the reference, which only persists objectId-bearing objects.
+  *
+  * Emitted metadata mirrors the reference's ES parent/child `join` mapping
+  * (`elasticSearch.ts:50-151`):
+  *  - `relName` = `parentType_childType` (root = its own objectType);
+  *  - `rootKey` = the root document's key — the analogue of ES shard
+  *    *routing* (`elasticSearch.ts:139-141`). At 100 TB the nodes table is
+  *    written bucketed/partitioned by `rootKey`, so every parent-child join
+  *    in [[Renest]] and [[graft.operators.Search]] is co-partitioned and
+  *    shuffle-free;
+  *  - `field`/`ord` = the parent field name and array position — what the
+  *    reference keeps implicitly by storing children inline; we keep them
+  *    as columns so re-nesting is lossless.
+  */
+object Shred {
+
+  /** Metadata columns carried through the recursion. Prefixed to avoid
+    * collisions with user payload fields. */
+  val MetaCols: Seq[String] = Seq(
+    "__key", "__objectType", "__objectId", "__parentKey", "__parentType",
+    "__rootKey", "__field", "__ord")
+
+  def isNodeStruct(dt: DataType): Boolean = dt match {
+    case s: StructType =>
+      s.fieldNames.contains("objectId") && s.fieldNames.contains("objectType")
+    case _ => false
+  }
+
+  def isNodeArray(dt: DataType): Boolean = dt match {
+    case ArrayType(e, _) => isNodeStruct(e)
+    case _ => false
+  }
+
+  /** Scalar-or-inline fields of a node: everything that is not itself a
+    * child node (those become their own records). */
+  def inlineFields(schema: StructType): Seq[StructField] =
+    schema.fields.toSeq.filterNot(f => isNodeStruct(f.dataType) || isNodeArray(f.dataType))
+
+  /** Shred into one typed DataFrame per node *path* (field-name path from
+    * the root; "" = root). Paths are unique even when the same objectType
+    * appears at several places in the tree (e.g. the reference's
+    * `membercostshare` under both `planCostShares` and
+    * `planserviceCostShares`).
+    *
+    * Each table has [[MetaCols]] plus the node's inline fields, typed.
+    */
+  def shredTyped(docs: DataFrame): Map[String, DataFrame] = {
+    val rootKey = concat_ws("_", col("objectType").cast("string"), col("objectId").cast("string"))
+    val root = docs.select(
+      Seq(
+        rootKey.as("__key"),
+        col("objectType").cast("string").as("__objectType"),
+        col("objectId").cast("string").as("__objectId"),
+        lit(null).cast("string").as("__parentKey"),
+        lit(null).cast("string").as("__parentType"),
+        rootKey.as("__rootKey"),
+        lit(null).cast("string").as("__field"),
+        lit(null).cast("int").as("__ord")
+      ) ++ docs.schema.fieldNames.map(col): _*)
+    walk(root, docs.schema, "")
+  }
+
+  private def joinPath(path: String, field: String): String =
+    if (path.isEmpty) field else s"$path.$field"
+
+  private def walk(df: DataFrame, schema: StructType, path: String): Map[String, DataFrame] = {
+    val self = df.select(MetaCols.map(col) ++ inlineFields(schema).map(f => col(f.name)): _*)
+    val childMaps = schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case s: StructType if isNodeStruct(s) =>
+          val child = childDf(df, col(f.name), lit(null).cast("int"), f.name, s)
+          walk(child, s, joinPath(path, f.name)).toSeq
+        case ArrayType(s: StructType, _) if isNodeStruct(s) =>
+          val exploded = df.select(
+            col("__key").as("__pk"), col("__objectType").as("__pt"),
+            col("__rootKey").as("__rk"),
+            posexplode(col(f.name)).as(Seq("__pos", "__node")))
+          val child = childDf2(exploded, f.name, s)
+          walk(child, s, joinPath(path, f.name)).toSeq
+        case _ => Nil
+      }
+    }
+    (Map(path -> self) ++ childMaps.toMap)
+  }
+
+  /** Meta + flattened fields for a single-struct child column. */
+  private def childDf(parent: DataFrame, node: Column, ord: Column,
+                      fieldName: String, s: StructType): DataFrame =
+    parent
+      .select(
+        col("__key").as("__pk"), col("__objectType").as("__pt"),
+        col("__rootKey").as("__rk"), node.as("__node"), ord.as("__pos"))
+      .where(col("__node").isNotNull)
+      .select(childProjection(fieldName, s): _*)
+
+  private def childDf2(exploded: DataFrame, fieldName: String, s: StructType): DataFrame =
+    exploded.where(col("__node").isNotNull).select(childProjection(fieldName, s): _*)
+
+  private def childProjection(fieldName: String, s: StructType): Seq[Column] =
+    Seq(
+      concat_ws("_", col("__node.objectType").cast("string"), col("__node.objectId").cast("string")).as("__key"),
+      col("__node.objectType").cast("string").as("__objectType"),
+      col("__node.objectId").cast("string").as("__objectId"),
+      col("__pk").as("__parentKey"),
+      col("__pt").as("__parentType"),
+      col("__rk").as("__rootKey"),
+      lit(fieldName).as("__field"),
+      col("__pos").cast("int").as("__ord")
+    ) ++ s.fieldNames.map(n => col(s"__node.$n").as(n))
+
+  /** J1 output in its generic single-table form: the `nodes` table
+    * (`SURVEY.md` §7.1 layer 1 / FIXTURES.md A.3), payload as JSON.
+    * `relName` reproduces the reference's join-tree names
+    * (`elasticSearch.ts:152-171`), `etag` is the node-local content hash
+    * (`jwtAuth.ts:71-73` analogue; canonical-form, see [[Etag]]).
+    */
+  def nodes(docs: DataFrame): DataFrame = {
+    val typed = shredTyped(docs)
+    val parts = typed.toSeq.sortBy(_._1).map { case (path, df) =>
+      val payloadFields = df.columns.filterNot(MetaCols.contains)
+      val payload = to_json(struct(payloadFields.map(col): _*))
+      df.select(
+        col("__key").as("key"),
+        col("__objectType").as("objectType"),
+        col("__objectId").as("objectId"),
+        col("__parentKey").as("parentKey"),
+        col("__parentType").as("parentType"),
+        col("__rootKey").as("rootKey"),
+        when(col("__parentType").isNull, col("__objectType"))
+          .otherwise(concat_ws("_", col("__parentType"), col("__objectType"))).as("relName"),
+        col("__field").as("field"),
+        col("__ord").as("ord"),
+        lit(path).as("path"),
+        payload.as("payload"),
+        md5(payload).as("etag"))
+    }
+    parts.reduce(_ unionByName _)
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared SparkSession for all suites (one JVM-wide session; suites run
+  * sequentially under sbt's forked test JVM). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+abstract class SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  def sf: String = TestSpark.sf
+}
+
+class TablesSpec extends SparkSpec {
+  test("all fixture tables load and are non-empty") {
+    graft.sources.Tables.all.foreach { t =>
+      val df = graft.sources.Tables.load(spark, sf, t)
+      assert(df.count() > 0, s"table $t is empty")
+      assert(df.schema.nonEmpty, s"table $t has no schema")
+    }
+  }
+}
