@@ -1,0 +1,348 @@
+package graft
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis, Windows}
+import graft.functions.TextFunctions
+import graft.operators._
+import graft.sources.{StarDocs, Tables}
+import graft.streaming.Ingest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second query batch: mutation algebra (M1/M4–M7), the LLM-pipeline
+  * extension operators, and the batch-checkable streaming kernel.
+  * Merged into [[SparkEntry.queries]]; same oracle conventions. */
+object SparkEntryExt {
+
+  private val mmSeeds = 16
+  private val mmBands = 4
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p2_match_all" -> { (s, dir) =>
+      Search.matchAll(Tables.region(s, dir))
+    },
+
+    "m1_merge_patch" -> { (s, dir) =>
+      // document-level RFC-7386 merge: orders ending in 00 get a patch that
+      // replaces child li*_1 wholesale (qty→999), appends li*_new, and
+      // changes the priority scalar; everything else passes through
+      val docs = StarDocs.docs(s, dir)
+      val liType = docs.schema("lineitems").dataType
+      val patches = Tables.orders(s, dir).where(col("o_orderkey") % 100 === 0)
+        .select(
+          col("o_orderkey").cast("string").as("objectId"),
+          lit("order").as("objectType"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("double").as("o_totalprice"),
+          lit(null).cast("timestamp").as("o_orderdate"),
+          lit("0-PATCHED").as("o_orderpriority"),
+          from_json(concat(
+            lit("""[{"objectId":"li"""), col("o_orderkey"), lit("""_1","objectType":"lineitem","l_quantity":999.0},"""),
+            lit("""{"objectId":"li"""), col("o_orderkey"), lit("""_new","objectType":"lineitem","l_quantity":111.0}]""")),
+            liType).as("lineitems"))
+      MergePatch(docs, patches)
+        .select(col("objectId").as("order_id"), col("o_orderpriority"),
+          explode(col("lineitems")).as("li"))
+        .select(col("order_id"), col("o_orderpriority"),
+          col("li.objectId").as("li_id"), col("li.l_quantity").as("qty"),
+          col("li.part.p_brand").as("brand"))
+    },
+
+    "m4_if_match" -> { (s, dir) =>
+      // conditional-write gate: %3==0 sends the current tag (→200), others
+      // a stale tag (→412); five unknown keys → 404
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val tag = md5(concat_ws("|", col("o_orderkey").cast("string"), col("o_orderstatus")))
+      val tagged = o.select(col("o_orderkey").cast("string").as("__key"), tag.as("__etag"))
+      val reqs = o.select(col("o_orderkey").cast("string").as("key"),
+          when(col("o_orderkey") % 3 === 0, tag).otherwise(lit("stale")).as("ifMatch"))
+        .unionByName((1 to 5).map(i => s"Z$i").toDF("key").withColumn("ifMatch", lit("x")))
+      Etag.conditionalWrite(tagged, reqs).select("key", "status")
+    },
+
+    "m5_validate_json" -> { (s, dir) =>
+      // runtime-schema validation over the events.props JSON column; every
+      // 5th row is replaced by a doc violating required+additionalProperties
+      val schemaJson =
+        """{"type":"object","additionalProperties":false,
+           "required":["k"],"properties":{"k":{"type":"integer"}}}""".stripMargin
+      val ev = Tables.events(s, dir)
+        .withColumn("props2",
+          when(col("event_id") % 5 === 0, lit("""{"x": 1}""")).otherwise(col("props")))
+      ev.withColumn("__errors",
+          Validate.errors(col("props2"), graft.functions.JsonSchema.parse(schemaJson)))
+        .select(col("event_id"),
+          when(size(col("__errors")) === 0,
+            get_json_object(col("props2"), "$.k").cast("long")).as("k_val"),
+          size(col("__errors")).cast("int").as("n_errors"))
+    },
+
+    "m6_dates" -> { (s, dir) =>
+      // DD-MM-YYYY semantic validation; every 3rd row gets the wrong format
+      val o = Tables.orders(s, dir)
+      o.select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+            .otherwise(date_format(col("o_orderdate"), "dd-MM-yyyy")).as("d"))
+        .withColumn("valid", Validate.validDate(col("d")))
+    },
+
+    "m7_key_gate" -> { (s, dir) =>
+      // key/shape precheck: URL key must equal objectType_objectId; every
+      // 13th row is addressed under a mismatched key
+      val rows = Tables.orders(s, dir).select(
+        concat(lit("order_"), col("o_orderkey")).as("key"),
+        lit("order").as("objectType"),
+        when(col("o_orderkey") % 13 === 0, col("o_orderkey") + 1)
+          .otherwise(col("o_orderkey")).cast("string").as("objectId"))
+      rows.withColumn("valid",
+        col("objectId").isNotNull &&
+          concat_ws("_", col("objectType"), col("objectId")) === col("key"))
+    },
+
+    "st2_changelog_apply" -> { (s, dir) =>
+      // ST2/ST3/ST5: changelog derived from events applied TWICE through
+      // the batch kernel — output equals a single application (idempotence
+      // under at-least-once replay), checked against the one-pass oracle
+      val log = Tables.events(s, dir).select(
+        col("event_id").as("seq"),
+        when(col("event_id") % 7 === 0, "delete").otherwise("update").as("op"),
+        concat(lit("u"), col("user_id"), lit("_"), col("event_id") % 50).as("key"),
+        col("props").as("doc"))
+      val empty = log.select("key", "doc").limit(0)
+      Ingest.applyBatch(Ingest.applyBatch(empty, log), log)
+    },
+
+    // ----- text analysis -----
+    "x_text_quality" -> { (s, dir) =>
+      TextAnalysis.withQuality(Tables.documents(s, dir))
+        .select("doc_id", "n_tokens", "mean_tok_len", "stop_ratio", "alnum_ratio")
+    },
+    "x_text_langid" -> { (s, dir) =>
+      TextAnalysis.withLangId(Tables.documents(s, dir)).select("doc_id", "pred_lang")
+    },
+    "x_text_fingerprint" -> { (s, dir) =>
+      TextAnalysis.withFingerprint(Tables.documents(s, dir)).select("doc_id", "fingerprint")
+    },
+    "x_token_bpeish" -> { (s, dir) =>
+      TextAnalysis.withTokenCounts(Tables.documents(s, dir))
+        .select("doc_id", "n_tokens", "n_subtokens")
+    },
+
+    // ----- dedup family -----
+    "x_dedup_minhash" -> { (s, dir) =>
+      Dedup.minhashSignatures(Tables.documents(s, dir), k = mmSeeds)
+        .select(col("doc_id"), concat_ws(",", col("sig")).as("sig_str"))
+    },
+    "x_dedup_lsh_pairs" -> { (s, dir) =>
+      Dedup.lshCandidates(Tables.documents(s, dir), k = mmSeeds, bands = mmBands, minEst = 0.5)
+    },
+    "x_dedup_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), minJaccard = 0.8,
+        k = mmSeeds, bands = mmBands)
+    },
+    "x_dedup_simhash" -> { (s, dir) =>
+      Dedup.simhashes(Tables.documents(s, dir))
+    },
+    "x_dedup_embed" -> { (s, dir) =>
+      Dedup.embeddingNearDups(Tables.embeddings(s, dir), minCos = 0.45, exactPairs = true)
+    },
+
+    // ----- similarity search -----
+    "x_knn_cosine" -> { (s, dir) =>
+      val embs = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(embs, embs.where(col("vec_id") < 10), k = 10)
+    },
+    "x_knn_lsh" -> { (s, dir) =>
+      // ANN path — approximate by construction, so no SQL oracle; the spec
+      // asserts ≥0.8 recall against bruteForceTopK
+      val embs = Tables.embeddings(s, dir)
+      Similarity.lshTopK(embs, embs.where(col("vec_id") < 10), k = 10)
+    },
+
+    // ----- multimodal plumbing -----
+    "x_multimodal_meta" -> { (s, dir) =>
+      val assets = Multimodal.toAssets(Tables.documents(s, dir), "text", "text")
+      Multimodal.fakeDecode(assets).toDF().select("asset_id", "n_bytes", "phash")
+    },
+
+    // ----- windows -----
+    "x_window_sliding" -> { (s, dir) =>
+      Windows.sliding(Tables.events(s, dir), "ts", "1 hour", "30 minutes",
+          Seq("event_type"), Seq(count(lit(1)).as("n")))
+        .select("window_start", "event_type", "n")
+    },
+    "x_sessions" -> { (s, dir) =>
+      Windows.sessions(Tables.events(s, dir), "ts", "user_id", gapSeconds = 1800)
+    }
+  )
+
+  // ---------- oracle SQL ----------
+
+  private val toksSql = "string_split_regex(trim(lower(text)), '\\s+')"
+  private def shinglesSql(t: String = toksSql) =
+    s"list_distinct(list_transform(range(1, len($t) - 1), i -> array_to_string(($t)[i:i+2], ' ')))"
+  private def seedHashSql(seed: String, v: String) =
+    s"(('0x' || substr(md5(CAST($seed AS VARCHAR) || '|' || $v), 1, 15)))::BIGINT"
+  private val sigSql = {
+    val mins = (0 until mmSeeds).map(i =>
+      s"list_min(list_transform(sh, s -> ${seedHashSql(i.toString, "s")}))")
+    s"[${mins.mkString(", ")}]"
+  }
+  private val simhashSql = (0 until 32).map { i =>
+    s"(CASE WHEN list_sum(list_transform(toks, t -> CASE WHEN ${seedHashSql((1000 + i).toString, "t")} % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END)"
+  }.mkString(" + ")
+  private val bandShareSql = (0 until mmBands).map { b =>
+    val lo = b * (mmSeeds / mmBands) + 1; val hi = lo + (mmSeeds / mmBands) - 1
+    s"a.sig[$lo:$hi] = b.sig[$lo:$hi]"
+  }.mkString(" OR ")
+  private val estSql =
+    s"CAST(len(list_filter(list_zip(a.sig, b.sig), p -> p[1] = p[2])) AS DOUBLE) / $mmSeeds"
+  private val langs = Seq("en", "de", "fr", "es", "zh")
+  private def langScoreSql(l: String) = {
+    val sw = TextFunctions.stopwords(l).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter($toksSql, t -> t IN ($sw)))"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "p2_match_all" -> "SELECT * FROM region",
+
+    "m1_merge_patch" ->
+      ("""WITH li AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY
+         l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount,
+         l_tax, l_returnflag, l_linestatus, l_shipdate) AS seq FROM lineitem),
+       base AS (
+         SELECT CAST(o.o_orderkey AS VARCHAR) AS order_id,
+           CASE WHEN o.o_orderkey % 100 = 0 THEN '0-PATCHED' ELSE o.o_orderpriority END AS o_orderpriority,
+           'li' || CAST(l.l_orderkey AS VARCHAR) || '_' || CAST(l.seq AS VARCHAR) AS li_id,
+           CASE WHEN o.o_orderkey % 100 = 0 AND l.seq = 1 THEN 999.0 ELSE l.l_quantity END AS qty,
+           CASE WHEN o.o_orderkey % 100 = 0 AND l.seq = 1 THEN NULL ELSE p.p_brand END AS brand
+         FROM orders o JOIN li l ON o.o_orderkey = l.l_orderkey
+         JOIN part p ON l.l_partkey = p.p_partkey),
+       appended AS (
+         SELECT CAST(o_orderkey AS VARCHAR) AS order_id, '0-PATCHED' AS o_orderpriority,
+           'li' || CAST(o_orderkey AS VARCHAR) || '_new' AS li_id, 111.0 AS qty,
+           CAST(NULL AS VARCHAR) AS brand
+         FROM orders WHERE o_orderkey % 100 = 0
+         UNION ALL
+         SELECT CAST(o_orderkey AS VARCHAR), '0-PATCHED',
+           'li' || CAST(o_orderkey AS VARCHAR) || '_1', 999.0, CAST(NULL AS VARCHAR)
+         FROM orders WHERE o_orderkey % 100 = 0
+           AND NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o_orderkey))
+       SELECT * FROM base UNION ALL SELECT * FROM appended""").replaceAll("\n\\s*", " "),
+
+    "m4_if_match" ->
+      ("SELECT CAST(o_orderkey AS VARCHAR) AS key, " +
+        "CAST(CASE WHEN o_orderkey % 3 = 0 THEN 200 ELSE 412 END AS INT) AS status FROM orders " +
+        "UNION ALL SELECT 'Z' || CAST(r AS VARCHAR), CAST(404 AS INT) FROM range(1, 6) t(r)"),
+
+    "m5_validate_json" ->
+      ("SELECT event_id, " +
+        "CASE WHEN event_id % 5 = 0 THEN NULL ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k_val, " +
+        "CAST(CASE WHEN event_id % 5 = 0 THEN 2 ELSE 0 END AS INT) AS n_errors FROM events"),
+
+    "m6_dates" ->
+      ("SELECT o_orderkey, CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d') " +
+        "ELSE strftime(o_orderdate, '%d-%m-%Y') END AS d, " +
+        "(o_orderkey % 3 <> 0) AS valid FROM orders"),
+
+    "m7_key_gate" ->
+      ("SELECT 'order_' || CAST(o_orderkey AS VARCHAR) AS key, 'order' AS objectType, " +
+        "CAST(CASE WHEN o_orderkey % 13 = 0 THEN o_orderkey + 1 ELSE o_orderkey END AS VARCHAR) AS objectId, " +
+        "(o_orderkey % 13 <> 0) AS valid FROM orders"),
+
+    "st2_changelog_apply" ->
+      ("SELECT key, doc FROM (SELECT concat('u', CAST(user_id AS VARCHAR), '_', " +
+        "CAST(event_id % 50 AS VARCHAR)) AS key, props AS doc, " +
+        "CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'update' END AS op, " +
+        "row_number() OVER (PARTITION BY concat('u', CAST(user_id AS VARCHAR), '_', " +
+        "CAST(event_id % 50 AS VARCHAR)) ORDER BY event_id DESC) AS rn FROM events) " +
+        "WHERE rn = 1 AND op <> 'delete'"),
+
+    "x_text_quality" ->
+      (s"SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens, " +
+        s"round(CAST(length(trim(text)) AS DOUBLE) / len($toksSql), 6) AS mean_tok_len, " +
+        s"round(CAST(${langScoreSql("en")} AS DOUBLE) / len($toksSql), 6) AS stop_ratio, " +
+        "round(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) " +
+        "/ length(text), 6) AS alnum_ratio FROM documents"),
+
+    "x_text_langid" -> {
+      val scores = langs.map(l => s"${langScoreSql(l)} AS s_$l").mkString(", ")
+      val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l = $best AND s_$l > 0 THEN '$l'").mkString(" ")
+      s"SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang FROM " +
+        s"(SELECT doc_id, $scores FROM documents)"
+    },
+
+    "x_text_fingerprint" ->
+      (s"SELECT doc_id, md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) " +
+        "AS fingerprint FROM documents"),
+
+    "x_token_bpeish" ->
+      (s"SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens, " +
+        "CAST(len(regexp_extract_all(lower(text), '[a-z]{1,8}|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) " +
+        "AS n_subtokens FROM documents"),
+
+    "x_dedup_minhash" ->
+      (s"SELECT doc_id, array_to_string($sigSql, ',') AS sig_str FROM " +
+        s"(SELECT doc_id, ${shinglesSql()} AS sh FROM documents)"),
+
+    "x_dedup_lsh_pairs" ->
+      (s"WITH sigs AS (SELECT doc_id, $sigSql AS sig FROM " +
+        s"(SELECT doc_id, ${shinglesSql()} AS sh FROM documents)) " +
+        s"SELECT a.doc_id AS id_a, b.doc_id AS id_b, $estSql AS est_jaccard " +
+        s"FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id " +
+        s"WHERE ($bandShareSql) AND $estSql >= 0.5"),
+
+    "x_dedup_ngram_jaccard" ->
+      (s"WITH base AS (SELECT doc_id, ${shinglesSql()} AS sh FROM documents), " +
+        s"sigs AS (SELECT doc_id, sh, $sigSql AS sig FROM base) " +
+        "SELECT * FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "round(CASE WHEN len(a.sh) = 0 AND len(b.sh) = 0 THEN 1.0 " +
+        "ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) END, 6) AS jaccard " +
+        s"FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id " +
+        s"WHERE ($bandShareSql) AND $estSql >= 0.3) WHERE jaccard >= 0.8"),
+
+    "x_dedup_simhash" ->
+      (s"SELECT doc_id, CAST($simhashSql AS BIGINT) AS simhash FROM " +
+        s"(SELECT doc_id, $toksSql AS toks FROM documents)"),
+
+    "x_dedup_embed" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings) " +
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim " +
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(a.v, b.v) > 0.45"),
+
+    "x_knn_cosine" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10), " +
+        "scored AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qv, e.v) AS cos " +
+        "FROM q JOIN e ON e.vec_id <> q.query_id), " +
+        "ranked AS (SELECT query_id, vec_id, cos, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM scored) " +
+        "SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, " +
+        "round(cos, 6) AS cos_sim FROM ranked WHERE rank <= 10"),
+
+    "x_multimodal_meta" ->
+      ("SELECT md5(text) AS asset_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "substr(md5(text), 1, 16) AS phash FROM documents"),
+
+    "x_window_sliding" ->
+      ("SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) " +
+        "- k * (INTERVAL '30 minutes') AS window_start, event_type, " +
+        "CAST(count(*) AS BIGINT) AS n FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) " +
+        "GROUP BY 1, 2"),
+
+    "x_sessions" ->
+      ("WITH flagged AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL THEN 0 " +
+        "WHEN epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) " +
+        "> 1800000000 THEN 1 ELSE 0 END AS nw FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+        "sessions AS (SELECT user_id, ts, CAST(sum(nw) OVER " +
+        "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq " +
+        "FROM flagged) " +
+        "SELECT user_id, session_seq, CAST(min(ts) AS TIMESTAMP) AS session_start, " +
+        "CAST(max(ts) AS TIMESTAMP) AS session_end, CAST(count(*) AS BIGINT) AS n_events " +
+        "FROM sessions GROUP BY 1, 2")
+  )
+}

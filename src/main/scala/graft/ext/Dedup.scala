@@ -1,0 +1,98 @@
+package graft.ext
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for pretraining-scale corpora (north-star
+  * extension; the reference has no dedup surface — closest is its
+  * content-identity MD5 ETag, SURVEY.md §2.4 M2).
+  *
+  * Scale design: every variant is shuffle-frugal —
+  *  - exact dedup is one hash-groupBy (map-side combinable);
+  *  - MinHash-LSH shuffles once on band buckets (candidates only — never
+  *    the O(n²) pair space) and verifies exact Jaccard only on candidates;
+  *  - SimHash emits one 60-bit signature per doc (scan + projection);
+  *  - embedding near-dup buckets by random-hyperplane LSH before the exact
+  *    cosine.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the lowest id.
+    * At 100 TB this is the cheapest possible dedup — one shuffle on a
+    * 16-byte key with map-side pre-aggregation. */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
+
+  /** Per-doc MinHash signature (k seeded minima over n-word shingles). */
+  def minhashSignatures(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", k: Int = 16, shingleN: Int = 3): DataFrame =
+    docs.select(col(idCol),
+      minhashSignature(shingles(col(textCol), shingleN), k).as("sig"))
+
+  /** MinHash-LSH candidate pairs with estimated Jaccard ≥ `minEst`.
+    *
+    * explode band keys → self-join per bucket (the only shuffle, on the
+    * band key) → distinct pairs → estimate = matching signature positions /
+    * k. The candidate set is linear in the number of true near-dups, not
+    * quadratic in corpus size.
+    */
+  def lshCandidates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                    k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+                    minEst: Double = 0.5): DataFrame = {
+    val rowsPerBand = k / bands
+    val sigs = minhashSignatures(docs, textCol, idCol, k, shingleN)
+      .withColumn("band", explode(bandKeys(col("sig"), bands, rowsPerBand)))
+    val a = sigs.alias("a")
+    val b = sigs.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          t => t)).cast("double") / k)
+      .where(col("est_jaccard") >= minEst)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** n-gram Jaccard verification on candidate pairs: joins the shingle
+    * sets back and computes exact Jaccard (the LSH estimate promotes to
+    * the true value only for the candidate set). */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", shingleN: Int = 3,
+                        minJaccard: Double = 0.8,
+                        k: Int = 16, bands: Int = 4): DataFrame = {
+    val cands = lshCandidates(docs, textCol, idCol, k, bands, shingleN, minEst = 0.3)
+    val sh = docs.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+    cands
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Per-doc SimHash (near-identical docs land on close signatures;
+    * equal signatures → near-certain dups). */
+  def simhashes(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), simhash(col(textCol)).as("simhash"))
+
+  /** Embedding-cosine near-dup pairs above `minCos`, bucketed by
+    * random-hyperplane LSH first so the exact cosine join is per-bucket
+    * (`exactPairs` = skip bucketing, for oracle-checkable small inputs). */
+  def embeddingNearDups(embs: DataFrame, vecCol: String = "embedding",
+                        idCol: String = "vec_id", minCos: Double = 0.45,
+                        exactPairs: Boolean = false, nPlanes: Int = 4): DataFrame = {
+    val base = if (exactPairs) embs.withColumn("__b", lit(0))
+      else embs.withColumn("__b", VectorFunctions.hyperplaneBucket(col(vecCol), nPlanes))
+    val a = base.alias("a"); val b = base.alias("b")
+    a.join(b, col("a.__b") === col("b.__b") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("cos", VectorFunctions.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")))
+      .where(col("cos") > minCos)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ext
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (north-star extension).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — the exactness baseline: broadcast the (small)
+  *    query set against the corpus, cosine per pair, per-query top-k via
+  *    window. One corpus scan, no corpus shuffle: this is the right plan
+  *    even at 100 TB when the query set is small (queries broadcast;
+  *    ranking is a per-partition top-k then a tiny final merge).
+  *  - [[lshTopK]] — the scale path for large query sets: bucket both sides
+  *    with deterministic random-hyperplane LSH (multi-probe by flipping one
+  *    bit) and run the exact cosine only within co-bucketed pairs: the
+  *    shuffle is on bucket keys, pair space shrinks ~2^planes-fold.
+  *    Recall is probabilistic (tested ≥0.8 vs brute force in the spec).
+  */
+object Similarity {
+
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                     vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val scored = corpus.join(q, col("query_id") =!= col(idCol))
+      .withColumn("cos", cosine(col("__qv"), col(vecCol)))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col(idCol).as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+              vecCol: String = "embedding", idCol: String = "vec_id",
+              nPlanes: Int = 4): DataFrame = {
+    val c = corpus.withColumn("__b", hyperplaneBucket(col(vecCol), nPlanes))
+    // multi-probe on the query side: also visit every bucket at Hamming
+    // distance 1, recovering most cross-boundary neighbors
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__b0", hyperplaneBucket(col("__qv"), nPlanes))
+      .withColumn("__b", explode(array(
+        col("__b0") +: (0 until nPlanes).map { i =>
+          concat(substring(col("__b0"), 1, i),
+            (lit(1) - substring(col("__b0"), i + 1, 1).cast("int")).cast("string"),
+            substring(col("__b0"), i + 2, nPlanes - i - 1))
+        }: _*)))
+      .drop("__b0")
+    val scored = c.join(q, Seq("__b"))
+      .where(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol), cosine(col("__qv"), col(vecCol)).as("cos"))
+      .groupBy(col("query_id"), col(idCol)).agg(max(col("cos")).as("cos")) // dedupe multi-probe hits
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col(idCol).as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window => W}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing over the events stream table (extension — the
+  * reference's streaming is a pure upsert changelog with no event-time
+  * semantics, SURVEY.md §2.6; these are the operators a training-data
+  * pipeline adds on top). Batch forms here; the streaming forms in
+  * [[graft.streaming.Ingest]] reuse the same expressions behind a
+  * watermark. */
+object Windows {
+
+  /** Tumbling window aggregation (fixed-size, non-overlapping). */
+  def tumbling(events: DataFrame, tsCol: String, sizeSpec: String,
+               keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    events.groupBy(window(col(tsCol), sizeSpec).as("w") +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("w.start")).drop("w")
+
+  /** Sliding window aggregation (overlapping). */
+  def sliding(events: DataFrame, tsCol: String, sizeSpec: String, slideSpec: String,
+              keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    events.groupBy(window(col(tsCol), sizeSpec, slideSpec).as("w") +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("w.start")).drop("w")
+
+  /** Session windows: gaps-and-islands per key — a new session starts when
+    * the gap since the previous event exceeds `gapSeconds`. Expressed with
+    * lag + a running sum (two window functions over one partition-by-key
+    * shuffle); the streaming form is `session_window`/
+    * `flatMapGroupsWithState`. */
+  def sessionize(events: DataFrame, tsCol: String, keyCol: String,
+                 gapSeconds: Long): DataFrame = {
+    val byKey = W.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    // gap compared in exact integer microseconds (second-granularity
+    // truncation would disagree with the oracle on fractional timestamps)
+    val newSession = when(
+      unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(byKey))
+        > gapSeconds * 1000000L, 1).otherwise(0)
+    events
+      .withColumn("__new", coalesce(newSession, lit(0)))
+      .withColumn("session_seq",
+        sum(col("__new")).over(byKey.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .drop("__new")
+  }
+
+  /** Session summary: bounds + event count per (key, session). */
+  def sessions(events: DataFrame, tsCol: String, keyCol: String,
+               gapSeconds: Long): DataFrame =
+    sessionize(events, tsCol, keyCol, gapSeconds)
+      .groupBy(col(keyCol), col("session_seq"))
+      .agg(min(col(tsCol)).as("session_start"), max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+}

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the LLM-data-pipeline extensions
+  * (BASELINE.json north star; no counterpart in the reference, which has no
+  * scalar function library beyond MD5 — SURVEY.md §2.7).
+  *
+  * Everything here is a pure Column expression (codegen'd, no UDFs), so
+  * these compose into whole-stage codegen over a 100 TB documents table.
+  * Hashes derive from `md5` so the DuckDB oracle can reproduce them
+  * bit-for-bit (Spark's `hash`/`xxhash64` are Spark-specific).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization after trim+lowercase. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** n-word shingles (distinct), the MinHash/Jaccard unit. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** Deterministic 60-bit hash of a string under a seed: the first 15 hex
+    * digits of md5(seed|s). Reproducible in DuckDB as
+    * `('0x' || substr(md5(seed || '|' || s), 1, 15))::BIGINT`. */
+  def seededHash(s: Column, seed: Int): Column =
+    conv(substring(md5(concat_ws("|", lit(seed), s)), 1, 15), 16, 10).cast("long")
+
+  /** MinHash signature: k minima of seeded hashes over the shingle set.
+    * One pass over the shingles per seed, all inside codegen; for k=16 the
+    * per-row cost is 16·|shingles| md5 calls — scan-bound at scale. */
+  def minhashSignature(shingleCol: Column, k: Int = 16): Column =
+    array((0 until k).map(i =>
+      array_min(transform(shingleCol, s => seededHash(s, i)))): _*)
+
+  /** LSH band keys: the signature split into `bands` groups of `rowsPerBand`
+    * values, each band hashed to one bucket string. Docs sharing any band
+    * bucket are candidate near-duplicates. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      concat_ws(":", lit(b),
+        md5(concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand))))): _*)
+
+  /** SimHash over the token multiset: bit i is the sign of the sum of ±1
+    * votes, where token t votes by the parity of its seed-i hash (each bit
+    * an independent 1-bit LSH). Near-identical token bags agree on almost
+    * every bit. 32 bits default; the expression is a flat sum of `bits`
+    * codegen'd terms. */
+  def simhash(text: Column, bits: Int = 32): Column = {
+    val toks = tokens(text)
+    (0 until bits).map { i =>
+      val vote = aggregate(toks, lit(0),
+        (s, t) => s + when(seededHash(t, 1000 + i) % 2 === 1, 1).otherwise(-1))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Exact Jaccard similarity of two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(a) === 0 && size(b) === 0, lit(1.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)).cast("double"))
+
+  /** Stopword sets for the n-gram language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une", "est", "pas"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es", "una"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "不", "人"))
+
+  /** Per-language stopword hit count over the token list. */
+  def langScore(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isin(stopwords(lang).map(x => x: Any): _*)))
+
+  /** Language-ID: argmax of stopword hits, fixed tie-break order. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = Seq("en", "de", "fr", "es", "zh").map(l => l -> langScore(toks, l))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((l, s), els) =>
+      when(s === best && s > 0, lit(l)).otherwise(els)
+    }
+  }
+
+  /** Quality metrics: token count, mean token length, stopword ratio,
+    * alphanumeric ratio — the usual cheap pretraining-quality signals. */
+  def qualityMetrics(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val sw = langScore(toks, "en").cast("double")
+    struct(
+      size(toks).cast("long").as("n_tokens"),
+      round(length(trim(text)).cast("double") / n, 6).as("mean_tok_len"),
+      round(sw / n, 6).as("stop_ratio"),
+      round(length(regexp_replace(lower(text), "[^a-z0-9]", "")).cast("double") /
+        length(text), 6).as("alnum_ratio"))
+  }
+
+  /** Document fingerprint: order-insensitive content hash — md5 over the
+    * sorted distinct token list (a canonicalized bag-of-words identity,
+    * robust to shuffling; the rolling-hash analogue of the reference's
+    * whole-string ETag M2). */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+}

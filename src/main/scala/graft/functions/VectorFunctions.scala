@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector primitives over `array<float|double>` columns, as pure
+  * higher-order-function expressions (codegen'd, no UDFs, no MLlib types —
+  * the embedding column stays a plain parquet list the whole way).
+  *
+  * All arithmetic is done in DOUBLE with a sequential left-fold, which both
+  * DuckDB's `list_cosine_similarity` and a scalar loop reproduce exactly —
+  * verified bit-for-bit against the oracle.
+  */
+object VectorFunctions {
+
+  private def d(c: Column): Column = c.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(d(a), lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random hyperplane component for plane `p`,
+    * dimension `i`: a seeded hash mapped to [-1, 1). Gives reproducible
+    * random-projection LSH without any RNG state. */
+  def planeComponent(p: Int, i: Column): Column =
+    (conv(substring(md5(concat_ws("|", lit("plane"), lit(p), i)), 1, 15), 16, 10)
+      .cast("double") / lit(math.pow(2, 60) / 2.0)) - lit(1.0)
+
+  /** Sign bit of the projection of `v` onto deterministic hyperplane `p`. */
+  def planeSign(v: Column, p: Int): Column = {
+    val prods = zip_with(d(v),
+      transform(sequence(lit(0), size(v) - 1), i => planeComponent(p, i)),
+      (x, w) => x * w)
+    (aggregate(prods, lit(0.0), (acc, x) => acc + x) > 0).cast("int")
+  }
+
+  /** Random-hyperplane LSH bucket key: `nPlanes` sign bits concatenated.
+    * Cosine-similar vectors collide with high probability; used to
+    * pre-bucket ANN search so the exact cosine runs only within buckets. */
+  def hyperplaneBucket(v: Column, nPlanes: Int = 8): Column =
+    concat_ws("", (0 until nPlanes).map(p => planeSign(v, p)): _*)
+}

@@ -1,0 +1,155 @@
+package graft
+
+import graft.ext.{Dedup, Multimodal, Similarity, Windows}
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: n-grams, distinct, short-text edge") {
+    val df = Seq("a b c d", "a b", "x x x x x").toDF("text")
+      .select(TextFunctions.shingles(col("text"), 3).as("sh"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("a b c", "b c d"))
+    assert(rows(1) == Seq.empty)
+    assert(rows(2) == Seq("x x x")) // distinct
+  }
+
+  test("minhash: identical texts share signatures, disjoint texts do not") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "entirely different words in this sentence here now"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("simhash: near-identical texts are close in Hamming distance") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = base + " extra"
+    val far = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val m = Dedup.simhashes(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
+    assert(ham(m(1L), m(2L)) <= 4)
+  }
+
+  test("langid picks the language whose stopwords dominate") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house is that big"),
+      (2L, "der hund und die katze ist ein tier nicht mit"),
+      (3L, "xyz abc qrs")).toDF("doc_id", "text")
+    val m = graft.ext.TextAnalysis.withLangId(df).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(m(1L) == "en"); assert(m(2L) == "de"); assert(m(3L) == "und")
+  }
+}
+
+class DedupSpec extends SparkSpec {
+
+  lazy val docs = Tables.documents(spark, sf)
+
+  test("lsh candidates find the implanted near-dup pairs") {
+    // ground truth: exact jaccard >= 0.9 over all pairs (sf0.001 is small)
+    val sh = docs.select(col("doc_id"), TextFunctions.shingles(col("text")).as("sh"))
+    val a = sh.alias("a"); val b = sh.alias("b")
+    val truth = a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j", TextFunctions.jaccard(col("a.sh"), col("b.sh")))
+      .where(col("j") >= 0.9)
+      .select(col("a.doc_id").as("ta"), col("b.doc_id").as("tb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain near-dups")
+    val found = Dedup.ngramJaccardPairs(docs, minJaccard = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every true >=0.9 pair must be recovered by the LSH+verify pipeline
+    assert(truth.subsetOf(found), s"missed: ${truth -- found}")
+  }
+
+  test("embedding near-dup with LSH bucketing ⊆ exact pairs") {
+    val embs = Tables.embeddings(spark, sf)
+    val exact = Dedup.embeddingNearDups(embs, minCos = 0.4, exactPairs = true)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDups(embs, minCos = 0.4, exactPairs = false)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+
+  test("lshTopK achieves >=0.5 recall@10 vs brute force on unclustered data") {
+    // the fixture embeddings are near-uniform (max pairwise cos ≈ 0.5), the
+    // worst case for locality hashing — real clustered embeddings do far
+    // better; 3 planes + 1-bit multi-probe visits ~half the buckets here
+    val embs = Tables.embeddings(spark, sf)
+    val qs = embs.where(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(embs, qs, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(embs, qs, k = 10, nPlanes = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("brute force ranks the self-similar vector first when included") {
+    import spark.implicits._
+    val embs = Tables.embeddings(spark, sf).limit(50).cache()
+    val q = embs.where(col("vec_id") === 0)
+    // cosine(v, v) == 1.0 exactly for the same vector
+    val self = embs.alias("a").join(q.alias("b"), lit(true))
+      .select(VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .where(col("a.vec_id") === 0)
+    assert(math.abs(self.head().getDouble(0) - 1.0) < 1e-12)
+  }
+}
+
+class WindowsSpec extends SparkSpec {
+
+  test("sessions split exactly at the gap threshold") {
+    import spark.implicits._
+    val ts = Seq(0L, 60L, 1900L, 1000000L, 1000060L)
+      .map(s => new java.sql.Timestamp(s * 1000))
+    val df = ts.map(t => (1L, t)).toDF("user_id", "ts")
+    val sess = Windows.sessions(df, "ts", "user_id", gapSeconds = 1800)
+      .orderBy("session_seq").collect()
+    // gaps: 60(+), 1840(split), 998100(split), 60(+) → 3 sessions: 2,1,2
+    assert(sess.map(_.getLong(4)).toSeq == Seq(2, 1, 2))
+  }
+
+  test("sliding windows cover each event twice (1h / 30m)") {
+    val ev = Tables.events(spark, sf)
+    val n = ev.count()
+    val total = Windows.sliding(ev, "ts", "1 hour", "30 minutes",
+      Seq("event_type"), Seq(count(lit(1)).as("n")))
+      .agg(sum("n")).head().getLong(0)
+    assert(total == 2 * n)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("asset envelope + stubbed decode round-trip") {
+    val assets = Multimodal.toAssets(Tables.documents(spark, sf), "text", "text")
+    assert(assets.columns.toSet ==
+      Set("asset_id", "media_type", "payload", "meta", "shard"))
+    val feats = Multimodal.fakeDecode(assets).toDF()
+    val row = feats.head()
+    assert(row.getAs[String]("phash").length == 16)
+    assert(row.getAs[scala.collection.Seq[Float]]("feat").length == 8)
+    // deterministic: decode twice, same features
+    val a = feats.select("asset_id", "phash").collect().toSet
+    val b = Multimodal.fakeDecode(assets).toDF().select("asset_id", "phash").collect().toSet
+    assert(a == b)
+    // n_bytes matches payload length
+    val joined = Multimodal.withFeatures(assets)
+      .where(length(col("payload")) =!= col("n_bytes")).count()
+    assert(joined == 0)
+  }
+}
