@@ -183,11 +183,20 @@ object SparkEntryExt {
     s"list_distinct(list_transform(range(1, len($t) - 1), i -> array_to_string(($t)[i:i+2], ' ')))"
   private def seedHashSql(seed: String, v: String) =
     s"(('0x' || substr(md5(CAST($seed AS VARCHAR) || '|' || $v), 1, 15)))::BIGINT"
+  // base hash once per shingle, then k affine permutations mod P — mirrors
+  // TextFunctions.baseShingleHash / minhashFromHashes exactly
+  private val mmP = graft.functions.TextFunctions.MinhashP
+  private val baseHashSql =
+    s"(('0x' || substr(md5(s), 1, 15)))::BIGINT % $mmP"
   private val sigSql = {
-    val mins = (0 until mmSeeds).map(i =>
-      s"list_min(list_transform(sh, s -> ${seedHashSql(i.toString, "s")}))")
+    val mins = (0 until mmSeeds).map { i =>
+      val (a, b) = graft.functions.TextFunctions.minhashConsts(i)
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % $mmP))"
+    }
     s"[${mins.mkString(", ")}]"
   }
+  private def hashedSql(shSql: String) =
+    s"list_transform($shSql, s -> $baseHashSql)"
   private val simhashSql = (0 until 32).map { i =>
     s"(CASE WHEN list_sum(list_transform(toks, t -> CASE WHEN ${seedHashSql((1000 + i).toString, "t")} % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END)"
   }.mkString(" + ")
@@ -284,18 +293,19 @@ object SparkEntryExt {
 
     "x_dedup_minhash" ->
       (s"SELECT doc_id, array_to_string($sigSql, ',') AS sig_str FROM " +
-        s"(SELECT doc_id, ${shinglesSql()} AS sh FROM documents)"),
+        s"(SELECT doc_id, ${hashedSql(shinglesSql())} AS hs FROM documents)"),
 
     "x_dedup_lsh_pairs" ->
       (s"WITH sigs AS (SELECT doc_id, $sigSql AS sig FROM " +
-        s"(SELECT doc_id, ${shinglesSql()} AS sh FROM documents)) " +
+        s"(SELECT doc_id, ${hashedSql(shinglesSql())} AS hs FROM documents)) " +
         s"SELECT a.doc_id AS id_a, b.doc_id AS id_b, $estSql AS est_jaccard " +
         s"FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id " +
         s"WHERE ($bandShareSql) AND $estSql >= 0.5"),
 
     "x_dedup_ngram_jaccard" ->
       (s"WITH base AS (SELECT doc_id, ${shinglesSql()} AS sh FROM documents), " +
-        s"sigs AS (SELECT doc_id, sh, $sigSql AS sig FROM base) " +
+        s"sigs AS (SELECT doc_id, sh, $sigSql AS sig FROM " +
+        "(SELECT doc_id, sh, " + hashedSql("sh") + " AS hs FROM base)) " +
         "SELECT * FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
         "round(CASE WHEN len(a.sh) = 0 AND len(b.sh) = 0 THEN 1.0 " +
         "ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) END, 6) AS jaccard " +

@@ -26,11 +26,24 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
 
-  /** Per-doc MinHash signature (k seeded minima over n-word shingles). */
+  /** Per-doc MinHash signature (k affine minima over hashed n-word
+    * shingles — one md5 per shingle). */
   def minhashSignatures(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", k: Int = 16, shingleN: Int = 3): DataFrame =
-    docs.select(col(idCol),
-      minhashSignature(shingles(col(textCol), shingleN), k).as("sig"))
+    shingleTable(docs, textCol, idCol, shingleN)
+      .select(col(idCol), minhashFromHashes(col("hs"), k).as("sig"))
+
+  /** Shingle sets, persisted: the expensive split/distinct/md5 pipeline
+    * runs once; every downstream expression reads the materialized arrays.
+    * Without this boundary Catalyst's project collapsing inlines the
+    * pipeline into each of the k seed-minima and every band key —
+    * measured ~30× slower. At 100 TB this persists as a signatures table
+    * on storage instead of executor memory; the shape is identical. */
+  private def shingleTable(docs: DataFrame, textCol: String, idCol: String,
+                           shingleN: Int): DataFrame =
+    docs.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("hs", transform(col("sh"), s => baseShingleHash(s)))
+      .persist()
 
   /** MinHash-LSH candidate pairs with estimated Jaccard ≥ `minEst`.
     *
@@ -41,12 +54,16 @@ object Dedup {
     */
   def lshCandidates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                     k: Int = 16, bands: Int = 4, shingleN: Int = 3,
-                    minEst: Double = 0.5): DataFrame = {
+                    minEst: Double = 0.5): DataFrame =
+    lshCandidatesFrom(shingleTable(docs, textCol, idCol, shingleN), idCol, k, bands, minEst)
+
+  private def lshCandidatesFrom(sh: DataFrame, idCol: String, k: Int, bands: Int,
+                                minEst: Double): DataFrame = {
     val rowsPerBand = k / bands
-    val sigs = minhashSignatures(docs, textCol, idCol, k, shingleN)
-      .withColumn("band", explode(bandKeys(col("sig"), bands, rowsPerBand)))
-    val a = sigs.alias("a")
-    val b = sigs.alias("b")
+    val sigs = sh.select(col(idCol), minhashFromHashes(col("hs"), k).as("sig")).persist()
+    val banded = sigs.withColumn("band", explode(bandKeys(col("sig"), bands, rowsPerBand)))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
     a.join(b, col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
@@ -65,8 +82,8 @@ object Dedup {
                         idCol: String = "doc_id", shingleN: Int = 3,
                         minJaccard: Double = 0.8,
                         k: Int = 16, bands: Int = 4): DataFrame = {
-    val cands = lshCandidates(docs, textCol, idCol, k, bands, shingleN, minEst = 0.3)
-    val sh = docs.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+    val sh = shingleTable(docs, textCol, idCol, shingleN)
+    val cands = lshCandidatesFrom(sh, idCol, k, bands, minEst = 0.3)
     cands
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")

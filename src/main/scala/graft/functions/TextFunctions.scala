@@ -32,12 +32,36 @@ object TextFunctions {
   def seededHash(s: Column, seed: Int): Column =
     conv(substring(md5(concat_ws("|", lit(seed), s)), 1, 15), 16, 10).cast("long")
 
-  /** MinHash signature: k minima of seeded hashes over the shingle set.
-    * One pass over the shingles per seed, all inside codegen; for k=16 the
-    * per-row cost is 16·|shingles| md5 calls — scan-bound at scale. */
+  /** Carter-Wegman universal-hash modulus (2^31 - 1, prime) and per-seed
+    * affine constants for MinHash. All arithmetic stays below 2^62 so
+    * int64 never overflows — the DuckDB oracle computes identical values
+    * (it *errors* on overflow rather than wrapping, so this bound is a
+    * correctness requirement, not a nicety). */
+  val MinhashP: Long = 2147483647L
+  def minhashConsts(i: Int): (Long, Long) =
+    (((1103515245L * (i + 1) + 12345L) % MinhashP) | 1L,
+      (987654321L * (i + 3) + 55555L) % MinhashP)
+
+  /** Base shingle hash: ONE md5 per shingle, folded to [0, P). The k
+    * MinHash permutations derive from this by cheap affine maps instead of
+    * k separate md5 passes. */
+  def baseShingleHash(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinhashP
+
+  /** MinHash signature from pre-hashed shingles (`array<long>`): k minima
+    * of affine permutations (a_i·h + b_i) mod P. Pair with a persisted
+    * hashed-shingle column — otherwise Catalyst's project collapsing
+    * inlines the hashing pipeline into all k minima and multiplies the md5
+    * work k-fold. */
+  def minhashFromHashes(hashes: Column, k: Int = 16): Column =
+    array((0 until k).map { i =>
+      val (a, b) = minhashConsts(i)
+      array_min(transform(hashes, h => (h * a + b) % MinhashP))
+    }: _*)
+
+  /** Convenience one-shot signature (hashing inlined; fine for single use). */
   def minhashSignature(shingleCol: Column, k: Int = 16): Column =
-    array((0 until k).map(i =>
-      array_min(transform(shingleCol, s => seededHash(s, i)))): _*)
+    minhashFromHashes(transform(shingleCol, s => baseShingleHash(s)), k)
 
   /** LSH band keys: the signature split into `bands` groups of `rowsPerBand`
     * values, each band hashed to one bucket string. Docs sharing any band

@@ -76,6 +76,12 @@ object Shred {
         lit(null).cast("string").as("__field"),
         lit(null).cast("int").as("__ord")
       ) ++ docs.schema.fieldNames.map(col): _*)
+      // every node path projects/explodes from this one plan; without a
+      // materialization boundary each path (and every renest join over
+      // them) re-executes the full upstream document assembly — persist so
+      // the input is computed once. At 100 TB the equivalent move is
+      // writing the shredded tables to storage before querying them.
+      .persist()
     walk(root, docs.schema, "")
   }
 
