@@ -112,6 +112,58 @@ object SparkEntryExt {
       Ingest.applyBatch(Ingest.applyBatch(empty, log), log)
     },
 
+    "s7_index_delete" -> { (s, dir) =>
+      // index-doc batch delete by key set (anti-join form of S5/S7)
+      val kv = Tables.orders(s, dir)
+        .withColumn("key", col("o_orderkey").cast("string"))
+      val doomed = kv.where(col("o_orderpriority") === "1-URGENT").select("key")
+      Kv.deleteAll(kv, doomed).drop("key")
+    },
+
+    "s8_delete_by_query" -> { (s, dir) =>
+      // delete-by-query: predicate rewrite, then a residual aggregate that
+      // shows the deletion (the filter's negation pushes to the scan)
+      Kv.deleteWhere(Tables.lineitem(s, dir),
+          col("l_shipdate") < to_timestamp(lit("1996-01-01")))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    },
+
+    "s10_cache_aside" -> { (s, dir) =>
+      // Redis-first / ES-fallback read (cache-aside): the authoritative
+      // cache holds fresher values for a subset; coalesce over a left join
+      val index = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("idx_price"))
+      val cache = Tables.orders(s, dir).where(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").as("k"), (col("o_totalprice") * 2).as("c_price"))
+      index.join(cache, Seq("k"), "left")
+        .select(col("k").as("o_orderkey"),
+          coalesce(col("c_price"), col("idx_price")).as("price"),
+          when(col("c_price").isNotNull, "cache").otherwise("index").as("source"))
+    },
+
+    "p9_projection" -> { (s, dir) =>
+      // _source projection over the shredded child nodes (typed table path)
+      val typed = Shred.shredTyped(StarDocs.docs(s, dir))
+      Search.projectSource(typed("lineitems"),
+        Seq("__key", "l_quantity", "l_returnflag"))
+        .withColumnRenamed("__key", "key")
+    },
+
+    "p10_search_renest" -> { (s, dir) =>
+      // the reference's full read path: has_child search, then re-nest each
+      // hit (J2) — the per-hit N+1 fan-out of the reference collapses into
+      // the same distributed job (apiLogicForSearch.ts:280-285)
+      val docs = StarDocs.docs(s, dir)
+      val typed = Shred.shredTyped(docs)
+      val parents = Renest(typed, docs.schema)
+        .withColumn("__k", concat(lit("order_"), col("objectId")))
+      val hits = Search.hasChild(parents,
+        typed("lineitems").where(col("l_quantity") > 49),
+        "__k", "__parentKey")
+      hits.select(col("objectId").as("order_id"), col("o_orderstatus"),
+        size(col("lineitems")).as("n_items"))
+    },
+
     // ----- text analysis -----
     "x_text_quality" -> { (s, dir) =>
       TextAnalysis.withQuality(Tables.documents(s, dir))
@@ -266,6 +318,31 @@ object SparkEntryExt {
         "row_number() OVER (PARTITION BY concat('u', CAST(user_id AS VARCHAR), '_', " +
         "CAST(event_id % 50 AS VARCHAR)) ORDER BY event_id DESC) AS rn FROM events) " +
         "WHERE rn = 1 AND op <> 'delete'"),
+
+    "s7_index_delete" ->
+      "SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT'",
+
+    "s8_delete_by_query" ->
+      ("SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n FROM lineitem " +
+        "WHERE NOT (l_shipdate < TIMESTAMP '1996-01-01') GROUP BY 1"),
+
+    "s10_cache_aside" ->
+      ("SELECT o_orderkey, CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 " +
+        "ELSE o_totalprice END AS price, " +
+        "CASE WHEN o_orderkey % 5 = 0 THEN 'cache' ELSE 'index' END AS source FROM orders"),
+
+    "p9_projection" ->
+      ("WITH li AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY " +
+        "l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, " +
+        "l_tax, l_returnflag, l_linestatus, l_shipdate) AS seq FROM lineitem) " +
+        "SELECT 'lineitem_li' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(seq AS VARCHAR) AS key, " +
+        "l_quantity, l_returnflag FROM li"),
+
+    "p10_search_renest" ->
+      ("SELECT CAST(o.o_orderkey AS VARCHAR) AS order_id, o.o_orderstatus, " +
+        "CAST((SELECT count(*) FROM lineitem l2 WHERE l2.l_orderkey = o.o_orderkey) AS INT) AS n_items " +
+        "FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l " +
+        "WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)"),
 
     "x_text_quality" ->
       (s"SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens, " +

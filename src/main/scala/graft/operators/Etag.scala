@@ -35,10 +35,20 @@ object Etag {
     case _ => c
   }
 
+  /** All-nullable copy of a type — the canonical form is nullable at every
+    * level (its null branches), so casts target this relaxation. */
+  def nullableCopy(dt: DataType): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f => f.copy(dataType = nullableCopy(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(nullableCopy(a.elementType), containsNull = true)
+    case m: MapType => MapType(m.keyType, nullableCopy(m.valueType), valueContainsNull = true)
+    case o => o
+  }
+
   /** ETag column for a whole document row of `schema`. */
   def etag(schema: StructType): Column =
     md5(to_json(canonicalize(struct(schema.fieldNames.map(col): _*),
-      schema).cast(schema)))
+      schema).cast(nullableCopy(schema))))
 
   /** docs + `key` + `etag` columns. */
   def withEtag(docs: DataFrame): DataFrame =

@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Arbitrary, Gen}
+import org.scalacheck.rng.Seed
+
+/** Property tests over randomly generated plan documents (SURVEY.md §5:
+  * shred∘renest = id, merge-patch absorption, ETag stability). Generators
+  * build JSON strings in the canonical plan shape (FIXTURES.md §A.1) with
+  * random field presence, child counts and values. */
+class PropertySpec extends SparkSpec {
+
+  /** Deterministic sampling: scalatestplus isn't on the offline classpath,
+    * so generators are driven directly under fixed seeds. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  import PlanFixture.{docs, sparkSchema}
+
+  private val word = Gen.alphaLowerStr.map(_.take(8)).suchThat(_.nonEmpty)
+  private val money = Gen.choose(0, 99999).map(_ / 100.0)
+
+  private def svcGen(tag: String): Gen[String] = for {
+    name <- word; copay <- money; ded <- money
+    hasService <- Arbitrary.arbBool.arbitrary
+  } yield {
+    val svc = if (hasService)
+      s""""linkedService":{"_org":"e.com","objectId":"sv$tag","objectType":"service","name":"$name"},"""
+    else ""
+    s"""{$svc"planserviceCostShares":{"deductible":$ded,"copay":$copay,
+        "_org":"e.com","objectId":"cs$tag","objectType":"membercostshare"},
+        "_org":"e.com","objectId":"ps$tag","objectType":"planservice"}"""
+      .replaceAll("\n\\s*", "")
+  }
+
+  private[graft] def planGenPublic: Gen[String] = planGen
+
+  private val planGen: Gen[String] = for {
+    id <- Gen.uuid.map(_.toString.take(8))
+    nSvc <- Gen.choose(1, 4)
+    svcs <- Gen.sequence[Seq[String], String]((1 to nSvc).map(i => svcGen(s"${id}_$i")))
+    ptype <- Gen.oneOf("inNetwork", "outNetwork")
+    hasCost <- Arbitrary.arbBool.arbitrary
+  } yield {
+    val cost = if (hasCost)
+      s""""planCostShares":{"deductible":10.0,"copay":5.0,"_org":"e.com",
+          "objectId":"pcs$id","objectType":"membercostshare"},"""
+        .replaceAll("\n\\s*", "")
+    else ""
+    s"""{"objectId":"$id","objectType":"plan","planType":"$ptype","_org":"e.com",
+        "creationDate":"12-12-2017",$cost"linkedPlanServices":[${svcs.mkString(",")}]}"""
+      .replaceAll("\n\\s*", "")
+  }
+
+  private def canonicalJson(df: DataFrame): Set[String] =
+    df.select(to_json(Etag.canonicalize(
+        struct(df.columns.map(col): _*), df.schema.asInstanceOf[org.apache.spark.sql.types.StructType]
+      ).cast(Etag.nullableCopy(df.schema))).as("j"))
+      .collect().map(_.getString(0)).toSet
+
+  test("property: renest ∘ shred = identity on random documents") {
+    samples(Gen.listOfN(3, planGen), 8).foreach { jsons =>
+      val d = docs(spark, jsons)
+      val back = Renest(Shred.shredTyped(d), d.schema)
+      assert(canonicalJson(back) == canonicalJson(d))
+    }
+  }
+
+  test("property: merge-patch is absorbing (applying the same patch twice = once)") {
+    samples(Gen.zip(planGen, planGen), 8).foreach { case (a, p0) =>
+      // patch shares a's objectId so it applies to it
+      val aId = a.split("\"objectId\":\"")(1).split("\"")(0)
+      val p = p0.replaceFirst("\"objectId\":\"[^\"]+\"", s""""objectId":"$aId"""")
+      val cur = docs(spark, Seq(a))
+      val patch = docs(spark, Seq(p))
+      val once = MergePatch(cur, patch)
+      val twice = MergePatch(once, patch)
+      assert(canonicalJson(once) == canonicalJson(twice))
+    }
+  }
+
+  test("property: etag invariant under child-array permutation, sensitive to content") {
+    samples(planGen, 8).foreach { j =>
+      val d1 = docs(spark, Seq(j))
+      // reverse the linkedPlanServices array by re-building the doc with
+      // reversed array column — canonical etag must not change
+      val d2 = d1.withColumn("linkedPlanServices", reverse(col("linkedPlanServices")))
+      val e1 = Etag.withEtag(d1).select("__etag").head().getString(0)
+      val e2 = Etag.withEtag(d2).select("__etag").head().getString(0)
+      assert(e1 == e2)
+      // changing a scalar changes the tag
+      val d3 = d1.withColumn("planType", lit("CHANGED"))
+      val e3 = Etag.withEtag(d3).select("__etag").head().getString(0)
+      assert(e1 != e3)
+    }
+  }
+
+  test("S11: mapping introspection exposes the runtime schema") {
+    val d = docs(spark, Seq(PlanFixture.planJson("A", Seq(("1", "x", 1.0)))))
+    val nodes = Shred.nodes(d)
+    // the engine analogue of GET /getMapping (elasticSearch.ts:301-310)
+    val json = nodes.schema.json
+    assert(json.contains("\"relName\"") && json.contains("\"rootKey\""))
+    assert(nodes.schema.treeString.contains("payload"))
+    assert(graft.functions.JsonSchema.sparkType(
+      graft.functions.JsonSchema.parse(PlanFixture.schemaJson)) == sparkSchema)
+  }
+}
