@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT + whole-stage-codegen compilation + parquet
+    // reader init, so the first timed query measures the query, not JVM
+    // startup (~3-4 s otherwise attributed to whichever query runs first)
+    spark.range(1000000).selectExpr("count(md5(cast(id as string)))").collect()
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

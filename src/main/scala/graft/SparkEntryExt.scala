@@ -142,8 +142,9 @@ object SparkEntryExt {
     },
 
     "p9_projection" -> { (s, dir) =>
-      // _source projection over the shredded child nodes (typed table path)
-      val typed = Shred.shredTyped(StarDocs.docs(s, dir))
+      // _source projection over the shredded child nodes (typed table path);
+      // single-path consumer → skip the materialize/repartition
+      val typed = Shred.shredTyped(StarDocs.docs(s, dir), materialize = false)
       Search.projectSource(typed("lineitems"),
         Seq("__key", "l_quantity", "l_returnflag"))
         .withColumnRenamed("__key", "key")
@@ -248,7 +249,7 @@ object SparkEntryExt {
     s"[${mins.mkString(", ")}]"
   }
   private def hashedSql(shSql: String) =
-    s"list_transform($shSql, s -> $baseHashSql)"
+    s"list_sort(list_distinct(list_transform($shSql, s -> $baseHashSql)))"
   private val simhashSql = (0 until 32).map { i =>
     s"(CASE WHEN list_sum(list_transform(toks, t -> CASE WHEN ${seedHashSql((1000 + i).toString, "t")} % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END)"
   }.mkString(" + ")
@@ -381,11 +382,12 @@ object SparkEntryExt {
 
     "x_dedup_ngram_jaccard" ->
       (s"WITH base AS (SELECT doc_id, ${shinglesSql()} AS sh FROM documents), " +
-        s"sigs AS (SELECT doc_id, sh, $sigSql AS sig FROM " +
-        "(SELECT doc_id, sh, " + hashedSql("sh") + " AS hs FROM base)) " +
+        s"sigs AS (SELECT doc_id, hs, $sigSql AS sig FROM " +
+        "(SELECT doc_id, " + hashedSql("sh") + " AS hs FROM base)) " +
         "SELECT * FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-        "round(CASE WHEN len(a.sh) = 0 AND len(b.sh) = 0 THEN 1.0 " +
-        "ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) END, 6) AS jaccard " +
+        "round(CASE WHEN len(a.hs) = 0 AND len(b.hs) = 0 THEN 1.0 " +
+        "ELSE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) / " +
+        "(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) END, 6) AS jaccard " +
         s"FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id " +
         s"WHERE ($bandShareSql) AND $estSql >= 0.3) WHERE jaccard >= 0.8"),
 

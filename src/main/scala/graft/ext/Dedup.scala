@@ -41,8 +41,10 @@ object Dedup {
     * on storage instead of executor memory; the shape is identical. */
   private def shingleTable(docs: DataFrame, textCol: String, idCol: String,
                            shingleN: Int): DataFrame =
-    docs.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("hs", transform(col("sh"), s => baseShingleHash(s)))
+    // hashed shingle SET, sorted+distinct (the contract of the merge-scan
+    // Jaccard kernel), built by the fused codegen kernel in one pass
+    docs.select(col(idCol),
+        graft.plans.ShingleExpression.hashedShingles(tokens(col(textCol)), shingleN).as("hs"))
       .persist()
 
   /** MinHash-LSH candidate pairs with estimated Jaccard ≥ `minEst`.
@@ -84,10 +86,13 @@ object Dedup {
                         k: Int = 16, bands: Int = 4): DataFrame = {
     val sh = shingleTable(docs, textCol, idCol, shingleN)
     val cands = lshCandidatesFrom(sh, idCol, k, bands, minEst = 0.3)
+    // exact Jaccard over the hashed shingle sets (equal to the string-set
+    // value up to md5 collisions) via the O(n+m) codegen merge kernel
     cands
-      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .join(sh.select(col(idCol).as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("hs").as("hs_b")), "id_b")
+      .withColumn("jaccard",
+        round(graft.plans.ArrayExpressions.sortedJaccard(col("hs_a"), col("hs_b")), 6))
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }

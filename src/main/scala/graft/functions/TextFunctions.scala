@@ -49,15 +49,13 @@ object TextFunctions {
     conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinhashP
 
   /** MinHash signature from pre-hashed shingles (`array<long>`): k minima
-    * of affine permutations (a_i·h + b_i) mod P. Pair with a persisted
-    * hashed-shingle column — otherwise Catalyst's project collapsing
-    * inlines the hashing pipeline into all k minima and multiplies the md5
-    * work k-fold. */
+    * of affine permutations (a_i·h + b_i) mod P, computed in one codegen'd
+    * pass ([[graft.plans.MinHashSignature]] — the compositional
+    * `k × array_min(transform(...))` form makes k interpreted passes).
+    * Pair with a persisted hashed-shingle column — otherwise Catalyst's
+    * project collapsing re-inlines the md5 pipeline into every use. */
   def minhashFromHashes(hashes: Column, k: Int = 16): Column =
-    array((0 until k).map { i =>
-      val (a, b) = minhashConsts(i)
-      array_min(transform(hashes, h => (h * a + b) % MinhashP))
-    }: _*)
+    graft.plans.MinHashExpression.minhashSig(hashes, k)
 
   /** Convenience one-shot signature (hashing inlined; fine for single use). */
   def minhashSignature(shingleCol: Column, k: Int = 16): Column =

@@ -63,7 +63,12 @@ object Shred {
     *
     * Each table has [[MetaCols]] plus the node's inline fields, typed.
     */
-  def shredTyped(docs: DataFrame): Map[String, DataFrame] = {
+  /** `materialize = true` (default) repartitions by root key and persists
+    * the annotated input — right when several node paths / renest joins
+    * will consume the result. Pass `false` for single-path projections
+    * (e.g. explode one child table once), where the exchange+cache would
+    * cost more than it saves. */
+  def shredTyped(docs: DataFrame, materialize: Boolean = true): Map[String, DataFrame] = {
     val rootKey = concat_ws("_", col("objectType").cast("string"), col("objectId").cast("string"))
     val root = docs.select(
       Seq(
@@ -76,13 +81,21 @@ object Shred {
         lit(null).cast("string").as("__field"),
         lit(null).cast("int").as("__ord")
       ) ++ docs.schema.fieldNames.map(col): _*)
-      // every node path projects/explodes from this one plan; without a
-      // materialization boundary each path (and every renest join over
-      // them) re-executes the full upstream document assembly — persist so
-      // the input is computed once. At 100 TB the equivalent move is
-      // writing the shredded tables to storage before querying them.
+    val prepared = if (!materialize) root else root
+      // Two physical choices, both load-bearing:
+      //  - repartition by __rootKey: every derived node path inherits this
+      //    partitioning (explode/project are narrow), and HashPartitioning
+      //    on __rootKey satisfies the clustered distribution of every
+      //    renest join (key, rootKey) and collect_list aggregation — so
+      //    the whole renest tree plans without further exchanges. This is
+      //    the in-memory form of NodeStore's bucketed layout.
+      //  - persist: without a materialization boundary each node path (and
+      //    every renest join over them) re-executes the full upstream
+      //    document assembly. At 100 TB both choices become one bucketed
+      //    write of the shredded tables.
+      .repartition(col("__rootKey"))
       .persist()
-    walk(root, docs.schema, "")
+    walk(prepared, docs.schema, "")
   }
 
   private def joinPath(path: String, field: String): String =

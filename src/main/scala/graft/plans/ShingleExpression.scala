@@ -1,0 +1,93 @@
+package graft.plans
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels callable from generated code. */
+object Kernels {
+  private val mdLocal: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 15 hex digits of md5(s) as a long, mod p — exactly
+    * `conv(substring(md5(s), 1, 15), 16, 10) % p` (the first 7.5 digest
+    * bytes big-endian, shifted down a nibble). */
+  def md5Mod(s: UTF8String, p: Long): Long = {
+    val d = mdLocal.get(); d.reset()
+    val b = d.digest(s.getBytes)
+    val hi =
+      ((b(0) & 0xffL) << 56) | ((b(1) & 0xffL) << 48) | ((b(2) & 0xffL) << 40) |
+        ((b(3) & 0xffL) << 32) | ((b(4) & 0xffL) << 24) | ((b(5) & 0xffL) << 16) |
+        ((b(6) & 0xffL) << 8) | (b(7) & 0xffL)
+    (hi >>> 4) % p
+  }
+
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Hashed n-word shingles of a token array: md5-mod of each n-gram,
+    * sorted ascending, duplicates removed. One pass, one output
+    * allocation. */
+  def hashedShingles(tokens: ArrayData, n: Int, p: Long): ArrayData = {
+    val cnt = tokens.numElements() - (n - 1)
+    if (cnt <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val buf = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+      buf(i) = md5Mod(UTF8String.concatWs(SPACE, parts: _*), p)
+      i += 1
+    }
+    java.util.Arrays.sort(buf)
+    var m = 0
+    i = 0
+    while (i < cnt) {
+      if (i == 0 || buf(i) != buf(i - 1)) { buf(m) = buf(i); m += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOfRange(buf, 0, m))
+  }
+}
+
+/** Fused shingle+hash kernel: replaces the interpreted
+  * `array_sort(array_distinct(transform(shingles(text), md5…)))` pipeline
+  * (HOFs evaluate outside whole-stage codegen, allocating a string per
+  * shingle per lambda) with one call into [[Kernels.hashedShingles]].
+  * Identical output values — the oracle's
+  * `list_sort(list_distinct(list_transform(...)))` matches because
+  * hash-of-duplicate-strings dedupes to the same set either side of the
+  * distinct. */
+case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hashed_shingles expects array<string>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.hashedShingles(input.asInstanceOf[ArrayData], n, TextFunctions.MinhashP)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.Kernels.hashedShingles($a, $n, ${TextFunctions.MinhashP}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleExpression {
+  def hashedShingles(tokens: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(HashedShingles(bridge.expression(tokens), n))
+  }
+}
