@@ -1,0 +1,46 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** SQL surface for the custom kernels: registers `cosine_sim`,
+  * `sorted_jaccard`, `minhash_sig`, `hashed_shingles` as SQL functions, so
+  * `spark.sql(...)` users (and the thrift/Connect surface on a real
+  * cluster) reach the same codegen'd expressions as the Scala API.
+  *
+  * Two entry points:
+  *  - `spark.sql.extensions=graft.plans.GraftExtensions` at session build
+  *    (the standard extension hook);
+  *  - [[GraftExtensions.register]] for an already-running session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    def info(name: String) = new ExpressionInfo(classOf[GraftExtensions].getName, name)
+    e.injectFunction((FunctionIdentifier("cosine_sim"), info("cosine_sim"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("sorted_jaccard"), info("sorted_jaccard"),
+      (args: Seq[Expression]) => SortedArrayJaccard(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("minhash_sig"), info("minhash_sig"),
+      (args: Seq[Expression]) => MinHashSignature(args(0),
+        args(1).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("hashed_shingles"), info("hashed_shingles"),
+      (args: Seq[Expression]) => HashedShingles(args(0),
+        args(1).eval().asInstanceOf[Int])))
+  }
+}
+
+object GraftExtensions {
+  /** Imperative registration on a live session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim",
+      args => CosineSimilarity(args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("sorted_jaccard",
+      args => SortedArrayJaccard(args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      args => MinHashSignature(args(0), args(1).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("hashed_shingles",
+      args => HashedShingles(args(0), args(1).eval().asInstanceOf[Int]), "scala_udf")
+  }
+}

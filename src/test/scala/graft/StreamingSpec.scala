@@ -64,6 +64,54 @@ class StreamingSpec extends SparkSpec {
     assert(once.collect().toSet == twice.collect().toSet)
   }
 
+  test("event-time tumbling window with watermark drops late data (extension)") {
+    import org.apache.spark.sql.types._
+    val dir = tmp(); val log = s"$dir/ev"; new java.io.File(log).mkdirs()
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    // batch 1: events up to 10:30 → watermark advances to 10:20
+    Files.writeString(java.nio.file.Paths.get(s"$log/b1.json"),
+      """{"ts":"2024-01-01T10:01:00.000Z","event_type":"click","value":1.0}
+        |{"ts":"2024-01-01T10:05:00.000Z","event_type":"click","value":2.0}
+        |{"ts":"2024-01-01T10:30:00.000Z","event_type":"view","value":3.0}
+        |""".stripMargin)
+    val emitted = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(String, String, Long, Double)]())
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).json(log)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select(col("window.start").cast("string"), col("event_type"), col("n"), col("v"))
+            .collect().foreach(r => emitted.add(
+              (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))))
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // batch 2: one on-time event + one late event (09:50 < watermark 10:20)
+    Files.writeString(java.nio.file.Paths.get(s"$log/b2.json"),
+      """{"ts":"2024-01-01T10:59:00.000Z","event_type":"click","value":9.0}
+        |{"ts":"2024-01-01T09:50:00.000Z","event_type":"click","value":100.0}
+        |""".stripMargin)
+    runOnce()
+    val rows = {
+      import scala.jdk.CollectionConverters._
+      emitted.asScala.toSet
+    }
+    // the 10:00 click window (2 events) was emitted once its window closed
+    // past the watermark; the late 09:50 click was DROPPED (no 09:45
+    // window, no mutation of the emitted one)
+    assert(rows.contains(("2024-01-01 10:00:00", "click", 2L, 3.0)), rows.toString)
+    assert(!rows.exists(_._4 == 100.0), s"late event leaked: $rows")
+  }
+
   test("ST5: DLQ splits invalid rows without losing them") {
     import spark.implicits._
     val batch = Seq((1L, "insert", "a", """{"k":1}"""), (2L, "insert", "b", "not json"))
