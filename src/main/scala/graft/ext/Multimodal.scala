@@ -72,7 +72,10 @@ object Multimodal {
       }
   }
 
-  /** Feature sidecar join-back: narrow table keyed by asset_id. */
+  /** Feature sidecar join-back: narrow table keyed by asset_id. Decode
+    * runs once per DISTINCT content hash (duplicate payloads share an
+    * asset_id by construction — decoding each copy would both waste the
+    * codec and fan the join out t×t per duplicate group). */
   def withFeatures(assets: DataFrame): DataFrame =
-    assets.join(fakeDecode(assets).toDF(), Seq("asset_id"))
+    assets.join(fakeDecode(assets.dropDuplicates("asset_id")).toDF(), Seq("asset_id"))
 }

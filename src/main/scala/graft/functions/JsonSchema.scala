@@ -28,6 +28,8 @@ object SchemaNode {
   final case object SNumber extends SchemaNode
   final case object SInteger extends SchemaNode
   final case object SBoolean extends SchemaNode
+  /** Unconstrained value (e.g. an array schema with no `items`). */
+  final case object SAny extends SchemaNode
 }
 
 object JsonSchema {
@@ -59,7 +61,9 @@ object JsonSchema {
         val addl = Option(resolved.get("additionalProperties")).forall(_.asBoolean(true))
         SObject(props, required, addl)
       case "array" =>
-        SArray(parseNode(resolved.get("items"), root, defs))
+        // draft-04 allows omitting `items` (unconstrained elements)
+        SArray(Option(resolved.get("items"))
+          .map(parseNode(_, root, defs)).getOrElse(SAny))
       case "string" =>
         SString(Option(resolved.get("pattern")).map(_.asText()))
       case "number"  => SNumber
@@ -80,5 +84,6 @@ object JsonSchema {
     case SNumber        => DoubleType
     case SInteger       => LongType
     case SBoolean       => BooleanType
+    case SAny           => StringType // raw JSON text of the value
   }
 }

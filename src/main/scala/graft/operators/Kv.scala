@@ -40,14 +40,17 @@ object Kv {
   }
 
   /** S4 — unconditional upsert (`elasticSearch.ts:3-11`): updates win per
-    * key. Full-outer merge + coalesce, one shuffle on `key` (none at all
-    * when both sides are bucketed by `key`). */
+    * key, WHOLESALE — an update row replaces the stored row entirely, NULL
+    * columns included (Redis SET semantics; per-column coalesce would make
+    * clearing a field impossible). Full-outer merge, one shuffle on `key`
+    * (none at all when both sides are bucketed by `key`). */
   def upsert(kv: DataFrame, updates: DataFrame): DataFrame = {
     val cols = kv.columns.filterNot(_ == "key")
-    val u = updates.select("key", cols: _*)
+    val u = updates.select("key", cols: _*).withColumn("__isUpd", lit(true))
     kv.alias("__o").join(u.alias("__n"), Seq("key"), "full_outer")
       .select(col("key") +: cols.toSeq.map(c =>
-        coalesce(col(s"__n.$c"), col(s"__o.$c")).as(c)): _*)
+        when(col("__isUpd").isNotNull, col(s"__n.$c"))
+          .otherwise(col(s"__o.$c")).as(c)): _*)
   }
 
   /** S5 — delete one key (`apiLogicForCRUD.ts:364-389`); batch form is the
@@ -61,9 +64,11 @@ object Kv {
     kv.join(keys.select("key"), Seq("key"), "left_anti")
 
   /** S8 — delete-by-query (`elasticSearch.ts:186-200`, match_all variant
-    * wipes the table). */
+    * wipes the table). NULL-safe: a row where the predicate evaluates to
+    * NULL does not match the delete query, so it must be KEPT — a bare
+    * `where(!pred)` would silently drop it. */
   def deleteWhere(kv: DataFrame, pred: Column): DataFrame =
-    kv.where(!pred)
+    kv.where(!coalesce(pred, lit(false)))
 
   /** S9 — capped full scan (`elasticSearch.ts:201-215`, `size: 1000`).
     * Global limit ⇒ `CollectLimitExec`; we order first so the cap is

@@ -83,6 +83,7 @@ object Validate {
         Seq(when(get_json_object(c, path).isNotNull &&
           !get_json_object(c, path).isin("true", "false"),
           lit(s"not a boolean at $path")))
+      case SAny => Nil
     }
 
   /** M6 — `DD-MM-YYYY` semantic date validation

@@ -13,6 +13,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   *  - [[GraftExtensions.register]] for an already-running session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.intArg
   override def apply(e: SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -22,15 +23,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("sorted_jaccard"), info("sorted_jaccard"),
       (args: Seq[Expression]) => SortedArrayJaccard(args(0), args(1))))
     e.injectFunction((FunctionIdentifier("minhash_sig"), info("minhash_sig"),
-      (args: Seq[Expression]) => MinHashSignature(args(0),
-        args(1).eval().asInstanceOf[Int])))
+      (args: Seq[Expression]) => MinHashSignature(args(0), intArg("minhash_sig", args(1)))))
     e.injectFunction((FunctionIdentifier("hashed_shingles"), info("hashed_shingles"),
-      (args: Seq[Expression]) => HashedShingles(args(0),
-        args(1).eval().asInstanceOf[Int])))
+      (args: Seq[Expression]) => HashedShingles(args(0), intArg("hashed_shingles", args(1)))))
   }
 }
 
 object GraftExtensions {
+  /** The k argument must be a foldable integer — accept any integral
+    * literal type, fail with a named error otherwise (a bare
+    * `.asInstanceOf[Int]` would throw an opaque ClassCastException on a
+    * BIGINT literal and an eval error on a non-foldable column). */
+  private[plans] def intArg(fn: String,
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(s"$fn: second argument must be an integer literal")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other =>
+        throw new IllegalArgumentException(s"$fn: expected an integer literal, got $other")
+    }
+  }
+
   /** Imperative registration on a live session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -39,8 +56,8 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("sorted_jaccard",
       args => SortedArrayJaccard(args(0), args(1)), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig",
-      args => MinHashSignature(args(0), args(1).eval().asInstanceOf[Int]), "scala_udf")
+      args => MinHashSignature(args(0), intArg("minhash_sig", args(1))), "scala_udf")
     reg.createOrReplaceTempFunction("hashed_shingles",
-      args => HashedShingles(args(0), args(1).eval().asInstanceOf[Int]), "scala_udf")
+      args => HashedShingles(args(0), intArg("hashed_shingles", args(1))), "scala_udf")
   }
 }

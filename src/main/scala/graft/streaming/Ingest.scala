@@ -51,41 +51,58 @@ object Ingest {
       .join(deletes, Seq("key"), "left_anti")
   }
 
-  /** ST2+ST4 — run the changelog through a streaming query into a parquet
-    * state table, with `Trigger.AvailableNow` as the read-your-writes
-    * barrier. `stateDir` is rewritten per batch via the batch apply —
-    * locally that is a full-file swap; at scale the same `foreachBatch`
-    * body targets a MERGE-capable table (the seam is this function).
-    * Returns the query (already awaited). */
+  private val stateSchema = StructType(Seq(
+    StructField("key", StringType), StructField("doc", StringType)))
+
+  /** Latest COMPLETE state version under `stateDir` (parquet's _SUCCESS
+    * marker is the completeness witness). */
+  private def latestVersion(stateDir: String): Option[java.io.File] = {
+    val root = new java.io.File(stateDir)
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .sortBy(f => f.getName.stripPrefix("v").toLong)
+      .lastOption
+  }
+
+  /** Read the current state table (empty before the first batch). */
+  def readState(spark: SparkSession, stateDir: String): DataFrame =
+    latestVersion(stateDir) match {
+      case Some(dir) => spark.read.schema(stateSchema).parquet(dir.toString)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+    }
+
+  /** ST2+ST4 — run the changelog through a streaming query into a
+    * versioned parquet state table, with `Trigger.AvailableNow` as the
+    * read-your-writes barrier.
+    *
+    * Crash-safety: each batch writes a NEW version dir `v<batchId>` (never
+    * mutating the previous one) and readers take the highest version with
+    * a `_SUCCESS` marker. A crash mid-write leaves a marker-less dir that
+    * the checkpoint replay overwrites; a crash after write but before
+    * checkpoint commit replays the batch into the same version —
+    * idempotent either way, so at-least-once delivery always converges to
+    * the same state. Superseded versions are pruned after the new one is
+    * complete. At 100 TB the same `foreachBatch` body targets a
+    * MERGE-capable table format (this function is the seam).
+    */
   def run(spark: SparkSession, changelogDir: String, stateDir: String,
           checkpointDir: String): StreamingQuery = {
     val stream = spark.readStream.schema(changelogSchema).json(changelogDir)
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val current =
-          if (new java.io.File(stateDir).exists())
-            s.read.schema(StructType(Seq(
-              StructField("key", StringType), StructField("doc", StringType))))
-              .parquet(stateDir)
-          else s.createDataFrame(
-            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(Seq(StructField("key", StringType), StructField("doc", StringType))))
-        val next = applyBatch(current, batch).cache()
-        next.count() // materialize before overwriting the input path
-        next.write.mode("overwrite").parquet(stateDir + ".tmp")
-        next.unpersist()
-        // atomic-ish swap: the tmp dir becomes the state dir
-        val tmp = new java.io.File(stateDir + ".tmp")
-        val dst = new java.io.File(stateDir)
-        if (dst.exists()) {
-          val old = new java.io.File(stateDir + ".old")
-          deleteRec(old); dst.renameTo(old)
-        }
-        tmp.renameTo(dst)
-        deleteRec(new java.io.File(stateDir + ".old"))
+        val current = readState(s, stateDir)
+        applyBatch(current, batch)
+          .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        // prune strictly older versions now that v<batchId> is complete
+        Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("v") &&
+            f.getName.stripPrefix("v").toLong < batchId)
+          .foreach(deleteRec)
         ()
       }
       .start()

@@ -204,10 +204,6 @@ class EtagSpec extends SparkSpec {
       ("plan_A", "stale-tag"),            // → 200
       ("plan_MISSING", null.asInstanceOf[String])) // → 404
       .toDF("key", "ifNoneMatch")
-    val res = Etag.conditionalRead(d, reqs)
-      .select("key", "ifNoneMatch", "status").collect()
-      .map(r => (r.getString(0), r.getInt(2))).toMap
-    assert(res == Map("plan_A" -> 304, "plan_MISSING" -> 404).updated("plan_A", 304) || true)
     val byReq = Etag.conditionalRead(d, reqs).select("ifNoneMatch", "status")
       .collect().map(r => (Option(r.getString(0)).getOrElse("null"), r.getInt(1))).toMap
     assert(byReq(tag) == 304)

@@ -23,7 +23,7 @@ class StreamingSpec extends SparkSpec {
         |{"seq":5,"op":"insert","key":"plan_C","doc":"{\"v\":7}"}
         |""".stripMargin)
     Ingest.run(spark, log, state, ckpt)
-    val got = spark.read.parquet(state).collect()
+    val got = Ingest.readState(spark, state).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got == Map("plan_A" -> """{"v":2}""", "plan_C" -> """{"v":7}"""))
   }
@@ -34,21 +34,21 @@ class StreamingSpec extends SparkSpec {
     Files.writeString(java.nio.file.Paths.get(s"$log/b1.json"),
       """{"seq":1,"op":"insert","key":"k1","doc":"a"}""" + "\n")
     Ingest.run(spark, log, state, ckpt)
-    assert(spark.read.parquet(state).count() == 1)
+    assert(Ingest.readState(spark, state).count() == 1)
     // late-arriving batch
     Files.writeString(java.nio.file.Paths.get(s"$log/b2.json"),
       """{"seq":2,"op":"update","key":"k1","doc":"b"}
         |{"seq":3,"op":"insert","key":"k2","doc":"c"}
         |""".stripMargin)
     Ingest.run(spark, log, state, ckpt)
-    val got = spark.read.parquet(state).collect()
+    val got = Ingest.readState(spark, state).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got == Map("k1" -> "b", "k2" -> "c"))
     // replay the WHOLE log from scratch on a fresh checkpoint: same state
     // (at-least-once convergence, FIXTURES.md A.4)
     val state2 = s"$dir/state2"
     Ingest.run(spark, log, state2, s"$dir/ckpt2")
-    val got2 = spark.read.parquet(state2).collect()
+    val got2 = Ingest.readState(spark, state2).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got2 == got)
   }
