@@ -205,6 +205,12 @@ object SparkEntryExt {
       val embs = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(embs, embs.where(col("vec_id") < 10), k = 10)
     },
+    "x_knn_ivf" -> { (s, dir) =>
+      // IVF path: label cells + per-cell mean centroids, nprobe=2 — like
+      // the LSH path, approximate by construction → rows-only check
+      val embs = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(embs, embs.where(col("vec_id") < 10), k = 10, nprobe = 2)
+    },
     "x_knn_lsh" -> { (s, dir) =>
       // ANN path — approximate by construction, so no SQL oracle; the spec
       // asserts ≥0.8 recall against bruteForceTopK

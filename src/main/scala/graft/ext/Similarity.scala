@@ -34,6 +34,44 @@ object Similarity {
         col(idCol).as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** IVF-style ANN: corpus partitioned into coarse cells, each query
+    * probes only the `nprobe` nearest cell centroids. Centroids are the
+    * per-cell mean vectors (computed with one posexplode + groupBy —
+    * deterministic, no RNG); here the fixture's `label` column provides
+    * the cell assignment (a k-means pass would produce one at scale — the
+    * probe/search machinery is identical). Pair-space shrinks
+    * cells/nprobe-fold; recall depends on how well cells capture the
+    * metric structure.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+              vecCol: String = "embedding", idCol: String = "vec_id",
+              cellCol: String = "label", nprobe: Int = 2): DataFrame = {
+    // per-cell centroid: elementwise mean via posexplode + regroup
+    val centroids = corpus
+      .select(col(cellCol).as("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        p => p("m").cast("float")).as("centroid"))
+    // each query probes its nprobe nearest centroids
+    val qCells = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .join(broadcast(centroids))
+      .withColumn("__d", cosine(col("__qv"), col("centroid")))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("__d").desc, col("cell"))))
+      .where(col("__r") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("cell"))
+    val scored = corpus.withColumnRenamed(cellCol, "cell")
+      .join(qCells, Seq("cell"))
+      .where(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol), cosine(col("__qv"), col(vecCol)).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col(idCol).as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
               vecCol: String = "embedding", idCol: String = "vec_id",
               nPlanes: Int = 4): DataFrame = {

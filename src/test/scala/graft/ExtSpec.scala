@@ -98,6 +98,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("ivfTopK: label-cell IVF with nprobe=2 reaches reasonable recall") {
+    val embs = Tables.embeddings(spark, sf)
+    val qs = embs.where(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(embs, qs, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(embs, qs, k = 10, nprobe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    // labels are arbitrary cells on this fixture (not metric clusters), so
+    // the bar is structural: probing 2 of the cells must recover at least
+    // the corresponding fraction of true neighbors
+    val nCells = embs.select("label").distinct().count().toDouble
+    assert(recall >= (2 / nCells) * 0.7, s"recall $recall with $nCells cells")
+    assert(ivf.nonEmpty)
+  }
+
   test("brute force ranks the self-similar vector first when included") {
     import spark.implicits._
     val embs = Tables.embeddings(spark, sf).limit(50).cache()

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Plan-shape assertions for the scan layer (SCALE.md "push down and
+  * prune"): predicates reach the parquet scan as PushedFilters and
+  * projections prune ReadSchema — checked on the executed plans of real
+  * queries, not assumed. */
+class PushdownSpec extends SparkSpec {
+
+  private def scansIn(plan: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+    plan.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansIn(a.executedPlan)
+    }.flatten
+
+  private def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] =
+    scansIn(df.queryExecution.executedPlan)
+
+  test("P1 conjunctive equality pushes both predicates into the scan") {
+    val q = SparkEntry.queries("p1_conj_eq")(spark, sf)
+    val s = scans(q)
+    assert(s.nonEmpty)
+    val pushed = s.head.metadata("PushedFilters")
+    assert(pushed.contains("EqualTo(o_orderstatus,F)") &&
+      pushed.contains("EqualTo(o_orderpriority,1-URGENT)"), pushed)
+  }
+
+  test("P7 point lookup pushes the key predicate (partition-prunable at scale)") {
+    val q = SparkEntry.queries("p7_by_id")(spark, sf)
+    val pushed = scans(q).head.metadata("PushedFilters")
+    assert(pushed.contains("EqualTo(o_orderkey,7)"), pushed)
+  }
+
+  test("projection prunes the read schema to referenced columns") {
+    val q = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity")
+      .where(col("l_quantity") > 45)
+    val schema = scans(q).head.metadata("ReadSchema")
+    assert(schema.contains("l_orderkey") && schema.contains("l_quantity"))
+    assert(!schema.contains("l_extendedprice") && !schema.contains("l_shipdate"), schema)
+  }
+
+  test("P3 semi-join filters the child side before the join (range pushed to child scan)") {
+    val q = SparkEntry.queries("p3_child_range_gt")(spark, sf)
+    val childScan = scans(q).find(_.metadata("Location").contains("lineitem"))
+    assert(childScan.isDefined)
+    assert(childScan.get.metadata("PushedFilters").contains("GreaterThan(l_quantity,45.0)"),
+      childScan.get.metadata("PushedFilters"))
+  }
+}

@@ -112,6 +112,37 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.exists(_._4 == 100.0), s"late event leaked: $rows")
   }
 
+  test("stateful mapGroupsWithState kv: latest wins, stale seq ignored, state survives batches") {
+    import graft.streaming.StatefulKv
+    val dir = tmp(); val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    val log = s"$dir/log"; new java.io.File(log).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$log/b1.json"),
+      """{"seq":2,"op":"insert","key":"a","doc":"v2"}
+        |{"seq":1,"op":"update","key":"a","doc":"v1-stale"}
+        |{"seq":3,"op":"insert","key":"b","doc":"w"}
+        |""".stripMargin)
+    StatefulKv.run(spark, log, out, ckpt)
+    // second batch: update a (newer), delete b, replay an old a event
+    Files.writeString(java.nio.file.Paths.get(s"$log/b2.json"),
+      """{"seq":5,"op":"update","key":"a","doc":"v5"}
+        |{"seq":4,"op":"delete","key":"b","doc":null}
+        |{"seq":2,"op":"insert","key":"a","doc":"v2"}
+        |""".stripMargin)
+    StatefulKv.run(spark, log, out, ckpt)
+    val updates = spark.read.parquet(out)
+    // latest row per key across the emitted update stream
+    import org.apache.spark.sql.expressions.Window
+    val latest = updates.withColumn("rn",
+        row_number().over(Window.partitionBy(col("key")).orderBy(col("seq").desc)))
+      .where(col("rn") === 1).drop("rn")
+      .collect().map(r => (r.getAs[String]("key"),
+        (r.getAs[Long]("seq"), r.getAs[String]("doc"), r.getAs[Boolean]("deleted")))).toMap
+    assert(latest("a") == ((5L, "v5", false)))
+    assert(latest("b") == ((4L, null, true)))
+    // the stale seq=1 / replayed seq=2 events never surfaced as updates
+    assert(!updates.where(col("doc") === "v1-stale").collect().nonEmpty)
+  }
+
   test("ST5: DLQ splits invalid rows without losing them") {
     import spark.implicits._
     val batch = Seq((1L, "insert", "a", """{"k":1}"""), (2L, "insert", "b", "not json"))
