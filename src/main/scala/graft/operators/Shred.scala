@@ -82,17 +82,17 @@ object Shred {
         lit(null).cast("int").as("__ord")
       ) ++ docs.schema.fieldNames.map(col): _*)
     val prepared = if (!materialize) root else root
-      // Two physical choices, both load-bearing:
-      //  - repartition by __rootKey: every derived node path inherits this
-      //    partitioning (explode/project are narrow), and HashPartitioning
-      //    on __rootKey satisfies the clustered distribution of every
-      //    renest join (key, rootKey) and collect_list aggregation — so
-      //    the whole renest tree plans without further exchanges. This is
-      //    the in-memory form of NodeStore's bucketed layout.
+      // Two physical choices:
       //  - persist: without a materialization boundary each node path (and
       //    every renest join over them) re-executes the full upstream
-      //    document assembly. At 100 TB both choices become one bucketed
-      //    write of the shredded tables.
+      //    document assembly — this is the load-bearing one.
+      //  - repartition by __rootKey: document trees arrive co-located, so
+      //    the downstream renest exchanges move far less data (same-key
+      //    rows are already together). Full exchange ELISION needs the
+      //    partitioning to survive the explode/rename chain, which alias
+      //    propagation currently does not guarantee — the bucketed
+      //    NodeStore layout is the proven exchange-free path
+      //    (NodeStoreSpec); at 100 TB that is the layout to use.
       .repartition(col("__rootKey"))
       .persist()
     walk(prepared, docs.schema, "")

@@ -12,6 +12,9 @@ object TestSpark {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // routing-key (rootKey) partitioning must satisfy joins keyed on
+      // (parentKey, rootKey) — subset co-partitioning, disabled by default
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.ui.enabled", "false")
