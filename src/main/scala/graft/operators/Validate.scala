@@ -29,17 +29,48 @@ import org.apache.spark.sql.types.StructType
 object Validate {
 
   /** Error expressions for a JSON-string column against `schema`.
-    * Arrays are validated on their first element (the reference's arrays
-    * are homogeneous; full element-wise validation would use the same
-    * expressions under `transform` + `flatten`). */
+    *
+    * Two layers of checks:
+    *  - lexical (get_json_object over the raw string): required /
+    *    additionalProperties / type / pattern at every non-array path,
+    *    plus the FIRST array element (dotted-path indexing cannot iterate
+    *    unknown-length arrays);
+    *  - structural (one `from_json` typed parse): required fields checked
+    *    across ALL array elements with `exists` — so a bad 7th child is
+    *    caught, not just a bad first one.
+    */
   def errors(jsonCol: Column, schema: SchemaNode): Column = {
     val errs = collectErrors(jsonCol, schema, "$")
+    val typed = from_json(jsonCol, JsonSchema.sparkType(schema))
+    val deepErrs = elementErrors(typed, schema, "$")
     val malformed = when(
       from_json(jsonCol, StructType(Nil).add("__corrupt", "string"),
         Map("columnNameOfCorruptRecord" -> "__corrupt")).getField("__corrupt").isNotNull,
       lit("malformed json"))
-    array_compact(array(malformed +: errs: _*))
+    array_compact(array(malformed +: (errs ++ deepErrs): _*))
   }
+
+  /** Element-wise required checks over the typed parse (`from_json` yields
+    * null for missing fields — and for type-mismatched ones, which are
+    * equally invalid under the reference's schema, so the valid/invalid
+    * verdict is preserved). */
+  private def elementErrors(c: Column, node: SchemaNode, path: String): Seq[Column] =
+    node match {
+      case SObject(props, _, _) =>
+        props.flatMap { case (name, t) =>
+          elementErrors(c.getField(name), t, s"$path.$name")
+        }
+      case SArray(SObject(props, required, _)) =>
+        val perElem = required.map { r =>
+          when(c.isNotNull &&
+            exists(c, e => e.getField(r).isNull),
+            lit(s"missing required $r in an element of $path"))
+        }
+        // recurse into nested objects of elements is covered lexically for
+        // [0]; element-wise nesting would repeat this pattern with flatten
+        perElem
+      case _ => Nil
+    }
 
   private def collectErrors(c: Column, node: SchemaNode, path: String): Seq[Column] =
     node match {

@@ -261,6 +261,14 @@ class ValidateSpec extends SparkSpec {
       .exists(_.contains("pattern mismatch")))
     // malformed json
     assert(errsOf("""{nope""").exists(_.contains("malformed")))
+    // bad SECOND array element (missing objectId) — element-wise check
+    assert(errsOf(
+      """{"objectId":"A","objectType":"plan","creationDate":"12-12-2017",
+         "linkedPlanServices":[
+           {"objectId":"ps1","objectType":"planservice"},
+           {"objectType":"planservice"}]}"""
+        .replaceAll("\n\\s*", ""))
+      .exists(_.contains("missing required objectId in an element")))
   }
 
   test("M6: calendar-valid dates only (31-02 rejected)") {
