@@ -176,6 +176,16 @@ object SparkEntryExt {
     "x_text_fingerprint" -> { (s, dir) =>
       TextAnalysis.withFingerprint(Tables.documents(s, dir)).select("doc_id", "fingerprint")
     },
+    "x_text_tf_df" -> { (s, dir) =>
+      // term statistics (the TF-IDF building block): per-doc term
+      // frequency joined with corpus document frequency — one explode, two
+      // hash aggregations (both map-side combinable), one broadcast join
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfx = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      tf.join(broadcast(dfx), Seq("term")).select("doc_id", "term", "tf", "df")
+    },
     "x_token_bpeish" -> { (s, dir) =>
       TextAnalysis.withTokenCounts(Tables.documents(s, dir))
         .select("doc_id", "n_tokens", "n_subtokens")
@@ -369,6 +379,13 @@ object SparkEntryExt {
     "x_text_fingerprint" ->
       (s"SELECT doc_id, md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) " +
         "AS fingerprint FROM documents"),
+
+    "x_text_tf_df" ->
+      (s"WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+        "dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1) " +
+        "SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df " +
+        "FROM tf t JOIN dfx d USING (term)"),
 
     "x_token_bpeish" ->
       (s"SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens, " +

@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.{Kv, Renest, Shred}
+import org.apache.spark.sql.functions._
+
+/** Pathological-skew sanity check (SCALE.md "skew and memory"): one
+  * document with 50k children next to thousands of tiny ones — the shape
+  * AQE skew-splitting handles on a cluster; locally we assert the
+  * operators stay correct and complete. */
+class SkewSpec extends SparkSpec {
+
+  test("shred/renest/cascade survive a 50k-child document") {
+    import spark.implicits._
+    val whale = spark.range(50000).select(
+      lit("W").as("objectId"), lit("org").as("objectType"),
+      col("id").cast("string").as("cid"))
+      .groupBy("objectId", "objectType")
+      .agg(collect_list(struct(
+        concat(lit("c"), col("cid")).as("objectId"),
+        lit("child").as("objectType"))).as("kids"))
+    val minnows = spark.range(2000).select(
+      concat(lit("m"), col("id")).as("objectId"), lit("org").as("objectType"),
+      array(struct(concat(lit("mc"), col("id")).as("objectId"),
+        lit("child").as("objectType"))).as("kids"))
+    val docs = whale.unionByName(minnows)
+    val typed = Shred.shredTyped(docs)
+    assert(typed("kids").count() == 50000 + 2000)
+    val back = Renest(typed, docs.schema)
+    val sizes = back.select(col("objectId"), size(col("kids")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(sizes("W") == 50000)
+    assert(sizes("m7") == 1)
+    // cascading delete of the whale removes exactly its subtree
+    val nodes = Shred.nodes(docs)
+    val after = Kv.cascadeDeleteRoot(nodes, "org_W")
+    assert(nodes.count() - after.count() == 50001L)
+  }
+}
