@@ -23,7 +23,14 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        # BIT-EXACT by default: every oracled query is engineered for exact
+        # cross-engine determinism (decimal-path sums, sequential folds,
+        # integer hashes) and all 46 pass with zero float tolerance —
+        # set DIFFCHECK_LOOSE=1 to fall back to 6 significant digits while
+        # debugging a new query.
+        if os.environ.get("DIFFCHECK_LOOSE"):
+            return f"{v:.6g}"
+        return repr(v)
     if isinstance(v, bool):
         return str(v).lower()
     return str(v)
