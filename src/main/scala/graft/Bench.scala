@@ -17,20 +17,30 @@ object Bench {
     // reader init, so the first timed query measures the query, not JVM
     // startup (~3-4 s otherwise attributed to whichever query runs first)
     spark.range(1000000).selectExpr("count(md5(cast(id as string)))").collect()
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     // NOTE: caches deliberately persist across queries — the shredded node
     // tables and shingle/signature tables are shared materialized
     // artifacts (at scale: tables on storage written once, queried by the
     // whole workload), so later queries reusing them is the intended
     // execution model, not a benchmarking artifact.
+    //
+    // The noop sink materializes EVERY column — count() would let Catalyst
+    // prune the very projection kernels under test (md5/simhash/quality
+    // would time as a bare scan). A failed query reports -1 instead of
+    // masquerading as a fast one.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -148,8 +148,7 @@ object SparkEntry {
     // ----- X: LLM-pipeline extensions (north star) -----
     "x_dedup_exact" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
       // exact dedup: content-hash groupBy, keep lowest doc_id per group
-      t("documents").groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dupes"))
+      graft.ext.Dedup.exact(t("documents"))
     },
     "x_text_tokens" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
       t("documents").select(col("doc_id"),

@@ -257,6 +257,8 @@ object SparkEntryExt {
   private val mmP = graft.functions.TextFunctions.MinhashP
   private val baseHashSql =
     s"(('0x' || substr(md5(s), 1, 15)))::BIGINT % $mmP"
+  private val baseHashSql2 =
+    s"(('0x' || substr(md5(t), 1, 15)))::BIGINT % $mmP"
   private val sigSql = {
     val mins = (0 until mmSeeds).map { i =>
       val (a, b) = graft.functions.TextFunctions.minhashConsts(i)
@@ -267,7 +269,9 @@ object SparkEntryExt {
   private def hashedSql(shSql: String) =
     s"list_sort(list_distinct(list_transform($shSql, s -> $baseHashSql)))"
   private val simhashSql = (0 until 32).map { i =>
-    s"(CASE WHEN list_sum(list_transform(toks, t -> CASE WHEN ${seedHashSql((1000 + i).toString, "t")} % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END)"
+    val (a, b) = graft.functions.TextFunctions.minhashConsts(
+      graft.functions.TextFunctions.SimhashSeedBase + i)
+    s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h * $a + $b) % $mmP % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END)"
   }.mkString(" + ")
   private val bandShareSql = (0 until mmBands).map { b =>
     val lo = b * (mmSeeds / mmBands) + 1; val hi = lo + (mmSeeds / mmBands) - 1
@@ -416,7 +420,7 @@ object SparkEntryExt {
 
     "x_dedup_simhash" ->
       (s"SELECT doc_id, CAST($simhashSql AS BIGINT) AS simhash FROM " +
-        s"(SELECT doc_id, $toksSql AS toks FROM documents)"),
+        s"(SELECT doc_id, list_transform($toksSql, t -> $baseHashSql2) AS hs FROM documents)"),
 
     "x_dedup_embed" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings) " +

@@ -67,7 +67,8 @@ object Etag {
     * scheme); otherwise the canonical [[withEtag]] is applied.
     */
   def conditionalRead(docs: DataFrame, requests: DataFrame): DataFrame = {
-    val d = if (docs.columns.contains("__etag")) docs else withEtag(docs)
+    val d = if (docs.columns.contains("__etag") && docs.columns.contains("__key")) docs
+      else withEtag(docs)
     requests.join(d, requests("key") === d("__key"), "left")
       .withColumn("status",
         when(col("__key").isNull, lit(404))
@@ -83,7 +84,8 @@ object Etag {
     * supplied tag no longer matches the current canonical ETag, else 200
     * (write may proceed). */
   def conditionalWrite(docs: DataFrame, requests: DataFrame): DataFrame = {
-    val d = if (docs.columns.contains("__etag")) docs else withEtag(docs)
+    val d = if (docs.columns.contains("__etag") && docs.columns.contains("__key")) docs
+      else withEtag(docs)
     requests.join(d.select(col("__key"), col("__etag")), requests("key") === col("__key"), "left")
       .withColumn("status",
         when(col("__key").isNull, lit(404))

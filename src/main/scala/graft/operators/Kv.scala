@@ -31,11 +31,20 @@ object Kv {
     !get(kv, key).isEmpty
 
   /** S3 — create-only batch set (`apiLogicForCRUD.ts:390-416`: 409 when the
-    * key exists). Left-anti join keeps only genuinely new keys; returns
-    * (next table, rejected rows). */
+    * key exists). Only one row per key may win — including within the
+    * incoming batch itself (the reference processes requests serially, so
+    * a second create of the same key 409s). Winner among in-batch
+    * duplicates is deterministic (min by the remaining columns). Returns
+    * (next table, rejected rows — both already-present keys and in-batch
+    * surplus duplicates). */
   def setIfAbsent(kv: DataFrame, rows: DataFrame): (DataFrame, DataFrame) = {
-    val fresh = rows.join(kv.select("key"), Seq("key"), "left_anti")
-    val rejected = rows.join(kv.select("key"), Seq("key"), "left_semi")
+    import org.apache.spark.sql.expressions.Window
+    val others = rows.columns.filterNot(_ == "key").map(col).toSeq
+    val w = Window.partitionBy(col("key")).orderBy(others: _*)
+    val deduped = rows.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    val fresh = deduped.join(kv.select("key"), Seq("key"), "left_anti")
+    val rejected = rows.exceptAll(fresh)
     (kv.unionByName(fresh, allowMissingColumns = true), rejected)
   }
 
@@ -94,7 +103,7 @@ object Kv {
 
   /** Descendant closure of an arbitrary node (for subtree deletes):
     * iterates parentKey joins down the (schema-bounded) depth. */
-  def subtreeKeys(nodes: DataFrame, key: String, maxDepth: Int = 8): DataFrame = {
+  def subtreeKeys(nodes: DataFrame, key: String, maxDepth: Int = 64): DataFrame = {
     var frontier = nodes.select(col("key")).where(col("key") === lit(key))
     var acc = frontier
     var i = 0
@@ -103,12 +112,16 @@ object Kv {
       val next = nodes.alias("n")
         .join(frontier.alias("f"), col("n.parentKey") === col("f.key"), "left_semi")
         .select(col("key"))
-      // schema depth is tiny and known, so this loop is short; stop early
-      // when a level is empty to avoid planning dead joins.
+      // schema depth bounds this loop; stop early on an empty level.
       if (next.isEmpty) done = true
       else { acc = acc.unionByName(next); frontier = next }
       i += 1
     }
+    // a silent cap would orphan deeper descendants — refuse instead (only
+    // reachable with a cyclic/corrupt parentKey graph or absurd nesting)
+    if (!done && !frontier.isEmpty)
+      throw new IllegalStateException(
+        s"subtree of $key exceeds depth $maxDepth (cyclic parentKey data?)")
     acc.distinct()
   }
 

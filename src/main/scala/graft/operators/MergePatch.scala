@@ -63,8 +63,12 @@ object MergePatch {
           // keep existing order; replace matched elements with the patch's
           transform(o, x =>
             coalesce(try_element_at(filter(nw, y => oid(y) === oid(x)), lit(1)), x)),
-          // append patch elements whose objectId is new
-          filter(nw, y => !exists(o, x => oid(x) === oid(y))))))
+          // append patch elements whose objectId is new; elements WITHOUT
+          // an objectId always append (three-valued logic would otherwise
+          // silently drop them — the reference's Map still inserts under
+          // its undefined key, modifyObject.ts:74-83)
+          filter(nw, y => oid(y).isNull ||
+            !exists(o, x => oid(x) === oid(y))))))
     case _ =>
       coalesce(nw, o)
   }

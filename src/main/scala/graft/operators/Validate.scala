@@ -2,9 +2,9 @@ package graft.operators
 
 import graft.functions.{JsonSchema, SchemaNode}
 import graft.functions.SchemaNode._
+import graft.plans.JsonExpressions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
 
 /** M5/M6 — runtime schema validation compiled to Catalyst predicates.
   *
@@ -14,40 +14,95 @@ import org.apache.spark.sql.types.StructType
   * `DD-MM-YYYY` calendar date (`dateValidator.ts:1-14` — the regex alone
   * admits 31-02-2020). Here a [[SchemaNode]] compiles once into an array of
   * error expressions over a JSON-string column; a batch of documents is
-  * validated in a single codegen'd projection, and the 400 path is a
+  * validated in a single projection, and the 400 path is a
   * `where(size(errors) > 0)` rejects split.
   *
-  * Checks implemented (the subset `schema.txt` exercises):
-  *  - well-formed JSON;
-  *  - `required` properties present at every nesting level;
+  * Type conformance uses [[graft.plans.JsonPathTypes]] — ONE Jackson parse
+  * per row yielding the JSON type tag at every schema path — because
+  * `get_json_object` strips quotes and cannot distinguish `"12"` (a
+  * string, which the reference's validator rejects for `type: number`)
+  * from `12`. Checks:
+  *  - well-formed JSON and object-ness of the root;
+  *  - `required` properties present at every nesting level (draft-04:
+  *    an explicit `null` satisfies `required` but fails its type check);
   *  - `additionalProperties: false` — no keys outside `properties`;
-  *  - numeric/boolean/array type conformance (lexical check on the raw
-  *    JSON value);
+  *  - full type conformance per path (string/number/integer/boolean/
+  *    object/array);
   *  - string `pattern` via `rlike`;
+  *  - element-wise required checks across WHOLE arrays (typed parse);
   *  - [[validDate]] — semantic calendar check (M6).
   */
 object Validate {
 
-  /** Error expressions for a JSON-string column against `schema`.
-    *
-    * Two layers of checks:
-    *  - lexical (get_json_object over the raw string): required /
-    *    additionalProperties / type / pattern at every non-array path,
-    *    plus the FIRST array element (dotted-path indexing cannot iterate
-    *    unknown-length arrays);
-    *  - structural (one `from_json` typed parse): required fields checked
-    *    across ALL array elements with `exists` — so a bad 7th child is
-    *    caught, not just a bad first one.
-    */
+  private final case class Ctx(tagOf: String => Column, json: Column)
+
+  /** Error expressions for a JSON-string column against `schema`. */
   def errors(jsonCol: Column, schema: SchemaNode): Column = {
-    val errs = collectErrors(jsonCol, schema, "$")
+    val paths = collectPaths(schema, "$").distinct
+    val all = "$" +: paths
+    val tags = JsonExpressions.jsonPathTypes(jsonCol, all)
+    val idx = all.zipWithIndex.toMap
+    val ctx = Ctx(p => element_at(tags, idx(p) + 1), jsonCol)
+    val malformed = when(ctx.tagOf("$") === "malformed", lit("malformed json"))
+    val structural = collectErrors(ctx, schema, "$")
     val typed = from_json(jsonCol, JsonSchema.sparkType(schema))
     val deepErrs = elementErrors(typed, schema, "$")
-    val malformed = when(
-      from_json(jsonCol, StructType(Nil).add("__corrupt", "string"),
-        Map("columnNameOfCorruptRecord" -> "__corrupt")).getField("__corrupt").isNotNull,
-      lit("malformed json"))
-    array_compact(array(malformed +: (errs ++ deepErrs): _*))
+    array_compact(array(malformed +: (structural ++ deepErrs): _*))
+  }
+
+  /** All schema paths needing a type tag. */
+  private def collectPaths(node: SchemaNode, path: String): Seq[String] = node match {
+    case SObject(props, _, _) =>
+      path +: props.flatMap { case (n, t) => collectPaths(t, s"$path.$n") }
+    case SArray(item) => path +: collectPaths(item, s"$path[0]")
+    case _ => Seq(path)
+  }
+
+  private def present(tag: Column): Column =
+    tag =!= "missing" && tag =!= "malformed"
+
+  private def collectErrors(ctx: Ctx, node: SchemaNode, path: String): Seq[Column] = {
+    val tag = ctx.tagOf(path)
+    node match {
+      case SObject(props, required, additional) =>
+        val shapeErr = Seq(when(present(tag) && tag =!= "object",
+          lit(s"not an object at $path")))
+        val reqErrs = required.map { r =>
+          when(tag === "object" && ctx.tagOf(s"$path.$r") === "missing",
+            lit(s"missing required $path.$r"))
+        }
+        val addlErrs = if (additional) Nil else Seq {
+          val allowed = props.map(_._1)
+          val keys = json_object_keys(get_json_object(ctx.json, path))
+          when(tag === "object" &&
+            exists(keys, k => !k.isin(allowed.map(x => x: Any): _*)),
+            lit(s"additional properties at $path"))
+        }
+        val childErrs = props.flatMap { case (name, t) =>
+          collectErrors(ctx, t, s"$path.$name")
+        }
+        shapeErr ++ reqErrs ++ addlErrs ++ childErrs
+      case SArray(item) =>
+        Seq(when(present(tag) && tag =!= "array", lit(s"not an array at $path"))) ++
+          collectErrors(ctx, item, s"$path[0]")
+      case SString(pattern) =>
+        Seq(when(present(tag) && tag =!= "string", lit(s"not a string at $path"))) ++
+          pattern.toSeq.map { p =>
+            when(tag === "string" && !get_json_object(ctx.json, path).rlike(p),
+              lit(s"pattern mismatch at $path"))
+          }
+      case SNumber =>
+        Seq(when(present(tag) && tag =!= "number", lit(s"not a number at $path")))
+      case SInteger =>
+        Seq(
+          when(present(tag) && tag =!= "number", lit(s"not an integer at $path")),
+          when(tag === "number" &&
+            !get_json_object(ctx.json, path).rlike("^-?[0-9]+$"),
+            lit(s"not an integer at $path")))
+      case SBoolean =>
+        Seq(when(present(tag) && tag =!= "boolean", lit(s"not a boolean at $path")))
+      case SAny => Nil
+    }
   }
 
   /** Element-wise required checks over the typed parse (`from_json` yields
@@ -61,60 +116,12 @@ object Validate {
           elementErrors(c.getField(name), t, s"$path.$name")
         }
       case SArray(SObject(props, required, _)) =>
-        val perElem = required.map { r =>
+        required.map { r =>
           when(c.isNotNull &&
             exists(c, e => e.getField(r).isNull),
             lit(s"missing required $r in an element of $path"))
         }
-        // recurse into nested objects of elements is covered lexically for
-        // [0]; element-wise nesting would repeat this pattern with flatten
-        perElem
       case _ => Nil
-    }
-
-  private def collectErrors(c: Column, node: SchemaNode, path: String): Seq[Column] =
-    node match {
-      case SObject(props, required, additional) =>
-        val here = get_json_object(c, path)
-        val keys = json_object_keys(here)
-        val reqErrs = required.map { r =>
-          when(here.isNotNull && get_json_object(c, s"$path.$r").isNull,
-            lit(s"missing required $path.$r"))
-        }
-        val addlErrs = if (additional) Nil else Seq {
-          val allowed = props.map(_._1)
-          when(here.isNotNull &&
-            exists(keys, k => !k.isin(allowed.map(x => x: Any): _*)),
-            lit(s"additional properties at $path"))
-        }
-        val childErrs = props.flatMap { case (name, t) =>
-          collectErrors(c, t, s"$path.$name")
-        }
-        reqErrs ++ addlErrs ++ childErrs
-      case SArray(item) =>
-        // lexical array check + first-element structural check
-        Seq(when(get_json_object(c, path).isNotNull &&
-          !get_json_object(c, path).startsWith("["),
-          lit(s"not an array at $path"))) ++
-          collectErrors(c, item, s"$path[0]")
-      case SString(pattern) =>
-        pattern.toSeq.map { p =>
-          when(get_json_object(c, path).isNotNull &&
-            !get_json_object(c, path).rlike(p), lit(s"pattern mismatch at $path"))
-        }
-      case SNumber =>
-        Seq(when(get_json_object(c, path).isNotNull &&
-          !get_json_object(c, path).rlike("^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"),
-          lit(s"not a number at $path")))
-      case SInteger =>
-        Seq(when(get_json_object(c, path).isNotNull &&
-          !get_json_object(c, path).rlike("^-?[0-9]+$"),
-          lit(s"not an integer at $path")))
-      case SBoolean =>
-        Seq(when(get_json_object(c, path).isNotNull &&
-          !get_json_object(c, path).isin("true", "false"),
-          lit(s"not a boolean at $path")))
-      case SAny => Nil
     }
 
   /** M6 — `DD-MM-YYYY` semantic date validation

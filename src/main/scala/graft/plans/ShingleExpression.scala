@@ -28,6 +28,29 @@ object Kernels {
 
   private val SPACE = UTF8String.fromString(" ")
 
+  /** SimHash over a token array: ONE md5 per token, then `bits` affine
+    * parities (Carter-Wegman, same family as MinHash) vote ±1 per bit.
+    * Replaces the compositional form's bits×tokens md5 calls. */
+  def simhash(tokens: ArrayData, bits: Int, p: Long,
+              as: Array[Long], bs: Array[Long]): Long = {
+    val votes = new Array[Int](bits)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      val h = md5Mod(tokens.getUTF8String(t), p)
+      var i = 0
+      while (i < bits) {
+        if (((h * as(i) + bs(i)) % p & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < bits) { if (votes(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
   /** Hashed n-word shingles of a token array: md5-mod of each n-gram,
     * sorted ascending, duplicates removed. One pass, one output
     * allocation. */
@@ -85,9 +108,47 @@ case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Fused SimHash kernel over a token array (see [[Kernels.simhash]]).
+  * Seed constants come from `TextFunctions.minhashConsts(simhashSeedBase + i)`
+  * so the DuckDB oracle can reproduce the exact value. */
+case class SimHashTokens(child: Expression, bits: Int) extends UnaryExpression {
+
+  import graft.functions.TextFunctions
+
+  private val as = (0 until bits).map(i => TextFunctions.minhashConsts(TextFunctions.SimhashSeedBase + i)._1).toArray
+  private val bs = (0 until bits).map(i => TextFunctions.minhashConsts(TextFunctions.SimhashSeedBase + i)._2).toArray
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash expects array<string>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.simhash(input.asInstanceOf[ArrayData], bits, TextFunctions.MinhashP, as, bs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("simhashAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("simhashBs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.Kernels.simhash($a, $bits, ${TextFunctions.MinhashP}L, $asRef, $bsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ShingleExpression {
   def hashedShingles(tokens: Column, n: Int = 3): Column = {
     import org.apache.spark.sql.graft.bridge
     bridge.column(HashedShingles(bridge.expression(tokens), n))
+  }
+  def simhashTokens(tokens: Column, bits: Int = 32): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(SimHashTokens(bridge.expression(tokens), bits))
   }
 }

@@ -58,7 +58,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm (all-zero or empty vector) has no defined angle: NULL, not
+    // NaN — Spark sorts NaN as the LARGEST double, so a NaN would rank a
+    // zero vector as everyone's nearest neighbor in the top-k paths
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -78,7 +82,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $yv = ${elemGetter(right, b, i)};
          |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if ($na == 0.0 || $nb == 0.0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
        """.stripMargin
     })
 

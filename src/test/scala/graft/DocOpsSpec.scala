@@ -256,6 +256,16 @@ class ValidateSpec extends SparkSpec {
          "planCostShares":{"copay":"abc","objectId":"c","objectType":"membercostshare"}}"""
         .replaceAll("\n\\s*", ""))
       .exists(_.contains("not a number")))
+    // QUOTED number — lexically numeric, but a JSON string: must fail the
+    // number type check (get_json_object alone cannot see the quotes)
+    assert(errsOf(
+      """{"objectId":"A","objectType":"plan","creationDate":"12-12-2017",
+         "planCostShares":{"copay":"12","objectId":"c","objectType":"membercostshare"}}"""
+        .replaceAll("\n\\s*", ""))
+      .exists(_.contains("not a number")))
+    // number where a string is required
+    assert(errsOf("""{"objectId":7,"objectType":"plan","creationDate":"12-12-2017"}""")
+      .exists(_.contains("not a string")))
     // wrong date format (pattern)
     assert(errsOf("""{"objectId":"A","objectType":"plan","creationDate":"2017-12-12"}""")
       .exists(_.contains("pattern mismatch")))
@@ -312,6 +322,17 @@ class KvSearchSpec extends SparkSpec {
     val (next, rejected) = Kv.setIfAbsent(nodes.select("key", "payload"), rows)
     assert(rejected.select("key").head().getString(0) == "plan_A")
     assert(next.count() == nodes.count() + 1)
+  }
+
+  test("setIfAbsent admits exactly one row per in-batch duplicate key") {
+    val rows = Seq(("plan_N", "a"), ("plan_N", "b"), ("plan_M", "c"))
+      .toDF("key", "payload")
+    val (next, rejected) = Kv.setIfAbsent(nodes.select("key", "payload"), rows)
+    assert(next.where($"key" === "plan_N").count() == 1)
+    // deterministic winner: min by remaining columns
+    assert(next.where($"key" === "plan_N").select("payload").head().getString(0) == "a")
+    assert(rejected.count() == 1)
+    assert(next.count() == nodes.count() + 2)
   }
 
   test("upsert: updates win per key, inserts appended") {

@@ -116,6 +116,23 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.nonEmpty)
   }
 
+  test("cosine of a zero-norm vector is NULL, never a rank-1 NaN") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0f, 0f, 0f)), (2L, Array(1f, 2f, 3f)), (3L, Array(3f, 2f, 1f)))
+      .toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") === 2)
+    val res = Similarity.bruteForceTopK(df, q, k = 3)
+      .select("rank", "neighbor_id").collect().map(r => (r.getInt(0), r.getLong(1)))
+    // the zero vector must NOT be the nearest neighbor; null cosine sorts last
+    assert(res.head == ((1, 3L)), res.toSeq.toString)
+    val zeroCos = df.alias("a").join(df.alias("b"),
+        col("a.vec_id") === 1 && col("b.vec_id") === 2)
+      .select(VectorFunctions.cosine(col("a.embedding"), col("b.embedding")))
+      .head()
+    assert(zeroCos.isNullAt(0))
+  }
+
   test("brute force ranks the self-similar vector first when included") {
     import spark.implicits._
     val embs = Tables.embeddings(spark, sf).limit(50).cache()
