@@ -14,6 +14,10 @@ object Verify {
       // routing-key (rootKey) partitioning must satisfy joins keyed on
       // (parentKey, rootKey) — subset co-partitioning, disabled by default
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // slim doc-metadata sides (orders-scale) fit comfortably in memory;
+      // broadcasting them keeps the fat nested-array side of renest joins
+      // unshuffled (at cluster scale: broadcast the dimension side)
+      .config("spark.sql.autoBroadcastJoinThreshold", String.valueOf(64L * 1024 * 1024))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

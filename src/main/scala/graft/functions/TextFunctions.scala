@@ -98,13 +98,18 @@ object TextFunctions {
   def langScore(toks: Column, lang: String): Column =
     size(filter(toks, t => t.isin(stopwords(lang).map(x => x: Any): _*)))
 
-  /** Language-ID: argmax of stopword hits, fixed tie-break order. */
+  /** Language-ID: argmax of stopword hits, fixed tie-break order. Scores
+    * come from ONE pass over the tokens ([[graft.plans.StopwordScores]] —
+    * the per-language filter form re-ran the tokenizer ~15× per row under
+    * project collapsing); the argmax then works over the 5-int array. */
   def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scores = Seq("en", "de", "fr", "es", "zh").map(l => l -> langScore(toks, l))
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und")) { case ((l, s), els) =>
-      when(s === best && s > 0, lit(l)).otherwise(els)
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    val scores = graft.plans.ShingleExpression.stopwordScores(
+      tokens(text), langs.map(stopwords))
+    val s = (i: Int) => element_at(scores, i + 1)
+    val best = langs.indices.map(s).reduce((a, b) => greatest(a, b))
+    langs.zipWithIndex.foldRight(lit("und")) { case ((l, i), els) =>
+      when(s(i) === best && s(i) > 0, lit(l)).otherwise(els)
     }
   }
 

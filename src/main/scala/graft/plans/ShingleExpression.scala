@@ -51,6 +51,22 @@ object Kernels {
     out
   }
 
+  def stopwordScores(tokens: ArrayData, sets: Array[java.util.HashSet[String]]): Array[Int] = {
+    val out = new Array[Int](sets.length)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      val tok = tokens.getUTF8String(t).toString
+      var i = 0
+      while (i < sets.length) { if (sets(i).contains(tok)) out(i) += 1; i += 1 }
+      t += 1
+    }
+    out
+  }
+
+  def stopwordScoresBoxed(tokens: ArrayData, sets: Array[java.util.HashSet[String]]): Array[AnyRef] =
+    stopwordScores(tokens, sets).map(Integer.valueOf).toArray[AnyRef]
+
   /** Hashed n-word shingles of a token array: md5-mod of each n-gram,
     * sorted ascending, duplicates removed. One pass, one output
     * allocation. */
@@ -108,6 +124,47 @@ case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Fused per-language stopword scoring: one pass over the token array
+  * counting hits against each language's stopword set (the compositional
+  * form re-evaluates the tokenize+filter pipeline once per language per
+  * argmax reference — ~15 interpreted passes per row). Output aligns with
+  * the constructor's language order. */
+case class StopwordScores(child: Expression, stopwordSets: Seq[Seq[String]])
+    extends UnaryExpression {
+
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    stopwordSets.map { ws =>
+      val s = new java.util.HashSet[String](); ws.foreach(s.add); s
+    }.toArray
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"stopword_scores expects array<string>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val out = Kernels.stopwordScores(toks, sets)
+    new GenericArrayData(out.map(Integer.valueOf).toArray[Any])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setsRef = ctx.addReferenceObj("swSets", sets, "java.util.HashSet[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.plans.Kernels.stopwordScoresBoxed($a, $setsRef));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Fused SimHash kernel over a token array (see [[Kernels.simhash]]).
   * Seed constants come from `TextFunctions.minhashConsts(simhashSeedBase + i)`
   * so the DuckDB oracle can reproduce the exact value. */
@@ -150,5 +207,9 @@ object ShingleExpression {
   def simhashTokens(tokens: Column, bits: Int = 32): Column = {
     import org.apache.spark.sql.graft.bridge
     bridge.column(SimHashTokens(bridge.expression(tokens), bits))
+  }
+  def stopwordScores(tokens: Column, sets: Seq[Seq[String]]): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(StopwordScores(bridge.expression(tokens), sets))
   }
 }

@@ -50,6 +50,24 @@ class TextFunctionsSpec extends SparkSpec {
   }
 }
 
+class JsonPathTypesSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.plans.JsonExpressions.jsonPathTypes
+
+  test("type tags: scalars, nesting, array indices, missing, malformed") {
+    val df = Seq(
+      """{"a": 1, "b": "x", "c": {"d": true}, "e": [10, {"f": null}]}""",
+      """{broken""").toDF("j")
+      .select(jsonPathTypes(col("j"), Seq(
+        "$", "$.a", "$.b", "$.c", "$.c.d", "$.e", "$.e[0]", "$.e[1].f",
+        "$.missing", "$.c.missing")).as("t"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("object", "number", "string", "object", "boolean",
+      "array", "number", "null", "missing", "missing"))
+    assert(rows(1).forall(_ == "malformed"))
+  }
+}
+
 class DedupSpec extends SparkSpec {
 
   lazy val docs = Tables.documents(spark, sf)
