@@ -220,7 +220,10 @@ object SparkEntry {
         "CAST(CASE WHEN o_orderkey % 2 = 0 THEN 304 ELSE 200 END AS INT) AS status FROM orders"),
     "st3_upsert_latest" ->
       ("SELECT user_id, event_id AS last_event_id, event_type AS last_type, value AS last_value " +
-        "FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn " +
+        // CAST(ts AS TIMESTAMP) truncates DuckDB's nanos to micros, matching
+        // the engine's Tables.events precision, so the event_id tiebreak
+        // picks the same winner even with sub-microsecond ts collisions
+        "FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) rn " +
         "FROM events) WHERE rn = 1"),
     "x_dedup_exact" ->
       ("SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id, " +

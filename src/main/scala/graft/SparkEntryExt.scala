@@ -142,9 +142,12 @@ object SparkEntryExt {
     },
 
     "p9_projection" -> { (s, dir) =>
-      // _source projection over the shredded child nodes (typed table path);
-      // single-path consumer → skip the materialize/repartition
-      val typed = Shred.shredTyped(StarDocs.docs(s, dir), materialize = false)
+      // _source projection over the shredded child nodes (typed table path).
+      // Uses the default materialized shred: the node tables are the shared
+      // stored artifact every read-path query scans (NodeStore model), so
+      // the projection reuses the same cache as j2/p10 instead of paying a
+      // second full document assembly.
+      val typed = Shred.shredTyped(StarDocs.docs(s, dir))
       Search.projectSource(typed("lineitems"),
         Seq("__key", "l_quantity", "l_returnflag"))
         .withColumnRenamed("__key", "key")

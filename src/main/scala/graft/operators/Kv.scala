@@ -40,7 +40,11 @@ object Kv {
   def setIfAbsent(kv: DataFrame, rows: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val others = rows.columns.filterNot(_ == "key").map(col).toSeq
-    val w = Window.partitionBy(col("key")).orderBy(others: _*)
+    // key-only batches have no payload columns to order by; all in-batch
+    // duplicates are then identical rows, so ordering by the key itself is
+    // both legal (row_number demands a non-empty order) and deterministic
+    val ordCols = if (others.nonEmpty) others else Seq(col("key"))
+    val w = Window.partitionBy(col("key")).orderBy(ordCols: _*)
     val deduped = rows.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
     val fresh = deduped.join(kv.select("key"), Seq("key"), "left_anti")
@@ -52,10 +56,27 @@ object Kv {
     * key, WHOLESALE — an update row replaces the stored row entirely, NULL
     * columns included (Redis SET semantics; per-column coalesce would make
     * clearing a field impossible). Full-outer merge, one shuffle on `key`
-    * (none at all when both sides are bucketed by `key`). */
+    * (none at all when both sides are bucketed by `key`).
+    *
+    * The reference applies SETs serially, so a batch carrying several
+    * writes to one key must collapse to a single winner BEFORE the merge —
+    * otherwise the full-outer join fans out and the next table holds
+    * duplicate key rows, breaking the KV uniqueness invariant. Winner
+    * selection mirrors [[graft.streaming.Ingest.applyBatch]]: latest by
+    * `seq` when the batch carries one (the changelog convention), else
+    * deterministic max over the payload columns (any total order works —
+    * it only has to be the SAME one on every replay). */
   def upsert(kv: DataFrame, updates: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cols = kv.columns.filterNot(_ == "key")
-    val u = updates.select("key", cols: _*).withColumn("__isUpd", lit(true))
+    val ord: Seq[Column] =
+      if (updates.columns.contains("seq")) Seq(col("seq").desc)
+      else if (cols.nonEmpty) cols.toSeq.map(c => col(c).desc_nulls_last)
+      else Seq(col("key"))
+    val w = Window.partitionBy(col("key")).orderBy(ord: _*)
+    val u = updates.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select("key", cols: _*).withColumn("__isUpd", lit(true))
     kv.alias("__o").join(u.alias("__n"), Seq("key"), "full_outer")
       .select(col("key") +: cols.toSeq.map(c =>
         when(col("__isUpd").isNotNull, col(s"__n.$c"))

@@ -4,13 +4,23 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** M1 — RFC-7386-style merge-patch with keyed-array upsert.
+/** M1 — merge-patch with keyed-array upsert (the reference's PATCH).
   *
   * Reference: `/root/reference/src/utils/modifyObject.ts:32-87`. Semantics
   * preserved:
   *  - top-level / nested scalars: patch value wins when present
   *    (`modifyObject.ts:55-60`; a JS `undefined` — here SQL NULL — leaves
   *    the old value);
+  *
+  * DIVERGENCE from RFC 7386 (and from the reference's explicit-null
+  * overwrite): after `from_json` into a typed struct, an absent member and
+  * an explicit `null` member are indistinguishable — both surface as SQL
+  * NULL — and NULL here means "keep the old value". So a patch can never
+  * CLEAR a scalar field (RFC 7386 defines `null` as delete-the-member).
+  * Callers that need to blank or drop fields must replace the document
+  * wholesale via [[Kv.upsert]] instead. We therefore do not claim RFC-7386
+  * conformance; the operator implements the reference's observable
+  * keep-on-undefined behavior over typed columns.
   *  - `objectId` is immutable (`modifyObject.ts:55-56`): the merge is keyed
   *    on it, so it can never change;
   *  - nested structs are deep-merged field-by-field

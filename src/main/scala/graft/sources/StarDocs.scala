@@ -61,5 +61,12 @@ object StarDocs {
         col("o_orderstatus"), col("o_totalprice"),
         col("o_orderdate"), col("o_orderpriority"),
         col("lineitems"))
+      // The documents table is a SHARED materialized artifact (at scale: a
+      // stored table written once, read by the whole workload). Persisting
+      // here lets Spark's CacheManager substitute the cached relation into
+      // every consumer plan — including the shred's subtree — instead of
+      // re-running the window + joins + collect_list assembly per query.
+      // Identical repeated `docs()` plans dedupe to one cache entry.
+      .persist()
   }
 }

@@ -343,6 +343,31 @@ class KvSearchSpec extends SparkSpec {
     assert(next.where($"key" === "plan_A").select("payload").head().getString(0) == """{"new":1}""")
   }
 
+  test("setIfAbsent tolerates key-only batches (no payload columns)") {
+    val rows = Seq("plan_N", "plan_N", "plan_M").toDF("key")
+    val (next, rejected) = Kv.setIfAbsent(nodes.select("key"), rows)
+    assert(next.where($"key" === "plan_N").count() == 1)
+    assert(next.count() === nodes.select("key").count() + 2)
+    assert(rejected.count() == 1)
+  }
+
+  test("upsert collapses in-batch duplicate keys to one winner (latest by seq)") {
+    val kv = nodes.select("key", "payload")
+    // two writes to the same key in one batch: seq picks the winner, the
+    // next table keeps the key-uniqueness invariant (no join fan-out dupes)
+    val ups = Seq(("plan_A", """{"v":1}""", 1L), ("plan_A", """{"v":2}""", 2L),
+        ("plan_NEW", """{"n":1}""", 3L))
+      .toDF("key", "payload", "seq")
+    val next = Kv.upsert(kv, ups)
+    assert(next.where($"key" === "plan_A").count() == 1)
+    assert(next.where($"key" === "plan_A").select("payload").head().getString(0) == """{"v":2}""")
+    assert(next.count() == kv.count() + 1)
+    // without a seq column the winner is still unique and deterministic
+    val next2 = Kv.upsert(kv, ups.drop("seq"))
+    assert(next2.where($"key" === "plan_A").count() == 1)
+    assert(next2.where($"key" === "plan_A").select("payload").head().getString(0) == """{"v":2}""")
+  }
+
   test("cascade delete removes the whole subtree (J4)") {
     // root cascade: one predicate on rootKey
     assert(Kv.cascadeDeleteRoot(nodes, "plan_A").count() ==
