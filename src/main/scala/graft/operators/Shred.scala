@@ -63,14 +63,32 @@ object Shred {
     *
     * Each table has [[MetaCols]] plus the node's inline fields, typed.
     */
+  // Memoized materialized shreds, keyed by input DataFrame IDENTITY (the
+  // shared documents table is itself memoized in StarDocs, so the hot path
+  // hits). One persist per distinct input instead of one per call — the
+  // round-2 per-call persists stacked duplicate cache entries.
+  private val materialized =
+    new java.util.concurrent.ConcurrentHashMap[DataFrame, (DataFrame, Map[String, DataFrame])]()
+
   /** `materialize = true` (default) repartitions by root key and persists
     * the annotated input — right when several node paths / renest joins
     * will consume the result. Pass `false` for single-path projections
     * (e.g. explode one child table once), where the exchange+cache would
     * cost more than it saves. */
   def shredTyped(docs: DataFrame, materialize: Boolean = true): Map[String, DataFrame] = {
+    if (!materialize) walk(annotatedRoot(docs), docs.schema, "")
+    else {
+      val (prepared, result) = materialized.computeIfAbsent(docs, shredTypedPrepared(_))
+      // rebuilt transparently if something (e.g. clearCache) dropped it
+      if (prepared.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        prepared.persist()
+      result
+    }
+  }
+
+  private def annotatedRoot(docs: DataFrame): DataFrame = {
     val rootKey = concat_ws("_", col("objectType").cast("string"), col("objectId").cast("string"))
-    val root = docs.select(
+    docs.select(
       Seq(
         rootKey.as("__key"),
         col("objectType").cast("string").as("__objectType"),
@@ -81,7 +99,10 @@ object Shred {
         lit(null).cast("string").as("__field"),
         lit(null).cast("int").as("__ord")
       ) ++ docs.schema.fieldNames.map(col): _*)
-    val prepared = if (!materialize) root else root
+  }
+
+  private def shredTypedPrepared(docs: DataFrame): (DataFrame, Map[String, DataFrame]) = {
+    val prepared = annotatedRoot(docs)
       // Two physical choices:
       //  - persist: without a materialization boundary each node path (and
       //    every renest join over them) re-executes the full upstream
@@ -95,7 +116,7 @@ object Shred {
       //    (NodeStoreSpec); at 100 TB that is the layout to use.
       .repartition(col("__rootKey"))
       .persist()
-    walk(prepared, docs.schema, "")
+    (prepared, walk(prepared, docs.schema, ""))
   }
 
   private def joinPath(path: String, field: String): String =

@@ -19,8 +19,38 @@ import org.apache.spark.sql.functions._
   */
 object StarDocs {
 
-  /** Nested documents: one per order, children sorted by l_linenumber. */
+  // One persisted instance per (session, dataset): the assembled documents
+  // table is a SHARED materialized artifact (at scale: a stored table
+  // written once, read by the whole workload). Memoizing the DataFrame —
+  // instead of calling .persist() on every structurally-equal copy — keeps
+  // exactly ONE cache entry alive, silences the CacheManager
+  // "already cached" churn, and gives long-lived sessions an explicit
+  // release valve ([[invalidate]]). Round-2 persisted per call with no
+  // unpersist path, which double-cached the documents alongside the
+  // shredded derivative and slowed every later query via memory pressure.
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Nested documents: one per order, children sorted by l_linenumber.
+    * Returns the same persisted instance for repeated calls; the cache
+    * entry is rebuilt transparently if something (e.g. `clearCache`)
+    * dropped it. */
   def docs(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = registry.computeIfAbsent((spark, sfDir), _ => build(spark, sfDir))
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+    df
+  }
+
+  /** Drop this session's memoized documents (and their cache entries). */
+  def invalidate(spark: SparkSession): Unit = {
+    val it = registry.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) { e.getValue.unpersist(); it.remove() }
+    }
+  }
+
+  private def build(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = Tables.orders(spark, sfDir)
     val li = Tables.lineitem(spark, sfDir)
     val part = Tables.part(spark, sfDir)
@@ -61,12 +91,5 @@ object StarDocs {
         col("o_orderstatus"), col("o_totalprice"),
         col("o_orderdate"), col("o_orderpriority"),
         col("lineitems"))
-      // The documents table is a SHARED materialized artifact (at scale: a
-      // stored table written once, read by the whole workload). Persisting
-      // here lets Spark's CacheManager substitute the cached relation into
-      // every consumer plan — including the shred's subtree — instead of
-      // re-running the window + joins + collect_list assembly per query.
-      // Identical repeated `docs()` plans dedupe to one cache entry.
-      .persist()
   }
 }
