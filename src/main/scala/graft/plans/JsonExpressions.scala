@@ -1,6 +1,8 @@
 package graft.plans
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.functions.SchemaNode
+import graft.functions.SchemaNode._
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -74,9 +76,209 @@ case class JsonPathTypes(child: Expression, paths: Seq[String])
     copy(child = newChild)
 }
 
-object JsonExpressions {
-  def jsonPathTypes(json: Column, paths: Seq[String]): Column = {
-    import org.apache.spark.sql.graft.bridge
-    bridge.column(JsonPathTypes(bridge.expression(json), paths))
+/** Whole-schema validation in ONE Jackson parse per row.
+  *
+  * [[graft.operators.Validate]] used to compose ~N `element_at` references
+  * over a single [[JsonPathTypes]] column — but Catalyst project collapsing
+  * re-inlines the CodegenFallback subtree into every reference, so the
+  * physical plan carried N copies of the parse (measured ~9× on the m5
+  * schema). This expression fuses the whole draft-04 check — required /
+  * additionalProperties / per-path type conformance / `pattern` /
+  * element-wise array required — into one tree walk, so the parse count is
+  * 1/row no matter how the plan is rewritten. The checker closures are
+  * compiled once per expression instance (schema recursion, regex compile,
+  * message `UTF8String`s) — per-row work is the parse plus cheap tag tests.
+  *
+  * Semantics are exactly those of the previous expression composition:
+  *  - the malformed case yields the single error `malformed json`;
+  *  - an explicit JSON `null` satisfies `required` but fails its type check
+  *    (draft-04);
+  *  - structural type checks under an array recurse into element 0 (the
+  *    lexical `$path[0]` convention), while `required`-ness of array
+  *    *elements* is checked across the whole array with `from_json`'s
+  *    field-level semantics: a required field counts as missing when
+  *    absent, JSON-null, or inconvertible to the schema's Spark type
+  *    (partial-result nulling), and a non-object element is entirely null;
+  *  - `pattern` matches with Java regex `find()` (the `rlike` contract).
+  */
+case class JsonSchemaErrors(child: Expression, schema: SchemaNode)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"json_schema_errors expects a string column, got $t")
+    }
+
+  @transient private lazy val mapper = new ObjectMapper()
+  @transient private lazy val malformedMsg = UTF8String.fromString("malformed json")
+  @transient private lazy val structural = compileStructural(schema, "$")
+  @transient private lazy val deep = compileDeep(schema, "$")
+
+  private type Buf = scala.collection.mutable.ArrayBuffer[Any]
+  private type Chk = (JsonNode, Buf) => Unit
+  private val noop: Chk = (_, _) => ()
+
+  private def msg(s: String): UTF8String = UTF8String.fromString(s)
+
+  private def all(checks: Seq[Chk]): Chk =
+    checks.filterNot(_ eq noop) match {
+      case Seq() => noop
+      case Seq(one) => one
+      case many => val arr = many.toArray; (n, b) => { var i = 0; while (i < arr.length) { arr(i)(n, b); i += 1 } }
+    }
+
+  /** `n` is the node at `path`, or Java null when missing — the analogue of
+    * the old per-path type tags (`NullNode` = present, tag "null"). */
+  private def compileStructural(node: SchemaNode, path: String): Chk = node match {
+    case SObject(props, required, additional) =>
+      val notObj = msg(s"not an object at $path")
+      val reqs = required.map { r => (r, msg(s"missing required $path.$r")) }.toArray
+      val addl =
+        if (additional) noop
+        else {
+          val allowed = props.map(_._1).toSet
+          val m = msg(s"additional properties at $path")
+          (n: JsonNode, b: Buf) =>
+            if (n != null && n.isObject) {
+              val it = n.fieldNames()
+              var bad = false
+              while (!bad && it.hasNext) bad = !allowed.contains(it.next())
+              if (bad) { b += m; () }
+            }
+        }
+      val children = props.map { case (name, t) =>
+        val chk = compileStructural(t, s"$path.$name")
+        if (chk eq noop) noop
+        else (n: JsonNode, b: Buf) =>
+          chk(if (n != null && n.isObject) n.get(name) else null, b)
+      }
+      all(Seq[Chk](
+        (n, b) => if (n != null && !n.isObject) { b += notObj; () },
+        (n, b) => if (n != null && n.isObject) {
+          var i = 0
+          while (i < reqs.length) { if (n.get(reqs(i)._1) == null) b += reqs(i)._2; i += 1 }
+        },
+        addl) ++ children)
+    case SArray(item) =>
+      val notArr = msg(s"not an array at $path")
+      val elem0 = compileStructural(item, s"$path[0]")
+      all(Seq[Chk](
+        (n, b) => if (n != null && !n.isArray) { b += notArr; () },
+        if (elem0 eq noop) noop
+        else (n, b) => elem0(
+          if (n == null) null
+          else if (n.isArray) n.get(0)
+          else n.get("0"), b)))
+    case SString(pattern) =>
+      val notStr = msg(s"not a string at $path")
+      val pat = pattern.map { p =>
+        (java.util.regex.Pattern.compile(p), msg(s"pattern mismatch at $path"))
+      }
+      all(Seq[Chk](
+        (n, b) => if (n != null && !n.isTextual) { b += notStr; () }) ++
+        pat.toSeq.map[Chk] { case (re, m) =>
+          (n, b) => if (n != null && n.isTextual && !re.matcher(n.textValue()).find()) { b += m; () }
+        })
+    case SNumber =>
+      val m = msg(s"not a number at $path")
+      (n, b) => if (n != null && !n.isNumber) { b += m; () }
+    case SInteger =>
+      // mirrors the old pair of checks: wrong JSON type, then a lexical
+      // integer test on the number's text (12.0 and 1e3 both fail it)
+      val m = msg(s"not an integer at $path")
+      (n, b) => if (n != null) {
+        if (!n.isNumber) { b += m; () }
+        else if (!n.isIntegralNumber) { b += m; () }
+      }
+    case SBoolean =>
+      val m = msg(s"not a boolean at $path")
+      (n, b) => if (n != null && !n.isBoolean) { b += m; () }
+    case SAny => noop
   }
+
+  /** Can `v` convert to the `from_json` Spark type of `t` without nulling
+    * (partial-result semantics)? Strings take any token (the parser writes
+    * the raw JSON of non-string values). */
+  private def convertible(v: JsonNode, t: SchemaNode): Boolean = t match {
+    case SString(_) | SAny => true
+    case SNumber => v.isNumber
+    case SInteger => v.isIntegralNumber && v.canConvertToLong
+    case SBoolean => v.isBoolean
+    case _: SObject => v.isObject
+    case _: SArray => v.isArray
+  }
+
+  /** The old `elementErrors` over `from_json`: required-ness across WHOLE
+    * arrays of objects, one level deep, field-null under partial-result
+    * conversion. */
+  private def compileDeep(node: SchemaNode, path: String): Chk = node match {
+    case SObject(props, _, _) =>
+      all(props.map { case (name, t) =>
+        val chk = compileDeep(t, s"$path.$name")
+        if (chk eq noop) noop
+        else (n: JsonNode, b: Buf) =>
+          chk(if (n != null && n.isObject) n.get(name) else null, b)
+      })
+    case SArray(SObject(props, required, _)) =>
+      val reqs = required.map { r =>
+        (r, props.collectFirst { case (`r`, t) => t }.getOrElse(SAny),
+          msg(s"missing required $r in an element of $path"))
+      }.toArray
+      if (reqs.isEmpty) noop
+      else (n, b) => if (n != null && n.isArray) {
+        var i = 0
+        while (i < reqs.length) {
+          val (r, t, m) = reqs(i)
+          val it = n.elements()
+          var bad = false
+          while (!bad && it.hasNext) {
+            val e = it.next()
+            bad = e.isNull || !e.isObject || {
+              val v = e.get(r)
+              v == null || v.isNull || !convertible(v, t)
+            }
+          }
+          if (bad) b += m
+          i += 1
+        }
+      }
+    case _ => noop
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return new GenericArrayData(Array.empty[Any])
+    val root: JsonNode =
+      try mapper.readTree(v.toString)
+      catch { case _: Exception => null }
+    if (root == null) return new GenericArrayData(Array[Any](malformedMsg))
+    val buf = new scala.collection.mutable.ArrayBuffer[Any](4)
+    structural(root, buf)
+    // from_json unwraps a JSON array root into its first object row (empty
+    // or non-object-headed arrays parse to null)
+    val typedRoot =
+      if (root.isArray) { val h = root.get(0); if (h != null && h.isObject) h else null }
+      else root
+    deep(typedRoot, buf)
+    new GenericArrayData(buf.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    throw new IllegalStateException("eval is overridden")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object JsonExpressions {
+  import org.apache.spark.sql.graft.bridge
+  def jsonPathTypes(json: Column, paths: Seq[String]): Column =
+    bridge.column(JsonPathTypes(bridge.expression(json), paths))
+  def jsonSchemaErrors(json: Column, schema: SchemaNode): Column =
+    bridge.column(JsonSchemaErrors(bridge.expression(json), schema))
 }
