@@ -182,12 +182,17 @@ object SparkEntryExt {
     "x_text_tf_df" -> { (s, dir) =>
       // term statistics (the TF-IDF building block): per-doc term
       // frequency joined with corpus document frequency — one explode, two
-      // hash aggregations (both map-side combinable), one broadcast join
+      // hash aggregations (both map-side combinable), one shuffle join on
+      // term. The vocabulary side is NOT broadcast: distinct-term counts
+      // grow with the corpus (heavy-tailed, unbounded), so a forced
+      // broadcast is a driver OOM at 100 TB; both aggregations already
+      // share the term-keyed shuffle, and AQE still converts to broadcast
+      // at runtime when the vocabulary genuinely fits.
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfx = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
-      tf.join(broadcast(dfx), Seq("term")).select("doc_id", "term", "tf", "df")
+      tf.join(dfx, Seq("term")).select("doc_id", "term", "tf", "df")
     },
     "x_token_bpeish" -> { (s, dir) =>
       TextAnalysis.withTokenCounts(Tables.documents(s, dir))

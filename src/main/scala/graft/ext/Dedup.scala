@@ -27,18 +27,19 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
 
   /** Per-doc MinHash signature (k affine minima over hashed n-word
-    * shingles — one md5 per shingle). */
+    * shingles — one md5 per shingle), from the memoized signature table. */
   def minhashSignatures(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", k: Int = 16, shingleN: Int = 3): DataFrame =
-    shingleTable(docs, textCol, idCol, shingleN)
-      .select(col(idCol), minhashFromHashes(col("hs"), k).as("sig"))
+    sigTable(shingleTable(docs, textCol, idCol, shingleN), idCol, k)
 
   // Shared-artifact memos: shingle/signature tables are persisted ONCE per
   // distinct (input plan, params) and reused by every caller — repeated
   // benchmark reps and the lsh→jaccard pipeline hit the same entries
   // instead of stacking duplicate cache registrations. Keys use the
   // CANONICALIZED logical plan, so structurally-equal reads of the same
-  // parquet dedupe even when the DataFrame instances differ.
+  // parquet dedupe even when the DataFrame instances differ. Guarded by
+  // the object lock so a concurrent [[invalidate]] cannot race a rebuild
+  // into an untracked cache entry.
   private val shingleMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       String, String, Int), DataFrame]()
@@ -51,6 +52,22 @@ object Dedup {
     df
   }
 
+  /** Release this session's memoized shingle/signature tables (cache
+    * entries included) — the valve long-lived multi-tenant sessions need
+    * so the shared-artifact memos cannot accumulate unboundedly. */
+  def invalidate(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    val si = sigMemo.entrySet().iterator()
+    while (si.hasNext) {
+      val e = si.next()
+      if (e.getKey._1.sparkSession eq spark) { e.getValue.unpersist(); si.remove() }
+    }
+    val hi = shingleMemo.entrySet().iterator()
+    while (hi.hasNext) {
+      val e = hi.next()
+      if (e.getKey._1 eq spark) { e.getValue.unpersist(); hi.remove() }
+    }
+  }
+
   /** Shingle sets, persisted: the expensive split/distinct/md5 pipeline
     * runs once; every downstream expression reads the materialized arrays.
     * Without this boundary Catalyst's project collapsing inlines the
@@ -58,7 +75,7 @@ object Dedup {
     * measured ~30× slower. At 100 TB this persists as a signatures table
     * on storage instead of executor memory; the shape is identical. */
   private def shingleTable(docs: DataFrame, textCol: String, idCol: String,
-                           shingleN: Int): DataFrame = {
+                           shingleN: Int): DataFrame = synchronized {
     val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized,
       textCol, idCol, shingleN)
     repersist(shingleMemo.computeIfAbsent(key, _ =>
@@ -69,9 +86,10 @@ object Dedup {
   }
 
   /** Per-doc MinHash signature table over a (memoized) shingle table. */
-  private def sigTable(sh: DataFrame, idCol: String, k: Int): DataFrame =
+  private def sigTable(sh: DataFrame, idCol: String, k: Int): DataFrame = synchronized {
     repersist(sigMemo.computeIfAbsent((sh, k), _ =>
       sh.select(col(idCol), minhashFromHashes(col("hs"), k).as("sig"))))
+  }
 
   /** MinHash-LSH candidate pairs with estimated Jaccard ≥ `minEst`.
     *
@@ -88,7 +106,7 @@ object Dedup {
   private def lshCandidatesFrom(sh: DataFrame, idCol: String, k: Int, bands: Int,
                                 minEst: Double): DataFrame = {
     val rowsPerBand = k / bands
-    val sigs = sh.select(col(idCol), minhashFromHashes(col("hs"), k).as("sig")).persist()
+    val sigs = sigTable(sh, idCol, k)
     val banded = sigs.withColumn("band", explode(bandKeys(col("sig"), bands, rowsPerBand)))
     val a = banded.alias("a")
     val b = banded.alias("b")

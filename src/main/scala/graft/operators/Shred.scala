@@ -77,12 +77,23 @@ object Shred {
     * cost more than it saves. */
   def shredTyped(docs: DataFrame, materialize: Boolean = true): Map[String, DataFrame] = {
     if (!materialize) walk(annotatedRoot(docs), docs.schema, "")
-    else {
+    else synchronized {
       val (prepared, result) = materialized.computeIfAbsent(docs, shredTypedPrepared(_))
       // rebuilt transparently if something (e.g. clearCache) dropped it
       if (prepared.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
         prepared.persist()
       result
+    }
+  }
+
+  /** Release this session's memoized shreds (cache entries included) —
+    * the eviction valve for long-lived sessions, mirroring
+    * [[graft.sources.StarDocs.invalidate]]. */
+  def invalidate(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    val it = materialized.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.sparkSession eq spark) { e.getValue._1.unpersist(); it.remove() }
     }
   }
 

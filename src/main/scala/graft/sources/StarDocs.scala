@@ -34,15 +34,16 @@ object StarDocs {
   /** Nested documents: one per order, children sorted by l_linenumber.
     * Returns the same persisted instance for repeated calls; the cache
     * entry is rebuilt transparently if something (e.g. `clearCache`)
-    * dropped it. */
-  def docs(spark: SparkSession, sfDir: String): DataFrame = {
+    * dropped it. Synchronized with [[invalidate]] so a concurrent sweep
+    * cannot strand a just-re-persisted entry outside the registry. */
+  def docs(spark: SparkSession, sfDir: String): DataFrame = synchronized {
     val df = registry.computeIfAbsent((spark, sfDir), _ => build(spark, sfDir))
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
     df
   }
 
   /** Drop this session's memoized documents (and their cache entries). */
-  def invalidate(spark: SparkSession): Unit = {
+  def invalidate(spark: SparkSession): Unit = synchronized {
     val it = registry.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()

@@ -39,3 +39,18 @@ class TablesSpec extends SparkSpec {
     }
   }
 }
+
+class CachesSpec extends SparkSpec {
+  import org.apache.spark.storage.StorageLevel
+  test("Caches.invalidate releases memoized artifacts; they rebuild on demand") {
+    val docs = graft.sources.StarDocs.docs(spark, sf)
+    graft.operators.Shred.shredTyped(docs)
+    assert(graft.ext.Dedup.minhashSignatures(
+      graft.sources.Tables.documents(spark, sf)).count() > 0)
+    assert(docs.storageLevel != StorageLevel.NONE)
+    Caches.invalidate(spark)
+    assert(docs.storageLevel == StorageLevel.NONE)
+    // memos re-fault transparently after the sweep
+    assert(graft.sources.StarDocs.docs(spark, sf).count() > 0)
+  }
+}
