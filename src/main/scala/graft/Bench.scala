@@ -67,8 +67,11 @@ object Bench {
     // cold_total includes each query's FIRST rep — i.e. shared-artifact
     // builds (docs assembly, shred, shingle/signature tables) are charged
     // to whichever query faults them in, making the steady-state-vs-build
-    // split visible instead of silently excluded by the median
-    val cold = results.map(_._3).filter(_ >= 0).sum
+    // split visible instead of silently excluded by the median. Restricted
+    // to queries whose median is valid so total and cold_total always
+    // cover the same query set (a query whose LATER rep failed would
+    // otherwise inflate cold while being excluded from total).
+    val cold = results.filter(_._2 >= 0).map(_._3).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$cold,"sf":"$sfDir"}""")
     Caches.invalidate(spark)
     spark.stop()

@@ -231,7 +231,7 @@ object SparkEntryExt {
     },
     "x_knn_lsh" -> { (s, dir) =>
       // ANN path — approximate by construction, so no SQL oracle; the spec
-      // asserts ≥0.8 recall against bruteForceTopK
+      // asserts ≥0.5 recall@10 against bruteForceTopK (unclustered data)
       val embs = Tables.embeddings(s, dir)
       Similarity.lshTopK(embs, embs.where(col("vec_id") < 10), k = 10)
     },

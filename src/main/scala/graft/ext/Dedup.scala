@@ -43,8 +43,12 @@ object Dedup {
   private val shingleMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       String, String, Int), DataFrame]()
-  private val sigMemo =
-    new java.util.concurrent.ConcurrentHashMap[(DataFrame, Int), DataFrame]()
+  // keyed on (session, canonicalized shingle plan, k) — NOT DataFrame
+  // identity — so a caller passing a structurally-equal but fresh shingle
+  // DataFrame hits the same entry instead of stacking one persist per call
+  private val sigMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Int), DataFrame]()
 
   private def repersist(df: DataFrame): DataFrame = {
     // rebuilt transparently if something (e.g. clearCache) dropped it
@@ -59,7 +63,7 @@ object Dedup {
     val si = sigMemo.entrySet().iterator()
     while (si.hasNext) {
       val e = si.next()
-      if (e.getKey._1.sparkSession eq spark) { e.getValue.unpersist(); si.remove() }
+      if (e.getKey._1 eq spark) { e.getValue.unpersist(); si.remove() }
     }
     val hi = shingleMemo.entrySet().iterator()
     while (hi.hasNext) {
@@ -87,7 +91,8 @@ object Dedup {
 
   /** Per-doc MinHash signature table over a (memoized) shingle table. */
   private def sigTable(sh: DataFrame, idCol: String, k: Int): DataFrame = synchronized {
-    repersist(sigMemo.computeIfAbsent((sh, k), _ =>
+    val key = (sh.sparkSession, sh.queryExecution.analyzed.canonicalized, k)
+    repersist(sigMemo.computeIfAbsent(key, _ =>
       sh.select(col(idCol), minhashFromHashes(col("hs"), k).as("sig"))))
   }
 
@@ -97,22 +102,52 @@ object Dedup {
     * band key) → distinct pairs → estimate = matching signature positions /
     * k. The candidate set is linear in the number of true near-dups, not
     * quadratic in corpus size.
+    *
+    * Skew guard: a band bucket larger than `maxBucket` is exactly the
+    * mega-duplicate cluster dedup exists to find, and an all-pairs
+    * self-join inside it is O(n²) — quadratic in the very thing that
+    * grows. Oversized buckets therefore degrade to STAR pairs around the
+    * bucket's min-id member: (anchor, other) for every other member,
+    * O(n) per bucket. For dedup that loses nothing — a near-dup class is
+    * transitively connected through its anchor, so keep-one-per-class
+    * clustering sees the same components — but pairs between two
+    * non-anchor members of a mega-bucket are not emitted. Buckets at or
+    * under the cap keep exact all-pairs semantics (the oracle-checked
+    * path at test scale).
     */
   def lshCandidates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                     k: Int = 16, bands: Int = 4, shingleN: Int = 3,
-                    minEst: Double = 0.5): DataFrame =
-    lshCandidatesFrom(shingleTable(docs, textCol, idCol, shingleN), idCol, k, bands, minEst)
+                    minEst: Double = 0.5, maxBucket: Int = DefaultMaxBucket): DataFrame =
+    lshCandidatesFrom(shingleTable(docs, textCol, idCol, shingleN), idCol, k, bands,
+      minEst, maxBucket)
+
+  /** Band buckets beyond this size switch from all-pairs to star pairs. */
+  val DefaultMaxBucket: Int = 4096
 
   private def lshCandidatesFrom(sh: DataFrame, idCol: String, k: Int, bands: Int,
-                                minEst: Double): DataFrame = {
+                                minEst: Double, maxBucket: Int): DataFrame = {
     val rowsPerBand = k / bands
     val sigs = sigTable(sh, idCol, k)
     val banded = sigs.withColumn("band", explode(bandKeys(col("sig"), bands, rowsPerBand)))
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    a.join(b, col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
+    // per-bucket size + anchor (min id, with its signature) in ONE pass;
+    // the stats side is one row per bucket — AQE broadcasts it, so tagging
+    // every banded row costs no extra shuffle beyond the band-key exchange
+    // the join below needs anyway
+    val stats = banded.groupBy("band").agg(
+      count(lit(1)).as("__n"),
+      min(struct(col(idCol).as("id"), col("sig").as("sig"))).as("__anchor"))
+    val tagged = banded.join(stats, Seq("band"))
+    val small = tagged.where(col("__n") <= maxBucket)
+    val a = small.alias("a")
+    val b = small.alias("b")
+    val allPairs = a.join(b, col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+    // anchor is the bucket minimum, so id_a < id_b holds by construction
+    val starPairs = tagged.where(col("__n") > maxBucket && col(idCol) =!= col("__anchor.id"))
+      .select(col("__anchor.id").as("id_a"), col(idCol).as("id_b"),
+        col("__anchor.sig").as("sig_a"), col("sig").as("sig_b"))
+    allPairs.unionByName(starPairs)
       .distinct()
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
@@ -127,9 +162,10 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", shingleN: Int = 3,
                         minJaccard: Double = 0.8,
-                        k: Int = 16, bands: Int = 4): DataFrame = {
+                        k: Int = 16, bands: Int = 4,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sh = shingleTable(docs, textCol, idCol, shingleN)
-    val cands = lshCandidatesFrom(sh, idCol, k, bands, minEst = 0.3)
+    val cands = lshCandidatesFrom(sh, idCol, k, bands, minEst = 0.3, maxBucket)
     // exact Jaccard over the hashed shingle sets (equal to the string-set
     // value up to md5 collisions) via the O(n+m) codegen merge kernel
     cands

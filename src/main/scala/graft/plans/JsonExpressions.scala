@@ -89,7 +89,14 @@ case class JsonPathTypes(child: Expression, paths: Seq[String])
   * compiled once per expression instance (schema recursion, regex compile,
   * message `UTF8String`s) — per-row work is the parse plus cheap tag tests.
   *
-  * Semantics are exactly those of the previous expression composition:
+  * Semantics match the previous expression composition, with one
+  * deliberate tightening: an array containing a JSON-null or non-object
+  * element now always flags the element-wise `required` check, whereas
+  * the old `from_json` path's verdict in that corner depended on
+  * PERMISSIVE partial-result behavior (a bad element could null the whole
+  * array and yield NO error). The stricter verdict is the one the
+  * reference's validator gives (invalid element → 400), and ValidateSpec
+  * pins it. The rest:
   *  - the malformed case yields the single error `malformed json`;
   *  - an explicit JSON `null` satisfies `required` but fails its type check
   *    (draft-04);

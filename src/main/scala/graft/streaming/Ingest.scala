@@ -54,20 +54,31 @@ object Ingest {
   private val stateSchema = StructType(Seq(
     StructField("key", StringType), StructField("doc", StringType)))
 
+  /** FileSystem for `dir` resolved through the session's Hadoop conf — the
+    * same abstraction Spark's own sinks use, so the versioned-state
+    * protocol works unchanged on local FS, HDFS, or an object store with a
+    * Hadoop connector (s3a/gs/abfs). */
+  private def fsFor(spark: SparkSession, dir: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    (path.getFileSystem(spark.sessionState.newHadoopConf()), path)
+  }
+
   /** Latest COMPLETE state version under `stateDir` (parquet's _SUCCESS
     * marker is the completeness witness). */
-  private def latestVersion(stateDir: String): Option[java.io.File] = {
-    val root = new java.io.File(stateDir)
-    Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
-        new java.io.File(f, "_SUCCESS").exists())
-      .sortBy(f => f.getName.stripPrefix("v").toLong)
-      .lastOption
+  private def latestVersion(spark: SparkSession, stateDir: String): Option[org.apache.hadoop.fs.Path] = {
+    val (fs, root) = fsFor(spark, stateDir)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v") &&
+        st.getPath.getName.stripPrefix("v").forall(_.isDigit) &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .sortBy(_.getPath.getName.stripPrefix("v").toLong)
+      .lastOption.map(_.getPath)
   }
 
   /** Read the current state table (empty before the first batch). */
   def readState(spark: SparkSession, stateDir: String): DataFrame =
-    latestVersion(stateDir) match {
+    latestVersion(spark, stateDir) match {
       case Some(dir) => spark.read.schema(stateSchema).parquet(dir.toString)
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
@@ -99,20 +110,19 @@ object Ingest {
         applyBatch(current, batch)
           .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
         // prune strictly older versions now that v<batchId> is complete
-        Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.startsWith("v") &&
-            f.getName.stripPrefix("v").toLong < batchId)
-          .foreach(deleteRec)
+        val (fs, root) = fsFor(s, stateDir)
+        if (fs.exists(root)) fs.listStatus(root)
+          .filter { st =>
+            val n = st.getPath.getName
+            n.startsWith("v") && n.stripPrefix("v").forall(_.isDigit) &&
+              n.stripPrefix("v").toLong < batchId
+          }
+          .foreach(st => fs.delete(st.getPath, true))
         ()
       }
       .start()
     q.awaitTermination()
     q
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRec)
-    if (f.exists()) { f.delete(); () }
   }
 
   /** ST5 — dead-letter split: rows that fail validation go to a side table

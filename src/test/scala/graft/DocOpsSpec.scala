@@ -281,6 +281,26 @@ class ValidateSpec extends SparkSpec {
       .exists(_.contains("missing required objectId in an element")))
   }
 
+  test("non-object / JSON-null array elements flag element-wise required") {
+    // intended verdict (pinned): an array element that is not an object —
+    // a bare number or an explicit null — cannot carry the required field,
+    // so the element-wise check flags it. (The pre-fusion from_json path's
+    // verdict here depended on PERMISSIVE partial-result nulling; the
+    // fused expression is deliberately strict, like the reference's 400.)
+    assert(errsOf(
+      """{"objectId":"A","objectType":"plan","creationDate":"12-12-2017",
+         "linkedPlanServices":[
+           {"objectId":"ps1","objectType":"planservice"}, 7]}"""
+        .replaceAll("\n\\s*", ""))
+      .exists(_.contains("missing required objectId in an element")))
+    assert(errsOf(
+      """{"objectId":"A","objectType":"plan","creationDate":"12-12-2017",
+         "linkedPlanServices":[
+           {"objectId":"ps1","objectType":"planservice"}, null]}"""
+        .replaceAll("\n\\s*", ""))
+      .exists(_.contains("missing required objectId in an element")))
+  }
+
   test("M6: calendar-valid dates only (31-02 rejected)") {
     import spark.implicits._
     val df = Seq("12-12-2017", "31-02-2020", "29-02-2020", "2020-12-12")

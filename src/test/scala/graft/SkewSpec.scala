@@ -1,5 +1,6 @@
 package graft
 
+import graft.ext.Dedup
 import graft.operators.{Kv, Renest, Shred}
 import org.apache.spark.sql.functions._
 
@@ -34,5 +35,30 @@ class SkewSpec extends SparkSpec {
     val nodes = Shred.nodes(docs)
     val after = Kv.cascadeDeleteRoot(nodes, "org_W")
     assert(nodes.count() - after.count() == 50001L)
+  }
+
+  test("LSH dedup caps mega-bucket candidates (10k identical docs -> star pairs)") {
+    import spark.implicits._
+    // 10k identical docs: every band bucket is one 10k-member cluster —
+    // uncapped all-pairs would emit ~50M candidates; the star guard emits
+    // exactly n-1 anchor pairs per duplicate class
+    val n = 10000
+    val docs = spark.range(n)
+      .select(col("id").as("doc_id"),
+        lit("the same exact document text repeated verbatim in every row").as("text"))
+    val cap = 1000
+    val cands = Dedup.lshCandidates(docs, k = 16, bands = 4, minEst = 0.5, maxBucket = cap)
+    assert(cands.count() == (n - 1).toLong)
+    // every emitted pair is anchored at the bucket minimum (doc_id 0)
+    assert(cands.agg(max(col("id_a"))).head().getLong(0) == 0L)
+    // and the small-bucket path still does exact all-pairs: 3 near-identical
+    // docs under the cap -> all 3 pairs
+    val trio = Seq(
+      (100000L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (100001L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (100002L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    assert(Dedup.lshCandidates(trio, k = 16, bands = 4, minEst = 0.5).count() == 3)
+    Dedup.invalidate(spark)
   }
 }
