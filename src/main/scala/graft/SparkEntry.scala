@@ -73,6 +73,18 @@ object SparkEntry {
     "s9_scan_cap" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
       Kv.cappedScan(t("orders"), 1000, "o_orderkey")
     },
+    "s2_exists" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
+      // batch existence probe: first 100 order keys (present) plus five
+      // unknown keys (absent) — the 409/404 gate verdicts, distributed
+      val kv = t("orders").select(col("o_orderkey").cast("string").as("key"))
+      val probes = t("orders").where(col("o_orderkey") <= 100)
+        .select(col("o_orderkey").cast("string").as("key"))
+        .unionByName(s.range(1, 6).select(concat(lit("Z"), col("id")).as("key")))
+      Kv.existsAll(kv, probes)
+    },
+    "s11_mapping" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
+      Search.mapping(t("orders"), "orders")
+    },
 
     // ----- J: shred / renest (SURVEY §2.2) -----
     "j1_shred_counts" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
@@ -118,6 +130,31 @@ object SparkEntry {
       t("orders").select(col("o_orderkey").cast("string").as("key"),
         md5(concat_ws("|", col("o_orderkey").cast("string"),
           col("o_orderstatus"), col("o_orderpriority"))).as("etag"))
+    },
+    "m2_etag_canonical" -> { (s, dir) =>
+      // M2 proper — the canonical document ETag: md5 of the canonical JSON
+      // form (schema field order; objectId-keyed arrays sorted by objectId)
+      // of the re-nested document, the distributed analogue of the
+      // reference hashing JSON.stringify of the re-nest (jwtAuth.ts:71-73).
+      // Exercised on a string-typed projection of the nested docs so the
+      // JSON text is engine-reproducible (double/timestamp rendering is
+      // engine-specific); the child array is REVERSED first, so the hash
+      // matches the oracle only because canonicalize restores objectId
+      // order.
+      val docs = StarDocs.docs(s, dir)
+      val slim = docs.select(
+        col("objectId"), col("objectType"), col("o_orderstatus"), col("o_orderpriority"),
+        reverse(transform(col("lineitems"), li => struct(
+          li.getField("objectId").as("objectId"),
+          li.getField("objectType").as("objectType"),
+          li.getField("l_returnflag").as("l_returnflag"),
+          li.getField("l_linestatus").as("l_linestatus"),
+          struct(
+            li.getField("part").getField("objectId").as("objectId"),
+            li.getField("part").getField("objectType").as("objectType"),
+            li.getField("part").getField("p_brand").as("p_brand")).as("part"))))
+          .as("lineitems"))
+      Etag.withEtag(slim).select(col("__key").as("key"), col("__etag").as("etag"))
     },
     "m3_if_none_match" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
       // conditional-read gate over a deterministic request mix: even keys
@@ -186,6 +223,18 @@ object SparkEntry {
     "p7_by_id" -> "SELECT * FROM orders WHERE o_orderkey = 7",
     "p8_count" -> "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem",
     "s9_scan_cap" -> "SELECT * FROM orders ORDER BY o_orderkey LIMIT 1000",
+    "s2_exists" ->
+      ("SELECT CAST(o_orderkey AS VARCHAR) AS key, true AS present FROM orders WHERE o_orderkey <= 100 " +
+        "UNION ALL SELECT 'Z' || CAST(r AS VARCHAR), false FROM range(1, 6) t(r)"),
+    "s11_mapping" ->
+      ("SELECT * FROM (VALUES " +
+        "('orders', CAST(1 AS INT), 'o_orderkey', 'long'), " +
+        "('orders', 2, 'o_custkey', 'long'), " +
+        "('orders', 3, 'o_orderstatus', 'keyword'), " +
+        "('orders', 4, 'o_totalprice', 'double'), " +
+        "('orders', 5, 'o_orderdate', 'date'), " +
+        "('orders', 6, 'o_orderpriority', 'keyword')" +
+        ") t(table_name, ordinal, field, es_type)"),
     "j1_shred_counts" ->
       ("SELECT 'order' AS rel_name, CAST(count(*) AS BIGINT) AS n FROM orders " +
         "UNION ALL SELECT 'order_lineitem', CAST(count(*) AS BIGINT) FROM lineitem " +
@@ -214,6 +263,30 @@ object SparkEntry {
     "m2_etag" ->
       ("SELECT CAST(o_orderkey AS VARCHAR) AS key, " +
         "md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus, o_orderpriority)) AS etag " +
+        "FROM orders"),
+    "m2_etag_canonical" ->
+      // reproduces Spark's to_json of the canonical form byte-for-byte:
+      // no spaces, schema field order, children sorted by objectId (the
+      // string_agg ORDER BY mirrors canonicalize's array_sort comparator;
+      // binary collation on both engines), absent child arrays omitted
+      // (to_json drops null fields — the coalesce('') branch)
+      ("WITH li AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY " +
+        "l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, " +
+        "l_tax, l_returnflag, l_linestatus, l_shipdate) AS seq FROM lineitem), " +
+        "lij AS (SELECT l.l_orderkey AS ok, " +
+        "'li' || CAST(l.l_orderkey AS VARCHAR) || '_' || CAST(l.seq AS VARCHAR) AS li_id, " +
+        "'{\"objectId\":\"li' || CAST(l.l_orderkey AS VARCHAR) || '_' || CAST(l.seq AS VARCHAR) || " +
+        "'\",\"objectType\":\"lineitem\",\"l_returnflag\":\"' || l.l_returnflag || " +
+        "'\",\"l_linestatus\":\"' || l.l_linestatus || " +
+        "'\",\"part\":{\"objectId\":\"' || CAST(p.p_partkey AS VARCHAR) || " +
+        "'\",\"objectType\":\"part\",\"p_brand\":\"' || p.p_brand || '\"}}' AS j " +
+        "FROM li l JOIN part p ON l.l_partkey = p.p_partkey) " +
+        "SELECT 'order_' || CAST(o_orderkey AS VARCHAR) AS key, " +
+        "md5('{\"objectId\":\"' || CAST(o_orderkey AS VARCHAR) || " +
+        "'\",\"objectType\":\"order\",\"o_orderstatus\":\"' || o_orderstatus || " +
+        "'\",\"o_orderpriority\":\"' || o_orderpriority || '\"' || " +
+        "coalesce(',\"lineitems\":[' || (SELECT string_agg(j, ',' ORDER BY li_id) " +
+        "FROM lij WHERE lij.ok = o_orderkey) || ']', '') || '}') AS etag " +
         "FROM orders"),
     "m3_if_none_match" ->
       ("SELECT CAST(o_orderkey AS VARCHAR) AS key, " +

@@ -30,6 +30,17 @@ object Kv {
   def exists(kv: DataFrame, key: String): Boolean =
     !get(kv, key).isEmpty
 
+  /** S2, batch form — existence verdict for a whole probe set in one
+    * distributed pass: left join of the (deduped) probe keys against the
+    * store's key column. One shuffle on `key`; none at all when the store
+    * is bucketed by `key` and the probe side is small enough for AQE to
+    * broadcast. */
+  def existsAll(kv: DataFrame, probes: DataFrame): DataFrame =
+    probes.select("key").distinct()
+      .join(kv.select(col("key")).distinct().withColumn("__hit", lit(true)),
+        Seq("key"), "left")
+      .select(col("key"), coalesce(col("__hit"), lit(false)).as("present"))
+
   /** S3 — create-only batch set (`apiLogicForCRUD.ts:390-416`: 409 when the
     * key exists). Only one row per key may win — including within the
     * incoming batch itself (the reference processes requests serially, so

@@ -77,4 +77,30 @@ object Search {
     * engine metadata, keep payload columns. */
   def projectSource(df: DataFrame, payloadCols: Seq[String]): DataFrame =
     df.select(payloadCols.map(col): _*)
+
+  /** S11 — mapping introspection (`GET /getMapping`,
+    * `elasticSearch.ts:301-310`): one row per top-level field with its
+    * index-vocabulary type — the ES `keyword`/`long`/`double`/`date` names
+    * the reference's mapping exposes. Pure catalog metadata (the analyzed
+    * schema), no data scan — exactly like the reference's single metadata
+    * GET. */
+  def mapping(df: DataFrame, table: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = df.schema.fields.zipWithIndex.map { case (f, i) =>
+      val esType = f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType => "long"
+        case StringType => "keyword"
+        case DoubleType | FloatType => "double"
+        case TimestampType | TimestampNTZType | DateType => "date"
+        case BooleanType => "boolean"
+        case BinaryType => "binary"
+        case _: ArrayType => "nested"
+        case _: StructType => "object"
+        case t => t.simpleString
+      }
+      (table, i + 1, f.name, esType)
+    }.toSeq
+    df.sparkSession.createDataFrame(rows)
+      .toDF("table_name", "ordinal", "field", "es_type")
+  }
 }
