@@ -224,10 +224,12 @@ object SparkEntryExt {
       Similarity.bruteForceTopK(embs, embs.where(col("vec_id") < 10), k = 10)
     },
     "x_knn_ivf" -> { (s, dir) =>
-      // IVF path: label cells + per-cell mean centroids, nprobe=2 — like
-      // the LSH path, approximate by construction → rows-only check
+      // IVF path with LEARNED cells (deterministic Lloyd's k-means, no
+      // fixture column) — like the LSH path, approximate by construction
+      // → rows-only check; ExtSpec asserts recall vs brute force
       val embs = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(embs, embs.where(col("vec_id") < 10), k = 10, nprobe = 2)
+      Similarity.ivfTopKLearned(embs, embs.where(col("vec_id") < 10), k = 10,
+        kCells = 8, iters = 2, nprobe = 2)
     },
     "x_knn_lsh" -> { (s, dir) =>
       // ANN path — approximate by construction, so no SQL oracle; the spec

@@ -36,26 +36,87 @@ object Similarity {
         col(idCol).as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
   }
 
-  /** IVF-style ANN: corpus partitioned into coarse cells, each query
-    * probes only the `nprobe` nearest cell centroids. Centroids are the
-    * per-cell mean vectors (computed with one posexplode + groupBy —
-    * deterministic, no RNG); here the fixture's `label` column provides
-    * the cell assignment (a k-means pass would produce one at scale — the
-    * probe/search machinery is identical). Pair-space shrinks
+  /** IVF-style ANN over PRECOMPUTED cells (`cellCol`): centroids are the
+    * per-cell mean vectors (one posexplode + groupBy — deterministic, no
+    * RNG), each query probes only its `nprobe` nearest. Use
+    * [[ivfTopKLearned]] when no cell assignment exists — it learns one
+    * with deterministic Lloyd's k-means. Pair-space shrinks
     * cells/nprobe-fold; recall depends on how well cells capture the
-    * metric structure.
-    */
+    * metric structure. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
               vecCol: String = "embedding", idCol: String = "vec_id",
               cellCol: String = "label", nprobe: Int = 2): DataFrame = {
-    // per-cell centroid: elementwise mean via posexplode + regroup
-    val centroids = corpus
-      .select(col(cellCol).as("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+    val withCell = corpus.withColumnRenamed(cellCol, "cell")
+    ivfSearch(withCell, cellMeans(withCell, vecCol), queries, k, vecCol, idCol, nprobe)
+  }
+
+  /** IVF with LEARNED cells: deterministic Lloyd's k-means (seeded by the
+    * `kCells` lowest-id vectors — no RNG), then the same probe machinery
+    * as [[ivfTopK]]. The scale path when the corpus carries no usable
+    * partitioning column. */
+  def ivfTopKLearned(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                     vecCol: String = "embedding", idCol: String = "vec_id",
+                     kCells: Int = 8, iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    val cents = learnedCentroids(corpus, kCells, iters, vecCol, idCol)
+    ivfSearch(assignCells(corpus, cents, vecCol, idCol), cents,
+      queries, k, vecCol, idCol, nprobe)
+  }
+
+  /** Deterministic Lloyd's iteration: seeds = the `kCells` lowest-id
+    * corpus vectors; each pass assigns every vector to its nearest
+    * centroid (one broadcast join + one map-side-combinable arg-max
+    * aggregation — the corpus never shuffles) and recomputes per-cell
+    * means. Centroids are collected to the driver between passes — k·dim
+    * floats of bounded metadata (the same footprint broadcasting them
+    * implies), NOT a data collect. */
+  def learnedCentroids(corpus: DataFrame, kCells: Int, iters: Int = 2,
+                       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents = corpus.orderBy(col(idCol)).limit(kCells)
+      .select(col(idCol).as("cell"), col(vecCol).as("centroid"))
+    var i = 0
+    while (i < iters) {
+      val next = cellMeans(assignCells(corpus, cents, vecCol, idCol), vecCol)
+      val rows = next.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+      cents = rows.toDF("cell", "centroid")
+      i += 1
+    }
+    cents
+  }
+
+  /** Nearest-centroid cell for every corpus vector: broadcast the (small)
+    * centroid table, arg-max cosine per vector via `max(struct(...))` —
+    * map-side combinable, so the n·kCells scored rows collapse before any
+    * exchange (no window shuffle of the blown-up join). Ties break to the
+    * lowest cell id; zero-norm vectors (NULL cosine) fall to the lowest
+    * cell rather than dropping out. */
+  def assignCells(corpus: DataFrame, centroids: DataFrame,
+                  vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val scored = corpus.join(broadcast(centroids.select(col("cell"), col("centroid"))))
+      .withColumn("__d", coalesce(cosine(col(vecCol), col("centroid")), lit(-2d)))
+    scored.groupBy(col(idCol))
+      .agg(first(col(vecCol)).as(vecCol), // identical across the kCells copies
+        max(struct(col("__d").as("d"), (-col("cell")).as("nc"))).as("__best"))
+      .withColumn("cell", -col("__best.nc"))
+      .drop("__best")
+  }
+
+  /** Per-cell elementwise mean vectors (posexplode + two hash aggs). */
+  private def cellMeans(withCell: DataFrame, vecCol: String): DataFrame =
+    withCell
+      .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
       .groupBy("cell")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         p => p("m").cast("float")).as("centroid"))
-    // each query probes its nprobe nearest centroids
+
+  /** Shared IVF probe: each query visits its `nprobe` nearest centroids,
+    * exact cosine only within the probed cells. */
+  private def ivfSearch(corpusWithCell: DataFrame, centroids: DataFrame,
+                        queries: DataFrame, k: Int, vecCol: String, idCol: String,
+                        nprobe: Int): DataFrame = {
     val qCells = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .join(broadcast(centroids))
       .withColumn("__d", cosine(col("__qv"), col("centroid")))
@@ -63,7 +124,7 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("__d").desc, col("cell"))))
       .where(col("__r") <= nprobe)
       .select(col("query_id"), col("__qv"), col("cell"))
-    val scored = corpus.withColumnRenamed(cellCol, "cell")
+    val scored = corpusWithCell
       .join(qCells, Seq("cell"))
       .where(col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol), cosine(col("__qv"), col(vecCol)).as("cos"))

@@ -134,6 +134,27 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.nonEmpty)
   }
 
+  test("ivfTopKLearned: k-means cells reach >=0.7 recall@10 vs brute force") {
+    val embs = Tables.embeddings(spark, sf)
+    val qs = embs.where(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(embs, qs, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopKLearned(embs, qs, k = 10,
+        kCells = 8, iters = 2, nprobe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.7, s"recall $recall")
+    // determinism: learning twice yields identical results (seeded init,
+    // no RNG anywhere in the pipeline)
+    val again = Similarity.ivfTopKLearned(embs, qs, k = 10,
+        kCells = 8, iters = 2, nprobe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == ivf)
+  }
+
   test("cosine of a zero-norm vector is NULL, never a rank-1 NaN") {
     import spark.implicits._
     val df = Seq(
