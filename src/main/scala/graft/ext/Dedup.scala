@@ -189,7 +189,8 @@ object Dedup {
                         idCol: String = "vec_id", minCos: Double = 0.45,
                         exactPairs: Boolean = false, nPlanes: Int = 4): DataFrame = {
     val base = if (exactPairs) embs.withColumn("__b", lit(0))
-      else embs.withColumn("__b", VectorFunctions.hyperplaneBucket(col(vecCol), nPlanes))
+      else embs.withColumn("__b", VectorFunctions.hyperplaneBucket(col(vecCol), nPlanes,
+        VectorFunctions.probeDim(embs, vecCol)))
     val a = base.alias("a"); val b = base.alias("b")
     a.join(b, col("a.__b") === col("b.__b") && col(s"a.$idCol") < col(s"b.$idCol"))
       .withColumn("cos", VectorFunctions.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")))

@@ -57,50 +57,53 @@ object Similarity {
   def ivfTopKLearned(corpus: DataFrame, queries: DataFrame, k: Int = 10,
                      vecCol: String = "embedding", idCol: String = "vec_id",
                      kCells: Int = 8, iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val cents = learnedCentroids(corpus, kCells, iters, vecCol, idCol)
-    ivfSearch(assignCells(corpus, cents, vecCol, idCol), cents,
+    val centDf = cents.map { case (c, v) => (c, v) }.toDF("cell", "centroid")
+    ivfSearch(assignCells(corpus, cents, vecCol), centDf,
       queries, k, vecCol, idCol, nprobe)
   }
 
   /** Deterministic Lloyd's iteration: seeds = the `kCells` lowest-id
-    * corpus vectors; each pass assigns every vector to its nearest
-    * centroid (one broadcast join + one map-side-combinable arg-max
-    * aggregation — the corpus never shuffles) and recomputes per-cell
-    * means. Centroids are collected to the driver between passes — k·dim
-    * floats of bounded metadata (the same footprint broadcasting them
-    * implies), NOT a data collect. */
+    * corpus vectors (`TakeOrdered`, no global sort); each pass assigns
+    * every vector to its nearest centroid with the map-only literal
+    * arg-max of [[assignCells]] and recomputes per-cell means (partial
+    * aggregation collapses to ~kCells·dim rows per task before the only
+    * exchange). Centroids live on the driver between passes — kCells·dim
+    * floats of bounded metadata, NOT a data collect — so each Lloyd pass
+    * costs one corpus SCAN and zero corpus shuffles. */
   def learnedCentroids(corpus: DataFrame, kCells: Int, iters: Int = 2,
-                       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    var cents = corpus.orderBy(col(idCol)).limit(kCells)
-      .select(col(idCol).as("cell"), col(vecCol).as("centroid"))
+                       vecCol: String = "embedding", idCol: String = "vec_id"): Seq[(Long, Array[Float])] = {
+    var cents: Seq[(Long, Array[Float])] =
+      corpus.orderBy(col(idCol)).limit(kCells)
+        .select(col(idCol).as("cell"), col(vecCol).cast("array<float>").as("centroid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
     var i = 0
-    while (i < iters) {
-      val next = cellMeans(assignCells(corpus, cents, vecCol, idCol), vecCol)
-      val rows = next.collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
-      cents = rows.toDF("cell", "centroid")
+    while (i < iters && cents.nonEmpty) {
+      cents = cellMeans(assignCells(corpus, cents, vecCol), vecCol).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
       i += 1
     }
     cents
   }
 
-  /** Nearest-centroid cell for every corpus vector: broadcast the (small)
-    * centroid table, arg-max cosine per vector via `max(struct(...))` —
-    * map-side combinable, so the n·kCells scored rows collapse before any
-    * exchange (no window shuffle of the blown-up join). Ties break to the
-    * lowest cell id; zero-norm vectors (NULL cosine) fall to the lowest
-    * cell rather than dropping out. */
-  def assignCells(corpus: DataFrame, centroids: DataFrame,
-                  vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val scored = corpus.join(broadcast(centroids.select(col("cell"), col("centroid"))))
-      .withColumn("__d", coalesce(cosine(col(vecCol), col("centroid")), lit(-2d)))
-    scored.groupBy(col(idCol))
-      .agg(first(col(vecCol)).as(vecCol), // identical across the kCells copies
-        max(struct(col("__d").as("d"), (-col("cell")).as("nc"))).as("__best"))
-      .withColumn("cell", -col("__best.nc"))
-      .drop("__best")
+  /** Nearest-centroid cell for every corpus vector, as a MAP-ONLY
+    * projection: the centroid set is a literal array of structs (bounded
+    * driver-side metadata), so the arg-max cosine is one expression per
+    * row — no join blow-up, no aggregation, zero corpus shuffle. Ties
+    * break to the lowest cell id; zero-norm vectors (NULL cosine) fall to
+    * the lowest cell rather than dropping out. */
+  def assignCells(corpus: DataFrame, cents: Seq[(Long, Array[Float])],
+                  vecCol: String = "embedding"): DataFrame = {
+    if (cents.isEmpty) return corpus.withColumn("cell", lit(0L))
+    val centLit = array(cents.map { case (c, v) =>
+      struct(lit(c).as("cell"), typedlit(v).as("centroid")) }: _*)
+    val best = array_max(transform(centLit, c =>
+      struct(coalesce(cosine(col(vecCol), c("centroid")), lit(-2d)).as("d"),
+        (-c("cell")).as("nc"))))
+    corpus.withColumn("cell", -best("nc"))
   }
 
   /** Per-cell elementwise mean vectors (posexplode + two hash aggs). */
@@ -138,11 +141,12 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
               vecCol: String = "embedding", idCol: String = "vec_id",
               nPlanes: Int = 4): DataFrame = {
-    val c = corpus.withColumn("__b", hyperplaneBucket(col(vecCol), nPlanes))
+    val dim = probeDim(corpus, vecCol)
+    val c = corpus.withColumn("__b", hyperplaneBucket(col(vecCol), nPlanes, dim))
     // multi-probe on the query side: also visit every bucket at Hamming
     // distance 1, recovering most cross-boundary neighbors
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__b0", hyperplaneBucket(col("__qv"), nPlanes))
+      .withColumn("__b0", hyperplaneBucket(col("__qv"), nPlanes, dim))
       .withColumn("__b", explode(array(
         col("__b0") +: (0 until nPlanes).map { i =>
           concat(substring(col("__b0"), 1, i),

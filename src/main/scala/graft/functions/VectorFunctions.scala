@@ -31,22 +31,45 @@ object VectorFunctions {
 
   /** Deterministic pseudo-random hyperplane component for plane `p`,
     * dimension `i`: a seeded hash mapped to [-1, 1). Gives reproducible
-    * random-projection LSH without any RNG state. */
+    * random-projection LSH without any RNG state. Expression form — the
+    * formula of record; [[planeWeights]] evaluates it driver-side. */
   def planeComponent(p: Int, i: Column): Column =
     (conv(substring(md5(concat_ws("|", lit("plane"), lit(p), i)), 1, 15), 16, 10)
       .cast("double") / lit(math.pow(2, 60) / 2.0)) - lit(1.0)
 
-  /** Sign bit of the projection of `v` onto deterministic hyperplane `p`. */
-  def planeSign(v: Column, p: Int): Column = {
-    val prods = zip_with(d(v),
-      transform(sequence(lit(0), size(v) - 1), i => planeComponent(p, i)),
-      (x, w) => x * w)
+  /** [[planeComponent]] evaluated driver-side: same md5 → [-1,1) mapping,
+    * bit-identical (VectorSpec pins it), computed once per (plane, dim)
+    * instead of once per ROW × plane × dim. At corpus scale the expression
+    * path spends O(n·d·p) md5/string work re-deriving what is a model
+    * constant; the weights are ~d·p doubles — literal-sized. */
+  def planeWeights(p: Int, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { i =>
+      val hex = md.digest(s"plane|$p|$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        .toDouble / (math.pow(2, 60) / 2.0) - 1.0
+    }
+  }
+
+  /** Sign bit of the projection of `v` onto deterministic hyperplane `p`.
+    * The plane is a driver-side literal array; the per-row work is the
+    * d-element dot product only. */
+  def planeSign(v: Column, p: Int, dim: Int): Column = {
+    val prods = zip_with(d(v), typedlit(planeWeights(p, dim)), (x, w) => x * w)
     (aggregate(prods, lit(0.0), (acc, x) => acc + x) > 0).cast("int")
   }
 
   /** Random-hyperplane LSH bucket key: `nPlanes` sign bits concatenated.
     * Cosine-similar vectors collide with high probability; used to
-    * pre-bucket ANN search so the exact cosine runs only within buckets. */
-  def hyperplaneBucket(v: Column, nPlanes: Int = 8): Column =
-    concat_ws("", (0 until nPlanes).map(p => planeSign(v, p)): _*)
+    * pre-bucket ANN search so the exact cosine runs only within buckets.
+    * `dim` is the embedding dimensionality (a model constant — probe it
+    * with [[probeDim]] when not statically known). */
+  def hyperplaneBucket(v: Column, nPlanes: Int, dim: Int): Column =
+    concat_ws("", (0 until nPlanes).map(p => planeSign(v, p, dim)): _*)
+
+  /** Embedding dimensionality, probed from one row (metadata-scale read —
+    * every real corpus has a single model-constant dim). */
+  def probeDim(df: org.apache.spark.sql.DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol)).as("d")).head.getInt(0)
 }

@@ -100,6 +100,19 @@ class DedupSpec extends SparkSpec {
 
 class SimilaritySpec extends SparkSpec {
 
+  test("planeWeights is bit-identical to the planeComponent expression") {
+    import spark.implicits._
+    val dim = 64
+    for (p <- 0 until 4) {
+      val fromExpr = (0 until dim).toDF("i")
+        .select(VectorFunctions.planeComponent(p, col("i")).as("w"))
+        .collect().map(_.getDouble(0))
+      val driverSide = VectorFunctions.planeWeights(p, dim)
+      assert(fromExpr.sameElements(driverSide),
+        s"plane $p: driver-side weights diverge from the expression formula")
+    }
+  }
+
   test("lshTopK achieves >=0.5 recall@10 vs brute force on unclustered data") {
     // the fixture embeddings are near-uniform (max pairwise cos ≈ 0.5), the
     // worst case for locality hashing — real clustered embeddings do far
