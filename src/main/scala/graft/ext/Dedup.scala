@@ -188,11 +188,20 @@ object Dedup {
   def embeddingNearDups(embs: DataFrame, vecCol: String = "embedding",
                         idCol: String = "vec_id", minCos: Double = 0.45,
                         exactPairs: Boolean = false, nPlanes: Int = 4): DataFrame = {
-    val base = if (exactPairs) embs.withColumn("__b", lit(0))
-      else embs.withColumn("__b", VectorFunctions.hyperplaneBucket(col(vecCol), nPlanes,
-        VectorFunctions.probeDim(embs, vecCol)))
-    val a = base.alias("a"); val b = base.alias("b")
-    a.join(b, col("a.__b") === col("b.__b") && col(s"a.$idCol") < col(s"b.$idCol"))
+    val pairs = if (exactPairs) {
+      // all-pairs, parallelized: broadcast one side and nested-loop over
+      // the other side's partitions. (A constant-bucket equi-join would
+      // hash EVERY row into one partition and serialize the O(n²) cosine
+      // work on a single task.)
+      embs.alias("a").join(broadcast(embs.alias("b")),
+        col(s"a.$idCol") < col(s"b.$idCol"))
+    } else {
+      val base = embs.withColumn("__b", VectorFunctions.hyperplaneBucket(col(vecCol),
+        nPlanes, VectorFunctions.probeDim(embs, vecCol)))
+      base.alias("a").join(base.alias("b"),
+        col("a.__b") === col("b.__b") && col(s"a.$idCol") < col(s"b.$idCol"))
+    }
+    pairs
       .withColumn("cos", VectorFunctions.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")))
       .where(col("cos") > minCos)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),

@@ -28,9 +28,26 @@ object Similarity {
                      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
     val scored = corpus.join(q, col("query_id") =!= col(idCol))
-      .withColumn("cos", cosine(col("__qv"), col(vecCol)))
+      .select(col("query_id"), col(idCol), cosine(col("__qv"), col(vecCol)).as("cos"))
+    topKPerQuery(scored, k, idCol)
+  }
+
+  /** Per-query top-k WITHOUT a q-way skewed window: ranking n·q scored
+    * rows by `Window.partitionBy(query_id)` alone would shuffle everything
+    * onto q tasks (with a handful of queries, a handful of tasks own the
+    * whole corpus). Phase 1 takes the top-k within (query, source
+    * partition) — parallelism #partitions × q, and only narrow
+    * (query_id, id, cos) rows cross the wire; phase 2 ranks the q·P·k
+    * survivors. The total order (cos DESC, id) makes the result identical
+    * to the single-window form. */
+  private def topKPerQuery(scored: DataFrame, k: Int, idCol: String): DataFrame = {
+    val wp = Window.partitionBy(col("query_id"), col("__p"))
+      .orderBy(col("cos").desc, col(idCol))
+    val survivors = scored.withColumn("__p", spark_partition_id())
+      .withColumn("__r", row_number().over(wp))
+      .where(col("__r") <= k).drop("__r", "__p")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w))
+    survivors.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"),
         col(idCol).as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
@@ -131,11 +148,7 @@ object Similarity {
       .join(qCells, Seq("cell"))
       .where(col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol), cosine(col("__qv"), col(vecCol)).as("cos"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"),
-        col(idCol).as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+    topKPerQuery(scored, k, idCol)
   }
 
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
@@ -158,10 +171,6 @@ object Similarity {
       .where(col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol), cosine(col("__qv"), col(vecCol)).as("cos"))
       .groupBy(col("query_id"), col(idCol)).agg(max(col("cos")).as("cos")) // dedupe multi-probe hits
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"),
-        col(idCol).as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+    topKPerQuery(scored, k, idCol)
   }
 }
