@@ -198,6 +198,22 @@ object SparkEntryExt {
       TextAnalysis.withTokenCounts(Tables.documents(s, dir))
         .select("doc_id", "n_tokens", "n_subtokens")
     },
+    "x_pipeline_clean" -> { (s, dir) =>
+      // the canonical corpus-cleaning flow, composed from the pieces:
+      // quality gate → language filter → exact dedup. Everything up to the
+      // dedup is a single-pass projection (no shuffle at any scale); the
+      // dedup is the one 16-byte-key hash aggregation — so the whole
+      // pipeline costs one corpus scan plus one map-side-combinable
+      // shuffle, which is the 100 TB shape for this job.
+      val scored = TextAnalysis.withLangId(TextAnalysis.withQuality(Tables.documents(s, dir)))
+      scored
+        .where(col("pred_lang") === "en" &&
+          col("n_tokens").between(20, 5000) && col("alnum_ratio") >= 0.8)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("n_tokens")).as("n_tokens"),
+          count(lit(1)).as("n_dupes"))
+        .select("doc_id", "n_tokens", "n_dupes")
+    },
 
     // ----- dedup family -----
     "x_dedup_minhash" -> { (s, dir) =>
@@ -393,6 +409,20 @@ object SparkEntryExt {
     "x_text_fingerprint" ->
       (s"SELECT doc_id, md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) " +
         "AS fingerprint FROM documents"),
+
+    "x_pipeline_clean" -> {
+      val scores = langs.map(l => s"${langScoreSql(l)} AS s_$l").mkString(", ")
+      val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l = $best AND s_$l > 0 THEN '$l'").mkString(" ")
+      s"WITH scored AS (SELECT doc_id, text, CAST(len($toksSql) AS BIGINT) AS n_tokens, " +
+        "round(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) " +
+        s"/ length(text), 6) AS alnum_ratio, $scores FROM documents), " +
+        s"tagged AS (SELECT *, CASE $cases ELSE 'und' END AS pred_lang FROM scored) " +
+        "SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens, " +
+        "CAST(count(*) AS BIGINT) AS n_dupes FROM tagged " +
+        "WHERE pred_lang = 'en' AND n_tokens BETWEEN 20 AND 5000 AND alnum_ratio >= 0.8 " +
+        "GROUP BY md5(text)"
+    },
 
     "x_text_tf_df" ->
       (s"WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents), " +
