@@ -29,8 +29,7 @@ object Windows {
   /** Session windows: gaps-and-islands per key — a new session starts when
     * the gap since the previous event exceeds `gapSeconds`. Expressed with
     * lag + a running sum (two window functions over one partition-by-key
-    * shuffle); the streaming form is `session_window`/
-    * `flatMapGroupsWithState`. */
+    * shuffle); the streaming form is [[streamingSessions]]. */
   def sessionize(events: DataFrame, tsCol: String, keyCol: String,
                  gapSeconds: Long): DataFrame = {
     val byKey = W.partitionBy(col(keyCol)).orderBy(col(tsCol))
@@ -53,4 +52,18 @@ object Windows {
       .groupBy(col(keyCol), col("session_seq"))
       .agg(min(col(tsCol)).as("session_start"), max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"))
+
+  /** The streaming form of [[sessions]]: Spark's native `session_window`
+    * behind a watermark. State is bounded by the watermark (closed
+    * sessions are emitted and evicted — the unbounded-key-cardinality
+    * safety a 100 TB stream needs); in append mode a session row is
+    * emitted exactly once, when the watermark passes its close. Also
+    * valid on batch frames (same gap-merge semantics as [[sessions]]). */
+  def streamingSessions(events: DataFrame, tsCol: String, keyCol: String,
+                        gap: String, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
 }

@@ -143,6 +143,53 @@ class StreamingSpec extends SparkSpec {
     assert(!updates.where(col("doc") === "v1-stale").collect().nonEmpty)
   }
 
+  test("streaming session_window: sessions close at the watermark, open ones held back (extension)") {
+    import org.apache.spark.sql.types._
+    val dir = tmp(); val log = s"$dir/ev"; new java.io.File(log).mkdirs()
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("user", StringType)))
+    // user a: two events 1 min apart (one session, 5 min gap), then a third
+    // 20 min later (a second session)
+    Files.writeString(java.nio.file.Paths.get(s"$log/b1.json"),
+      """{"ts":"2024-01-01T10:00:00.000Z","user":"a"}
+        |{"ts":"2024-01-01T10:01:00.000Z","user":"a"}
+        |{"ts":"2024-01-01T10:20:00.000Z","user":"a"}
+        |""".stripMargin)
+    val emitted = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(String, String, String, Long)]())
+    def runOnce(): Unit = {
+      val q = graft.ext.Windows.streamingSessions(
+          spark.readStream.schema(schema).json(log), "ts", "user",
+          gap = "5 minutes", watermark = "10 minutes")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select(col("user"), col("session_start").cast("string"),
+              col("session_end").cast("string"), col("n_events"))
+            .collect().foreach(r => emitted.add(
+              (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))))
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // batch 2 advances the watermark past both sessions' close; its own
+    // 11:00 session stays open (not emitted)
+    Files.writeString(java.nio.file.Paths.get(s"$log/b2.json"),
+      """{"ts":"2024-01-01T11:00:00.000Z","user":"a"}""" + "\n")
+    runOnce()
+    val rows = {
+      import scala.jdk.CollectionConverters._
+      emitted.asScala.toSet
+    }
+    // session 1: 10:00–10:01+gap → [10:00, 10:06), 2 events; session 2: one
+    // event at 10:20 → [10:20, 10:25), 1 event
+    assert(rows.contains(("a", "2024-01-01 10:00:00", "2024-01-01 10:06:00", 2L)), rows.toString)
+    assert(rows.contains(("a", "2024-01-01 10:20:00", "2024-01-01 10:25:00", 1L)), rows.toString)
+    assert(!rows.exists(_._2 == "2024-01-01 11:00:00"), s"open session leaked: $rows")
+  }
+
   test("ST5: DLQ splits invalid rows without losing them") {
     import spark.implicits._
     val batch = Seq((1L, "insert", "a", """{"k":1}"""), (2L, "insert", "b", "not json"))
