@@ -192,8 +192,12 @@ object Dedup {
       // all-pairs, parallelized: broadcast one side and nested-loop over
       // the other side's partitions. (A constant-bucket equi-join would
       // hash EVERY row into one partition and serialize the O(n²) cosine
-      // work on a single task.)
-      embs.alias("a").join(broadcast(embs.alias("b")),
+      // work on a single task.) The probe side is spread to full
+      // parallelism first: a corpus small enough for all-pairs is often
+      // one input split, which would put the O(n²) work on one task; the
+      // repartition moves only n narrow rows to unlock n²/P per task.
+      val spread = embs.repartition(embs.sparkSession.sparkContext.defaultParallelism)
+      spread.alias("a").join(broadcast(embs.alias("b")),
         col(s"a.$idCol") < col(s"b.$idCol"))
     } else {
       val base = embs.withColumn("__b", VectorFunctions.hyperplaneBucket(col(vecCol),

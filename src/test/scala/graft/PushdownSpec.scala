@@ -50,4 +50,18 @@ class PushdownSpec extends SparkSpec {
     assert(childScan.get.metadata("PushedFilters").contains("GreaterThan(l_quantity,45.0)"),
       childScan.get.metadata("PushedFilters"))
   }
+
+  test("corpus-cleaning pipeline plans one scan and one exchange (SCALE.md claim)") {
+    val q = SparkEntry.queries("x_pipeline_clean")(spark, sf)
+    assert(scans(q).size == 1, "expected a single corpus scan")
+    def exchangesIn(plan: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] =
+      plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => Seq(e)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          exchangesIn(a.executedPlan)
+      }.flatten
+    val exchanges = exchangesIn(q.queryExecution.executedPlan)
+    assert(exchanges.size == 1,
+      s"expected exactly the dedup hash-agg exchange, got ${exchanges.size}")
+  }
 }
