@@ -183,8 +183,11 @@ object Dedup {
     docs.select(col(idCol), simhash(col(textCol)).as("simhash"))
 
   /** Embedding-cosine near-dup pairs above `minCos`, bucketed by
-    * random-hyperplane LSH first so the exact cosine join is per-bucket
-    * (`exactPairs` = skip bucketing, for oracle-checkable small inputs). */
+    * random-hyperplane LSH first so the exact cosine join is per-bucket.
+    * `exactPairs` skips bucketing for oracle-checkable inputs — it
+    * BROADCASTS the corpus, which bounds it to broadcast-sized inputs by
+    * construction (the honest contract: a corpus too big to broadcast is
+    * far too big for O(n²) all-pairs anyway — use the LSH path). */
   def embeddingNearDups(embs: DataFrame, vecCol: String = "embedding",
                         idCol: String = "vec_id", minCos: Double = 0.45,
                         exactPairs: Boolean = false, nPlanes: Int = 4): DataFrame = {

@@ -77,13 +77,19 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = learnedCentroids(corpus, kCells, iters, vecCol, idCol)
-    val centDf = cents.map { case (c, v) => (c, v) }.toDF("cell", "centroid")
+    val centDf = cents.toDF("cell", "centroid")
     ivfSearch(assignCells(corpus, cents, vecCol), centDf,
       queries, k, vecCol, idCol, nprobe)
   }
 
-  /** Deterministic Lloyd's iteration: seeds = the `kCells` lowest-id
-    * corpus vectors (`TakeOrdered`, no global sort); each pass assigns
+  /** Seeded Lloyd's iteration: seeds = the `kCells` lowest-id corpus
+    * vectors (`TakeOrdered`, no global sort) — no RNG anywhere, so reruns
+    * in the single-process harness are bit-identical (ExtSpec pins this).
+    * On a multi-executor cluster the per-cell means still merge partial
+    * double sums in shuffle-fetch order, so centroids are deterministic
+    * only up to FP low-order bits — boundary vectors could flip cells
+    * between runs; seed choice and everything else stays fixed.
+    * Each pass assigns
     * every vector to its nearest centroid with the map-only literal
     * arg-max of [[assignCells]] and recomputes per-cell means (partial
     * aggregation collapses to ~kCells·dim rows per task before the only

@@ -58,7 +58,10 @@ object Windows {
     * sessions are emitted and evicted — the unbounded-key-cardinality
     * safety a 100 TB stream needs); in append mode a session row is
     * emitted exactly once, when the watermark passes its close. Also
-    * valid on batch frames (same gap-merge semantics as [[sessions]]). */
+    * valid on batch frames. Same gap-merge GROUPING as [[sessions]], but
+    * NOT drop-in-identical output: `session_end` here is the window close
+    * (last event + gap), where [[sessions]] reports the last event time,
+    * and there is no `session_seq` column. */
   def streamingSessions(events: DataFrame, tsCol: String, keyCol: String,
                         gap: String, watermark: String): DataFrame =
     events.withWatermark(tsCol, watermark)

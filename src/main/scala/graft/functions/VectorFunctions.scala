@@ -68,8 +68,13 @@ object VectorFunctions {
   def hyperplaneBucket(v: Column, nPlanes: Int, dim: Int): Column =
     concat_ws("", (0 until nPlanes).map(p => planeSign(v, p, dim)): _*)
 
-  /** Embedding dimensionality, probed from one row (metadata-scale read —
-    * every real corpus has a single model-constant dim). */
+  /** Embedding dimensionality, probed from the first row with a non-empty
+    * vector (metadata-scale read — every real corpus has a single
+    * model-constant dim). Returns 0 when no such row exists (empty corpus
+    * or all-NULL column) — callers degrade to a constant bucket, which is
+    * exact-if-slow rather than wrong. NOTE: runs a (tiny) Spark job at
+    * plan-construction time. */
   def probeDim(df: org.apache.spark.sql.DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol)).as("d")).head.getInt(0)
+    df.select(size(col(vecCol)).as("d")).where(col("d") > 0)
+      .head(1).headOption.map(_.getInt(0)).getOrElse(0)
 }

@@ -9,15 +9,16 @@ import org.apache.spark.sql.execution.FileSourceScanExec
   * queries, not assumed. */
 class PushdownSpec extends SparkSpec {
 
-  private def scansIn(plan: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+  private def nodesIn[T <: org.apache.spark.sql.execution.SparkPlan](
+      plan: org.apache.spark.sql.execution.SparkPlan)(implicit ct: scala.reflect.ClassTag[T]): Seq[T] =
     plan.collect {
-      case s: FileSourceScanExec => Seq(s)
+      case s if ct.runtimeClass.isInstance(s) => Seq(s.asInstanceOf[T])
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        scansIn(a.executedPlan)
+        nodesIn[T](a.executedPlan)
     }.flatten
 
   private def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] =
-    scansIn(df.queryExecution.executedPlan)
+    nodesIn[FileSourceScanExec](df.queryExecution.executedPlan)
 
   test("P1 conjunctive equality pushes both predicates into the scan") {
     val q = SparkEntry.queries("p1_conj_eq")(spark, sf)
@@ -54,13 +55,8 @@ class PushdownSpec extends SparkSpec {
   test("corpus-cleaning pipeline plans one scan and one exchange (SCALE.md claim)") {
     val q = SparkEntry.queries("x_pipeline_clean")(spark, sf)
     assert(scans(q).size == 1, "expected a single corpus scan")
-    def exchangesIn(plan: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] =
-      plan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => Seq(e)
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          exchangesIn(a.executedPlan)
-      }.flatten
-    val exchanges = exchangesIn(q.queryExecution.executedPlan)
+    val exchanges = nodesIn[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec](
+      q.queryExecution.executedPlan)
     assert(exchanges.size == 1,
       s"expected exactly the dedup hash-agg exchange, got ${exchanges.size}")
   }
