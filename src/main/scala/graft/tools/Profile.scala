@@ -27,6 +27,12 @@ object Profile {
       println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
+    time("docs_compute_nocache") {
+      val d = StarDocs.docs(spark, sfDir)
+      d.unpersist(blocking = true)
+      StarDocs.invalidate(spark)
+      d.write.format("noop").mode("overwrite").save()
+    }
     time("docs_assembly") {
       StarDocs.docs(spark, sfDir).write.format("noop").mode("overwrite").save()
     }

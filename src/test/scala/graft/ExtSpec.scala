@@ -129,6 +129,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("lshTopK self-ANN (queries == corpus): the large-query-set scale path") {
+    // the path the bucket join exists for — every vector is a query, so a
+    // broadcast of the query side is impossible at scale and the pair
+    // space must come from bucket co-membership, not a cross join
+    val embs = Tables.embeddings(spark, sf)
+    val n = embs.count()
+    val brute = Similarity.bruteForceTopK(embs, embs, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(embs, embs, k = 5, nPlanes = 3)
+    val rows = approx.select("query_id", "neighbor_id", "rank").collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // structural sanity: no self-pairs, ranks within k, every vector found
+    // at least one neighbor (multi-probe visits nPlanes+1 of 2^nPlanes
+    // buckets, so no one is stranded on unclustered data)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(rows.forall(_.getInt(2) <= 5))
+    assert(approx.select("query_id").distinct().count() == n)
+    val recall = (brute & pairs).size.toDouble / brute.size
+    assert(recall >= 0.45, s"full-corpus recall $recall")
+  }
+
   test("ivfTopK: label-cell IVF with nprobe=2 reaches reasonable recall") {
     val embs = Tables.embeddings(spark, sf)
     val qs = embs.where(col("vec_id") < 10)
