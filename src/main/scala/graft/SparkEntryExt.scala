@@ -310,6 +310,14 @@ object SparkEntryExt {
     val sw = TextFunctions.stopwords(l).map(w => s"'$w'").mkString(", ")
     s"len(list_filter($toksSql, t -> t IN ($sw)))"
   }
+  // shared by x_text_langid and x_pipeline_clean so the tie-break CASE
+  // cannot silently desynchronize between the two oracles
+  private val langScoresSql = langs.map(l => s"${langScoreSql(l)} AS s_$l").mkString(", ")
+  private val langIdCaseSql = {
+    val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = $best AND s_$l > 0 THEN '$l'").mkString(" ")
+    s"CASE $cases ELSE 'und' END"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "p2_match_all" -> "SELECT * FROM region",
@@ -398,31 +406,23 @@ object SparkEntryExt {
         "round(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) " +
         "/ length(text), 6) AS alnum_ratio FROM documents"),
 
-    "x_text_langid" -> {
-      val scores = langs.map(l => s"${langScoreSql(l)} AS s_$l").mkString(", ")
-      val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
-      val cases = langs.map(l => s"WHEN s_$l = $best AND s_$l > 0 THEN '$l'").mkString(" ")
-      s"SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang FROM " +
-        s"(SELECT doc_id, $scores FROM documents)"
-    },
+    "x_text_langid" ->
+      (s"SELECT doc_id, $langIdCaseSql AS pred_lang FROM " +
+        s"(SELECT doc_id, $langScoresSql FROM documents)"),
 
     "x_text_fingerprint" ->
       (s"SELECT doc_id, md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) " +
         "AS fingerprint FROM documents"),
 
-    "x_pipeline_clean" -> {
-      val scores = langs.map(l => s"${langScoreSql(l)} AS s_$l").mkString(", ")
-      val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
-      val cases = langs.map(l => s"WHEN s_$l = $best AND s_$l > 0 THEN '$l'").mkString(" ")
-      s"WITH scored AS (SELECT doc_id, text, CAST(len($toksSql) AS BIGINT) AS n_tokens, " +
+    "x_pipeline_clean" ->
+      (s"WITH scored AS (SELECT doc_id, text, CAST(len($toksSql) AS BIGINT) AS n_tokens, " +
         "round(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) " +
-        s"/ length(text), 6) AS alnum_ratio, $scores FROM documents), " +
-        s"tagged AS (SELECT *, CASE $cases ELSE 'und' END AS pred_lang FROM scored) " +
+        s"/ length(text), 6) AS alnum_ratio, $langScoresSql FROM documents), " +
+        s"tagged AS (SELECT *, $langIdCaseSql AS pred_lang FROM scored) " +
         "SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens, " +
         "CAST(count(*) AS BIGINT) AS n_dupes FROM tagged " +
         "WHERE pred_lang = 'en' AND n_tokens BETWEEN 20 AND 5000 AND alnum_ratio >= 0.8 " +
-        "GROUP BY md5(text)"
-    },
+        "GROUP BY md5(text)"),
 
     "x_text_tf_df" ->
       (s"WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents), " +

@@ -203,8 +203,13 @@ object Dedup {
       spread.alias("a").join(broadcast(embs.alias("b")),
         col(s"a.$idCol") < col(s"b.$idCol"))
     } else {
+      // NULL / empty / off-dim vectors hash to a degenerate short bucket;
+      // they cannot clear the cosine threshold (no defined angle), so drop
+      // them up front instead of letting them co-bucket into one
+      // mega-bucket of O(m²) wasted pairs
       val base = embs.withColumn("__b", VectorFunctions.hyperplaneBucket(col(vecCol),
-        nPlanes, VectorFunctions.probeDim(embs, vecCol)))
+          nPlanes, VectorFunctions.probeDim(embs, vecCol)))
+        .where(length(col("__b")) === nPlanes)
       base.alias("a").join(base.alias("b"),
         col("a.__b") === col("b.__b") && col(s"a.$idCol") < col(s"b.$idCol"))
     }

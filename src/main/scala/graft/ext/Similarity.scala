@@ -99,8 +99,10 @@ object Similarity {
   def learnedCentroids(corpus: DataFrame, kCells: Int, iters: Int = 2,
                        vecCol: String = "embedding", idCol: String = "vec_id"): Seq[(Long, Array[Float])] = {
     var cents: Seq[(Long, Array[Float])] =
-      corpus.orderBy(col(idCol)).limit(kCells)
-        .select(col(idCol).as("cell"), col(vecCol).cast("array<float>").as("centroid"))
+      corpus.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+        .orderBy(col(idCol)).limit(kCells)
+        .select(col(idCol).cast("long").as("cell"),
+          col(vecCol).cast("array<float>").as("centroid"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
     var i = 0
@@ -161,11 +163,18 @@ object Similarity {
               vecCol: String = "embedding", idCol: String = "vec_id",
               nPlanes: Int = 4): DataFrame = {
     val dim = probeDim(corpus, vecCol)
+    // rows with a NULL / empty / off-dim vector hash to a degenerate
+    // (short) bucket — they have no defined angle to anything, so they opt
+    // OUT of the ANN search entirely rather than co-bucketing into one
+    // mega-bucket of wasted pairs (and the multi-probe bit-flip below
+    // would ANSI-crash casting an empty substring to int)
     val c = corpus.withColumn("__b", hyperplaneBucket(col(vecCol), nPlanes, dim))
+      .where(length(col("__b")) === nPlanes)
     // multi-probe on the query side: also visit every bucket at Hamming
     // distance 1, recovering most cross-boundary neighbors
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__b0", hyperplaneBucket(col("__qv"), nPlanes, dim))
+      .where(length(col("__b0")) === nPlanes)
       .withColumn("__b", explode(array(
         col("__b0") +: (0 until nPlanes).map { i =>
           concat(substring(col("__b0"), 1, i),

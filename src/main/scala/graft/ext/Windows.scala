@@ -58,10 +58,12 @@ object Windows {
     * sessions are emitted and evicted — the unbounded-key-cardinality
     * safety a 100 TB stream needs); in append mode a session row is
     * emitted exactly once, when the watermark passes its close. Also
-    * valid on batch frames. Same gap-merge GROUPING as [[sessions]], but
-    * NOT drop-in-identical output: `session_end` here is the window close
-    * (last event + gap), where [[sessions]] reports the last event time,
-    * and there is no `session_seq` column. */
+    * valid on batch frames. Gap-merge grouping matches [[sessions]] except
+    * at the exact-gap boundary: `session_window`'s half-open
+    * `[start, last+gap)` interval splits two events spaced EXACTLY `gap`
+    * apart, where [[sessions]]'s strictly-greater test merges them. Output
+    * also differs: `session_end` here is the window close (last event +
+    * gap), not the last event time, and there is no `session_seq`. */
   def streamingSessions(events: DataFrame, tsCol: String, keyCol: String,
                         gap: String, watermark: String): DataFrame =
     events.withWatermark(tsCol, watermark)

@@ -54,7 +54,11 @@ object VectorFunctions {
 
   /** Sign bit of the projection of `v` onto deterministic hyperplane `p`.
     * The plane is a driver-side literal array; the per-row work is the
-    * d-element dot product only. */
+    * d-element dot product only. A vector whose length differs from `dim`
+    * (or is NULL) yields a NULL sign — `zip_with` null-pads the shorter
+    * side and the null poisons the sum — so its bucket string comes out
+    * SHORT of nPlanes chars; callers filter on bucket length to keep such
+    * rows out of the pair space (they have no defined angle at this dim). */
   def planeSign(v: Column, p: Int, dim: Int): Column = {
     val prods = zip_with(d(v), typedlit(planeWeights(p, dim)), (x, w) => x * w)
     (aggregate(prods, lit(0.0), (acc, x) => acc + x) > 0).cast("int")

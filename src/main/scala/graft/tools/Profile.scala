@@ -29,8 +29,7 @@ object Profile {
 
     time("docs_compute_nocache") {
       val d = StarDocs.docs(spark, sfDir)
-      d.unpersist(blocking = true)
-      StarDocs.invalidate(spark)
+      StarDocs.invalidate(spark) // unpersists the memoized entry
       d.write.format("noop").mode("overwrite").save()
     }
     time("docs_assembly") {

@@ -190,6 +190,25 @@ class SimilaritySpec extends SparkSpec {
     assert(again == ivf)
   }
 
+  test("lshTopK tolerates NULL, empty, and off-dim vectors (degenerate rows opt out)") {
+    import spark.implicits._
+    val base = Tables.embeddings(spark, sf).select("vec_id", "embedding").limit(50)
+    val weird = Seq(
+      (9001L, null.asInstanceOf[Array[Float]]), // no vector at all
+      (9002L, Array.empty[Float]),              // zero-length
+      (9003L, Array(1f, 2f)))                   // wrong dimensionality
+      .toDF("vec_id", "embedding")
+    val corpus = base.unionByName(weird)
+    // must not crash (the multi-probe bit flip used to ANSI-fail casting
+    // an empty bucket substring to int), and the degenerate rows must not
+    // surface as queries or neighbors
+    val res = Similarity.lshTopK(corpus, corpus, k = 3, nPlanes = 3)
+    val ids = res.select("query_id").collect().map(_.getLong(0)).toSet ++
+      res.select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(res.count() > 0)
+    assert(!ids.exists(_ >= 9001L), s"degenerate row leaked: $ids")
+  }
+
   test("cosine of a zero-norm vector is NULL, never a rank-1 NaN") {
     import spark.implicits._
     val df = Seq(
