@@ -40,7 +40,11 @@ object GraftExtensions {
       throw new IllegalArgumentException(s"$fn: second argument must be an integer literal")
     e.eval() match {
       case i: Int => i
-      case l: Long => l.toInt
+      case l: Long =>
+        if (l < Int.MinValue || l > Int.MaxValue) // .toInt would silently
+          // wrap (4294967296 → k=0: empty signatures that LSH-match everything)
+          throw new IllegalArgumentException(s"$fn: integer argument out of range: $l")
+        l.toInt
       case s: Short => s.toInt
       case b: Byte => b.toInt
       case other =>

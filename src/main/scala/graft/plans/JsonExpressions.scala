@@ -52,9 +52,14 @@ case class JsonPathTypes(child: Expression, paths: Seq[String])
     else "null"
 
   override def nullSafeEval(input: Any): Any = {
-    val root: JsonNode =
-      try mapper.readTree(input.toString)
-      catch { case _: Exception => null }
+    val root: JsonNode = {
+      val parsed =
+        try mapper.readTree(input.toString)
+        catch { case _: Exception => null }
+      // Jackson ≥2.10 parses ""/whitespace to MissingNode instead of
+      // throwing — that's an unparseable document, not a JSON null
+      if (parsed != null && parsed.isMissingNode) null else parsed
+    }
     val tags = steps.map { path =>
       if (root == null) "malformed"
       else {
@@ -259,11 +264,16 @@ case class JsonSchemaErrors(child: Expression, schema: SchemaNode)
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) return new GenericArrayData(Array.empty[Any])
+    // a NULL document is an absent body: it must FAIL validation (the
+    // reference 400s it), not sail through with zero errors
+    if (v == null) return new GenericArrayData(Array[Any](malformedMsg))
     val root: JsonNode =
       try mapper.readTree(v.toString)
       catch { case _: Exception => null }
-    if (root == null) return new GenericArrayData(Array[Any](malformedMsg))
+    // null = parse error; MissingNode = Jackson ≥2.10's verdict on
+    // ""/whitespace-only input — both are unparseable documents
+    if (root == null || root.isMissingNode)
+      return new GenericArrayData(Array[Any](malformedMsg))
     val buf = new scala.collection.mutable.ArrayBuffer[Any](4)
     structural(root, buf)
     // from_json unwraps a JSON array root into its first object row (empty

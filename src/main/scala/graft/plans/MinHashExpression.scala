@@ -29,12 +29,21 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
+      case _ if k <= 0 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig needs k > 0, got $k") // negative k would also make
+          // eval (empty array) and codegen (new long[k] throws) disagree
       case ArrayType(LongType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"minhash_sig expects array<bigint>, got $t")
     }
 
+  // Inputs are contractually already reduced mod P (hashedShingles), but
+  // the SQL surface can't enforce that; reducing again is a no-op for
+  // contract-honoring values and keeps h*a inside 62 bits for the rest —
+  // without it an unreduced 60-bit hash wraps negative and the signature
+  // silently diverges from the (overflow-erroring) DuckDB oracle.
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -42,7 +51,7 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
+      val h = ((arr.getLong(i) % P) + P) % P
       var s = 0
       while (s < k) {
         val v = (h * consts(s)._1 + consts(s)._2) % P
@@ -69,7 +78,7 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
          |  long[] $mins = new long[$k];
          |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |  for (int $i = 0; $i < $n; $i++) {
-         |    long $h = $a.getLong($i);
+         |    long $h = (($a.getLong($i) % ${P}L) + ${P}L) % ${P}L;
          |    long $v;
          |    $perSeed
          |  }

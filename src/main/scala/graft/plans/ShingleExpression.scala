@@ -37,11 +37,14 @@ object Kernels {
     val n = tokens.numElements()
     var t = 0
     while (t < n) {
-      val h = md5Mod(tokens.getUTF8String(t), p)
-      var i = 0
-      while (i < bits) {
-        if (((h * as(i) + bs(i)) % p & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
-        i += 1
+      val tok = tokens.getUTF8String(t) // null slot = no token, no vote
+      if (tok != null) {
+        val h = md5Mod(tok, p)
+        var i = 0
+        while (i < bits) {
+          if (((h * as(i) + bs(i)) % p & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
       }
       t += 1
     }
@@ -56,9 +59,12 @@ object Kernels {
     val n = tokens.numElements()
     var t = 0
     while (t < n) {
-      val tok = tokens.getUTF8String(t).toString
-      var i = 0
-      while (i < sets.length) { if (sets(i).contains(tok)) out(i) += 1; i += 1 }
+      val u = tokens.getUTF8String(t) // null slot = no token, no hit
+      if (u != null) {
+        val tok = u.toString
+        var i = 0
+        while (i < sets.length) { if (sets(i).contains(tok)) out(i) += 1; i += 1 }
+      }
       t += 1
     }
     out
@@ -78,7 +84,13 @@ object Kernels {
     while (i < cnt) {
       val parts = new Array[UTF8String](n)
       var j = 0
-      while (j < n) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+      while (j < n) {
+        val t = tokens.getUTF8String(i + j)
+        // a null slot counts as an empty token, keeping the gram width
+        // stable (concatWs would silently DROP it, hashing an (n-1)-gram)
+        parts(j) = if (t == null) UTF8String.EMPTY_UTF8 else t
+        j += 1
+      }
       buf(i) = md5Mod(UTF8String.concatWs(SPACE, parts: _*), p)
       i += 1
     }
@@ -107,6 +119,9 @@ case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
+      case _ if n <= 0 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hashed_shingles needs n > 0, got $n")
       case ArrayType(StringType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
@@ -148,11 +163,9 @@ case class StopwordScores(child: Expression, stopwordSets: Seq[Seq[String]])
         s"stopword_scores expects array<string>, got $t")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
-    val out = Kernels.stopwordScores(toks, sets)
-    new GenericArrayData(out.map(Integer.valueOf).toArray[Any])
-  }
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(Kernels.stopwordScoresBoxed(
+      input.asInstanceOf[ArrayData], sets).asInstanceOf[Array[Any]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val setsRef = ctx.addReferenceObj("swSets", sets, "java.util.HashSet[]")
@@ -179,6 +192,10 @@ case class SimHashTokens(child: Expression, bits: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
+      case _ if bits <= 0 || bits > 64 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash needs 1..64 bits, got $bits") // `1L << i` wraps mod 64,
+          // silently folding high-bit votes onto low bits
       case ArrayType(StringType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(

@@ -16,7 +16,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * generates a tight fused loop (no allocation, no virtual calls) and keeps
   * the surrounding operators inside WholeStageCodegen: same numeric result
   * (sequential left-to-right double accumulation, identical to the oracle's
-  * `list_cosine_similarity`), ~20× faster.
+  * `list_cosine_similarity` on equal-length inputs; mismatched lengths
+  * yield NULL where DuckDB errors), ~20× faster.
   *
   * This is preference-order (b) from the build guidance: a scalar
   * `Expression` with `doGenCode`, no new logical plan needed.
@@ -48,7 +49,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // mismatched lengths have no defined angle: NULL, like the zero-norm
+    // case below. (Truncating to the shorter vector would fabricate a
+    // plausible score for a corrupt row; DuckDB's list_cosine_similarity
+    // ERRORS here — we return NULL so one bad row degrades, not kills,
+    // a 100 TB job. The oracle never sees mismatched rows.)
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
     val rf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -75,15 +82,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = ${elemGetter(left, a, i)};
-         |  double $yv = ${elemGetter(right, b, i)};
-         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; } else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = ${elemGetter(left, a, i)};
+         |    double $yv = ${elemGetter(right, b, i)};
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  if ($na == 0.0 || $nb == 0.0) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
          |}
-         |if ($na == 0.0 || $nb == 0.0) { ${ev.isNull} = true; }
-         |else { ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
        """.stripMargin
     })
 

@@ -281,6 +281,19 @@ class ValidateSpec extends SparkSpec {
       .exists(_.contains("missing required objectId in an element")))
   }
 
+  test("NULL, empty, and whitespace-only documents FAIL validation (absent body = 400)") {
+    import spark.implicits._
+    // a NULL document must not sail through with zero errors
+    val nullErrs = Seq(Option.empty[String]).toDF("j")
+      .select(Validate.errors(col("j"), JsonSchema.parse(schemaJson)).as("e"))
+      .head().getSeq[String](0)
+    assert(nullErrs == Seq("malformed json"), nullErrs.toString)
+    // Jackson ≥2.10 parses ""/whitespace to MissingNode rather than
+    // throwing — still an unparseable document, not a JSON null
+    assert(errsOf("") == Seq("malformed json"))
+    assert(errsOf("   \n") == Seq("malformed json"))
+  }
+
   test("non-object / JSON-null array elements flag element-wise required") {
     // intended verdict (pinned): an array element that is not an object —
     // a bare number or an explicit null — cannot carry the required field,

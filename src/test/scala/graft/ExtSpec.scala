@@ -209,6 +209,13 @@ class SimilaritySpec extends SparkSpec {
     assert(!ids.exists(_ >= 9001L), s"degenerate row leaked: $ids")
   }
 
+  test("cosine of mismatched-length vectors is NULL, never a truncated score") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 0f, 0f), Array(1f))).toDF("a", "b")
+      .select(VectorFunctions.cosine(col("a"), col("b")).as("c"))
+    assert(df.head().isNullAt(0))
+  }
+
   test("cosine of a zero-norm vector is NULL, never a rank-1 NaN") {
     import spark.implicits._
     val df = Seq(
