@@ -26,11 +26,20 @@ object Etag {
         struct(s.fields.toSeq.map(f =>
           canonicalize(c.getField(f.name), f.dataType).as(f.name)): _*))
     case ArrayType(e: StructType, _) if Shred.isNodeStruct(e) =>
+      // NULL objectIds sort FIRST (explicitly — a bare </> comparator
+      // returns NULL against a null id, which array_sort reads as "equal
+      // to everything": non-transitive, and the sort degenerates to the
+      // shuffle-dependent input order, breaking hash canonicality)
       array_sort(
         transform(c, x => canonicalize(x, e)),
-        (l, r) => when(l.getField("objectId") < r.getField("objectId"), -1)
-          .when(l.getField("objectId") > r.getField("objectId"), 1)
-          .otherwise(0))
+        (l, r) => {
+          val lo = l.getField("objectId"); val ro = r.getField("objectId")
+          when(lo.isNull && ro.isNull, 0)
+            .when(lo.isNull, -1)
+            .when(ro.isNull, 1)
+            .when(lo < ro, -1).when(lo > ro, 1)
+            .otherwise(0)
+        })
     case ArrayType(e, _) => transform(c, x => canonicalize(x, e))
     case _ => c
   }
@@ -80,16 +89,19 @@ object Etag {
 
   /** M4 — batch conditional-write gate (`If-Match`,
     * `apiLogicForCRUD.ts:185-188,270-273`): for each write request
-    * (key, ifMatch), status 404 when the doc is absent, 412 when the
+    * (key, ifMatch), status 404 when the doc is absent, 412 when a
     * supplied tag no longer matches the current canonical ETag, else 200
-    * (write may proceed). */
+    * (write may proceed). An ABSENT If-Match (NULL) skips the gate and
+    * proceeds — the reference's guard is
+    * `if (clientEtag && clientEtag !== generatedEtag)`, so an
+    * unconditional PUT/DELETE was never rejected there. */
   def conditionalWrite(docs: DataFrame, requests: DataFrame): DataFrame = {
     val d = if (docs.columns.contains("__etag") && docs.columns.contains("__key")) docs
       else withEtag(docs)
     requests.join(d.select(col("__key"), col("__etag")), requests("key") === col("__key"), "left")
       .withColumn("status",
         when(col("__key").isNull, lit(404))
-          .when(col("ifMatch").isNull || col("ifMatch") =!= col("__etag"), lit(412))
+          .when(col("ifMatch").isNotNull && col("ifMatch") =!= col("__etag"), lit(412))
           .otherwise(lit(200)))
       .drop("__key", "__etag")
   }

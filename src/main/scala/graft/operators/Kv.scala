@@ -140,10 +140,17 @@ object Kv {
     var acc = frontier
     var i = 0
     var done = false
+    val persisted = scala.collection.mutable.ArrayBuffer[DataFrame]()
     while (i < maxDepth && !done) {
       val next = nodes.alias("n")
         .join(frontier.alias("f"), col("n.parentKey") === col("f.key"), "left_semi")
         .select(col("key"))
+        // each level's isEmpty is an action: without a persist the k-th
+        // level re-executes the whole k-deep join lineage (O(depth²) jobs,
+        // and once more in the caller's delete) — cache the frontier so
+        // every level is computed exactly once
+        .persist()
+      persisted += next
       // schema depth bounds this loop; stop early on an empty level.
       if (next.isEmpty) done = true
       else { acc = acc.unionByName(next); frontier = next }
@@ -154,7 +161,11 @@ object Kv {
     if (!done && !frontier.isEmpty)
       throw new IllegalStateException(
         s"subtree of $key exceeds depth $maxDepth (cyclic parentKey data?)")
-    acc.distinct()
+    // materialize the closure through the cached frontiers, then release
+    // them — the caller gets a small self-contained key set
+    val out = acc.distinct().localCheckpoint(true)
+    persisted.foreach(_.unpersist())
+    out
   }
 
   def cascadeDelete(nodes: DataFrame, key: String): DataFrame =

@@ -28,8 +28,10 @@ import org.apache.spark.sql.types._
   *  - arrays of `objectId`-bearing structs are **keyed upserts**
   *    (`modifyObject.ts:70-84`): existing elements keep their order and are
   *    replaced wholesale when the patch carries the same `objectId`; new
-  *    elements append at the end — exactly the reference's `Map` insert
-  *    order;
+  *    elements append at the end — the reference's `Map` insert order.
+  *    Elements with a NULL `objectId` diverge deliberately: the
+  *    reference's Map collapses them all under its single `undefined` key
+  *    (last wins); here each unkeyed element is preserved/appended;
   *  - arrays of plain values are replaced wholesale (RFC 7386).
   *
   * Everything is expressed with higher-order array functions
@@ -49,7 +51,18 @@ object MergePatch {
   def apply(current: DataFrame, patches: DataFrame): DataFrame = {
     val schema = current.schema
     val o = current.alias("__o")
-    val n = patches.alias("__n")
+    // one patch per document key — duplicates would fan the left join out
+    // into duplicate output rows, breaking the KV uniqueness invariant
+    // (the reference serializes requests, so "which duplicate wins" has no
+    // batch meaning; the winner here is deterministic-but-arbitrary: the
+    // json-lexicographically first). Kv.setIfAbsent/upsert dedupe the same
+    // way for the same reason.
+    val keyW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("objectType").cast("string"), col("objectId").cast("string"))
+      .orderBy(to_json(struct(patches.columns.map(col).toSeq: _*)))
+    val n = patches
+      .withColumn("__pn", row_number().over(keyW)).where(col("__pn") === 1).drop("__pn")
+      .alias("__n")
     val joined = o.join(n,
       col("__o.objectType").cast("string") === col("__n.objectType").cast("string") &&
         col("__o.objectId").cast("string") === col("__n.objectId").cast("string"),
@@ -73,12 +86,16 @@ object MergePatch {
           // keep existing order; replace matched elements with the patch's
           transform(o, x =>
             coalesce(try_element_at(filter(nw, y => oid(y) === oid(x)), lit(1)), x)),
-          // append patch elements whose objectId is new; elements WITHOUT
-          // an objectId always append (three-valued logic would otherwise
-          // silently drop them — the reference's Map still inserts under
-          // its undefined key, modifyObject.ts:74-83)
+          // append patch elements whose objectId is new. Elements WITHOUT
+          // an objectId each append — a DOCUMENTED divergence from the
+          // reference, whose Map keys every undefined-id element under the
+          // single `undefined` key (modifyObject.ts:74-83), collapsing
+          // them to one survivor; preserving each unkeyed element loses no
+          // data. The coalesce guards the x side of the exists: one
+          // null-id EXISTING element would turn the predicate NULL and
+          // silently drop every genuinely-new patch element.
           filter(nw, y => oid(y).isNull ||
-            !exists(o, x => oid(x) === oid(y))))))
+            !coalesce(exists(o, x => oid(x) === oid(y)), lit(false))))))
     case _ =>
       coalesce(nw, o)
   }

@@ -20,9 +20,11 @@ import org.apache.spark.sql.types._
   *
   * Array order is restored from the shredded `__ord` column (the original
   * array position), so `renest(shredTyped(docs))` is the identity on
-  * documents with non-empty arrays; an originally-empty (or null) array
-  * comes back as null — the one lossy corner, documented here and covered
-  * in tests.
+  * documents whose arrays are non-empty and null-free. Two lossy corners,
+  * both documented and deliberate: an originally-empty (or null) array
+  * comes back as null, and a NULL array ELEMENT is dropped during shred
+  * (a null child has no key to shred under — `Shred` filters
+  * `__node.isNotNull`), so `[a, null, b]` round-trips as `[a, b]`.
   */
 object Renest {
 

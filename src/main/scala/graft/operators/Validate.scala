@@ -43,7 +43,9 @@ object Validate {
     * (`dateValidator.ts:1-14`): zero-padded regex + real-calendar
     * round-trip. `try_to_date` (ANSI-safe) already rejects 31-02. */
   def validDate(c: Column): Column =
-    c.rlike("^(0[1-9]|[12][0-9]|3[01])-(0[1-9]|1[012])-([0-9]{4})$") &&
+    // year [12]\d{3} matches the reference regex (dateValidator.ts:2):
+    // years 1000-2999 only — 0500 or 3020 are rejected there too
+    c.rlike("^(0[1-9]|[12][0-9]|3[01])-(0[1-9]|1[012])-([12][0-9]{3})$") &&
       try_to_date(c, "dd-MM-yyyy").isNotNull
 
   /** Split a batch of JSON documents into (valid, rejects-with-errors) —

@@ -39,10 +39,20 @@ object Ingest {
     * state: last event per key wins (by `seq`), deletes drop the key.
     * Pure function of (state, batch) → state; idempotent under replay of
     * any suffix of the log, which is what makes at-least-once delivery
-    * converge. */
+    * converge. Rows whose `op` is not one of insert/update/delete
+    * (including NULL — PERMISSIVE JSON reads don't enforce the schema's
+    * nullability) are ignored entirely; without the filter such a row's
+    * key would be anti-joined out of state but re-added by neither branch:
+    * a silent delete. PRECONDITION: per-key seq order must hold across
+    * batches (true for a replayed file log and for Kafka with key-hash
+    * partitioning); the state carries no seq, so a stale event surfacing
+    * in a LATER batch would win — [[applyBatchVersioned]] (used by
+    * [[run]]) and [[StatefulKv]] carry the seq and tolerate cross-batch
+    * disorder. */
   def applyBatch(state: DataFrame, batch: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("key")).orderBy(col("seq").desc)
-    val latest = batch.withColumn("__rn", row_number().over(w))
+    val latest = batch.where(col("op").isin("insert", "update", "delete"))
+      .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
     val upserts = latest.where(col("op") =!= "delete").select("key", "doc")
     val deletes = latest.where(col("op") === "delete").select("key")
@@ -51,8 +61,29 @@ object Ingest {
       .join(deletes, Seq("key"), "left_anti")
   }
 
+  /** ST3 kernel, versioned form: state rows carry `(key, doc, seq,
+    * deleted)` and the higher seq wins between state and batch, so a stale
+    * event arriving in a LATER micro-batch (late file, out-of-order Kafka
+    * partition) cannot regress a newer write. Deletes persist as
+    * tombstones — the seq fence against a stale pre-delete update
+    * resurrecting the key; at scale a compaction pass ages them out past
+    * the source's reordering horizon. */
+  def applyBatchVersioned(state: DataFrame, batch: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("seq").desc)
+    val latest = batch.where(col("op").isin("insert", "update", "delete"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("key"),
+        when(col("op") === "delete", lit(null)).otherwise(col("doc")).as("doc"),
+        col("seq"), (col("op") === "delete").as("deleted"))
+    state.unionByName(latest)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
   private val stateSchema = StructType(Seq(
-    StructField("key", StringType), StructField("doc", StringType)))
+    StructField("key", StringType), StructField("doc", StringType),
+    StructField("seq", LongType), StructField("deleted", BooleanType)))
 
   /** FileSystem for `dir` resolved through the session's Hadoop conf — the
     * same abstraction Spark's own sinks use, so the versioned-state
@@ -76,8 +107,14 @@ object Ingest {
       .lastOption.map(_.getPath)
   }
 
-  /** Read the current state table (empty before the first batch). */
+  /** Read the current state table as live `(key, doc)` rows — tombstones
+    * are an implementation detail of the versioned store and filtered out
+    * (empty before the first batch). */
   def readState(spark: SparkSession, stateDir: String): DataFrame =
+    readVersionedState(spark, stateDir)
+      .where(!col("deleted")).select("key", "doc")
+
+  private def readVersionedState(spark: SparkSession, stateDir: String): DataFrame =
     latestVersion(spark, stateDir) match {
       case Some(dir) => spark.read.schema(stateSchema).parquet(dir.toString)
       case None => spark.createDataFrame(
@@ -88,15 +125,19 @@ object Ingest {
     * versioned parquet state table, with `Trigger.AvailableNow` as the
     * read-your-writes barrier.
     *
-    * Crash-safety: each batch writes a NEW version dir `v<batchId>` (never
-    * mutating the previous one) and readers take the highest version with
-    * a `_SUCCESS` marker. A crash mid-write leaves a marker-less dir that
-    * the checkpoint replay overwrites; a crash after write but before
-    * checkpoint commit replays the batch into the same version —
-    * idempotent either way, so at-least-once delivery always converges to
-    * the same state. Superseded versions are pruned after the new one is
-    * complete. At 100 TB the same `foreachBatch` body targets a
-    * MERGE-capable table format (this function is the seam).
+    * Crash-safety: each batch computes the next state from the latest
+    * `_SUCCESS`-marked version, writes it to a STAGING dir, and renames it
+    * into place as `v<batchId>` — never overwriting the directory it is
+    * reading from (a direct overwrite of `v<batchId>` would fail exactly
+    * on checkpoint-replay of batch N, whose input version IS `v<batchId>`
+    * — "cannot overwrite a path that is also being read from" — bricking
+    * the stream). Readers take the highest complete version; a crash
+    * mid-write leaves a staging dir the replay overwrites; a crash between
+    * rename and checkpoint commit replays the batch, recomputing the same
+    * rows (the versioned apply is idempotent) and swapping them in again.
+    * Superseded versions are pruned only after the new one is complete.
+    * At 100 TB the same `foreachBatch` body targets a MERGE-capable table
+    * format (this function is the seam).
     */
   def run(spark: SparkSession, changelogDir: String, stateDir: String,
           checkpointDir: String): StreamingQuery = {
@@ -106,12 +147,17 @@ object Ingest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val current = readState(s, stateDir)
-        applyBatch(current, batch)
-          .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-        // prune strictly older versions now that v<batchId> is complete
+        val current = readVersionedState(s, stateDir)
         val (fs, root) = fsFor(s, stateDir)
-        if (fs.exists(root)) fs.listStatus(root)
+        val staging = new org.apache.hadoop.fs.Path(root, s"_staging_v$batchId")
+        applyBatchVersioned(current, batch)
+          .write.mode("overwrite").parquet(staging.toString)
+        val target = new org.apache.hadoop.fs.Path(root, s"v$batchId")
+        if (fs.exists(target)) fs.delete(target, true) // stale replay leftover
+        if (!fs.rename(staging, target))
+          throw new java.io.IOException(s"state swap failed: $staging -> $target")
+        // prune strictly older versions now that v<batchId> is complete
+        fs.listStatus(root)
           .filter { st =>
             val n = st.getPath.getName
             n.startsWith("v") && n.stripPrefix("v").forall(_.isDigit) &&

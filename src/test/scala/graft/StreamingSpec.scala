@@ -53,6 +53,34 @@ class StreamingSpec extends SparkSpec {
     assert(got2 == got)
   }
 
+  test("versioned state: stale cross-batch events cannot regress or resurrect") {
+    val dir = tmp(); val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
+    val log = s"$dir/log"; new java.io.File(log).mkdirs()
+    def runBatch(name: String, lines: String): Unit = {
+      Files.writeString(java.nio.file.Paths.get(s"$log/$name"), lines)
+      Ingest.run(spark, log, state, ckpt)
+    }
+    runBatch("b1.json", """{"seq":10,"op":"update","key":"k","doc":"new"}""" + "\n")
+    // a stale event surfacing in a LATER batch (late file / out-of-order
+    // partition) must lose to the seq-10 write already in state
+    runBatch("b2.json", """{"seq":5,"op":"update","key":"k","doc":"old"}""" + "\n")
+    val afterStale = Ingest.readState(spark, state).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(afterStale == Map("k" -> "new"), afterStale.toString)
+    // ... and a stale pre-delete update must not resurrect a deleted key
+    runBatch("b3.json", """{"seq":20,"op":"delete","key":"k","doc":null}""" + "\n")
+    runBatch("b4.json", """{"seq":15,"op":"update","key":"k","doc":"zombie"}""" + "\n")
+    assert(Ingest.readState(spark, state).where(col("key") === "k").isEmpty)
+    // a malformed row (op missing) must be ignored, not act as a delete
+    runBatch("b5.json",
+      """{"seq":30,"op":"insert","key":"m","doc":"ok"}
+        |{"seq":31,"key":"m","doc":"no-op-field"}
+        |""".stripMargin)
+    val end = Ingest.readState(spark, state).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(end == Map("m" -> "ok"), end.toString)
+  }
+
   test("applyBatch is idempotent (batch applied twice == once)") {
     import spark.implicits._
     val batch = Seq((1L, "insert", "a", "1"), (2L, "update", "a", "2"),
