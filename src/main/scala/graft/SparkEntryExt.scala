@@ -273,7 +273,10 @@ object SparkEntryExt {
 
   // ---------- oracle SQL ----------
 
-  private val toksSql = "string_split_regex(trim(lower(text)), '\\s+')"
+  // mirrors TextFunctions.tokens incl. the empty-token strip (split of
+  // empty text yields [''] in BOTH engines)
+  private val toksSql =
+    "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')"
   private def shinglesSql(t: String = toksSql) =
     s"list_distinct(list_transform(range(1, len($t) - 1), i -> array_to_string(($t)[i:i+2], ' ')))"
   private def seedHashSql(seed: String, v: String) =
@@ -401,10 +404,13 @@ object SparkEntryExt {
 
     "x_text_quality" ->
       (s"SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens, " +
-        s"round(CAST(length(trim(text)) AS DOUBLE) / len($toksSql), 6) AS mean_tok_len, " +
-        s"round(CAST(${langScoreSql("en")} AS DOUBLE) / len($toksSql), 6) AS stop_ratio, " +
+        s"CASE WHEN len($toksSql) = 0 THEN NULL ELSE " +
+        s"round(CAST(length(trim(text)) AS DOUBLE) / len($toksSql), 6) END AS mean_tok_len, " +
+        s"CASE WHEN len($toksSql) = 0 THEN NULL ELSE " +
+        s"round(CAST(${langScoreSql("en")} AS DOUBLE) / len($toksSql), 6) END AS stop_ratio, " +
+        "CASE WHEN length(text) = 0 THEN NULL ELSE " +
         "round(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) " +
-        "/ length(text), 6) AS alnum_ratio FROM documents"),
+        "/ length(text), 6) END AS alnum_ratio FROM documents"),
 
     "x_text_langid" ->
       (s"SELECT doc_id, $langIdCaseSql AS pred_lang FROM " +
@@ -416,8 +422,9 @@ object SparkEntryExt {
 
     "x_pipeline_clean" ->
       (s"WITH scored AS (SELECT doc_id, text, CAST(len($toksSql) AS BIGINT) AS n_tokens, " +
+        "CASE WHEN length(text) = 0 THEN NULL ELSE " +
         "round(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) " +
-        s"/ length(text), 6) AS alnum_ratio, $langScoresSql FROM documents), " +
+        s"/ length(text), 6) END AS alnum_ratio, $langScoresSql FROM documents), " +
         s"tagged AS (SELECT *, $langIdCaseSql AS pred_lang FROM scored) " +
         "SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens, " +
         "CAST(count(*) AS BIGINT) AS n_dupes FROM tagged " +

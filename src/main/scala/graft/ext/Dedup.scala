@@ -21,16 +21,21 @@ object Dedup {
 
   /** Exact dedup: group by content hash, keep the lowest id.
     * At 100 TB this is the cheapest possible dedup — one shuffle on a
-    * 16-byte key with map-side pre-aggregation. */
+    * 16-byte key with map-side pre-aggregation. NULL-text rows are
+    * excluded: md5(NULL) is NULL and would collapse every contentless doc
+    * into one bogus "duplicate" class (SQL itself says NULL ≠ NULL). */
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs.groupBy(md5(col(textCol)).as("h"))
+    docs.where(col(textCol).isNotNull)
+      .groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
 
   /** Per-doc MinHash signature (k affine minima over hashed n-word
-    * shingles — one md5 per shingle), from the memoized signature table. */
+    * shingles — one md5 per shingle), from the memoized signature table.
+    * Synchronized across BOTH memo steps so [[invalidate]] cannot
+    * interleave between them and strand a just-swept session's rebuild. */
   def minhashSignatures(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", k: Int = 16, shingleN: Int = 3): DataFrame =
-    sigTable(shingleTable(docs, textCol, idCol, shingleN), idCol, k)
+    synchronized { sigTable(shingleTable(docs, textCol, idCol, shingleN), idCol, k) }
 
   // Shared-artifact memos: shingle/signature tables are persisted ONCE per
   // distinct (input plan, params) and reused by every caller — repeated
@@ -108,18 +113,25 @@ object Dedup {
     * self-join inside it is O(n²) — quadratic in the very thing that
     * grows. Oversized buckets therefore degrade to STAR pairs around the
     * bucket's min-id member: (anchor, other) for every other member,
-    * O(n) per bucket. For dedup that loses nothing — a near-dup class is
-    * transitively connected through its anchor, so keep-one-per-class
-    * clustering sees the same components — but pairs between two
-    * non-anchor members of a mega-bucket are not emitted. Buckets at or
-    * under the cap keep exact all-pairs semantics (the oracle-checked
+    * O(n) per bucket. Star edges BYPASS the `minEst` pre-filter and go
+    * straight to downstream verification — the anchor shares the bucket
+    * with every member but need not share `minEst` of the full signature,
+    * and dropping its edges would disconnect members whose own pairwise
+    * edges were never emitted. The capped trade-off, stated honestly:
+    * within a mega-bucket, two NON-anchor members similar to each other
+    * but to nothing else are connected only if they also reach the anchor
+    * at verification; a bucket that is one near-dup class (the common
+    * mega-bucket cause) clusters identically via the anchor. Buckets at
+    * or under the cap keep exact all-pairs semantics (the oracle-checked
     * path at test scale).
     */
   def lshCandidates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                     k: Int = 16, bands: Int = 4, shingleN: Int = 3,
                     minEst: Double = 0.5, maxBucket: Int = DefaultMaxBucket): DataFrame =
-    lshCandidatesFrom(shingleTable(docs, textCol, idCol, shingleN), idCol, k, bands,
-      minEst, maxBucket)
+    synchronized {
+      lshCandidatesFrom(shingleTable(docs, textCol, idCol, shingleN), idCol, k, bands,
+        minEst, maxBucket)
+    }
 
   /** Band buckets beyond this size switch from all-pairs to star pairs. */
   val DefaultMaxBucket: Int = 4096
@@ -127,7 +139,11 @@ object Dedup {
   private def lshCandidatesFrom(sh: DataFrame, idCol: String, k: Int, bands: Int,
                                 minEst: Double, maxBucket: Int): DataFrame = {
     val rowsPerBand = k / bands
-    val sigs = sigTable(sh, idCol, k)
+    // NULL signatures (docs with fewer than shingleN words) carry no LSH
+    // signal — concat_ws would fold their band keys into one constant
+    // md5("") key, co-bucketing every short doc into the largest buckets
+    // in the job just to discard their pairs later. Drop them up front.
+    val sigs = sigTable(sh, idCol, k).where(col("sig").isNotNull)
     val banded = sigs.withColumn("band", explode(bandKeys(col("sig"), bands, rowsPerBand)))
     // per-bucket size + anchor (min id, with its signature) in ONE pass;
     // the stats side is one row per bucket — AQE broadcasts it, so tagging
@@ -142,17 +158,23 @@ object Dedup {
     val b = small.alias("b")
     val allPairs = a.join(b, col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"), lit(false).as("__star"))
     // anchor is the bucket minimum, so id_a < id_b holds by construction
     val starPairs = tagged.where(col("__n") > maxBucket && col(idCol) =!= col("__anchor.id"))
       .select(col("__anchor.id").as("id_a"), col(idCol).as("id_b"),
-        col("__anchor.sig").as("sig_a"), col("sig").as("sig_b"))
+        col("__anchor.sig").as("sig_a"), col("sig").as("sig_b"), lit(true).as("__star"))
+    // a pair can surface from several bands (and as both all-pairs and
+    // star); collapse to one row, keeping the star flag if ANY band set it
     allPairs.unionByName(starPairs)
-      .distinct()
+      .groupBy("id_a", "id_b")
+      .agg(first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"),
+        max(col("__star")).as("__star")) // sigs are constant per id
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           t => t)).cast("double") / k)
-      .where(col("est_jaccard") >= minEst)
+      // star edges skip the estimate gate — anchor↔member similarity can
+      // be low even inside a genuine duplicate class; verification decides
+      .where(col("est_jaccard") >= minEst || col("__star"))
       .select("id_a", "id_b", "est_jaccard")
   }
 
@@ -164,8 +186,10 @@ object Dedup {
                         minJaccard: Double = 0.8,
                         k: Int = 16, bands: Int = 4,
                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sh = shingleTable(docs, textCol, idCol, shingleN)
-    val cands = lshCandidatesFrom(sh, idCol, k, bands, minEst = 0.3, maxBucket)
+    val (sh, cands) = synchronized {
+      val s = shingleTable(docs, textCol, idCol, shingleN)
+      (s, lshCandidatesFrom(s, idCol, k, bands, minEst = 0.3, maxBucket))
+    }
     // exact Jaccard over the hashed shingle sets (equal to the string-set
     // value up to md5 collisions) via the O(n+m) codegen merge kernel
     cands

@@ -34,9 +34,13 @@ object Multimodal {
 
   /** Wrap arbitrary source rows into the asset envelope: payload is the
     * raw bytes, id is the content hash (dedup-friendly), partition key is
-    * the hash prefix. */
+    * the hash prefix. Rows with a NULL payload are dropped up front: they
+    * would get a NULL asset_id (md5(NULL)), violating the envelope's
+    * non-null id contract and silently vanishing from every equi-join on
+    * asset_id (NULL never equals NULL) — filtering is explicit, not an
+    * accident of join semantics. */
   def toAssets(src: DataFrame, bytesCol: String, mediaType: String): DataFrame =
-    src.select(
+    src.where(col(bytesCol).isNotNull).select(
       md5(col(bytesCol)).as("asset_id"),
       lit(mediaType).as("media_type"),
       col(bytesCol).cast("binary").as("payload"),

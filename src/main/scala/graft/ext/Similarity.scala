@@ -43,7 +43,13 @@ object Similarity {
   private def topKPerQuery(scored: DataFrame, k: Int, idCol: String): DataFrame = {
     val wp = Window.partitionBy(col("query_id"), col("__p"))
       .orderBy(col("cos").desc, col(idCol))
-    val survivors = scored.withColumn("__p", spark_partition_id())
+    // NULL cosine = no defined angle (NULL/zero-norm/mismatched-dim corpus
+    // vector): such rows are not neighbors — without the filter they'd
+    // pad out the tail ranks with cos_sim NULL whenever a query has fewer
+    // than k valid neighbors (and the ANN paths, which filter degenerate
+    // rows before bucketing, would disagree with this exact baseline)
+    val survivors = scored.where(col("cos").isNotNull)
+      .withColumn("__p", spark_partition_id())
       .withColumn("__r", row_number().over(wp))
       .where(col("__r") <= k).drop("__r", "__p")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col(idCol))

@@ -39,10 +39,20 @@ object JsonSchema {
     val mapper = new ObjectMapper()
     val root = mapper.readTree(schemaJson)
     val defs = Option(root.get("definitions"))
-    parseNode(root, root, defs)
+    parseNode(root, root, defs, 0)
   }
 
-  private def parseNode(n: JsonNode, root: JsonNode, defs: Option[JsonNode]): SchemaNode = {
+  /** Schemas are client-POSTed, so a recursive `$ref` (legal draft-04,
+    * accepted by the reference's `jsonschema` package) must not drive this
+    * eager expansion into a StackOverflowError — refuse past a depth no
+    * real document schema reaches. */
+  private val MaxDepth = 64
+
+  private def parseNode(n: JsonNode, root: JsonNode, defs: Option[JsonNode],
+                        depth: Int): SchemaNode = {
+    if (depth > MaxDepth)
+      throw new IllegalArgumentException(
+        s"schema nesting exceeds depth $MaxDepth (recursive $$ref?)")
     val resolved = Option(n.get("$ref")) match {
       case Some(ref) =>
         // draft-04 local refs only: "#/definitions/name"
@@ -54,7 +64,7 @@ object JsonSchema {
     Option(resolved.get("type")).map(_.asText()).getOrElse("object") match {
       case "object" =>
         val props = Option(resolved.get("properties")).map { p =>
-          p.properties().asScala.toSeq.map(e => e.getKey -> parseNode(e.getValue, root, defs))
+          p.properties().asScala.toSeq.map(e => e.getKey -> parseNode(e.getValue, root, defs, depth + 1))
         }.getOrElse(Nil)
         val required = Option(resolved.get("required"))
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
@@ -63,7 +73,7 @@ object JsonSchema {
       case "array" =>
         // draft-04 allows omitting `items` (unconstrained elements)
         SArray(Option(resolved.get("items"))
-          .map(parseNode(_, root, defs)).getOrElse(SAny))
+          .map(parseNode(_, root, defs, depth + 1)).getOrElse(SAny))
       case "string" =>
         SString(Option(resolved.get("pattern")).map(_.asText()))
       case "number"  => SNumber

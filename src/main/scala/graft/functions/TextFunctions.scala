@@ -14,8 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenization after trim+lowercase. */
-  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+  /** Whitespace tokenization after trim+lowercase. The empty-token strip
+    * matters only for empty/whitespace-only text, where `split` returns
+    * `[""]` — one phantom token that would make every token-count quality
+    * gate miss exactly the empty documents it exists to catch. For any
+    * text with a real token the strip is a no-op (the oracle's `toksSql`
+    * applies the same `list_filter`). */
+  def tokens(text: Column): Column =
+    array_remove(split(trim(lower(text)), "\\s+"), "")
 
   /** n-word shingles (distinct), the MinHash/Jaccard unit. */
   def shingles(text: Column, n: Int = 3): Column = {
@@ -119,12 +125,18 @@ object TextFunctions {
     val toks = tokens(text)
     val n = size(toks).cast("double")
     val sw = langScore(toks, "en").cast("double")
+    // ratio over an empty doc is undefined, not NaN: 0/0 double division
+    // is IEEE NaN in both engines, which compares unequal to itself and
+    // poisons every downstream threshold — NULL filters cleanly instead
     struct(
       size(toks).cast("long").as("n_tokens"),
-      round(length(trim(text)).cast("double") / n, 6).as("mean_tok_len"),
-      round(sw / n, 6).as("stop_ratio"),
-      round(length(regexp_replace(lower(text), "[^a-z0-9]", "")).cast("double") /
-        length(text), 6).as("alnum_ratio"))
+      when(n === 0, lit(null).cast("double"))
+        .otherwise(round(length(trim(text)).cast("double") / n, 6)).as("mean_tok_len"),
+      when(n === 0, lit(null).cast("double"))
+        .otherwise(round(sw / n, 6)).as("stop_ratio"),
+      when(length(text) === 0, lit(null).cast("double"))
+        .otherwise(round(length(regexp_replace(lower(text), "[^a-z0-9]", "")).cast("double") /
+          length(text), 6)).as("alnum_ratio"))
   }
 
   /** Document fingerprint: order-insensitive content hash — md5 over the

@@ -75,8 +75,10 @@ object VectorFunctions {
   /** Embedding dimensionality, probed from the first row with a non-empty
     * vector (metadata-scale read — every real corpus has a single
     * model-constant dim). Returns 0 when no such row exists (empty corpus
-    * or all-NULL column) — callers degrade to a constant bucket, which is
-    * exact-if-slow rather than wrong. NOTE: runs a (tiny) Spark job at
+    * or all-NULL/empty column) — zero-length vectors then bucket to a
+    * constant key, and every cosine over them is NULL, so the search
+    * paths return no rows for them (the NULL-cos filter in top-k) rather
+    * than fabricated neighbors. NOTE: runs a (tiny) Spark job at
     * plan-construction time. */
   def probeDim(df: org.apache.spark.sql.DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol)).as("d")).where(col("d") > 0)

@@ -35,12 +35,18 @@ object NodeStore {
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
-  /** Routing-local has_child: both slices inherit the table's bucketing on
-    * `rootKey`, so this semi-join is co-partitioned (no exchange). */
+  /** Routing-local has_child: parents with a matching DIRECT child
+    * (`__c.parentKey === __p.key` — rootKey alone would return every
+    * parent sharing a TREE with any match, not the matching child's own
+    * parent). The rootKey equi-term keeps the join co-partitioned on the
+    * table's bucketing, so it still plans without an exchange
+    * (`requireAllClusterKeysForCoPartition=false` lets the subset
+    * clustering satisfy the two-key join). */
   def hasChildLocal(nodes: DataFrame, parentRel: String, childPred: org.apache.spark.sql.Column): DataFrame = {
     val parents = nodes.where(col("relName") === parentRel)
     val children = nodes.where(childPred)
     parents.alias("__p").join(children.alias("__c"),
-      col("__p.rootKey") === col("__c.rootKey"), "left_semi")
+      col("__p.rootKey") === col("__c.rootKey") &&
+        col("__p.key") === col("__c.parentKey"), "left_semi")
   }
 }

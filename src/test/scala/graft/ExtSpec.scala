@@ -17,6 +17,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rows(2) == Seq("x x x")) // distinct
   }
 
+  test("empty/whitespace text: zero tokens, NULL ratios (not NaN), no dedup class") {
+    val q = Seq("", "   ", "real words here").toDF("text")
+      .select(TextFunctions.qualityMetrics(col("text")).as("q"))
+      .select(col("q.n_tokens"), col("q.mean_tok_len"), col("q.alnum_ratio"))
+      .collect()
+    assert(q(0).getLong(0) == 0L && q(0).isNullAt(1) && q(0).isNullAt(2))
+    assert(q(1).getLong(0) == 0L && q(1).isNullAt(1))
+    assert(q(2).getLong(0) == 3L && !q(2).isNullAt(1))
+    // NULL-text docs are not duplicates of each other
+    val ex = Dedup.exact(Seq((7L, null.asInstanceOf[String]), (9L, null.asInstanceOf[String]),
+      (1L, "same"), (2L, "same")).toDF("doc_id", "text")).collect()
+    assert(ex.length == 1 && ex.head.getAs[Long]("n_dupes") == 2L)
+  }
+
+  test("recursive $ref schema is refused, not a StackOverflowError") {
+    val cyclic = """{"definitions":{"n":{"type":"object","properties":
+      {"next":{"$ref":"#/definitions/n"}}}},"$ref":"#/definitions/n"}""".replaceAll("\n\\s*", "")
+    val e = intercept[IllegalArgumentException](graft.functions.JsonSchema.parse(cyclic))
+    assert(e.getMessage.contains("depth"))
+  }
+
   test("minhash: identical texts share signatures, disjoint texts do not") {
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox jumps over the lazy dog"),

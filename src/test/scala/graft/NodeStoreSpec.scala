@@ -30,7 +30,8 @@ class NodeStoreSpec extends SparkSpec {
         val children = nodes.where(col("relName") === "order_lineitem" &&
           get_json_object(col("payload"), "$.l_quantity").cast("double") > 45)
         parents.alias("a").join(children.alias("b"),
-          col("a.rootKey") === col("b.rootKey"), "left_semi")
+          col("a.rootKey") === col("b.rootKey") &&
+            col("a.key") === col("b.parentKey"), "left_semi")
       }
       assert(hot.count() == shuffled.count())
       assert(hot.count() > 0)
