@@ -34,10 +34,13 @@ object Kv {
     * distributed pass: left join of the (deduped) probe keys against the
     * store's key column. One shuffle on `key`; none at all when the store
     * is bucketed by `key` and the probe side is small enough for AQE to
-    * broadcast. */
+    * broadcast. The store side is NOT deduplicated: keys are unique by KV
+    * invariant (every mutation in this object preserves it), so a distinct
+    * there would be a full aggregation over the entire store just to answer
+    * a probe — pure waste at 100 TB. */
   def existsAll(kv: DataFrame, probes: DataFrame): DataFrame =
     probes.select("key").distinct()
-      .join(kv.select(col("key")).distinct().withColumn("__hit", lit(true)),
+      .join(kv.select(col("key")).withColumn("__hit", lit(true)),
         Seq("key"), "left")
       .select(col("key"), coalesce(col("__hit"), lit(false)).as("present"))
 
