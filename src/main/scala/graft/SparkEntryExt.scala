@@ -154,18 +154,26 @@ object SparkEntryExt {
     },
 
     "p10_search_renest" -> { (s, dir) =>
-      // the reference's full read path: has_child search, then re-nest each
-      // hit (J2) — the per-hit N+1 fan-out of the reference collapses into
-      // the same distributed job (apiLogicForSearch.ts:280-285)
+      // the reference's full read path: has_child search, then re-nest ONLY
+      // the hits (apiLogicForSearch.ts:280-285 fetches and reconstructs hit
+      // by hit — it never assembles the rest of the corpus). The semi-join
+      // runs against the root NODE table before any document assembly, and
+      // every node table is rootKey-filtered before the renest
+      // joins/collect_lists, so with a selective predicate the assembly
+      // cost is O(hits), not O(corpus) — the shape that survives 100×.
       val docs = StarDocs.docs(s, dir)
       val typed = Shred.shredTyped(docs)
-      val parents = Renest(typed, docs.schema)
-        .withColumn("__k", concat(lit("order_"), col("objectId")))
-      val hits = Search.hasChild(parents,
-        typed("lineitems").where(col("l_quantity") > 49),
-        "__k", "__parentKey")
-      hits.select(col("objectId").as("order_id"), col("o_orderstatus"),
-        size(col("lineitems")).as("n_items"))
+      val hitRoots = Search.hasChild(typed(""),
+          typed("lineitems").where(col("l_quantity") > 49),
+          "__key", "__parentKey")
+        .select(col("__rootKey"))
+      val filtered = typed.map { case (path, nodes) =>
+        path -> nodes.alias("__n").join(hitRoots.alias("__h"),
+          col("__n.__rootKey") === col("__h.__rootKey"), "left_semi")
+      }
+      Renest(filtered, docs.schema)
+        .select(col("objectId").as("order_id"), col("o_orderstatus"),
+          size(col("lineitems")).as("n_items"))
     },
 
     // ----- text analysis -----

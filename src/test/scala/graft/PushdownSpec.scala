@@ -52,6 +52,35 @@ class PushdownSpec extends SparkSpec {
       childScan.get.metadata("PushedFilters"))
   }
 
+  test("P10 filters before assembling: every collect_list aggregate has the semi-join upstream") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val q = SparkEntry.queries("p10_search_renest")(spark, sf)
+    q.collect() // finalize the adaptive plan before walking it
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      p +: kids.flatMap(allNodes)
+    }
+    val aggs = allNodes(q.queryExecution.executedPlan).filter(n =>
+      n.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.CollectList])))
+    assert(aggs.nonEmpty, "expected collect_list aggregates in the renest plan")
+    aggs.foreach { a =>
+      assert(allNodes(a).drop(1).exists {
+        case j: BaseJoinExec => j.joinType == LeftSemi
+        case _ => false
+      }, s"collect_list aggregate assembles unfiltered input (no semi-join below it):\n$a")
+    }
+  }
+
   test("corpus-cleaning pipeline plans one scan and one exchange (SCALE.md claim)") {
     val q = SparkEntry.queries("x_pipeline_clean")(spark, sf)
     assert(scans(q).size == 1, "expected a single corpus scan")
