@@ -50,7 +50,11 @@ object Ingest {
     * [[run]]) and [[StatefulKv]] carry the seq and tolerate cross-batch
     * disorder. */
   def applyBatch(state: DataFrame, batch: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("key")).orderBy(col("seq").desc)
+    // seq desc picks the latest; the trailing terms make a genuine equal-seq
+    // collision deterministic (deletes beat updates, then doc order) instead
+    // of leaving the winner to shuffle arrival order
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("seq").desc, (col("op") === "delete").desc, col("doc").desc_nulls_last)
     val latest = batch.where(col("op").isin("insert", "update", "delete"))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
@@ -69,15 +73,22 @@ object Ingest {
     * resurrecting the key; at scale a compaction pass ages them out past
     * the source's reordering horizon. */
   def applyBatchVersioned(state: DataFrame, batch: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("key")).orderBy(col("seq").desc)
+    // Equal-seq collisions resolve deterministically: deletes win ties
+    // (then doc order), never shuffle arrival order. Exact replays are
+    // unaffected (the colliding rows are identical); this pins the verdict
+    // for GENUINE seq collisions between a tombstone and an update.
+    val wBatch = Window.partitionBy(col("key"))
+      .orderBy(col("seq").desc, (col("op") === "delete").desc, col("doc").desc_nulls_last)
     val latest = batch.where(col("op").isin("insert", "update", "delete"))
-      .withColumn("__rn", row_number().over(w))
+      .withColumn("__rn", row_number().over(wBatch))
       .where(col("__rn") === 1)
       .select(col("key"),
         when(col("op") === "delete", lit(null)).otherwise(col("doc")).as("doc"),
         col("seq"), (col("op") === "delete").as("deleted"))
+    val wMerge = Window.partitionBy(col("key"))
+      .orderBy(col("seq").desc, col("deleted").desc, col("doc").desc_nulls_last)
     state.unionByName(latest)
-      .withColumn("__rn", row_number().over(w))
+      .withColumn("__rn", row_number().over(wMerge))
       .where(col("__rn") === 1).drop("__rn")
   }
 
@@ -109,10 +120,13 @@ object Ingest {
 
   /** Read the current state table as live `(key, doc)` rows — tombstones
     * are an implementation detail of the versioned store and filtered out
-    * (empty before the first batch). */
+    * (empty before the first batch). A version written by the pre-versioned
+    * `(key, doc)` format reads `deleted` as NULL under [[stateSchema]];
+    * such rows are LIVE (missing tombstone flag = not deleted) — a bare
+    * `!deleted` would silently drop every legacy row. */
   def readState(spark: SparkSession, stateDir: String): DataFrame =
     readVersionedState(spark, stateDir)
-      .where(!col("deleted")).select("key", "doc")
+      .where(coalesce(col("deleted"), lit(false)) === false).select("key", "doc")
 
   private def readVersionedState(spark: SparkSession, stateDir: String): DataFrame =
     latestVersion(spark, stateDir) match {
@@ -147,15 +161,27 @@ object Ingest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val current = readVersionedState(s, stateDir)
         val (fs, root) = fsFor(s, stateDir)
-        val staging = new org.apache.hadoop.fs.Path(root, s"_staging_v$batchId")
-        applyBatchVersioned(current, batch)
-          .write.mode("overwrite").parquet(staging.toString)
         val target = new org.apache.hadoop.fs.Path(root, s"v$batchId")
-        if (fs.exists(target)) fs.delete(target, true) // stale replay leftover
-        if (!fs.rename(staging, target))
-          throw new java.io.IOException(s"state swap failed: $staging -> $target")
+        // Checkpoint-replay of batch N can arrive when v<batchId> is
+        // already the ONLY complete version (older ones were pruned after
+        // the rename, before the checkpoint commit). Deleting it before
+        // re-renaming would open a crash window with ZERO complete
+        // versions: a crash between delete and rename would make the next
+        // replay read empty state and silently rebuild from this batch
+        // alone, losing every earlier key. A complete target is exactly
+        // what this replay would recompute (the versioned apply is
+        // idempotent), so reuse it and skip straight to pruning; only an
+        // INCOMPLETE leftover (no _SUCCESS) is deleted before the rename.
+        if (!fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))) {
+          val current = readVersionedState(s, stateDir)
+          val staging = new org.apache.hadoop.fs.Path(root, s"_staging_v$batchId")
+          applyBatchVersioned(current, batch)
+            .write.mode("overwrite").parquet(staging.toString)
+          if (fs.exists(target)) fs.delete(target, true) // incomplete leftover
+          if (!fs.rename(staging, target))
+            throw new java.io.IOException(s"state swap failed: $staging -> $target")
+        }
         // prune strictly older versions now that v<batchId> is complete
         fs.listStatus(root)
           .filter { st =>

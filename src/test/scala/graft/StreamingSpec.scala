@@ -81,6 +81,63 @@ class StreamingSpec extends SparkSpec {
     assert(end == Map("m" -> "ok"), end.toString)
   }
 
+  test("checkpoint-replay with a complete target version reuses it (no delete/rename window)") {
+    val dir = tmp(); val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
+    val log = s"$dir/log"; new java.io.File(log).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$log/b1.json"),
+      """{"seq":1,"op":"insert","key":"a","doc":"1"}""" + "\n")
+    Ingest.run(spark, log, state, ckpt)
+    Files.writeString(java.nio.file.Paths.get(s"$log/b2.json"),
+      """{"seq":2,"op":"insert","key":"b","doc":"2"}""" + "\n")
+    Ingest.run(spark, log, state, ckpt)
+    // crash between the state swap and the checkpoint commit: drop the last
+    // commit marker, so restart replays batch 1 — whose target v1 is now
+    // the ONLY complete version (v0 was pruned). The replay must REUSE it;
+    // a delete-then-rename here would open a window with zero complete
+    // versions (crash inside it = all pre-batch-1 keys silently lost).
+    val commitDir = new java.io.File(s"$ckpt/commits")
+    val lastCommit = commitDir.listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong).getName
+    // remove the marker AND its checksum sibling — a stale .crc makes the
+    // checksum checkpoint manager flag the log as concurrently owned
+    commitDir.listFiles().filter(_.getName.stripPrefix(".").stripSuffix(".crc")
+      .stripSuffix(".checksum") == lastCommit).foreach(f => assert(f.delete()))
+    def v1Files(): Map[String, Long] = new java.io.File(s"$state/v1").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = v1Files()
+    Ingest.run(spark, log, state, ckpt)
+    assert(v1Files() == before, "complete v1 was rewritten on replay")
+    val got = Ingest.readState(spark, state).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "1", "b" -> "2"))
+  }
+
+  test("equal-seq collisions resolve deterministically: deletes win ties") {
+    import spark.implicits._
+    // state row and batch tombstone carry the SAME seq: the delete must win
+    // (deterministic verdict), not the shuffle arrival order
+    val state = Seq(("k", "old", 5L, false)).toDF("key", "doc", "seq", "deleted")
+    val batch = Seq((5L, "delete", "k", null: String)).toDF("seq", "op", "key", "doc")
+    val merged = Ingest.applyBatchVersioned(state, batch).collect()
+    assert(merged.length == 1 && merged.head.getAs[Boolean]("deleted"), merged.mkString)
+    // within one batch, update and delete at the same seq → delete wins
+    val batch2 = Seq((7L, "update", "x", "v"), (7L, "delete", "x", null: String))
+      .toDF("seq", "op", "key", "doc")
+    val out2 = Ingest.applyBatchVersioned(state.limit(0), batch2).collect()
+    assert(out2.length == 1 && out2.head.getAs[Boolean]("deleted"), out2.mkString)
+  }
+
+  test("legacy (key,doc)-schema state versions read as live rows") {
+    import spark.implicits._
+    val dir = tmp(); val state = s"$dir/state"
+    // a version written by the pre-versioned format: seq/deleted read as
+    // NULL under the current schema; missing tombstone flag = live
+    Seq(("a", "1"), ("b", "2")).toDF("key", "doc").write.parquet(s"$state/v0")
+    val got = Ingest.readState(spark, state).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "1", "b" -> "2"))
+  }
+
   test("applyBatch is idempotent (batch applied twice == once)") {
     import spark.implicits._
     val batch = Seq((1L, "insert", "a", "1"), (2L, "update", "a", "2"),
