@@ -248,15 +248,19 @@ object SparkEntryExt {
       Similarity.bruteForceTopK(embs, embs.where(col("vec_id") < 10), k = 10)
     },
     "x_knn_ivf" -> { (s, dir) =>
-      // IVF path with LEARNED cells (deterministic Lloyd's k-means, no
-      // fixture column) — like the LSH path, approximate by construction
-      // → rows-only check; ExtSpec asserts recall vs brute force
+      // IVF path with LEARNED cells (deterministic seeded Lloyd's k-means,
+      // no fixture column). Approximate RECALL, deterministic COMPUTATION:
+      // the run stashes its learned centroids (Similarity.lastLearned) and
+      // the oracle replays assignment + probe + top-k over them as literal
+      // SQL. ExtSpec additionally asserts recall vs brute force.
       val embs = Tables.embeddings(s, dir)
       Similarity.ivfTopKLearned(embs, embs.where(col("vec_id") < 10), k = 10,
         kCells = 8, iters = 2, nprobe = 2)
     },
     "x_knn_lsh" -> { (s, dir) =>
-      // ANN path — approximate by construction, so no SQL oracle; the spec
+      // ANN path — approximate recall but fully deterministic by
+      // construction (md5-derived hyperplanes), so the oracle reproduces
+      // bucket assignment + multi-probe + top-k in pure SQL; the spec also
       // asserts ≥0.5 recall@10 against bruteForceTopK (unclustered data)
       val embs = Tables.embeddings(s, dir)
       Similarity.lshTopK(embs, embs.where(col("vec_id") < 10), k = 10)
@@ -330,7 +334,74 @@ object SparkEntryExt {
     s"CASE $cases ELSE 'und' END"
   }
 
-  def oracleSql: Map[String, String] = Map(
+  // ----- ANN oracles -----
+  // x_knn_lsh is deterministic end-to-end: plane weights are md5-derived
+  // (VectorFunctions.planeWeights — hex-parse and /2^59 mapping reproduce
+  // bit-identically in DuckDB, and list_cosine_similarity matches the
+  // cosine kernel's left-fold exactly, both already oracle-proven), so the
+  // whole bucket → multi-probe → top-k pipeline replays as pure SQL.
+  private val knnPlanes = 4 // Similarity.lshTopK default
+  private def lshSignSql(p: Int): String =
+    s"(CASE WHEN list_sum(list_transform(range(dim), i -> v[i+1] * " +
+      s"((('0x' || substr(md5('plane|$p|' || CAST(i AS VARCHAR)), 1, 15))::BIGINT " +
+      "/ 576460752303423488.0) - 1.0))) > 0 THEN '1' ELSE '0' END)"
+  private def knnTopKSql(scoredCte: String): String =
+    s"ranked AS (SELECT query_id, vec_id, cos, row_number() OVER " +
+      s"(PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM $scoredCte " +
+      "WHERE cos IS NOT NULL) " +
+      "SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, " +
+      "round(cos, 6) AS cos_sim FROM ranked WHERE rank <= 10"
+  private def lshOracleSql: String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "d AS (SELECT len(v) AS dim FROM e WHERE len(v) > 0 LIMIT 1), " +
+      // rows whose vector is off-dim or carries NULL elements get a short
+      // bucket in Spark (NULL sign) and are excluded there; same filter here
+      s"bk AS (SELECT vec_id, v, ${(0 until knnPlanes).map(lshSignSql).mkString(" || ")} AS b " +
+      "FROM e, d WHERE len(v) = dim AND len(list_filter(v, x -> x IS NULL)) = 0), " +
+      "q0 AS (SELECT vec_id AS query_id, v AS qv, b AS qb FROM bk WHERE vec_id < 10), " +
+      // multi-probe: the query's own bucket plus every Hamming-1 flip
+      "probes AS (SELECT query_id, qv, CASE WHEN j = 0 THEN qb ELSE " +
+      "substr(qb, 1, j - 1) || CAST(1 - CAST(substr(qb, j, 1) AS INT) AS VARCHAR) || " +
+      s"substr(qb, j + 1, $knnPlanes - j) END AS pb FROM q0, range(0, ${knnPlanes + 1}) tj(j)), " +
+      "scored AS (SELECT p.query_id, c.vec_id, list_cosine_similarity(p.qv, c.v) AS cos " +
+      "FROM probes p JOIN bk c ON c.b = p.pb WHERE c.vec_id <> p.query_id), " +
+      "dd AS (SELECT query_id, vec_id, max(cos) AS cos FROM scored GROUP BY 1, 2), " +
+      knnTopKSql("dd")
+  // x_knn_ivf: the Lloyd's learning pass runs in Spark (its per-cell FP
+  // merge order is not reproducible in another engine), but the centroids
+  // it lands on ARE the model — embedding them as literals makes the
+  // remaining assignment + probe + top-k deterministic SQL. Verify runs
+  // queries before dumping oracle SQL, so the stash is always populated;
+  // if not (defensive), the entry is omitted and the driver records the
+  // old rows-only check.
+  private def ivfOracleSql(cents: Seq[(Long, Array[Float])]): String = {
+    val rows = cents.map { case (c, v) =>
+      s"($c, [${v.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"cents(cell, cv) AS (VALUES $rows), " +
+      // nearest-centroid assignment of EVERY corpus vector: NULL cosine
+      // (NULL/degenerate vector) falls to the lowest cell via the -2
+      // sentinel, ties break to the lowest cell — assignCells' arg-max
+      "assigned AS (SELECT vec_id, v, cell FROM (SELECT e.vec_id, e.v, c.cell, " +
+      "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+      "coalesce(list_cosine_similarity(e.v, c.cv), -2.0) DESC, c.cell) AS rn " +
+      "FROM e CROSS JOIN cents c) WHERE rn = 1), " +
+      "qprobe AS (SELECT query_id, qv, cell FROM (SELECT e.vec_id AS query_id, e.v AS qv, c.cell, " +
+      "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+      "list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS rn " +
+      "FROM e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE rn <= 2), " +
+      "scored AS (SELECT p.query_id, a.vec_id, list_cosine_similarity(p.qv, a.v) AS cos " +
+      "FROM qprobe p JOIN assigned a USING (cell) WHERE a.vec_id <> p.query_id), " +
+      knnTopKSql("scored")
+  }
+  private def annOracles: Map[String, String] =
+    Map("x_knn_lsh" -> lshOracleSql) ++ (Similarity.lastLearned match {
+      case cents if cents.nonEmpty => Map("x_knn_ivf" -> ivfOracleSql(cents))
+      case _ => Map.empty[String, String]
+    })
+
+  def oracleSql: Map[String, String] = annOracles ++ Map(
     "p2_match_all" -> "SELECT * FROM region",
 
     "m1_merge_patch" ->

@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Verification hook: the most recent [[learnedCentroids]] result.
+    * `graft.Verify` runs every query BEFORE dumping oracle SQL, so the
+    * x_knn_ivf oracle can embed these centroids as plain literals — the
+    * learning pass is Spark-side (shared by result and oracle), and the
+    * assignment + probe + top-k it leaves behind is deterministic SQL.
+    * Bounded metadata (kCells·dim floats), never a data collect. */
+  @volatile var lastLearned: Seq[(Long, Array[Float])] = Nil
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
                      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
@@ -117,6 +125,7 @@ object Similarity {
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
       i += 1
     }
+    lastLearned = cents
     cents
   }
 
