@@ -67,6 +67,21 @@ object SparkEntry {
     "p7_by_id" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
       t("orders").where(col("o_orderkey") === 7L)
     },
+    "p7_routing" -> { (s, dir) =>
+      // P7b — `_routing` lookup (apiLogicForSearch.ts:56-67): every node
+      // co-routed with root order_7, straight off the rootKey stamp (the
+      // ES routing analogue); one prunable equality predicate
+      Search.byRouting(Shred.nodes(StarDocs.docs(s, dir)), "order_7")
+        .select("key", "objectType", "parentKey", "relName", "field", "ord", "path")
+    },
+    "j4_subtree_counts" -> { (s, dir) =>
+      // J4b — NON-root subtree cascade (elasticSearch.ts:311-357 on an
+      // inner node): the parentKey-closure walk removes lineitem li7_1 and
+      // its part child. Key-addressed semantics: the part KEY is removed
+      // everywhere it appears (the store holds one object per key).
+      Kv.cascadeDelete(Shred.nodes(StarDocs.docs(s, dir)), "lineitem_li7_1")
+        .groupBy(col("relName").as("rel_name")).agg(count(lit(1)).as("n"))
+    },
     "p8_count" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
       t("lineitem").agg(count(lit(1)).as("n_rows"))
     },
@@ -221,6 +236,27 @@ object SparkEntry {
       ("SELECT * FROM lineitem l WHERE EXISTS (SELECT 1 FROM orders o " +
         "WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'P')"),
     "p7_by_id" -> "SELECT * FROM orders WHERE o_orderkey = 7",
+    "p7_routing" ->
+      ("WITH li AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY " +
+        "l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, " +
+        "l_tax, l_returnflag, l_linestatus, l_shipdate) AS seq FROM lineitem WHERE l_orderkey = 7) " +
+        "SELECT 'order_7' AS key, 'order' AS objectType, CAST(NULL AS VARCHAR) AS parentKey, " +
+        "'order' AS relName, CAST(NULL AS VARCHAR) AS field, CAST(NULL AS INT) AS ord, '' AS path " +
+        "UNION ALL SELECT 'lineitem_li7_' || CAST(seq AS VARCHAR), 'lineitem', 'order_7', " +
+        "'order_lineitem', 'lineitems', CAST(seq - 1 AS INT), 'lineitems' FROM li " +
+        "UNION ALL SELECT 'part_' || CAST(l_partkey AS VARCHAR), 'part', " +
+        "'lineitem_li7_' || CAST(seq AS VARCHAR), 'lineitem_part', 'part', " +
+        "CAST(NULL AS INT), 'lineitems.part' FROM li"),
+    "j4_subtree_counts" ->
+      ("WITH li AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY " +
+        "l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, " +
+        "l_tax, l_returnflag, l_linestatus, l_shipdate) AS seq FROM lineitem), " +
+        "doomed AS (SELECT l_partkey FROM li WHERE l_orderkey = 7 AND seq = 1) " +
+        "SELECT 'order' AS rel_name, CAST(count(*) AS BIGINT) AS n FROM orders " +
+        "UNION ALL SELECT 'order_lineitem', CAST(count(*) AS BIGINT) FROM li " +
+        "WHERE NOT (l_orderkey = 7 AND seq = 1) " +
+        "UNION ALL SELECT 'lineitem_part', CAST(count(*) AS BIGINT) FROM li " +
+        "WHERE l_partkey NOT IN (SELECT l_partkey FROM doomed)"),
     "p8_count" -> "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem",
     "s9_scan_cap" -> "SELECT * FROM orders ORDER BY o_orderkey LIMIT 1000",
     "s2_exists" ->
