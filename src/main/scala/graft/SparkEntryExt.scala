@@ -47,6 +47,24 @@ object SparkEntryExt {
           col("li.part.p_brand").as("brand"))
     },
 
+    "m1_null_clear" -> { (s, dir) =>
+      // M1 at the JSON level: explicit-null fidelity (modifyObject.ts:55-60
+      // assigns the null; absent keys keep the stored value). Every 10th
+      // order's patch nulls o_orderpriority and appends a new member; the
+      // merged JSON string is compared byte-for-byte, which pins member
+      // order, the null overwrite, and untouched-row passthrough at once.
+      val docs = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("string").as("key"),
+        to_json(struct(
+          col("o_orderkey").cast("string").as("objectId"),
+          lit("order").as("objectType"),
+          col("o_orderstatus"), col("o_orderpriority"))).as("doc"))
+      val patches = Tables.orders(s, dir).where(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").cast("string").as("key"),
+          lit("""{"objectId":"IGNORED","o_orderpriority":null,"note":"patched"}""").as("patch"))
+      MergePatch.json(docs, patches)
+    },
+
     "m4_if_match" -> { (s, dir) =>
       // conditional-write gate: %3==0 sends the current tag (→200), others
       // a stale tag (→412); five unknown keys → 404
@@ -427,6 +445,16 @@ object SparkEntryExt {
          FROM orders WHERE o_orderkey % 100 = 0
            AND NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o_orderkey))
        SELECT * FROM base UNION ALL SELECT * FROM appended""").replaceAll("\n\\s*", " "),
+
+    "m1_null_clear" ->
+      ("SELECT CAST(o_orderkey AS VARCHAR) AS key, " +
+        "CASE WHEN o_orderkey % 10 = 0 THEN " +
+        "'{\"objectId\":\"' || CAST(o_orderkey AS VARCHAR) || '\",\"objectType\":\"order\"," +
+        "\"o_orderstatus\":\"' || o_orderstatus || '\",\"o_orderpriority\":null," +
+        "\"note\":\"patched\"}' ELSE " +
+        "'{\"objectId\":\"' || CAST(o_orderkey AS VARCHAR) || '\",\"objectType\":\"order\"," +
+        "\"o_orderstatus\":\"' || o_orderstatus || '\",\"o_orderpriority\":\"' || " +
+        "o_orderpriority || '\"}' END AS doc FROM orders"),
 
     "m4_if_match" ->
       ("SELECT CAST(o_orderkey AS VARCHAR) AS key, " +

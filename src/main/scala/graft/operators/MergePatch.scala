@@ -12,15 +12,14 @@ import org.apache.spark.sql.types._
   *    (`modifyObject.ts:55-60`; a JS `undefined` — here SQL NULL — leaves
   *    the old value);
   *
-  * DIVERGENCE from RFC 7386 (and from the reference's explicit-null
-  * overwrite): after `from_json` into a typed struct, an absent member and
-  * an explicit `null` member are indistinguishable — both surface as SQL
-  * NULL — and NULL here means "keep the old value". So a patch can never
-  * CLEAR a scalar field (RFC 7386 defines `null` as delete-the-member).
-  * Callers that need to blank or drop fields must replace the document
-  * wholesale via [[Kv.upsert]] instead. We therefore do not claim RFC-7386
-  * conformance; the operator implements the reference's observable
-  * keep-on-undefined behavior over typed columns.
+  * Typed-column limitation: after `from_json` into a typed struct, an
+  * absent member and an explicit `null` member both surface as SQL NULL,
+  * so THIS form treats both as "keep the old value". The reference's
+  * explicit-null overwrite (`modifyObject.ts:55-60` assigns the null)
+  * lives in [[json]] — the JSON-string-level merge expression
+  * ([[graft.plans.JsonMergePatch]]), where the distinction survives the
+  * parse. Use [[json]] when patches may carry explicit nulls; use this
+  * typed form when documents are already shredded/typed columns.
   *  - `objectId` is immutable (`modifyObject.ts:55-56`): the merge is keyed
   *    on it, so it can never change;
   *  - nested structs are deep-merged field-by-field
@@ -71,6 +70,26 @@ object MergePatch {
       mergeField(col(s"__o.${f.name}"), col(s"__n.${f.name}"), f.dataType).as(f.name)
     }
     joined.select(merged: _*)
+  }
+
+  /** M1 over JSON-string documents `(key, doc)` patched by `(key, patch)`:
+    * the reference's merge with full explicit-null fidelity (absent keeps,
+    * null overwrites — see [[graft.plans.JsonMergePatch]]). One left join
+    * on the key plus one codegen-adjacent projection; rows without a patch
+    * pass through byte-identical. */
+  def json(current: DataFrame, patches: DataFrame,
+           keyCol: String = "key", docCol: String = "doc",
+           patchCol: String = "patch"): DataFrame = {
+    // one patch per key (same fan-out hazard and deterministic-winner rule
+    // as the typed form: json-lexicographically first)
+    val keyW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pk")).orderBy(col("__patch"))
+    val p = patches.select(col(keyCol).as("__pk"), col(patchCol).as("__patch"))
+      .withColumn("__pn", row_number().over(keyW)).where(col("__pn") === 1).drop("__pn")
+    current.join(p, col(keyCol) === col("__pk"), "left")
+      .withColumn(docCol,
+        graft.plans.JsonExpressions.jsonMergePatch(col(docCol), col("__patch")))
+      .drop("__pk", "__patch")
   }
 
   /** The merge of one field, recursive over the type. */

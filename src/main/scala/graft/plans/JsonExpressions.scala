@@ -1,10 +1,11 @@
 package graft.plans
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import graft.functions.SchemaNode
 import graft.functions.SchemaNode._
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -292,10 +293,168 @@ case class JsonSchemaErrors(child: Expression, schema: SchemaNode)
     copy(child = newChild)
 }
 
+/** M1 at the JSON-string level — the reference's merge applied where an
+  * ABSENT patch member and an explicit JSON `null` are still different
+  * things (`/root/reference/src/utils/modifyObject.ts:52-60` assigns
+  * `newObject[key]` wholesale for every PRESENT key — so explicit null
+  * OVERWRITES the stored value with null, while an absent key keeps it;
+  * note this is assignment, not RFC 7386's member delete). The typed
+  * [[graft.operators.MergePatch]] cannot express the distinction — after
+  * `from_json` both surface as SQL NULL — so this expression parses both
+  * strings once (Jackson, same CodegenFallback pattern as
+  * [[JsonSchemaErrors]]) and merges the trees directly.
+  *
+  * Semantics, aligned with the typed operator wherever both are defined:
+  *  - root `objectId` is immutable (skipped — `modifyObject.ts:54-56`);
+  *  - object ∧ object → recursive merge; any other PRESENT patch member
+  *    overwrites wholesale, explicit null included;
+  *  - an array pair where every element on both sides is an object and at
+  *    least one carries an `objectId` → keyed upsert: stored order kept, a
+  *    stored element is replaced wholesale by the FIRST patch element with
+  *    the same objectId, patch elements with a new or missing objectId
+  *    append in patch order (the typed operator's documented divergence
+  *    from the reference's undefined-key Map collapse);
+  *  - any other array → wholesale replace (RFC 7386, and the reference's
+  *    behavior for non-keyed arrays);
+  *  - SQL-NULL patch (no patch row) → target unchanged; NULL or
+  *    unparseable or non-object target/patch → NULL (poison — the
+  *    caller's 400 gate).
+  *
+  * Output member order is the JS-object order the reference produces:
+  * stored members first (original order, updated in place), genuinely new
+  * members appended in patch order. Jackson's ObjectNode preserves
+  * insertion order, so serialization is deterministic and the result is
+  * oracle-reproducible byte-for-byte.
+  */
+case class JsonMergePatch(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"json_merge_patch expects two string columns, got ($l, $r)")
+    }
+
+  @transient private lazy val mapper = new ObjectMapper()
+
+  private def parse(s: String): JsonNode = {
+    val n = try mapper.readTree(s) catch { case _: Exception => null }
+    if (n != null && n.isMissingNode) null else n
+  }
+
+  private def idOf(e: JsonNode): JsonNode = {
+    val id = e.get("objectId")
+    if (id == null || id.isNull) null else id
+  }
+
+  /** Keyed iff every element of BOTH arrays is an object and at least one
+    * carries an objectId (the JSON-level analogue of Shred.isNodeArray's
+    * schema test). */
+  private def isKeyedArray(o: ArrayNode, n: ArrayNode): Boolean = {
+    var sawId = false
+    var it = o.elements()
+    while (it.hasNext) {
+      val e = it.next()
+      if (!e.isObject) return false
+      if (idOf(e) != null) sawId = true
+    }
+    it = n.elements()
+    while (it.hasNext) {
+      val e = it.next()
+      if (!e.isObject) return false
+      if (idOf(e) != null) sawId = true
+    }
+    sawId
+  }
+
+  private def mergeKeyed(o: ArrayNode, n: ArrayNode): ArrayNode = {
+    val out = mapper.createArrayNode()
+    var it = o.elements()
+    while (it.hasNext) {
+      val x = it.next()
+      val id = idOf(x)
+      var repl: JsonNode = null
+      if (id != null) {
+        val nt = n.elements()
+        while (repl == null && nt.hasNext) {
+          val y = nt.next()
+          val yid = idOf(y)
+          if (yid != null && yid == id) repl = y
+        }
+      }
+      out.add((if (repl != null) repl else x).deepCopy[JsonNode]())
+    }
+    it = n.elements()
+    while (it.hasNext) {
+      val y = it.next()
+      val yid = idOf(y)
+      val isNew = yid == null || {
+        var seen = false
+        val ot = o.elements()
+        while (!seen && ot.hasNext) {
+          val oid = idOf(ot.next())
+          seen = oid != null && oid == yid
+        }
+        !seen
+      }
+      if (isNew) out.add(y.deepCopy[JsonNode]())
+    }
+    out
+  }
+
+  private def mergeObj(o: ObjectNode, n: ObjectNode, root: Boolean): ObjectNode = {
+    val out = o.deepCopy()
+    val fields = n.fields()
+    while (fields.hasNext) {
+      val e = fields.next()
+      val name = e.getKey
+      val v = e.getValue
+      if (!(root && name == "objectId")) {
+        val old = out.get(name)
+        if (v.isObject && old != null && old.isObject)
+          out.set[ObjectNode](name,
+            mergeObj(old.asInstanceOf[ObjectNode], v.asInstanceOf[ObjectNode], root = false))
+        else if (v.isArray && old != null && old.isArray &&
+            isKeyedArray(old.asInstanceOf[ArrayNode], v.asInstanceOf[ArrayNode]))
+          out.set[ObjectNode](name,
+            mergeKeyed(old.asInstanceOf[ArrayNode], v.asInstanceOf[ArrayNode]))
+        else out.set[ObjectNode](name, v.deepCopy[JsonNode]())
+      }
+    }
+    out
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val t = left.eval(input)
+    if (t == null) return null
+    val p = right.eval(input)
+    if (p == null) return t // no patch: the stored document passes through
+    val tn = parse(t.toString)
+    val pn = parse(p.toString)
+    if (tn == null || !tn.isObject || pn == null || !pn.isObject) return null
+    UTF8String.fromString(mapper.writeValueAsString(
+      mergeObj(tn.asInstanceOf[ObjectNode], pn.asInstanceOf[ObjectNode], root = true)))
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    throw new IllegalStateException("eval is overridden")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object JsonExpressions {
   import org.apache.spark.sql.graft.bridge
   def jsonPathTypes(json: Column, paths: Seq[String]): Column =
     bridge.column(JsonPathTypes(bridge.expression(json), paths))
   def jsonSchemaErrors(json: Column, schema: SchemaNode): Column =
     bridge.column(JsonSchemaErrors(bridge.expression(json), schema))
+  def jsonMergePatch(target: Column, patch: Column): Column =
+    bridge.column(JsonMergePatch(bridge.expression(target), bridge.expression(patch)))
 }

@@ -172,6 +172,64 @@ class MergePatchSpec extends SparkSpec {
     assert(merged.where(col("objectId") === "B").select("planType")
       .head().getString(0) == "inNetwork")
   }
+
+  private def jsonMerge(doc: String, patch: String): String = {
+    import spark.implicits._
+    Seq((doc, Option(patch))).toDF("doc", "patch")
+      .select(graft.plans.JsonExpressions.jsonMergePatch(col("doc"), col("patch")).as("m"))
+      .head().getString(0)
+  }
+
+  test("json-level merge: explicit null clears, absent keeps (modifyObject.ts:55-60)") {
+    val out = jsonMerge(
+      """{"objectId":"A","objectType":"plan","planType":"inNetwork","creationDate":"12-12-2017"}""",
+      """{"objectId":"IGNORED","planType":null,"note":"added"}""")
+    // root objectId immutable; explicit null OVERWRITES planType; absent
+    // creationDate kept; new member appended in patch order
+    assert(out ==
+      """{"objectId":"A","objectType":"plan","planType":null,"creationDate":"12-12-2017","note":"added"}""",
+      out)
+  }
+
+  test("json-level merge: keyed-array upsert and struct deep-merge match the typed operator") {
+    val doc =
+      """{"objectId":"A","objectType":"plan","planType":"inNetwork",
+         "planCostShares":{"objectId":"pcsA","objectType":"membercostshare","deductible":20.0,"copay":5.0},
+         "linkedPlanServices":[
+           {"objectId":"ps1","objectType":"planservice","name":"old1"},
+           {"objectId":"ps2","objectType":"planservice","name":"old2"}]}"""
+        .replaceAll("\n\\s*", "")
+    val patch =
+      """{"planCostShares":{"copay":99.0},
+         "linkedPlanServices":[
+           {"objectId":"ps1","objectType":"planservice","name":"new1"},
+           {"objectId":"ps9","objectType":"planservice","name":"new9"}]}"""
+        .replaceAll("\n\\s*", "")
+    val out = jsonMerge(doc, patch)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(out)
+    // deep merge: copay replaced, deductible kept
+    assert(node.get("planCostShares").get("copay").asDouble() == 99.0)
+    assert(node.get("planCostShares").get("deductible").asDouble() == 20.0)
+    // keyed upsert: [ps1 replaced wholesale, ps2 kept, ps9 appended]
+    val svc = (0 until node.get("linkedPlanServices").size()).map(i =>
+      node.get("linkedPlanServices").get(i))
+    assert(svc.map(_.get("objectId").asText()) == Seq("ps1", "ps2", "ps9"))
+    assert(svc.map(_.get("name").asText()) == Seq("new1", "old2", "new9"))
+  }
+
+  test("json-level merge: NULL patch passes through; malformed input poisons to NULL") {
+    import spark.implicits._
+    val doc = """{"objectId":"A","objectType":"plan","x":1}"""
+    assert(jsonMerge(doc, null) == doc)
+    val bad = Seq((doc, "not json"), ("not json", "{}"))
+      .toDF("doc", "patch")
+      .select(graft.plans.JsonExpressions.jsonMergePatch(col("doc"), col("patch")).as("m"))
+      .collect()
+    assert(bad.forall(_.isNullAt(0)), bad.mkString)
+    // non-keyed arrays replace wholesale (RFC 7386 / reference behavior)
+    val arr = jsonMerge("""{"objectId":"A","tags":[1,2,3]}""", """{"tags":[9]}""")
+    assert(arr == """{"objectId":"A","tags":[9]}""", arr)
+  }
 }
 
 class EtagSpec extends SparkSpec {
