@@ -105,8 +105,10 @@ object Ingest {
     (path.getFileSystem(spark.sessionState.newHadoopConf()), path)
   }
 
-  /** Latest COMPLETE state version under `stateDir` (parquet's _SUCCESS
-    * marker is the completeness witness). */
+  /** Latest COMPLETE whole-state version under `stateDir` — the LEGACY
+    * (pre-bucketed) layout, still read as a fallback and migrated into
+    * buckets by the first bucketed batch (parquet's _SUCCESS marker is the
+    * completeness witness). */
   private def latestVersion(spark: SparkSession, stateDir: String): Option[org.apache.hadoop.fs.Path] = {
     val (fs, root) = fsFor(spark, stateDir)
     if (!fs.exists(root)) None
@@ -118,6 +120,76 @@ object Ingest {
       .lastOption.map(_.getPath)
   }
 
+  // ---- bucketed state layout ----
+  //
+  // stateDir/
+  //   b<bucket>/v<batchId>/     one bucket's rows as of <batchId> (parquet)
+  //   manifest/m<batchId>.json  {"n":<nBuckets>,"buckets":{"<b>":<version>}}
+  //
+  // A batch rewrites ONLY the buckets its keys hash into — per-batch I/O is
+  // O(batch + touched-bucket state), not O(state) — and commits the new
+  // cross-bucket view with ONE atomic manifest rename. Bucket version dirs
+  // are never current until a manifest references them, so rewriting an
+  // incomplete leftover is safe; a complete manifest for this batchId means
+  // the batch fully applied (replay skips it — same idempotence argument as
+  // the whole-state reuse). Bucket count and the key hash (Murmur3, fixed
+  // seed) are pinned for the store's lifetime via the manifest's `n`.
+
+  private case class Manifest(id: Long, n: Int, refs: Map[Int, Long])
+
+  private def manifestDir(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "manifest")
+
+  private def parseManifest(fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path, id: Long): Manifest = {
+    val in = fs.open(p)
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](4096)
+      var n = in.read(tmp)
+      while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      buf.toByteArray
+    } finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    val refs = scala.collection.mutable.Map[Int, Long]()
+    val it = node.get("buckets").fields()
+    while (it.hasNext) { val e = it.next(); refs(e.getKey.toInt) = e.getValue.asLong() }
+    Manifest(id, node.get("n").asInt(), refs.toMap)
+  }
+
+  private def latestManifest(fs: org.apache.hadoop.fs.FileSystem,
+                             root: org.apache.hadoop.fs.Path): Option[Manifest] = {
+    val dir = manifestDir(root)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("m") && n.endsWith(".json") &&
+          n.stripPrefix("m").stripSuffix(".json").forall(_.isDigit)
+      }
+      .map(st => (st.getPath.getName.stripPrefix("m").stripSuffix(".json").toLong, st.getPath))
+      .sortBy(_._1).lastOption
+      .map { case (id, p) => parseManifest(fs, p, id) }
+  }
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+                            root: org.apache.hadoop.fs.Path, m: Manifest): Unit = {
+    val dir = manifestDir(root)
+    fs.mkdirs(dir)
+    val body = m.refs.toSeq.sortBy(_._1)
+      .map { case (b, v) => s""""$b":$v""" }.mkString("{", ",", "}")
+    val json = s"""{"n":${m.n},"buckets":$body}"""
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"_m${m.id}.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    val target = new org.apache.hadoop.fs.Path(dir, s"m${m.id}.json")
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"manifest commit failed: $tmp -> $target")
+  }
+
+  private def bucketPath(root: org.apache.hadoop.fs.Path, b: Int, v: Long) =
+    new org.apache.hadoop.fs.Path(root, s"b$b/v$v")
+
   /** Read the current state table as live `(key, doc)` rows — tombstones
     * are an implementation detail of the versioned store and filtered out
     * (empty before the first batch). A version written by the pre-versioned
@@ -128,33 +200,52 @@ object Ingest {
     readVersionedState(spark, stateDir)
       .where(coalesce(col("deleted"), lit(false)) === false).select("key", "doc")
 
-  private def readVersionedState(spark: SparkSession, stateDir: String): DataFrame =
-    latestVersion(spark, stateDir) match {
-      case Some(dir) => spark.read.schema(stateSchema).parquet(dir.toString)
-      case None => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+  private def emptyState(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+
+  private def readVersionedState(spark: SparkSession, stateDir: String): DataFrame = {
+    val (fs, root) = fsFor(spark, stateDir)
+    latestManifest(fs, root) match {
+      case Some(m) if m.refs.nonEmpty =>
+        spark.read.schema(stateSchema).parquet(
+          m.refs.toSeq.sortBy(_._1)
+            .map { case (b, v) => bucketPath(root, b, v).toString }: _*)
+      case Some(_) => emptyState(spark)
+      case None => latestVersion(spark, stateDir) match { // legacy whole-state layout
+        case Some(dir) => spark.read.schema(stateSchema).parquet(dir.toString)
+        case None => emptyState(spark)
+      }
     }
+  }
 
   /** ST2+ST4 — run the changelog through a streaming query into a
-    * versioned parquet state table, with `Trigger.AvailableNow` as the
-    * read-your-writes barrier.
+    * BUCKETED versioned parquet state table, with `Trigger.AvailableNow`
+    * as the read-your-writes barrier.
     *
-    * Crash-safety: each batch computes the next state from the latest
-    * `_SUCCESS`-marked version, writes it to a STAGING dir, and renames it
-    * into place as `v<batchId>` — never overwriting the directory it is
-    * reading from (a direct overwrite of `v<batchId>` would fail exactly
-    * on checkpoint-replay of batch N, whose input version IS `v<batchId>`
-    * — "cannot overwrite a path that is also being read from" — bricking
-    * the stream). Readers take the highest complete version; a crash
-    * mid-write leaves a staging dir the replay overwrites; a crash between
-    * rename and checkpoint commit replays the batch, recomputing the same
-    * rows (the versioned apply is idempotent) and swapping them in again.
-    * Superseded versions are pruned only after the new one is complete.
-    * At 100 TB the same `foreachBatch` body targets a MERGE-capable table
-    * format (this function is the seam).
+    * Incrementality: keys hash into `nBuckets` buckets; a batch reads and
+    * rewrites ONLY the buckets its keys touch, then commits the new
+    * cross-bucket view with one atomic manifest rename — per-batch I/O is
+    * O(batch + touched-bucket state), never O(state). Untouched bucket
+    * files are not opened, written, or moved (StreamingSpec pins them
+    * byte-identical across a batch).
+    *
+    * Crash-safety: a bucket version dir is never CURRENT until a manifest
+    * references it, so rewriting an incomplete leftover is always safe,
+    * and the previous manifest keeps serving readers until the new one
+    * renames into place. A complete manifest for this batchId means the
+    * batch already fully applied — the replay skips it outright (the
+    * versioned apply is idempotent, so that state is exactly what the
+    * replay would recompute). Superseded bucket versions and manifests
+    * are pruned only after the new manifest is committed. A legacy
+    * whole-state `v<N>` layout is migrated into buckets by the first
+    * batch (the one O(state) pass, documented here). At 100 TB the same
+    * `foreachBatch` body targets a MERGE-capable table format — this
+    * function is the seam; bucket count and the Murmur3 key hash are
+    * pinned for the store's lifetime via the manifest's `n`.
     */
   def run(spark: SparkSession, changelogDir: String, stateDir: String,
-          checkpointDir: String): StreamingQuery = {
+          checkpointDir: String, nBuckets: Int = 16): StreamingQuery = {
     val stream = spark.readStream.schema(changelogSchema).json(changelogDir)
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
@@ -162,34 +253,76 @@ object Ingest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val (fs, root) = fsFor(s, stateDir)
-        val target = new org.apache.hadoop.fs.Path(root, s"v$batchId")
-        // Checkpoint-replay of batch N can arrive when v<batchId> is
-        // already the ONLY complete version (older ones were pruned after
-        // the rename, before the checkpoint commit). Deleting it before
-        // re-renaming would open a crash window with ZERO complete
-        // versions: a crash between delete and rename would make the next
-        // replay read empty state and silently rebuild from this batch
-        // alone, losing every earlier key. A complete target is exactly
-        // what this replay would recompute (the versioned apply is
-        // idempotent), so reuse it and skip straight to pruning; only an
-        // INCOMPLETE leftover (no _SUCCESS) is deleted before the rename.
-        if (!fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))) {
-          val current = readVersionedState(s, stateDir)
-          val staging = new org.apache.hadoop.fs.Path(root, s"_staging_v$batchId")
-          applyBatchVersioned(current, batch)
-            .write.mode("overwrite").parquet(staging.toString)
-          if (fs.exists(target)) fs.delete(target, true) // incomplete leftover
-          if (!fs.rename(staging, target))
-            throw new java.io.IOException(s"state swap failed: $staging -> $target")
-        }
-        // prune strictly older versions now that v<batchId> is complete
-        fs.listStatus(root)
-          .filter { st =>
-            val n = st.getPath.getName
-            n.startsWith("v") && n.stripPrefix("v").forall(_.isDigit) &&
-              n.stripPrefix("v").toLong < batchId
+        val committed = new org.apache.hadoop.fs.Path(
+          manifestDir(root), s"m$batchId.json")
+        if (!fs.exists(committed)) {
+          val prev = latestManifest(fs, root)
+          val legacy = if (prev.isEmpty) latestVersion(s, stateDir) else None
+          val n = prev.map(_.n).getOrElse(nBuckets)
+          val bucketExpr = pmod(hash(col("key")), lit(n)).cast("int")
+          // the buckets this batch touches (≤ n ints — bounded metadata)
+          val touched: Set[Int] =
+            if (legacy.isDefined) (0 until n).toSet // one-time migration split
+            else batch.select(bucketExpr.as("b")).distinct()
+              .collect().map(_.getInt(0)).toSet
+          val current: DataFrame = legacy match {
+            case Some(dir) => s.read.schema(stateSchema).parquet(dir.toString)
+            case None =>
+              val dirs = prev.map(_.refs).getOrElse(Map.empty)
+                .filter { case (b, _) => touched.contains(b) }
+                .map { case (b, v) => bucketPath(root, b, v).toString }.toSeq
+              if (dirs.isEmpty) emptyState(s)
+              else s.read.schema(stateSchema).parquet(dirs: _*)
           }
-          .foreach(st => fs.delete(st.getPath, true))
+          val staging = new org.apache.hadoop.fs.Path(root, s"_staging_v$batchId")
+          if (fs.exists(staging)) fs.delete(staging, true)
+          applyBatchVersioned(current, batch)
+            .withColumn("bucket", bucketExpr)
+            .write.partitionBy("bucket").mode("overwrite").parquet(staging.toString)
+          // move each written bucket into place; none of these dirs is
+          // referenced by any manifest yet, so leftovers are rewritable
+          val written = fs.listStatus(staging)
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+            .map(st => (st.getPath.getName.stripPrefix("bucket=").toInt, st.getPath))
+          written.foreach { case (b, src) =>
+            fs.mkdirs(new org.apache.hadoop.fs.Path(root, s"b$b"))
+            val tgt = bucketPath(root, b, batchId)
+            if (fs.exists(tgt)) fs.delete(tgt, true) // unreferenced leftover
+            if (!fs.rename(src, tgt))
+              throw new java.io.IOException(s"bucket swap failed: $src -> $tgt")
+          }
+          // new view = previous refs overridden by this batch's buckets
+          // (a touched bucket whose merged result is empty simply keeps no
+          // partition dir and drops out — correct: it has no rows)
+          val newRefs = (if (legacy.isDefined) Map.empty[Int, Long]
+            else prev.map(_.refs).getOrElse(Map.empty)) ++
+            written.map { case (b, _) => b -> batchId }
+          writeManifest(fs, root, Manifest(batchId, n, newRefs))
+          fs.delete(staging, true)
+          // prune: bucket versions the new manifest no longer references,
+          // older manifests, and (post-migration) the legacy v-dirs
+          fs.listStatus(root).filter { st =>
+            val nm = st.getPath.getName
+            st.isDirectory && nm.startsWith("b") && nm.stripPrefix("b").forall(_.isDigit)
+          }.foreach { bSt =>
+            val b = bSt.getPath.getName.stripPrefix("b").toInt
+            fs.listStatus(bSt.getPath).filter { vSt =>
+              val nm = vSt.getPath.getName
+              nm.startsWith("v") && nm.stripPrefix("v").forall(_.isDigit) &&
+                !newRefs.get(b).contains(nm.stripPrefix("v").toLong)
+            }.foreach(vSt => fs.delete(vSt.getPath, true))
+          }
+          fs.listStatus(manifestDir(root)).filter { st =>
+            val nm = st.getPath.getName
+            nm.startsWith("m") && nm.endsWith(".json") &&
+              nm.stripPrefix("m").stripSuffix(".json").forall(_.isDigit) &&
+              nm.stripPrefix("m").stripSuffix(".json").toLong < batchId
+          }.foreach(st => fs.delete(st.getPath, true))
+          fs.listStatus(root).filter { st =>
+            val nm = st.getPath.getName
+            st.isDirectory && nm.startsWith("v") && nm.stripPrefix("v").forall(_.isDigit)
+          }.foreach(st => fs.delete(st.getPath, true))
+        }
         ()
       }
       .start()

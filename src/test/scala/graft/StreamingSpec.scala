@@ -81,7 +81,14 @@ class StreamingSpec extends SparkSpec {
     assert(end == Map("m" -> "ok"), end.toString)
   }
 
-  test("checkpoint-replay with a complete target version reuses it (no delete/rename window)") {
+  private def stateTree(root: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[(String, Long)] =
+      if (f.isFile) Seq(f.getPath -> f.lastModified())
+      else Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Nil)
+    walk(new java.io.File(root)).toMap
+  }
+
+  test("checkpoint-replay with a committed manifest skips the batch (files untouched)") {
     val dir = tmp(); val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
     val log = s"$dir/log"; new java.io.File(log).mkdirs()
     Files.writeString(java.nio.file.Paths.get(s"$log/b1.json"),
@@ -90,11 +97,10 @@ class StreamingSpec extends SparkSpec {
     Files.writeString(java.nio.file.Paths.get(s"$log/b2.json"),
       """{"seq":2,"op":"insert","key":"b","doc":"2"}""" + "\n")
     Ingest.run(spark, log, state, ckpt)
-    // crash between the state swap and the checkpoint commit: drop the last
-    // commit marker, so restart replays batch 1 — whose target v1 is now
-    // the ONLY complete version (v0 was pruned). The replay must REUSE it;
-    // a delete-then-rename here would open a window with zero complete
-    // versions (crash inside it = all pre-batch-1 keys silently lost).
+    // crash between the manifest commit and the checkpoint commit: drop the
+    // last commit marker, so restart replays batch 1 — whose manifest is
+    // already committed. The replay must SKIP the batch outright: no
+    // recompute, no delete/rename of anything a reader could be using.
     val commitDir = new java.io.File(s"$ckpt/commits")
     val lastCommit = commitDir.listFiles()
       .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong).getName
@@ -102,14 +108,51 @@ class StreamingSpec extends SparkSpec {
     // checksum checkpoint manager flag the log as concurrently owned
     commitDir.listFiles().filter(_.getName.stripPrefix(".").stripSuffix(".crc")
       .stripSuffix(".checksum") == lastCommit).foreach(f => assert(f.delete()))
-    def v1Files(): Map[String, Long] = new java.io.File(s"$state/v1").listFiles()
-      .map(f => f.getName -> f.lastModified()).toMap
-    val before = v1Files()
+    val before = stateTree(state)
     Ingest.run(spark, log, state, ckpt)
-    assert(v1Files() == before, "complete v1 was rewritten on replay")
+    assert(stateTree(state) == before, "state files changed on committed-batch replay")
     val got = Ingest.readState(spark, state).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got == Map("a" -> "1", "b" -> "2"))
+  }
+
+  test("a batch rewrites only the buckets it touches (untouched files byte-identical)") {
+    val dir = tmp(); val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
+    val log = s"$dir/log"; new java.io.File(log).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$log/b1.json"),
+      (0 until 40).map(i => s"""{"seq":$i,"op":"insert","key":"k$i","doc":"d$i"}""")
+        .mkString("", "\n", "\n"))
+    Ingest.run(spark, log, state, ckpt)
+    def manifest(id: Long): Map[Int, Long] = {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(s"$state/manifest/m$id.json"))
+      val it = node.get("buckets").fields()
+      val out = scala.collection.mutable.Map[Int, Long]()
+      while (it.hasNext) { val e = it.next(); out(e.getKey.toInt) = e.getValue.asLong() }
+      out.toMap
+    }
+    val m0 = manifest(0)
+    assert(m0.size > 1, s"expected the 40 keys to spread over buckets, got $m0")
+    val before = stateTree(state)
+    // batch 1 touches a single key → a single bucket
+    Files.writeString(java.nio.file.Paths.get(s"$log/b2.json"),
+      """{"seq":100,"op":"update","key":"k7","doc":"dd"}""" + "\n")
+    Ingest.run(spark, log, state, ckpt)
+    val m1 = manifest(1)
+    val moved = m1.filter(_._2 == 1L).keySet
+    assert(moved.size == 1, s"one bucket should move to v1, manifest: $m1")
+    // every untouched bucket still references v0 with byte-identical files
+    (m1 -- moved).foreach { case (b, v) => assert(v == 0L, s"bucket $b moved: $m1") }
+    val after = stateTree(state)
+    val untouchedBefore = before.filter { case (p, _) =>
+      !p.contains(s"${java.io.File.separator}b${moved.head}${java.io.File.separator}") &&
+        !p.contains(s"${java.io.File.separator}manifest${java.io.File.separator}") }
+    untouchedBefore.foreach { case (p, t) =>
+      assert(after.get(p).contains(t), s"untouched file changed: $p") }
+    // and the state itself is correct
+    val got = Ingest.readState(spark, state).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == (0 until 40).map(i => s"k$i" -> s"d$i").toMap.updated("k7", "dd"))
   }
 
   test("equal-seq collisions resolve deterministically: deletes win ties") {
