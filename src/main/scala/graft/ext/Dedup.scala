@@ -227,13 +227,16 @@ object Dedup {
       spread.alias("a").join(broadcast(embs.alias("b")),
         col(s"a.$idCol") < col(s"b.$idCol"))
     } else {
-      // NULL / empty / off-dim vectors hash to a degenerate short bucket;
-      // they cannot clear the cosine threshold (no defined angle), so drop
-      // them up front instead of letting them co-bucket into one
-      // mega-bucket of O(m²) wasted pairs
+      // NULL / empty / off-dim vectors hash to a degenerate short bucket,
+      // and ZERO-NORM vectors all share the all-zeros bucket (every
+      // projection is 0 > 0 = false) — either way they cannot clear the
+      // cosine threshold (no defined angle), so drop them up front instead
+      // of letting a degenerate flood co-bucket into one mega-bucket of
+      // O(m²) wasted NULL-cosine pairs (SkewSpec pins this)
       val base = embs.withColumn("__b", VectorFunctions.hyperplaneBucket(col(vecCol),
           nPlanes, VectorFunctions.probeDim(embs, vecCol)))
-        .where(length(col("__b")) === nPlanes)
+        .where(length(col("__b")) === nPlanes &&
+          VectorFunctions.norm(col(vecCol)) > 0)
       base.alias("a").join(base.alias("b"),
         col("a.__b") === col("b.__b") && col(s"a.$idCol") < col(s"b.$idCol"))
     }

@@ -150,6 +150,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("lshTopK on clustered data reaches >=0.8 recall@10 (the real-corpus shape)") {
+    import spark.implicits._
+    // deterministic clustered corpus: 8 well-separated centers, 30 members
+    // each under small noise — the shape of real embedding corpora. This
+    // pins the scaladoc claim that clustered corpora bucket far better
+    // than the near-uniform fixture (whose floor is the 0.5 test above).
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 8; m <- 0 until 30) yield
+      ((c * 30 + m).toLong,
+        centers(c).map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    val embs = rows.toDF("vec_id", "embedding")
+    val qs = embs.where(col("vec_id") % 30 === 0) // one query per cluster
+    val brute = Similarity.bruteForceTopK(embs, qs, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(embs, qs, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall >= 0.8, s"clustered recall $recall")
+  }
+
   test("lshTopK self-ANN (queries == corpus): the large-query-set scale path") {
     // the path the bucket join exists for — every vector is a query, so a
     // broadcast of the query side is impossible at scale and the pair

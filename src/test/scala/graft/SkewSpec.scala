@@ -61,4 +61,30 @@ class SkewSpec extends SparkSpec {
     assert(Dedup.lshCandidates(trio, k = 16, bands = 4, minEst = 0.5).count() == 3)
     Dedup.invalidate(spark)
   }
+
+  test("embedding LSH dedup: a degenerate-vector flood opts out of the pair space") {
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    // 40 genuine vectors forming 20 exact-duplicate pairs...
+    val good = (0 until 20).flatMap { i =>
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      Seq((i.toLong, v), (1000L + i, v.clone()))
+    }
+    // ...drowned by 10k degenerate rows: zero-NORM vectors (valid length,
+    // all projections 0 → they'd all share the all-zeros bucket and emit
+    // O(m²) NULL-cosine pairs without the norm opt-out), NULLs, and
+    // off-dim stubs (short-bucket opt-out)
+    val zeros = (0 until 5000).map(i => (10000L + i, Array.fill(dim)(0f)))
+    val nulls = (0 until 2500).map(i => (20000L + i, null.asInstanceOf[Array[Float]]))
+    val offDim = (0 until 2500).map(i => (30000L + i, Array(1f)))
+    val embs = (good ++ zeros ++ nulls ++ offDim).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(embs, minCos = 0.9).collect()
+    val ids = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(ids.forall(_ < 10000L), s"degenerate id leaked into the pair space")
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical vectors share every bucket, so all 20 true pairs survive
+    assert((0 until 20).forall(i => found.contains((i.toLong, 1000L + i))),
+      s"missed true dups: $found")
+  }
 }
