@@ -259,6 +259,12 @@ object SparkEntryExt {
     "x_dedup_embed" -> { (s, dir) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, dir), minCos = 0.45, exactPairs = true)
     },
+    "x_dedup_embed_lsh" -> { (s, dir) =>
+      // the SCALE path of embedding near-dup (bucketed, no broadcast, no
+      // all-pairs) — deterministic like x_knn_lsh (md5 planes), so the
+      // bucket join + in-bucket cosine replays as pure SQL
+      Dedup.embeddingNearDups(Tables.embeddings(s, dir), minCos = 0.45, exactPairs = false)
+    },
 
     // ----- similarity search -----
     "x_knn_cosine" -> { (s, dir) =>
@@ -413,8 +419,23 @@ object SparkEntryExt {
       "FROM qprobe p JOIN assigned a USING (cell) WHERE a.vec_id <> p.query_id), " +
       knnTopKSql("scored")
   }
+  // x_dedup_embed's LSH path: same deterministic bucket machinery as the
+  // kNN oracle, plus the zero-norm opt-out, then the in-bucket cosine pair
+  // join above the threshold
+  private def embedLshOracleSql: String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "d AS (SELECT len(v) AS dim FROM e WHERE len(v) > 0 LIMIT 1), " +
+      s"bk AS (SELECT vec_id, v, ${(0 until knnPlanes).map(lshSignSql).mkString(" || ")} AS b " +
+      "FROM e, d WHERE len(v) = dim AND len(list_filter(v, x -> x IS NULL)) = 0 " +
+      "AND list_sum(list_transform(v, x -> x * x)) > 0) " +
+      "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+      "round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim " +
+      "FROM bk a JOIN bk b ON a.b = b.b AND a.vec_id < b.vec_id " +
+      "WHERE list_cosine_similarity(a.v, b.v) > 0.45"
+
   private def annOracles: Map[String, String] =
-    Map("x_knn_lsh" -> lshOracleSql) ++ (Similarity.lastLearned match {
+    Map("x_knn_lsh" -> lshOracleSql,
+      "x_dedup_embed_lsh" -> embedLshOracleSql) ++ (Similarity.lastLearned match {
       case cents if cents.nonEmpty => Map("x_knn_ivf" -> ivfOracleSql(cents))
       case _ => Map.empty[String, String]
     })

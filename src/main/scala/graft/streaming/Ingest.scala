@@ -204,6 +204,35 @@ object Ingest {
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
 
+  /** Point read on the bucketed state: resolves the key's bucket from the
+    * manifest (the same Murmur3 expression as the write side, folded
+    * driver-side — no job) and scans ONLY that bucket's current version —
+    * O(state/nBuckets) I/O instead of a full-state scan, the read-side
+    * payoff of the bucketing. Falls back to a filtered [[readState]] on a
+    * legacy (pre-bucketed) store. */
+  def readStateKey(spark: SparkSession, stateDir: String, key: String): DataFrame = {
+    val (fs, root) = fsFor(spark, stateDir)
+    latestManifest(fs, root) match {
+      case Some(m) =>
+        // Murmur3Hash with the functions.hash default seed (42) over the
+        // literal key — identical to the write side's bucket expression
+        val h = new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+            Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
+              key, org.apache.spark.sql.types.StringType)))
+          .eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int]
+        val b = ((h % m.n) + m.n) % m.n // pmod
+        m.refs.get(b) match {
+          case Some(v) =>
+            spark.read.schema(stateSchema).parquet(bucketPath(root, b, v).toString)
+              .where(col("key") === lit(key) &&
+                coalesce(col("deleted"), lit(false)) === false)
+              .select("key", "doc")
+          case None => emptyState(spark).select("key", "doc")
+        }
+      case None => readState(spark, stateDir).where(col("key") === lit(key))
+    }
+  }
+
   private def readVersionedState(spark: SparkSession, stateDir: String): DataFrame = {
     val (fs, root) = fsFor(spark, stateDir)
     latestManifest(fs, root) match {

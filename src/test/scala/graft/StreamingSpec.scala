@@ -153,6 +153,16 @@ class StreamingSpec extends SparkSpec {
     val got = Ingest.readState(spark, state).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got == (0 until 40).map(i => s"k$i" -> s"d$i").toMap.updated("k7", "dd"))
+    // point read resolves through the manifest to a single bucket and
+    // agrees with the full read for hits, misses, and deleted keys
+    val hit = Ingest.readStateKey(spark, state, "k7").collect()
+    assert(hit.length == 1 && hit.head.getString(1) == "dd", hit.mkString)
+    assert(Ingest.readStateKey(spark, state, "nope").isEmpty)
+    Files.writeString(java.nio.file.Paths.get(s"$log/b3.json"),
+      """{"seq":200,"op":"delete","key":"k7","doc":null}""" + "\n")
+    Ingest.run(spark, log, state, ckpt)
+    assert(Ingest.readStateKey(spark, state, "k7").isEmpty,
+      "tombstoned key leaked through the point read")
   }
 
   test("equal-seq collisions resolve deterministically: deletes win ties") {
