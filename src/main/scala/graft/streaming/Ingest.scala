@@ -70,8 +70,8 @@ object Ingest {
     * event arriving in a LATER micro-batch (late file, out-of-order Kafka
     * partition) cannot regress a newer write. Deletes persist as
     * tombstones — the seq fence against a stale pre-delete update
-    * resurrecting the key; at scale a compaction pass ages them out past
-    * the source's reordering horizon. */
+    * resurrecting the key; [[compact]] ages them out once the source's
+    * reordering horizon has passed their seq. */
   def applyBatchVersioned(state: DataFrame, batch: DataFrame): DataFrame = {
     // Equal-seq collisions resolve deterministically: deletes win ties
     // (then doc order), never shuffle arrival order. Exact replays are
@@ -130,12 +130,15 @@ object Ingest {
   // O(batch + touched-bucket state), not O(state) — and commits the new
   // cross-bucket view with ONE atomic manifest rename. Bucket version dirs
   // are never current until a manifest references them, so rewriting an
-  // incomplete leftover is safe; a complete manifest for this batchId means
-  // the batch fully applied (replay skips it — same idempotence argument as
-  // the whole-state reuse). Bucket count and the key hash (Murmur3, fixed
-  // seed) are pinned for the store's lifetime via the manifest's `n`.
+  // incomplete leftover is safe. Manifests carry their own id sequence
+  // plus a `lastBatch` watermark: a replayed batch with batchId <=
+  // lastBatch is already fully applied and skips outright (idempotence),
+  // while non-batch writers ([[compact]]) advance the id WITHOUT moving
+  // the watermark, so they can never be mistaken for an applied batch.
+  // Bucket count and the key hash (Murmur3, fixed seed) are pinned for
+  // the store's lifetime via the manifest's `n`.
 
-  private case class Manifest(id: Long, n: Int, refs: Map[Int, Long])
+  private case class Manifest(id: Long, n: Int, lastBatch: Long, refs: Map[Int, Long])
 
   private def manifestDir(root: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(root, "manifest")
@@ -154,7 +157,10 @@ object Ingest {
     val refs = scala.collection.mutable.Map[Int, Long]()
     val it = node.get("buckets").fields()
     while (it.hasNext) { val e = it.next(); refs(e.getKey.toInt) = e.getValue.asLong() }
-    Manifest(id, node.get("n").asInt(), refs.toMap)
+    // manifests written before the lastBatch field used the batchId as
+    // their id — reading id as the watermark is exactly right for them
+    val lastBatch = Option(node.get("lastBatch")).map(_.asLong()).getOrElse(id)
+    Manifest(id, node.get("n").asInt(), lastBatch, refs.toMap)
   }
 
   private def latestManifest(fs: org.apache.hadoop.fs.FileSystem,
@@ -178,7 +184,7 @@ object Ingest {
     fs.mkdirs(dir)
     val body = m.refs.toSeq.sortBy(_._1)
       .map { case (b, v) => s""""$b":$v""" }.mkString("{", ",", "}")
-    val json = s"""{"n":${m.n},"buckets":$body}"""
+    val json = s"""{"n":${m.n},"lastBatch":${m.lastBatch},"buckets":$body}"""
     val tmp = new org.apache.hadoop.fs.Path(dir, s"_m${m.id}.json.tmp")
     val out = fs.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
@@ -262,16 +268,18 @@ object Ingest {
     * Crash-safety: a bucket version dir is never CURRENT until a manifest
     * references it, so rewriting an incomplete leftover is always safe,
     * and the previous manifest keeps serving readers until the new one
-    * renames into place. A complete manifest for this batchId means the
-    * batch already fully applied — the replay skips it outright (the
-    * versioned apply is idempotent, so that state is exactly what the
-    * replay would recompute). Superseded bucket versions and manifests
-    * are pruned only after the new manifest is committed. A legacy
-    * whole-state `v<N>` layout is migrated into buckets by the first
-    * batch (the one O(state) pass, documented here). At 100 TB the same
-    * `foreachBatch` body targets a MERGE-capable table format — this
-    * function is the seam; bucket count and the Murmur3 key hash are
-    * pinned for the store's lifetime via the manifest's `n`.
+    * renames into place. A manifest whose `lastBatch` watermark has
+    * reached this batchId means the batch already fully applied — the
+    * replay skips it outright (the versioned apply is idempotent, so
+    * that state is exactly what the replay would recompute). Superseded
+    * bucket versions and manifests are pruned only after the new
+    * manifest is committed. A legacy whole-state `v<N>` layout is
+    * migrated into buckets by the first batch (the one O(state) pass,
+    * documented here); [[compact]] ages tombstones out of the same
+    * layout. At 100 TB the same `foreachBatch` body targets a
+    * MERGE-capable table format — this function is the seam; bucket
+    * count and the Murmur3 key hash are pinned for the store's lifetime
+    * via the manifest's `n`.
     */
   def run(spark: SparkSession, changelogDir: String, stateDir: String,
           checkpointDir: String, nBuckets: Int = 16): StreamingQuery = {
@@ -282,12 +290,11 @@ object Ingest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val (fs, root) = fsFor(s, stateDir)
-        val committed = new org.apache.hadoop.fs.Path(
-          manifestDir(root), s"m$batchId.json")
-        if (!fs.exists(committed)) {
-          val prev = latestManifest(fs, root)
+        val prev = latestManifest(fs, root)
+        if (!prev.exists(_.lastBatch >= batchId)) {
           val legacy = if (prev.isEmpty) latestVersion(s, stateDir) else None
           val n = prev.map(_.n).getOrElse(nBuckets)
+          val newId = prev.map(_.id + 1).getOrElse(0L)
           val bucketExpr = pmod(hash(col("key")), lit(n)).cast("int")
           // the buckets this batch touches (≤ n ints — bounded metadata)
           val touched: Set[Int] =
@@ -303,60 +310,108 @@ object Ingest {
               if (dirs.isEmpty) emptyState(s)
               else s.read.schema(stateSchema).parquet(dirs: _*)
           }
-          val staging = new org.apache.hadoop.fs.Path(root, s"_staging_v$batchId")
-          if (fs.exists(staging)) fs.delete(staging, true)
-          applyBatchVersioned(current, batch)
-            .withColumn("bucket", bucketExpr)
-            .write.partitionBy("bucket").mode("overwrite").parquet(staging.toString)
-          // move each written bucket into place; none of these dirs is
-          // referenced by any manifest yet, so leftovers are rewritable
-          val written = fs.listStatus(staging)
-            .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
-            .map(st => (st.getPath.getName.stripPrefix("bucket=").toInt, st.getPath))
-          written.foreach { case (b, src) =>
-            fs.mkdirs(new org.apache.hadoop.fs.Path(root, s"b$b"))
-            val tgt = bucketPath(root, b, batchId)
-            if (fs.exists(tgt)) fs.delete(tgt, true) // unreferenced leftover
-            if (!fs.rename(src, tgt))
-              throw new java.io.IOException(s"bucket swap failed: $src -> $tgt")
-          }
           // new view = previous refs overridden by this batch's buckets
           // (a touched bucket whose merged result is empty simply keeps no
           // partition dir and drops out — correct: it has no rows)
+          val written = swapBuckets(fs, root, newId,
+            applyBatchVersioned(current, batch).withColumn("bucket", bucketExpr))
           val newRefs = (if (legacy.isDefined) Map.empty[Int, Long]
             else prev.map(_.refs).getOrElse(Map.empty)) ++
-            written.map { case (b, _) => b -> batchId }
-          writeManifest(fs, root, Manifest(batchId, n, newRefs))
-          fs.delete(staging, true)
-          // prune: bucket versions the new manifest no longer references,
-          // older manifests, and (post-migration) the legacy v-dirs
-          fs.listStatus(root).filter { st =>
-            val nm = st.getPath.getName
-            st.isDirectory && nm.startsWith("b") && nm.stripPrefix("b").forall(_.isDigit)
-          }.foreach { bSt =>
-            val b = bSt.getPath.getName.stripPrefix("b").toInt
-            fs.listStatus(bSt.getPath).filter { vSt =>
-              val nm = vSt.getPath.getName
-              nm.startsWith("v") && nm.stripPrefix("v").forall(_.isDigit) &&
-                !newRefs.get(b).contains(nm.stripPrefix("v").toLong)
-            }.foreach(vSt => fs.delete(vSt.getPath, true))
-          }
-          fs.listStatus(manifestDir(root)).filter { st =>
-            val nm = st.getPath.getName
-            nm.startsWith("m") && nm.endsWith(".json") &&
-              nm.stripPrefix("m").stripSuffix(".json").forall(_.isDigit) &&
-              nm.stripPrefix("m").stripSuffix(".json").toLong < batchId
-          }.foreach(st => fs.delete(st.getPath, true))
-          fs.listStatus(root).filter { st =>
-            val nm = st.getPath.getName
-            st.isDirectory && nm.startsWith("v") && nm.stripPrefix("v").forall(_.isDigit)
-          }.foreach(st => fs.delete(st.getPath, true))
+            written.map(_ -> newId)
+          writeManifest(fs, root, Manifest(newId, n, batchId, newRefs))
+          pruneTo(fs, root, newRefs, newId)
         }
         ()
       }
       .start()
     q.awaitTermination()
     q
+  }
+
+  /** Write `withBucketCol` (state rows + `bucket` partition column) to a
+    * staging dir and rename each bucket partition into place as
+    * `b<bucket>/v<id>`; returns the bucket ids actually written. None of
+    * the target dirs is referenced by any manifest yet, so leftovers from
+    * a crashed attempt are always rewritable. */
+  private def swapBuckets(fs: org.apache.hadoop.fs.FileSystem,
+                          root: org.apache.hadoop.fs.Path, id: Long,
+                          withBucketCol: DataFrame): Seq[Int] = {
+    val staging = new org.apache.hadoop.fs.Path(root, s"_staging_v$id")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    withBucketCol.write.partitionBy("bucket").mode("overwrite").parquet(staging.toString)
+    val written = fs.listStatus(staging)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+      .map(st => (st.getPath.getName.stripPrefix("bucket=").toInt, st.getPath)).toSeq
+    written.foreach { case (b, src) =>
+      fs.mkdirs(new org.apache.hadoop.fs.Path(root, s"b$b"))
+      val tgt = bucketPath(root, b, id)
+      if (fs.exists(tgt)) fs.delete(tgt, true) // unreferenced leftover
+      if (!fs.rename(src, tgt))
+        throw new java.io.IOException(s"bucket swap failed: $src -> $tgt")
+    }
+    fs.delete(staging, true)
+    written.map(_._1)
+  }
+
+  /** Prune everything the just-committed manifest `id`/`refs` no longer
+    * references: superseded bucket versions, older manifests, and
+    * (post-migration) legacy whole-state v-dirs at the root. */
+  private def pruneTo(fs: org.apache.hadoop.fs.FileSystem,
+                      root: org.apache.hadoop.fs.Path,
+                      refs: Map[Int, Long], id: Long): Unit = {
+    fs.listStatus(root).filter { st =>
+      val nm = st.getPath.getName
+      st.isDirectory && nm.startsWith("b") && nm.stripPrefix("b").forall(_.isDigit)
+    }.foreach { bSt =>
+      val b = bSt.getPath.getName.stripPrefix("b").toInt
+      fs.listStatus(bSt.getPath).filter { vSt =>
+        val nm = vSt.getPath.getName
+        nm.startsWith("v") && nm.stripPrefix("v").forall(_.isDigit) &&
+          !refs.get(b).contains(nm.stripPrefix("v").toLong)
+      }.foreach(vSt => fs.delete(vSt.getPath, true))
+    }
+    fs.listStatus(manifestDir(root)).filter { st =>
+      val nm = st.getPath.getName
+      nm.startsWith("m") && nm.endsWith(".json") &&
+        nm.stripPrefix("m").stripSuffix(".json").forall(_.isDigit) &&
+        nm.stripPrefix("m").stripSuffix(".json").toLong < id
+    }.foreach(st => fs.delete(st.getPath, true))
+    fs.listStatus(root).filter { st =>
+      val nm = st.getPath.getName
+      st.isDirectory && nm.startsWith("v") && nm.stripPrefix("v").forall(_.isDigit)
+    }.foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** Compaction — age tombstones out of the bucketed state. A tombstone
+    * only exists to fence stale pre-delete events (see
+    * [[applyBatchVersioned]]); once the source's reordering horizon has
+    * passed its seq, it is dead weight every later batch re-reads and
+    * rewrites. This rewrites EVERY bucket (the one deliberate O(state)
+    * pass) dropping tombstones with `seq <= dropTombstonesUpTo`, and
+    * commits like a batch: new bucket versions, one atomic manifest
+    * rename. The manifest id advances but the `lastBatch` watermark does
+    * NOT, so an in-flight checkpoint replay racing the compaction still
+    * sees its own batches as applied. Choose the threshold conservatively
+    * (e.g. the source's max seq minus its reordering horizon); a stale
+    * pre-delete event older than the horizon arriving AFTER compaction
+    * would resurrect its key — that is the horizon contract, not a bug. */
+  def compact(spark: SparkSession, stateDir: String, dropTombstonesUpTo: Long): Unit = {
+    val (fs, root) = fsFor(spark, stateDir)
+    latestManifest(fs, root).foreach { m =>
+      val newId = m.id + 1
+      val survivors = readVersionedState(spark, stateDir)
+        // keep live rows, legacy NULL-deleted rows, null-seq tombstones
+        // (conservative: no seq means no proof the horizon passed)
+        .where(!(coalesce(col("deleted"), lit(false)) === true &&
+          coalesce(col("seq"), lit(Long.MaxValue)) <= dropTombstonesUpTo))
+        .withColumn("bucket", pmod(hash(col("key")), lit(m.n)).cast("int"))
+      val written = swapBuckets(fs, root, newId, survivors)
+      // a full rewrite: the new manifest references ONLY what it wrote —
+      // buckets whose rows all compacted away drop out entirely
+      val newRefs = written.map(_ -> newId).toMap
+      writeManifest(fs, root, Manifest(newId, m.n, m.lastBatch, newRefs))
+      pruneTo(fs, root, newRefs, newId)
+    }
   }
 
   /** ST5 — dead-letter split: rows that fail validation go to a side table

@@ -165,6 +165,39 @@ class StreamingSpec extends SparkSpec {
       "tombstoned key leaked through the point read")
   }
 
+  test("compaction ages out tombstones, keeps live rows, and the stream continues") {
+    val dir = tmp(); val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
+    val log = s"$dir/log"; new java.io.File(log).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$log/b1.json"),
+      """{"seq":1,"op":"insert","key":"a","doc":"1"}
+        |{"seq":2,"op":"insert","key":"b","doc":"2"}
+        |""".stripMargin)
+    Ingest.run(spark, log, state, ckpt)
+    Files.writeString(java.nio.file.Paths.get(s"$log/b2.json"),
+      """{"seq":3,"op":"delete","key":"a","doc":null}""" + "\n")
+    Ingest.run(spark, log, state, ckpt)
+    def rawRows() = spark.read
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("doc", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("deleted", org.apache.spark.sql.types.BooleanType))))
+      .parquet(s"$state/b*/v*").collect()
+    assert(rawRows().exists(_.getAs[Boolean]("deleted")), "expected a tombstone pre-compaction")
+    Ingest.compact(spark, state, dropTombstonesUpTo = 3)
+    assert(!rawRows().exists(_.getAs[Boolean]("deleted")), "tombstone survived compaction")
+    assert(Ingest.readState(spark, state).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap == Map("b" -> "2"))
+    // the stream picks up after compaction: new batch applies normally
+    Files.writeString(java.nio.file.Paths.get(s"$log/b3.json"),
+      """{"seq":4,"op":"insert","key":"c","doc":"3"}""" + "\n")
+    Ingest.run(spark, log, state, ckpt)
+    val end = Ingest.readState(spark, state).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(end == Map("b" -> "2", "c" -> "3"), end.toString)
+    assert(Ingest.readStateKey(spark, state, "a").isEmpty)
+  }
+
   test("equal-seq collisions resolve deterministically: deletes win ties") {
     import spark.implicits._
     // state row and batch tombstone carry the SAME seq: the delete must win
