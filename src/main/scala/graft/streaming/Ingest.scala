@@ -72,23 +72,31 @@ object Ingest {
     * tombstones — the seq fence against a stale pre-delete update
     * resurrecting the key; [[compact]] ages them out once the source's
     * reordering horizon has passed their seq. */
-  def applyBatchVersioned(state: DataFrame, batch: DataFrame): DataFrame = {
-    // Equal-seq collisions resolve deterministically: deletes win ties
-    // (then doc order), never shuffle arrival order. Exact replays are
-    // unaffected (the colliding rows are identical); this pins the verdict
-    // for GENUINE seq collisions between a tombstone and an update.
+  def applyBatchVersioned(state: DataFrame, batch: DataFrame): DataFrame =
+    latestPerKey(state.unionByName(batchLatest(batch)))
+
+  /** Per-key winners of ONE batch, in versioned `(key, doc, seq, deleted)`
+    * tombstone form. Equal-seq collisions resolve deterministically:
+    * deletes win ties (then doc order), never shuffle arrival order. */
+  private def batchLatest(batch: DataFrame): DataFrame = {
     val wBatch = Window.partitionBy(col("key"))
       .orderBy(col("seq").desc, (col("op") === "delete").desc, col("doc").desc_nulls_last)
-    val latest = batch.where(col("op").isin("insert", "update", "delete"))
+    batch.where(col("op").isin("insert", "update", "delete"))
       .withColumn("__rn", row_number().over(wBatch))
       .where(col("__rn") === 1)
       .select(col("key"),
         when(col("op") === "delete", lit(null)).otherwise(col("doc")).as("doc"),
         col("seq"), (col("op") === "delete").as("deleted"))
+  }
+
+  /** Latest-wins merge of versioned rows: one winner per key by (seq desc,
+    * deleted desc, doc). ASSOCIATIVE and COMMUTATIVE under the
+    * deterministic tiebreak — which is what lets the store keep per-bucket
+    * DELTA chains and merge them at read time in any order. */
+  private def latestPerKey(versioned: DataFrame): DataFrame = {
     val wMerge = Window.partitionBy(col("key"))
       .orderBy(col("seq").desc, col("deleted").desc, col("doc").desc_nulls_last)
-    state.unionByName(latest)
-      .withColumn("__rn", row_number().over(wMerge))
+    versioned.withColumn("__rn", row_number().over(wMerge))
       .where(col("__rn") === 1).drop("__rn")
   }
 
@@ -126,19 +134,26 @@ object Ingest {
   //   b<bucket>/v<batchId>/     one bucket's rows as of <batchId> (parquet)
   //   manifest/m<batchId>.json  {"n":<nBuckets>,"buckets":{"<b>":<version>}}
   //
-  // A batch rewrites ONLY the buckets its keys hash into — per-batch I/O is
-  // O(batch + touched-bucket state), not O(state) — and commits the new
-  // cross-bucket view with ONE atomic manifest rename. Bucket version dirs
-  // are never current until a manifest references them, so rewriting an
-  // incomplete leftover is safe. Manifests carry their own id sequence
-  // plus a `lastBatch` watermark: a replayed batch with batchId <=
-  // lastBatch is already fully applied and skips outright (idempotence),
-  // while non-batch writers ([[compact]]) advance the id WITHOUT moving
-  // the watermark, so they can never be mistaken for an applied batch.
-  // Bucket count and the key hash (Murmur3, fixed seed) are pinned for
-  // the store's lifetime via the manifest's `n`.
+  // LSM shape: a bucket's current state is a CHAIN of versions — a base
+  // plus the delta each later batch appended — merged at read time by
+  // [[latestPerKey]] (order-independent under the deterministic seq
+  // tiebreak). A batch therefore writes ONLY its own per-key winners,
+  // partitioned by bucket: per-batch I/O is O(batch), full stop — no
+  // bucket is read or rewritten on the write path. Chains longer than
+  // `maxDeltas` fold back to a single base ([[foldLongChains]]), bounding
+  // read amplification; [[compact]] is the full fold that also ages
+  // tombstones. The cross-bucket view commits with ONE atomic manifest
+  // rename; version dirs are never current until a manifest references
+  // them, so rewriting an incomplete leftover is safe. Manifests carry
+  // their own id sequence plus a `lastBatch` watermark: a replayed batch
+  // with batchId <= lastBatch is already fully applied and skips
+  // outright (idempotence), while non-batch writers (folds, compaction)
+  // advance the id WITHOUT moving the watermark, so they can never be
+  // mistaken for an applied batch. Bucket count and the key hash
+  // (Murmur3, fixed seed) are pinned for the store's lifetime via the
+  // manifest's `n`.
 
-  private case class Manifest(id: Long, n: Int, lastBatch: Long, refs: Map[Int, Long])
+  private case class Manifest(id: Long, n: Int, lastBatch: Long, refs: Map[Int, Seq[Long]])
 
   private def manifestDir(root: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(root, "manifest")
@@ -154,9 +169,20 @@ object Ingest {
       buf.toByteArray
     } finally in.close()
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
-    val refs = scala.collection.mutable.Map[Int, Long]()
+    val refs = scala.collection.mutable.Map[Int, Seq[Long]]()
     val it = node.get("buckets").fields()
-    while (it.hasNext) { val e = it.next(); refs(e.getKey.toInt) = e.getValue.asLong() }
+    while (it.hasNext) {
+      val e = it.next()
+      // list = a base+delta chain; a bare number is the pre-chain format
+      // (single version per bucket) read as a one-element chain
+      refs(e.getKey.toInt) =
+        if (e.getValue.isArray) {
+          val vs = scala.collection.mutable.ArrayBuffer[Long]()
+          val vit = e.getValue.elements()
+          while (vit.hasNext) vs += vit.next().asLong()
+          vs.toSeq
+        } else Seq(e.getValue.asLong())
+    }
     // manifests written before the lastBatch field used the batchId as
     // their id — reading id as the watermark is exactly right for them
     val lastBatch = Option(node.get("lastBatch")).map(_.asLong()).getOrElse(id)
@@ -183,7 +209,8 @@ object Ingest {
     val dir = manifestDir(root)
     fs.mkdirs(dir)
     val body = m.refs.toSeq.sortBy(_._1)
-      .map { case (b, v) => s""""$b":$v""" }.mkString("{", ",", "}")
+      .map { case (b, vs) => s""""$b":${vs.mkString("[", ",", "]")}""" }
+      .mkString("{", ",", "}")
     val json = s"""{"n":${m.n},"lastBatch":${m.lastBatch},"buckets":$body}"""
     val tmp = new org.apache.hadoop.fs.Path(dir, s"_m${m.id}.json.tmp")
     val out = fs.create(tmp, true)
@@ -228,10 +255,14 @@ object Ingest {
           .eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int]
         val b = ((h % m.n) + m.n) % m.n // pmod
         m.refs.get(b) match {
-          case Some(v) =>
-            spark.read.schema(stateSchema).parquet(bucketPath(root, b, v).toString)
-              .where(col("key") === lit(key) &&
-                coalesce(col("deleted"), lit(false)) === false)
+          case Some(chain) =>
+            // key filter BEFORE the chain merge: the window runs over this
+            // key's handful of versions, not the whole bucket
+            latestPerKey(
+              spark.read.schema(stateSchema)
+                .parquet(chain.map(v => bucketPath(root, b, v).toString): _*)
+                .where(col("key") === lit(key)))
+              .where(coalesce(col("deleted"), lit(false)) === false)
               .select("key", "doc")
           case None => emptyState(spark).select("key", "doc")
         }
@@ -243,9 +274,10 @@ object Ingest {
     val (fs, root) = fsFor(spark, stateDir)
     latestManifest(fs, root) match {
       case Some(m) if m.refs.nonEmpty =>
-        spark.read.schema(stateSchema).parquet(
+        // union every bucket's base+delta chain, one latest-wins merge
+        latestPerKey(spark.read.schema(stateSchema).parquet(
           m.refs.toSeq.sortBy(_._1)
-            .map { case (b, v) => bucketPath(root, b, v).toString }: _*)
+            .flatMap { case (b, vs) => vs.map(v => bucketPath(root, b, v).toString) }: _*))
       case Some(_) => emptyState(spark)
       case None => latestVersion(spark, stateDir) match { // legacy whole-state layout
         case Some(dir) => spark.read.schema(stateSchema).parquet(dir.toString)
@@ -258,12 +290,14 @@ object Ingest {
     * BUCKETED versioned parquet state table, with `Trigger.AvailableNow`
     * as the read-your-writes barrier.
     *
-    * Incrementality: keys hash into `nBuckets` buckets; a batch reads and
-    * rewrites ONLY the buckets its keys touch, then commits the new
-    * cross-bucket view with one atomic manifest rename — per-batch I/O is
-    * O(batch + touched-bucket state), never O(state). Untouched bucket
-    * files are not opened, written, or moved (StreamingSpec pins them
-    * byte-identical across a batch).
+    * Incrementality (LSM shape): keys hash into `nBuckets` buckets and a
+    * batch writes ONLY its own per-key winners as a DELTA on each touched
+    * bucket's chain, committing the view with one atomic manifest rename —
+    * per-batch write I/O is O(batch), and no existing file is opened or
+    * moved (StreamingSpec pins untouched files byte-identical across a
+    * batch). Readers merge each chain latest-wins; chains longer than
+    * `maxDeltas` fold back to one base after the batch commits, bounding
+    * read amplification.
     *
     * Crash-safety: a bucket version dir is never CURRENT until a manifest
     * references it, so rewriting an incomplete leftover is always safe,
@@ -282,7 +316,7 @@ object Ingest {
     * via the manifest's `n`.
     */
   def run(spark: SparkSession, changelogDir: String, stateDir: String,
-          checkpointDir: String, nBuckets: Int = 16): StreamingQuery = {
+          checkpointDir: String, nBuckets: Int = 16, maxDeltas: Int = 8): StreamingQuery = {
     val stream = spark.readStream.schema(changelogSchema).json(changelogDir)
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
@@ -296,36 +330,52 @@ object Ingest {
           val n = prev.map(_.n).getOrElse(nBuckets)
           val newId = prev.map(_.id + 1).getOrElse(0L)
           val bucketExpr = pmod(hash(col("key")), lit(n)).cast("int")
-          // the buckets this batch touches (≤ n ints — bounded metadata)
-          val touched: Set[Int] =
-            if (legacy.isDefined) (0 until n).toSet // one-time migration split
-            else batch.select(bucketExpr.as("b")).distinct()
-              .collect().map(_.getInt(0)).toSet
-          val current: DataFrame = legacy match {
-            case Some(dir) => s.read.schema(stateSchema).parquet(dir.toString)
-            case None =>
-              val dirs = prev.map(_.refs).getOrElse(Map.empty)
-                .filter { case (b, _) => touched.contains(b) }
-                .map { case (b, v) => bucketPath(root, b, v).toString }.toSeq
-              if (dirs.isEmpty) emptyState(s)
-              else s.read.schema(stateSchema).parquet(dirs: _*)
+          val delta: DataFrame = legacy match {
+            // one-time migration of a legacy whole-state layout: fold the
+            // old state with the batch and write it as each bucket's base
+            case Some(dir) => applyBatchVersioned(
+              s.read.schema(stateSchema).parquet(dir.toString), batch)
+            // steady state: the batch's own per-key winners ONLY — no
+            // bucket is read or rewritten here; the chain merges at read
+            case None => batchLatest(batch)
           }
-          // new view = previous refs overridden by this batch's buckets
-          // (a touched bucket whose merged result is empty simply keeps no
-          // partition dir and drops out — correct: it has no rows)
-          val written = swapBuckets(fs, root, newId,
-            applyBatchVersioned(current, batch).withColumn("bucket", bucketExpr))
-          val newRefs = (if (legacy.isDefined) Map.empty[Int, Long]
-            else prev.map(_.refs).getOrElse(Map.empty)) ++
-            written.map(_ -> newId)
-          writeManifest(fs, root, Manifest(newId, n, batchId, newRefs))
+          val written = swapBuckets(fs, root, newId, delta.withColumn("bucket", bucketExpr))
+          val prevRefs: Map[Int, Seq[Long]] =
+            if (legacy.isDefined) Map.empty else prev.map(_.refs).getOrElse(Map.empty)
+          val newRefs = prevRefs ++ written.map(b =>
+            b -> (if (legacy.isDefined) Seq(newId)
+                  else prevRefs.getOrElse(b, Seq.empty) :+ newId))
+          val m = Manifest(newId, n, batchId, newRefs)
+          writeManifest(fs, root, m)
           pruneTo(fs, root, newRefs, newId)
+          foldLongChains(s, fs, root, m, maxDeltas)
         }
         ()
       }
       .start()
     q.awaitTermination()
     q
+  }
+
+  /** Fold every bucket whose base+delta chain exceeds `maxDeltas` back to
+    * a single base version — bounding read amplification while keeping
+    * the write path pure-delta. Commits like a batch (new manifest id,
+    * watermark unchanged). Crash-safe by the usual argument: until the
+    * new manifest renames in, nothing references the folded dirs; if the
+    * fold never commits, the next batch simply retriggers it. */
+  private def foldLongChains(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                             root: org.apache.hadoop.fs.Path, m: Manifest,
+                             maxDeltas: Int): Unit = {
+    val long = m.refs.filter(_._2.size > maxDeltas)
+    if (long.isEmpty) return
+    val newId = m.id + 1
+    val folded = latestPerKey(spark.read.schema(stateSchema).parquet(
+        long.flatMap { case (b, vs) => vs.map(v => bucketPath(root, b, v).toString) }.toSeq: _*))
+      .withColumn("bucket", pmod(hash(col("key")), lit(m.n)).cast("int"))
+    val written = swapBuckets(fs, root, newId, folded)
+    val newRefs = (m.refs -- long.keys) ++ written.map(b => b -> Seq(newId))
+    writeManifest(fs, root, Manifest(newId, m.n, m.lastBatch, newRefs))
+    pruneTo(fs, root, newRefs, newId)
   }
 
   /** Write `withBucketCol` (state rows + `bucket` partition column) to a
@@ -358,7 +408,7 @@ object Ingest {
     * (post-migration) legacy whole-state v-dirs at the root. */
   private def pruneTo(fs: org.apache.hadoop.fs.FileSystem,
                       root: org.apache.hadoop.fs.Path,
-                      refs: Map[Int, Long], id: Long): Unit = {
+                      refs: Map[Int, Seq[Long]], id: Long): Unit = {
     fs.listStatus(root).filter { st =>
       val nm = st.getPath.getName
       st.isDirectory && nm.startsWith("b") && nm.stripPrefix("b").forall(_.isDigit)
@@ -367,7 +417,7 @@ object Ingest {
       fs.listStatus(bSt.getPath).filter { vSt =>
         val nm = vSt.getPath.getName
         nm.startsWith("v") && nm.stripPrefix("v").forall(_.isDigit) &&
-          !refs.get(b).contains(nm.stripPrefix("v").toLong)
+          !refs.getOrElse(b, Seq.empty).contains(nm.stripPrefix("v").toLong)
       }.foreach(vSt => fs.delete(vSt.getPath, true))
     }
     fs.listStatus(manifestDir(root)).filter { st =>
@@ -399,7 +449,7 @@ object Ingest {
     val (fs, root) = fsFor(spark, stateDir)
     latestManifest(fs, root).foreach { m =>
       val newId = m.id + 1
-      val survivors = readVersionedState(spark, stateDir)
+      val survivors = readVersionedState(spark, stateDir) // chain-merged
         // keep live rows, legacy NULL-deleted rows, null-seq tombstones
         // (conservative: no seq means no proof the horizon passed)
         .where(!(coalesce(col("deleted"), lit(false)) === true &&
@@ -407,8 +457,9 @@ object Ingest {
         .withColumn("bucket", pmod(hash(col("key")), lit(m.n)).cast("int"))
       val written = swapBuckets(fs, root, newId, survivors)
       // a full rewrite: the new manifest references ONLY what it wrote —
-      // buckets whose rows all compacted away drop out entirely
-      val newRefs = written.map(_ -> newId).toMap
+      // every chain collapses to one base, and buckets whose rows all
+      // compacted away drop out entirely
+      val newRefs: Map[Int, Seq[Long]] = written.map(b => b -> Seq(newId)).toMap
       writeManifest(fs, root, Manifest(newId, m.n, m.lastBatch, newRefs))
       pruneTo(fs, root, newRefs, newId)
     }

@@ -116,39 +116,47 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map("a" -> "1", "b" -> "2"))
   }
 
-  test("a batch rewrites only the buckets it touches (untouched files byte-identical)") {
+  test("a batch appends one delta to touched chains and modifies no existing file") {
     val dir = tmp(); val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
     val log = s"$dir/log"; new java.io.File(log).mkdirs()
     Files.writeString(java.nio.file.Paths.get(s"$log/b1.json"),
       (0 until 40).map(i => s"""{"seq":$i,"op":"insert","key":"k$i","doc":"d$i"}""")
         .mkString("", "\n", "\n"))
     Ingest.run(spark, log, state, ckpt)
-    def manifest(id: Long): Map[Int, Long] = {
+    def manifest(id: Long): Map[Int, Seq[Long]] = {
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(new java.io.File(s"$state/manifest/m$id.json"))
       val it = node.get("buckets").fields()
-      val out = scala.collection.mutable.Map[Int, Long]()
-      while (it.hasNext) { val e = it.next(); out(e.getKey.toInt) = e.getValue.asLong() }
+      val out = scala.collection.mutable.Map[Int, Seq[Long]]()
+      while (it.hasNext) {
+        val e = it.next()
+        val vs = scala.collection.mutable.ArrayBuffer[Long]()
+        val vit = e.getValue.elements()
+        while (vit.hasNext) vs += vit.next().asLong()
+        out(e.getKey.toInt) = vs.toSeq
+      }
       out.toMap
     }
     val m0 = manifest(0)
     assert(m0.size > 1, s"expected the 40 keys to spread over buckets, got $m0")
     val before = stateTree(state)
-    // batch 1 touches a single key → a single bucket
+    // batch 1 touches a single key → one delta on a single bucket's chain
     Files.writeString(java.nio.file.Paths.get(s"$log/b2.json"),
       """{"seq":100,"op":"update","key":"k7","doc":"dd"}""" + "\n")
     Ingest.run(spark, log, state, ckpt)
     val m1 = manifest(1)
-    val moved = m1.filter(_._2 == 1L).keySet
-    assert(moved.size == 1, s"one bucket should move to v1, manifest: $m1")
-    // every untouched bucket still references v0 with byte-identical files
-    (m1 -- moved).foreach { case (b, v) => assert(v == 0L, s"bucket $b moved: $m1") }
+    val moved = m1.filter(_._2.contains(1L)).keySet
+    assert(moved.size == 1, s"one bucket should gain the v1 delta, manifest: $m1")
+    assert(m1(moved.head) == Seq(0L, 1L), s"expected a base+delta chain: $m1")
+    // every untouched bucket keeps its single-version chain...
+    (m1 -- moved).foreach { case (b, vs) => assert(vs == Seq(0L), s"bucket $b moved: $m1") }
+    // ...and EVERY pre-existing file is byte-identical — the delta write
+    // touches nothing, not even the updated bucket's base
     val after = stateTree(state)
-    val untouchedBefore = before.filter { case (p, _) =>
-      !p.contains(s"${java.io.File.separator}b${moved.head}${java.io.File.separator}") &&
-        !p.contains(s"${java.io.File.separator}manifest${java.io.File.separator}") }
-    untouchedBefore.foreach { case (p, t) =>
-      assert(after.get(p).contains(t), s"untouched file changed: $p") }
+    before.filter { case (p, _) =>
+      !p.contains(s"${java.io.File.separator}manifest${java.io.File.separator}") }
+      .foreach { case (p, t) =>
+        assert(after.get(p).contains(t), s"pre-existing file changed: $p") }
     // and the state itself is correct
     val got = Ingest.readState(spark, state).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
@@ -163,6 +171,31 @@ class StreamingSpec extends SparkSpec {
     Ingest.run(spark, log, state, ckpt)
     assert(Ingest.readStateKey(spark, state, "k7").isEmpty,
       "tombstoned key leaked through the point read")
+  }
+
+  test("delta chains fold back to one base once they exceed maxDeltas") {
+    val dir = tmp(); val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
+    val log = s"$dir/log"; new java.io.File(log).mkdirs()
+    // 7 batches, all hitting the same key: one bucket's chain keeps
+    // growing and must fold whenever it passes maxDeltas = 2
+    for (i <- 1 to 7) {
+      Files.writeString(java.nio.file.Paths.get(s"$log/b$i.json"),
+        s"""{"seq":$i,"op":"update","key":"k","doc":"d$i"}""" + "\n")
+      Ingest.run(spark, log, state, ckpt, nBuckets = 16, maxDeltas = 2)
+    }
+    val latest = new java.io.File(s"$state/manifest").listFiles()
+      .filter(f => f.getName.startsWith("m") && f.getName.endsWith(".json"))
+      .maxBy(_.getName.stripPrefix("m").stripSuffix(".json").toLong)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(latest)
+    val it = node.get("buckets").fields()
+    while (it.hasNext) {
+      val e = it.next()
+      assert(e.getValue.size() <= 2,
+        s"chain ${e.getKey} grew past maxDeltas without folding: $node")
+    }
+    // and on-disk versions match the manifest exactly (pruned after folds)
+    assert(Ingest.readState(spark, state).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap == Map("k" -> "d7"))
   }
 
   test("compaction ages out tombstones, keeps live rows, and the stream continues") {
