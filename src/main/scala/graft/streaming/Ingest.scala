@@ -131,8 +131,8 @@ object Ingest {
   // ---- bucketed state layout ----
   //
   // stateDir/
-  //   b<bucket>/v<batchId>/     one bucket's rows as of <batchId> (parquet)
-  //   manifest/m<batchId>.json  {"n":<nBuckets>,"buckets":{"<b>":<version>}}
+  //   b<bucket>/v<id>/    one chain link (base or delta) of bucket's rows
+  //   manifest/m<id>.json {"n":…,"lastBatch":…,"buckets":{"<b>":[v,…]}}
   //
   // LSM shape: a bucket's current state is a CHAIN of versions — a base
   // plus the delta each later batch appended — merged at read time by
@@ -239,7 +239,7 @@ object Ingest {
 
   /** Point read on the bucketed state: resolves the key's bucket from the
     * manifest (the same Murmur3 expression as the write side, folded
-    * driver-side — no job) and scans ONLY that bucket's current version —
+    * driver-side — no job) and scans ONLY that bucket's chain —
     * O(state/nBuckets) I/O instead of a full-state scan, the read-side
     * payoff of the bucketing. Falls back to a filtered [[readState]] on a
     * legacy (pre-bucketed) store. */
