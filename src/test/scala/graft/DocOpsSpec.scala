@@ -230,6 +230,18 @@ class MergePatchSpec extends SparkSpec {
     val arr = jsonMerge("""{"objectId":"A","tags":[1,2,3]}""", """{"tags":[9]}""")
     assert(arr == """{"objectId":"A","tags":[9]}""", arr)
   }
+
+  test("json-level merge: hostile 5000-deep nesting poisons to NULL, no stack overflow") {
+    // Jackson's StreamReadConstraints (default max depth 1000 since 2.15)
+    // rejects the parse, which the malformed-input branch turns into NULL —
+    // so the recursive merge can never see unbounded depth
+    val deep = "{\"a\":" * 5000 + "1" + "}" * 5000
+    import spark.implicits._
+    val out = Seq((deep, deep)).toDF("doc", "patch")
+      .select(graft.plans.JsonExpressions.jsonMergePatch(col("doc"), col("patch")).as("m"))
+      .head()
+    assert(out.isNullAt(0), "hostile nesting should poison to NULL")
+  }
 }
 
 class EtagSpec extends SparkSpec {
