@@ -137,15 +137,20 @@ object Kv {
     nodes.where(col("rootKey") =!= lit(rootKey))
 
   /** Descendant closure of an arbitrary node (for subtree deletes):
-    * iterates parentKey joins down the (schema-bounded) depth. */
+    * iterates parentKey joins down the (schema-bounded) depth. The walk
+    * touches only `(key, parentKey)` — that narrow edge projection is
+    * persisted once up front so each level (an action, because of its
+    * emptiness check) scans two slim columns instead of re-deriving the
+    * full nodes union (payload/etag included) every time. */
   def subtreeKeys(nodes: DataFrame, key: String, maxDepth: Int = 64): DataFrame = {
-    var frontier = nodes.select(col("key")).where(col("key") === lit(key))
+    val edges = nodes.select(col("key"), col("parentKey")).persist()
+    var frontier = edges.select(col("key")).where(col("key") === lit(key))
     var acc = frontier
     var i = 0
     var done = false
     val persisted = scala.collection.mutable.ArrayBuffer[DataFrame]()
     while (i < maxDepth && !done) {
-      val next = nodes.alias("n")
+      val next = edges.alias("n")
         .join(frontier.alias("f"), col("n.parentKey") === col("f.key"), "left_semi")
         .select(col("key"))
         // each level's isEmpty is an action: without a persist the k-th
@@ -161,12 +166,16 @@ object Kv {
     }
     // a silent cap would orphan deeper descendants — refuse instead (only
     // reachable with a cyclic/corrupt parentKey graph or absurd nesting)
-    if (!done && !frontier.isEmpty)
+    if (!done && !frontier.isEmpty) {
+      edges.unpersist()
+      persisted.foreach(_.unpersist())
       throw new IllegalStateException(
         s"subtree of $key exceeds depth $maxDepth (cyclic parentKey data?)")
+    }
     // materialize the closure through the cached frontiers, then release
     // them — the caller gets a small self-contained key set
     val out = acc.distinct().localCheckpoint(true)
+    edges.unpersist()
     persisted.foreach(_.unpersist())
     out
   }
