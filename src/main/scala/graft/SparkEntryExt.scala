@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis, Windows}
+import graft.ext.{Curation, Dedup, Multimodal, Similarity, TextAnalysis, Windows}
 import graft.functions.TextFunctions
 import graft.operators._
 import graft.sources.{StarDocs, Tables}
@@ -304,6 +304,24 @@ object SparkEntryExt {
     },
     "x_sessions" -> { (s, dir) =>
       Windows.sessions(Tables.events(s, dir), "ts", "user_id", gapSeconds = 1800)
+    },
+
+    // ----- corpus curation -----
+    "x_mix_sample" -> { (s, dir) =>
+      Curation.mixSample(Tables.documents(s, dir)).select("doc_id", "lang", "source")
+    },
+    "x_decontaminate" -> { (s, dir) =>
+      // eval-leakage check: every 10th doc plays the held-out benchmark
+      val docs = Tables.documents(s, dir)
+      Curation.decontaminate(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0))
+    },
+    "x_quality_repetition" -> { (s, dir) =>
+      Curation.repetitionMetrics(Tables.documents(s, dir))
+    },
+    "x_shard_stats" -> { (s, dir) =>
+      Curation.shardStats(Tables.documents(s, dir))
     }
   )
 
@@ -634,6 +652,47 @@ object SparkEntryExt {
         "FROM flagged) " +
         "SELECT user_id, session_seq, CAST(min(ts) AS TIMESTAMP) AS session_start, " +
         "CAST(max(ts) AS TIMESTAMP) AS session_end, CAST(count(*) AS BIGINT) AS n_events " +
-        "FROM sessions GROUP BY 1, 2")
+        "FROM sessions GROUP BY 1, 2"),
+
+    "x_mix_sample" -> {
+      // integer-threshold membership: rate·2^60 computed ONCE in Scala
+      // (Curation.threshold) and embedded in both plans, so no FP boundary
+      // can disagree between engines
+      val cases = graft.ext.Curation.DefaultMixRates
+        .map { case (g, r) => s"WHEN '$g' THEN ${graft.ext.Curation.threshold(r)}" }
+        .mkString(" ")
+      s"SELECT doc_id, lang, source FROM documents " +
+        s"WHERE ${seedHashSql(graft.ext.Curation.MixSeed.toString, "CAST(doc_id AS VARCHAR)")} " +
+        s"< CASE lang $cases ELSE ${graft.ext.Curation.threshold(graft.ext.Curation.DefaultMixRate)} END"
+    },
+
+    "x_decontaminate" ->
+      (s"WITH grams AS (SELECT doc_id, unnest(${shinglesSql()}) AS g FROM documents), " +
+        s"hashed AS (SELECT doc_id, ${seedHashSql(graft.ext.Curation.GramSeed.toString, "g")} AS gh FROM grams), " +
+        "bench AS (SELECT DISTINCT gh FROM hashed WHERE doc_id % 10 = 0) " +
+        "SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_hits " +
+        "FROM hashed h JOIN bench b USING (gh) WHERE h.doc_id % 10 <> 0 GROUP BY 1"),
+
+    "x_quality_repetition" ->
+      (s"WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents), " +
+        "words AS (SELECT doc_id, unnest(t) AS g FROM toks), " +
+        "bigs AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), " +
+        "i -> array_to_string(t[i:i+1], ' '))) AS g FROM toks), " +
+        "wc AS (SELECT doc_id, g, count(*) AS c FROM words GROUP BY 1, 2), " +
+        "bc AS (SELECT doc_id, g, count(*) AS c FROM bigs GROUP BY 1, 2), " +
+        "wa AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct, " +
+        "max(c) AS top_w FROM wc GROUP BY 1), " +
+        "ba AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_b FROM bc GROUP BY 1) " +
+        "SELECT wa.doc_id, CAST(n_words AS BIGINT) AS n_words, " +
+        "CAST(n_distinct AS BIGINT) AS n_distinct, " +
+        "round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_word_frac, " +
+        "round(CAST(top_w AS DOUBLE) / n_words, 6) AS top_word_frac, " +
+        "round(CAST(top_b AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac " +
+        "FROM wa LEFT JOIN ba USING (doc_id)"),
+
+    "x_shard_stats" ->
+      (s"SELECT ${seedHashSql(graft.ext.Curation.ShardSeed.toString, "CAST(doc_id AS VARCHAR)")} % 64 AS shard, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+        "min(doc_id) AS min_doc, max(doc_id) AS max_doc FROM documents GROUP BY 1")
   )
 }

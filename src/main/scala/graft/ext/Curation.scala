@@ -1,0 +1,133 @@
+package graft.ext
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines (north-star
+  * extension; the reference has no analogue — its surface stops at CRUD +
+  * search): deterministic mixture sampling, benchmark decontamination,
+  * repetition-based quality metrics, and output shard assignment.
+  *
+  * Everything is keyed on *content-derived* md5 hashes rather than Spark's
+  * partition-RNG (`df.sample`) or `rand()`, for two reasons that matter at
+  * 100 TB: (a) results are reproducible bit-for-bit across retries,
+  * re-partitioning, and cluster sizes — a task re-run after an executor
+  * loss selects exactly the same rows; (b) the DuckDB oracle can replay the
+  * identical computation.
+  */
+object Curation {
+
+  /** Salt seeds — distinct per operator so the streams are independent. */
+  val MixSeed = 11
+  val ShardSeed = 13
+  val GramSeed = 7
+
+  /** 2^60 — the hash space of [[TextFunctions.seededHash]] (15 hex digits). */
+  val HashSpace: Long = 1L << 60
+
+  /** Per-language mixture rates for the demo query: the classic
+    * "up-sample high-resource, down-sample the rest" curriculum shape.
+    * Thresholds are exact longs (`rate * 2^60`) so membership is an
+    * integer compare — no floating-point boundary can disagree between
+    * engines. */
+  val DefaultMixRates: Seq[(String, Double)] = Seq(
+    "en" -> 0.9, "de" -> 0.6, "fr" -> 0.6, "es" -> 0.3, "zh" -> 0.3)
+  val DefaultMixRate: Double = 0.5
+  def threshold(rate: Double): Long = (rate * HashSpace).toLong
+
+  /** Deterministic Bernoulli mixture sampling: keep a row iff
+    * md5(seed|id) < rate(group) · 2^60. A pure map-side filter — no
+    * shuffle, no RNG state, stable under any re-partitioning — which is
+    * exactly what a 100 TB mixture job needs (checkpoint/restart re-selects
+    * the same rows, and the mixture is adjustable by changing only the
+    * thresholds, not the plan shape). */
+  def mixSample(docs: DataFrame,
+                rates: Seq[(String, Double)] = DefaultMixRates,
+                defaultRate: Double = DefaultMixRate,
+                groupCol: String = "lang",
+                idCol: String = "doc_id"): DataFrame = {
+    val u = TextFunctions.seededHash(col(idCol).cast("string"), MixSeed)
+    val thr = rates.foldLeft(lit(threshold(defaultRate))) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, lit(threshold(r))).otherwise(acc)
+    }
+    docs.where(u < thr)
+  }
+
+  /** All word n-grams of a token array (NON-distinct, unlike
+    * [[TextFunctions.shingles]]) — repetition metrics need multiplicity. */
+  def ngramsAll(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  private def gramHashes(docs: DataFrame, n: Int, textCol: String): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+      .select(col("doc_id"), TextFunctions.seededHash(col("g"), GramSeed).as("gh"))
+
+  /** Benchmark decontamination: for every training document, count the
+    * distinct word n-grams it shares with a held-out benchmark set (the
+    * standard eval-leakage check before a training run). Grams are folded
+    * to 60-bit hashes so the join key is a fixed 8 bytes instead of a
+    * variable-width string.
+    *
+    * Scale shape: the benchmark side is an *eval set* — thousands of
+    * documents, not billions — so its distinct-gram set is broadcast and
+    * the corpus side stays a single pass (explode → map-side broadcast
+    * probe → map-side-combinable count). No corpus shuffle beyond the
+    * final per-doc aggregation. If the bench set ever outgrew broadcast,
+    * dropping the hint degrades gracefully to a shuffle join on `gh`. */
+  def decontaminate(train: DataFrame, bench: DataFrame, n: Int = 3,
+                    textCol: String = "text"): DataFrame = {
+    val benchSet = gramHashes(bench, n, textCol).select("gh").distinct()
+    gramHashes(train, n, textCol)
+      .join(broadcast(benchSet), Seq("gh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Gopher-style repetition quality metrics per document: duplicate-word
+    * fraction, most-frequent-word share, most-frequent-bigram share. The
+    * n-gram streams are exploded and aggregated (two hash aggregations,
+    * both map-side combinable) rather than counted per-row with nested
+    * array HOFs: the HOF form is O(len·distinct) per document, which at
+    * real document lengths is quadratic work inside a single task, while
+    * the agg form stays linear and spreads across the cluster. */
+  def repetitionMetrics(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    def topStats(grams: DataFrame, cnt: String, top: String): DataFrame =
+      grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as(cnt), count(lit(1)).as(cnt + "_distinct"), max("c").as(top))
+    val toks = docs.select(col("doc_id"), TextFunctions.tokens(col(textCol)).as("t"))
+    val words = topStats(toks.select(col("doc_id"), explode(col("t")).as("g")),
+      "n_words", "top_word_cnt")
+    val bigrams = topStats(toks.select(col("doc_id"),
+        explode(ngramsAll(col("t"), 2)).as("g")), "n_bigrams", "top_bigram_cnt")
+    words.join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        col("n_words_distinct").as("n_distinct"),
+        round(lit(1.0) - col("n_words_distinct").cast("double") / col("n_words"), 6)
+          .as("dup_word_frac"),
+        round(col("top_word_cnt").cast("double") / col("n_words"), 6)
+          .as("top_word_frac"),
+        round(col("top_bigram_cnt").cast("double") / col("n_bigrams"), 6)
+          .as("top_bigram_frac"))
+  }
+
+  /** Deterministic output sharding for training-data export: assign every
+    * document a stable shard by content id and report per-shard balance
+    * stats. The assignment is the write-side partitioner (`repartition(n,
+    * col("shard"))` + `partitionBy`) for reproducible shard files — unlike
+    * round-robin, adding or removing *other* documents never moves a
+    * document between shards. */
+  def shardStats(docs: DataFrame, nShards: Int = 64,
+                 idCol: String = "doc_id"): DataFrame =
+    docs.select(
+        (TextFunctions.seededHash(col(idCol).cast("string"), ShardSeed) % nShards)
+          .as("shard"),
+        col(idCol), col("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+        min(idCol).as("min_doc"), max(idCol).as("max_doc"))
+}

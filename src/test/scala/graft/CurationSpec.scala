@@ -1,0 +1,78 @@
+package graft
+
+import graft.ext.Curation
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en", "s0", 43L),
+    (1L, "a a a b", "en", "s1", 7L),
+    (2L, "uno dos tres cuatro cinco seis", "es", "s0", 30L),
+    (3L, "the quick brown fox sat still", "en", "s1", 29L),
+    (4L, "völlig andere wörter hier drüben stehen", "de", "s2", 39L),
+    (5L, "solo", "zh", "s2", 4L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("mixSample: deterministic, content-keyed, stable under repartitioning") {
+    val big = spark.range(2000).select(col("id").as("doc_id"),
+      concat(lit("w"), col("id")).as("text"),
+      when(col("id") % 3 === 0, "en").otherwise("zh").as("lang"),
+      lit("s").as("source"), lit(5L).as("n_chars"))
+    val a = Curation.mixSample(big).select("doc_id").as[Long].collect().sorted
+    val b = Curation.mixSample(big.repartition(7)).select("doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b), "selection must not depend on physical partitioning")
+    // rates land near the configured thresholds (0.9 en / 0.3 default zh)
+    val en = big.where(col("lang") === "en").count().toDouble
+    val zh = big.where(col("lang") === "zh").count().toDouble
+    val sel = Curation.mixSample(big).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(sel("en") / en - 0.9) < 0.05, s"en rate ${sel("en") / en}")
+    assert(math.abs(sel("zh") / zh - 0.3) < 0.05, s"zh rate ${sel("zh") / zh}")
+    // removing other rows never flips a kept row (content-keyed Bernoulli)
+    val keptIds = Curation.mixSample(big.where(col("doc_id") < 500))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds == a.filter(_ < 500).toSet)
+  }
+
+  test("decontaminate: counts shared distinct n-grams, ignores disjoint docs") {
+    val train = docs.where(col("doc_id").isin(0L, 2L, 3L))
+    val bench = docs.where(col("doc_id") === 1L)
+      .union(Seq((9L, "quick brown fox news", "en", "s9", 20L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val hits = Curation.decontaminate(train, bench)
+      .as[(Long, Long)].collect().toMap
+    // doc 0 and doc 3 share the trigram "quick brown fox" with bench doc 9;
+    // doc 2 (disjoint vocabulary) must not appear at all
+    assert(hits == Map(0L -> 1L, 3L -> 1L))
+  }
+
+  test("repetitionMetrics: hand-checked fractions") {
+    val m = Curation.repetitionMetrics(docs.where(col("doc_id") === 1L))
+      .collect().head
+    // "a a a b": 4 words, 2 distinct, top word a=3; bigrams [a a, a a, a b]
+    assert(m.getAs[Long]("n_words") == 4L)
+    assert(m.getAs[Long]("n_distinct") == 2L)
+    assert(m.getAs[Double]("dup_word_frac") == 0.5)
+    assert(m.getAs[Double]("top_word_frac") == 0.75)
+    assert(m.getAs[Double]("top_bigram_frac") == 0.666667)
+    // a single-token doc has no bigrams: NULL bigram share, not a crash
+    val solo = Curation.repetitionMetrics(docs.where(col("doc_id") === 5L)).collect().head
+    assert(solo.getAs[Long]("n_words") == 1L && solo.isNullAt(solo.fieldIndex("top_bigram_frac")))
+  }
+
+  test("shardStats: total preserved, shards in range, assignment is stable") {
+    val stats = Curation.shardStats(docs, nShards = 8).collect()
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == 6L)
+    assert(stats.forall { r => val s = r.getAs[Long]("shard"); s >= 0 && s < 8 })
+    // same doc_id -> same shard regardless of the rest of the corpus: a
+    // subset's per-shard doc counts never exceed the full corpus's
+    val subset = Curation.shardStats(docs.where(col("doc_id") <= 2L), nShards = 8)
+      .select(col("shard"), col("n_docs").as("sub_n"))
+    val full = Curation.shardStats(docs, nShards = 8).select("shard", "n_docs")
+    val joined = subset.join(full, Seq("shard"), "left")
+      .where(col("sub_n") > coalesce(col("n_docs"), lit(0L)))
+    assert(joined.isEmpty, "subset shard counts exceeded full-corpus counts")
+  }
+}
