@@ -322,6 +322,28 @@ object SparkEntryExt {
     },
     "x_shard_stats" -> { (s, dir) =>
       Curation.shardStats(Tables.documents(s, dir))
+    },
+
+    // ----- point-in-time joins -----
+    "x_asof_join" -> { (s, dir) =>
+      // attribution: each purchase gets the user's most recent view
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      TemporalJoins.asofLastBefore(purchases, views, Seq("user_id"), "ts", "view_ts", "view_id")
+    },
+    "x_range_join" -> { (s, dir) =>
+      // each purchase's click count in the preceding hour, same user
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      TemporalJoins.rangeCount(purchases, clicks, Seq("user_id"), "ts", "ts",
+        lowerSec = -3600, upperSec = 0,
+        leftIdCols = Seq("event_id", "user_id", "ts"), outCol = "n_clicks")
     }
   )
 
@@ -693,6 +715,32 @@ object SparkEntryExt {
     "x_shard_stats" ->
       (s"SELECT ${seedHashSql(graft.ext.Curation.ShardSeed.toString, "CAST(doc_id AS VARCHAR)")} % 64 AS shard, " +
         "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
-        "min(doc_id) AS min_doc, max(doc_id) AS max_doc FROM documents GROUP BY 1")
+        "min(doc_id) AS min_doc, max(doc_id) AS max_doc FROM documents GROUP BY 1"),
+
+    // DuckDB's native ASOF JOIN is the independent semantics check for the
+    // engine's union+window implementation (same per-(user,ts) event_id
+    // dedup on both sides so ties resolve identically)
+    "x_asof_join" ->
+      ("WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "v AS (SELECT user_id, event_id AS view_id, CAST(ts AS TIMESTAMP) AS view_ts " +
+        "FROM events WHERE event_type = 'view' " +
+        "QUALIFY row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP) " +
+        "ORDER BY event_id DESC) = 1) " +
+        "SELECT p.event_id, p.user_id, p.ts, p.value, v.view_id, v.view_ts " +
+        "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.view_ts <= p.ts"),
+
+    // integer-microsecond window bounds on both sides (memory rule:
+    // fractional-second timestamp arithmetic diverges between engines)
+    "x_range_join" ->
+      ("WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts " +
+        "FROM events WHERE event_type = 'click') " +
+        "SELECT p.event_id, p.user_id, p.ts, CAST(count(c.cts) AS BIGINT) AS n_clicks " +
+        "FROM p LEFT JOIN c ON p.user_id = c.user_id " +
+        "AND epoch_us(c.cts) >= epoch_us(p.ts) - 3600000000 " +
+        "AND epoch_us(c.cts) < epoch_us(p.ts) " +
+        "GROUP BY 1, 2, 3")
   )
 }
