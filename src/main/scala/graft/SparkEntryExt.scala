@@ -312,10 +312,7 @@ object SparkEntryExt {
     },
     "x_decontaminate" -> { (s, dir) =>
       // eval-leakage check: every 10th doc plays the held-out benchmark
-      val docs = Tables.documents(s, dir)
-      Curation.decontaminate(
-        docs.where(col("doc_id") % 10 =!= 0),
-        docs.where(col("doc_id") % 10 === 0))
+      Curation.decontaminate(Tables.documents(s, dir), col("doc_id") % 10 === 0)
     },
     "x_quality_repetition" -> { (s, dir) =>
       Curation.repetitionMetrics(Tables.documents(s, dir))
@@ -688,12 +685,14 @@ object SparkEntryExt {
         s"< CASE lang $cases ELSE ${graft.ext.Curation.threshold(graft.ext.Curation.DefaultMixRate)} END"
     },
 
+    // same hashed-shingle pipeline as the dedup family (md5 mod P per
+    // distinct trigram), so the engine side can reuse that shared artifact
     "x_decontaminate" ->
-      (s"WITH grams AS (SELECT doc_id, unnest(${shinglesSql()}) AS g FROM documents), " +
-        s"hashed AS (SELECT doc_id, ${seedHashSql(graft.ext.Curation.GramSeed.toString, "g")} AS gh FROM grams), " +
-        "bench AS (SELECT DISTINCT gh FROM hashed WHERE doc_id % 10 = 0) " +
-        "SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_hits " +
-        "FROM hashed h JOIN bench b USING (gh) WHERE h.doc_id % 10 <> 0 GROUP BY 1"),
+      (s"WITH sh AS (SELECT doc_id, ${hashedSql(shinglesSql())} AS hs FROM documents), " +
+        "grams AS (SELECT doc_id, unnest(hs) AS gh FROM sh), " +
+        "bench AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 10 = 0) " +
+        "SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits " +
+        "FROM grams g JOIN bench b USING (gh) WHERE g.doc_id % 10 <> 0 GROUP BY 1"),
 
     "x_quality_repetition" ->
       (s"WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents), " +

@@ -21,7 +21,6 @@ object Curation {
   /** Salt seeds — distinct per operator so the streams are independent. */
   val MixSeed = 11
   val ShardSeed = 13
-  val GramSeed = 7
 
   /** 2^60 — the hash space of [[TextFunctions.seededHash]] (15 hex digits). */
   val HashSpace: Long = 1L << 60
@@ -61,16 +60,18 @@ object Curation {
       .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
 
-  private def gramHashes(docs: DataFrame, n: Int, textCol: String): DataFrame =
-    docs.select(col("doc_id"),
-        explode(TextFunctions.shingles(col(textCol), n)).as("g"))
-      .select(col("doc_id"), TextFunctions.seededHash(col("g"), GramSeed).as("gh"))
-
   /** Benchmark decontamination: for every training document, count the
-    * distinct word n-grams it shares with a held-out benchmark set (the
-    * standard eval-leakage check before a training run). Grams are folded
-    * to 60-bit hashes so the join key is a fixed 8 bytes instead of a
-    * variable-width string.
+    * distinct word n-grams it shares with the held-out benchmark slice
+    * (`isBench`, a predicate over `idCol` — the shingle artifact carries
+    * only the id) — the standard eval-leakage check before a training run.
+    *
+    * Grams come from the dedup family's memoized fused-kernel shingle
+    * table ([[Dedup.hashedShingleTable]]): one codegen pass over the
+    * corpus, shared with the MinHash/LSH/Jaccard queries, and the join key
+    * is a fixed 8 bytes. The mod-P (2³¹−1) hash space admits rare
+    * deterministic collisions (~|train grams|·|bench grams|/2³¹ spurious
+    * hits — single digits even at sf0.1); a corpus where that bound bites
+    * widens the kernel's modulus, the plan shape is unchanged.
     *
     * Scale shape: the benchmark side is an *eval set* — thousands of
     * documents, not billions — so its distinct-gram set is broadcast and
@@ -78,12 +79,14 @@ object Curation {
     * probe → map-side-combinable count). No corpus shuffle beyond the
     * final per-doc aggregation. If the bench set ever outgrew broadcast,
     * dropping the hint degrades gracefully to a shuffle join on `gh`. */
-  def decontaminate(train: DataFrame, bench: DataFrame, n: Int = 3,
-                    textCol: String = "text"): DataFrame = {
-    val benchSet = gramHashes(bench, n, textCol).select("gh").distinct()
-    gramHashes(train, n, textCol)
+  def decontaminate(docs: DataFrame, isBench: Column, n: Int = 3,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val grams = Dedup.hashedShingleTable(docs, textCol, idCol, n)
+      .select(col(idCol), explode(col("hs")).as("gh"))
+    val benchSet = grams.where(isBench).select("gh").distinct()
+    grams.where(!isBench)
       .join(broadcast(benchSet), Seq("gh"))
-      .groupBy("doc_id")
+      .groupBy(idCol)
       .agg(count(lit(1)).as("n_hits"))
   }
 

@@ -94,6 +94,15 @@ object Dedup {
         graft.plans.ShingleExpression.hashedShingles(tokens(col(textCol)), shingleN).as("hs"))))
   }
 
+  /** Public shared-artifact accessor to the memoized hashed-shingle table
+    * (`idCol`, `hs: array<long>` — sorted distinct md5-mod-P gram hashes).
+    * Callers outside the dedup family (e.g.
+    * [[graft.ext.Curation.decontaminate]]) reuse the SAME persisted
+    * artifact instead of re-deriving the tokenize+shingle+hash pipeline. */
+  def hashedShingleTable(docs: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id", shingleN: Int = 3): DataFrame =
+    shingleTable(docs, textCol, idCol, shingleN)
+
   /** Per-doc MinHash signature table over a (memoized) shingle table. */
   private def sigTable(sh: DataFrame, idCol: String, k: Int): DataFrame = synchronized {
     val key = (sh.sparkSession, sh.queryExecution.analyzed.canonicalized, k)

@@ -37,11 +37,10 @@ class CurationSpec extends SparkSpec {
   }
 
   test("decontaminate: counts shared distinct n-grams, ignores disjoint docs") {
-    val train = docs.where(col("doc_id").isin(0L, 2L, 3L))
-    val bench = docs.where(col("doc_id") === 1L)
+    val corpus = docs.where(col("doc_id").isin(0L, 2L, 3L))
       .union(Seq((9L, "quick brown fox news", "en", "s9", 20L))
         .toDF("doc_id", "text", "lang", "source", "n_chars"))
-    val hits = Curation.decontaminate(train, bench)
+    val hits = Curation.decontaminate(corpus, col("doc_id") === 9L)
       .as[(Long, Long)].collect().toMap
     // doc 0 and doc 3 share the trigram "quick brown fox" with bench doc 9;
     // doc 2 (disjoint vocabulary) must not appear at all
