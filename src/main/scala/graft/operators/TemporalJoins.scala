@@ -31,9 +31,12 @@ object TemporalJoins {
     * The right payload travels as a single struct so the matched columns
     * are atomic (all from the same right row — per-column `last` could mix
     * rows when payload fields are null). Ties: a right row at exactly the
-    * left timestamp matches (inclusive); multiple right rows at the same
-    * (key, t) are deduplicated to the greatest `tieCol` first, making the
-    * result deterministic.
+    * left timestamp matches (inclusive); among right rows sharing a
+    * (key, t) the greatest `tieCol` wins — not via a pre-dedup pass (that
+    * would cost a second shuffle of the right side by (key, t)) but by
+    * adding `tieCol` to the one window's sort, so the running last()
+    * lands on it for free. `tieCol` must be unique per (key, t) for the
+    * result to be deterministic (an event-id column is the usual choice).
     *
     * Column contract: `right`'s non-key columns (its payload, including
     * `rt`) must not collide with left column names — rename on the way in.
@@ -43,27 +46,29 @@ object TemporalJoins {
     val payload = right.columns.filterNot(key.contains).toSeq
     require(payload.forall(!left.columns.contains(_)),
       s"right payload ${payload.mkString(",")} collides with left columns")
-    val rn = Window.partitionBy((key :+ rt).map(col): _*).orderBy(col(tieCol).desc)
-    val rDedup = right.withColumn("__rn", row_number().over(rn))
-      .where(col("__rn") === 1).drop("__rn")
-      .withColumn("__p", struct(payload.map(col): _*))
-    val pType = rDedup.schema("__p").dataType
+    val rStruct = right.withColumn("__p", struct(payload.map(col): _*))
+    val pType = rStruct.schema("__p").dataType
+    val tieType = right.schema(tieCol).dataType
     val leftOwn = left.columns.filterNot(key.contains).toSeq
 
     val lSide = left.select(
       key.map(col) ++ leftOwn.map(col) :+
         col(lt).as("__t") :+ lit(1).as("__side") :+
+        lit(null).cast(tieType).as("__tie") :+
         lit(null).cast(pType).as("__p"): _*)
-    val rSide = rDedup.select(
+    val rSide = rStruct.select(
       key.map(col) ++
         leftOwn.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        col(rt).as("__t") :+ lit(0).as("__side") :+ col("__p"): _*)
+        col(rt).as("__t") :+ lit(0).as("__side") :+
+        col(tieCol).as("__tie") :+ col("__p"): _*)
 
     // right rows sort before a left row with the identical timestamp, so
     // the running last() sees them (inclusive as-of); left rows carry a
-    // null payload and therefore never pollute it
+    // null payload and therefore never pollute it. Left rows' __tie is
+    // null — their relative order among themselves cannot change what the
+    // running last() observes.
     val w = Window.partitionBy(key.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(col("__t"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lSide.unionByName(rSide)
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))

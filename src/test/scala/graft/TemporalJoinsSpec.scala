@@ -30,6 +30,10 @@ class TemporalJoinsSpec extends SparkSpec {
     val plan = TemporalJoins.asofLastBefore(left, right, Seq("k"), "ts", "rts", "rid")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    // the whole operator costs ONE hash-partition of the unioned sides —
+    // the tiebreak rides the window sort instead of a second shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$plan")
   }
 
   test("rangeCount: bin-boundary windows, zero-match rows, exact bounds") {
