@@ -321,6 +321,21 @@ object SparkEntryExt {
       Curation.shardStats(Tables.documents(s, dir))
     },
 
+    "x_top_terms" -> { (s, dir) =>
+      TextAnalysis.topTerms(Tables.documents(s, dir))
+        .select("lang", "term", "cnt", "rk")
+    },
+    "x_quantiles" -> { (s, dir) =>
+      // EXACT per-group percentiles (oracle-checkable). Exact percentile
+      // buffers each group's values — fine for bounded group counts; the
+      // 100 TB default is approx_percentile (t-digest, fixed memory),
+      // which trades oracle-exactness for a mergeable sketch.
+      Tables.events(s, dir).groupBy("event_type")
+        .agg(percentile(col("value"), array(lit(0.5), lit(0.9), lit(0.99))).as("qs"))
+        .select(col("event_type"), col("qs")(0).as("p50"),
+          col("qs")(1).as("p90"), col("qs")(2).as("p99"))
+    },
+
     // ----- point-in-time joins -----
     "x_asof_join" -> { (s, dir) =>
       // attribution: each purchase gets the user's most recent view
@@ -715,6 +730,20 @@ object SparkEntryExt {
       (s"SELECT ${seedHashSql(graft.ext.Curation.ShardSeed.toString, "CAST(doc_id AS VARCHAR)")} % 64 AS shard, " +
         "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
         "min(doc_id) AS min_doc, max(doc_id) AS max_doc FROM documents GROUP BY 1"),
+
+    "x_top_terms" ->
+      (s"WITH toks AS (SELECT lang, unnest($toksSql) AS term FROM documents), " +
+        "counts AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1, 2) " +
+        "SELECT lang, term, cnt, row_number() OVER " +
+        "(PARTITION BY lang ORDER BY cnt DESC, term) AS rk FROM counts " +
+        "QUALIFY rk <= 10"),
+
+    // linear interpolation on the sorted set: both engines compute
+    // lo + (hi - lo) * frac at rank p * (n - 1)
+    "x_quantiles" ->
+      ("SELECT event_type, quantile_cont(value, 0.5) AS p50, " +
+        "quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99 " +
+        "FROM events GROUP BY 1"),
 
     // DuckDB's native ASOF JOIN is the independent semantics check for the
     // engine's union+window implementation (same per-(user,ts) event_id

@@ -27,4 +27,26 @@ object TextAnalysis {
 
   def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
+
+  /** Top-k most frequent terms per group (vocabulary reporting / frequent
+    * items). Two map-side-combinable aggregations reduce the corpus to
+    * per-(group, term) counts; the final row_number window then runs over
+    * vocabulary-sized data, not the corpus. Groups are few (languages,
+    * sources), so the window's per-group partition is the whole vocabulary
+    * of that group — if a group's vocabulary ever outgrew one task, the
+    * two-phase top-k pattern from [[Similarity]] (partial k per physical
+    * partition, final k over survivors) drops in with the same contract.
+    * Deterministic: ties break on the term itself. */
+  def topTerms(docs: DataFrame, groupCol: String = "lang", k: Int = 10,
+               textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col(groupCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(groupCol, "term").agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy(col(groupCol)).orderBy(col("cnt").desc, col("term")))
+        .cast("long"))
+      .where(col("rk") <= k)
+  }
 }

@@ -69,6 +69,17 @@ class TextFunctionsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(m(1L) == "en"); assert(m(2L) == "de"); assert(m(3L) == "und")
   }
+
+  test("topTerms: per-group ranks, deterministic term tiebreak, k cap") {
+    val df = Seq(
+      ("en", "b b b a a c"), ("en", "a"),     // en: a=3, b=3, c=1
+      ("de", "x y")).toDF("lang", "text")
+    val out = graft.ext.TextAnalysis.topTerms(df, k = 2)
+      .select("lang", "term", "rk").as[(String, String, Long)].collect().toSet
+    // a and b tie at 3; 'a' < 'b' wins rank 1, c is cut by k=2
+    assert(out == Set(("en", "a", 1L), ("en", "b", 2L),
+      ("de", "x", 1L), ("de", "y", 2L)))
+  }
 }
 
 class JsonPathTypesSpec extends SparkSpec {
