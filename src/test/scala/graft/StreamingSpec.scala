@@ -316,6 +316,43 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.exists(_._4 == 100.0), s"late event leaked: $rows")
   }
 
+  test("stream-stream interval join: watermarked attribution window (extension)") {
+    import org.apache.spark.sql.types._
+    val dir = tmp()
+    val pDir = s"$dir/p"; val cDir = s"$dir/c"
+    new java.io.File(pDir).mkdirs(); new java.io.File(cDir).mkdirs()
+    val pSchema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("pid", StringType)))
+    val cSchema = StructType(Seq(StructField("cts", TimestampType),
+      StructField("user_id", LongType), StructField("cid", StringType)))
+    Files.writeString(java.nio.file.Paths.get(s"$pDir/b1.json"),
+      """{"ts":"2024-01-01T10:00:00.000Z","user_id":1,"pid":"p1"}""" + "\n")
+    Files.writeString(java.nio.file.Paths.get(s"$cDir/b1.json"),
+      """{"cts":"2024-01-01T09:30:00.000Z","user_id":1,"cid":"in_0930"}
+        |{"cts":"2024-01-01T09:59:00.000Z","user_id":1,"cid":"in_0959"}
+        |{"cts":"2024-01-01T10:00:00.000Z","user_id":1,"cid":"out_at_bound"}
+        |{"cts":"2024-01-01T08:30:00.000Z","user_id":1,"cid":"out_too_old"}
+        |{"cts":"2024-01-01T09:30:00.000Z","user_id":2,"cid":"out_other_user"}
+        |""".stripMargin)
+    val purchases = spark.readStream.schema(pSchema).json(pDir)
+    val clicks = spark.readStream.schema(cSchema).json(cDir)
+    val joined = graft.streaming.StreamJoins.intervalJoin(
+      purchases, clicks, "user_id", "ts", "cts", lowerSec = -3600, upperSec = 0)
+    val got = java.util.Collections.synchronizedList(new java.util.ArrayList[(String, String)]())
+    val q = joined.select(col("pid"), col("cid"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => got.add((r.getString(0), r.getString(1)))); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val pairs = { import scala.jdk.CollectionConverters._; got.asScala.toSet }
+    // [t-1h, t): 09:30 and 09:59 match; the exact-bound 10:00 click, the
+    // too-old 08:30 click, and the other user's click do not
+    assert(pairs == Set(("p1", "in_0930"), ("p1", "in_0959")), pairs.toString)
+  }
+
   test("stateful mapGroupsWithState kv: latest wins, stale seq ignored, state survives batches") {
     import graft.streaming.StatefulKv
     val dir = tmp(); val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
