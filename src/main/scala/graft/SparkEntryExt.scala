@@ -320,6 +320,13 @@ object SparkEntryExt {
     "x_shard_stats" -> { (s, dir) =>
       Curation.shardStats(Tables.documents(s, dir))
     },
+    "x_stratified_sample" -> { (s, dir) =>
+      Curation.stratifiedSample(Tables.documents(s, dir))
+        .select("doc_id", "lang", "rk")
+    },
+    "x_pack_sequences" -> { (s, dir) =>
+      Curation.packSequences(Tables.documents(s, dir))
+    },
 
     "x_top_terms" -> { (s, dir) =>
       TextAnalysis.topTerms(Tables.documents(s, dir))
@@ -730,6 +737,24 @@ object SparkEntryExt {
       (s"SELECT ${seedHashSql(graft.ext.Curation.ShardSeed.toString, "CAST(doc_id AS VARCHAR)")} % 64 AS shard, " +
         "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
         "min(doc_id) AS min_doc, max(doc_id) AS max_doc FROM documents GROUP BY 1"),
+
+    "x_stratified_sample" ->
+      (s"SELECT doc_id, lang, row_number() OVER (PARTITION BY lang " +
+        s"ORDER BY ${seedHashSql(graft.ext.Curation.StratSeed.toString, "CAST(doc_id AS VARCHAR)")}, doc_id) AS rk " +
+        "FROM documents QUALIFY rk <= 20"),
+
+    "x_pack_sequences" -> {
+      val shardSql =
+        s"${seedHashSql(graft.ext.Curation.ShardSeed.toString, "CAST(doc_id AS VARCHAR)")} % 16"
+      val orderSql =
+        seedHashSql(graft.ext.Curation.PackOrderSeed.toString, "CAST(doc_id AS VARCHAR)")
+      s"WITH t AS (SELECT doc_id, $shardSql AS shard, $orderSql AS h, " +
+        s"CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents), " +
+        "p AS (SELECT doc_id, shard, n_tokens, sum(n_tokens) OVER " +
+        "(PARTITION BY shard ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS pre FROM t) " +
+        "SELECT doc_id, shard, n_tokens, " +
+        "CAST(floor((pre - n_tokens) / 512) AS BIGINT) AS bin FROM p"
+    },
 
     "x_top_terms" ->
       (s"WITH toks AS (SELECT lang, unnest($toksSql) AS term FROM documents), " +

@@ -21,6 +21,8 @@ object Curation {
   /** Salt seeds — distinct per operator so the streams are independent. */
   val MixSeed = 11
   val ShardSeed = 13
+  val StratSeed = 17
+  val PackOrderSeed = 19
 
   /** 2^60 — the hash space of [[TextFunctions.seededHash]] (15 hex digits). */
   val HashSpace: Long = 1L << 60
@@ -116,6 +118,62 @@ object Curation {
           .as("top_word_frac"),
         round(col("top_bigram_cnt").cast("double") / col("n_bigrams"), 6)
           .as("top_bigram_frac"))
+  }
+
+  /** Exact-count stratified sampling: the k rows with the smallest
+    * md5(seed|id) per group — a deterministic uniform sample of exactly
+    * min(k, |group|) rows, reproducible under any re-partitioning (the
+    * rate-based [[mixSample]] can't promise exact counts; this can't
+    * promise a pure map-side plan — they're complements).
+    *
+    * Two-phase top-k, same contract as the ANN search path: phase one
+    * ranks within (group, physical partition) — the shuffle key carries
+    * the partition id, so a group never serializes onto one task — and
+    * only the ≤ partitions·k per-group survivors reach the final
+    * group-wide ranking. A plain per-group window would funnel each
+    * group's entire corpus slice through a single task: with a handful of
+    * groups (languages), that is the whole 100 TB through a handful of
+    * tasks. */
+  def stratifiedSample(docs: DataFrame, groupCol: String = "lang", k: Int = 20,
+                       idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = TextFunctions.seededHash(col(idCol).cast("string"), StratSeed)
+    val local = Window.partitionBy(col(groupCol), col("__pid"))
+      .orderBy(col("__h"), col(idCol))
+    val global = Window.partitionBy(col(groupCol)).orderBy(col("__h"), col(idCol))
+    // the survivor SET depends on physical partitioning, but any k globally
+    // smallest rows are also top-k within their own partition, so the final
+    // ranking's OUTPUT does not
+    docs.withColumn("__h", h).withColumn("__pid", spark_partition_id())
+      .withColumn("__lrk", row_number().over(local)).where(col("__lrk") <= k)
+      .withColumn("rk", row_number().over(global).cast("long")).where(col("rk") <= k)
+      .drop("__h", "__pid", "__lrk")
+  }
+
+  /** Sequence packing for training export: concatenate each shard's
+    * documents (in a deterministic content-hash order) and cut the stream
+    * into fixed token-budget bins — every doc is tagged with the bin its
+    * first token lands in. One shuffle by shard, one in-shard sort +
+    * running prefix sum; packing is inherently sequential per output
+    * stream, and the shard is the unit of parallelism (shard count grows
+    * with the corpus, so each task packs a bounded slice). Shards reuse
+    * [[ShardSeed]], so bins nest inside the [[shardStats]] export layout. */
+  def packSequences(docs: DataFrame, budgetTokens: Int = 512, nShards: Int = 16,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(
+        col(idCol),
+        (TextFunctions.seededHash(col(idCol).cast("string"), ShardSeed) % nShards)
+          .as("shard"),
+        TextFunctions.seededHash(col(idCol).cast("string"), PackOrderSeed).as("__h"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("bin",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(budgetTokens))
+          .cast("long"))
+      .drop("__h")
   }
 
   /** Deterministic output sharding for training-data export: assign every

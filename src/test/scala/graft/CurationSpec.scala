@@ -61,6 +61,39 @@ class CurationSpec extends SparkSpec {
     assert(solo.getAs[Long]("n_words") == 1L && solo.isNullAt(solo.fieldIndex("top_bigram_frac")))
   }
 
+  test("stratifiedSample: exact per-group counts, partitioning-independent") {
+    val big = spark.range(1000).select(col("id").as("doc_id"),
+      when(col("id") % 4 === 0, "en").otherwise("zh").as("lang"))
+    val a = Curation.stratifiedSample(big, k = 20).select("doc_id").as[Long].collect().sorted
+    val b = Curation.stratifiedSample(big.repartition(13), k = 20)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b), "sample must not depend on physical partitioning")
+    val perGroup = Curation.stratifiedSample(big, k = 20)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(perGroup == Map("en" -> 20L, "zh" -> 20L))
+    // a group smaller than k yields the whole group
+    val tiny = Curation.stratifiedSample(big.where(col("doc_id") < 8), k = 20)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(tiny == Map("en" -> 2L, "zh" -> 6L))
+  }
+
+  test("packSequences: bins cut at the token budget, prefix order deterministic") {
+    val out = Curation.packSequences(docs, budgetTokens = 10, nShards = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    // per shard: bins are contiguous from 0 and each doc's bin is its
+    // start-offset div budget under the hash order
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val bins = rows.map(_._4)
+      assert(bins.min == 0L)
+      val total = rows.map(_._3).sum
+      assert(bins.max <= total / 10, s"bin ids exceed token mass: $rows")
+    }
+    // deterministic under repartition
+    val again = Curation.packSequences(docs.repartition(5), budgetTokens = 10, nShards = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
   test("shardStats: total preserved, shards in range, assignment is stable") {
     val stats = Curation.shardStats(docs, nShards = 8).collect()
     assert(stats.map(_.getAs[Long]("n_docs")).sum == 6L)
