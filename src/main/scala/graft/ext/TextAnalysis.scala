@@ -30,23 +30,28 @@ object TextAnalysis {
 
   /** Top-k most frequent terms per group (vocabulary reporting / frequent
     * items). Two map-side-combinable aggregations reduce the corpus to
-    * per-(group, term) counts; the final row_number window then runs over
-    * vocabulary-sized data, not the corpus. Groups are few (languages,
-    * sources), so the window's per-group partition is the whole vocabulary
-    * of that group — if a group's vocabulary ever outgrew one task, the
-    * two-phase top-k pattern from [[Similarity]] (partial k per physical
-    * partition, final k over survivors) drops in with the same contract.
-    * Deterministic: ties break on the term itself. */
+    * per-(group, term) counts, then two-phase top-k (the [[Similarity]] /
+    * stratified-sampling contract): a pre-rank within (group, physical
+    * partition) — a heavy-tailed vocabulary never funnels through one
+    * window task — and a final rank over the ≤ partitions·k survivors.
+    * Any globally top-k row is top-k within its own partition, so the
+    * output is independent of partitioning. Deterministic: ties break on
+    * the term itself. */
   def topTerms(docs: DataFrame, groupCol: String = "lang", k: Int = 10,
                textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = docs
       .select(col(groupCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy(groupCol, "term").agg(count(lit(1)).as("cnt"))
+    val local = Window.partitionBy(col(groupCol), col("__pid"))
+      .orderBy(col("cnt").desc, col("term"))
     counts
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrk", row_number().over(local)).where(col("__lrk") <= k)
       .withColumn("rk", row_number()
         .over(Window.partitionBy(col(groupCol)).orderBy(col("cnt").desc, col("term")))
         .cast("long"))
       .where(col("rk") <= k)
+      .drop("__pid", "__lrk")
   }
 }

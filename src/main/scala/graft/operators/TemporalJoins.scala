@@ -86,7 +86,15 @@ object TemporalJoins {
     * nested-loop — so it scales like any other keyed join, and a right row
     * can match a given left row in only one of its two probed bins (bins
     * are disjoint), so nothing double-counts. Left rows with no match
-    * survive with a zero count. */
+    * survive with a zero count.
+    *
+    * Skew: a single (key, bin) holding l left and r right rows emits l·r
+    * pre-aggregation join rows — intrinsic to exact interval counting, and
+    * the (key, bin) granularity already dices a hot key across time. AQE's
+    * skew-join split handles residual hot cells; if one entity's
+    * single-window activity alone overwhelms a task, salt the right side
+    * (duplicate each left probe across the salt range) before widening
+    * anything else. */
   def rangeCount(left: DataFrame, right: DataFrame, key: Seq[String],
                  lt: String, rt: String, lowerSec: Long, upperSec: Long,
                  leftIdCols: Seq[String], outCol: String = "n_matches"): DataFrame = {
