@@ -51,6 +51,38 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 0L, 3L -> 0L))
   }
 
+  test("property: asof and rangeCount match a brute-force reference on random events") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val keys = Vector("a", "b", "c")
+      val lefts = (1 to 40).map(i =>
+        (keys(rnd.nextInt(3)), rnd.nextInt(1000).toLong, i.toLong))
+      val rights = (1 to 120).map(i =>
+        (keys(rnd.nextInt(3)), rnd.nextInt(1000).toLong, 1000L + i))
+      val lDf = lefts.toDF("k", "__sec", "lid")
+        .select(col("k"), timestamp_seconds(col("__sec")).as("ts"), col("lid"))
+      val rDf = rights.toDF("k", "__sec", "rid")
+        .select(col("k"), timestamp_seconds(col("__sec")).as("rts"), col("rid"))
+
+      val asofGot = TemporalJoins.asofLastBefore(lDf, rDf, Seq("k"), "ts", "rts", "rid")
+        .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+      val asofExp = lefts.map { case (k, lt, lid) =>
+        val cands = rights.filter(r => r._1 == k && r._2 <= lt)
+        lid -> (if (cands.isEmpty) None
+                else Some(cands.maxBy(r => (r._2, r._3))._3))
+      }.toMap
+      assert(asofGot == asofExp)
+
+      val rangeGot = TemporalJoins.rangeCount(lDf, rDf.select("k", "rts"), Seq("k"),
+          "ts", "rts", lowerSec = -50, upperSec = 0, leftIdCols = Seq("lid"), outCol = "n")
+        .as[(Long, Long)].collect().toMap
+      val rangeExp = lefts.map { case (k, lt, lid) =>
+        lid -> rights.count(r => r._1 == k && r._2 >= lt - 50 && r._2 < lt).toLong
+      }.toMap
+      assert(rangeGot == rangeExp)
+    }
+  }
+
   test("rangeCount: plans a hash/merge join, never a nested loop") {
     val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val p = ev.where(col("event_type") === "purchase").select(col("event_id"), col("user_id"), col("ts"))
