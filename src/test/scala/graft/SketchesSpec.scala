@@ -1,0 +1,48 @@
+package graft
+
+import graft.ext.Sketches
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def terms = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"),
+      (col("doc_id") % 4).as("shard"))
+
+  test("per-shard HLL sketches union to a near-exact corpus distinct count") {
+    val sketches = Sketches.hllByGroup(terms, col("term"), "shard")
+    assert(sketches.count() == 4)
+    val est = Sketches.unionEstimate(sketches).collect().head.getLong(0)
+    val exact = terms.select("term").distinct().count()
+    val err = math.abs(est.toDouble - exact) / exact
+    assert(err < 0.05, s"estimate $est vs exact $exact (err $err)")
+  }
+
+  test("incremental maintenance: a new shard's sketch unions in without rescanning old shards") {
+    val old = Sketches.hllByGroup(terms.where(col("shard") < 3), col("term"), "shard")
+      .persist() // stands in for the stored sketch table
+    old.count()
+    val incr = Sketches.hllByGroup(terms.where(col("shard") === 3), col("term"), "shard")
+    val est = Sketches.unionEstimate(old.unionByName(incr)).collect().head.getLong(0)
+    val full = Sketches.unionEstimate(Sketches.hllByGroup(terms, col("term"), "shard"))
+      .collect().head.getLong(0)
+    // sketch union is exact over sketches: incrementally-built == rebuilt
+    assert(est == full, s"incremental $est != full rebuild $full")
+    old.unpersist()
+  }
+
+  test("quantile sketch (approx_percentile) tracks exact percentiles") {
+    val vals = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("value"))
+    val Seq(a50, a99) = vals
+      .agg(approx_percentile(col("value"), array(lit(0.5), lit(0.99)), lit(1000)))
+      .collect().head.getSeq[Double](0).toSeq
+    val Seq(e50, e99) = vals
+      .agg(percentile(col("value"), array(lit(0.5), lit(0.99))))
+      .collect().head.getSeq[Double](0).toSeq
+    assert(math.abs(a50 - e50) <= math.abs(e50) * 0.05 + 1e-9)
+    assert(math.abs(a99 - e99) <= math.abs(e99) * 0.05 + 1e-9)
+  }
+}
