@@ -94,6 +94,16 @@ class CurationSpec extends SparkSpec {
     assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
 
+  test("plan shapes: mixSample is map-only, packSequences pays one exchange") {
+    val real = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val mixPlan = Curation.mixSample(real).select("doc_id", "lang", "source")
+      .queryExecution.executedPlan.toString
+    assert(!mixPlan.contains("Exchange"), s"mixSample must not shuffle:\n$mixPlan")
+    val packPlan = Curation.packSequences(real).queryExecution.executedPlan.toString
+    val ex = "Exchange hashpartitioning".r.findAllIn(packPlan).size
+    assert(ex == 1, s"packSequences should pay exactly 1 shuffle, got $ex:\n$packPlan")
+  }
+
   test("shardStats: total preserved, shards in range, assignment is stable") {
     val stats = Curation.shardStats(docs, nShards = 8).collect()
     assert(stats.map(_.getAs[Long]("n_docs")).sum == 6L)
