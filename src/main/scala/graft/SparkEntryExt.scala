@@ -241,6 +241,22 @@ object SparkEntryExt {
         .select("doc_id", "n_tokens", "n_dupes")
     },
 
+    "x_pipeline_export" -> { (s, dir) =>
+      // the full training-export flow, composed: quality gate (projection)
+      // -> exact dedup (1 shuffle on the 16-byte digest) -> per-language
+      // mixture (map-side filter) -> shard + token-budget bins (1 shuffle
+      // on shard). Two shuffles for the whole corpus-to-shards pipeline.
+      val scored = TextAnalysis.withLangId(TextAnalysis.withQuality(Tables.documents(s, dir)))
+      val clean = scored.where(col("n_tokens").between(20, 5000) && col("alnum_ratio") >= 0.8)
+      val deduped = clean.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("n_tokens")).as("n_tokens"),
+          min(col("pred_lang")).as("pred_lang"))
+        .drop("h")
+      val mixed = Curation.mixSample(deduped, groupCol = "pred_lang")
+      Curation.packByTokens(mixed.select("doc_id", "pred_lang", "n_tokens"))
+        .select("doc_id", "pred_lang", "n_tokens", "shard", "bin")
+    },
+
     // ----- dedup family -----
     "x_dedup_minhash" -> { (s, dir) =>
       Dedup.minhashSignatures(Tables.documents(s, dir), k = mmSeeds)
@@ -411,6 +427,14 @@ object SparkEntryExt {
   // shared by x_text_langid and x_pipeline_clean so the tie-break CASE
   // cannot silently desynchronize between the two oracles
   private val langScoresSql = langs.map(l => s"${langScoreSql(l)} AS s_$l").mkString(", ")
+  // the quality-scored + language-tagged corpus CTE prefix, shared by
+  // x_pipeline_clean and x_pipeline_export so the gate cannot drift
+  private lazy val scoredTaggedSql =
+    s"scored AS (SELECT doc_id, text, CAST(len($toksSql) AS BIGINT) AS n_tokens, " +
+      "CASE WHEN length(text) = 0 THEN NULL ELSE " +
+      "round(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) " +
+      s"/ length(text), 6) END AS alnum_ratio, $langScoresSql FROM documents), " +
+      s"tagged AS (SELECT *, $langIdCaseSql AS pred_lang FROM scored)"
   private val langIdCaseSql = {
     val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
     val cases = langs.map(l => s"WHEN s_$l = $best AND s_$l > 0 THEN '$l'").mkString(" ")
@@ -608,15 +632,33 @@ object SparkEntryExt {
         "AS fingerprint FROM documents"),
 
     "x_pipeline_clean" ->
-      (s"WITH scored AS (SELECT doc_id, text, CAST(len($toksSql) AS BIGINT) AS n_tokens, " +
-        "CASE WHEN length(text) = 0 THEN NULL ELSE " +
-        "round(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) " +
-        s"/ length(text), 6) END AS alnum_ratio, $langScoresSql FROM documents), " +
-        s"tagged AS (SELECT *, $langIdCaseSql AS pred_lang FROM scored) " +
+      (s"WITH $scoredTaggedSql " +
         "SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens, " +
         "CAST(count(*) AS BIGINT) AS n_dupes FROM tagged " +
         "WHERE pred_lang = 'en' AND n_tokens BETWEEN 20 AND 5000 AND alnum_ratio >= 0.8 " +
         "GROUP BY md5(text)"),
+
+    // the full export flow: quality gate -> exact dedup -> per-language
+    // mixture -> shard + token-budget bins; the one query that exercises
+    // every curation stage back-to-back
+    "x_pipeline_export" -> {
+      val cases = graft.ext.Curation.DefaultMixRates
+        .map { case (g, r) => s"WHEN '$g' THEN ${graft.ext.Curation.threshold(r)}" }
+        .mkString(" ")
+      val mixThr = s"CASE pred_lang $cases ELSE ${graft.ext.Curation.threshold(graft.ext.Curation.DefaultMixRate)} END"
+      s"WITH $scoredTaggedSql, " +
+        "clean AS (SELECT * FROM tagged WHERE n_tokens BETWEEN 20 AND 5000 AND alnum_ratio >= 0.8), " +
+        "dedup AS (SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens, " +
+        "min(pred_lang) AS pred_lang FROM clean GROUP BY md5(text)), " +
+        s"mixed AS (SELECT * FROM dedup WHERE ${seedHashSql(graft.ext.Curation.MixSeed.toString, "CAST(doc_id AS VARCHAR)")} < $mixThr), " +
+        s"t AS (SELECT doc_id, pred_lang, n_tokens, " +
+        s"${seedHashSql(graft.ext.Curation.ShardSeed.toString, "CAST(doc_id AS VARCHAR)")} % 16 AS shard, " +
+        s"${seedHashSql(graft.ext.Curation.PackOrderSeed.toString, "CAST(doc_id AS VARCHAR)")} AS h FROM mixed), " +
+        "p AS (SELECT doc_id, pred_lang, n_tokens, shard, sum(n_tokens) OVER " +
+        "(PARTITION BY shard ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS pre FROM t) " +
+        "SELECT doc_id, pred_lang, n_tokens, shard, " +
+        "CAST(floor((pre - n_tokens) / 512) AS BIGINT) AS bin FROM p"
+    },
 
     "x_text_tf_df" ->
       (s"WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents), " +

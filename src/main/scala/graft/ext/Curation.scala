@@ -159,17 +159,28 @@ object Curation {
     * with the corpus, so each task packs a bounded slice). Shards reuse
     * [[ShardSeed]], so bins nest inside the [[shardStats]] export layout. */
   def packSequences(docs: DataFrame, budgetTokens: Int = 512, nShards: Int = 16,
-                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    packByTokens(
+      docs.select(col(idCol),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens")),
+      budgetTokens, nShards, idCol)
+      .select(col(idCol), col("shard"), col("n_tokens"), col("bin"))
+
+  /** [[packSequences]] over rows that already carry an `n_tokens` column
+    * (a cleaned/deduped intermediate mid-pipeline — no need to re-tokenize
+    * text that earlier stages already measured). Appends `shard` and
+    * `bin`. */
+  def packByTokens(rows: DataFrame, budgetTokens: Int = 512, nShards: Int = 16,
+                   idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("__h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(
-        col(idCol),
-        (TextFunctions.seededHash(col(idCol).cast("string"), ShardSeed) % nShards)
-          .as("shard"),
-        TextFunctions.seededHash(col(idCol).cast("string"), PackOrderSeed).as("__h"),
-        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"))
+    rows
+      .withColumn("shard",
+        TextFunctions.seededHash(col(idCol).cast("string"), ShardSeed) % nShards)
+      .withColumn("__h",
+        TextFunctions.seededHash(col(idCol).cast("string"), PackOrderSeed))
       .withColumn("bin",
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(budgetTokens))
           .cast("long"))
