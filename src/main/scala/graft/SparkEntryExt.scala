@@ -269,6 +269,13 @@ object SparkEntryExt {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), minJaccard = 0.8,
         k = mmSeeds, bands = mmBands)
     },
+    "x_dedup_clusters" -> { (s, dir) =>
+      // pairs -> connected components: the keep/drop closure per dup class
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.lshCandidates(docs, k = mmSeeds, bands = mmBands, minEst = 0.5)
+        .select("id_a", "id_b")
+      Dedup.clusters(pairs, docs.select("doc_id"))
+    },
     "x_dedup_simhash" -> { (s, dir) =>
       Dedup.simhashes(Tables.documents(s, dir))
     },
@@ -675,6 +682,20 @@ object SparkEntryExt {
     "x_dedup_minhash" ->
       (s"SELECT doc_id, array_to_string($sigSql, ',') AS sig_str FROM " +
         s"(SELECT doc_id, ${hashedSql(shinglesSql())} AS hs FROM documents)"),
+
+    // recursive CTE = the independent closure check for the engine's
+    // min-label propagation (same candidate pairs as x_dedup_lsh_pairs)
+    "x_dedup_clusters" ->
+      (s"WITH RECURSIVE sigs AS (SELECT doc_id, $sigSql AS sig FROM " +
+        s"(SELECT doc_id, ${hashedSql(shinglesSql())} AS hs FROM documents)), " +
+        s"cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b " +
+        s"FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id " +
+        s"WHERE ($bandShareSql) AND $estSql >= 0.5), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM cand " +
+        "UNION SELECT id_b, id_a FROM cand), " +
+        "walk(id, lbl) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id) " +
+        "SELECT id AS doc_id, min(lbl) AS cluster FROM walk GROUP BY 1"),
 
     "x_dedup_lsh_pairs" ->
       (s"WITH sigs AS (SELECT doc_id, $sigSql AS sig FROM " +

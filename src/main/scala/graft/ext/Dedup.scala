@@ -210,6 +210,52 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over near-dup pairs: the cluster closure a real
+    * dedup job needs (pairs alone can't answer "keep one per class" —
+    * a~b, b~c must collapse a, b, c together even when a~c was never
+    * emitted). Min-label propagation: every node starts as its own label,
+    * each round pushes labels across edges and keeps the minimum, until a
+    * round changes nothing. Rounds = cluster diameter, and near-dup
+    * graphs are dense (LSH co-buckets whole classes; star pairs have
+    * diameter 2), so convergence is a handful of rounds — each one keyed
+    * join + map-side-combinable min, with `localCheckpoint` truncating
+    * the iterative lineage. A pathological long-chain graph exceeding
+    * `maxIter` is refused, not silently mislabeled (the large-star/
+    * small-star O(log n)-round algorithm is the drop-in for that regime).
+    *
+    * Output: (`idCol`, `cluster`) for EVERY node — the cluster id is the
+    * smallest member id, so `cluster == id` selects the kept
+    * representatives. */
+  def clusters(pairs: DataFrame, nodes: DataFrame, idCol: String = "doc_id",
+               maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().persist()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl"))
+      .localCheckpoint(true)
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      val prop = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+      // labels only ever decrease, so "no decrease" == fixpoint
+      done = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .where(col("lbl") < col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    if (!done)
+      throw new IllegalStateException(
+        s"component diameter exceeds $maxIter rounds — use a logarithmic " +
+          "CC algorithm (large-star/small-star) for chain-shaped graphs")
+    labels.select(col("id").as(idCol), col("lbl").as("cluster"))
+  }
+
   /** Per-doc SimHash (near-identical docs land on close signatures;
     * equal signatures → near-certain dups). */
   def simhashes(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =

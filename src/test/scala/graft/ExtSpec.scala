@@ -120,6 +120,21 @@ class DedupSpec extends SparkSpec {
     assert(truth.subsetOf(found), s"missed: ${truth -- found}")
   }
 
+  test("clusters: transitive closure, singletons, chain refusal") {
+    import spark.implicits._
+    // a-b, b-c chain plus isolated d: one cluster {1,2,3} labeled 1, and 4 alone
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 7L, 9L).toDF("doc_id")
+    val got = Dedup.clusters(pairs, nodes).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 7L -> 7L, 9L -> 7L))
+    // a path graph deeper than maxIter is refused, not silently mislabeled
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainNodes = (1L to 12L).toDF("doc_id")
+    intercept[IllegalStateException] {
+      Dedup.clusters(chain, chainNodes, maxIter = 2).collect()
+    }
+  }
+
   test("embedding near-dup with LSH bucketing ⊆ exact pairs") {
     val embs = Tables.embeddings(spark, sf)
     val exact = Dedup.embeddingNearDups(embs, minCos = 0.4, exactPairs = true)
