@@ -316,6 +316,45 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.exists(_._4 == 100.0), s"late event leaked: $rows")
   }
 
+  test("streaming exact dedup: in-horizon duplicates suppressed, state expires (extension)") {
+    import org.apache.spark.sql.types._
+    val dir = tmp(); val log = s"$dir/docs"; new java.io.File(log).mkdirs()
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val got = java.util.Collections.synchronizedList(new java.util.ArrayList[Long]())
+    def runOnce(): Unit = {
+      val q = graft.streaming.StreamDedup
+        .exactWithinWatermark(spark.readStream.schema(schema).json(log), "ts")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("doc_id").collect().foreach(r => got.add(r.getLong(0))); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1: the same text delivered twice (replay) + one distinct doc
+    Files.writeString(java.nio.file.Paths.get(s"$log/b1.json"),
+      """{"ts":"2024-01-01T10:00:00.000Z","doc_id":1,"text":"same body"}
+        |{"ts":"2024-01-01T10:00:01.000Z","doc_id":2,"text":"same body"}
+        |{"ts":"2024-01-01T10:00:02.000Z","doc_id":3,"text":"other body"}
+        |""".stripMargin)
+    runOnce()
+    assert(got.size == 2, s"in-horizon duplicate not suppressed: $got")
+    // batch 2 advances the watermark far past the horizon; batch 3's
+    // duplicate of "same body" is then re-admitted (state EXPIRED — the
+    // bounded-state contract, not a forever-dedup)
+    Files.writeString(java.nio.file.Paths.get(s"$log/b2.json"),
+      """{"ts":"2024-01-01T12:00:00.000Z","doc_id":4,"text":"noon body"}""" + "\n")
+    runOnce()
+    Files.writeString(java.nio.file.Paths.get(s"$log/b3.json"),
+      """{"ts":"2024-01-01T12:00:05.000Z","doc_id":5,"text":"same body"}""" + "\n")
+    runOnce()
+    val ids = { import scala.jdk.CollectionConverters._; got.asScala.toSet }
+    assert(ids.contains(5L), s"expired-state duplicate should re-emit: $ids")
+    assert(got.size == 4, s"expected 4 emissions total: $got")
+  }
+
   test("stream-stream interval join: watermarked attribution window (extension)") {
     import org.apache.spark.sql.types._
     val dir = tmp()
