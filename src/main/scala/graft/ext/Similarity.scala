@@ -78,7 +78,13 @@ object Similarity {
               vecCol: String = "embedding", idCol: String = "vec_id",
               cellCol: String = "label", nprobe: Int = 2): DataFrame = {
     val withCell = corpus.withColumnRenamed(cellCol, "cell")
-    ivfSearch(withCell, cellMeans(withCell, vecCol), queries, k, vecCol, idCol, nprobe)
+    // per-cell means are kCells·dim floats — bounded metadata, the same
+    // driver-side contract as learnedCentroids
+    val cents = cellMeans(withCell, vecCol).collect()
+      .map(r => (r.getAs[Number]("cell").longValue(),
+        r.getSeq[Float](r.fieldIndex("centroid")).toArray))
+      .toSeq.sortBy(_._1)
+    ivfSearch(withCell, cents, queries, k, vecCol, idCol, nprobe)
   }
 
   /** IVF with LEARNED cells: deterministic Lloyd's k-means (seeded by the
@@ -88,11 +94,8 @@ object Similarity {
   def ivfTopKLearned(corpus: DataFrame, queries: DataFrame, k: Int = 10,
                      vecCol: String = "embedding", idCol: String = "vec_id",
                      kCells: Int = 8, iters: Int = 2, nprobe: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val cents = learnedCentroids(corpus, kCells, iters, vecCol, idCol)
-    val centDf = cents.toDF("cell", "centroid")
-    ivfSearch(assignCells(corpus, cents, vecCol), centDf,
+    ivfSearch(assignCells(corpus, cents, vecCol), cents,
       queries, k, vecCol, idCol, nprobe)
   }
 
@@ -156,17 +159,29 @@ object Similarity {
         p => p("m").cast("float")).as("centroid"))
 
   /** Shared IVF probe: each query visits its `nprobe` nearest centroids,
-    * exact cosine only within the probed cells. */
-  private def ivfSearch(corpusWithCell: DataFrame, centroids: DataFrame,
+    * exact cosine only within the probed cells. Centroids are bounded
+    * driver-side metadata (kCells·dim floats), so probe selection is a
+    * pure PROJECTION over a literal array — rank cells per row with
+    * `array_sort`, slice the top `nprobe`, explode — rather than the
+    * query×centroid cross join + window the naive form plans (a
+    * BroadcastNestedLoop the global PlanAuditSpec would reject). Ranking
+    * matches the window form exactly: cosine desc then cell asc, with the
+    * −2 floor ranking null-cosine (degenerate) pairs last. */
+  private def ivfSearch(corpusWithCell: DataFrame, cents: Seq[(Long, Array[Float])],
                         queries: DataFrame, k: Int, vecCol: String, idCol: String,
                         nprobe: Int): DataFrame = {
+    if (cents.isEmpty)
+      return topKPerQuery(queries
+        .select(col(idCol).as("query_id"), col(idCol), lit(0d).as("cos"))
+        .limit(0), k, idCol)
+    val centLit = array(cents.map { case (c, v) =>
+      struct(lit(c).as("cell"), typedlit(v).as("centroid")) }: _*)
+    val ranked = reverse(array_sort(transform(centLit, c =>
+      struct(coalesce(cosine(col("__qv"), c("centroid")), lit(-2d)).as("d"),
+        (-c("cell")).as("nc")))))
     val qCells = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .join(broadcast(centroids))
-      .withColumn("__d", cosine(col("__qv"), col("centroid")))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("__d").desc, col("cell"))))
-      .where(col("__r") <= nprobe)
-      .select(col("query_id"), col("__qv"), col("cell"))
+      .withColumn("__probe", explode(slice(ranked, 1, nprobe)))
+      .select(col("query_id"), col("__qv"), (-col("__probe.nc")).as("cell"))
     val scored = corpusWithCell
       .join(qCells, Seq("cell"))
       .where(col("query_id") =!= col(idCol))
