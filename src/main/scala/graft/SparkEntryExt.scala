@@ -276,6 +276,14 @@ object SparkEntryExt {
         .select("id_a", "id_b")
       Dedup.clusters(pairs, docs.select("doc_id"))
     },
+    "x_dedup_incremental" -> { (s, dir) =>
+      // ingest-time dedup: odd docs arrive as the batch, even docs are the
+      // stored corpus — match against its indexes only
+      val docs = Tables.documents(s, dir)
+      Dedup.dedupeAgainstStored(
+        docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 === 1),
+        k = mmSeeds, bands = mmBands)
+    },
     "x_dedup_simhash" -> { (s, dir) =>
       Dedup.simhashes(Tables.documents(s, dir))
     },
@@ -682,6 +690,28 @@ object SparkEntryExt {
     "x_dedup_minhash" ->
       (s"SELECT doc_id, array_to_string($sigSql, ',') AS sig_str FROM " +
         s"(SELECT doc_id, ${hashedSql(shinglesSql())} AS hs FROM documents)"),
+
+    // a = the incoming (odd) side, b = the stored (even) side; same band
+    // share, estimate gate, and exact-Jaccard verify as the self-join path
+    "x_dedup_incremental" ->
+      (s"WITH base AS (SELECT doc_id, ${shinglesSql()} AS sh FROM documents), " +
+        s"sigs AS (SELECT doc_id, hs, $sigSql AS sig FROM " +
+        "(SELECT doc_id, " + hashedSql("sh") + " AS hs FROM base)), " +
+        "ex AS (SELECT i.doc_id, s.match_id, 'exact' AS kind, CAST(1.0 AS DOUBLE) AS jaccard " +
+        "FROM (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1) i " +
+        "JOIN (SELECT md5(text) AS h, min(doc_id) AS match_id FROM documents " +
+        "WHERE doc_id % 2 = 0 GROUP BY 1) s USING (h)), " +
+        "cand AS (SELECT a.doc_id AS doc_id, b.doc_id AS st_id, " +
+        "round(CASE WHEN len(a.hs) = 0 AND len(b.hs) = 0 THEN 1.0 " +
+        "ELSE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) / " +
+        "(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) END, 6) AS jaccard " +
+        "FROM sigs a JOIN sigs b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 " +
+        s"AND (($bandShareSql) AND $estSql >= 0.3)), " +
+        "nr AS (SELECT doc_id, st_id AS match_id, 'near' AS kind, jaccard " +
+        "FROM cand WHERE jaccard >= 0.8 " +
+        "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, st_id) = 1) " +
+        "SELECT * FROM ex UNION ALL " +
+        "SELECT * FROM nr WHERE doc_id NOT IN (SELECT doc_id FROM ex)"),
 
     // recursive CTE = the independent closure check for the engine's
     // min-label propagation (same candidate pairs as x_dedup_lsh_pairs)

@@ -3,6 +3,7 @@ package graft.ext
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for pretraining-scale corpora (north-star
@@ -208,6 +209,63 @@ object Dedup {
         round(graft.plans.ArrayExpressions.sortedJaccard(col("hs_a"), col("hs_b")), 6))
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Incremental dedup: match an INCOMING batch against the STORED corpus
+    * — the ingest-time question ("is this new doc a duplicate of anything
+    * we already hold?") that a full-corpus self-join cannot answer
+    * affordably per batch. The stored side contributes only its INDEXES
+    * (md5 hash set, memoized shingle/signature tables — at cluster scale,
+    * tables maintained on storage): no stored raw text is rescanned.
+    *
+    * Exact matches (identical text) join the 16-byte hash set; near
+    * matches band-join the incoming signatures against the stored band
+    * index (join work ∝ |batch| × bucket occupancy, bounded by the batch
+    * size — the self-join mega-bucket cap protects the OTHER path; here
+    * the batch side bounds every bucket product) and verify exact
+    * shingle-set Jaccard via the O(n+m) merge kernel. One row per matched
+    * incoming doc: the best stored match (exact wins over near; then
+    * highest Jaccard, then lowest stored id). */
+  def dedupeAgainstStored(stored: DataFrame, incoming: DataFrame,
+                          textCol: String = "text", idCol: String = "doc_id",
+                          k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+                          minJaccard: Double = 0.8, minEst: Double = 0.3): DataFrame = {
+    val rowsPerBand = k / bands
+    val sHash = stored.groupBy(md5(col(textCol)).as("h")).agg(min(col(idCol)).as("match_id"))
+    val exact = incoming.select(col(idCol), md5(col(textCol)).as("h"))
+      .join(sHash, "h")
+      .select(col(idCol), col("match_id"), lit("exact").as("kind"),
+        lit(1.0).as("jaccard"))
+    val (sSh, iSh, sSig, iSig) = synchronized {
+      val s = shingleTable(stored, textCol, idCol, shingleN)
+      val i = shingleTable(incoming, textCol, idCol, shingleN)
+      (s, i, sigTable(s, idCol, k), sigTable(i, idCol, k))
+    }
+    def banded(sig: DataFrame) = sig.where(col("sig").isNotNull)
+      .withColumn("band", explode(bandKeys(col("sig"), bands, rowsPerBand)))
+    val cands = banded(iSig).alias("i")
+      .join(banded(sSig).alias("s"), col("i.band") === col("s.band"))
+      .select(col(s"i.$idCol").as("in_id"), col(s"s.$idCol").as("st_id"),
+        col("i.sig").as("sig_i"), col("s.sig").as("sig_s"))
+      .distinct()
+      .withColumn("est",
+        size(filter(zip_with(col("sig_i"), col("sig_s"), (x, y) => x === y),
+          t => t)).cast("double") / k)
+      .where(col("est") >= minEst)
+    val verified = cands
+      .join(iSh.select(col(idCol).as("in_id"), col("hs").as("hs_i")), "in_id")
+      .join(sSh.select(col(idCol).as("st_id"), col("hs").as("hs_s")), "st_id")
+      .withColumn("jaccard",
+        round(graft.plans.ArrayExpressions.sortedJaccard(col("hs_i"), col("hs_s")), 6))
+      .where(col("jaccard") >= minJaccard)
+    val bestNear = verified
+      .withColumn("__r", row_number().over(Window.partitionBy(col("in_id"))
+        .orderBy(col("jaccard").desc, col("st_id"))))
+      .where(col("__r") === 1)
+      .select(col("in_id").as(idCol), col("st_id").as("match_id"),
+        lit("near").as("kind"), col("jaccard"))
+    exact.unionByName(
+      bestNear.join(exact.select(idCol), Seq(idCol), "left_anti"))
   }
 
   /** Connected components over near-dup pairs: the cluster closure a real

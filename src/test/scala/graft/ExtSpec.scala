@@ -135,6 +135,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: batch matches stored indexes, exact beats near") {
+    import spark.implicits._
+    val mk = (id: Long, t: String) => (id, t)
+    val stored = Seq(
+      mk(2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      mk(4L, "one two three four five six seven eight nine ten eleven twelve"),
+      mk(6L, "alpha beta gamma delta epsilon zeta eta theta")) // dup of 2
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      mk(1L, "alpha beta gamma delta epsilon zeta eta theta"), // exact (min stored id 2)
+      mk(3L, "one two three four five six seven eight nine ten eleven zzz"), // near of 4
+      mk(5L, "totally disjoint vocabulary goes here right now")) // no match
+      .toDF("doc_id", "text")
+    graft.Caches.invalidate(spark)
+    val got = Dedup.dedupeAgainstStored(stored, incoming)
+      .as[(Long, Long, String, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, "exact", 1.0)))
+    assert(got(3L)._2 == 4L && got(3L)._3 == "near" && got(3L)._4 >= 0.8)
+    assert(!got.contains(5L))
+  }
+
   test("embedding near-dup with LSH bucketing ⊆ exact pairs") {
     val embs = Tables.embeddings(spark, sf)
     val exact = Dedup.embeddingNearDups(embs, minCos = 0.4, exactPairs = true)
