@@ -363,6 +363,9 @@ object SparkEntryExt {
       TextAnalysis.topTerms(Tables.documents(s, dir))
         .select("lang", "term", "cnt", "rk")
     },
+    "x_quality_unigram_lm" -> { (s, dir) =>
+      TextAnalysis.unigramSurprisal(Tables.documents(s, dir))
+    },
     "x_quantiles" -> { (s, dir) =>
       // EXACT per-group percentiles (oracle-checkable). Exact percentile
       // buffers each group's values — fine for bounded group counts; the
@@ -848,6 +851,18 @@ object SparkEntryExt {
         "SELECT doc_id, shard, n_tokens, " +
         "CAST(floor((pre - n_tokens) / 512) AS BIGINT) AS bin FROM p"
     },
+
+    // per-term logprob rounded to 6 decimals BEFORE the per-doc sum, and
+    // the sum in DECIMAL(18,6): exact and order-independent on both sides
+    "x_quality_unigram_lm" ->
+      (s"WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents), " +
+        "freq AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1), " +
+        "tot AS (SELECT sum(cnt) AS n FROM freq), " +
+        "lp AS (SELECT term, round(log2(CAST(cnt AS DOUBLE) / n), 6) AS lp FROM freq, tot), " +
+        "per AS (SELECT t.doc_id, count(*) AS n_tokens, " +
+        "sum(CAST(lp AS DECIMAL(18,6))) AS s FROM toks t JOIN lp USING (term) GROUP BY 1) " +
+        "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "round(-CAST(s AS DOUBLE) / n_tokens, 6) AS bits_per_token FROM per"),
 
     "x_top_terms" ->
       (s"WITH toks AS (SELECT lang, unnest($toksSql) AS term FROM documents), " +

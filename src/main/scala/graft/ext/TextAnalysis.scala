@@ -28,6 +28,37 @@ object TextAnalysis {
   def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
 
+  /** Unigram-LM surprisal per document: mean −log₂ p(token) under the
+    * corpus's own unigram distribution — the classic cheap LM-quality
+    * signal (gibberish and boilerplate sit far from the corpus mode in
+    * bits/token). Two term-keyed aggregations build the frequency table
+    * (map-side combinable); the corpus token total is ONE number — bounded
+    * driver-side metadata, the same contract as the IVF centroids — so it
+    * is collected and inlined as a literal rather than joined (a 1-row
+    * join constant-folds into the nested-loop cross join PlanAuditSpec
+    * bans, and a partition-less window funnels the vocabulary through one
+    * task). The per-doc sum runs over DECIMAL(18,6) so it is exact and
+    * ORDER-INDEPENDENT — a double sum would vary with shuffle-merge order
+    * across cluster runs (and against the oracle). Like TF/DF, the
+    * vocabulary join is not broadcast-forced: AQE broadcasts when the
+    * vocabulary genuinely fits. */
+  def unigramSurprisal(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    // empty corpus -> sum is NULL; 1 keeps the plan valid (no rows flow)
+    val totalRow = freq.agg(sum("cnt")).first()
+    val total = if (totalRow.isNullAt(0)) 1L else totalRow.getLong(0)
+    val lp = freq.select(col("term"),
+      round(log(2.0, col("cnt").cast("double") / lit(total.toDouble)), 6).as("lp"))
+    toks.join(lp, Seq("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("lp").cast("decimal(18,6)")).as("__s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(-col("__s").cast("double") / col("n_tokens"), 6).as("bits_per_token"))
+  }
+
   /** Top-k most frequent terms per group (vocabulary reporting / frequent
     * items). Two map-side-combinable aggregations reduce the corpus to
     * per-(group, term) counts, then two-phase top-k (the [[Similarity]] /

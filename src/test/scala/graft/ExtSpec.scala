@@ -70,6 +70,17 @@ class TextFunctionsSpec extends SparkSpec {
     assert(m(1L) == "en"); assert(m(2L) == "de"); assert(m(3L) == "und")
   }
 
+  test("unigramSurprisal: rare-word docs score more bits/token than modal docs") {
+    val df = (Seq.fill(20)("common words repeated everywhere always") :+
+      "zyxwvut qponmlk jihgfedc unique rarities")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.unigramSurprisal(df)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(20L) > out(0L) + 1.0,
+      s"rare-vocab doc should be surprising: ${out(20L)} vs ${out(0L)}")
+    assert(out.filterKeys(_ < 20).values.toSet.size == 1, "identical docs, identical score")
+  }
+
   test("topTerms: per-group ranks, deterministic term tiebreak, k cap") {
     val df = Seq(
       ("en", "b b b a a c"), ("en", "a"),     // en: a=3, b=3, c=1
