@@ -326,6 +326,10 @@ object SparkEntryExt {
       val assets = Multimodal.toAssets(Tables.documents(s, dir), "text", "text")
       Multimodal.fakeDecode(assets).toDF().select("asset_id", "n_bytes", "phash")
     },
+    "x_multimodal_frames" -> { (s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.toAssets(Tables.documents(s, dir), "text", "text"))
+    },
 
     // ----- windows -----
     "x_window_sliding" -> { (s, dir) =>
@@ -772,6 +776,12 @@ object SparkEntryExt {
     "x_multimodal_meta" ->
       ("SELECT md5(text) AS asset_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
         "substr(md5(text), 1, 16) AS phash FROM documents"),
+
+    "x_multimodal_frames" ->
+      ("SELECT md5(text) AS asset_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "f.frame_idx, CAST(floor(f.frame_idx * octet_length(encode(text)) / 4) AS BIGINT) AS byte_offset " +
+        "FROM documents CROSS JOIN (SELECT unnest([0, 1, 2, 3])::BIGINT AS frame_idx) f " +
+        "WHERE octet_length(encode(text)) > 0"),
 
     "x_window_sliding" ->
       ("SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) " +

@@ -76,6 +76,20 @@ object Multimodal {
       }
   }
 
+  /** Deterministic frame/window sampling plumbing: expand each asset into
+    * `n` evenly spaced sample points — byte offsets over the payload here;
+    * a real demuxer would seek timestamps at the same seam. The stride
+    * math, row expansion, and per-sample addressing are the real
+    * machinery: a pure projection + generator (expansion factor exactly
+    * `n`, no shuffle), feeding the [[fakeDecode]]-shaped per-partition
+    * codec stage downstream. Empty payloads opt out (nothing to seek). */
+  def frameSample(assets: DataFrame, n: Int = 4): DataFrame =
+    assets.select(col("asset_id"), length(col("payload")).cast("long").as("n_bytes"))
+      .where(col("n_bytes") > 0)
+      .withColumn("frame_idx", explode(sequence(lit(0L), lit((n - 1).toLong))))
+      .withColumn("byte_offset",
+        floor(col("frame_idx") * col("n_bytes") / lit(n)).cast("long"))
+
   /** Feature sidecar join-back: narrow table keyed by asset_id. Decode
     * runs once per DISTINCT content hash (duplicate payloads share an
     * asset_id by construction — decoding each copy would both waste the

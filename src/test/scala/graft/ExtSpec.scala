@@ -390,4 +390,17 @@ class MultimodalSpec extends SparkSpec {
       .where(length(col("payload")) =!= col("n_bytes")).count()
     assert(joined == 0)
   }
+
+  test("frameSample: n rows per asset, offsets strictly inside the payload") {
+    val assets = Multimodal.toAssets(Tables.documents(spark, sf), "text", "text")
+    val frames = Multimodal.frameSample(assets, n = 4)
+    val perAsset = frames.groupBy("asset_id").count()
+      .where(col("count") =!= 4).count()
+    assert(perAsset == 0, "every non-empty asset expands to exactly n rows")
+    val bad = frames.where(col("byte_offset") < 0 ||
+      col("byte_offset") >= col("n_bytes")).count()
+    assert(bad == 0, "offsets must address real payload bytes")
+    // frame 0 always starts at offset 0
+    assert(frames.where(col("frame_idx") === 0 && col("byte_offset") =!= 0).isEmpty)
+  }
 }
