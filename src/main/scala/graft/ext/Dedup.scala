@@ -290,7 +290,12 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().persist()
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl"))
+    // iterate ONLY over nodes an edge touches — the overwhelming majority
+    // of a corpus is isolated (no candidate pair) and its label can never
+    // change, so the per-round joins run on dup-mass-sized data; the full
+    // corpus appears exactly once, in the final left join
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
       .localCheckpoint(true)
     var i = 0
     var done = false
@@ -311,7 +316,9 @@ object Dedup {
       throw new IllegalStateException(
         s"component diameter exceeds $maxIter rounds — use a logarithmic " +
           "CC algorithm (large-star/small-star) for chain-shaped graphs")
-    labels.select(col("id").as(idCol), col("lbl").as("cluster"))
+    nodes.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("lbl", "__cl"), Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("__cl"), col("id")).as("cluster"))
   }
 
   /** Per-doc SimHash (near-identical docs land on close signatures;
