@@ -55,6 +55,12 @@ object Dedup {
   private val sigMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       Int), DataFrame]()
+  // LSH candidate pairs are consumed by three queries (the pair listing,
+  // the Jaccard verify, the cluster closure) — in production a materialized
+  // candidates table, here the same plan-keyed persist
+  private val candMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Int, Int, Double, Int), DataFrame]()
 
   private def repersist(df: DataFrame): DataFrame = {
     // rebuilt transparently if something (e.g. clearCache) dropped it
@@ -66,6 +72,11 @@ object Dedup {
     * entries included) — the valve long-lived multi-tenant sessions need
     * so the shared-artifact memos cannot accumulate unboundedly. */
   def invalidate(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    val ci = candMemo.entrySet().iterator()
+    while (ci.hasNext) {
+      val e = ci.next()
+      if (e.getKey._1 eq spark) { e.getValue.unpersist(); ci.remove() }
+    }
     val si = sigMemo.entrySet().iterator()
     while (si.hasNext) {
       val e = si.next()
@@ -147,7 +158,15 @@ object Dedup {
   val DefaultMaxBucket: Int = 4096
 
   private def lshCandidatesFrom(sh: DataFrame, idCol: String, k: Int, bands: Int,
-                                minEst: Double, maxBucket: Int): DataFrame = {
+                                minEst: Double, maxBucket: Int): DataFrame = synchronized {
+    val key = (sh.sparkSession, sh.queryExecution.analyzed.canonicalized,
+      k, bands, minEst, maxBucket)
+    repersist(candMemo.computeIfAbsent(key, _ =>
+      buildCandidates(sh, idCol, k, bands, minEst, maxBucket)))
+  }
+
+  private def buildCandidates(sh: DataFrame, idCol: String, k: Int, bands: Int,
+                              minEst: Double, maxBucket: Int): DataFrame = {
     val rowsPerBand = k / bands
     // NULL signatures (docs with fewer than shingleN words) carry no LSH
     // signal — concat_ws would fold their band keys into one constant
