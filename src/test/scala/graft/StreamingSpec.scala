@@ -316,6 +316,53 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.exists(_._4 == 100.0), s"late event leaked: $rows")
   }
 
+  test("streaming curation pipeline: gate -> langid -> mixture -> dedup on a stream (extension)") {
+    import org.apache.spark.sql.types._
+    val dir = tmp(); val log = s"$dir/docs"; new java.io.File(log).mkdirs()
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    // 40 docs; every 4th is a duplicate body, a couple fail the length gate
+    val rows = (0 until 40).map { i =>
+      val text =
+        if (i % 7 == 0) "tiny"
+        else if (i % 4 == 0) "the shared duplicate body of the stream with the usual words"
+        else s"the document number $i of the stream with the usual words and the rest"
+      s"""{"ts":"2024-01-01T10:00:${"%02d".format(i)}.000Z","doc_id":$i,"text":"$text","lang":"en"}"""
+    }
+    Files.writeString(java.nio.file.Paths.get(s"$log/b1.json"), rows.mkString("\n") + "\n")
+
+    def curate(df: org.apache.spark.sql.DataFrame) = {
+      // the BATCH operators applied verbatim: pure projections and the
+      // content-keyed mixture filter are stream-safe by construction
+      val scored = graft.ext.TextAnalysis.withLangId(
+        graft.ext.TextAnalysis.withQuality(df))
+      graft.ext.Curation.mixSample(
+        scored.where(col("pred_lang") === "en" && col("n_tokens") >= 5),
+        groupCol = "pred_lang")
+    }
+    val got = java.util.Collections.synchronizedList(new java.util.ArrayList[Long]())
+    val q = graft.streaming.StreamDedup.exactWithinWatermark(
+        curate(spark.readStream.schema(schema).json(log)), "ts")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("doc_id").collect().foreach(r => got.add(r.getLong(0))); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = { import scala.jdk.CollectionConverters._; got.asScala.toSet }
+    // batch reference on the same file: same gate + mixture, then exact
+    // dedup keeps one doc per distinct body (streaming kept the first to
+    // ARRIVE; batch keeps min id — same doc here since arrival order = id)
+    val batch = curate(spark.read.schema(schema).json(log))
+    val expected = graft.ext.Dedup.exact(batch.select("doc_id", "text"))
+      .select("keep_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == expected,
+      s"stream/batch divergence: stream-only ${streamed -- expected}, batch-only ${expected -- streamed}")
+    assert(streamed.nonEmpty && streamed.size < 40)
+  }
+
   test("streaming exact dedup: in-horizon duplicates suppressed, state expires (extension)") {
     import org.apache.spark.sql.types._
     val dir = tmp(); val log = s"$dir/docs"; new java.io.File(log).mkdirs()
