@@ -391,6 +391,17 @@ object SparkEntryExt {
         .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
       TemporalJoins.asofLastBefore(purchases, views, Seq("user_id"), "ts", "view_ts", "view_id")
     },
+    "x_asof_forward" -> { (s, dir) =>
+      // conversion: each view gets the user's next purchase at-or-after it
+      val ev = Tables.events(s, dir)
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+      TemporalJoins.asofFirstAfter(views, purchases, Seq("user_id"),
+        "ts", "purchase_ts", "purchase_id")
+    },
     "x_range_join" -> { (s, dir) =>
       // each purchase's click count in the preceding hour, same user
       val ev = Tables.events(s, dir)
@@ -900,6 +911,16 @@ object SparkEntryExt {
         "ORDER BY event_id DESC) = 1) " +
         "SELECT p.event_id, p.user_id, p.ts, p.value, v.view_id, v.view_ts " +
         "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.view_ts <= p.ts"),
+
+    "x_asof_forward" ->
+      ("WITH v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts " +
+        "FROM events WHERE event_type = 'view'), " +
+        "p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS purchase_ts " +
+        "FROM events WHERE event_type = 'purchase' " +
+        "QUALIFY row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP) " +
+        "ORDER BY event_id DESC) = 1) " +
+        "SELECT v.event_id, v.user_id, v.ts, p.purchase_id, p.purchase_ts " +
+        "FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND p.purchase_ts >= v.ts"),
 
     // integer-microsecond window bounds on both sides (memory rule:
     // fractional-second timestamp arithmetic diverges between engines)

@@ -42,7 +42,23 @@ object TemporalJoins {
     * `rt`) must not collide with left column names — rename on the way in.
     */
   def asofLastBefore(left: DataFrame, right: DataFrame, key: Seq[String],
-                     lt: String, rt: String, tieCol: String): DataFrame = {
+                     lt: String, rt: String, tieCol: String,
+                     maxGapSec: Option[Long] = None): DataFrame =
+    asofCore(left, right, key, lt, rt, tieCol, backward = true, maxGapSec)
+
+  /** Forward as-of: the EARLIEST right row at-or-after each left
+    * timestamp (conversion attribution, next-state lookups). Same
+    * union+window machinery as [[asofLastBefore]] with the time sort
+    * reversed — in descending order the running last() lands on the
+    * smallest `rt ≥ lt`. */
+  def asofFirstAfter(left: DataFrame, right: DataFrame, key: Seq[String],
+                     lt: String, rt: String, tieCol: String,
+                     maxGapSec: Option[Long] = None): DataFrame =
+    asofCore(left, right, key, lt, rt, tieCol, backward = false, maxGapSec)
+
+  private def asofCore(left: DataFrame, right: DataFrame, key: Seq[String],
+                       lt: String, rt: String, tieCol: String,
+                       backward: Boolean, maxGapSec: Option[Long]): DataFrame = {
     val payload = right.columns.filterNot(key.contains).toSeq
     require(payload.forall(!left.columns.contains(_)),
       s"right payload ${payload.mkString(",")} collides with left columns")
@@ -62,19 +78,30 @@ object TemporalJoins {
         col(rt).as("__t") :+ lit(0).as("__side") :+
         col(tieCol).as("__tie") :+ col("__p"): _*)
 
-    // right rows sort before a left row with the identical timestamp, so
-    // the running last() sees them (inclusive as-of); left rows carry a
-    // null payload and therefore never pollute it. Left rows' __tie is
-    // null — their relative order among themselves cannot change what the
-    // running last() observes.
+    // right rows sort before a left row with the identical timestamp
+    // (side 0 < 1 in BOTH directions), so the running last() sees them —
+    // inclusive as-of either way; left rows carry a null payload and
+    // therefore never pollute it. Left rows' __tie is null — their
+    // relative order among themselves cannot change what the running
+    // last() observes.
     val w = Window.partitionBy(key.map(col): _*)
-      .orderBy(col("__t"), col("__side"), col("__tie"))
+      .orderBy((if (backward) col("__t") else col("__t").desc) +:
+        Seq(col("__side"), col("__tie")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lSide.unionByName(rSide)
+    val matched = lSide.unionByName(rSide)
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(key.map(col) ++ leftOwn.map(col) ++
-        payload.map(p => col("__m").getField(p).as(p)): _*)
+    // staleness bound (feature-store freshness contract): a match farther
+    // than the gap is no match, applied to the struct so all payload
+    // columns null together
+    val gated = maxGapSec match {
+      case Some(g) => matched.withColumn("__m",
+        when(abs(unix_micros(col("__t")) -
+          unix_micros(col("__m").getField(rt))) <= g * 1000000L, col("__m")))
+      case None => matched
+    }
+    gated.select(key.map(col) ++ leftOwn.map(col) ++
+      payload.map(p => col("__m").getField(p).as(p)): _*)
   }
 
   /** Count right rows with `rt` in `[lt + lowerSec, lt + upperSec)` for

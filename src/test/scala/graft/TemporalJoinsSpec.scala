@@ -51,6 +51,21 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 0L, 3L -> 0L))
   }
 
+  test("asofFirstAfter and maxGap: forward direction, staleness bound") {
+    val left = tsDf(Seq(("k1", 10L, 100L), ("k1", 50L, 101L)), "ts", "lid")
+    val right = tsDf(Seq(("k1", 10L, 1L), ("k1", 20L, 2L), ("k1", 9L, 3L)), "rts", "rid")
+    val fwd = TemporalJoins.asofFirstAfter(left, right, Seq("k"), "ts", "rts", "rid")
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    // left@10 matches the inclusive rt=10; left@50 has nothing after it
+    assert(fwd == Map(100L -> Some(1L), 101L -> None))
+    // staleness bound: a backward match farther than maxGap is dropped
+    val gated = TemporalJoins.asofLastBefore(left, right, Seq("k"), "ts", "rts", "rid",
+        maxGapSec = Some(5L))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    // left@10 matches rt=10 (gap 0); left@50's nearest is rt=20 (gap 30 > 5)
+    assert(gated == Map(100L -> Some(1L), 101L -> None))
+  }
+
   test("property: asof and rangeCount match a brute-force reference on random events") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 3) {
