@@ -34,7 +34,8 @@ object SparkEntry {
   // Decimal-safe revenue-ish aggregation helper
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = SparkEntryExt.queries ++ Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    SparkEntryExt.queries ++ SparkEntryIdx.queries ++ Map(
     // ----- P: search surface (SURVEY §2.3) -----
     "p1_conj_eq" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
       Search.conjEquals(t("orders"),
@@ -217,7 +218,8 @@ object SparkEntry {
     }
   )
 
-  def oracleSql: Map[String, String] = SparkEntryExt.oracleSql ++ Map(
+  def oracleSql: Map[String, String] =
+    SparkEntryExt.oracleSql ++ SparkEntryIdx.oracleSql ++ Map(
     "p1_conj_eq" ->
       "SELECT * FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'",
     "p3_child_range_gt" ->

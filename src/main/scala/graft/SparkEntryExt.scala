@@ -419,7 +419,7 @@ object SparkEntryExt {
 
   // mirrors TextFunctions.tokens incl. the empty-token strip (split of
   // empty text yields [''] in BOTH engines)
-  private val toksSql =
+  private[graft] val toksSql =
     "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')"
   private def shinglesSql(t: String = toksSql) =
     s"list_distinct(list_transform(range(1, len($t) - 1), i -> array_to_string(($t)[i:i+2], ' ')))"

@@ -1,0 +1,110 @@
+package graft.ext
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed inverted index over the documents table (north-star
+  * extension — the namesake "big-data indexing" capability): build the
+  * posting relation, serve conjunctive term queries by posting
+  * intersection, and rank free-text queries with BM25.
+  *
+  * The index IS a relation: one `(term, doc_id, tf)` row per posting.
+  * That is the 100 TB representation — posting "lists" as rows, hash
+  * partitioned (bucketable) by `term`, so a term lookup touches one
+  * partition's worth of postings and never assembles an unbounded
+  * in-memory list. Everything downstream (directory stats, intersection,
+  * BM25) is a map-side-combinable aggregation over that relation sharing
+  * the same term- or doc-keyed shuffle.
+  */
+object InvertedIndex {
+
+  /** The posting relation `(term, doc_id, tf)` — one explode + one
+    * map-side-combinable aggregation. Bucket-by-term writable: this is
+    * the layout a term lookup wants at any scale. */
+  def postings(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+
+  /** Per-term directory (the index's "dictionary" page): document
+    * frequency, total term frequency, doc-id range, and a BOUNDED posting
+    * head (the `headCap` smallest doc ids, comma-joined). The head is
+    * two-phase — row_number within (term, physical partition) first, so a
+    * stopword term with df ≈ N never funnels its full posting list
+    * through one window task or one `collect_list`; at most
+    * partitions·headCap narrow rows reach the final per-term rank. Stats
+    * and head share the term-keyed shuffle. */
+  def directory(post: DataFrame, headCap: Int = 8): DataFrame = {
+    val local = Window.partitionBy(col("term"), col("__p")).orderBy(col("doc_id"))
+    val global = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    val head = post
+      .withColumn("__p", spark_partition_id())
+      .withColumn("__r", row_number().over(local)).where(col("__r") <= headCap)
+      .withColumn("__g", row_number().over(global)).where(col("__g") <= headCap)
+      .groupBy("term")
+      .agg(concat_ws(",", array_sort(collect_list(col("doc_id")))).as("posting_head"))
+    val stats = post.groupBy("term").agg(
+      count(lit(1)).as("df"), sum("tf").as("tf_total"),
+      min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+    stats.join(head, Seq("term"))
+  }
+
+  /** Conjunctive (AND) term query by posting intersection: keep docs whose
+    * matched-term count equals the query arity. One partition-pruned scan
+    * of the posting relation (the `term IN` predicate pushes to the
+    * bucketed layout) + one doc-keyed aggregation — never a per-term
+    * self-join chain, which would be |terms|−1 shuffles. */
+  def lookupAll(post: DataFrame, terms: Seq[String]): DataFrame =
+    post.where(col("term").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"), sum("tf").as("tf_total"))
+      .where(col("n_matched") === terms.size)
+      .select("doc_id", "tf_total")
+
+  /** BM25 ranking of one bag-of-terms query (Robertson/Sparck Jones;
+    * k1/b defaults are the standard Okapi constants).
+    *
+    * Determinism contract (shared with unigramSurprisal): corpus scalars
+    * N and avgdl are TWO numbers — bounded driver-side metadata, inlined
+    * as literals rather than joined (a 1-row join constant-folds into the
+    * BroadcastNestedLoop PlanAuditSpec bans). avgdl is an exact
+    * integer-sum / count division, bit-identical across engines. Each
+    * per-term score is rounded to 6 decimals BEFORE the per-doc sum and
+    * summed as DECIMAL(18,6), so the total is exact and order-independent
+    * under any shuffle-merge order. Top-k is the two-phase
+    * (pre-rank within physical partition, then final rank over ≤ P·k
+    * survivors) pattern — no partition-less window funneling the corpus
+    * through one task. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75,
+               textCol: String = "text"): DataFrame = {
+    val post = postings(docs, textCol)
+    val dl = docs.select(col("doc_id"),
+      size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"))
+    val st = dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl")).first()
+    val (n, avgdl) =
+      if (st.isNullAt(1)) (0L, 1.0) else (st.getLong(0), st.getDouble(1))
+    val dfx = post.where(col("term").isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = dfx.select(col("term"),
+      round(log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6).as("idf"))
+    val scored = post.where(col("term").isin(terms: _*))
+      .join(idf, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .select(col("doc_id"),
+        round((col("idf") * (col("tf") * lit(k1 + 1.0))) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / lit(avgdl))),
+          6).as("s1"))
+    val per = scored.groupBy("doc_id")
+      .agg(sum(col("s1").cast("decimal(18,6)")).as("__s"))
+      .select(col("doc_id"), col("__s").cast("double").as("score"))
+    val local = Window.partitionBy(col("__p")).orderBy(col("score").desc, col("doc_id"))
+    val global = Window.orderBy(col("score").desc, col("doc_id"))
+    per.withColumn("__p", spark_partition_id())
+      .withColumn("__r", row_number().over(local)).where(col("__r") <= k)
+      .withColumn("rank", row_number().over(global)).where(col("rank") <= k)
+      .select(col("doc_id"), col("score"), col("rank"))
+  }
+}
