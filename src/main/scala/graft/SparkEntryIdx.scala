@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.InvertedIndex
+import graft.ext.{InvertedIndex, Pii}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -28,7 +28,75 @@ object SparkEntryIdx {
     "x_bm25_topk" -> { (s, dir) =>
       InvertedIndex.bm25TopK(Tables.documents(s, dir), bm25Terms)
     },
+
+    "x_pii_detect" -> { (s, dir) =>
+      Pii.detect(withInjectedPii(Tables.documents(s, dir)))
+        .select("doc_id", "n_email", "n_phone", "n_ssn", "n_ipv4")
+    },
+    "x_pii_redact" -> { (s, dir) =>
+      Pii.redact(withInjectedPii(Tables.documents(s, dir)))
+        .select("doc_id", "redacted")
+    },
+    "x_url_domains" -> { (s, dir) =>
+      Pii.domainStats(withInjectedUrls(Tables.documents(s, dir)), urlBlocklist)
+    },
   )
+
+  private val urlBlocklist = Seq("site7.example.org", "cdn.example.net")
+
+  /** Deterministic PII injection (the m5 pattern: fixtures carry no PII,
+    * so the entry plants it): docs get an email / phone / SSN / IPv4
+    * appended on disjoint doc_id residues; overlaps compose. The word-soup
+    * text itself contains no digits or '@', so every match is planted. */
+  private def withInjectedPii(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" call +1 555 123 "),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit(" ssn 123-45-6789")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 100).cast("string")))
+        .otherwise(lit(""))))
+
+  private def withInjectedUrls(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(
+      col("text"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" see https://site"), (col("doc_id") % 20).cast("string"),
+          lit(".example.org/p/"), col("doc_id").cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 9 === 0, lit(" also http://cdn.example.net/x"))
+        .otherwise(lit(""))))
+
+  /** DuckDB replay of [[withInjectedPii]] — byte-identical construction. */
+  private val injectedPiiSql =
+    "inj AS (SELECT doc_id, text || " +
+      "(CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 5 = 0 THEN ' call +1 555 123 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END) || " +
+      "(CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-6789' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 11 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END) " +
+      "AS text FROM documents)"
+
+  private val injectedUrlsSql =
+    "inj AS (SELECT doc_id, text || " +
+      "(CASE WHEN doc_id % 2 = 0 THEN ' see https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/p/' || CAST(doc_id AS VARCHAR) ELSE '' END) || " +
+      "(CASE WHEN doc_id % 9 = 0 THEN ' also http://cdn.example.net/x' ELSE '' END) " +
+      "AS text FROM documents)"
+
+  // the oracle embeds the EXACT pattern strings from Pii.patterns, so the
+  // two engines cannot drift (both regex dialects share the subset used)
+  private val piiDetectColsSql = Pii.patterns.map { case (name, re, _) =>
+    s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n_$name"
+  }.mkString(", ")
+  private val piiRedactExprSql = Pii.patterns.foldLeft("text") {
+    case (acc, (_, re, mask)) => s"regexp_replace($acc, '$re', '$mask', 'g')"
+  }
 
   private def inSql(terms: Seq[String]) = terms.map(t => s"'$t'").mkString(", ")
   private val toks = SparkEntryExt.toksSql
@@ -67,5 +135,19 @@ object SparkEntryIdx {
         "SELECT doc_id, CAST(s AS DOUBLE) AS score, " +
         "CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank FROM per " +
         "QUALIFY rank <= 20"),
+
+    "x_pii_detect" ->
+      s"WITH $injectedPiiSql SELECT doc_id, $piiDetectColsSql FROM inj",
+
+    "x_pii_redact" ->
+      s"WITH $injectedPiiSql SELECT doc_id, $piiRedactExprSql AS redacted FROM inj",
+
+    "x_url_domains" ->
+      (s"WITH $injectedUrlsSql, " +
+        "u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+[A-Za-z0-9./_%-]*')) AS url FROM inj), " +
+        "d AS (SELECT doc_id, regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain FROM u) " +
+        "SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, CAST(count(*) AS BIGINT) AS n_urls " +
+        "FROM d WHERE domain <> '' AND domain NOT IN ('site7.example.org', 'cdn.example.net') " +
+        "GROUP BY domain"),
   )
 }
