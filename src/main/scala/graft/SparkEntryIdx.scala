@@ -2,6 +2,7 @@ package graft
 
 import graft.ext.{InvertedIndex, Pii}
 import graft.sources.Tables
+import graft.streaming.Ingest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -40,7 +41,43 @@ object SparkEntryIdx {
     "x_url_domains" -> { (s, dir) =>
       Pii.domainStats(withInjectedUrls(Tables.documents(s, dir)), urlBlocklist)
     },
+
+    "x_snapshot_read" -> { (s, dir) =>
+      // time-travel: the store as of the log's midpoint sequence
+      val log = changelogOf(s, dir)
+      Ingest.snapshotAt(log, maxSeq(log) / 2)
+    },
+    "x_snapshot_diff" -> { (s, dir) =>
+      // CDC between the 1/3 and 1/2 sequence points
+      val log = changelogOf(s, dir)
+      val m = maxSeq(log)
+      Ingest.snapshotDiff(log, m / 3, m / 2)
+    },
   )
+
+  /** the st2 changelog shape: events replayed as a keyed upsert/delete log */
+  private def changelogOf(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id").as("seq"),
+      when(col("event_id") % 7 === 0, "delete").otherwise("update").as("op"),
+      concat(lit("u"), col("user_id"), lit("_"), col("event_id") % 50).as("key"),
+      col("props").as("doc"))
+
+  /** one number of driver-side metadata (the snapshot cut point) */
+  private def maxSeq(log: DataFrame): Long = {
+    val r = log.agg(max("seq")).first()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  private val changelogSql =
+    "log AS (SELECT event_id AS seq, " +
+      "CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'update' END AS op, " +
+      "concat('u', CAST(user_id AS VARCHAR), '_', CAST(event_id % 50 AS VARCHAR)) AS key, " +
+      "props AS doc FROM events)"
+  private def snapSql(cutExpr: String, docAlias: String) =
+    s"(SELECT key, doc AS $docAlias FROM (SELECT key, doc, op, row_number() OVER " +
+      s"(PARTITION BY key ORDER BY seq DESC) AS rn FROM log, cuts WHERE seq <= $cutExpr) " +
+      "WHERE rn = 1 AND op <> 'delete')"
 
   private val urlBlocklist = Seq("site7.example.org", "cdn.example.net")
 
@@ -149,5 +186,19 @@ object SparkEntryIdx {
         "SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, CAST(count(*) AS BIGINT) AS n_urls " +
         "FROM d WHERE domain <> '' AND domain NOT IN ('site7.example.org', 'cdn.example.net') " +
         "GROUP BY domain"),
+
+    "x_snapshot_read" ->
+      (s"WITH $changelogSql, cuts AS (SELECT max(seq) // 2 AS c FROM log) " +
+        s"SELECT key, doc FROM ${snapSql("c", "doc")} s"),
+
+    // doc-null classification is sound because props is never NULL in the
+    // fixture (a deleted/absent key is the only way a side goes NULL)
+    "x_snapshot_diff" ->
+      (s"WITH $changelogSql, cuts AS (SELECT max(seq) // 3 AS a, max(seq) // 2 AS b FROM log), " +
+        s"sa AS ${snapSql("a", "doc_before")}, sb AS ${snapSql("b", "doc_after")} " +
+        "SELECT key, CASE WHEN doc_before IS NULL THEN 'added' " +
+        "WHEN doc_after IS NULL THEN 'deleted' ELSE 'updated' END AS change, " +
+        "doc_before, doc_after FROM sa FULL JOIN sb USING (key) " +
+        "WHERE doc_before IS DISTINCT FROM doc_after"),
   )
 }

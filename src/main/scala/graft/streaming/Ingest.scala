@@ -75,6 +75,41 @@ object Ingest {
   def applyBatchVersioned(state: DataFrame, batch: DataFrame): DataFrame =
     latestPerKey(state.unionByName(batchLatest(batch)))
 
+  /** Time-travel read: the store's visible state AS OF `asOfSeq` — the
+    * MVCC view the versioned changelog (and the LSM store's seq+tombstone
+    * rows) supports for free. One seq-range filter (pushes to the scan;
+    * prunes whole files when the log is written in seq-ordered chunks,
+    * which [[run]]'s append sink produces) plus the one key-keyed window
+    * shuffle. Equal-seq collisions resolve exactly as [[applyBatch]]
+    * does, so `snapshotAt(log, max(seq))` ≡ replaying the whole log. */
+  def snapshotAt(changelog: DataFrame, asOfSeq: Long): DataFrame = {
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("seq").desc, (col("op") === "delete").desc, col("doc").desc_nulls_last)
+    changelog
+      .where(col("seq") <= asOfSeq && col("op").isin("insert", "update", "delete"))
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .where(col("op") =!= "delete")
+      .select("key", "doc")
+  }
+
+  /** CDC between two snapshot points: every key whose visible value
+    * differs between `seqA` and `seqB` (> seqA), classified
+    * added/updated/deleted. Composed from two [[snapshotAt]] views over
+    * the same key-partitioned window — Catalyst reuses the exchange — and
+    * a full outer join; unchanged keys (the overwhelming majority between
+    * nearby snapshots) drop out before anything downstream. */
+  def snapshotDiff(changelog: DataFrame, seqA: Long, seqB: Long): DataFrame = {
+    val a = snapshotAt(changelog, seqA).withColumnRenamed("doc", "doc_before")
+    val b = snapshotAt(changelog, seqB).withColumnRenamed("doc", "doc_after")
+    a.join(b, Seq("key"), "full_outer")
+      .where(!(col("doc_before") <=> col("doc_after")))
+      .select(col("key"),
+        when(col("doc_before").isNull, "added")
+          .when(col("doc_after").isNull, "deleted")
+          .otherwise("updated").as("change"),
+        col("doc_before"), col("doc_after"))
+  }
+
   /** Per-key winners of ONE batch, in versioned `(key, doc, seq, deleted)`
     * tombstone form. Equal-seq collisions resolve deterministically:
     * deletes win ties (then doc order), never shuffle arrival order. */

@@ -268,6 +268,38 @@ class StreamingSpec extends SparkSpec {
     assert(once.collect().toSet == twice.collect().toSet)
   }
 
+  test("snapshotAt: each cut sees exactly the log prefix; full cut == full replay") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, "insert", "a", "a1"), (2L, "insert", "b", "b1"),
+      (3L, "update", "a", "a2"), (4L, "delete", "b", null),
+      (5L, "insert", "c", "c1"), (6L, "delete", "a", null))
+      .toDF("seq", "op", "key", "doc")
+    def snap(cut: Long) = Ingest.snapshotAt(log, cut).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(snap(2L) == Map("a" -> "a1", "b" -> "b1"))
+    assert(snap(4L) == Map("a" -> "a2"))             // b deleted
+    assert(snap(6L) == Map("c" -> "c1"))             // a deleted late
+    // as-of the max seq ≡ replaying everything through applyBatch
+    val replay = Ingest.applyBatch(log.select("key", "doc").limit(0), log)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(snap(Long.MaxValue) == replay)
+  }
+
+  test("snapshotDiff classifies added/updated/deleted and drops unchanged keys") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, "insert", "stay", "s1"), (2L, "insert", "upd", "u1"),
+      (3L, "insert", "gone", "g1"),
+      // between cut A=3 and cut B=6:
+      (4L, "update", "upd", "u2"), (5L, "delete", "gone", null),
+      (6L, "insert", "new", "n1"))
+      .toDF("seq", "op", "key", "doc")
+    val got = Ingest.snapshotDiff(log, 3L, 6L).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("upd", "updated"), ("gone", "deleted"), ("new", "added")))
+  }
+
   test("event-time tumbling window with watermark drops late data (extension)") {
     import org.apache.spark.sql.types._
     val dir = tmp(); val log = s"$dir/ev"; new java.io.File(log).mkdirs()
