@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{InvertedIndex, Pii}
+import graft.ext.{InvertedIndex, Pii, Similarity}
 import graft.sources.Tables
 import graft.streaming.Ingest
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -52,6 +52,17 @@ object SparkEntryIdx {
       val log = changelogOf(s, dir)
       val m = maxSeq(log)
       Ingest.snapshotDiff(log, m / 3, m / 2)
+    },
+
+    "x_knn_pq" -> { (s, dir) =>
+      // PQ-compressed ANN (approximate recall, deterministic computation,
+      // like x_knn_ivf): the run stashes its learned codebooks
+      // (Similarity.lastLearnedPq) and the oracle replays encode + ADC +
+      // top-k over them as literal SQL; ExtSpec asserts recall vs brute
+      // force
+      val embs = Tables.embeddings(s, dir)
+      Similarity.pqTopK(embs, embs.where(col("vec_id") < 10), k = 10,
+        m = 16, iters = 4)
     },
   )
 
@@ -200,5 +211,41 @@ object SparkEntryIdx {
         "WHEN doc_after IS NULL THEN 'deleted' ELSE 'updated' END AS change, " +
         "doc_before, doc_after FROM sa FULL JOIN sb USING (key) " +
         "WHERE doc_before IS DISTINCT FROM doc_after"),
-  )
+  ) ++ pqOracle
+
+  /** x_knn_pq: same contract as the IVF oracle — the Spark run's learned
+    * codebooks become VALUES literals, after which encode (argmin of the
+    * round-6 subspace distance, ties to the lowest code), the per-query
+    * LUT, the ADC decimal sum, and top-k are deterministic SQL. The
+    * `dists` CTE serves BOTH corpus encoding and the query LUT — exactly
+    * the asymmetric-distance structure of the Spark plan. */
+  private def pqOracle: Map[String, String] = Similarity.lastLearnedPq match {
+    case books if books.nonEmpty =>
+      val ds = books.head._3.length
+      val rows = books.map { case (s, c, v) =>
+        s"($s, $c, [${v.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+      }.mkString(", ")
+      val subDist =
+        s"round(list_sum(list_transform(range($ds), i -> " +
+          s"(t.v[c.sub * $ds + i + 1] - c.cv[i + 1]) * (t.v[c.sub * $ds + i + 1] - c.cv[i + 1]))), 6)"
+      Map("x_knn_pq" ->
+        ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+          "d AS (SELECT len(v) AS dim FROM e WHERE len(v) > 0 LIMIT 1), " +
+          "val AS (SELECT vec_id, v FROM e, d WHERE len(v) = dim AND " +
+          "len(list_filter(v, x -> x IS NULL)) = 0), " +
+          s"cb(sub, code, cv) AS (VALUES $rows), " +
+          s"dists AS (SELECT t.vec_id, c.sub, c.code, $subDist AS sd FROM val t CROSS JOIN cb c), " +
+          "enc AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code, " +
+          "row_number() OVER (PARTITION BY vec_id, sub ORDER BY sd, code) AS rn FROM dists) " +
+          "WHERE rn = 1), " +
+          "lut AS (SELECT vec_id AS query_id, sub, code, sd FROM dists WHERE vec_id < 10), " +
+          "scored AS (SELECT l.query_id, enc.vec_id, sum(CAST(l.sd AS DECIMAL(18,6))) AS ad " +
+          "FROM enc JOIN lut l ON l.sub = enc.sub AND l.code = enc.code " +
+          "WHERE enc.vec_id <> l.query_id GROUP BY 1, 2), " +
+          "ranked AS (SELECT query_id, vec_id, ad, row_number() OVER " +
+          "(PARTITION BY query_id ORDER BY ad, vec_id) AS rank FROM scored) " +
+          "SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, " +
+          "CAST(ad AS DOUBLE) AS adist FROM ranked WHERE rank <= 10"))
+    case _ => Map.empty
+  }
 }

@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -187,6 +187,138 @@ object Similarity {
       .where(col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol), cosine(col("__qv"), col(vecCol)).as("cos"))
     topKPerQuery(scored, k, idCol)
+  }
+
+  // ---------- product quantization ----------
+
+  /** Verification hook for [[pqTopK]] (same contract as [[lastLearned]]):
+    * the most recent codebooks as (subspace, code, codeword) — m·kCodes
+    * subvectors of bounded driver-side metadata. A SEPARATE stash from
+    * the IVF one, so learning PQ codebooks can never clobber the
+    * centroids the x_knn_ivf oracle replays. */
+  @volatile var lastLearnedPq: Seq[(Int, Int, Array[Float])] = Nil
+
+  /** Squared L2 between two double vectors — left fold in element order,
+    * the same op order the DuckDB oracle's `list_sum(list_transform(...))`
+    * computes. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** rows whose vector can participate in L2 math at this dim: right
+    * length, no NULL elements (zero-norm is FINE for L2, unlike cosine) */
+  private def validVec(v: Column, dim: Int): Column =
+    v.isNotNull && size(v) === dim && !exists(v, _.isNull)
+
+  /** PQ codebooks: the vector space split into `m` contiguous subspaces,
+    * each quantized with seeded Lloyd's under squared-L2 (k-means
+    * proper — cosine is the wrong metric inside a subspace). ALL
+    * subspaces train together, one pass per iteration: a single map-only
+    * projection computes every subspace's nearest-code assignment against
+    * the literal codebooks, then ONE posexplode + aggregation keyed by
+    * (sub, cell, subpos) — m·kCodes·(dim/m) = kCodes·dim group keys, so
+    * partial aggregation collapses each task's contribution to bounded
+    * rows before the only exchange. Codebooks live on the driver between
+    * passes (kCodes·dim floats of bounded metadata, the
+    * [[learnedCentroids]] contract); per iteration the corpus is scanned
+    * once, never shuffled. Seeds are the kCodes lowest-id vectors'
+    * subvectors; cells that go empty are re-numbered densely per
+    * subspace. Only the FINAL codebook needs cross-engine determinism
+    * (the oracle takes it as literals), not the learning path. */
+  def pqCodebooks(corpus: DataFrame, m: Int, kCodes: Int, iters: Int, dim: Int,
+                  vecCol: String = "embedding", idCol: String = "vec_id"): Seq[(Int, Int, Array[Float])] = {
+    val ds = if (m > 0) dim / m else 0
+    if (ds == 0) { lastLearnedPq = Nil; return Nil }
+    val valid = corpus.where(validVec(col(vecCol), dim))
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val seeds = valid.orderBy(col(idCol)).limit(kCodes)
+      .select("__v").collect().map(_.getSeq[Double](0).toArray)
+    var books: IndexedSeq[IndexedSeq[Array[Double]]] =
+      (0 until m).map(j => seeds.toIndexedSeq.map(_.slice(j * ds, (j + 1) * ds)))
+    var i = 0
+    while (i < iters && books.head.nonEmpty) {
+      val codes = array((0 until m).map { j =>
+        val cws = array(books(j).zipWithIndex.map { case (v, c) =>
+          struct(lit(c).as("code"), typedlit(v).as("cw")) }: _*)
+        array_min(transform(cws, c =>
+          struct(l2sq(slice(col("__v"), j * ds + 1, ds), c("cw")).as("d"),
+            c("code").as("code"))))("code")
+      }: _*)
+      val sub = (col("pos") / ds).cast("int")
+      val rows = valid.withColumn("__codes", codes)
+        .select(posexplode(col("__v")).as(Seq("pos", "x")), col("__codes"))
+        .select(sub.as("sub"), element_at(col("__codes"), sub + 1).as("cell"),
+          (col("pos") % ds).as("subpos"), col("x"))
+        .groupBy("sub", "cell", "subpos").agg(avg("x").as("mval"))
+        .collect()
+      books = (0 until m).map { j =>
+        rows.filter(_.getInt(0) == j)
+          .groupBy(_.getInt(1)).toIndexedSeq.sortBy(_._1)
+          .map { case (_, cellRows) =>
+            cellRows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
+          }
+      }
+      i += 1
+    }
+    val out = for (j <- 0 until m; (cw, c) <- books(j).zipWithIndex)
+      yield (j, c, cw.map(_.toFloat))
+    lastLearnedPq = out
+    out
+  }
+
+  /** PQ ANN search with asymmetric distance (ADC). The corpus is ENCODED
+    * to m small codes per row — a map-only projection against literal
+    * codebooks; at scale that code table is the stored index, dim/m·32×
+    * smaller than the raw vectors, and the search scan reads only it.
+    * Queries stay exact: per pair, the approximate distance is the sum
+    * over subspaces of squared-L2 between the query's subvector and the
+    * corpus row's CODEWORD. Each subspace distance is rounded to 6
+    * decimals and the sum runs over DECIMAL(18,6) — exact, order-
+    * independent, and bit-reproducible in the oracle's LUT-join replay
+    * regardless of either engine's FP low-order bits. Queries broadcast
+    * (the [[bruteForceTopK]] contract, whitelisted BNLJ); ranking is the
+    * two-phase top-k, ascending distance, ties to the lowest id. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+             m: Int = 4, kCodes: Int = 16, iters: Int = 2,
+             vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val dim = probeDim(corpus, vecCol)
+    require(m > 0 && (dim == 0 || dim % m == 0), s"dim $dim not divisible into $m subspaces")
+    val ds = if (dim == 0) 0 else dim / m
+    val books = pqCodebooks(corpus, m, kCodes, iters, dim, vecCol, idCol)
+    if (books.isEmpty || dim == 0)
+      return queries.select(col(idCol).as("query_id"), lit(1).as("rank"),
+        col(idCol).as("neighbor_id"), lit(0d).as("adist")).limit(0)
+    val bySub = books.groupBy(_._1).map { case (j, cws) =>
+      j -> cws.sortBy(_._2).map(_._3)
+    }
+    val cwLit: IndexedSeq[Column] = (0 until m).map(j =>
+      array(bySub(j).map(v => typedlit(v.map(_.toDouble))): _*))
+    val valid = corpus.where(validVec(col(vecCol), dim))
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val enc = valid.select(
+      col(idCol) +: (0 until m).map { j =>
+        val sub = slice(col("__v"), j * ds + 1, ds)
+        array_min(transform(cwLit(j), (cw, i) =>
+          struct(round(l2sq(sub, cw), 6).as("d"), i.as("code"))))("code").as(s"__c$j")
+      }: _*)
+    val q = broadcast(queries.where(validVec(col(vecCol), dim))
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("__qv")))
+    val adist = (0 until m).map { j =>
+      round(l2sq(slice(col("__qv"), j * ds + 1, ds),
+        element_at(cwLit(j), col(s"__c$j") + 1)), 6).cast("decimal(18,6)")
+    }.reduce(_ + _)
+    val scored = enc.join(q, col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol), adist.cast("double").as("ad"))
+    val wp = Window.partitionBy(col("query_id"), col("__p"))
+      .orderBy(col("ad").asc, col(idCol))
+    val survivors = scored
+      .withColumn("__p", spark_partition_id())
+      .withColumn("__r", row_number().over(wp))
+      .where(col("__r") <= k).drop("__r", "__p")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("ad").asc, col(idCol))
+    survivors.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col(idCol).as("neighbor_id"), col("ad").as("adist"))
   }
 
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,

@@ -8,10 +8,12 @@ package graft
 class PlanAuditSpec extends SparkSpec {
 
   /** Paths whose CONTRACT is a broadcast-bounded all-pairs/top-k scan:
-    * the exact kNN baseline (broadcast query set × corpus) and the exact
+    * the exact kNN baseline (broadcast query set × corpus), the exact
     * embedding-pairs oracle path (broadcast one side; documented as
-    * infeasible-beyond-broadcast by construction in Dedup.scala). */
-  private val broadcastBounded = Set("x_knn_cosine", "x_dedup_embed")
+    * infeasible-beyond-broadcast by construction in Dedup.scala), and the
+    * PQ/ADC scan (broadcast query set × the m-byte code table — the scan
+    * side is the compressed index, which is the point). */
+  private val broadcastBounded = Set("x_knn_cosine", "x_dedup_embed", "x_knn_pq")
 
   test("no query plans a cartesian product or an unbounded nested loop") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -1,0 +1,117 @@
+package graft
+
+import graft.ext.Similarity
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+
+  /** exact squared-L2 top-k — the metric PQ approximates (cosine brute
+    * force would conflate quantization error with metric mismatch) */
+  private def exactL2TopK(k: Int): Set[(Long, Long)] = {
+    val embs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = broadcast(embs.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    val d2 = aggregate(zip_with(col("qv"), col("v"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id"))
+    embs.join(q, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), d2.as("d2"))
+      .withColumn("r", row_number().over(w)).where(col("r") <= k)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("pqTopK: ADC recall@10 vs exact L2 on the fixture corpus") {
+    // near-uniform fixture vectors are PQ's WORST case (no structure to
+    // quantize; measured sweep: m=4→0.23, m=8→0.32, m=16/4it→0.49) — the
+    // entry's m=16/iters=4 config must clear 0.4 here; clustered corpora
+    // (the real shape) do far better, pinned below
+    val embs = Tables.embeddings(spark, sf)
+    val exact = exactL2TopK(10)
+    val pq = Similarity.pqTopK(embs, embs.where(col("vec_id") < 10), k = 10,
+        m = 16, iters = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(s"PQ recall@10 = $recall")
+    assert(recall >= 0.4, s"recall $recall")
+  }
+
+  test("pqTopK on clustered data recovers cluster membership (>=0.9 recall@10)") {
+    import spark.implicits._
+    // 8 well-separated centers, 11 members each under small deterministic
+    // noise: each query's true top-10 IS its cluster. Within-cluster
+    // ordering is noise PQ rightly quantizes away; ACROSS clusters the
+    // codewords must keep every cluster-mate ahead of every outsider —
+    // that is the property a real embedding corpus needs from PQ.
+    val dim = 16
+    val rows = for (c <- 0 until 8; i <- 0 until 11) yield {
+      val base = Array.tabulate(dim)(d => if (d % 8 == c % 8) 10.0 else 0.0)
+      val noisy = base.zipWithIndex.map { case (x, d) =>
+        x + 0.1 * (((c * 31 + i * 7 + d * 13) % 11) - 5)
+      }
+      ((c * 11 + i).toLong, noisy)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val qs = corpus.where(col("vec_id") % 11 === 0)
+    val exact = {
+      val embs = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = broadcast(embs.where(col("vec_id") % 11 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")))
+      val d2 = aggregate(zip_with(col("qv"), col("v"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+      val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id"))
+      embs.join(q, col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"), d2.as("d2"))
+        .withColumn("r", row_number().over(w)).where(col("r") <= 10)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val pq = Similarity.pqTopK(corpus, qs, k = 10, m = 4, kCodes = 16, iters = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(s"clustered PQ recall@10 = $recall")
+    assert(recall >= 0.9, s"clustered recall $recall")
+  }
+
+  test("pqTopK is deterministic across reruns (codes, ranks, distances)") {
+    val embs = Tables.embeddings(spark, sf)
+    def run() = Similarity.pqTopK(embs, embs.where(col("vec_id") < 10), k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(run() == run())
+  }
+
+  test("pqCodebooks: m subspaces of dim/m, codes dense from 0, separate stash from IVF") {
+    val embs = Tables.embeddings(spark, sf)
+    val ivfBefore = Similarity.lastLearned
+    val books = Similarity.pqCodebooks(embs, m = 4, kCodes = 16, iters = 1, dim = 64)
+    assert(books.map(_._1).distinct.sorted == Seq(0, 1, 2, 3))
+    assert(books.forall(_._3.length == 16))
+    books.groupBy(_._1).foreach { case (_, cws) =>
+      assert(cws.map(_._2).sorted == cws.indices.toSeq)
+    }
+    // learning PQ must not clobber the IVF oracle's centroid stash
+    assert(Similarity.lastLearned eq ivfBefore)
+    assert(Similarity.lastLearnedPq == books)
+  }
+
+  test("degenerate vectors (wrong dim / NULL elements) opt out of encoding and search") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Array(0.0, 0.0, 1.0, 1.0)), (1L, Array(0.1, 0.0, 1.0, 1.0)),
+      (2L, Array(5.0, 5.0, -1.0, 0.0)), (3L, Array(0.0, 0.1, 1.1, 1.0)),
+      (4L, Array(5.1, 5.0, -1.0, 0.1)),
+    ).toDF("vec_id", "embedding")
+      .unionByName(Seq((9L, Array(1.0, 2.0))).toDF("vec_id", "embedding")) // off-dim
+    val out = Similarity.pqTopK(corpus, corpus.where(col("vec_id") === 0L),
+      k = 3, m = 2, kCodes = 2, iters = 2)
+    val ids = out.collect().map(_.getLong(2)).toSet
+    assert(!ids.contains(9L))
+    // nearest by construction: 1 and 3 share vec 0's half-space codes
+    assert(out.collect().filter(_.getInt(1) <= 2).map(_.getLong(2)).toSet == Set(1L, 3L))
+  }
+}
