@@ -1,6 +1,7 @@
 package graft
 
-import graft.ext.{InvertedIndex, Pii, Similarity}
+import graft.ext.{Curation, Dedup, InvertedIndex, Pii, Similarity, TextAnalysis}
+import graft.functions.TextFunctions
 import graft.sources.Tables
 import graft.streaming.Ingest
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -14,6 +15,8 @@ object SparkEntryIdx {
   /** conjunctive-lookup terms: three dense terms — the intersection still
     * keeps ~3/4³ of the corpus, a meaningful AND */
   private val andTerms = Seq("spark", "query", "window")
+  /** phrase terms: adjacent "data table" occurs in ~5% of docs at every sf */
+  private val phrase = Seq("data", "table")
   /** BM25 terms: two dense + one rare (`dup`, df≈5%) so idf spread is real */
   private val bm25Terms = Seq("spark", "query", "dup")
 
@@ -52,6 +55,50 @@ object SparkEntryIdx {
       val log = changelogOf(s, dir)
       val m = maxSeq(log)
       Ingest.snapshotDiff(log, m / 3, m / 2)
+    },
+
+    "x_phrase_search" -> { (s, dir) =>
+      InvertedIndex.phraseSearch(
+        InvertedIndex.positionalPostings(Tables.documents(s, dir)), phrase)
+    },
+    "x_index_delta" -> { (s, dir) =>
+      // incremental maintenance: even docs are the stored index's corpus;
+      // the batch deletes %8==0, rewrites %8==4 (text gains a marker), and
+      // adds the odd %4==1 docs — the merged index must equal a rebuild
+      val docs = Tables.documents(s, dir)
+      val base = docs.where(col("doc_id") % 2 === 0)
+      val upserts = base.where(col("doc_id") % 8 === 4)
+        .withColumn("text", concat(col("text"), lit(" updated entry")))
+        .unionByName(docs.where(col("doc_id") % 4 === 1))
+        .select("doc_id", "text")
+      InvertedIndex.directory(
+        InvertedIndex.applyDocDelta(
+          InvertedIndex.postings(base), upserts,
+          base.where(col("doc_id") % 8 === 0).select("doc_id")))
+    },
+
+    "x_dedup_semantic" -> { (s, dir) =>
+      // SemDeDup: learned-cell clustering + in-cell exact cosine. Like
+      // x_knn_ivf: approximate recall, deterministic computation — the
+      // oracle replays the run's learned centroids (Dedup.lastLearnedSem)
+      // as literals
+      Dedup.semanticNearDups(Tables.embeddings(s, dir), kCells = 8,
+        iters = 2, minCos = 0.45)
+    },
+    "x_bloom_prune" -> { (s, dir) =>
+      // Bloom-pruned membership: which docs carry a blocklisted content
+      // hash (the %17 docs' md5s). The bloom is cluster-internal pruning —
+      // the verify semi-join makes the result exact, so the oracle is the
+      // plain IN-join
+      val withH = Tables.documents(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      Curation.bloomPrunedSemiJoin(
+        withH, withH.where(col("doc_id") % 17 === 0).select("h"), "h",
+        mBits = 1 << 17, nHashes = 5)
+        .select("doc_id")
+    },
+    "x_line_dedup" -> { (s, dir) =>
+      TextAnalysis.dedupeLines(withInjectedLines(Tables.documents(s, dir)))
     },
 
     "x_knn_pq" -> { (s, dir) =>
@@ -112,6 +159,29 @@ object SparkEntryIdx {
           lit(".0."), (col("doc_id") % 100).cast("string")))
         .otherwise(lit(""))))
 
+  /** Deterministic "lined" corpus for x_line_dedup: tokens re-joined 8 per
+    * line; docs on doc_id%3==0 get their FIRST line appended again — an
+    * exact duplicate line the dedup must drop. (Fixture docs are all
+    * non-empty; the empty-token guard keeps the construction total.) */
+  private def withInjectedLines(docs: DataFrame): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val lines = when(size(toks) === 0, array(lit("")))
+      .otherwise(transform(sequence(lit(0), ((size(toks) + 7) / 8).cast("int") - 1),
+        i => concat_ws(" ", slice(toks, i * 8 + 1, lit(8)))))
+    val withDup = when(col("doc_id") % 3 === 0, concat(lines, slice(lines, 1, 1)))
+      .otherwise(lines)
+    docs.select(col("doc_id"), array_join(withDup, "\n").as("text"))
+  }
+
+  /** DuckDB replay of [[withInjectedLines]] as a LIST (the Spark op's
+    * split-on-\n recovers exactly these lines — no token contains \n).
+    * `def`: uses `toks`, declared further down the object body. */
+  private def linedSql =
+    "lined AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN lns || lns[1:1] ELSE lns END AS lines FROM " +
+      "(SELECT doc_id, CASE WHEN len(t) = 0 THEN [''] ELSE " +
+      "list_transform(range(0, (len(t) + 7) // 8), i -> array_to_string(t[i*8+1:i*8+8], ' ')) END AS lns FROM " +
+      s"(SELECT doc_id, $toks AS t FROM documents)))"
+
   private def withInjectedUrls(docs: DataFrame): DataFrame =
     docs.withColumn("text", concat(
       col("text"),
@@ -149,14 +219,18 @@ object SparkEntryIdx {
   private def inSql(terms: Seq[String]) = terms.map(t => s"'$t'").mkString(", ")
   private val toks = SparkEntryExt.toksSql
 
+  /** The per-term directory oracle over any `(doc_id, text)` relation;
+    * `cte` prepends extra WITH-clauses (e.g. the delta's `final` docs). */
+  private def directorySql(docsRel: String, cte: String = "") =
+    s"WITH ${cte}toks AS (SELECT doc_id, unnest($toks) AS term FROM $docsRel), " +
+      "tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2) " +
+      "SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS tf_total, " +
+      "min(doc_id) AS min_doc, max(doc_id) AS max_doc, " +
+      "array_to_string(list_sort(list(doc_id))[1:8], ',') AS posting_head " +
+      "FROM tf GROUP BY term"
+
   def oracleSql: Map[String, String] = Map(
-    "x_inverted_directory" ->
-      (s"WITH toks AS (SELECT doc_id, unnest($toks) AS term FROM documents), " +
-        "tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2) " +
-        "SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS tf_total, " +
-        "min(doc_id) AS min_doc, max(doc_id) AS max_doc, " +
-        "array_to_string(list_sort(list(doc_id))[1:8], ',') AS posting_head " +
-        "FROM tf GROUP BY term"),
+    "x_inverted_directory" -> directorySql("documents"),
 
     "x_index_lookup" ->
       (s"WITH toks AS (SELECT doc_id, unnest($toks) AS term FROM documents), " +
@@ -198,6 +272,38 @@ object SparkEntryIdx {
         "FROM d WHERE domain <> '' AND domain NOT IN ('site7.example.org', 'cdn.example.net') " +
         "GROUP BY domain"),
 
+    "x_phrase_search" ->
+      (s"WITH t AS (SELECT doc_id, $toks AS toks FROM documents), " +
+        "o AS (SELECT doc_id, len(list_filter(range(1, len(toks) - " +
+        s"${phrase.size - 2}), i -> " +
+        phrase.zipWithIndex.map { case (t, j) =>
+          if (j == 0) s"toks[i] = '$t'" else s"toks[i+$j] = '$t'"
+        }.mkString(" AND ") +
+        ")) AS n FROM t) " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_occurrences FROM o WHERE n > 0"),
+
+    "x_index_delta" -> directorySql("final",
+      "final AS (" +
+        "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0 AND doc_id % 8 NOT IN (0, 4) " +
+        "UNION ALL SELECT doc_id, text || ' updated entry' FROM documents WHERE doc_id % 8 = 4 " +
+        "UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1), "),
+
+    "x_bloom_prune" ->
+      ("SELECT doc_id FROM documents WHERE md5(text) IN " +
+        "(SELECT md5(text) FROM documents WHERE doc_id % 17 = 0)"),
+
+    "x_line_dedup" ->
+      (s"WITH $linedSql, " +
+        "l AS (SELECT doc_id, unnest(list_transform(range(1, len(lines) + 1), " +
+        "i -> {'pos': i, 'line': lines[i]})) AS u FROM lined), " +
+        "k AS (SELECT doc_id, u.line AS line, min(u.pos) AS pos, count(*) AS cnt " +
+        "FROM l GROUP BY 1, 2) " +
+        "SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines, " +
+        "CAST(count(*) AS BIGINT) AS n_unique, " +
+        "round(1.0 - CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS dup_line_frac, " +
+        "string_agg(line, chr(10) ORDER BY pos) AS cleaned " +
+        "FROM k GROUP BY doc_id"),
+
     "x_snapshot_read" ->
       (s"WITH $changelogSql, cuts AS (SELECT max(seq) // 2 AS c FROM log) " +
         s"SELECT key, doc FROM ${snapSql("c", "doc")} s"),
@@ -211,7 +317,38 @@ object SparkEntryIdx {
         "WHEN doc_after IS NULL THEN 'deleted' ELSE 'updated' END AS change, " +
         "doc_before, doc_after FROM sa FULL JOIN sb USING (key) " +
         "WHERE doc_before IS DISTINCT FROM doc_after"),
-  ) ++ pqOracle
+  ) ++ pqOracle ++ semOracle
+
+  /** x_dedup_semantic: the learned centroids become VALUES literals (the
+    * x_knn_ivf contract via [[graft.ext.Dedup.lastLearnedSem]]), after
+    * which assignment (arg-max cosine, −2 floor, ties to lowest cell),
+    * the in-cell pair join, the 0.45 threshold, and keeper = min
+    * qualifying neighbor are deterministic SQL. */
+  private def semOracle: Map[String, String] = Dedup.lastLearnedSem match {
+    case cents if cents.nonEmpty =>
+      val rows = cents.map { case (c, v) =>
+        s"($c, [${v.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+      }.mkString(", ")
+      Map("x_dedup_semantic" ->
+        ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+          "d AS (SELECT len(v) AS dim FROM e WHERE len(v) > 0 LIMIT 1), " +
+          "val AS (SELECT vec_id, v FROM e, d WHERE len(v) = dim AND " +
+          "len(list_filter(v, x -> x IS NULL)) = 0 AND " +
+          "list_sum(list_transform(v, x -> x * x)) > 0), " +
+          s"cents(cell, cv) AS (VALUES $rows), " +
+          "assigned AS (SELECT vec_id, v, cell FROM (SELECT t.vec_id, t.v, c.cell, " +
+          "row_number() OVER (PARTITION BY t.vec_id ORDER BY " +
+          "coalesce(list_cosine_similarity(t.v, c.cv), -2.0) DESC, c.cell) AS rn " +
+          "FROM val t CROSS JOIN cents c) WHERE rn = 1), " +
+          "pr AS (SELECT a.vec_id AS ka, b.vec_id AS kb, " +
+          "list_cosine_similarity(a.v, b.v) AS cos " +
+          "FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+          "WHERE list_cosine_similarity(a.v, b.v) > 0.45) " +
+          "SELECT kb AS vec_id, ka AS keeper_id, round(cos, 6) AS cos_to_keeper " +
+          "FROM (SELECT ka, kb, cos, row_number() OVER " +
+          "(PARTITION BY kb ORDER BY ka) AS rn FROM pr) WHERE rn = 1"))
+    case _ => Map.empty
+  }
 
   /** x_knn_pq: same contract as the IVF oracle — the Spark run's learned
     * codebooks become VALUES literals, after which encode (argmin of the

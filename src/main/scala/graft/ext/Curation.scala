@@ -92,6 +92,57 @@ object Curation {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** The `nHashes` Bloom bit positions of a key: xxhash64 (native,
+    * codegen'd) per hash index, mod `mBits`. Only cluster-internal — the
+    * final result of [[bloomPrunedSemiJoin]] is exact regardless of hash
+    * choice, so no cross-engine replay contract applies. */
+  private def bloomPositions(key: Column, nHashes: Int, mBits: Int): Column =
+    array((0 until nHashes).map(i =>
+      pmod(xxhash64(lit(i), key), lit(mBits.toLong))): _*)
+
+  /** 64 one-bit masks — element_at against this literal stands in for a
+    * variable-distance shift, which the Scala Column API lacks. */
+  private val bitMasks = typedlit(Array.tabulate(64)(i => 1L << i))
+
+  /** Bloom-pruned exact semi-join: keep the rows of `big` whose `keyCol`
+    * appears in `keys`, for key sets too large to broadcast raw.
+    *
+    * The 100 TB membership problem: a raw `IN`-semi-join either broadcasts
+    * the key set (impossible once it is GBs) or shuffles the ENTIRE big
+    * side on the key. This operator instead (1) folds the key set into an
+    * `mBits`-bit Bloom bitmap with one map-side-combinable aggregation —
+    * the bitmap, mBits/8 bytes (1 MiB at the 2²³ default-ish sizes used at
+    * scale), is bounded metadata that always broadcasts; (2) probes it
+    * with a MAP-ONLY filter over `big` — zero corpus shuffle, whole-stage
+    * codegen'd xxhash64 + bitwise tests; (3) removes the Bloom's false
+    * positives with an exact semi-join over only the ~|matches| + ε·|big|
+    * survivors (ε ≈ (1−e^(−kn/m))^k). False NEGATIVES are impossible
+    * (every member's bits are set — BloomSpec property-tests this), so
+    * step 3 makes the result EXACTLY the semi-join's, which is why the
+    * oracle is plain SQL. */
+  def bloomPrunedSemiJoin(big: DataFrame, keys: DataFrame, keyCol: String,
+                          mBits: Int = 1 << 20, nHashes: Int = 5): DataFrame = {
+    require(mBits > 0 && (mBits & (mBits - 1)) == 0, s"mBits $mBits not a power of 2")
+    val keyset = keys.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
+    // distributed bitmap build: per-key bit positions → 64-bit words via
+    // bit_or, partial-aggregated map-side; at most mBits/64 narrow rows
+    // reach the driver — bounded metadata, not a data collect
+    val wordRows = keyset
+      .select(explode(bloomPositions(col(keyCol), nHashes, mBits)).as("p"))
+      .select((col("p") / 64).cast("int").as("w"),
+        element_at(bitMasks, pmod(col("p"), lit(64L)).cast("int") + 1).as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("bits"))
+      .collect()
+    val words = new Array[Long](mBits / 64)
+    wordRows.foreach(r => words(r.getInt(0)) = r.getLong(1))
+    val wordsLit = typedlit(words)
+    val mightContain = forall(bloomPositions(col(keyCol), nHashes, mBits), p =>
+      element_at(wordsLit, (p / 64).cast("int") + 1)
+        .bitwiseAND(element_at(bitMasks, pmod(p, lit(64L)).cast("int") + 1)) =!= 0L)
+    big.where(mightContain).join(keyset, Seq(keyCol), "left_semi")
+      .select(big.columns.map(col).toIndexedSeq: _*) // keep big's column order
+  }
+
   /** Gopher-style repetition quality metrics per document: duplicate-word
     * fraction, most-frequent-word share, most-frequent-bigram share. The
     * n-gram streams are exploded and aggregated (two hash aggregations,

@@ -385,4 +385,53 @@ object Dedup {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         round(col("cos"), 6).as("cos_sim"))
   }
+
+  /** Verification hook (the [[Similarity.lastLearned]] contract): the
+    * centroids the most recent [[semanticNearDups]] run learned — its OWN
+    * stash, so the x_knn_ivf oracle's centroids are never clobbered. */
+  @volatile var lastLearnedSem: Seq[(Long, Array[Float])] = Nil
+
+  /** SemDeDup-shape semantic dedup (cluster-then-prune): learn `kCells`
+    * centroids with the deterministic seeded Lloyd's of
+    * [[Similarity.learnedCentroids]], assign every valid embedding to its
+    * nearest cell with the map-only literal arg-max of
+    * [[Similarity.assignCells]], then run the exact cosine ONLY within a
+    * cell and emit `(vec_id, keeper_id, cos_to_keeper)` for every row
+    * with a smaller-id in-cell neighbor above `minCos` — keep the min id,
+    * drop the rest.
+    *
+    * Scale shape: the pair space is Σ|cell|² instead of n² — at real
+    * scale `kCells` grows with the corpus (n/1k-ish cells) so cells stay
+    * bounded, and the only corpus shuffle is the one cell-keyed exchange
+    * feeding the in-cell join (assignment itself is a projection).
+    * Degenerate vectors (NULL / off-dim / NULL-element / zero-norm) have
+    * no defined angle and opt out up front — same contract as
+    * [[embeddingNearDups]]'s LSH path. Like the ANN family: approximate
+    * RECALL (cross-cell near-dups are missed by design), deterministic
+    * COMPUTATION given the learned centroids (which the oracle replays as
+    * literals via [[lastLearnedSem]]). */
+  def semanticNearDups(embs: DataFrame, kCells: Int = 8, iters: Int = 2,
+                       minCos: Double = 0.45, vecCol: String = "embedding",
+                       idCol: String = "vec_id"): DataFrame = {
+    val dim = VectorFunctions.probeDim(embs, vecCol)
+    val valid = embs.where(col(vecCol).isNotNull && size(col(vecCol)) === dim &&
+      !exists(col(vecCol), _.isNull) && VectorFunctions.norm(col(vecCol)) > 0)
+    val cents = Similarity.learnedCentroids(valid, kCells, iters, vecCol, idCol,
+      stash = false)
+    lastLearnedSem = cents
+    val withCell = Similarity.assignCells(valid, cents, vecCol)
+      .select(col("cell"), col(idCol), col(vecCol))
+    val pairs = withCell.alias("a").join(withCell.alias("b"),
+        col("a.cell") === col("b.cell") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("cos", VectorFunctions.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")))
+      .where(col("cos") > minCos)
+    // keeper of a dropped row = its SMALLEST qualifying in-cell neighbor;
+    // min over (keeper_id, cos) structs is deterministic (one cos per pair)
+    pairs
+      .groupBy(col(s"b.$idCol").as(idCol))
+      .agg(min(struct(col(s"a.$idCol").as("keeper_id"),
+        round(col("cos"), 6).as("cos_to_keeper"))).as("__k"))
+      .select(col(idCol), col("__k.keeper_id").as("keeper_id"),
+        col("__k.cos_to_keeper").as("cos_to_keeper"))
+  }
 }

@@ -51,6 +51,42 @@ object InvertedIndex {
     stats.join(head, Seq("term"))
   }
 
+  /** The POSITIONAL posting relation `(term, doc_id, pos)` — one
+    * posexplode, no aggregation (a term's tf is its row count, its
+    * positions are its rows). Same bucketing story as [[postings]]: hash
+    * partition / bucket by `term` and a phrase's candidate set is a few
+    * partitions' worth of rows, never the corpus. ~`dl` rows per doc, the
+    * standard positional-index space trade. */
+  def positionalPostings(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
+      .select("term", "doc_id", "pos")
+
+  /** Exact phrase query over the positional index: an occurrence is an
+    * adjacency chain `t0@p, t1@p+1, …`. Each phrase term PRUNES the
+    * posting relation first (`term = tᵢ` pushes down / partition-prunes on
+    * the term-bucketed layout), then the chain is assembled with
+    * |phrase|−1 equi-joins keyed `(doc_id, pos)` — the joined sides are
+    * each one term's postings, so join input is O(Σ tf(tᵢ)), never O(corpus),
+    * and the rarest term caps the chain's cardinality from the first join
+    * AQE reorders it into. Occurrences then collapse into one
+    * map-side-combinable per-doc count. */
+  def phraseSearch(post: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val first = post.where(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val occurrences = phrase.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (t, i)) =>
+        // shift the i-th term's positions back by i: a chain start is then
+        // a plain (doc_id, pos) equality
+        acc.join(
+          post.where(col("term") === t)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    occurrences.groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** Conjunctive (AND) term query by posting intersection: keep docs whose
     * matched-term count equals the query arity. One partition-pruned scan
     * of the posting relation (the `term IN` predicate pushes to the
@@ -62,6 +98,28 @@ object InvertedIndex {
       .agg(count(lit(1)).as("n_matched"), sum("tf").as("tf_total"))
       .where(col("n_matched") === terms.size)
       .select("doc_id", "tf_total")
+
+  /** Incremental index maintenance: fold a document changelog into an
+    * EXISTING posting relation without re-tokenizing the stored corpus.
+    * Every doc the batch touches (upserts and deletes alike) first drops
+    * its stale postings via one anti-join against the touched-id set —
+    * batch-sized, so it broadcasts and the base relation never shuffles —
+    * then the upserted docs' fresh postings (tokenized from the BATCH
+    * only, O(delta) work) union back in. The output keeps the
+    * `(term, doc_id, tf)` layout, so [[directory]], [[lookupAll]] and
+    * [[bm25TopK]]'s scoring run on the merged relation unchanged; at
+    * scale this is the nightly-index-refresh path — O(batch) tokenize +
+    * one linear pass over the stored postings, instead of an O(corpus)
+    * rebuild. */
+  def applyDocDelta(basePost: DataFrame, upserts: DataFrame,
+                    deletedIds: DataFrame, textCol: String = "text"): DataFrame = {
+    val touched = broadcast(
+      upserts.select(col("doc_id"))
+        .unionByName(deletedIds.select(col("doc_id"))).distinct())
+    basePost.join(touched, Seq("doc_id"), "left_anti")
+      .select("term", "doc_id", "tf") // using-join moved doc_id first
+      .unionByName(postings(upserts, textCol))
+  }
 
   /** BM25 ranking of one bag-of-terms query (Robertson/Sparck Jones;
     * k1/b defaults are the standard Okapi constants).

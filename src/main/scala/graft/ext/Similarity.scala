@@ -114,7 +114,8 @@ object Similarity {
     * floats of bounded metadata, NOT a data collect — so each Lloyd pass
     * costs one corpus SCAN and zero corpus shuffles. */
   def learnedCentroids(corpus: DataFrame, kCells: Int, iters: Int = 2,
-                       vecCol: String = "embedding", idCol: String = "vec_id"): Seq[(Long, Array[Float])] = {
+                       vecCol: String = "embedding", idCol: String = "vec_id",
+                       stash: Boolean = true): Seq[(Long, Array[Float])] = {
     var cents: Seq[(Long, Array[Float])] =
       corpus.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
         .orderBy(col(idCol)).limit(kCells)
@@ -128,7 +129,10 @@ object Similarity {
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
       i += 1
     }
-    lastLearned = cents
+    // callers that learn centroids for a DIFFERENT query (e.g. semantic
+    // dedup) pass stash=false so they can never clobber the centroids the
+    // x_knn_ivf oracle replays
+    if (stash) lastLearned = cents
     cents
   }
 

@@ -28,6 +28,39 @@ object TextAnalysis {
   def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
 
+  /** Intra-document exact line dedup (the C4/Gopher preprocessing step:
+    * boilerplate lines — headers, nav bars, cookie banners — repeat
+    * verbatim inside a page and are dropped keeping the FIRST
+    * occurrence). Per doc: split on `sep`, keep each distinct line's
+    * minimum position, reassemble in original order, and report the
+    * duplicate-line fraction for downstream quality gating.
+    *
+    * Shape: posexplode → one (doc, line)-keyed aggregation (map-side
+    * combinable; the repetitionMetrics scaladoc's argument against
+    * O(len·distinct) per-row HOFs applies verbatim here) → one per-doc
+    * assembly whose `collect_list` is bounded by document length — the
+    * renest contract, not an unbounded group. Reassembly order is by
+    * first-occurrence position, so the result is deterministic under any
+    * partitioning. Zero-line docs (empty text) keep one empty line: SQL
+    * split of '' is [''] in both engines. */
+  def dedupeLines(docs: DataFrame, sep: String = "\n", textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    lines.groupBy(col(idCol), col("line"))
+      .agg(min("pos").as("pos"), count(lit(1)).as("cnt"))
+      .groupBy(idCol)
+      .agg(sum("cnt").as("n_lines"), count(lit(1)).as("n_unique"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s("line"))).as("cleaned"))
+      .select(col(idCol), col("n_lines"), col("n_unique"),
+        round(lit(1.0) - col("n_unique").cast("double") / col("n_lines"), 6)
+          .as("dup_line_frac"),
+        col("cleaned"))
+  }
+
   /** Unigram-LM surprisal per document: mean −log₂ p(token) under the
     * corpus's own unigram distribution — the classic cheap LM-quality
     * signal (gibberish and boilerplate sit far from the corpus mode in

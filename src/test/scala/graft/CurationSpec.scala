@@ -104,6 +104,31 @@ class CurationSpec extends SparkSpec {
     assert(ex == 1, s"packSequences should pay exactly 1 shuffle, got $ex:\n$packPlan")
   }
 
+  test("bloomPrunedSemiJoin is EXACT even with a tiny, collision-heavy bitmap") {
+    val big = (0L until 500L).map(i => (i, s"k$i")).toDF("id", "k")
+    val keys = Seq("k3", "k77", "k401", "k499", "absent").toDF("k")
+    // 64 bits for 5 keys × 3 hashes → false positives guaranteed; the
+    // verification semi-join must wash every one of them out
+    val got = Curation.bloomPrunedSemiJoin(big, keys, "k", mBits = 64, nHashes = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(3L, 77L, 401L, 499L))
+  }
+
+  test("bloomPrunedSemiJoin: empty/NULL key sets prune everything; probe is map-side") {
+    val big = (0L until 50L).map(i => (i, s"k$i")).toDF("id", "k")
+    val none = Seq.empty[String].toDF("k")
+    assert(Curation.bloomPrunedSemiJoin(big, none, "k", mBits = 64).count() == 0L)
+    val nulls = Seq[Option[String]](None, Some("k7")).toDF("k")
+    assert(Curation.bloomPrunedSemiJoin(big, nulls, "k", mBits = 1 << 10)
+      .collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // the bloom probe is a plain Filter over the big side (the optimizer
+    // folds it into the LocalTableScan here; on a file source it pipelines
+    // into the scan stage) — assert pre-fold where it is visible
+    val plan = Curation.bloomPrunedSemiJoin(big, nulls, "k", mBits = 1 << 10)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("xxhash64"), plan)
+  }
+
   test("shardStats: total preserved, shards in range, assignment is stable") {
     val stats = Curation.shardStats(docs, nShards = 8).collect()
     assert(stats.map(_.getAs[Long]("n_docs")).sum == 6L)

@@ -336,6 +336,56 @@ class SimilaritySpec extends SparkSpec {
     assert(zeroCos.isNullAt(0))
   }
 
+  test("semanticNearDups: implanted in-cell near-dups collapse to the min-id keeper; degenerates opt out") {
+    import spark.implicits._
+    // three well-separated directions; ids 10/11/12 are near-copies of id 0's
+    // direction, 20/21 of id 1's — plus degenerate rows that must vanish
+    def v(dir: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(4)(0f); a(dir) = 1f; a((dir + 1) % 4) = eps; a
+    }
+    val embs = (Seq(
+      (0L, v(0, 0f)), (1L, v(1, 0f)), (2L, v(2, 0f)),
+      (10L, v(0, 0.01f)), (11L, v(0, 0.02f)), (12L, v(0, 0.03f)),
+      (20L, v(1, 0.01f)), (21L, v(1, 0.02f))) ++ Seq(
+      (9001L, null.asInstanceOf[Array[Float]]),
+      (9002L, Array.empty[Float]),
+      (9003L, Array(0f, 0f, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semanticNearDups(embs, kCells = 3, iters = 2, minCos = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every near-copy keeps its group's minimum id; the seeds themselves
+    // (0, 1) have no smaller neighbor and survive
+    assert(got.view.filterKeys(Set(10L, 11L, 12L)).toMap ==
+      Map(10L -> 0L, 11L -> 0L, 12L -> 0L), got.toString)
+    assert(got.view.filterKeys(Set(20L, 21L)).toMap == Map(20L -> 1L, 21L -> 1L))
+    assert(!got.contains(0L) && !got.contains(1L) && !got.contains(2L))
+    assert(!got.keys.exists(_ >= 9001L), s"degenerate leaked: $got")
+    // rerun is identical (seeded Lloyd's + deterministic assignment)
+    val again = Dedup.semanticNearDups(embs, kCells = 3, iters = 2, minCos = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == again)
+  }
+
+  test("dedupeLines: keep-first order, duplicate fraction, partitioning invariance") {
+    import graft.ext.TextAnalysis
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b\nc d\na b\ne"), // dup "a b" dropped once
+      (2L, "x\nx\nx"),          // collapses to one line
+      (3L, "solo"),             // untouched
+      (4L, "")                  // split('') = [''] — one empty line, 0 frac
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupeLines(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    assert(got(1L) == ((4L, 3L, 0.25, "a b\nc d\ne")))
+    assert(got(2L) == ((3L, 1L, 0.666667, "x")))
+    assert(got(3L) == ((1L, 1L, 0.0, "solo")))
+    assert(got(4L) == ((1L, 1L, 0.0, "")))
+    val again = TextAnalysis.dedupeLines(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    assert(got == again)
+  }
+
   test("brute force ranks the self-similar vector first when included") {
     import spark.implicits._
     val embs = Tables.embeddings(spark, sf).limit(50).cache()

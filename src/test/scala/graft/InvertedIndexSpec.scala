@@ -74,4 +74,61 @@ class InvertedIndexSpec extends SparkSpec {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(InvertedIndex.bm25TopK(empty, Seq("x")).count() == 0L)
   }
+
+  private def phraseCorpus = Seq(
+    (1L, "a b c a b"),
+    (2L, "a a a"),
+    (3L, "b a"),
+    (4L, "x a b c y"),
+  ).toDF("doc_id", "text")
+
+  test("phraseSearch: counts occurrences, overlapping and multi-term chains included") {
+    val post = InvertedIndex.positionalPostings(phraseCorpus)
+    def run(p: Seq[String]) = InvertedIndex.phraseSearch(post, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(run(Seq("a", "b")) == Map(1L -> 2L, 4L -> 1L))
+    // overlapping occurrences both count ("a a a" has two "a a" starts)
+    assert(run(Seq("a", "a")) == Map(2L -> 2L))
+    // 3-term chain spans two adjacency joins
+    assert(run(Seq("a", "b", "c")) == Map(1L -> 1L, 4L -> 1L))
+    // single term degenerates to per-doc tf
+    assert(run(Seq("b")) == Map(1L -> 2L, 3L -> 1L, 4L -> 1L))
+    // phrase absent everywhere -> empty, not error
+    assert(run(Seq("c", "a", "x")).isEmpty)
+  }
+
+  test("phraseSearch is invariant to posting-relation partitioning") {
+    val post = InvertedIndex.positionalPostings(phraseCorpus)
+    val a = InvertedIndex.phraseSearch(post, Seq("a", "b")).orderBy("doc_id").collect().toSeq
+    val b = InvertedIndex.phraseSearch(post.repartition(7), Seq("a", "b"))
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("applyDocDelta: merged index equals a full rebuild over the final doc set") {
+    val base = Seq((0L, "old stale words"), (2L, "keep these words"),
+      (4L, "rewrite me now")).toDF("doc_id", "text")
+    val upserts = Seq((4L, "fresh new words"), (5L, "brand new doc")).toDF("doc_id", "text")
+    val deleted = Seq(0L).toDF("doc_id")
+    val merged = InvertedIndex.applyDocDelta(InvertedIndex.postings(base), upserts, deleted)
+      .orderBy("term", "doc_id").collect().toSeq
+    val rebuilt = InvertedIndex.postings(Seq((2L, "keep these words"),
+        (4L, "fresh new words"), (5L, "brand new doc")).toDF("doc_id", "text"))
+      .orderBy("term", "doc_id").collect().toSeq
+    assert(merged == rebuilt && merged.nonEmpty)
+  }
+
+  test("applyDocDelta plan tokenizes ONLY the batch: one Generate, stored postings scanned as-is") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    val base = Seq((0L, "old stale words"), (2L, "keep these words")).toDF("doc_id", "text")
+    InvertedIndex.postings(base).write.parquet(s"$dir/post")
+    val stored = spark.read.parquet(s"$dir/post")
+    val upserts = Seq((5L, "brand new doc")).toDF("doc_id", "text")
+    val merged = InvertedIndex.applyDocDelta(stored, upserts, Seq(0L).toDF("doc_id"))
+    val plan = merged.queryExecution.executedPlan.toString
+    // exactly one explode — the batch's; the stored index is never re-derived
+    assert(plan.split("Generate", -1).length - 1 == 1, plan)
+    assert(merged.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("keep", 2L), ("these", 2L), ("words", 2L), ("brand", 5L), ("new", 5L), ("doc", 5L)))
+  }
 }
