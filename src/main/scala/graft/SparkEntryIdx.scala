@@ -100,6 +100,16 @@ object SparkEntryIdx {
     "x_line_dedup" -> { (s, dir) =>
       TextAnalysis.dedupeLines(withInjectedLines(Tables.documents(s, dir)))
     },
+    "x_chunk_docs" -> { (s, dir) =>
+      Curation.chunkDocuments(Tables.documents(s, dir), chunkTokens = 32,
+        overlap = 8)
+    },
+    "x_line_dedup_global" -> { (s, dir) =>
+      // C4-style global boilerplate removal: every even doc carries the
+      // same injected banner line; it must survive exactly once
+      TextAnalysis.dedupeLinesGlobal(
+        withInjectedBoilerplate(Tables.documents(s, dir)))
+    },
 
     "x_knn_pq" -> { (s, dir) =>
       // PQ-compressed ANN (approximate recall, deterministic computation,
@@ -172,6 +182,19 @@ object SparkEntryIdx {
       .otherwise(lines)
     docs.select(col("doc_id"), array_join(withDup, "\n").as("text"))
   }
+
+  /** [[withInjectedLines]] plus a constant banner line PREPENDED to every
+    * even doc — the cross-doc boilerplate x_line_dedup_global must
+    * collapse to one corpus-wide survivor. */
+  private def withInjectedBoilerplate(docs: DataFrame): DataFrame =
+    withInjectedLines(docs).withColumn("text",
+      when(col("doc_id") % 2 === 0,
+        concat(lit("standard cookie banner\n"), col("text")))
+        .otherwise(col("text")))
+
+  private def boilerplateSql =
+    s"$linedSql, boil AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 " +
+      "THEN ['standard cookie banner'] || lines ELSE lines END AS lines FROM lined)"
 
   /** DuckDB replay of [[withInjectedLines]] as a LIST (the Spark op's
     * split-on-\n recovers exactly these lines — no token contains \n).
@@ -303,6 +326,28 @@ object SparkEntryIdx {
         "round(1.0 - CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS dup_line_frac, " +
         "string_agg(line, chr(10) ORDER BY pos) AS cleaned " +
         "FROM k GROUP BY doc_id"),
+
+    "x_line_dedup_global" ->
+      (s"WITH $boilerplateSql, " +
+        "l AS (SELECT doc_id, unnest(list_transform(range(1, len(lines) + 1), " +
+        "i -> {'pos': i, 'line': lines[i]})) AS u FROM boil), " +
+        "f AS (SELECT doc_id, u.pos AS pos, u.line AS line, " +
+        "CASE WHEN row_number() OVER (PARTITION BY u.line ORDER BY doc_id, u.pos) = 1 " +
+        "THEN 1 ELSE 0 END AS kept FROM l) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, " +
+        "CAST(sum(kept) AS BIGINT) AS n_kept, " +
+        "coalesce(string_agg(line, chr(10) ORDER BY pos) " +
+        "FILTER (WHERE kept = 1), '') AS cleaned " +
+        "FROM f GROUP BY doc_id"),
+
+    // chunk=32, overlap=8 → step=24; both engines slice the same token list
+    "x_chunk_docs" ->
+      (s"WITH t AS (SELECT doc_id, $toks AS tk FROM documents), " +
+        "c AS (SELECT doc_id, unnest(list_transform(range(0, (len(tk) + 23) // 24), " +
+        "i -> {'chunk_id': i, 'chunk_text': array_to_string(tk[i*24+1:i*24+32], ' '), " +
+        "'n_tokens': least(len(tk) - i*24, 32)})) AS u FROM t WHERE len(tk) > 0) " +
+        "SELECT doc_id, CAST(u.chunk_id AS INT) AS chunk_id, u.chunk_text AS chunk_text, " +
+        "CAST(u.n_tokens AS INT) AS n_tokens FROM c"),
 
     "x_snapshot_read" ->
       (s"WITH $changelogSql, cuts AS (SELECT max(seq) // 2 AS c FROM log) " +

@@ -92,6 +92,29 @@ object Curation {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Overlapping token-window chunking (the RAG / training-example
+    * splitter): each document becomes `ceil(n_tokens / step)` chunks of up
+    * to `chunkTokens` tokens, consecutive chunks sharing `overlap` tokens
+    * (step = chunkTokens − overlap). Pure MAP-ONLY work — one tokenize +
+    * one per-row window transform + explode, no shuffle at any scale; the
+    * chunk id is positional, so output is deterministic under any
+    * partitioning and chunk provenance is `(doc_id, chunk_id)`. Empty
+    * docs produce no chunks. */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 128, overlap: Int = 32,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(overlap >= 0 && chunkTokens > overlap, "need chunkTokens > overlap >= 0")
+    val step = chunkTokens - overlap
+    val toks = TextFunctions.tokens(col(textCol))
+    val nChunks = ((size(toks) + lit(step - 1)) / lit(step)).cast("int")
+    val chunkArr = transform(sequence(lit(0), nChunks - 1), i =>
+      struct(i.as("chunk_id"),
+        concat_ws(" ", slice(toks, i * step + 1, lit(chunkTokens))).as("chunk_text"),
+        least(size(toks) - i * step, lit(chunkTokens)).as("n_tokens")))
+    docs.where(size(toks) > 0)
+      .select(col(idCol), explode(chunkArr).as("__c"))
+      .select(col(idCol), col("__c.chunk_id"), col("__c.chunk_text"), col("__c.n_tokens"))
+  }
+
   /** The `nHashes` Bloom bit positions of a key: xxhash64 (native,
     * codegen'd) per hash index, mod `mBits`. Only cluster-internal — the
     * final result of [[bloomPrunedSemiJoin]] is exact regardless of hash

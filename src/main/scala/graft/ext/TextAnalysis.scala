@@ -61,6 +61,37 @@ object TextAnalysis {
         col("cleaned"))
   }
 
+  /** CORPUS-WIDE exact line dedup (C4's global boilerplate removal: a
+    * cookie banner appearing in a million pages survives exactly once):
+    * each distinct line is kept only at its first occurrence corpus-wide —
+    * the minimum `(doc_id, pos)` — and dropped everywhere else. Returns
+    * per doc the original/kept line counts and the reassembled text
+    * (empty string, not NULL, when every line was seen earlier).
+    *
+    * Shape: one line-keyed aggregation computes each line's global keeper
+    * (map-side-combinable min — a boilerplate line collapses to ONE row
+    * per map task before the exchange), one join back on the line key,
+    * one per-doc bounded reassembly. The join side of a mega-duplicated
+    * line IS skewed — that's AQE skew-split territory; the aggregation
+    * side never is (partial min). */
+  def dedupeLinesGlobal(docs: DataFrame, sep: String = "\n",
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    val keeper = lines.groupBy("line")
+      .agg(min(struct(col(idCol).as("kid"), col("pos").as("kpos"))).as("__k"))
+    val flagged = lines.join(keeper, Seq("line"))
+      .withColumn("__kept",
+        col(idCol) === col("__k.kid") && col("pos") === col("__k.kpos"))
+    flagged.groupBy(idCol)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("__kept").cast("long")).as("n_kept"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(when(col("__kept"), struct(col("pos"), col("line"))))),
+          s => s("line"))).as("cleaned"))
+  }
+
   /** Unigram-LM surprisal per document: mean −log₂ p(token) under the
     * corpus's own unigram distribution — the classic cheap LM-quality
     * signal (gibberish and boilerplate sit far from the corpus mode in

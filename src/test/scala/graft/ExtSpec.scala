@@ -386,6 +386,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got == again)
   }
 
+  test("dedupeLinesGlobal: a line survives once corpus-wide at its minimum (doc, pos)") {
+    import graft.ext.TextAnalysis
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "banner\nunique one\nbanner"), // global keeper of "banner" is (1,0)
+      (2L, "banner\nunique two"),
+      (3L, "banner")                      // nothing left — empty string, not NULL
+    ).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.dedupeLinesGlobal(d).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val got = run(docs)
+    assert(got(1L) == ((3L, 2L, "banner\nunique one")))
+    assert(got(2L) == ((2L, 1L, "unique two")))
+    assert(got(3L) == ((1L, 0L, "")))
+    assert(got == run(docs.repartition(7)))
+  }
+
   test("brute force ranks the self-similar vector first when included") {
     import spark.implicits._
     val embs = Tables.embeddings(spark, sf).limit(50).cache()
