@@ -111,6 +111,18 @@ object SparkEntryIdx {
         withInjectedBoilerplate(Tables.documents(s, dir)))
     },
 
+    "x_knn_ivfpq" -> { (s, dir) =>
+      // the composed billion-scale ANN shape: IVF cells bound candidates,
+      // PQ codes compress the scan. Same contract as x_knn_ivf/x_knn_pq:
+      // approximate recall, deterministic computation — the oracle replays
+      // the stashed (cells, codebooks) pair as literals
+      // pqIters=2: the composed entry demonstrates the SEARCH shape; the
+      // 4-iteration training curve is already paid (and specced) by
+      // x_knn_pq — no need to train twice per bench rep
+      val embs = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(embs, embs.where(col("vec_id") < 10), k = 10,
+        kCells = 8, ivfIters = 2, nprobe = 2, m = 16, kCodes = 16, pqIters = 2)
+    },
     "x_knn_pq" -> { (s, dir) =>
       // PQ-compressed ANN (approximate recall, deterministic computation,
       // like x_knn_ivf): the run stashes its learned codebooks
@@ -362,7 +374,7 @@ object SparkEntryIdx {
         "WHEN doc_after IS NULL THEN 'deleted' ELSE 'updated' END AS change, " +
         "doc_before, doc_after FROM sa FULL JOIN sb USING (key) " +
         "WHERE doc_before IS DISTINCT FROM doc_after"),
-  ) ++ pqOracle ++ semOracle
+  ) ++ pqOracle ++ semOracle ++ ivfPqOracle
 
   /** x_dedup_semantic: the learned centroids become VALUES literals (the
     * x_knn_ivf contract via [[graft.ext.Dedup.lastLearnedSem]]), after
@@ -424,6 +436,52 @@ object SparkEntryIdx {
           "scored AS (SELECT l.query_id, enc.vec_id, sum(CAST(l.sd AS DECIMAL(18,6))) AS ad " +
           "FROM enc JOIN lut l ON l.sub = enc.sub AND l.code = enc.code " +
           "WHERE enc.vec_id <> l.query_id GROUP BY 1, 2), " +
+          "ranked AS (SELECT query_id, vec_id, ad, row_number() OVER " +
+          "(PARTITION BY query_id ORDER BY ad, vec_id) AS rank FROM scored) " +
+          "SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, " +
+          "CAST(ad AS DOUBLE) AS adist FROM ranked WHERE rank <= 10"))
+    case _ => Map.empty
+  }
+
+  /** x_knn_ivfpq: both stashed models become VALUES literals — cells gate
+    * the candidate set (assignment + nprobe=2 probe, the x_knn_ivf
+    * machinery), codes score it (encode + LUT + decimal ADC sum, the
+    * x_knn_pq machinery) — then deterministic top-k. */
+  private def ivfPqOracle: Map[String, String] = Similarity.lastLearnedIvfPq match {
+    case (cents, books) if cents.nonEmpty && books.nonEmpty =>
+      val ds = books.head._3.length
+      val centRows = cents.map { case (c, v) =>
+        s"($c, [${v.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+      }.mkString(", ")
+      val cbRows = books.map { case (s, c, v) =>
+        s"($s, $c, [${v.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+      }.mkString(", ")
+      val subDist =
+        s"round(list_sum(list_transform(range($ds), i -> " +
+          s"(t.v[c.sub * $ds + i + 1] - c.cv[i + 1]) * (t.v[c.sub * $ds + i + 1] - c.cv[i + 1]))), 6)"
+      val assignRank = "row_number() OVER (PARTITION BY t.vec_id ORDER BY " +
+        "coalesce(list_cosine_similarity(t.v, c.cv), -2.0) DESC, c.cell) AS rn " +
+        "FROM val t CROSS JOIN cents c"
+      Map("x_knn_ivfpq" ->
+        ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+          "d AS (SELECT len(v) AS dim FROM e WHERE len(v) > 0 LIMIT 1), " +
+          "val AS (SELECT vec_id, v FROM e, d WHERE len(v) = dim AND " +
+          "len(list_filter(v, x -> x IS NULL)) = 0), " +
+          s"cents(cell, cv) AS (VALUES $centRows), " +
+          s"cb(sub, code, cv) AS (VALUES $cbRows), " +
+          s"assigned AS (SELECT vec_id, cell FROM (SELECT t.vec_id, c.cell, $assignRank) WHERE rn = 1), " +
+          s"qp AS (SELECT query_id, cell FROM (SELECT t.vec_id AS query_id, c.cell, $assignRank WHERE t.vec_id < 10) WHERE rn <= 2), " +
+          s"dists AS (SELECT t.vec_id, c.sub, c.code, $subDist AS sd FROM val t CROSS JOIN cb c), " +
+          "enc AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code, " +
+          "row_number() OVER (PARTITION BY vec_id, sub ORDER BY sd, code) AS rn FROM dists) " +
+          "WHERE rn = 1), " +
+          "lut AS (SELECT vec_id AS query_id, sub, code, sd FROM dists WHERE vec_id < 10), " +
+          "cand AS (SELECT p.query_id, a.vec_id FROM qp p JOIN assigned a USING (cell) " +
+          "WHERE a.vec_id <> p.query_id), " +
+          "scored AS (SELECT cd.query_id, cd.vec_id, sum(CAST(l.sd AS DECIMAL(18,6))) AS ad " +
+          "FROM cand cd JOIN enc ON enc.vec_id = cd.vec_id " +
+          "JOIN lut l ON l.query_id = cd.query_id AND l.sub = enc.sub AND l.code = enc.code " +
+          "GROUP BY 1, 2), " +
           "ranked AS (SELECT query_id, vec_id, ad, row_number() OVER " +
           "(PARTITION BY query_id ORDER BY ad, vec_id) AS rank FROM scored) " +
           "SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, " +

@@ -229,9 +229,10 @@ object Similarity {
     * subspace. Only the FINAL codebook needs cross-engine determinism
     * (the oracle takes it as literals), not the learning path. */
   def pqCodebooks(corpus: DataFrame, m: Int, kCodes: Int, iters: Int, dim: Int,
-                  vecCol: String = "embedding", idCol: String = "vec_id"): Seq[(Int, Int, Array[Float])] = {
+                  vecCol: String = "embedding", idCol: String = "vec_id",
+                  stash: Boolean = true): Seq[(Int, Int, Array[Float])] = {
     val ds = if (m > 0) dim / m else 0
-    if (ds == 0) { lastLearnedPq = Nil; return Nil }
+    if (ds == 0) { if (stash) lastLearnedPq = Nil; return Nil }
     val valid = corpus.where(validVec(col(vecCol), dim))
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
     val seeds = valid.orderBy(col(idCol)).limit(kCodes)
@@ -265,7 +266,7 @@ object Similarity {
     }
     val out = for (j <- 0 until m; (cw, c) <- books(j).zipWithIndex)
       yield (j, c, cw.map(_.toFloat))
-    lastLearnedPq = out
+    if (stash) lastLearnedPq = out
     out
   }
 
@@ -281,37 +282,32 @@ object Similarity {
     * regardless of either engine's FP low-order bits. Queries broadcast
     * (the [[bruteForceTopK]] contract, whitelisted BNLJ); ranking is the
     * two-phase top-k, ascending distance, ties to the lowest id. */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
-             m: Int = 4, kCodes: Int = 16, iters: Int = 2,
-             vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val dim = probeDim(corpus, vecCol)
-    require(m > 0 && (dim == 0 || dim % m == 0), s"dim $dim not divisible into $m subspaces")
-    val ds = if (dim == 0) 0 else dim / m
-    val books = pqCodebooks(corpus, m, kCodes, iters, dim, vecCol, idCol)
-    if (books.isEmpty || dim == 0)
-      return queries.select(col(idCol).as("query_id"), lit(1).as("rank"),
-        col(idCol).as("neighbor_id"), lit(0d).as("adist")).limit(0)
+  /** Per-subspace codeword literal arrays (`cwLit(j)(code+1)` = codeword). */
+  private def codebookLits(books: Seq[(Int, Int, Array[Float])], m: Int): IndexedSeq[Column] = {
     val bySub = books.groupBy(_._1).map { case (j, cws) =>
       j -> cws.sortBy(_._2).map(_._3)
     }
-    val cwLit: IndexedSeq[Column] = (0 until m).map(j =>
-      array(bySub(j).map(v => typedlit(v.map(_.toDouble))): _*))
-    val valid = corpus.where(validVec(col(vecCol), dim))
-      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-    val enc = valid.select(
-      col(idCol) +: (0 until m).map { j =>
-        val sub = slice(col("__v"), j * ds + 1, ds)
-        array_min(transform(cwLit(j), (cw, i) =>
-          struct(round(l2sq(sub, cw), 6).as("d"), i.as("code"))))("code").as(s"__c$j")
-      }: _*)
-    val q = broadcast(queries.where(validVec(col(vecCol), dim))
-      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("__qv")))
-    val adist = (0 until m).map { j =>
+    (0 until m).map(j => array(bySub(j).map(v => typedlit(v.map(_.toDouble))): _*))
+  }
+
+  /** The m nearest-code columns `__c0..__c(m-1)` for a `__v` double vector. */
+  private def encodeCols(cwLit: IndexedSeq[Column], m: Int, ds: Int): Seq[Column] =
+    (0 until m).map { j =>
+      val sub = slice(col("__v"), j * ds + 1, ds)
+      array_min(transform(cwLit(j), (cw, i) =>
+        struct(round(l2sq(sub, cw), 6).as("d"), i.as("code"))))("code").as(s"__c$j")
+    }
+
+  /** ADC distance of `__qv` to a row's codes: per-subspace 6dp-rounded
+    * squared-L2 to the codeword, summed over DECIMAL(18,6). */
+  private def adcExpr(cwLit: IndexedSeq[Column], m: Int, ds: Int): Column =
+    (0 until m).map { j =>
       round(l2sq(slice(col("__qv"), j * ds + 1, ds),
         element_at(cwLit(j), col(s"__c$j") + 1)), 6).cast("decimal(18,6)")
     }.reduce(_ + _)
-    val scored = enc.join(q, col("query_id") =!= col(idCol))
-      .select(col("query_id"), col(idCol), adist.cast("double").as("ad"))
+
+  /** Ascending-distance two-phase top-k over `(query_id, id, ad)` rows. */
+  private def topKByDist(scored: DataFrame, k: Int, idCol: String): DataFrame = {
     val wp = Window.partitionBy(col("query_id"), col("__p"))
       .orderBy(col("ad").asc, col(idCol))
     val survivors = scored
@@ -323,6 +319,83 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"),
         col(idCol).as("neighbor_id"), col("ad").as("adist"))
+  }
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+             m: Int = 4, kCodes: Int = 16, iters: Int = 2,
+             vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val dim = probeDim(corpus, vecCol)
+    require(m > 0 && (dim == 0 || dim % m == 0), s"dim $dim not divisible into $m subspaces")
+    val ds = if (dim == 0) 0 else dim / m
+    val books = pqCodebooks(corpus, m, kCodes, iters, dim, vecCol, idCol)
+    if (books.isEmpty || dim == 0)
+      return queries.select(col(idCol).as("query_id"), lit(1).as("rank"),
+        col(idCol).as("neighbor_id"), lit(0d).as("adist")).limit(0)
+    val cwLit = codebookLits(books, m)
+    val valid = corpus.where(validVec(col(vecCol), dim))
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val enc = valid.select(col(idCol) +: encodeCols(cwLit, m, ds): _*)
+    val q = broadcast(queries.where(validVec(col(vecCol), dim))
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("__qv")))
+    val scored = enc.join(q, col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol), adcExpr(cwLit, m, ds).cast("double").as("ad"))
+    topKByDist(scored, k, idCol)
+  }
+
+  /** Verification hook for [[ivfPqTopK]]: its own (cells, codebooks) pair
+    * so neither the x_knn_ivf nor the x_knn_pq oracle stash is clobbered. */
+  @volatile var lastLearnedIvfPq: (Seq[(Long, Array[Float])], Seq[(Int, Int, Array[Float])]) =
+    (Nil, Nil)
+
+  /** IVF-PQ composed ANN — the standard billion-scale shape: the coarse
+    * IVF cells BOUND the candidate set (each query scores only its
+    * `nprobe` cells' rows, cells/nprobe-fold fewer pairs) and the PQ code
+    * table COMPRESSES what gets scored (the scan reads m codes per row,
+    * not dim floats; ADC against the query's exact subvectors). Both
+    * models are bounded driver-side metadata; assignment and encoding are
+    * map-only projections, so the only corpus shuffle is the cell-keyed
+    * search join. Unlike FAISS's IVFPQ, codes quantize RAW vectors rather
+    * than cell residuals — pruning and compression stay decoupled, every
+    * stage is oracle-replayable from the stashed literals, and the recall
+    * cost of skipping residuals is pinned in PqSpec alongside the pure-PQ
+    * paths. Approximate recall, deterministic computation (the ANN-family
+    * contract). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                kCells: Int = 8, ivfIters: Int = 2, nprobe: Int = 2,
+                m: Int = 4, kCodes: Int = 16, pqIters: Int = 2,
+                vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val dim = probeDim(corpus, vecCol)
+    require(m > 0 && (dim == 0 || dim % m == 0), s"dim $dim not divisible into $m subspaces")
+    val ds = if (dim == 0) 0 else dim / m
+    val valid = corpus.where(validVec(col(vecCol), dim))
+    val cents = learnedCentroids(valid, kCells, ivfIters, vecCol, idCol, stash = false)
+    val books = pqCodebooks(valid, m, kCodes, pqIters, dim, vecCol, idCol, stash = false)
+    lastLearnedIvfPq = (cents, books)
+    if (cents.isEmpty || books.isEmpty || dim == 0)
+      return queries.select(col(idCol).as("query_id"), lit(1).as("rank"),
+        col(idCol).as("neighbor_id"), lit(0d).as("adist")).limit(0)
+    val cwLit = codebookLits(books, m)
+    // the stored index row: (cell, id, m codes) — assignment and encoding
+    // are one map-only projection over the corpus
+    val enc = assignCells(valid, cents, vecCol)
+      .select(col("cell"), col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .select(Seq(col("cell"), col(idCol)) ++ encodeCols(cwLit, m, ds): _*)
+    // query probe selection: pure projection over the literal centroids
+    // (the ivfSearch contract — no query×centroid join)
+    val centLit = array(cents.map { case (c, v) =>
+      struct(lit(c).as("cell"), typedlit(v).as("centroid")) }: _*)
+    val ranked = reverse(array_sort(transform(centLit, c =>
+      struct(coalesce(cosine(col("__qvf"), c("centroid")), lit(-2d)).as("d"),
+        (-c("cell")).as("nc")))))
+    val q = queries.where(validVec(col(vecCol), dim))
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qvf"),
+        col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__probe", explode(slice(ranked, 1, nprobe)))
+      .select(col("query_id"), col("__qv"), (-col("__probe.nc")).as("cell"))
+    val scored = enc.join(q, Seq("cell"))
+      .where(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol), adcExpr(cwLit, m, ds).cast("double").as("ad"))
+    topKByDist(scored, k, idCol)
   }
 
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,

@@ -78,6 +78,58 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.9, s"clustered recall $recall")
   }
 
+  test("ivfPqTopK on clustered data: cells prune to the right cluster, codes rank it (>=0.9 recall@10)") {
+    import spark.implicits._
+    // same clustered construction as the PQ test: with 8 learned cells over
+    // 8 true clusters, a query's nprobe=2 candidate set should contain its
+    // cluster, and the ADC ranking should keep cluster-mates on top
+    val dim = 16
+    val rows = for (c <- 0 until 8; i <- 0 until 11) yield {
+      val base = Array.tabulate(dim)(d => if (d % 8 == c % 8) 10.0 else 0.0)
+      val noisy = base.zipWithIndex.map { case (x, d) =>
+        x + 0.1 * (((c * 31 + i * 7 + d * 13) % 11) - 5)
+      }
+      ((c * 11 + i).toLong, noisy)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val qs = corpus.where(col("vec_id") % 11 === 0)
+    val exact = {
+      val embs = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = broadcast(embs.where(col("vec_id") % 11 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")))
+      val d2 = aggregate(zip_with(col("qv"), col("v"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+      val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id"))
+      embs.join(q, col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"), d2.as("d2"))
+        .withColumn("r", row_number().over(w)).where(col("r") <= 10)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val got = Similarity.ivfPqTopK(corpus, qs, k = 10,
+        kCells = 8, ivfIters = 2, nprobe = 2, m = 4, kCodes = 16, pqIters = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(s"clustered IVF-PQ recall@10 = $recall")
+    assert(recall >= 0.9, s"clustered recall $recall")
+  }
+
+  test("ivfPqTopK is deterministic and keeps all three model stashes separate") {
+    val embs = Tables.embeddings(spark, sf)
+    val ivfBefore = Similarity.lastLearned
+    val pqBefore = Similarity.lastLearnedPq
+    def run() = Similarity.ivfPqTopK(embs, embs.where(col("vec_id") < 10), k = 10,
+        kCells = 8, ivfIters = 2, nprobe = 2, m = 16, kCodes = 16, pqIters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val a = run()
+    assert(a.nonEmpty && a == run())
+    // composing must clobber NEITHER single-model oracle stash
+    assert(Similarity.lastLearned eq ivfBefore)
+    assert(Similarity.lastLearnedPq eq pqBefore)
+    assert(Similarity.lastLearnedIvfPq._1.nonEmpty && Similarity.lastLearnedIvfPq._2.nonEmpty)
+  }
+
   test("pqTopK is deterministic across reruns (codes, ranks, distances)") {
     val embs = Tables.embeddings(spark, sf)
     def run() = Similarity.pqTopK(embs, embs.where(col("vec_id") < 10), k = 10)

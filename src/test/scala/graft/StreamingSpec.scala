@@ -549,6 +549,59 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.exists(_._2 == "2024-01-01 11:00:00"), s"open session leaked: $rows")
   }
 
+  test("streaming index maintenance: per-batch delta folds equal a full rebuild (extension)") {
+    import org.apache.spark.sql.types._
+    import graft.ext.InvertedIndex
+    val dir = tmp(); val log = s"$dir/updates"; new java.io.File(log).mkdirs()
+    val schema = StructType(Seq(StructField("seq", LongType),
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("op", StringType)))
+    Files.writeString(java.nio.file.Paths.get(s"$log/b1.json"),
+      """{"seq":1,"doc_id":1,"text":"alpha beta","op":"upsert"}
+        |{"seq":2,"doc_id":2,"text":"old words here","op":"upsert"}
+        |{"seq":3,"doc_id":3,"text":"doomed doc","op":"upsert"}
+        |""".stripMargin)
+    Files.writeString(java.nio.file.Paths.get(s"$log/b2.json"),
+      """{"seq":4,"doc_id":2,"text":"fresh words now","op":"upsert"}
+        |{"seq":5,"doc_id":3,"text":"","op":"delete"}
+        |{"seq":6,"doc_id":4,"text":"gamma delta","op":"upsert"}
+        |""".stripMargin)
+    // stored index starts empty; each micro-batch folds in as a DELTA —
+    // latest-wins within the batch (the ST3 contract), then
+    // applyDocDelta's anti-join + batch-only tokenize
+    val vdir = s"$dir/post"
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("term", StringType),
+          StructField("doc_id", LongType), StructField("tf", LongType))))
+      .write.parquet(s"$vdir/v0")
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(log)
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("seq").desc)
+        val latest = b.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        val v = version.get()
+        val merged = InvertedIndex.applyDocDelta(
+          spark.read.parquet(s"$vdir/v$v"),
+          latest.where(col("op") =!= "delete").select("doc_id", "text"),
+          latest.where(col("op") === "delete").select("doc_id"))
+        merged.write.parquet(s"$vdir/v${v + 1}")
+        version.incrementAndGet(); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(version.get() >= 2, s"expected >=2 micro-batches, got ${version.get()}")
+    val got = spark.read.parquet(s"$vdir/v${version.get()}")
+      .orderBy("term", "doc_id").collect().toSeq
+    val rebuilt = InvertedIndex.postings(
+      { import spark.implicits._
+        Seq((1L, "alpha beta"), (2L, "fresh words now"), (4L, "gamma delta"))
+          .toDF("doc_id", "text") })
+      .orderBy("term", "doc_id").collect().toSeq
+    assert(got == rebuilt, s"stream-folded index != rebuild:\n$got\n$rebuilt")
+  }
+
   test("ST5: DLQ splits invalid rows without losing them") {
     import spark.implicits._
     val batch = Seq((1L, "insert", "a", """{"k":1}"""), (2L, "insert", "b", "not json"))
