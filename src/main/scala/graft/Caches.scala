@@ -11,6 +11,7 @@ import org.apache.spark.sql.SparkSession
 object Caches {
   def invalidate(spark: SparkSession): Unit = {
     graft.ext.Dedup.invalidate(spark)
+    graft.ext.InvertedIndex.invalidate(spark)
     graft.operators.Shred.invalidate(spark)
     graft.sources.StarDocs.invalidate(spark)
   }

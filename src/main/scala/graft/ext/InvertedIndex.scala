@@ -20,13 +20,49 @@ import org.apache.spark.sql.functions._
   */
 object InvertedIndex {
 
+  // the posting relations are memoized per (session, canonicalized doc
+  // plan) and PERSISTED — the [[graft.ext.Dedup]] shared-artifact
+  // contract: the index is derived once and every consumer (directory
+  // stats AND head, conjunctive lookup, BM25's tf/df/dl reads, each
+  // phrase term's pruned scan) reads the materialized relation, instead
+  // of Catalyst re-inlining the tokenize+aggregate pipeline into every
+  // branch. At 100 TB this is the stored, term-bucketed index TABLE;
+  // here the same shape lives in executor memory.
+  private val postMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      String), DataFrame]()
+  private val posMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      String), DataFrame]()
+
+  private def repersist(df: DataFrame): DataFrame = {
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+    df
+  }
+
+  /** Release this session's memoized posting relations (the
+    * [[graft.Caches]] sweep). */
+  def invalidate(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    Seq(postMemo, posMemo).foreach { memo =>
+      val it = memo.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 eq spark) { e.getValue.unpersist(); it.remove() }
+      }
+    }
+  }
+
   /** The posting relation `(term, doc_id, tf)` — one explode + one
-    * map-side-combinable aggregation. Bucket-by-term writable: this is
-    * the layout a term lookup wants at any scale. */
-  def postings(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(col("doc_id"),
-        explode(TextFunctions.tokens(col(textCol))).as("term"))
-      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    * map-side-combinable aggregation, derived once per doc plan (memo
+    * above). Bucket-by-term writable: this is the layout a term lookup
+    * wants at any scale. */
+  def postings(docs: DataFrame, textCol: String = "text"): DataFrame = synchronized {
+    val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized, textCol)
+    repersist(postMemo.computeIfAbsent(key, _ =>
+      docs.select(col("doc_id"),
+          explode(TextFunctions.tokens(col(textCol))).as("term"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))))
+  }
 
   /** Per-term directory (the index's "dictionary" page): document
     * frequency, total term frequency, doc-id range, and a BOUNDED posting
@@ -57,10 +93,13 @@ object InvertedIndex {
     * partition / bucket by `term` and a phrase's candidate set is a few
     * partitions' worth of rows, never the corpus. ~`dl` rows per doc, the
     * standard positional-index space trade. */
-  def positionalPostings(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(col("doc_id"),
-        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
-      .select("term", "doc_id", "pos")
+  def positionalPostings(docs: DataFrame, textCol: String = "text"): DataFrame = synchronized {
+    val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized, textCol)
+    repersist(posMemo.computeIfAbsent(key, _ =>
+      docs.select(col("doc_id"),
+          posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
+        .select("term", "doc_id", "pos")))
+  }
 
   /** Exact phrase query over the positional index: an occurrence is an
     * adjacency chain `t0@p, t1@p+1, …`. Each phrase term PRUNES the
