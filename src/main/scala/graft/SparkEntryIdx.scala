@@ -85,6 +85,14 @@ object SparkEntryIdx {
       Dedup.semanticNearDups(Tables.embeddings(s, dir), kCells = 8,
         iters = 2, minCos = 0.45)
     },
+    "x_decontaminate_semantic" -> { (s, dir) =>
+      // embedding-level eval-leakage check: vec_id < 25 plays the held-out
+      // benchmark, the rest the training corpus. Deterministic given the
+      // stashed centroids (Dedup.lastLearnedXsem), like x_dedup_semantic
+      val embs = Tables.embeddings(s, dir)
+      Dedup.semanticDecontaminate(embs.where(col("vec_id") >= 25),
+        embs.where(col("vec_id") < 25), kCells = 8, iters = 2, minCos = 0.45)
+    },
     "x_bloom_prune" -> { (s, dir) =>
       // Bloom-pruned membership: which docs carry a blocklisted content
       // hash (the %17 docs' md5s). The bloom is cluster-internal pruning —
@@ -374,7 +382,37 @@ object SparkEntryIdx {
         "WHEN doc_after IS NULL THEN 'deleted' ELSE 'updated' END AS change, " +
         "doc_before, doc_after FROM sa FULL JOIN sb USING (key) " +
         "WHERE doc_before IS DISTINCT FROM doc_after"),
-  ) ++ pqOracle ++ semOracle ++ ivfPqOracle
+  ) ++ pqOracle ++ semOracle ++ ivfPqOracle ++ xsemOracle
+
+  /** x_decontaminate_semantic: stashed centroids as literals; both sides
+    * assigned, across-side in-cell cosine, best bench match per flagged
+    * corpus vector (max 6dp-rounded cosine, min-id tiebreak). */
+  private def xsemOracle: Map[String, String] = Dedup.lastLearnedXsem match {
+    case cents if cents.nonEmpty =>
+      val rows = cents.map { case (c, v) =>
+        s"($c, [${v.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+      }.mkString(", ")
+      Map("x_decontaminate_semantic" ->
+        ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+          "d AS (SELECT len(v) AS dim FROM e WHERE len(v) > 0 LIMIT 1), " +
+          "val AS (SELECT vec_id, v FROM e, d WHERE len(v) = dim AND " +
+          "len(list_filter(v, x -> x IS NULL)) = 0 AND " +
+          "list_sum(list_transform(v, x -> x * x)) > 0), " +
+          s"cents(cell, cv) AS (VALUES $rows), " +
+          "asg AS (SELECT vec_id, v, cell FROM (SELECT t.vec_id, t.v, c.cell, " +
+          "row_number() OVER (PARTITION BY t.vec_id ORDER BY " +
+          "coalesce(list_cosine_similarity(t.v, c.cv), -2.0) DESC, c.cell) AS rn " +
+          "FROM val t CROSS JOIN cents c) WHERE rn = 1), " +
+          "pr AS (SELECT c.vec_id AS vid, b.vec_id AS bid, " +
+          "round(list_cosine_similarity(c.v, b.v), 6) AS cos " +
+          "FROM asg c JOIN asg b USING (cell) " +
+          "WHERE c.vec_id >= 25 AND b.vec_id < 25 " +
+          "AND round(list_cosine_similarity(c.v, b.v), 6) > 0.45) " +
+          "SELECT vid AS vec_id, bid AS bench_id, cos AS cos_sim FROM " +
+          "(SELECT vid, bid, cos, row_number() OVER " +
+          "(PARTITION BY vid ORDER BY cos DESC, bid) AS rn FROM pr) WHERE rn = 1"))
+    case _ => Map.empty
+  }
 
   /** x_dedup_semantic: the learned centroids become VALUES literals (the
     * x_knn_ivf contract via [[graft.ext.Dedup.lastLearnedSem]]), after

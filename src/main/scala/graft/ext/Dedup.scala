@@ -391,6 +391,44 @@ object Dedup {
     * stash, so the x_knn_ivf oracle's centroids are never clobbered. */
   @volatile var lastLearnedSem: Seq[(Long, Array[Float])] = Nil
 
+  /** [[semanticDecontaminate]]'s own centroid stash (same contract). */
+  @volatile var lastLearnedXsem: Seq[(Long, Array[Float])] = Nil
+
+  /** Semantic decontamination — the embedding-level eval-leakage check
+    * n-gram [[Curation.decontaminate]] cannot do: a benchmark item
+    * PARAPHRASED into the training corpus shares no shingles but sits at
+    * high cosine. Cells are learned on the CORPUS side (seeded Lloyd's),
+    * both sides take the map-only literal assignment, and the exact
+    * cosine runs only across-sides within a cell; each flagged corpus
+    * vector reports its best bench match (max cosine, min-id tiebreak).
+    *
+    * Scale shape: the pair space is Σ\|corpus cell\|·\|bench cell\| —
+    * the bench side is eval-set-sized, so this is ~\|corpus\|·(bench/
+    * kCells) pairs, one cell-keyed exchange, no broadcast requirement on
+    * either side. Approximate recall across cell boundaries (the ANN
+    * contract), deterministic computation given the stashed centroids. */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+                            kCells: Int = 8, iters: Int = 2, minCos: Double = 0.45,
+                            vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val dim = VectorFunctions.probeDim(corpus, vecCol)
+    def valid(df: DataFrame) = df.where(col(vecCol).isNotNull &&
+      size(col(vecCol)) === dim && !exists(col(vecCol), _.isNull) &&
+      VectorFunctions.norm(col(vecCol)) > 0)
+    val cents = Similarity.learnedCentroids(valid(corpus), kCells, iters, vecCol, idCol,
+      stash = false)
+    lastLearnedXsem = cents
+    val c = Similarity.assignCells(valid(corpus), cents, vecCol)
+      .select(col("cell"), col(idCol), col(vecCol))
+    val b = Similarity.assignCells(valid(bench), cents, vecCol)
+      .select(col("cell"), col(idCol).as("__bid"), col(vecCol).as("__bv"))
+    c.join(b, Seq("cell"))
+      .withColumn("cos", round(VectorFunctions.cosine(col(vecCol), col("__bv")), 6))
+      .where(col("cos") > minCos)
+      .groupBy(col(idCol))
+      .agg(max(struct(col("cos"), (-col("__bid")).as("nb"))).as("__m"))
+      .select(col(idCol), (-col("__m.nb")).as("bench_id"), col("__m.cos").as("cos_sim"))
+  }
+
   /** SemDeDup-shape semantic dedup (cluster-then-prune): learn `kCells`
     * centroids with the deterministic seeded Lloyd's of
     * [[Similarity.learnedCentroids]], assign every valid embedding to its

@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document-level text analysis (north-star extension): language-ID,
@@ -68,22 +69,20 @@ object TextAnalysis {
     * per doc the original/kept line counts and the reassembled text
     * (empty string, not NULL, when every line was seen earlier).
     *
-    * Shape: one line-keyed aggregation computes each line's global keeper
-    * (map-side-combinable min — a boilerplate line collapses to ONE row
-    * per map task before the exchange), one join back on the line key,
-    * one per-doc bounded reassembly. The join side of a mega-duplicated
-    * line IS skewed — that's AQE skew-split territory; the aggregation
-    * side never is (partial min). */
+    * Shape: ONE explode, one line-keyed window (`row_number = 1` is the
+    * keeper — an aggregate-then-join-back form would scan and explode the
+    * corpus twice and pay a second line-keyed shuffle for the join), one
+    * per-doc bounded reassembly. A mega-duplicated line's window
+    * partition does land on one task — the same per-key routing any
+    * line-keyed plan has — but the work is one local sort, never a pair
+    * enumeration. */
   def dedupeLinesGlobal(docs: DataFrame, sep: String = "\n",
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val lines = docs.select(col(idCol),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "line")))
-    val keeper = lines.groupBy("line")
-      .agg(min(struct(col(idCol).as("kid"), col("pos").as("kpos"))).as("__k"))
-    val flagged = lines.join(keeper, Seq("line"))
-      .withColumn("__kept",
-        col(idCol) === col("__k.kid") && col("pos") === col("__k.kpos"))
+    val w = Window.partitionBy(col("line")).orderBy(col(idCol), col("pos"))
+    val flagged = lines.withColumn("__kept", row_number().over(w) === 1)
     flagged.groupBy(idCol)
       .agg(count(lit(1)).as("n_lines"),
         sum(col("__kept").cast("long")).as("n_kept"),

@@ -386,6 +386,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got == again)
   }
 
+  test("semanticDecontaminate: corpus near-copies of bench vectors flag with their BEST match") {
+    import spark.implicits._
+    def v(dir: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(4)(0f); a(dir) = 1f; a((dir + 1) % 4) = eps; a
+    }
+    val bench = Seq((0L, v(0, 0f)), (1L, v(1, 0f)), (2L, v(0, 0.005f)))
+      .toDF("vec_id", "embedding")
+    val corpus = (Seq(
+      (100L, v(0, 0.01f)),  // near both bench 0 and 2 — best is 2 (closer)
+      (101L, v(1, 0.02f)),  // near bench 1
+      (102L, v(2, 0f))) ++ Seq(  // orthogonal to every bench item
+      (9001L, null.asInstanceOf[Array[Float]]),
+      (9002L, Array(0f, 0f, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semanticDecontaminate(corpus, bench, kCells = 3, iters = 2,
+        minCos = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(100L -> 2L, 101L -> 1L), got.toString)
+  }
+
   test("dedupeLinesGlobal: a line survives once corpus-wide at its minimum (doc, pos)") {
     import graft.ext.TextAnalysis
     import spark.implicits._
