@@ -108,6 +108,9 @@ object SparkEntryIdx {
     "x_line_dedup" -> { (s, dir) =>
       TextAnalysis.dedupeLines(withInjectedLines(Tables.documents(s, dir)))
     },
+    "x_quality_bigram_lm" -> { (s, dir) =>
+      TextAnalysis.bigramSurprisal(Tables.documents(s, dir))
+    },
     "x_chunk_docs" -> { (s, dir) =>
       Curation.chunkDocuments(Tables.documents(s, dir), chunkTokens = 32,
         overlap = 8)
@@ -346,6 +349,19 @@ object SparkEntryIdx {
         "round(1.0 - CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS dup_line_frac, " +
         "string_agg(line, chr(10) ORDER BY pos) AS cleaned " +
         "FROM k GROUP BY doc_id"),
+
+    "x_quality_bigram_lm" ->
+      (s"WITH t AS (SELECT doc_id, $toks AS tk FROM documents), " +
+        "bgs AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), " +
+        "i -> tk[i] || ' ' || tk[i+1])) AS bg FROM t), " +
+        "num AS (SELECT bg, count(*) AS c2 FROM bgs GROUP BY 1), " +
+        "hist AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c2) AS c1 FROM num GROUP BY 1), " +
+        "lp AS (SELECT bg, round(log2(CAST(c2 AS DOUBLE) / c1), 6) AS lp " +
+        "FROM num JOIN hist ON split_part(num.bg, ' ', 1) = hist.w1), " +
+        "per AS (SELECT b.doc_id, count(*) AS n_bigrams, " +
+        "sum(CAST(l.lp AS DECIMAL(18,6))) AS s FROM bgs b JOIN lp l USING (bg) GROUP BY 1) " +
+        "SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, " +
+        "round(-CAST(s AS DOUBLE) / n_bigrams, 6) AS bits_per_bigram FROM per"),
 
     "x_line_dedup_global" ->
       (s"WITH $boilerplateSql, " +

@@ -122,6 +122,36 @@ object TextAnalysis {
         round(-col("__s").cast("double") / col("n_tokens"), 6).as("bits_per_token"))
   }
 
+  /** Bigram-LM surprisal per document: mean −log₂ p(w₂|w₁) under the
+    * corpus's own conditional MLE bigram model — the next strength tier
+    * of LM-quality signal above [[unigramSurprisal]] (word-salad text
+    * has plausible unigrams but improbable transitions). The history
+    * count c(w₁·) is derived FROM the bigram table itself (sum of c₂
+    * over bigrams sharing the prefix — no second corpus pass), so the
+    * model costs one bigram explode + two map-side-combinable aggs, and
+    * scoring is one join on the bigram key. Same determinism contract as
+    * the unigram form: 6dp-rounded conditional log-probs, per-doc
+    * DECIMAL(18,6) sums. Docs with < 2 tokens have no bigrams and drop
+    * out. */
+  def bigramSurprisal(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val bi = docs.select(col("doc_id"),
+      explode(Curation.ngramsAll(TextFunctions.tokens(col(textCol)), 2)).as("bg"))
+    val num = bi.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val hist = num.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum("c2").as("c1"))
+    val lp = num.select(col("bg"),
+        substring_index(col("bg"), " ", 1).as("w1"), col("c2"))
+      .join(hist, Seq("w1"))
+      .select(col("bg"),
+        round(log(2.0, col("c2").cast("double") / col("c1").cast("double")), 6).as("lp"))
+    bi.join(lp, Seq("bg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp").cast("decimal(18,6)")).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("__s").cast("double") / col("n_bigrams"), 6).as("bits_per_bigram"))
+  }
+
   /** Top-k most frequent terms per group (vocabulary reporting / frequent
     * items). Two map-side-combinable aggregations reduce the corpus to
     * per-(group, term) counts, then two-phase top-k (the [[Similarity]] /

@@ -81,6 +81,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out.filterKeys(_ < 20).values.toSet.size == 1, "identical docs, identical score")
   }
 
+  test("bigramSurprisal: common transitions score fewer bits; <2-token docs drop out") {
+    import graft.ext.TextAnalysis
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"), // dominated by the corpus's modal transition
+      (2L, "a c"),         // the rare transition: p(c|a) = 1/4 -> 2 bits
+      (3L, "x")            // no bigram -> absent
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramSurprisal(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(2L) == ((1L, 2.0)))
+    assert(got(1L)._1 == 5L && got(1L)._2 < 0.5, got.toString)
+    assert(!got.contains(3L))
+    val again = TextAnalysis.bigramSurprisal(docs.repartition(5)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == again)
+  }
+
   test("topTerms: per-group ranks, deterministic term tiebreak, k cap") {
     val df = Seq(
       ("en", "b b b a a c"), ("en", "a"),     // en: a=3, b=3, c=1
