@@ -602,6 +602,42 @@ class StreamingSpec extends SparkSpec {
     assert(got == rebuilt, s"stream-folded index != rebuild:\n$got\n$rebuilt")
   }
 
+  test("streaming near-dup ingest: each micro-batch dedupes against the stored corpus (extension)") {
+    import org.apache.spark.sql.types._
+    val dir = tmp(); val log = s"$dir/docs"; new java.io.File(log).mkdirs()
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    // the stored corpus: two documents with distinctive shingle sets
+    val stored = { import spark.implicits._
+      Seq((1L, "the quick brown fox jumps over the lazy sleeping dog tonight"),
+        (2L, "completely different content about the distributed query engines that power modern analytics"))
+        .toDF("doc_id", "text") }
+    // stream: an exact copy of doc 1, a near-copy of doc 2 (final word
+    // changed — high enough Jaccard for the banded LSH), and a fresh doc
+    Files.writeString(java.nio.file.Paths.get(s"$log/b1.json"),
+      """{"doc_id":100,"text":"the quick brown fox jumps over the lazy sleeping dog tonight"}
+        |{"doc_id":101,"text":"completely different content about the distributed query engines that power modern pipelines"}
+        |{"doc_id":102,"text":"nothing like either stored document in any way at all"}
+        |""".stripMargin)
+    val hits = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Long, String)]())
+    val q = spark.readStream.schema(schema).json(log)
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the BATCH operator applied verbatim per micro-batch — matches
+        // arrive keyed to the stored corpus's ids
+        graft.ext.Dedup.dedupeAgainstStored(stored, b, minJaccard = 0.5)
+          .collect().foreach(r =>
+            hits.add((r.getLong(0), r.getLong(1), r.getString(2)))); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = { import scala.jdk.CollectionConverters._; hits.asScala.toSet }
+    assert(got.exists(h => h._1 == 100L && h._2 == 1L && h._3 == "exact"), got.toString)
+    assert(got.exists(h => h._1 == 101L && h._2 == 2L && h._3 == "near"), got.toString)
+    assert(!got.exists(_._1 == 102L), got.toString)
+  }
+
   test("ST5: DLQ splits invalid rows without losing them") {
     import spark.implicits._
     val batch = Seq((1L, "insert", "a", """{"k":1}"""), (2L, "insert", "b", "not json"))
