@@ -149,7 +149,10 @@ object InvertedIndex {
     * [[bm25TopK]]'s scoring run on the merged relation unchanged; at
     * scale this is the nightly-index-refresh path — O(batch) tokenize +
     * one linear pass over the stored postings, instead of an O(corpus)
-    * rebuild. */
+    * rebuild. A doc in BOTH `upserts` and `deletedIds` is treated as
+    * upserted (its postings re-enter) — callers fold a raw changelog to
+    * one latest-wins operation per doc first, as the StreamingSpec
+    * micro-batch form does. */
   def applyDocDelta(basePost: DataFrame, upserts: DataFrame,
                     deletedIds: DataFrame, textCol: String = "text"): DataFrame = {
     val touched = broadcast(
