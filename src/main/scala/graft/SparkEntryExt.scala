@@ -120,12 +120,10 @@ object SparkEntryExt {
     "st2_changelog_apply" -> { (s, dir) =>
       // ST2/ST3/ST5: changelog derived from events applied TWICE through
       // the batch kernel — output equals a single application (idempotence
-      // under at-least-once replay), checked against the one-pass oracle
-      val log = Tables.events(s, dir).select(
-        col("event_id").as("seq"),
-        when(col("event_id") % 7 === 0, "delete").otherwise("update").as("op"),
-        concat(lit("u"), col("user_id"), lit("_"), col("event_id") % 50).as("key"),
-        col("props").as("doc"))
+      // under at-least-once replay), checked against the one-pass oracle.
+      // The changelog construction is SparkEntryIdx.changelogOf, shared
+      // with the snapshot/CDC queries
+      val log = SparkEntryIdx.changelogOf(s, dir)
       val empty = log.select("key", "doc").limit(0)
       Ingest.applyBatch(Ingest.applyBatch(empty, log), log)
     },

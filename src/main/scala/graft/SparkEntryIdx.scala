@@ -146,8 +146,10 @@ object SparkEntryIdx {
     },
   )
 
-  /** the st2 changelog shape: events replayed as a keyed upsert/delete log */
-  private def changelogOf(s: SparkSession, dir: String): DataFrame =
+  /** the st2 changelog shape: events replayed as a keyed upsert/delete
+    * log — shared with SparkEntryExt's st2_changelog_apply entry so the
+    * two query families can never drift apart */
+  private[graft] def changelogOf(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(
       col("event_id").as("seq"),
       when(col("event_id") % 7 === 0, "delete").otherwise("update").as("op"),
@@ -165,12 +167,19 @@ object SparkEntryIdx {
       "CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'update' END AS op, " +
       "concat('u', CAST(user_id AS VARCHAR), '_', CAST(event_id % 50 AS VARCHAR)) AS key, " +
       "props AS doc FROM events)"
+  // mirrors Ingest.snapshotAt EXACTLY, including the equal-seq tie-break
+  // (deletes win, then doc desc nulls-last) and the op whitelist — the
+  // fixture's seq is unique, but the oracle must not rely on that
   private def snapSql(cutExpr: String, docAlias: String) =
     s"(SELECT key, doc AS $docAlias FROM (SELECT key, doc, op, row_number() OVER " +
-      s"(PARTITION BY key ORDER BY seq DESC) AS rn FROM log, cuts WHERE seq <= $cutExpr) " +
+      "(PARTITION BY key ORDER BY seq DESC, (op = 'delete') DESC, doc DESC NULLS LAST) AS rn " +
+      s"FROM log, cuts WHERE seq <= $cutExpr AND op IN ('insert', 'update', 'delete')) " +
       "WHERE rn = 1 AND op <> 'delete')"
 
-  private val urlBlocklist = Seq("site7.example.org", "cdn.example.net")
+  // site domains are injected only on EVEN doc_ids, so only even site
+  // residues exist — site6 is a real multi-doc domain the gate must drop
+  // (site7 would be vacuously "blocked")
+  private val urlBlocklist = Seq("site6.example.org", "cdn.example.net")
 
   /** Deterministic PII injection (the m5 pattern: fixtures carry no PII,
     * so the entry plants it): docs get an email / phone / SSN / IPv4
@@ -315,7 +324,7 @@ object SparkEntryIdx {
         "u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+[A-Za-z0-9./_%-]*')) AS url FROM inj), " +
         "d AS (SELECT doc_id, regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain FROM u) " +
         "SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, CAST(count(*) AS BIGINT) AS n_urls " +
-        "FROM d WHERE domain <> '' AND domain NOT IN ('site7.example.org', 'cdn.example.net') " +
+        "FROM d WHERE domain <> '' AND domain NOT IN ('site6.example.org', 'cdn.example.net') " +
         "GROUP BY domain"),
 
     "x_phrase_search" ->
@@ -376,10 +385,11 @@ object SparkEntryIdx {
         "FILTER (WHERE kept = 1), '') AS cleaned " +
         "FROM f GROUP BY doc_id"),
 
-    // chunk=32, overlap=8 → step=24; both engines slice the same token list
+    // chunk=32, overlap=8 → step=24; both engines slice the same token
+    // list; chunk count = max(1, ceil((n-8)/24)) — no redundant tail
     "x_chunk_docs" ->
       (s"WITH t AS (SELECT doc_id, $toks AS tk FROM documents), " +
-        "c AS (SELECT doc_id, unnest(list_transform(range(0, (len(tk) + 23) // 24), " +
+        "c AS (SELECT doc_id, unnest(list_transform(range(0, greatest(1, (len(tk) - 8 + 23) // 24)), " +
         "i -> {'chunk_id': i, 'chunk_text': array_to_string(tk[i*24+1:i*24+32], ' '), " +
         "'n_tokens': least(len(tk) - i*24, 32)})) AS u FROM t WHERE len(tk) > 0) " +
         "SELECT doc_id, CAST(u.chunk_id AS INT) AS chunk_id, u.chunk_text AS chunk_text, " +

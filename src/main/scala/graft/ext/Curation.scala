@@ -105,7 +105,11 @@ object Curation {
     require(overlap >= 0 && chunkTokens > overlap, "need chunkTokens > overlap >= 0")
     val step = chunkTokens - overlap
     val toks = TextFunctions.tokens(col(textCol))
-    val nChunks = ((size(toks) + lit(step - 1)) / lit(step)).cast("int")
+    // ceil((n − overlap)/step), min 1: a ceil(n/step) count would emit one
+    // extra chunk whenever the tail fits inside the previous chunk's
+    // overlap — zero new tokens, pure duplication
+    val nChunks = greatest(lit(1),
+      ((size(toks) - lit(overlap) + lit(step - 1)) / lit(step)).cast("int"))
     val chunkArr = transform(sequence(lit(0), nChunks - 1), i =>
       struct(i.as("chunk_id"),
         concat_ws(" ", slice(toks, i * step + 1, lit(chunkTokens))).as("chunk_text"),
@@ -145,7 +149,8 @@ object Curation {
     * oracle is plain SQL. */
   def bloomPrunedSemiJoin(big: DataFrame, keys: DataFrame, keyCol: String,
                           mBits: Int = 1 << 20, nHashes: Int = 5): DataFrame = {
-    require(mBits > 0 && (mBits & (mBits - 1)) == 0, s"mBits $mBits not a power of 2")
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      s"mBits $mBits must be a power of 2 >= 64 (one 64-bit word)")
     val keyset = keys.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
     // distributed bitmap build: per-key bit positions → 64-bit words via
     // bit_or, partial-aggregated map-side; at most mBits/64 narrow rows

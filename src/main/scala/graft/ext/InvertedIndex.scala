@@ -181,11 +181,16 @@ object InvertedIndex {
                k1: Double = 1.2, b: Double = 0.75,
                textCol: String = "text"): DataFrame = {
     val post = postings(docs, textCol)
-    val dl = docs.select(col("doc_id"),
-      size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"))
-    val st = dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl")).first()
+    // corpus scalars N/avgdl keep their all-docs semantics (empty docs
+    // count toward both), so they read the docs table once; the SCORING
+    // side's per-doc length is just sum(tf) over the memoized postings —
+    // identical for every doc that can match a term, and no second
+    // corpus tokenize
+    val st = docs.select(size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), avg("dl").as("avgdl")).first()
     val (n, avgdl) =
       if (st.isNullAt(1)) (0L, 1.0) else (st.getLong(0), st.getDouble(1))
+    val dl = post.groupBy("doc_id").agg(sum("tf").as("dl"))
     val dfx = post.where(col("term").isin(terms: _*))
       .groupBy("term").agg(count(lit(1)).as("df"))
     val idf = dfx.select(col("term"),

@@ -110,14 +110,15 @@ class CurationSpec extends SparkSpec {
       (2L, "a b"),                           // one short chunk
       (3L, "")                               // no chunks
     ).toDF("doc_id", "text")
-    // chunk=4, overlap=2 → step=2 → doc1: ceil(10/2)=5 chunks
+    // chunk=4, overlap=2 → step=2 → doc1: ceil((10-2)/2)=4 chunks — the
+    // last one reaches the final token; a 5th would add zero new tokens
     val got = Curation.chunkDocuments(d, chunkTokens = 4, overlap = 2)
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getInt(3)))).toMap
     assert(got((1L, 0)) == (("t0 t1 t2 t3", 4)))
     assert(got((1L, 1)) == (("t2 t3 t4 t5", 4)))
     assert(got((1L, 3)) == (("t6 t7 t8 t9", 4)))
-    // trailing window is the short suffix, n_tokens reports its real length
-    assert(got((1L, 4)) == (("t8 t9", 2)))
+    // no redundant tail chunk: every token is already covered by chunk 3
+    assert(!got.contains((1L, 4)))
     assert(got((2L, 0)) == (("a b", 2)))
     assert(!got.keys.exists(_._1 == 3L))
     val again = Curation.chunkDocuments(d.repartition(5), chunkTokens = 4, overlap = 2)
