@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Without this, sbt echoes the forked process's stdout through its logger
+// with an "[info] " prefix — which breaks any line-oriented JSON scrape of
+// the bench output (json.loads("[info] {...}") fails). StdoutOutput wires
+// the forked stdout/stderr straight through.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,9 +31,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g default: the bench deliberately persists shared artifacts across
-  // all ~90 queries (steady-state protocol), and 8g left the accumulated
-  // caches little old-gen headroom at sf0.1+. The harness machine has
-  // 128 GiB; override with SPARK_DRIVER_MEM.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 8g default, A/B-measured on the driver box: the full 91-query cold
+  // bench runs ~123 s @8g but 366-1289 s @24g, where the larger heap
+  // shows episodic multi-minute low-CPU stalls landing on arbitrary
+  // queries (round-7's 24g experiment collapsed the bench 19x and was
+  // reverted). Override with SPARK_DRIVER_MEM only after a measured A/B.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -61,8 +61,6 @@ object Bench {
         }
       (name, med, ts.head)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // cold_total includes each query's FIRST rep — i.e. shared-artifact
     // builds (docs assembly, shred, shingle/signature tables) are charged
@@ -72,7 +70,35 @@ object Bench {
     // cover the same query set (a query whose LATER rep failed would
     // otherwise inflate cold while being excluded from total).
     val cold = results.filter(_._2 >= 0).map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$cold,"sf":"$sfDir"}""")
+    // Full-precision record → file: the harness scrapes only the LAST
+    // ~2000 chars of stdout, and a 90-query full-precision JSON line is
+    // ~2200 chars — it can never sit complete inside that window once
+    // sbt's trailer is appended. Full data goes to a file; stdout gets a
+    // single compact line sized to survive the tail-scrape.
+    val fullQs = results.map { case (k, v, c) =>
+      "\"" + k + "\":{\"median\":" + v + ",\"cold\":" + c + "}"
+    }.mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"cold_total":$cold,"sf":"$sfDir","reps":$reps,"cpus":"$cpus"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: ${e.getMessage}") }
+    // Compact stdout line: failed queries first, then slowest-first, with
+    // 3dp values, entries added until the map fits a ~1600-char budget
+    // (the fastest few are aggregated into omitted/omitted_sum so `value`
+    // stays reconstructible). Line stays < 1800 chars total, leaving room
+    // for sbt's "[success] Total time" trailer inside the 2000-char tail.
+    def r3(d: Double): String = if (d < 0) "-1" else f"$d%.3f"
+    val byCost = results.sortBy { case (_, m, _) => -(if (m < 0) Double.MaxValue else m) }
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0; var omitted = 0; var omittedSum = 0.0
+    byCost.foreach { case (k, m, _) =>
+      val e = "\"" + k + "\":" + r3(m)
+      if (used + e.length + 1 <= 1600) { kept += e; used += e.length + 1 }
+      else { omitted += 1; if (m > 0) omittedSum += m }
+    }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries_omitted":$omitted,"omitted_sum":${r3(omittedSum)},"cold_total":${r3(cold)},"sf":"$sfDir","full":"$outPath"}""")
     Caches.invalidate(spark)
     spark.stop()
   }
