@@ -99,36 +99,59 @@ object Similarity {
       queries, k, vecCol, idCol, nprobe)
   }
 
-  /** Seeded Lloyd's iteration: seeds = the `kCells` lowest-id corpus
-    * vectors (`TakeOrdered`, no global sort) — no RNG anywhere, so reruns
-    * in the single-process harness are bit-identical (ExtSpec pins this).
-    * On a multi-executor cluster the per-cell means still merge partial
-    * double sums in shuffle-fetch order, so centroids are deterministic
-    * only up to FP low-order bits — boundary vectors could flip cells
-    * between runs; seed choice and everything else stays fixed.
-    * Each pass assigns
-    * every vector to its nearest centroid with the map-only literal
-    * arg-max of [[assignCells]] and recomputes per-cell means (partial
-    * aggregation collapses to ~kCells·dim rows per task before the only
-    * exchange). Centroids live on the driver between passes — kCells·dim
-    * floats of bounded metadata, NOT a data collect — so each Lloyd pass
-    * costs one corpus SCAN and zero corpus shuffles. */
+  /** Deterministic bounded training sample: the `n` rows with the
+    * smallest `xxhash64(id)` (ties to the lowest id). k-means/PQ model
+    * quality saturates far below corpus size (FAISS trains on ~100–256
+    * points per centroid), so training reads a TakeOrdered sample — ONE
+    * corpus scan to select, then every Lloyd pass runs over ≤ n rows —
+    * instead of re-scanning 100 TB per iteration to learn kilobytes of
+    * metadata. xxhash64 is seed-fixed (no RNG): the same corpus always
+    * yields the same sample, and a corpus with ≤ n rows yields the WHOLE
+    * corpus (PqSpec pins this), so small-fixture results are unchanged. */
+  private[graft] def trainSample(df: DataFrame, idCol: String, n: Int): DataFrame =
+    df.orderBy(xxhash64(col(idCol)), col(idCol)).limit(n)
+
+  /** Training-sample size: ~`perCentroid` points per centroid, floored at
+    * 100k so small k still sees a representative slice. */
+  private def sampleN(k: Int, perCentroid: Int = 100): Int =
+    math.max(perCentroid * k, 100000)
+
+  /** Seeded Lloyd's iteration over a BOUNDED training sample: seeds = the
+    * `kCells` lowest-id sample vectors (`TakeOrdered`, no global sort) —
+    * no RNG anywhere, so reruns in the single-process harness are
+    * bit-identical (ExtSpec pins this). On a multi-executor cluster the
+    * per-cell means still merge partial double sums in shuffle-fetch
+    * order, so centroids are deterministic only up to FP low-order bits —
+    * boundary vectors could flip cells between runs; seed choice and
+    * everything else stays fixed. Each pass assigns every sample vector
+    * to its nearest centroid with the map-only literal arg-max of
+    * [[assignCells]] and recomputes per-cell means (partial aggregation
+    * collapses to ~kCells·dim rows per task before the only exchange).
+    * Centroids live on the driver between passes — kCells·dim floats of
+    * bounded metadata, NOT a data collect. Cost: ONE corpus scan (sample
+    * selection via [[trainSample]], persisted) + `iters` passes over
+    * ≤ max(100·kCells, 100k) rows — at 100 TB the corpus is never
+    * scanned per-iteration for model training. */
   def learnedCentroids(corpus: DataFrame, kCells: Int, iters: Int = 2,
                        vecCol: String = "embedding", idCol: String = "vec_id",
                        stash: Boolean = true): Seq[(Long, Array[Float])] = {
-    var cents: Seq[(Long, Array[Float])] =
+    val train = trainSample(
       corpus.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
-        .orderBy(col(idCol)).limit(kCells)
+        .select(col(idCol), col(vecCol)),
+      idCol, sampleN(kCells)).persist()
+    var cents: Seq[(Long, Array[Float])] =
+      train.orderBy(col(idCol)).limit(kCells)
         .select(col(idCol).cast("long").as("cell"),
           col(vecCol).cast("array<float>").as("centroid"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
     var i = 0
     while (i < iters && cents.nonEmpty) {
-      cents = cellMeans(assignCells(corpus, cents, vecCol), vecCol).collect()
+      cents = cellMeans(assignCells(train, cents, vecCol), vecCol).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
       i += 1
     }
+    train.unpersist(blocking = false)
     // callers that learn centroids for a DIFFERENT query (e.g. semantic
     // dedup) pass stash=false so they can never clobber the centroids the
     // x_knn_ivf oracle replays
@@ -227,14 +250,23 @@ object Similarity {
     * once, never shuffled. Seeds are the kCodes lowest-id vectors'
     * subvectors; cells that go empty are re-numbered densely per
     * subspace. Only the FINAL codebook needs cross-engine determinism
-    * (the oracle takes it as literals), not the learning path. */
+    * (the oracle takes it as literals), not the learning path.
+    *
+    * Training reads a bounded deterministic sample ([[trainSample]],
+    * ≤ max(100·kCodes, 100k) rows, persisted across passes): one corpus
+    * scan selects it, every Lloyd pass thereafter is O(sample) — the
+    * corpus is never re-scanned per iteration to learn the kCodes·dim
+    * floats of codebook metadata. A corpus with ≤ n valid rows trains on
+    * ALL of it, so small-fixture codebooks are unchanged. */
   def pqCodebooks(corpus: DataFrame, m: Int, kCodes: Int, iters: Int, dim: Int,
                   vecCol: String = "embedding", idCol: String = "vec_id",
                   stash: Boolean = true): Seq[(Int, Int, Array[Float])] = {
     val ds = if (m > 0) dim / m else 0
     if (ds == 0) { if (stash) lastLearnedPq = Nil; return Nil }
-    val valid = corpus.where(validVec(col(vecCol), dim))
-      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val valid = trainSample(
+      corpus.where(validVec(col(vecCol), dim))
+        .select(col(idCol), col(vecCol).cast("array<double>").as("__v")),
+      idCol, sampleN(kCodes)).persist()
     val seeds = valid.orderBy(col(idCol)).limit(kCodes)
       .select("__v").collect().map(_.getSeq[Double](0).toArray)
     var books: IndexedSeq[IndexedSeq[Array[Double]]] =
@@ -264,6 +296,7 @@ object Similarity {
       }
       i += 1
     }
+    valid.unpersist(blocking = false)
     val out = for (j <- 0 until m; (cw, c) <- books(j).zipWithIndex)
       yield (j, c, cw.map(_.toFloat))
     if (stash) lastLearnedPq = out
@@ -290,20 +323,22 @@ object Similarity {
     (0 until m).map(j => array(bySub(j).map(v => typedlit(v.map(_.toDouble))): _*))
   }
 
-  /** The m nearest-code columns `__c0..__c(m-1)` for a `__v` double vector. */
-  private def encodeCols(cwLit: IndexedSeq[Column], m: Int, ds: Int): Seq[Column] =
-    (0 until m).map { j =>
-      val sub = slice(col("__v"), j * ds + 1, ds)
-      array_min(transform(cwLit(j), (cw, i) =>
-        struct(round(l2sq(sub, cw), 6).as("d"), i.as("code"))))("code").as(s"__c$j")
-    }
+  /** All m nearest codes for a `__v` double vector as ONE `__codes`
+    * array<int> column — the fused codegen kernel
+    * ([[graft.plans.PqEncodeExpression]]), bit-identical to the
+    * compositional m·kCodes `array_min(transform(...))` form it
+    * replaced (PqSpec pins codes + search output). One expression per
+    * row also keeps the encode inside a single whole-stage-codegen
+    * projection instead of m interpreted HOF chains. */
+  private def encodeCodes(books: Seq[(Int, Int, Array[Float])], m: Int, ds: Int): Column =
+    graft.plans.PqEncodeExpression.pqEncode(col("__v"), books, m, ds).as("__codes")
 
-  /** ADC distance of `__qv` to a row's codes: per-subspace 6dp-rounded
-    * squared-L2 to the codeword, summed over DECIMAL(18,6). */
+  /** ADC distance of `__qv` to a row's `__codes`: per-subspace
+    * 6dp-rounded squared-L2 to the codeword, summed over DECIMAL(18,6). */
   private def adcExpr(cwLit: IndexedSeq[Column], m: Int, ds: Int): Column =
     (0 until m).map { j =>
       round(l2sq(slice(col("__qv"), j * ds + 1, ds),
-        element_at(cwLit(j), col(s"__c$j") + 1)), 6).cast("decimal(18,6)")
+        element_at(cwLit(j), element_at(col("__codes"), j + 1) + 1)), 6).cast("decimal(18,6)")
     }.reduce(_ + _)
 
   /** Ascending-distance two-phase top-k over `(query_id, id, ad)` rows. */
@@ -334,7 +369,7 @@ object Similarity {
     val cwLit = codebookLits(books, m)
     val valid = corpus.where(validVec(col(vecCol), dim))
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-    val enc = valid.select(col(idCol) +: encodeCols(cwLit, m, ds): _*)
+    val enc = valid.select(col(idCol), encodeCodes(books, m, ds))
     val q = broadcast(queries.where(validVec(col(vecCol), dim))
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("__qv")))
     val scored = enc.join(q, col("query_id") =!= col(idCol))
@@ -379,7 +414,7 @@ object Similarity {
     // are one map-only projection over the corpus
     val enc = assignCells(valid, cents, vecCol)
       .select(col("cell"), col(idCol), col(vecCol).cast("array<double>").as("__v"))
-      .select(Seq(col("cell"), col(idCol)) ++ encodeCols(cwLit, m, ds): _*)
+      .select(col("cell"), col(idCol), encodeCodes(books, m, ds))
     // query probe selection: pure projection over the literal centroids
     // (the ivfSearch contract — no query×centroid join)
     val centLit = array(cents.map { case (c, v) =>

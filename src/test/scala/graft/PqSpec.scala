@@ -151,6 +151,23 @@ class PqSpec extends SparkSpec {
     assert(Similarity.lastLearnedPq == books)
   }
 
+  test("training sample is the WHOLE corpus when the corpus fits the bound") {
+    // the sample-bounded training contract: fixtures (≤ 100k rows) train
+    // on every valid row, so sample-bounding changes nothing at test SF —
+    // and the selection is deterministic (seed-fixed xxhash64, no RNG)
+    val embs = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val all = embs.collect().map(_.getLong(0)).toSet
+    val sampled = Similarity.trainSample(embs, "vec_id", 100000)
+      .collect().map(_.getLong(0)).toSet
+    assert(sampled == all)
+    // and when the bound binds, it picks exactly n deterministic rows
+    val bounded = Similarity.trainSample(embs, "vec_id", 7)
+      .collect().map(_.getLong(0)).toSet
+    assert(bounded.size == 7 && bounded.subsetOf(all))
+    assert(bounded == Similarity.trainSample(embs, "vec_id", 7)
+      .collect().map(_.getLong(0)).toSet)
+  }
+
   test("degenerate vectors (wrong dim / NULL elements) opt out of encoding and search") {
     import spark.implicits._
     val corpus = Seq(
