@@ -69,20 +69,32 @@ object TextAnalysis {
     * per doc the original/kept line counts and the reassembled text
     * (empty string, not NULL, when every line was seen earlier).
     *
-    * Shape: ONE explode, one line-keyed window (`row_number = 1` is the
-    * keeper — an aggregate-then-join-back form would scan and explode the
-    * corpus twice and pay a second line-keyed shuffle for the join), one
-    * per-doc bounded reassembly. A mega-duplicated line's window
-    * partition does land on one task — the same per-key routing any
-    * line-keyed plan has — but the work is one local sort, never a pair
-    * enumeration. */
+    * Shape: ONE explode, then TWO-PHASE first-occurrence selection — a
+    * line-keyed `min(struct(doc, pos))` aggregation (map-side partial
+    * combine collapses a mega-duplicated line to ONE row per source
+    * partition before the exchange, so the final min reads ≤ #partitions
+    * rows per line) and a join-back that flags each occurrence as keeper
+    * or duplicate. The earlier one-shuffle window form
+    * (`row_number() over (partition by line)`) routed EVERY copy of a
+    * hot line through a single task — precisely the key distribution
+    * this operator exists for (corpus-wide boilerplate) — and window
+    * skew is not AQE-splittable. The join-back IS: a skewed line
+    * partition splits under AQE skew-join (and when the distinct-line
+    * set is small the keeper side broadcasts, costing no line shuffle at
+    * all). SkewSpec pins plan shape (no Window operator) and output
+    * equality under a every-doc-shares-one-line corpus. Keeper choice is
+    * the lexicographic struct min — identical to the window's
+    * `orderBy(doc, pos)` first row. */
   def dedupeLinesGlobal(docs: DataFrame, sep: String = "\n",
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val lines = docs.select(col(idCol),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "line")))
-    val w = Window.partitionBy(col("line")).orderBy(col(idCol), col("pos"))
-    val flagged = lines.withColumn("__kept", row_number().over(w) === 1)
+    val keepers = lines.groupBy("line")
+      .agg(min(struct(col(idCol).as("d"), col("pos").as("p"))).as("__k"))
+      .select(col("line"), col("__k.d").as("__kd"), col("__k.p").as("__kp"))
+    val flagged = lines.join(keepers, Seq("line"))
+      .withColumn("__kept", col(idCol) === col("__kd") && col("pos") === col("__kp"))
     flagged.groupBy(idCol)
       .agg(count(lit(1)).as("n_lines"),
         sum(col("__kept").cast("long")).as("n_kept"),

@@ -87,4 +87,30 @@ class SkewSpec extends SparkSpec {
     assert((0 until 20).forall(i => found.contains((i.toLong, 1000L + i))),
       s"missed true dups: $found")
   }
+
+  test("dedupeLinesGlobal: a line shared by EVERY doc takes no single-task window") {
+    // the operator's defining input: corpus-wide boilerplate. The old
+    // line-keyed row_number window routed all 4000 copies of the banner
+    // through one task; the two-phase form pre-aggregates the keeper
+    // min per line (map-side combinable) and joins the flag back (AQE
+    // skew-splittable). Plan must contain NO window operator; keeper
+    // semantics (lexicographic min (doc_id, pos)) must be unchanged.
+    import graft.ext.TextAnalysis
+    val docs = spark.range(4000).select(col("id").cast("long").as("doc_id"),
+      concat(lit("COOKIE BANNER\nline-"), col("id")).as("text"))
+      .repartition(16)
+    val out = TextAnalysis.dedupeLinesGlobal(docs)
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, s"line dedup still plans a window: $windows")
+    val rows = out.collect().map(r => (r.getLong(0),
+      (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rows.size == 4000)
+    // doc 0 owns the banner's first occurrence (min (doc_id, pos)) and
+    // keeps both its lines; every other doc keeps only its unique line
+    assert(rows(0L) == ((2L, 2L, "COOKIE BANNER\nline-0")))
+    assert(rows(17L) == ((2L, 1L, "line-17")))
+    assert(rows.values.map(_._2).sum == 4000 + 1)
+  }
 }
