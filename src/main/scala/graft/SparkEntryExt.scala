@@ -321,8 +321,27 @@ object SparkEntryExt {
 
     // ----- multimodal plumbing -----
     "x_multimodal_meta" -> { (s, dir) =>
-      val assets = Multimodal.toAssets(Tables.documents(s, dir), "text", "text")
-      Multimodal.fakeDecode(assets).toDF().select("asset_id", "n_bytes", "phash")
+      // synthetic-but-VALID container payloads: each doc becomes a PNG or
+      // JPEG (by doc parity) whose header encodes doc-derived dims, with
+      // the doc text as trailing bytes. The decode side runs the REAL
+      // magic-byte parser (Multimodal.parseHeader) — the oracle replays
+      // the construction formulas, so the hash-match proves the parser
+      // inverts real PNG IHDR / JPEG SOF layouts byte-for-byte. asset_id
+      // is the doc id (DuckDB's md5 can't digest BLOBs, so the md5
+      // envelope identity is covered by MultimodalSpec instead).
+      val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+      val b = length(encode(col("text"), "UTF-8"))
+      val w = (b % 1024 + lit(1)).cast("int")
+      val h = (col("doc_id") % 512 + lit(1)).cast("int")
+      val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("080600000000000000"))
+      val jpegHex = concat(lit("FFD8FFC0001108"),
+        lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"), lit("03011100021101031101FFD9"))
+      val src = docs.select(col("doc_id").cast("string").as("asset_id"),
+        concat(unhex(when(col("doc_id") % 2 === 0, pngHex).otherwise(jpegHex)),
+          encode(col("text"), "UTF-8")).as("payload"))
+      Multimodal.decode(src).toDF()
+        .select("asset_id", "n_bytes", "format", "width", "height")
     },
     "x_multimodal_frames" -> { (s, dir) =>
       Multimodal.frameSample(
@@ -782,9 +801,17 @@ object SparkEntryExt {
         "SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, " +
         "round(cos, 6) AS cos_sim FROM ranked WHERE rank <= 10"),
 
+    // replays the payload CONSTRUCTION (header size + encoded dims); the
+    // Spark side re-derives every value by PARSING the bytes it built —
+    // a hash match means the magic-byte parser inverts the real layouts
     "x_multimodal_meta" ->
-      ("SELECT md5(text) AS asset_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
-        "substr(md5(text), 1, 16) AS phash FROM documents"),
+      ("SELECT CAST(doc_id AS VARCHAR) AS asset_id, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 23 END " +
+        "+ octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, " +
+        "CAST(octet_length(encode(text)) % 1024 + 1 AS INT) AS width, " +
+        "CAST(doc_id % 512 + 1 AS INT) AS height " +
+        "FROM documents WHERE text IS NOT NULL"),
 
     "x_multimodal_frames" ->
       ("SELECT md5(text) AS asset_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +

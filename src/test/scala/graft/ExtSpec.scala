@@ -479,22 +479,106 @@ class WindowsSpec extends SparkSpec {
 
 class MultimodalSpec extends SparkSpec {
 
-  test("asset envelope + stubbed decode round-trip") {
+  test("asset envelope + decode round-trip") {
     val assets = Multimodal.toAssets(Tables.documents(spark, sf), "text", "text")
     assert(assets.columns.toSet ==
       Set("asset_id", "media_type", "payload", "meta", "shard"))
-    val feats = Multimodal.fakeDecode(assets).toDF()
+    val feats = Multimodal.decode(assets).toDF()
     val row = feats.head()
     assert(row.getAs[String]("phash").length == 16)
     assert(row.getAs[scala.collection.Seq[Float]]("feat").length == 8)
+    // raw text payloads are not a known container
+    assert(feats.where(col("format") =!= "unknown").isEmpty)
     // deterministic: decode twice, same features
     val a = feats.select("asset_id", "phash").collect().toSet
-    val b = Multimodal.fakeDecode(assets).toDF().select("asset_id", "phash").collect().toSet
+    val b = Multimodal.decode(assets).toDF().select("asset_id", "phash").collect().toSet
     assert(a == b)
     // n_bytes matches payload length
     val joined = Multimodal.withFeatures(assets)
       .where(length(col("payload")) =!= col("n_bytes")).count()
     assert(joined == 0)
+  }
+
+  /** Minimal VALID container fixtures, byte-for-byte crafted here so the
+    * parser is tested against real header layouts, not its own output. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(33)
+    bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    bb.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h)
+    bb.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    bb.putInt(0) // CRC not validated by header readers
+    bb.array()
+  }
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(2 + 18 + 19 + 2)
+    bb.put(Array(0xff, 0xd8).map(_.toByte)) // SOI
+    // APP0/JFIF segment first — the SOF must be FOUND by the marker walk
+    bb.put(Array(0xff, 0xe0).map(_.toByte)).putShort(16.toShort)
+      .put("JFIF".getBytes("US-ASCII")).put(new Array[Byte](10))
+    bb.put(Array(0xff, 0xc0).map(_.toByte)).putShort(17.toShort) // SOF0
+      .put(8.toByte).putShort(h.toShort).putShort(w.toShort).put(3.toByte)
+      .put(Array[Byte](1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))
+    bb.put(Array(0xff, 0xd9).map(_.toByte)) // EOI
+    bb.array()
+  }
+  private def gifBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GIF89a".getBytes("US-ASCII"))
+    bb.putShort(w.toShort).putShort(h.toShort)
+    bb.put(0.toByte).put(0.toByte).put(0.toByte)
+    bb.array()
+  }
+  private def wavBytes(sampleRate: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 4 + 8 + 16)
+    bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(40).put("WAVE".getBytes("US-ASCII"))
+    // a JUNK chunk BEFORE fmt — the parser must chunk-walk, not assume
+    // fmt at offset 12 (real encoders emit LIST/JUNK padding there)
+    bb.put("JUNK".getBytes("US-ASCII")).putInt(4).putInt(0)
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1.toShort).putShort(2.toShort).putInt(sampleRate)
+    bb.putInt(sampleRate * 4).putShort(4.toShort).putShort(16.toShort)
+    bb.array()
+  }
+
+  test("parseHeader reads real magic bytes: PNG/JPEG/GIF dims, WAV sample rate") {
+    assert(Multimodal.parseHeader(pngBytes(640, 480)) ==
+      Multimodal.HeaderMeta("png", Some(640), Some(480), None))
+    assert(Multimodal.parseHeader(jpegBytes(1024, 768)) ==
+      Multimodal.HeaderMeta("jpeg", Some(1024), Some(768), None))
+    assert(Multimodal.parseHeader(gifBytes(320, 200)) ==
+      Multimodal.HeaderMeta("gif", Some(320), Some(200), None))
+    assert(Multimodal.parseHeader(wavBytes(44100)) ==
+      Multimodal.HeaderMeta("wav", None, None, Some(44100)))
+    // trailing junk after a valid header parses the same (headers only)
+    assert(Multimodal.parseHeader(pngBytes(7, 9) ++ "trailing".getBytes("UTF-8")) ==
+      Multimodal.HeaderMeta("png", Some(7), Some(9), None))
+    // garbage, truncation and null never throw
+    assert(Multimodal.parseHeader("not an image".getBytes("UTF-8")).format == "unknown")
+    assert(Multimodal.parseHeader(pngBytes(7, 9).take(12)).format == "unknown")
+    assert(Multimodal.parseHeader(Array[Byte](0xff.toByte, 0xd8.toByte)) ==
+      Multimodal.HeaderMeta("jpeg", None, None, None))
+    assert(Multimodal.parseHeader(null).format == "unknown")
+    assert(Multimodal.parseHeader(Array.emptyByteArray).format == "unknown")
+  }
+
+  test("decode surfaces parsed header metadata through the mapPartitions seam") {
+    import spark.implicits._
+    val src = Seq(
+      ("a", pngBytes(640, 480)), ("b", jpegBytes(1024, 768)),
+      ("c", gifBytes(320, 200)), ("d", wavBytes(22050)),
+      ("e", "plain text".getBytes("UTF-8")),
+    ).toDF("name", "bytes")
+    val feats = Multimodal.decode(Multimodal.toAssets(src, "bytes", "image"))
+      .toDF().select("format", "width", "height", "sample_rate")
+      .collect().map(r => (r.getString(0),
+        Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(feats == Set(
+      ("png", Some(640), Some(480), None),
+      ("jpeg", Some(1024), Some(768), None),
+      ("gif", Some(320), Some(200), None),
+      ("wav", None, None, Some(22050)),
+      ("unknown", None, None, None)))
   }
 
   test("frameSample: n rows per asset, offsets strictly inside the payload") {
