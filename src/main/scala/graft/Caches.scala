@@ -12,6 +12,7 @@ object Caches {
   def invalidate(spark: SparkSession): Unit = {
     graft.ext.Dedup.invalidate(spark)
     graft.ext.InvertedIndex.invalidate(spark)
+    graft.ext.Curation.invalidate(spark)
     graft.operators.Shred.invalidate(spark)
     graft.sources.StarDocs.invalidate(spark)
   }

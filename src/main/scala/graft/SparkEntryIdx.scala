@@ -461,11 +461,14 @@ object SparkEntryIdx {
           "row_number() OVER (PARTITION BY t.vec_id ORDER BY " +
           "coalesce(list_cosine_similarity(t.v, c.cv), -2.0) DESC, c.cell) AS rn " +
           "FROM val t CROSS JOIN cents c) WHERE rn = 1), " +
+          // 6dp round BEFORE the threshold, mirroring semanticNearDups:
+          // both engines compare the same rounded value, so FP noise at
+          // the minCos boundary cannot flip pair membership
           "pr AS (SELECT a.vec_id AS ka, b.vec_id AS kb, " +
-          "list_cosine_similarity(a.v, b.v) AS cos " +
+          "round(list_cosine_similarity(a.v, b.v), 6) AS cos " +
           "FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
-          "WHERE list_cosine_similarity(a.v, b.v) > 0.45) " +
-          "SELECT kb AS vec_id, ka AS keeper_id, round(cos, 6) AS cos_to_keeper " +
+          "WHERE round(list_cosine_similarity(a.v, b.v), 6) > 0.45) " +
+          "SELECT kb AS vec_id, ka AS keeper_id, cos AS cos_to_keeper " +
           "FROM (SELECT ka, kb, cos, row_number() OVER " +
           "(PARTITION BY kb ORDER BY ka) AS rn FROM pr) WHERE rn = 1"))
     case _ => Map.empty

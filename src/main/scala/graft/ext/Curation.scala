@@ -18,6 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Built Bloom bitmaps, memoized per (session, canonicalized key plan,
+    * keyCol, mBits, nHashes): bounded driver-side metadata (mBits/8 bytes
+    * each), swept by [[invalidate]]. */
+  private val bloomMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      String, Int, Int), Array[Long]]()
+
+  /** Release this session's memoized Bloom bitmaps (the [[graft.Caches]]
+    * sweep). */
+  def invalidate(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val it = bloomMemo.entrySet().iterator()
+    while (it.hasNext) if (it.next().getKey._1 eq spark) it.remove()
+  }
+
   /** Salt seeds — distinct per operator so the streams are independent. */
   val MixSeed = 11
   val ShardSeed = 13
@@ -146,23 +160,37 @@ object Curation {
     * survivors (ε ≈ (1−e^(−kn/m))^k). False NEGATIVES are impossible
     * (every member's bits are set — BloomSpec property-tests this), so
     * step 3 makes the result EXACTLY the semi-join's, which is why the
-    * oracle is plain SQL. */
+    * oracle is plain SQL.
+    *
+    * NOTE: calling this EAGERLY runs the bitmap-build job (the model-
+    * collection contract shared with `learnedCentroids`: a bounded
+    * driver-side artifact materializes at call time, the returned
+    * DataFrame is lazy from there). The built bitmap is memoized per
+    * (session, canonicalized key plan, keyCol, mBits, nHashes) — repeat
+    * probes of the same key set (the steady-state use: one blocklist,
+    * many corpus scans) pay the build once; [[graft.Caches.invalidate]]
+    * sweeps the memo. */
   def bloomPrunedSemiJoin(big: DataFrame, keys: DataFrame, keyCol: String,
                           mBits: Int = 1 << 20, nHashes: Int = 5): DataFrame = {
     require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
       s"mBits $mBits must be a power of 2 >= 64 (one 64-bit word)")
     val keyset = keys.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
-    // distributed bitmap build: per-key bit positions → 64-bit words via
-    // bit_or, partial-aggregated map-side; at most mBits/64 narrow rows
-    // reach the driver — bounded metadata, not a data collect
-    val wordRows = keyset
-      .select(explode(bloomPositions(col(keyCol), nHashes, mBits)).as("p"))
-      .select((col("p") / 64).cast("int").as("w"),
-        element_at(bitMasks, pmod(col("p"), lit(64L)).cast("int") + 1).as("m"))
-      .groupBy("w").agg(expr("bit_or(m)").as("bits"))
-      .collect()
-    val words = new Array[Long](mBits / 64)
-    wordRows.foreach(r => words(r.getInt(0)) = r.getLong(1))
+    val memoKey = (keys.sparkSession, keyset.queryExecution.analyzed.canonicalized,
+      keyCol, mBits, nHashes)
+    val words = bloomMemo.computeIfAbsent(memoKey, _ => {
+      // distributed bitmap build: per-key bit positions → 64-bit words via
+      // bit_or, partial-aggregated map-side; at most mBits/64 narrow rows
+      // reach the driver — bounded metadata, not a data collect
+      val wordRows = keyset
+        .select(explode(bloomPositions(col(keyCol), nHashes, mBits)).as("p"))
+        .select((col("p") / 64).cast("int").as("w"),
+          element_at(bitMasks, pmod(col("p"), lit(64L)).cast("int") + 1).as("m"))
+        .groupBy("w").agg(expr("bit_or(m)").as("bits"))
+        .collect()
+      val w = new Array[Long](mBits / 64)
+      wordRows.foreach(r => w(r.getInt(0)) = r.getLong(1))
+      w
+    })
     val wordsLit = typedlit(words)
     val mightContain = forall(bloomPositions(col(keyCol), nHashes, mBits), p =>
       element_at(wordsLit, (p / 64).cast("int") + 1)

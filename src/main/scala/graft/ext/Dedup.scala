@@ -459,16 +459,21 @@ object Dedup {
     lastLearnedSem = cents
     val withCell = Similarity.assignCells(valid, cents, vecCol)
       .select(col("cell"), col(idCol), col(vecCol))
+    // round to 6dp BEFORE thresholding (the semanticDecontaminate
+    // convention): Spark evaluates the cosine in float-sourced doubles
+    // and DuckDB's replay in its own FP path, so a pair sitting within
+    // FP noise of minCos could otherwise flip membership between the
+    // run and its oracle
     val pairs = withCell.alias("a").join(withCell.alias("b"),
         col("a.cell") === col("b.cell") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("cos", VectorFunctions.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")))
+      .withColumn("cos", round(VectorFunctions.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 6))
       .where(col("cos") > minCos)
     // keeper of a dropped row = its SMALLEST qualifying in-cell neighbor;
     // min over (keeper_id, cos) structs is deterministic (one cos per pair)
     pairs
       .groupBy(col(s"b.$idCol").as(idCol))
       .agg(min(struct(col(s"a.$idCol").as("keeper_id"),
-        round(col("cos"), 6).as("cos_to_keeper"))).as("__k"))
+        col("cos").as("cos_to_keeper"))).as("__k"))
       .select(col(idCol), col("__k.keeper_id").as("keeper_id"),
         col("__k.cos_to_keeper").as("cos_to_keeper"))
   }

@@ -52,16 +52,25 @@ object InvertedIndex {
     }
   }
 
+  /** The tokenize→aggregate pipeline alone — no memo, no persist. The
+    * streaming delta fold ([[applyDocDelta]]) uses this for its batches:
+    * memoizing per-batch plans would leave one persisted DataFrame
+    * behind PER MICRO-BATCH on a long-running stream (each batch's plan
+    * canonicalizes differently), growing executor memory without bound.
+    * A batch's postings are consumed exactly once in the merge union, so
+    * there is nothing worth caching. */
+  private def tokenizePostings(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+
   /** The posting relation `(term, doc_id, tf)` — one explode + one
     * map-side-combinable aggregation, derived once per doc plan (memo
     * above). Bucket-by-term writable: this is the layout a term lookup
     * wants at any scale. */
   def postings(docs: DataFrame, textCol: String = "text"): DataFrame = synchronized {
     val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized, textCol)
-    repersist(postMemo.computeIfAbsent(key, _ =>
-      docs.select(col("doc_id"),
-          explode(TextFunctions.tokens(col(textCol))).as("term"))
-        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))))
+    repersist(postMemo.computeIfAbsent(key, _ => tokenizePostings(docs, textCol)))
   }
 
   /** Per-term directory (the index's "dictionary" page): document
@@ -160,7 +169,9 @@ object InvertedIndex {
         .unionByName(deletedIds.select(col("doc_id"))).distinct())
     basePost.join(touched, Seq("doc_id"), "left_anti")
       .select("term", "doc_id", "tf") // using-join moved doc_id first
-      .unionByName(postings(upserts, textCol))
+      // non-memoized batch tokenize: each micro-batch's plan is unique,
+      // so the memo would accrete one persisted relation per batch
+      .unionByName(tokenizePostings(upserts, textCol))
   }
 
   /** BM25 ranking of one bag-of-terms query (Robertson/Sparck Jones;

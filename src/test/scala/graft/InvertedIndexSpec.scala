@@ -5,6 +5,19 @@ import org.apache.spark.sql.functions._
 
 class InvertedIndexSpec extends SparkSpec {
   import spark.implicits._
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+  /** Every physical node, descending through AQE wrappers (which are
+    * leaves to TreeNode traversal) but NOT into InMemoryTableScan's
+    * cached relation (its derivation ran once at cache fill — it is not
+    * part of this query's execution). Class-based so assertions survive
+    * node-name/plan-format changes across Spark versions. */
+  private def planNodes(p: SparkPlan): Seq[SparkPlan] =
+    p.collect { case n => n }.flatMap {
+      case a: AdaptiveSparkPlanExec => a +: planNodes(a.executedPlan)
+      case n => Seq(n)
+    }
 
   private def corpus = Seq(
     (1L, "alpha beta gamma alpha"),
@@ -76,13 +89,18 @@ class InvertedIndexSpec extends SparkSpec {
   }
 
   test("directory's stats and head branches both read the MEMOIZED posting relation") {
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     val docs = graft.sources.Tables.documents(spark, sf)
-    val plan = InvertedIndex.directory(InvertedIndex.postings(docs))
-      .queryExecution.executedPlan.toString
+    val nodes = planNodes(InvertedIndex.directory(InvertedIndex.postings(docs))
+      .queryExecution.executedPlan)
     // without the memo boundary Catalyst re-inlines tokenize+aggregate
     // into each branch (two Generates executing); with it, both branches
-    // are InMemoryTableScans of one cached relation
-    assert(plan.split("InMemoryTableScan", -1).length - 1 == 2, plan)
+    // are InMemoryTableScans of one cached relation and no tokenize runs
+    assert(nodes.count(_.isInstanceOf[InMemoryTableScanExec]) == 2,
+      nodes.map(_.getClass.getSimpleName))
+    assert(!nodes.exists(_.isInstanceOf[GenerateExec]),
+      nodes.map(_.getClass.getSimpleName))
   }
 
   private def phraseCorpus = Seq(
@@ -135,10 +153,15 @@ class InvertedIndexSpec extends SparkSpec {
     val stored = spark.read.parquet(s"$dir/post")
     val upserts = Seq((5L, "brand new doc")).toDF("doc_id", "text")
     val merged = InvertedIndex.applyDocDelta(stored, upserts, Seq(0L).toDF("doc_id"))
-    val plan = merged.queryExecution.executedPlan.toString
-    // at most one explode — the batch's (its postings may already sit in
-    // the memo cache); the stored index is never re-derived
-    assert(plan.split("Generate", -1).length - 1 <= 1, plan)
+    val nodes = planNodes(merged.queryExecution.executedPlan)
+    // exactly one explode — the batch's own tokenize (deliberately NOT
+    // memo-cached: a long stream would leak one persisted relation per
+    // micro-batch); the stored index is scanned as-is, never re-derived
+    import org.apache.spark.sql.execution.{FileSourceScanExec, GenerateExec}
+    assert(nodes.count(_.isInstanceOf[GenerateExec]) == 1,
+      nodes.map(_.getClass.getSimpleName))
+    assert(nodes.count(_.isInstanceOf[FileSourceScanExec]) == 1,
+      nodes.map(_.getClass.getSimpleName))
     assert(merged.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
       Set(("keep", 2L), ("these", 2L), ("words", 2L), ("brand", 5L), ("new", 5L), ("doc", 5L)))
   }
