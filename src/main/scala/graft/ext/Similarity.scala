@@ -273,13 +273,14 @@ object Similarity {
       (0 until m).map(j => seeds.toIndexedSeq.map(_.slice(j * ds, (j + 1) * ds)))
     var i = 0
     while (i < iters && books.head.nonEmpty) {
-      val codes = array((0 until m).map { j =>
-        val cws = array(books(j).zipWithIndex.map { case (v, c) =>
-          struct(lit(c).as("code"), typedlit(v).as("cw")) }: _*)
-        array_min(transform(cws, c =>
-          struct(l2sq(slice(col("__v"), j * ds + 1, ds), c("cw")).as("d"),
-            c("code").as("code"))))("code")
-      }: _*)
+      // assignment via the fused encode kernel (one codegen'd pass for
+      // all m argmins, not m·kCodes interpreted HOF chains per row —
+      // ×iters this dominated codebook-build time). The kernel's
+      // 6dp-rounded distances match the FINAL encode exactly; inside
+      // Lloyd's the rounding only matters when two codewords sit within
+      // 1e-6 of a training point — tie noise, not model quality.
+      val codes = graft.plans.PqEncodeExpression.pqEncodeDoubles(
+        col("__v"), books.map(_.map(_.toSeq)), ds)
       val sub = (col("pos") / ds).cast("int")
       val rows = valid.withColumn("__codes", codes)
         .select(posexplode(col("__v")).as(Seq("pos", "x")), col("__codes"))
@@ -333,12 +334,27 @@ object Similarity {
   private def encodeCodes(books: Seq[(Int, Int, Array[Float])], m: Int, ds: Int): Column =
     graft.plans.PqEncodeExpression.pqEncode(col("__v"), books, m, ds).as("__codes")
 
-  /** ADC distance of `__qv` to a row's `__codes`: per-subspace
-    * 6dp-rounded squared-L2 to the codeword, summed over DECIMAL(18,6). */
-  private def adcExpr(cwLit: IndexedSeq[Column], m: Int, ds: Int): Column =
+  /** Per-query ADC lookup tables `__lut0..__lut(m-1)`: for each subspace,
+    * the 6dp-rounded squared-L2 from the query's subvector to EVERY
+    * codeword (kCodes doubles). Computed once per QUERY row — m·kCodes
+    * vector folds per query — instead of recomputing the fold per
+    * (query, corpus-row) pair, which made ADC scoring O(pairs·m·ds)
+    * instead of O(pairs·m) lookups. This is the textbook PQ asymmetric-
+    * distance structure (and literally the oracle's `lut` CTE). */
+  private def lutCols(cwLit: IndexedSeq[Column], m: Int, ds: Int): Seq[Column] =
     (0 until m).map { j =>
-      round(l2sq(slice(col("__qv"), j * ds + 1, ds),
-        element_at(cwLit(j), element_at(col("__codes"), j + 1) + 1)), 6).cast("decimal(18,6)")
+      transform(cwLit(j), cw =>
+        round(l2sq(slice(col("__qv"), j * ds + 1, ds), cw), 6)).as(s"__lut$j")
+    }
+
+  /** ADC distance of a row's `__codes` against the query's LUTs: m array
+    * lookups summed over DECIMAL(18,6) — exact, order-independent, and
+    * value-identical to re-deriving each subspace distance (the LUT holds
+    * the same 6dp-rounded doubles). */
+  private def adcExpr(m: Int): Column =
+    (0 until m).map { j =>
+      element_at(col(s"__lut$j"), element_at(col("__codes"), j + 1) + 1)
+        .cast("decimal(18,6)")
     }.reduce(_ + _)
 
   /** Ascending-distance two-phase top-k over `(query_id, id, ad)` rows. */
@@ -371,9 +387,10 @@ object Similarity {
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
     val enc = valid.select(col(idCol), encodeCodes(books, m, ds))
     val q = broadcast(queries.where(validVec(col(vecCol), dim))
-      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("__qv")))
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("__qv"))
+      .select(Seq(col("query_id")) ++ lutCols(cwLit, m, ds): _*))
     val scored = enc.join(q, col("query_id") =!= col(idCol))
-      .select(col("query_id"), col(idCol), adcExpr(cwLit, m, ds).cast("double").as("ad"))
+      .select(col("query_id"), col(idCol), adcExpr(m).cast("double").as("ad"))
     topKByDist(scored, k, idCol)
   }
 
@@ -426,10 +443,11 @@ object Similarity {
       .select(col(idCol).as("query_id"), col(vecCol).as("__qvf"),
         col(vecCol).cast("array<double>").as("__qv"))
       .withColumn("__probe", explode(slice(ranked, 1, nprobe)))
-      .select(col("query_id"), col("__qv"), (-col("__probe.nc")).as("cell"))
+      .select(Seq(col("query_id"), (-col("__probe.nc")).as("cell")) ++
+        lutCols(cwLit, m, ds): _*)
     val scored = enc.join(q, Seq("cell"))
       .where(col("query_id") =!= col(idCol))
-      .select(col("query_id"), col(idCol), adcExpr(cwLit, m, ds).cast("double").as("ad"))
+      .select(col("query_id"), col(idCol), adcExpr(m).cast("double").as("ad"))
     topKByDist(scored, k, idCol)
   }
 

@@ -136,8 +136,13 @@ object PqEncodeExpression {
     val bySub = books.groupBy(_._1).map { case (j, cws) =>
       j -> cws.sortBy(_._2).map(_._3.toSeq.map(_.toDouble))
     }
-    val seqs: Seq[Seq[Seq[Double]]] = (0 until m).map(j => bySub(j))
+    pqEncodeDoubles(vec, (0 until m).map(j => bySub(j)), ds)
+  }
+
+  /** Same kernel over already-double codebooks indexed [sub][code] — the
+    * training-loop form (assignment against the in-progress books). */
+  def pqEncodeDoubles(vec: Column, books: Seq[Seq[Seq[Double]]], ds: Int): Column = {
     import org.apache.spark.sql.graft.bridge
-    bridge.column(PqEncodeCodes(bridge.expression(vec), seqs, ds))
+    bridge.column(PqEncodeCodes(bridge.expression(vec), books, ds))
   }
 }
