@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Curation, Dedup, InvertedIndex, Pii, Similarity, TextAnalysis}
+import graft.ext.{Curation, Dedup, InvertedIndex, Pii, Similarity, Sketches, TextAnalysis}
 import graft.functions.TextFunctions
 import graft.sources.Tables
 import graft.streaming.Ingest
@@ -20,10 +20,36 @@ object SparkEntryIdx {
   /** BM25 terms: two dense + one rare (`dup`, df≈5%) so idf spread is real */
   private val bm25Terms = Seq("spark", "query", "dup")
 
+  /** Verification hook for x_sketch_hll (the [[Similarity.lastLearned]]
+    * contract): the per-group HLL estimates of the most recent run, which
+    * the oracle replays as literals — the sketch binary itself is
+    * implementation-defined and cannot be re-derived in SQL, but the
+    * estimate is deterministic for a fixed input set (DataSketches
+    * hashing is seed-fixed and union is order-independent), so pinning it
+    * next to a genuinely recomputed exact count makes the sketch path
+    * driver-visible. Bounded metadata: one (group, long) pair per group. */
+  @volatile private var lastHllEst: Seq[(String, Long)] = Nil
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_inverted_directory" -> { (s, dir) =>
       InvertedIndex.directory(
         InvertedIndex.postings(Tables.documents(s, dir)))
+    },
+
+    "x_sketch_hll" -> { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val est = Sketches.hllByGroup(orders, col("o_custkey"), "o_orderpriority")
+        .select(col("o_orderpriority"),
+          hll_sketch_estimate(col("sketch")).as("approx_distinct"))
+      // bounded model collection (one row per priority): estimates become
+      // the oracle's replay literals; the exact side is recomputed by
+      // DuckDB from the raw table
+      lastHllEst = est.collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+      orders.groupBy("o_orderpriority")
+        .agg(count_distinct(col("o_custkey")).as("n_exact"),
+          count(lit(1)).as("n_rows"))
+        .join(est, Seq("o_orderpriority"))
     },
     "x_index_lookup" -> { (s, dir) =>
       InvertedIndex.lookupAll(
@@ -284,7 +310,25 @@ object SparkEntryIdx {
       "array_to_string(list_sort(list(doc_id))[1:8], ',') AS posting_head " +
       "FROM tf GROUP BY term"
 
-  def oracleSql: Map[String, String] = Map(
+  /** x_sketch_hll: the exact distinct count and row count are genuinely
+    * recomputed by DuckDB; the HLL estimates ride along as replayed
+    * literals (the ANN-oracle contract — sketch binaries are not
+    * SQL-expressible, but the estimate for a fixed input is
+    * deterministic, so a rerun that drifts breaks the hash). */
+  private def hllOracle: Map[String, String] = lastHllEst match {
+    case est if est.nonEmpty =>
+      val rows = est.map { case (g, e) => s"('${g.replace("'", "''")}', $e)" }.mkString(", ")
+      Map("x_sketch_hll" ->
+        (s"WITH est(o_orderpriority, approx_distinct) AS (VALUES $rows) " +
+          "SELECT o.o_orderpriority, CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_exact, " +
+          "CAST(count(*) AS BIGINT) AS n_rows, " +
+          "CAST(e.approx_distinct AS BIGINT) AS approx_distinct " +
+          "FROM orders o JOIN est e ON o.o_orderpriority = e.o_orderpriority " +
+          "GROUP BY o.o_orderpriority, e.approx_distinct"))
+    case _ => Map.empty
+  }
+
+  def oracleSql: Map[String, String] = hllOracle ++ Map(
     "x_inverted_directory" -> directorySql("documents"),
 
     "x_index_lookup" ->

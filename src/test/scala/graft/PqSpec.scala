@@ -115,6 +115,45 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.9, s"clustered recall $recall")
   }
 
+  test("ivfPqTopK under nprobe=1 (worst-case pruning) still recovers the query's own cluster") {
+    import spark.implicits._
+    // nprobe=1 is maximal pruning: a query scores ONLY its single nearest
+    // cell. On well-separated clusters the query's nearest centroid IS
+    // its cluster, so recall should stay high — this pins that the probe
+    // selection ranks centroids correctly (a ranking bug hides at
+    // nprobe>=2, where the second probe papers over a wrong first pick)
+    val dim = 16
+    val rows = for (c <- 0 until 8; i <- 0 until 11) yield {
+      val base = Array.tabulate(dim)(d => if (d % 8 == c % 8) 10.0 else 0.0)
+      val noisy = base.zipWithIndex.map { case (x, d) =>
+        x + 0.1 * (((c * 31 + i * 7 + d * 13) % 11) - 5)
+      }
+      ((c * 11 + i).toLong, noisy)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val qs = corpus.where(col("vec_id") % 11 === 0)
+    val exact = {
+      val embs = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = broadcast(embs.where(col("vec_id") % 11 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")))
+      val d2 = aggregate(zip_with(col("qv"), col("v"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+      val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id"))
+      embs.join(q, col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"), d2.as("d2"))
+        .withColumn("r", row_number().over(w)).where(col("r") <= 10)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val got = Similarity.ivfPqTopK(corpus, qs, k = 10,
+        kCells = 8, ivfIters = 2, nprobe = 1, m = 4, kCodes = 16, pqIters = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(s"clustered IVF-PQ nprobe=1 recall@10 = $recall")
+    assert(recall >= 0.85, s"nprobe=1 clustered recall $recall")
+  }
+
   test("ivfPqTopK is deterministic and keeps all three model stashes separate") {
     val embs = Tables.embeddings(spark, sf)
     val ivfBefore = Similarity.lastLearned
