@@ -2,7 +2,6 @@ package graft.ext
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document-level text analysis (north-star extension): language-ID,
