@@ -343,6 +343,13 @@ object SparkEntryExt {
       Multimodal.decode(src).toDF()
         .select("asset_id", "n_bytes", "format", "width", "height")
     },
+    "x_multimodal_envelope" -> { (s, dir) =>
+      // the content-hash envelope identity (asset_id = md5(payload),
+      // phash prefix) over text payloads — UTF-8 bytes, so DuckDB's
+      // VARCHAR md5 digests the identical byte stream
+      val assets = Multimodal.toAssets(Tables.documents(s, dir), "text", "text")
+      Multimodal.decode(assets).toDF().select("asset_id", "n_bytes", "phash")
+    },
     "x_multimodal_frames" -> { (s, dir) =>
       Multimodal.frameSample(
         Multimodal.toAssets(Tables.documents(s, dir), "text", "text"))
@@ -812,6 +819,10 @@ object SparkEntryExt {
         "CAST(octet_length(encode(text)) % 1024 + 1 AS INT) AS width, " +
         "CAST(doc_id % 512 + 1 AS INT) AS height " +
         "FROM documents WHERE text IS NOT NULL"),
+
+    "x_multimodal_envelope" ->
+      ("SELECT md5(text) AS asset_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "substr(md5(text), 1, 16) AS phash FROM documents"),
 
     "x_multimodal_frames" ->
       ("SELECT md5(text) AS asset_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
