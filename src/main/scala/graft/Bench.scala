@@ -89,7 +89,10 @@ object Bench {
     // (the fastest few are aggregated into omitted/omitted_sum so `value`
     // stays reconstructible). Line stays < 1800 chars total, leaving room
     // for sbt's "[success] Total time" trailer inside the 2000-char tail.
-    def r3(d: Double): String = if (d < 0) "-1" else f"$d%.3f"
+    // Locale.ROOT: the f-interpolator uses the default locale, which on a
+    // comma-decimal box would print "0,725" and break the JSON scrape
+    def r3(d: Double): String =
+      if (d < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val byCost = results.sortBy { case (_, m, _) => -(if (m < 0) Double.MaxValue else m) }
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0; var omitted = 0; var omittedSum = 0.0

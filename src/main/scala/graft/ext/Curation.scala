@@ -20,7 +20,12 @@ object Curation {
 
   /** Built Bloom bitmaps, memoized per (session, canonicalized key plan,
     * keyCol, mBits, nHashes): bounded driver-side metadata (mBits/8 bytes
-    * each), swept by [[invalidate]]. */
+    * each), swept by [[invalidate]]. CAPPED at [[BloomMemoCap]] entries —
+    * a caller probing with a fresh key set per micro-batch would
+    * otherwise accrete one retained plan + bitmap per batch forever (the
+    * exact leak shape the inverted-index delta path tokenizes around);
+    * an evicted bitmap just rebuilds on next use. */
+  private val BloomMemoCap = 32
   private val bloomMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       String, Int, Int), Array[Long]]()
@@ -177,6 +182,12 @@ object Curation {
     val keyset = keys.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
     val memoKey = (keys.sparkSession, keyset.queryExecution.analyzed.canonicalized,
       keyCol, mBits, nHashes)
+    // amortized cap: drop an arbitrary entry once full (cheap rebuild on
+    // re-miss beats unbounded driver growth under changing key sets)
+    if (!bloomMemo.containsKey(memoKey) && bloomMemo.size >= BloomMemoCap) {
+      val it = bloomMemo.keySet().iterator()
+      if (it.hasNext) { it.next(); it.remove() }
+    }
     val words = bloomMemo.computeIfAbsent(memoKey, _ => {
       // distributed bitmap build: per-key bit positions → 64-bit words via
       // bit_or, partial-aggregated map-side; at most mBits/64 narrow rows

@@ -121,17 +121,21 @@ object Multimodal {
     // WAV: RIFF container, chunk walk to "fmt "
     if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
-      var i = 12
+      // Long cursor: a garbage chunk size near Int.MaxValue would wrap an
+      // Int cursor negative (and wrap the loop guard), indexing out of
+      // bounds — exactly the throw this parser promises never to make
+      var i = 12L
       while (i + 8 <= b.length) {
-        val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
-        val sz = leInt(b, i + 4)
+        val o = i.toInt
+        val isFmt = b(o) == 'f' && b(o + 1) == 'm' && b(o + 2) == 't' && b(o + 3) == ' '
+        val sz = leInt(b, o + 4)
         if (isFmt) {
           if (i + 16 <= b.length && sz >= 8)
-            return HeaderMeta("wav", None, None, Some(leInt(b, i + 12)))
+            return HeaderMeta("wav", None, None, Some(leInt(b, o + 12)))
           return HeaderMeta("wav", None, None, None)
         }
         if (sz < 0) return HeaderMeta("wav", None, None, None)
-        i += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+        i += 8L + sz + (sz & 1) // RIFF chunks are word-aligned
       }
       return HeaderMeta("wav", None, None, None)
     }

@@ -439,12 +439,15 @@ object Similarity {
     val ranked = reverse(array_sort(transform(centLit, c =>
       struct(coalesce(cosine(col("__qvf"), c("centroid")), lit(-2d)).as("d"),
         (-c("cell")).as("nc")))))
+    // LUTs projected BEFORE the probe explode: each query's m·kCodes
+    // distance folds run once per query, not once per probed cell
     val q = queries.where(validVec(col(vecCol), dim))
       .select(col(idCol).as("query_id"), col(vecCol).as("__qvf"),
         col(vecCol).cast("array<double>").as("__qv"))
+      .select(Seq(col("query_id"), col("__qvf")) ++ lutCols(cwLit, m, ds): _*)
       .withColumn("__probe", explode(slice(ranked, 1, nprobe)))
       .select(Seq(col("query_id"), (-col("__probe.nc")).as("cell")) ++
-        lutCols(cwLit, m, ds): _*)
+        (0 until m).map(j => col(s"__lut$j")): _*)
     val scored = enc.join(q, Seq("cell"))
       .where(col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol), adcExpr(m).cast("double").as("ad"))

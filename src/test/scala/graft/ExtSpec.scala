@@ -555,6 +555,16 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.HeaderMeta("png", Some(7), Some(9), None))
     // garbage, truncation and null never throw
     assert(Multimodal.parseHeader("not an image".getBytes("UTF-8")).format == "unknown")
+    // a RIFF chunk declaring a near-Int.MaxValue size must not wrap the
+    // cursor negative and index out of bounds (Long-cursor regression)
+    val hugeChunk = {
+      val bb = java.nio.ByteBuffer.allocate(20).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(12).put("WAVE".getBytes("US-ASCII"))
+      bb.put("JUNK".getBytes("US-ASCII")).putInt(0x7ffffff0)
+      bb.array()
+    }
+    assert(Multimodal.parseHeader(hugeChunk) ==
+      Multimodal.HeaderMeta("wav", None, None, None))
     assert(Multimodal.parseHeader(pngBytes(7, 9).take(12)).format == "unknown")
     assert(Multimodal.parseHeader(Array[Byte](0xff.toByte, 0xd8.toByte)) ==
       Multimodal.HeaderMeta("jpeg", None, None, None))
