@@ -397,7 +397,7 @@ object SparkEntryExt {
     "x_quantiles" -> { (s, dir) =>
       // EXACT per-group percentiles (oracle-checkable). Exact percentile
       // buffers each group's values — fine for bounded group counts; the
-      // 100 TB default is approx_percentile (t-digest, fixed memory),
+      // 100 TB default is approx_percentile (quantile sketch, fixed memory),
       // which trades oracle-exactness for a mergeable sketch.
       Tables.events(s, dir).groupBy("event_type")
         .agg(percentile(col("value"), array(lit(0.5), lit(0.9), lit(0.99))).as("qs"))
