@@ -572,6 +572,28 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseHeader(Array.emptyByteArray).format == "unknown")
   }
 
+  test("parseHeader never throws on arbitrary bytes (fuzz, fixed seed)") {
+    // the contract a 100 TB corpus demands: any garbage parses as SOME
+    // HeaderMeta, never an exception. Seeded so failures reproduce; the
+    // magic-byte prefixes are forced onto some inputs so the fuzz walks
+    // the format-specific branches (marker walks, chunk walks), not just
+    // the unknown fast path.
+    val rnd = new scala.util.Random(0x5eed)
+    val prefixes = Seq(
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+      Array[Byte](0xff.toByte, 0xd8.toByte),
+      "GIF89a".getBytes("US-ASCII"),
+      "RIFF1234WAVE".getBytes("US-ASCII"),
+      Array.emptyByteArray)
+    for (i <- 0 until 2000) {
+      val body = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(body)
+      val b = prefixes(i % prefixes.length) ++ body
+      val hm = Multimodal.parseHeader(b) // must not throw
+      assert(hm.format.nonEmpty)
+    }
+  }
+
   test("decode surfaces parsed header metadata through the mapPartitions seam") {
     import spark.implicits._
     val src = Seq(
