@@ -13,6 +13,7 @@ object Caches {
     graft.ext.Dedup.invalidate(spark)
     graft.ext.InvertedIndex.invalidate(spark)
     graft.ext.Curation.invalidate(spark)
+    graft.ext.TextAnalysis.invalidate(spark)
     graft.operators.Shred.invalidate(spark)
     graft.sources.StarDocs.invalidate(spark)
   }

@@ -9,6 +9,38 @@ import org.apache.spark.sql.functions._
   * projections over the documents table (no shuffle at any scale). */
 object TextAnalysis {
 
+  /** Per-(doc, bigram) count relation, memoized per (session,
+    * canonicalized doc plan, textCol) and PERSISTED — the
+    * [[InvertedIndex.postings]] shared-artifact contract. The bigram LM
+    * needs the corpus bigram stream twice (model numerators and per-doc
+    * scoring); without the boundary Catalyst re-inlines the
+    * tokenize+concat explode into both branches, doubling the heaviest
+    * stage. At 100 TB this is a stored (doc_id, bigram, c) table derived
+    * once per corpus version. */
+  private val bgMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      String), DataFrame]()
+
+  /** Release this session's memoized bigram-count relations (the
+    * [[graft.Caches]] sweep). */
+  def invalidate(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    val it = bgMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) { e.getValue.unpersist(); it.remove() }
+    }
+  }
+
+  private[ext] def bigramCounts(docs: DataFrame, textCol: String): DataFrame = synchronized {
+    val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized, textCol)
+    val df = bgMemo.computeIfAbsent(key, _ =>
+      docs.select(col("doc_id"),
+          explode(Curation.ngramsAll(TextFunctions.tokens(col(textCol)), 2)).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c")))
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+    df
+  }
+
   def withLangId(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("pred_lang", TextFunctions.langId(col(textCol)))
 
@@ -145,9 +177,13 @@ object TextAnalysis {
     * DECIMAL(18,6) sums. Docs with < 2 tokens have no bigrams and drop
     * out. */
   def bigramSurprisal(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val bi = docs.select(col("doc_id"),
-      explode(Curation.ngramsAll(TextFunctions.tokens(col(textCol)), 2)).as("bg"))
-    val num = bi.groupBy("bg").agg(count(lit(1)).as("c2"))
+    // ONE corpus explode: the memoized (doc_id, bg, c) relation feeds
+    // both the model (c2 = Σc per bigram) and scoring. Scoring sums
+    // c·lp over DISTINCT (doc, bigram) rows — exactly equal (decimal
+    // arithmetic is exact) to summing lp per occurrence, with join input
+    // shrunk to the distinct-bigram stream.
+    val cnt = bigramCounts(docs, textCol)
+    val num = cnt.groupBy("bg").agg(sum("c").as("c2"))
     val hist = num.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum("c2").as("c1"))
     val lp = num.select(col("bg"),
@@ -155,10 +191,10 @@ object TextAnalysis {
       .join(hist, Seq("w1"))
       .select(col("bg"),
         round(log(2.0, col("c2").cast("double") / col("c1").cast("double")), 6).as("lp"))
-    bi.join(lp, Seq("bg"))
+    cnt.join(lp, Seq("bg"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("lp").cast("decimal(18,6)")).as("__s"))
+      .agg(sum("c").as("n_bigrams"),
+        sum(col("c") * col("lp").cast("decimal(18,6)")).as("__s"))
       .select(col("doc_id"), col("n_bigrams"),
         round(-col("__s").cast("double") / col("n_bigrams"), 6).as("bits_per_bigram"))
   }
