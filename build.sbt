@@ -31,10 +31,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 8g default, A/B-measured on the driver box: the full 91-query cold
-  // bench runs ~123 s @8g but 366-1289 s @24g, where the larger heap
-  // shows episodic multi-minute low-CPU stalls landing on arbitrary
-  // queries (round-7's 24g experiment collapsed the bench 19x and was
-  // reverted). Override with SPARK_DRIVER_MEM only after a measured A/B.
+  // 8g default — the restored known-good setting. The round-8 A/B behind
+  // it (full 91-query cold bench ~123 s @8g vs 366-1289 s @24g with
+  // episodic low-CPU stalls) ran on the SHARED box whose bench wall-clock
+  // swings 2-8x with external load, so the 24g numbers may be partly
+  // load-confounded rather than purely heap-induced; treat them as a
+  // reason to keep the known-good default, not as a durable heap
+  // characterization. Re-A/B on a quiet box (check BENCH_LAST.json's
+  // loadavg fields) before overriding with SPARK_DRIVER_MEM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -174,7 +174,19 @@ object Curation {
     * (session, canonicalized key plan, keyCol, mBits, nHashes) — repeat
     * probes of the same key set (the steady-state use: one blocklist,
     * many corpus scans) pay the build once; [[graft.Caches.invalidate]]
-    * sweeps the memo. */
+    * sweeps the memo.
+    *
+    * IMMUTABLE-KEYSET ASSUMPTION: the memo key is the key *plan*, not the
+    * key *data*. If the same plan can later read MORE keys (a mutable
+    * table or view re-read after new keys land, a relation reused across
+    * a delta fold), the stale bitmap has those keys' bits unset and the
+    * Bloom pre-filter drops their matching rows BEFORE the exact
+    * semi-join can recover them — silently breaking the "result is
+    * exactly the semi-join" contract above. Key sets must be immutable
+    * for the memo's lifetime (true of every graft key source: parquet
+    * snapshots and derived frames are frozen at read); if a key source
+    * ever mutates in place, call [[graft.Caches.invalidate]] between
+    * versions or pass the new version as a distinct plan. */
   def bloomPrunedSemiJoin(big: DataFrame, keys: DataFrame, keyCol: String,
                           mBits: Int = 1 << 20, nHashes: Int = 5): DataFrame = {
     require(mBits >= 64 && (mBits & (mBits - 1)) == 0,

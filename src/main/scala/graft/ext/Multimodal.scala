@@ -88,9 +88,15 @@ object Multimodal {
       return HeaderMeta("png", Some(beInt(b, 16)), Some(beInt(b, 20)), None)
     // JPEG: marker walk
     if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
-      var i = 2
-      while (i + 3 < b.length && (b(i) & 0xff) == 0xff) {
-        val marker = b(i + 1) & 0xff
+      // Long cursor (as in the WAV chunk walk below): on a payload near
+      // Int.MaxValue bytes, `i += 2 + len` (len ≤ 65535) can wrap an Int
+      // cursor negative, slip past the `i + 3 < b.length` guard, and index
+      // with a negative offset — the throw this parser promises never to
+      // make. Long arithmetic can't wrap here and the guard bounds i.toInt.
+      var i = 2L
+      while (i + 3 < b.length && (b(i.toInt) & 0xff) == 0xff) {
+        val o = i.toInt
+        val marker = b(o + 1) & 0xff
         if (marker == 0xff) { i += 1 } // fill bytes before a marker
         else if (marker == 0xd9 || marker == 0xda) {
           // EOI / SOS with no frame header seen: stop — past SOS lies
@@ -100,16 +106,16 @@ object Multimodal {
         }
         else if (marker == 0x01 || marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { i += 2 } // standalone
         else {
-          val len = beShort(b, i + 2)
+          val len = beShort(b, o + 2)
           if (len < 2) return HeaderMeta("jpeg", None, None, None)
           val isSof = marker >= 0xc0 && marker <= 0xcf &&
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc
           if (isSof) {
             if (i + 8 < b.length)
-              return HeaderMeta("jpeg", Some(beShort(b, i + 7)), Some(beShort(b, i + 5)), None)
+              return HeaderMeta("jpeg", Some(beShort(b, o + 7)), Some(beShort(b, o + 5)), None)
             return HeaderMeta("jpeg", None, None, None)
           }
-          i += 2 + len
+          i += 2L + len
         }
       }
       return HeaderMeta("jpeg", None, None, None)

@@ -9,37 +9,59 @@ import org.apache.spark.sql.functions._
   * projections over the documents table (no shuffle at any scale). */
 object TextAnalysis {
 
-  /** Per-(doc, bigram) count relation, memoized per (session,
-    * canonicalized doc plan, textCol) and PERSISTED — the
-    * [[InvertedIndex.postings]] shared-artifact contract. The bigram LM
-    * needs the corpus bigram stream twice (model numerators and per-doc
-    * scoring); without the boundary Catalyst re-inlines the
-    * tokenize+concat explode into both branches, doubling the heaviest
-    * stage. At 100 TB this is a stored (doc_id, bigram, c) table derived
-    * once per corpus version. */
-  private val bgMemo = new java.util.concurrent.ConcurrentHashMap[
+  /** Shared derived relations — (doc, bigram, c) counts, (doc, term, c)
+    * counts, exploded (doc, pos, line) rows — memoized per (session,
+    * canonicalized doc plan, tag) and PERSISTED: the
+    * [[InvertedIndex.postings]] shared-artifact contract. Each consumer
+    * needs its relation twice (an LM's model numerators and per-doc
+    * scoring; global line dedup's keeper aggregation and join-back);
+    * without the boundary Catalyst re-inlines the tokenize/split explode
+    * into both branches, doubling the heaviest stage — and because the
+    * aggregate branch exchanges partial-agg rows, not raw rows,
+    * ReuseExchange can never dedupe them. At 100 TB these are stored
+    * tables derived once per corpus version. */
+  private val relMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       String), DataFrame]()
 
-  /** Release this session's memoized bigram-count relations (the
+  /** Release this session's memoized derived relations (the
     * [[graft.Caches]] sweep). */
   def invalidate(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
-    val it = bgMemo.entrySet().iterator()
+    val it = relMemo.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey._1 eq spark) { e.getValue.unpersist(); it.remove() }
     }
   }
 
-  private[ext] def bigramCounts(docs: DataFrame, textCol: String): DataFrame = synchronized {
-    val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized, textCol)
-    val df = bgMemo.computeIfAbsent(key, _ =>
+  private def memoized(docs: DataFrame, tag: String)(build: => DataFrame): DataFrame =
+    synchronized {
+      val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized, tag)
+      val df = relMemo.computeIfAbsent(key, _ => build)
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+      df
+    }
+
+  private[ext] def bigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    memoized(docs, s"bg|$textCol") {
       docs.select(col("doc_id"),
           explode(Curation.ngramsAll(TextFunctions.tokens(col(textCol)), 2)).as("bg"))
-        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c")))
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
-    df
-  }
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+    }
+
+  private[ext] def termCounts(docs: DataFrame, textCol: String): DataFrame =
+    memoized(docs, s"tc|$textCol") {
+      docs.select(col("doc_id"), explode(TextFunctions.tokens(col(textCol))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    }
+
+  private[ext] def explodedLines(docs: DataFrame, sep: String, textCol: String,
+                                 idCol: String): DataFrame =
+    memoized(docs, s"lines|$sep|$textCol|$idCol") {
+      docs.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "line")))
+    }
 
   def withLangId(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("pred_lang", TextFunctions.langId(col(textCol)))
@@ -77,9 +99,7 @@ object TextAnalysis {
     * split of '' is [''] in both engines. */
   def dedupeLines(docs: DataFrame, sep: String = "\n", textCol: String = "text",
                   idCol: String = "doc_id"): DataFrame = {
-    val lines = docs.select(col(idCol),
-      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-        .as(Seq("pos", "line")))
+    val lines = explodedLines(docs, sep, textCol, idCol)
     lines.groupBy(col(idCol), col("line"))
       .agg(min("pos").as("pos"), count(lit(1)).as("cnt"))
       .groupBy(idCol)
@@ -100,12 +120,17 @@ object TextAnalysis {
     * per doc the original/kept line counts and the reassembled text
     * (empty string, not NULL, when every line was seen earlier).
     *
-    * Shape: ONE explode, then TWO-PHASE first-occurrence selection — a
-    * line-keyed `min(struct(doc, pos))` aggregation (map-side partial
-    * combine collapses a mega-duplicated line to ONE row per source
-    * partition before the exchange, so the final min reads ≤ #partitions
-    * rows per line) and a join-back that flags each occurrence as keeper
-    * or duplicate. The earlier one-shuffle window form
+    * Shape: ONE explode — the [[explodedLines]] memoized relation feeds
+    * BOTH branches (without the memo boundary Catalyst re-inlines the
+    * split+posexplode into each, and the aggregate branch exchanges
+    * partial-agg rows so ReuseExchange cannot merge them — two corpus
+    * scans would execute; shared with [[dedupeLines]], so running both
+    * operators costs one explode total) — then TWO-PHASE first-occurrence
+    * selection: a line-keyed `min(struct(doc, pos))` aggregation
+    * (map-side partial combine collapses a mega-duplicated line to ONE
+    * row per source partition before the exchange, so the final min reads
+    * ≤ #partitions rows per line) and a join-back that flags each
+    * occurrence as keeper or duplicate. The earlier one-shuffle window form
     * (`row_number() over (partition by line)`) routed EVERY copy of a
     * hot line through a single task — precisely the key distribution
     * this operator exists for (corpus-wide boilerplate) — and window
@@ -118,9 +143,7 @@ object TextAnalysis {
     * `orderBy(doc, pos)` first row. */
   def dedupeLinesGlobal(docs: DataFrame, sep: String = "\n",
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val lines = docs.select(col(idCol),
-      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-        .as(Seq("pos", "line")))
+    val lines = explodedLines(docs, sep, textCol, idCol)
     val keepers = lines.groupBy("line")
       .agg(min(struct(col(idCol).as("d"), col("pos").as("p"))).as("__k"))
       .select(col("line"), col("__k.d").as("__kd"), col("__k.p").as("__kp"))
@@ -137,30 +160,35 @@ object TextAnalysis {
   /** Unigram-LM surprisal per document: mean −log₂ p(token) under the
     * corpus's own unigram distribution — the classic cheap LM-quality
     * signal (gibberish and boilerplate sit far from the corpus mode in
-    * bits/token). Two term-keyed aggregations build the frequency table
-    * (map-side combinable); the corpus token total is ONE number — bounded
-    * driver-side metadata, the same contract as the IVF centroids — so it
-    * is collected and inlined as a literal rather than joined (a 1-row
-    * join constant-folds into the nested-loop cross join PlanAuditSpec
-    * bans, and a partition-less window funnels the vocabulary through one
-    * task). The per-doc sum runs over DECIMAL(18,6) so it is exact and
-    * ORDER-INDEPENDENT — a double sum would vary with shuffle-merge order
-    * across cluster runs (and against the oracle). Like TF/DF, the
-    * vocabulary join is not broadcast-forced: AQE broadcasts when the
-    * vocabulary genuinely fits. */
+    * bits/token). The ONE corpus explode lives in the memoized
+    * [[termCounts]] relation (the bigram-LM pattern): model, corpus total
+    * and per-doc scoring all derive from (doc_id, term, c) — scoring sums
+    * c·lp over distinct (doc, term) rows, exactly equal (decimal
+    * arithmetic is exact) to summing lp per occurrence. The corpus token
+    * total is ONE number — bounded driver-side metadata, the same
+    * contract as the IVF centroids — so it is collected and inlined as a
+    * literal rather than joined (a 1-row join constant-folds into the
+    * nested-loop cross join PlanAuditSpec bans, and a partition-less
+    * window funnels the vocabulary through one task); the collecting
+    * action scans the PERSISTED count relation, not the corpus — before
+    * the memo it forced a second tokenize of every document. The per-doc
+    * sum runs over DECIMAL(18,6) so it is exact and ORDER-INDEPENDENT —
+    * a double sum would vary with shuffle-merge order across cluster
+    * runs (and against the oracle). Like TF/DF, the vocabulary join is
+    * not broadcast-forced: AQE broadcasts when the vocabulary genuinely
+    * fits. */
   def unigramSurprisal(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(TextFunctions.tokens(col(textCol))).as("term"))
-    val freq = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val cnt = termCounts(docs, textCol)
+    val freq = cnt.groupBy("term").agg(sum("c").as("cnt"))
     // empty corpus -> sum is NULL; 1 keeps the plan valid (no rows flow)
-    val totalRow = freq.agg(sum("cnt")).first()
+    val totalRow = cnt.agg(sum("c")).first()
     val total = if (totalRow.isNullAt(0)) 1L else totalRow.getLong(0)
     val lp = freq.select(col("term"),
       round(log(2.0, col("cnt").cast("double") / lit(total.toDouble)), 6).as("lp"))
-    toks.join(lp, Seq("term"))
+    cnt.join(lp, Seq("term"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("lp").cast("decimal(18,6)")).as("__s"))
+      .agg(sum("c").as("n_tokens"),
+        sum(col("c") * col("lp").cast("decimal(18,6)")).as("__s"))
       .select(col("doc_id"), col("n_tokens"),
         round(-col("__s").cast("double") / col("n_tokens"), 6).as("bits_per_token"))
   }

@@ -81,6 +81,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out.filterKeys(_ < 20).values.toSet.size == 1, "identical docs, identical score")
   }
 
+  test("unigramSurprisal plan tokenizes the corpus ONCE (memoized term counts)") {
+    // model, corpus total and scoring all derive from the memoized
+    // (doc_id, term, c) relation — the executed plan must contain zero
+    // Generates (no re-inlined tokenize+explode; before the memo the
+    // driver-side total forced a second full tokenize) and read the
+    // cached relation in both the vocabulary and scoring branches
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // descend through the AQE wrapper (a leaf to TreeNode traversal)
+    def planNodes(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case a: AdaptiveSparkPlanExec => a +: planNodes(a.executedPlan)
+        case n => Seq(n)
+      }
+    val df = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val nodes = planNodes(
+      graft.ext.TextAnalysis.unigramSurprisal(df).queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[GenerateExec]),
+      s"tokenize re-inlined past the term-count memo: ${nodes.map(_.getClass.getSimpleName)}")
+    assert(nodes.count(_.isInstanceOf[InMemoryTableScanExec]) == 2,
+      s"expected vocabulary+scoring branches on the cached counts: ${nodes.map(_.getClass.getSimpleName)}")
+  }
+
   test("bigramSurprisal: common transitions score fewer bits; <2-token docs drop out") {
     import graft.ext.TextAnalysis
     import spark.implicits._

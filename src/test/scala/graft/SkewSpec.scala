@@ -104,6 +104,24 @@ class SkewSpec extends SparkSpec {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
     assert(windows.isEmpty, s"line dedup still plans a window: $windows")
+    // ONE explode: both branches (keeper agg + join-back) must read the
+    // memoized lines relation — without the memo boundary the
+    // split+posexplode re-inlines into each (the agg branch exchanges
+    // partial-agg rows, so ReuseExchange can't merge them) and the corpus
+    // is scanned twice
+    def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a +: planNodes(a.executedPlan)
+        case n => Seq(n)
+      }
+    val exec = planNodes(out.queryExecution.executedPlan)
+    assert(!exec.exists(_.isInstanceOf[org.apache.spark.sql.execution.GenerateExec]),
+      s"explode re-inlined past the lines memo: ${exec.map(_.getClass.getSimpleName)}")
+    assert(exec.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]) == 2,
+      s"expected both branches on the cached lines relation: ${exec.map(_.getClass.getSimpleName)}")
     val rows = out.collect().map(r => (r.getLong(0),
       (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(rows.size == 4000)
