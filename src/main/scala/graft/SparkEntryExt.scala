@@ -274,6 +274,19 @@ object SparkEntryExt {
         .select("id_a", "id_b")
       Dedup.clusters(pairs, docs.select("doc_id"))
     },
+    "x_dedup_clusters_chain" -> { (s, dir) =>
+      // adversarial closure shape: consecutive doc_ids inside a 128-wide
+      // block form a pure path (diameter up to 127 — far past any
+      // per-round label-propagation budget; the regime that refuses
+      // diameter-bounded CC). The alternating large-star/small-star
+      // closure must label every block by its head in O(log n) rounds.
+      val docs = Tables.documents(s, dir).select("doc_id")
+      val pairs = docs.as("a").join(docs.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 1 &&
+            expr("a.doc_id div 128") === expr("b.doc_id div 128"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      Dedup.clusters(pairs, docs)
+    },
     "x_dedup_incremental" -> { (s, dir) =>
       // ingest-time dedup: odd docs arrive as the batch, even docs are the
       // stored corpus — match against its indexes only
@@ -765,6 +778,19 @@ object SparkEntryExt {
         s"WHERE ($bandShareSql) AND $estSql >= 0.5), " +
         "edges AS (SELECT id_a AS src, id_b AS dst FROM cand " +
         "UNION SELECT id_b, id_a FROM cand), " +
+        "walk(id, lbl) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id) " +
+        "SELECT id AS doc_id, min(lbl) AS cluster FROM walk GROUP BY 1"),
+
+    // same recursive-CTE closure check, over a deterministic chain graph
+    // (consecutive ids per 128-block) whose diameter defeats any
+    // rounds-=-diameter algorithm — the engine side must close it
+    // logarithmically
+    "x_dedup_clusters_chain" ->
+      ("WITH RECURSIVE e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst " +
+        "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 " +
+        "AND a.doc_id // 128 = b.doc_id // 128), " +
+        "edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0), " +
         "walk(id, lbl) AS (SELECT doc_id, doc_id FROM documents " +
         "UNION SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id) " +
         "SELECT id AS doc_id, min(lbl) AS cluster FROM walk GROUP BY 1"),

@@ -290,54 +290,85 @@ object Dedup {
   /** Connected components over near-dup pairs: the cluster closure a real
     * dedup job needs (pairs alone can't answer "keep one per class" —
     * a~b, b~c must collapse a, b, c together even when a~c was never
-    * emitted). Min-label propagation: every node starts as its own label,
-    * each round pushes labels across edges and keeps the minimum, until a
-    * round changes nothing. Rounds = cluster diameter, and near-dup
-    * graphs are dense (LSH co-buckets whole classes; star pairs have
-    * diameter 2), so convergence is a handful of rounds — each one keyed
-    * join + map-side-combinable min, with `localCheckpoint` truncating
-    * the iterative lineage. A pathological long-chain graph exceeding
-    * `maxIter` is refused, not silently mislabeled (the large-star/
-    * small-star O(log n)-round algorithm is the drop-in for that regime).
+    * emitted). Alternating large-star/small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014):
+    * large-star hangs every neighbor larger than a node off that node's
+    * local minimum; small-star re-hangs each node's smaller neighbors
+    * (and itself) off the same minimum. Each round halves tree heights,
+    * so ANY graph — including the adversarial long chains (serial
+    * boilerplate edits) the earlier diameter-bounded min-label
+    * propagation refused — converges in O(log n) rounds to a star forest
+    * whose roots are the component minima. Each half-round is one keyed
+    * min-aggregation (map-side combinable) plus one join, both on
+    * dup-mass-sized edge data only (isolated corpus nodes never enter the
+    * loop); `localCheckpoint` truncates the iterative lineage. Edge count
+    * never grows past the bidirectional input (each emitted edge replaces
+    * the one it came from), so a round costs what the candidate-pair set
+    * costs regardless of iteration.
     *
     * Output: (`idCol`, `cluster`) for EVERY node — the cluster id is the
     * smallest member id, so `cluster == id` selects the kept
     * representatives. */
   def clusters(pairs: DataFrame, nodes: DataFrame, idCol: String = "doc_id",
-               maxIter: Int = 25): DataFrame = {
-    val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().persist()
-    // iterate ONLY over nodes an edge touches — the overwhelming majority
-    // of a corpus is isolated (no candidate pair) and its label can never
-    // change, so the per-round joins run on dup-mass-sized data; the full
-    // corpus appears exactly once, in the final left join
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
+               maxIter: Int = 40): DataFrame =
+    clustersWithRounds(pairs, nodes, idCol, maxIter)._1
+
+  /** [[clusters]] plus the number of alternating rounds the star loop
+    * actually ran — the observable SkewSpec pins O(log n) convergence on
+    * (rounds ≪ diameter for a chain fixture). */
+  private[graft] def clustersWithRounds(pairs: DataFrame, nodes: DataFrame,
+                                        idCol: String = "doc_id",
+                                        maxIter: Int = 40): (DataFrame, Int) = {
+    // canonical undirected edge set, oriented (larger u, smaller v);
+    // self-loops dropped. All loop state lives in this orientation so the
+    // fixpoint test is plain set equality.
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+
+    // large-star: per node u over ALL neighbors, m = min(Γ(u) ∪ {u});
+    // emit (v, m) for each strictly-larger neighbor v. Connectivity is
+    // preserved because the dropped smaller-neighbor edges re-emit from
+    // the smaller endpoint's own perspective.
+    def largeStar(e: DataFrame): DataFrame = {
+      val bi = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = bi.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      canon(bi.where(col("v") > col("u")).join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+
+    // small-star: per node u over its SMALLER neighbors N(u), m = min;
+    // emit (v, m) for each v ∈ N(u) ∪ {u} — re-rooting u's subtree at m.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min("v").as("m"))
+      canon(e.join(mins, "u").select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins.select(col("u"), col("m").as("v"))))
+    }
+
+    var edges = canon(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
       .localCheckpoint(true)
     var i = 0
-    var done = false
+    var done = edges.isEmpty
     while (i < maxIter && !done) {
-      val prop = edges.join(labels, col("src") === col("id"))
-        .select(col("dst").as("id"), col("lbl"))
-      val next = labels.unionByName(prop)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
-      // labels only ever decrease, so "no decrease" == fixpoint
-      done = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .where(col("lbl") < col("old")).isEmpty
-      labels = next
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // both sides are distinct canonical sets: fixpoint == set equality,
+      // one anti-join each way (cheap — star edges are ≤ node count)
+      done = next.join(edges, Seq("u", "v"), "left_anti").isEmpty &&
+        edges.join(next, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
       i += 1
     }
-    edges.unpersist()
     if (!done)
       throw new IllegalStateException(
-        s"component diameter exceeds $maxIter rounds — use a logarithmic " +
-          "CC algorithm (large-star/small-star) for chain-shaped graphs")
-    nodes.select(col(idCol).as("id"))
-      .join(labels.withColumnRenamed("lbl", "__cl"), Seq("id"), "left")
+        s"star CC did not converge in $maxIter rounds — impossible for " +
+          "any graph with < 2^(maxIter/2) nodes; check for NULL ids in pairs")
+    // fixpoint is a star forest rooted at component minima: the edge set
+    // IS the non-root label map
+    val out = nodes.select(col(idCol).as("id"))
+      .join(edges.select(col("u").as("id"), col("v").as("__cl")), Seq("id"), "left")
       .select(col("id").as(idCol), coalesce(col("__cl"), col("id")).as("cluster"))
+    (out, i)
   }
 
   /** Per-doc SimHash (near-identical docs land on close signatures;

@@ -173,19 +173,28 @@ class DedupSpec extends SparkSpec {
     assert(truth.subsetOf(found), s"missed: ${truth -- found}")
   }
 
-  test("clusters: transitive closure, singletons, chain refusal") {
+  test("clusters: transitive closure, singletons, O(log n) chain convergence") {
     import spark.implicits._
     // a-b, b-c chain plus isolated d: one cluster {1,2,3} labeled 1, and 4 alone
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
     val nodes = Seq(1L, 2L, 3L, 4L, 7L, 9L).toDF("doc_id")
     val got = Dedup.clusters(pairs, nodes).as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 7L -> 7L, 9L -> 7L))
-    // a path graph deeper than maxIter is refused, not silently mislabeled
+    // a deep path graph — the regime the old min-label propagation REFUSED
+    // (rounds = diameter) — now converges logarithmically and labels
+    // every node with the chain head
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val chainNodes = (1L to 12L).toDF("doc_id")
-    intercept[IllegalStateException] {
-      Dedup.clusters(chain, chainNodes, maxIter = 2).collect()
-    }
+    val (chainOut, rounds) = Dedup.clustersWithRounds(chain, chainNodes, maxIter = 10)
+    val chainGot = chainOut.as[(Long, Long)].collect().toMap
+    assert(chainGot == (1L to 12L).map(_ -> 1L).toMap)
+    assert(rounds <= 6, s"diameter-11 chain should close in O(log n) rounds, took $rounds")
+    // empty pair set: every node is its own singleton, zero rounds
+    val (none, r0) = Dedup.clustersWithRounds(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), nodes)
+    assert(none.as[(Long, Long)].collect().toMap == Map(
+      1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 7L -> 7L, 9L -> 9L))
+    assert(r0 == 0)
   }
 
   test("incremental dedup: batch matches stored indexes, exact beats near") {

@@ -37,6 +37,24 @@ class SkewSpec extends SparkSpec {
     assert(nodes.count() - after.count() == 50001L)
   }
 
+  test("star CC closes a diameter-1023 chain in O(log n) rounds") {
+    import spark.implicits._
+    // the adversarial shape the old min-label propagation refused: a pure
+    // 1024-node path (serial boilerplate edits), diameter 1023 ≫ any
+    // per-round propagation budget. Alternating large-star/small-star
+    // halves tree heights per round, so the closure must land in ~log2(n)
+    // rounds — and label every node with the chain head.
+    val n = 1024
+    val chain = spark.range(n - 1)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val nodes = spark.range(n).select(col("id").as("doc_id"))
+    val (out, rounds) = Dedup.clustersWithRounds(chain, nodes)
+    assert(rounds <= 14, s"diameter-${n - 1} chain took $rounds rounds — not O(log n)")
+    val got = out.as[(Long, Long)].collect()
+    assert(got.length == n && got.forall(_._2 == 0L),
+      s"every chain node must label 0: ${got.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
   test("LSH dedup caps mega-bucket candidates (10k identical docs -> star pairs)") {
     import spark.implicits._
     // 10k identical docs: every band bucket is one 10k-member cluster —
