@@ -556,8 +556,11 @@ object SparkEntryIdx {
 
   /** x_knn_ivfpq: both stashed models become VALUES literals — cells gate
     * the candidate set (assignment + nprobe=2 probe, the x_knn_ivf
-    * machinery), codes score it (encode + LUT + decimal ADC sum, the
-    * x_knn_pq machinery) — then deterministic top-k. */
+    * machinery), codes score cell RESIDUALS `v − centroid[cell]` (the
+    * FAISS-style residual quantization the engine runs): the assignment
+    * CTE also derives each row's residual, encoding quantizes residuals
+    * against the stashed codebooks, and the ADC LUT is per (query,
+    * probed cell) over the query's residual — then deterministic top-k. */
   private def ivfPqOracle: Map[String, String] = Similarity.lastLearnedIvfPq match {
     case (cents, books) if cents.nonEmpty && books.nonEmpty =>
       val ds = books.head._3.length
@@ -567,10 +570,12 @@ object SparkEntryIdx {
       val cbRows = books.map { case (s, c, v) =>
         s"($s, $c, [${v.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
       }.mkString(", ")
-      val subDist =
+      // 6dp-rounded squared-L2 between a residual subvector and a codeword
+      def subDist(rv: String) =
         s"round(list_sum(list_transform(range($ds), i -> " +
-          s"(t.v[c.sub * $ds + i + 1] - c.cv[i + 1]) * (t.v[c.sub * $ds + i + 1] - c.cv[i + 1]))), 6)"
-      val assignRank = "row_number() OVER (PARTITION BY t.vec_id ORDER BY " +
+          s"($rv[c.sub * $ds + i + 1] - c.cv[i + 1]) * ($rv[c.sub * $ds + i + 1] - c.cv[i + 1]))), 6)"
+      val residual = "list_transform(range(len(t.v)), i -> t.v[i + 1] - c.cv[i + 1])"
+      val assignRank = s"$residual AS rv, row_number() OVER (PARTITION BY t.vec_id ORDER BY " +
         "coalesce(list_cosine_similarity(t.v, c.cv), -2.0) DESC, c.cell) AS rn " +
         "FROM val t CROSS JOIN cents c"
       Map("x_knn_ivfpq" ->
@@ -580,18 +585,20 @@ object SparkEntryIdx {
           "len(list_filter(v, x -> x IS NULL)) = 0), " +
           s"cents(cell, cv) AS (VALUES $centRows), " +
           s"cb(sub, code, cv) AS (VALUES $cbRows), " +
-          s"assigned AS (SELECT vec_id, cell FROM (SELECT t.vec_id, c.cell, $assignRank) WHERE rn = 1), " +
-          s"qp AS (SELECT query_id, cell FROM (SELECT t.vec_id AS query_id, c.cell, $assignRank WHERE t.vec_id < 10) WHERE rn <= 2), " +
-          s"dists AS (SELECT t.vec_id, c.sub, c.code, $subDist AS sd FROM val t CROSS JOIN cb c), " +
+          s"assigned AS (SELECT vec_id, cell, rv FROM (SELECT t.vec_id, c.cell, $assignRank) WHERE rn = 1), " +
+          s"qp AS (SELECT query_id, cell, rv FROM (SELECT t.vec_id AS query_id, c.cell, $assignRank WHERE t.vec_id < 10) WHERE rn <= 2), " +
+          s"dists AS (SELECT a.vec_id, c.sub, c.code, ${subDist("a.rv")} AS sd FROM assigned a CROSS JOIN cb c), " +
           "enc AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code, " +
           "row_number() OVER (PARTITION BY vec_id, sub ORDER BY sd, code) AS rn FROM dists) " +
           "WHERE rn = 1), " +
-          "lut AS (SELECT vec_id AS query_id, sub, code, sd FROM dists WHERE vec_id < 10), " +
-          "cand AS (SELECT p.query_id, a.vec_id FROM qp p JOIN assigned a USING (cell) " +
+          s"lut AS (SELECT q.query_id, q.cell, c.sub, c.code, ${subDist("q.rv")} AS sd " +
+          "FROM qp q CROSS JOIN cb c), " +
+          "cand AS (SELECT p.query_id, p.cell, a.vec_id FROM qp p JOIN assigned a USING (cell) " +
           "WHERE a.vec_id <> p.query_id), " +
           "scored AS (SELECT cd.query_id, cd.vec_id, sum(CAST(l.sd AS DECIMAL(18,6))) AS ad " +
           "FROM cand cd JOIN enc ON enc.vec_id = cd.vec_id " +
-          "JOIN lut l ON l.query_id = cd.query_id AND l.sub = enc.sub AND l.code = enc.code " +
+          "JOIN lut l ON l.query_id = cd.query_id AND l.cell = cd.cell " +
+          "AND l.sub = enc.sub AND l.code = enc.code " +
           "GROUP BY 1, 2), " +
           "ranked AS (SELECT query_id, vec_id, ad, row_number() OVER " +
           "(PARTITION BY query_id ORDER BY ad, vec_id) AS rank FROM scored) " +

@@ -403,15 +403,20 @@ object Similarity {
     * IVF cells BOUND the candidate set (each query scores only its
     * `nprobe` cells' rows, cells/nprobe-fold fewer pairs) and the PQ code
     * table COMPRESSES what gets scored (the scan reads m codes per row,
-    * not dim floats; ADC against the query's exact subvectors). Both
-    * models are bounded driver-side metadata; assignment and encoding are
-    * map-only projections, so the only corpus shuffle is the cell-keyed
-    * search join. Unlike FAISS's IVFPQ, codes quantize RAW vectors rather
-    * than cell residuals — pruning and compression stay decoupled, every
-    * stage is oracle-replayable from the stashed literals, and the recall
-    * cost of skipping residuals is pinned in PqSpec alongside the pure-PQ
-    * paths. Approximate recall, deterministic computation (the ANN-family
-    * contract). */
+    * not dim floats; ADC against the query's exact subvectors). Codes
+    * quantize cell RESIDUALS `v − centroid[cell(v)]` (FAISS IVFPQ,
+    * faiss/IndexIVFPQ.cpp `by_residual`): within a cell, residuals occupy
+    * a far tighter ball than raw vectors do globally, so the same
+    * m·kCodes code budget quantizes finer — the standard recall lever at
+    * fixed code size (PqSpec pins the clustered-fixture recall at ≥ the
+    * pre-residual marks). The cost is per-(query, probed-cell) ADC
+    * lookup tables instead of per-query — nprobe·m·kCodes bounded folds
+    * per query, the same trade FAISS makes. Both models remain bounded
+    * driver-side metadata; assignment, residual, and encoding are one
+    * map-only projection, so the only corpus shuffle is the cell-keyed
+    * search join, and every stage is oracle-replayable from the stashed
+    * literals. Approximate recall, deterministic computation (the
+    * ANN-family contract). */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
                 kCells: Int = 8, ivfIters: Int = 2, nprobe: Int = 2,
                 m: Int = 4, kCodes: Int = 16, pqIters: Int = 2,
@@ -421,16 +426,29 @@ object Similarity {
     val ds = if (dim == 0) 0 else dim / m
     val valid = corpus.where(validVec(col(vecCol), dim))
     val cents = learnedCentroids(valid, kCells, ivfIters, vecCol, idCol, stash = false)
-    val books = pqCodebooks(valid, m, kCodes, pqIters, dim, vecCol, idCol, stash = false)
+    // cell-id → centroid(double) literal map: residual derivation is a
+    // pure projection (kCells·dim floats of driver-side metadata, the
+    // assignCells contract — no corpus join)
+    val centMapD = if (cents.isEmpty) lit(null) else
+      map(cents.flatMap { case (c, v) =>
+        Seq(lit(c), typedlit(v.map(_.toDouble))) }: _*)
+    val assigned = assignCells(valid, cents, vecCol)
+      .select(col("cell"), col(idCol),
+        zip_with(col(vecCol).cast("array<double>"), element_at(centMapD, col("cell")),
+          (a, b) => a - b).as("__res"))
+    // codebooks train on the residual relation — same bounded trainSample
+    // machinery, just a different derived vector column
+    val books = if (cents.isEmpty) Nil
+      else pqCodebooks(assigned, m, kCodes, pqIters, dim, "__res", idCol, stash = false)
     lastLearnedIvfPq = (cents, books)
     if (cents.isEmpty || books.isEmpty || dim == 0)
       return queries.select(col(idCol).as("query_id"), lit(1).as("rank"),
         col(idCol).as("neighbor_id"), lit(0d).as("adist")).limit(0)
     val cwLit = codebookLits(books, m)
-    // the stored index row: (cell, id, m codes) — assignment and encoding
-    // are one map-only projection over the corpus
-    val enc = assignCells(valid, cents, vecCol)
-      .select(col("cell"), col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    // the stored index row: (cell, id, m codes) — assignment, residual,
+    // and encoding are one map-only projection over the corpus
+    val enc = assigned
+      .select(col("cell"), col(idCol), col("__res").as("__v"))
       .select(col("cell"), col(idCol), encodeCodes(books, m, ds))
     // query probe selection: pure projection over the literal centroids
     // (the ivfSearch contract — no query×centroid join)
@@ -439,15 +457,18 @@ object Similarity {
     val ranked = reverse(array_sort(transform(centLit, c =>
       struct(coalesce(cosine(col("__qvf"), c("centroid")), lit(-2d)).as("d"),
         (-c("cell")).as("nc")))))
-    // LUTs projected BEFORE the probe explode: each query's m·kCodes
-    // distance folds run once per query, not once per probed cell
+    // LUTs are per (query, PROBED CELL) under residual quantization — the
+    // query's residual against each probed centroid differs per cell, so
+    // the m·kCodes folds run nprobe times per query (bounded, the FAISS
+    // precomputed-table shape) after the probe explode
     val q = queries.where(validVec(col(vecCol), dim))
       .select(col(idCol).as("query_id"), col(vecCol).as("__qvf"),
-        col(vecCol).cast("array<double>").as("__qv"))
-      .select(Seq(col("query_id"), col("__qvf")) ++ lutCols(cwLit, m, ds): _*)
+        col(vecCol).cast("array<double>").as("__qd"))
       .withColumn("__probe", explode(slice(ranked, 1, nprobe)))
-      .select(Seq(col("query_id"), (-col("__probe.nc")).as("cell")) ++
-        (0 until m).map(j => col(s"__lut$j")): _*)
+      .select(col("query_id"), (-col("__probe.nc")).as("cell"), col("__qd"))
+      .withColumn("__qv",
+        zip_with(col("__qd"), element_at(centMapD, col("cell")), (a, b) => a - b))
+      .select(Seq(col("query_id"), col("cell")) ++ lutCols(cwLit, m, ds): _*)
     val scored = enc.join(q, Seq("cell"))
       .where(col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol), adcExpr(m).cast("double").as("ad"))

@@ -115,6 +115,57 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.9, s"clustered recall $recall")
   }
 
+  test("residual codes beat raw-vector codes at the same budget (intra-cluster ranking)") {
+    import spark.implicits._
+    // the regime residual quantization exists for: with kCodes sized to
+    // the CLUSTER count, raw-vector Lloyd's spends every codeword on the
+    // (dominant) center structure, so all 22 members of a cluster encode
+    // identically — ADC cannot rank WITHIN a cluster and top-10 degrades
+    // to lowest-id ties. After centroid subtraction the codewords spend
+    // on the intra-cluster offset patterns instead, which is exactly what
+    // ranking the query's own cluster-mates needs.
+    val dim = 16
+    val rows = for (c <- 0 until 8; i <- 0 until 22) yield {
+      // centers ≥20 apart per dim (13 prime, 7 invertible: c≠c' differ in
+      // EVERY dim) dominate the ±3 offsets, so exact top-10 stays
+      // in-cluster. Ids interleave clusters (id = i·8+c) so the k lowest-id
+      // Lloyd seeds span all 8 clusters — this test isolates QUANTIZATION
+      // quality, not seeding robustness (which learnedCentroids' bounded
+      // deterministic seeding genuinely doesn't have on adversarial orders)
+      val v = Array.tabulate(dim)(d =>
+        ((c * 7 + d * 3) % 13).toDouble * 20.0 + (((i * 5 + d) % 7) - 3).toDouble)
+      ((i * 8 + c).toLong, v)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val qs = corpus.where(col("vec_id") < 8)
+    val exact = {
+      val embs = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = broadcast(embs.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")))
+      val d2 = aggregate(zip_with(col("qv"), col("v"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+      val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id"))
+      embs.join(q, col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"), d2.as("d2"))
+        .withColumn("r", row_number().over(w)).where(col("r") <= 10)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    def recallOf(got: Set[(Long, Long)]) = (exact & got).size.toDouble / exact.size
+    val residual = recallOf(Similarity.ivfPqTopK(corpus, qs, k = 10,
+        kCells = 8, ivfIters = 2, nprobe = 2, m = 4, kCodes = 8, pqIters = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val raw = recallOf(Similarity.pqTopK(corpus, qs, k = 10,
+        m = 4, kCodes = 8, iters = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    info(s"residual IVF-PQ recall@10 = $residual vs raw PQ = $raw at kCodes=8")
+    assert(residual >= 0.8, s"residual recall $residual")
+    assert(residual > raw + 0.1,
+      s"residual ($residual) should clearly beat raw codes ($raw)")
+  }
+
   test("ivfPqTopK under nprobe=1 (worst-case pruning) still recovers the query's own cluster") {
     import spark.implicits._
     // nprobe=1 is maximal pruning: a query scores ONLY its single nearest
