@@ -356,6 +356,26 @@ object SparkEntryExt {
       Multimodal.decode(src).toDF()
         .select("asset_id", "n_bytes", "format", "width", "height")
     },
+    "x_multimodal_phash" -> { (s, dir) =>
+      // REAL pixel path end-to-end: each doc becomes an 8×8 grayscale PNG
+      // (pixel g(x,y) = (doc_id·31 + 7x + 13y) mod 251, scanline filters
+      // cycling None/Sub/Up), zlib-deflated by the fixture encoder;
+      // decode() runs the real Inflater + unfilter + average-hash over
+      // the DECODED pixels. The oracle recomputes the hash from the pixel
+      // FORMULA alone — an encoder/decoder bug cannot hash-match. On an
+      // 8×8 raster aHash cells are single pixels, which is what makes the
+      // closed form SQL-expressible.
+      import s.implicits._
+      val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+        .select("doc_id").as[Long]
+      val src = docs.map { id =>
+        val gray = Array.tabulate(64)(i =>
+          (((id * 31 + (i % 8) * 7 + (i / 8) * 13) % 251).toInt))
+        (id.toString, Multimodal.encodeGrayPng(8, 8, gray))
+      }.toDF("asset_id", "payload")
+      Multimodal.decode(src).toDF()
+        .select("asset_id", "format", "width", "height", "phash")
+    },
     "x_multimodal_envelope" -> { (s, dir) =>
       // the content-hash envelope identity (asset_id = md5(payload),
       // phash prefix) over text payloads — UTF-8 bytes, so DuckDB's
@@ -845,6 +865,24 @@ object SparkEntryExt {
         "CAST(octet_length(encode(text)) % 1024 + 1 AS INT) AS width, " +
         "CAST(doc_id % 512 + 1 AS INT) AS height " +
         "FROM documents WHERE text IS NOT NULL"),
+
+    // independent recomputation of the average-hash from the pixel
+    // FORMULA (never the bytes): the engine must encode->deflate->
+    // inflate->unfilter->hash through real PNG machinery to land on the
+    // same 64 bits. avg(g) and the engine's mean are both exact doubles
+    // (integer sums, /64), so the strict > threshold cannot diverge.
+    "x_multimodal_phash" ->
+      ("WITH px AS (SELECT doc_id, x.range AS x, y.range AS y, " +
+        "(doc_id * 31 + x.range * 7 + y.range * 13) % 251 AS g " +
+        "FROM documents, range(8) x, range(8) y WHERE text IS NOT NULL), " +
+        "m AS (SELECT doc_id, avg(g) AS mn FROM px GROUP BY 1), " +
+        "nib AS (SELECT p.doc_id, p.y * 2 + p.x // 4 AS k, " +
+        "sum(CASE WHEN p.g > m.mn THEN (CASE p.x % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 " +
+        "WHEN 2 THEN 2 ELSE 1 END) ELSE 0 END) AS v " +
+        "FROM px p JOIN m USING (doc_id) GROUP BY 1, 2) " +
+        "SELECT CAST(doc_id AS VARCHAR) AS asset_id, 'png' AS format, " +
+        "8 AS width, 8 AS height, " +
+        "string_agg(printf('%x', CAST(v AS INT)), '' ORDER BY k) AS phash FROM nib GROUP BY doc_id"),
 
     "x_multimodal_envelope" ->
       ("SELECT md5(text) AS asset_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +

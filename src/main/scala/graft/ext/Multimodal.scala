@@ -148,17 +148,397 @@ object Multimodal {
     HeaderMeta("unknown", None, None, None)
   }
 
+  // ---------- real pixel decode (pure JVM, no codec library) ----------
+
+  /** Decoded raster: row-major 0–255 grayscale. */
+  case class Raster(width: Int, height: Int, gray: Array[Int])
+
+  // adversarial-header guard: refuse rasters a garbage width/height field
+  // would otherwise allocate (100 TB corpora contain hostile bytes; a
+  // 2^31-pixel "image" is a driver OOM, not a decode)
+  private val MaxDim = 1 << 14
+  private val MaxPixels = 1 << 24
+
+  /** Decode a PNG or uncompressed-BMP payload to grayscale pixels — pure
+    * JVM (`java.util.zip.Inflater` for PNG's zlib IDAT stream; BMP rows
+    * are raw). Supports the byte layouts the formats actually ship at
+    * 8-bit depth: PNG color types 0/2/3/4/6 (gray, RGB, palette,
+    * gray+alpha, RGBA) with all five scanline filters (None/Sub/Up/
+    * Average/Paeth, PNG spec §9), non-interlaced; BMP 24-bit BI_RGB
+    * (bottom-up or top-down). RGB collapses to luma via the integer
+    * BT.601 weights (299/587/114)/1000. Anything else — truncated
+    * streams, garbage chunk lengths, hostile dimensions — returns None,
+    * NEVER throws (the [[parseHeader]] contract; MultimodalSpec fuzzes
+    * it). */
+  def decodeRaster(b: Array[Byte]): Option[Raster] = try {
+    if (b == null || b.length < 8) None
+    else if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') decodePng(b)
+    else if (b(0) == 'B' && b(1) == 'M' && b.length >= 54) decodeBmp(b)
+    else if (b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+             (b(4) == '7' || b(4) == '9') && b(5) == 'a') decodeGif(b)
+    else None
+  } catch { case _: Throwable => None }
+
+  private def luma(r: Int, g: Int, bl: Int): Int = (r * 299 + g * 587 + bl * 114) / 1000
+
+  private def decodePng(b: Array[Byte]): Option[Raster] = {
+    if (b.length < 33) return None
+    var w = 0; var h = 0; var bitDepth = 0; var colorType = 0; var interlace = 0
+    var plte: Array[Byte] = null
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8L
+    var seenIhdr = false; var seenIend = false
+    while (!seenIend && i + 8 <= b.length) {
+      val o = i.toInt
+      val len = beInt(b, o)
+      if (len < 0 || i + 12 + len > b.length) return None
+      val typ = new String(b, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      typ match {
+        case "IHDR" =>
+          if (len < 13) return None
+          w = beInt(b, o + 8); h = beInt(b, o + 12)
+          bitDepth = b(o + 16) & 0xff; colorType = b(o + 17) & 0xff
+          interlace = b(o + 20) & 0xff
+          seenIhdr = true
+        case "PLTE" => plte = java.util.Arrays.copyOfRange(b, o + 8, o + 8 + len)
+        case "IDAT" => idat.write(b, o + 8, len)
+        case "IEND" => seenIend = true
+        case _ => ()
+      }
+      i += 12L + len
+    }
+    if (!seenIhdr || bitDepth != 8 || interlace != 0) return None
+    if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim || w.toLong * h > MaxPixels) return None
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return None
+    }
+    if (colorType == 3 && plte == null) return None
+    // inflate the zlib stream to exactly h filtered scanlines
+    val stride = w * channels
+    val raw = new Array[Byte]((stride + 1) * h)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var off = 0
+    while (off < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, off, raw.length - off)
+      off += n
+      // 0 bytes while unfinished = truncated / dictionary-needing / stuck
+      // stream — bail rather than spin
+      if (n == 0 && !inf.finished()) { inf.end(); return None }
+    }
+    inf.end()
+    if (off < raw.length) return None
+    // undo per-scanline filters (bpp = channels at 8-bit depth)
+    val out = new Array[Int](stride * h)
+    var y = 0
+    while (y < h) {
+      val rs = y * (stride + 1)
+      val f = raw(rs) & 0xff
+      var x = 0
+      while (x < stride) {
+        val cur = raw(rs + 1 + x) & 0xff
+        val left = if (x >= channels) out(y * stride + x - channels) else 0
+        val up = if (y > 0) out((y - 1) * stride + x) else 0
+        val ul = if (y > 0 && x >= channels) out((y - 1) * stride + x - channels) else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 => // Paeth predictor (PNG spec §9.4)
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            cur + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case _ => return None
+        }
+        out(y * stride + x) = v & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    // collapse channels to grayscale
+    val gray = new Array[Int](w * h)
+    var p = 0
+    while (p < w * h) {
+      val o = p * channels
+      gray(p) = colorType match {
+        case 0 | 4 => out(o)
+        case 2 | 6 => luma(out(o), out(o + 1), out(o + 2))
+        case 3 =>
+          val pi = out(o) * 3
+          if (pi + 2 >= plte.length) return None
+          luma(plte(pi) & 0xff, plte(pi + 1) & 0xff, plte(pi + 2) & 0xff)
+      }
+      p += 1
+    }
+    Some(Raster(w, h, gray))
+  }
+
+  private def decodeBmp(b: Array[Byte]): Option[Raster] = {
+    val dataOff = leInt(b, 10)
+    val w = leInt(b, 18); val hRaw = leInt(b, 22)
+    val bpp = leShort(b, 28); val compression = leInt(b, 30)
+    if (bpp != 24 || compression != 0) return None
+    val h = math.abs(hRaw); val bottomUp = hRaw > 0
+    if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim || w.toLong * h > MaxPixels) return None
+    val rowBytes = (w * 3 + 3) & ~3 // rows pad to 4-byte boundaries
+    if (dataOff < 0 || dataOff.toLong + rowBytes.toLong * h > b.length) return None
+    val gray = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (bottomUp) h - 1 - y else y
+      val ro = dataOff + srcRow * rowBytes
+      var x = 0
+      while (x < w) {
+        val o = ro + x * 3 // BGR order
+        gray(y * w + x) = luma(b(o + 2) & 0xff, b(o + 1) & 0xff, b(o) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    Some(Raster(w, h, gray))
+  }
+
+  /** GIF decode: first frame, non-interlaced, global or local color
+    * table, full LZW (GIF89a spec appendix F: variable code width
+    * 3–12 bits LSB-first, clear/end codes, KwKwK case, deferred-clear
+    * full-dictionary streams). Extensions (graphic control, comment,
+    * application) are sub-block-walked and skipped. Interlaced frames
+    * are out of envelope → None. */
+  private def decodeGif(b: Array[Byte]): Option[Raster] = {
+    val packed = b(10) & 0xff
+    var pos = 13
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (pos + 3 * n > b.length) return None
+      gct = java.util.Arrays.copyOfRange(b, pos, pos + 3 * n); pos += 3 * n
+    }
+    while (pos < b.length) {
+      (b(pos) & 0xff) match {
+        case 0x21 => // extension: label byte, then length-prefixed sub-blocks
+          pos += 2
+          while (pos < b.length && (b(pos) & 0xff) != 0) pos += 1 + (b(pos) & 0xff)
+          pos += 1 // block terminator
+        case 0x2c => // image descriptor
+          if (pos + 10 > b.length) return None
+          val iw = leShort(b, pos + 5); val ih = leShort(b, pos + 7)
+          val ipacked = b(pos + 9) & 0xff
+          pos += 10
+          var ct = gct
+          if ((ipacked & 0x80) != 0) {
+            val n = 2 << (ipacked & 7)
+            if (pos + 3 * n > b.length) return None
+            ct = java.util.Arrays.copyOfRange(b, pos, pos + 3 * n); pos += 3 * n
+          }
+          if ((ipacked & 0x40) != 0) return None // interlaced
+          if (ct == null) return None
+          if (iw <= 0 || ih <= 0 || iw > MaxDim || ih > MaxDim ||
+              iw.toLong * ih > MaxPixels) return None
+          if (pos >= b.length) return None
+          val minCode = b(pos) & 0xff; pos += 1
+          if (minCode < 2 || minCode > 8) return None
+          val data = new java.io.ByteArrayOutputStream()
+          while (pos < b.length && (b(pos) & 0xff) != 0) {
+            val n = b(pos) & 0xff
+            if (pos + 1 + n > b.length) return None
+            data.write(b, pos + 1, n); pos += 1 + n
+          }
+          val idx = lzwDecode(minCode, data.toByteArray, iw * ih).getOrElse(return None)
+          val gray = new Array[Int](iw * ih)
+          var p = 0
+          while (p < iw * ih) {
+            val ci = idx(p) * 3
+            if (ci + 2 >= ct.length) return None
+            gray(p) = luma(ct(ci) & 0xff, ct(ci + 1) & 0xff, ct(ci + 2) & 0xff)
+            p += 1
+          }
+          return Some(Raster(iw, ih, gray))
+        case _ => return None // trailer before any frame, or garbage
+      }
+    }
+    None
+  }
+
+  /** GIF-flavor LZW: variable-width codes packed LSB-first. The
+    * dictionary is a prefix-link table (prefix/suffix arrays), so
+    * emitting a sequence is an O(len) chain unwind — no per-entry byte
+    * arrays, the dictionary is 4096×8 bytes flat regardless of image
+    * size. Decodes exactly `nPix` indices; anything short (truncated
+    * stream, early end code) or malformed (code beyond dictionary,
+    * non-literal after clear) → None. */
+  private def lzwDecode(minCode: Int, data: Array[Byte], nPix: Int): Option[Array[Int]] = {
+    val clear = 1 << minCode; val endCode = clear + 1
+    val prefix = new Array[Int](4096); val suffix = new Array[Int](4096)
+    var dictSize = clear + 2
+    var codeSize = minCode + 1
+    val out = new Array[Int](nPix); var outN = 0
+    val stack = new Array[Int](4097)
+    var prev = -1; var firstOfPrev = 0
+    var bitPos = 0L; val totalBits = data.length.toLong * 8
+    var done = false
+    while (!done && outN < nPix) {
+      // read one code, LSB-first across byte boundaries
+      if (bitPos + codeSize > totalBits) return None // truncated
+      var code = 0; var j = 0
+      while (j < codeSize) {
+        val bp = bitPos + j
+        code |= ((data((bp >>> 3).toInt) >> (bp & 7).toInt) & 1) << j
+        j += 1
+      }
+      bitPos += codeSize
+      if (code == clear) { dictSize = clear + 2; codeSize = minCode + 1; prev = -1 }
+      else if (code == endCode) done = true
+      else if (prev < 0) {
+        if (code >= clear) return None // first code after clear must be a literal
+        out(outN) = code; outN += 1
+        prev = code; firstOfPrev = code
+      } else {
+        if (code > dictSize || (code == dictSize && dictSize >= 4096)) return None
+        var sp = 0
+        var c = code
+        if (code == dictSize) { stack(sp) = firstOfPrev; sp += 1; c = prev } // KwKwK
+        while (c >= clear + 2) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+        if (c >= clear) return None
+        stack(sp) = c; sp += 1
+        val first = c
+        while (sp > 0) { sp -= 1; if (outN < nPix) { out(outN) = stack(sp); outN += 1 } }
+        if (dictSize < 4096) {
+          prefix(dictSize) = prev; suffix(dictSize) = first
+          dictSize += 1
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code; firstOfPrev = first
+      }
+    }
+    if (outN == nPix) Some(out) else None
+  }
+
+  /** Average-hash (aHash) over a decoded raster: an 8×8 grid of box-mean
+    * cells (cell(cx,cy) = mean gray over pixels with ⌊x·8/W⌋ = cx), bit
+    * = cell mean strictly above the mean OF THE CELL MEANS, packed
+    * row-major MSB-first into 16 lowercase hex chars. On an exactly-8×8
+    * raster the cells are single pixels, so the hash has a closed form
+    * any SQL engine can compute from a pixel formula — the
+    * x_multimodal_phash oracle does exactly that. Means stay in exact
+    * double arithmetic (integer sums, /64 is a power of two), so the
+    * strict `>` threshold cannot flip on FP noise cross-engine. */
+  def averageHash(r: Raster): String = {
+    val sums = new Array[Long](64); val counts = new Array[Long](64)
+    var y = 0
+    while (y < r.height) {
+      val cy = (y.toLong * 8 / r.height).toInt
+      var x = 0
+      while (x < r.width) {
+        val c = cy * 8 + (x.toLong * 8 / r.width).toInt
+        sums(c) += r.gray(y * r.width + x); counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val means = Array.tabulate(64)(c => if (counts(c) == 0) 0.0 else sums(c).toDouble / counts(c))
+    val thresh = means.sum / 64.0
+    val sb = new StringBuilder(16)
+    var k = 0
+    while (k < 16) {
+      var v = 0
+      var j = 0
+      while (j < 4) {
+        if (means(k * 4 + j) > thresh) v |= 8 >> j
+        j += 1
+      }
+      sb.append(Character.forDigit(v, 16))
+      k += 1
+    }
+    sb.toString
+  }
+
+  /** 8 per-grid-row mean-gray features (0–1) from the same 8×8 cell grid
+    * — the real embedding-ish vector the decode seam emits when pixels
+    * are decodable. */
+  private def rowFeatures(r: Raster): Array[Float] = {
+    val sums = new Array[Long](8); val counts = new Array[Long](8)
+    var y = 0
+    while (y < r.height) {
+      val cy = (y.toLong * 8 / r.height).toInt
+      var x = 0
+      while (x < r.width) { sums(cy) += r.gray(y * r.width + x); counts(cy) += 1; x += 1 }
+      y += 1
+    }
+    Array.tabulate(8)(c =>
+      if (counts(c) == 0) 0f else (sums(c).toDouble / counts(c) / 255.0).toFloat)
+  }
+
+  /** Deterministic 8×8-grid grayscale PNG encoder — the FIXTURE side of
+    * the real-decode contract (specs and the x_multimodal_phash query
+    * build payloads with it; [[decodeRaster]] must invert them). Emits
+    * 8-bit color-type-0 PNG with scanline filters cycling None/Sub/Up so
+    * the decoder's unfilter path is actually exercised, zlib-deflated
+    * IDAT, correct CRCs. */
+  def encodeGrayPng(w: Int, h: Int, gray: Array[Int]): Array[Byte] = {
+    require(gray.length == w * h, s"${gray.length} pixels for ${w}x$h")
+    val raw = new Array[Byte]((w + 1) * h)
+    var y = 0
+    while (y < h) {
+      val f = y % 3
+      raw(y * (w + 1)) = f.toByte
+      var x = 0
+      while (x < w) {
+        val cur = gray(y * w + x)
+        val v = f match {
+          case 0 => cur
+          case 1 => cur - (if (x > 0) gray(y * w + x - 1) else 0)
+          case _ => cur - (if (y > 0) gray((y - 1) * w + x) else 0)
+        }
+        raw(y * (w + 1) + 1 + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zOut = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) zOut.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      out.write(be(data.length), 0, 4)
+      val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(tb, 0, 4); out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(be(crc.getValue.toInt), 0, 4)
+    }
+    chunk("IHDR", Array[Byte](
+      (w >>> 24).toByte, (w >>> 16).toByte, (w >>> 8).toByte, w.toByte,
+      (h >>> 24).toByte, (h >>> 16).toByte, (h >>> 8).toByte, h.toByte,
+      8, 0, 0, 0, 0)) // 8-bit, grayscale, deflate, adaptive, non-interlaced
+    chunk("IDAT", zOut.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** Extracted-feature row produced by the decode stage: REAL header
-    * metadata (format/width/height/sample_rate from [[parseHeader]])
-    * plus the stubbed perceptual features (phash/feat). */
+    * metadata (format/width/height/sample_rate from [[parseHeader]]) and,
+    * for decodable rasters, REAL perceptual features ([[averageHash]] +
+    * grid-row means over decoded pixels). */
   case class AssetFeatures(asset_id: String, n_bytes: Long, format: String,
                            width: Option[Int], height: Option[Int],
                            sample_rate: Option[Int], phash: String, feat: Array[Float])
 
   /** Per-partition decode stage. Header metadata is parsed for real from
-    * the payload bytes; the perceptual phash/feat stand-ins stay
-    * md5-derived (the documented stub — a pixel codec binds at this exact
-    * seam, one init per partition). */
+    * the payload bytes. phash/feat are REAL perceptual features when the
+    * payload decodes ([[decodeRaster]]: PNG via Inflater + unfilter, BMP
+    * raw rows — average-hash and 8 grid-row means over actual pixels);
+    * payloads outside the pure-JVM-decodable envelope (JPEG entropy
+    * stream, GIF LZW, arbitrary bytes) fall back to the md5-derived
+    * stand-in — deterministic, documented, and the seam where a full
+    * codec binds (one init per partition, same mapPartitions batch
+    * shape). */
   def decode(assets: DataFrame): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.select("asset_id", "payload").as[(String, Array[Byte])]
@@ -170,11 +550,14 @@ object Multimodal {
           val hm = parseHeader(b)
           md.reset()
           val h = md.digest(b).map("%02x".format(_)).mkString
-          val feat = (0 until 8).map { i =>
-            java.lang.Long.parseLong(h.substring(i * 4, i * 4 + 4), 16).toFloat / 65535f
-          }.toArray
+          val raster = decodeRaster(b)
+          val phash = raster.map(averageHash).getOrElse(h.substring(0, 16))
+          val feat = raster.map(rowFeatures).getOrElse(
+            (0 until 8).map { i =>
+              java.lang.Long.parseLong(h.substring(i * 4, i * 4 + 4), 16).toFloat / 65535f
+            }.toArray)
           AssetFeatures(id, b.length.toLong, hm.format, hm.width, hm.height,
-            hm.sample_rate, h.substring(0, 16), feat)
+            hm.sample_rate, phash, feat)
         }
       }
   }

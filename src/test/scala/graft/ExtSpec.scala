@@ -658,4 +658,294 @@ class MultimodalSpec extends SparkSpec {
     // frame 0 always starts at offset 0
     assert(frames.where(col("frame_idx") === 0 && col("byte_offset") =!= 0).isEmpty)
   }
+
+  // ---------- real pixel decode ----------
+
+  test("PNG encode->decode round-trips exact pixels (filters None/Sub/Up)") {
+    // 16x11 exercises every encoder filter row (y%3 cycles 0/1/2) and
+    // non-square strides; pixels span the full 0-255 range
+    val w = 16; val h = 11
+    val px = Array.tabulate(w * h)(i => (i * 37 + 11) % 256)
+    val r = Multimodal.decodeRaster(Multimodal.encodeGrayPng(w, h, px))
+    assert(r.isDefined)
+    assert(r.get.width == w && r.get.height == h)
+    assert(r.get.gray.sameElements(px))
+  }
+
+  /** Hand-filtered PNG builder for layouts encodeGrayPng doesn't emit:
+    * arbitrary color type + per-row filter bytes, so the decoder's
+    * Average/Paeth unfilter and multi-channel luma paths are tested
+    * against independently computed bytes, not the encoder's inverse. */
+  private def rawPng(w: Int, h: Int, colorType: Int, channels: Int,
+                     pixels: Array[Int], filters: Array[Int],
+                     plte: Array[Byte] = null): Array[Byte] = {
+    val stride = w * channels
+    val raw = new Array[Byte]((stride + 1) * h)
+    for (y <- 0 until h) {
+      raw(y * (stride + 1)) = filters(y).toByte
+      for (x <- 0 until stride) {
+        val cur = pixels(y * stride + x)
+        val left = if (x >= channels) pixels(y * stride + x - channels) else 0
+        val up = if (y > 0) pixels((y - 1) * stride + x) else 0
+        val ul = if (y > 0 && x >= channels) pixels((y - 1) * stride + x - channels) else 0
+        val v = filters(y) match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            cur - (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+        }
+        raw(y * (stride + 1) + 1 + x) = (v & 0xff).toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zOut = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) zOut.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      out.write(be(data.length), 0, 4)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb, 0, 4); out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(be(crc.getValue.toInt), 0, 4)
+    }
+    chunk("IHDR", Array[Byte](
+      (w >>> 24).toByte, (w >>> 16).toByte, (w >>> 8).toByte, w.toByte,
+      (h >>> 24).toByte, (h >>> 16).toByte, (h >>> 8).toByte, h.toByte,
+      8, colorType.toByte, 0, 0, 0))
+    if (plte != null) chunk("PLTE", plte)
+    chunk("IDAT", zOut.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  test("PNG decode: Average/Paeth filters and RGB/RGBA/palette luma") {
+    def luma(r: Int, g: Int, b: Int) = (r * 299 + g * 587 + b * 114) / 1000
+    // RGB (type 2), filters Average then Paeth
+    val rgb = Array.tabulate(4 * 2 * 3)(i => (i * 53 + 7) % 256)
+    val r2 = Multimodal.decodeRaster(rawPng(4, 2, 2, 3, rgb, Array(3, 4))).get
+    for (p <- 0 until 8)
+      assert(r2.gray(p) == luma(rgb(p * 3), rgb(p * 3 + 1), rgb(p * 3 + 2)))
+    // RGBA (type 6), Paeth everywhere — alpha ignored
+    val rgba = Array.tabulate(3 * 3 * 4)(i => (i * 29 + 3) % 256)
+    val r6 = Multimodal.decodeRaster(rawPng(3, 3, 6, 4, rgba, Array(4, 4, 4))).get
+    for (p <- 0 until 9)
+      assert(r6.gray(p) == luma(rgba(p * 4), rgba(p * 4 + 1), rgba(p * 4 + 2)))
+    // palette (type 3): indices resolve through PLTE
+    val plte = Array.tabulate(12)(i => ((i * 71 + 5) % 256).toByte)
+    val idx = Array(0, 1, 2, 3, 3, 0)
+    val r3 = Multimodal.decodeRaster(rawPng(3, 2, 3, 1, idx, Array(0, 1), plte)).get
+    for (p <- 0 until 6)
+      assert(r3.gray(p) == luma(plte(idx(p) * 3) & 0xff,
+        plte(idx(p) * 3 + 1) & 0xff, plte(idx(p) * 3 + 2) & 0xff))
+    // gray+alpha (type 4): gray channel passes through
+    val ga = Array.tabulate(2 * 2 * 2)(i => (i * 97 + 1) % 256)
+    val r4 = Multimodal.decodeRaster(rawPng(2, 2, 4, 2, ga, Array(0, 2))).get
+    for (p <- 0 until 4) assert(r4.gray(p) == ga(p * 2))
+  }
+
+  test("BMP decode: 24-bit BGR rows, bottom-up and top-down, padded strides") {
+    def bmp(w: Int, h: Int, topDown: Boolean, px: Array[Int]): Array[Byte] = {
+      val rowBytes = (w * 3 + 3) & ~3
+      val bb = java.nio.ByteBuffer.allocate(54 + rowBytes * h)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * h)
+        .putInt(0).putInt(54) // reserved, data offset
+      bb.putInt(40).putInt(w).putInt(if (topDown) -h else h)
+        .putShort(1.toShort).putShort(24.toShort).putInt(0) // planes, bpp, BI_RGB
+        .putInt(rowBytes * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      for (y <- 0 until h) {
+        val srcRow = if (topDown) y else h - 1 - y
+        bb.position(54 + y * rowBytes)
+        for (x <- 0 until w) {
+          val p = px(srcRow * w + x)
+          // BGR on disk; r=g=b=p so luma is exactly p
+          bb.put(p.toByte).put(p.toByte).put(p.toByte)
+        }
+      }
+      bb.array()
+    }
+    // w=3 -> 9 data bytes/row, padded to 12: stride math is exercised
+    val px = Array.tabulate(3 * 2)(i => (i * 41 + 9) % 256)
+    for (topDown <- Seq(false, true)) {
+      val r = Multimodal.decodeRaster(bmp(3, 2, topDown, px)).get
+      assert(r.width == 3 && r.height == 2)
+      assert(r.gray.sameElements(px), s"topDown=$topDown")
+    }
+  }
+
+  /** Independent GIF fixture: a real LZW encoder (dictionary growth,
+    * variable code width, KwKwK sequences) + container assembly, written
+    * from the GIF89a spec — not the decoder's inverse. The encoder's
+    * width bump fires at dictSize == (1<<codeSize)+1 because the decoder
+    * lags the encoder by exactly one dictionary entry (the first code
+    * after clear adds nothing on the decode side). */
+  private def gifFile(w: Int, h: Int, palette: Array[Byte], idx: Array[Int]): Array[Byte] = {
+    val minCode = 2
+    val clear = 1 << minCode; val end = clear + 1
+    val dict = scala.collection.mutable.HashMap[Vector[Int], Int]()
+    var dictSize = clear + 2
+    var codeSize = minCode + 1
+    val codes = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    def write(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt; bitCnt += codeSize
+      while (bitCnt >= 8) { codes.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8 }
+    }
+    def codeOf(s: Vector[Int]): Int = if (s.length == 1) s.head else dict(s)
+    write(clear)
+    var wSeq = Vector[Int]()
+    for (k <- idx) {
+      val wk = wSeq :+ k
+      if (wk.length == 1 || dict.contains(wk)) wSeq = wk
+      else {
+        write(codeOf(wSeq))
+        if (dictSize < 4096) {
+          dict(wk) = dictSize; dictSize += 1
+          if (dictSize == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+        }
+        wSeq = Vector(k)
+      }
+    }
+    write(codeOf(wSeq)); write(end)
+    if (bitCnt > 0) codes.write((bitBuf & 0xff).toInt)
+    val lzw = codes.toByteArray
+    val out = java.nio.ByteBuffer.allocate(13 + palette.length + 8 + 10 + 1 +
+      lzw.length + (lzw.length / 255 + 1) + 2 + 1).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("GIF89a".getBytes("US-ASCII"))
+    out.putShort(w.toShort).putShort(h.toShort)
+    out.put((0x80 | 1).toByte) // GCT present, 2<<1 = 4 entries
+    out.put(0.toByte).put(0.toByte)
+    out.put(palette)
+    // a graphic-control extension the block walk must skip
+    out.put(0x21.toByte).put(0xf9.toByte).put(4.toByte)
+      .put(new Array[Byte](4)).put(0.toByte)
+    out.put(0x2c.toByte).putShort(0.toShort).putShort(0.toShort)
+      .putShort(w.toShort).putShort(h.toShort).put(0.toByte)
+    out.put(minCode.toByte)
+    var off = 0
+    while (off < lzw.length) { // length-prefixed sub-blocks, max 255
+      val n = math.min(255, lzw.length - off)
+      out.put(n.toByte); out.put(lzw, off, n); off += n
+    }
+    out.put(0.toByte).put(0x3b.toByte) // terminator + trailer
+    java.util.Arrays.copyOf(out.array(), out.position())
+  }
+
+  test("GIF decode: LZW stream with dictionary growth resolves through the palette") {
+    def luma(r: Int, g: Int, b: Int) = (r * 299 + g * 587 + b * 114) / 1000
+    val palette = Array[Byte](
+      10, 20, 30, 100, (200 & 0xff).toByte, 50, (255 & 0xff).toByte, 0, 0, 60, 60, 60)
+    // 24x24: repetitive enough to grow the dictionary well past the first
+    // width bump (5-bit codes), with runs that trigger the KwKwK case
+    val w = 24; val h = 24
+    val idx = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      if (y % 5 == 0) 0 else ((x / 3) + y) % 4 // long runs + phase shifts
+    }
+    val r = Multimodal.decodeRaster(gifFile(w, h, palette, idx))
+    assert(r.isDefined, "GIF must decode")
+    assert(r.get.width == w && r.get.height == h)
+    for (p <- 0 until w * h) {
+      val ci = idx(p) * 3
+      assert(r.get.gray(p) == luma(palette(ci) & 0xff, palette(ci + 1) & 0xff,
+        palette(ci + 2) & 0xff), s"pixel $p")
+    }
+    // all-same-index image: maximal KwKwK / run-length stress
+    val runs = Multimodal.decodeRaster(gifFile(8, 8, palette, Array.fill(64)(2)))
+    assert(runs.isDefined)
+    assert(runs.get.gray.forall(_ == luma(255, 0, 0)))
+    // truncated LZW data must refuse, not throw or return short
+    val full = gifFile(w, h, palette, idx)
+    assert(Multimodal.decodeRaster(full.take(full.length - 10)).isEmpty)
+    // fuzz: mutations never throw (seeded)
+    val rnd = new scala.util.Random(0x61f)
+    for (_ <- 0 until 2000) {
+      val b = full.clone()
+      for (_ <- 0 to rnd.nextInt(8))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Multimodal.decodeRaster(b) // must not throw
+    }
+  }
+
+  test("averageHash matches an independently computed closed form on 8x8") {
+    val px = Array.tabulate(64)(i => (i * 31 + 7) % 251)
+    val got = Multimodal.averageHash(Multimodal.Raster(8, 8, px))
+    // independent recomputation: bit c set iff pixel c > mean, nibbles hex
+    val mean = px.sum.toDouble / 64.0
+    val expect = (0 until 16).map { k =>
+      val v = (0 until 4).map(j => if (px(k * 4 + j) > mean) 8 >> j else 0).sum
+      Character.forDigit(v, 16)
+    }.mkString
+    assert(got == expect)
+    // box-mean downsampling: a 16x16 raster where each 2x2 block is
+    // constant hashes identically to the 8x8 of block values
+    val big = Array.tabulate(256)(i => px((i / 32) * 8 + (i % 16) / 2))
+    assert(Multimodal.averageHash(Multimodal.Raster(16, 16, big)) == expect)
+    // constant raster: no cell exceeds the mean -> all-zero hash
+    assert(Multimodal.averageHash(Multimodal.Raster(8, 8, Array.fill(64)(42)))
+      == "0000000000000000")
+  }
+
+  test("decodeRaster refuses hostile inputs without throwing") {
+    // dimensions that would allocate gigabytes parse as None, not OOM
+    val huge = rawPng(4, 2, 0, 1, Array.fill(8)(0), Array(0, 0))
+    // splice a hostile width into IHDR (offset 16, big-endian)
+    huge(16) = 0x7f.toByte; huge(17) = 0xff.toByte
+    assert(Multimodal.decodeRaster(huge).isEmpty)
+    // truncated IDAT: valid header, cut stream
+    val ok = Multimodal.encodeGrayPng(8, 8, Array.fill(64)(7))
+    assert(Multimodal.decodeRaster(ok.take(ok.length - 16)).isEmpty)
+    // interlaced and 16-bit-depth PNGs are out of envelope -> None
+    val deep = Multimodal.encodeGrayPng(8, 8, Array.fill(64)(7))
+    deep(24) = 16.toByte // bit depth field
+    assert(Multimodal.decodeRaster(deep).isEmpty)
+    // fuzz: random mutations of a valid PNG never throw (seeded)
+    val rnd = new scala.util.Random(0xdec0de)
+    val base = Multimodal.encodeGrayPng(8, 8, Array.tabulate(64)(_ % 256))
+    for (_ <- 0 until 2000) {
+      val b = base.clone()
+      for (_ <- 0 to rnd.nextInt(8))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Multimodal.decodeRaster(b) // must not throw
+    }
+    assert(Multimodal.decodeRaster(null).isEmpty)
+    assert(Multimodal.decodeRaster("BM tiny".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("decode emits real perceptual features for decodable payloads") {
+    import spark.implicits._
+    // two assets with the same pixels but different PNG byte streams
+    // (different filter choices) must land on the SAME phash/feat —
+    // features are functions of pixels, not bytes. A third, different
+    // image must differ.
+    val px = Array.tabulate(64)(i => (i * 31 + 7) % 251)
+    val viaEncoder = Multimodal.encodeGrayPng(8, 8, px)          // filters 0/1/2
+    val viaRaw = rawPng(8, 8, 0, 1, px, Array.fill(8)(4))        // all-Paeth
+    val other = Multimodal.encodeGrayPng(8, 8, px.reverse)
+    assert(!viaEncoder.sameElements(viaRaw))
+    val src = Seq(("a", viaEncoder), ("b", viaRaw), ("c", other))
+      .toDF("name", "bytes")
+    val rows = Multimodal.decode(Multimodal.toAssets(src, "bytes", "image"))
+      .toDF().select("format", "width", "height", "phash", "feat")
+      .collect().map(r => (r.getString(0), r.get(1), r.get(2), r.getString(3),
+        r.getAs[scala.collection.Seq[Float]](4)))
+    assert(rows.length == 3)
+    assert(rows.forall(r => r._1 == "png" && r._2 == 8 && r._3 == 8))
+    val byHash = rows.groupBy(_._4)
+    assert(byHash.size == 2, "same pixels -> same hash; different pixels -> different")
+    val feats = rows.map(_._5.toVector).distinct
+    assert(feats.length == 2)
+    // feat values are normalized grid-row means, inside [0, 1]
+    assert(rows.forall(_._5.forall(f => f >= 0f && f <= 1f)))
+  }
 }
