@@ -376,6 +376,27 @@ object SparkEntryExt {
       Multimodal.decode(src).toDF()
         .select("asset_id", "format", "width", "height", "phash")
     },
+    "x_multimodal_audio" -> { (s, dir) =>
+      // REAL PCM path end-to-end: each doc becomes a 64-sample mono
+      // 16-bit WAV (s(i) = (doc_id·7919 + i·104729) mod 65536 − 32768,
+      // a JUNK chunk ahead of fmt); decodeAudio runs the real RIFF walk
+      // + sample decode and derives RMS / zero-crossings / peak from the
+      // DECODED samples. The oracle recomputes every statistic from the
+      // sample FORMULA alone — a byte-layout or decode bug cannot match.
+      // RMS stays cross-engine exact: integer square sums, /64 (a power
+      // of two), one correctly-rounded sqrt.
+      import s.implicits._
+      val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+        .select("doc_id").as[Long]
+      val src = docs.map { id =>
+        val pcm = Array.tabulate(64)(i =>
+          (((id * 7919 + i * 104729L) % 65536) - 32768).toInt)
+        (id.toString, Multimodal.encodeWavPcm(44100, 1, pcm))
+      }.toDF("asset_id", "payload")
+      Multimodal.decodeAudio(src).toDF()
+        .select("asset_id", "sample_rate", "n_samples", "duration_ms",
+          "rms", "zero_crossings", "peak")
+    },
     "x_multimodal_envelope" -> { (s, dir) =>
       // the content-hash envelope identity (asset_id = md5(payload),
       // phash prefix) over text payloads — UTF-8 bytes, so DuckDB's
@@ -883,6 +904,21 @@ object SparkEntryExt {
         "SELECT CAST(doc_id AS VARCHAR) AS asset_id, 'png' AS format, " +
         "8 AS width, 8 AS height, " +
         "string_agg(printf('%x', CAST(v AS INT)), '' ORDER BY k) AS phash FROM nib GROUP BY doc_id"),
+
+    // independent recomputation of the audio statistics from the sample
+    // FORMULA (never the bytes): the engine must encode->RIFF-walk->
+    // PCM-decode through real WAV machinery to land on the same values.
+    "x_multimodal_audio" ->
+      ("WITH s AS (SELECT doc_id, i.range AS i, " +
+        "CAST((doc_id * 7919 + i.range * 104729) % 65536 - 32768 AS BIGINT) AS v " +
+        "FROM documents, range(64) i WHERE text IS NOT NULL), " +
+        "l AS (SELECT doc_id, v, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s) " +
+        "SELECT CAST(doc_id AS VARCHAR) AS asset_id, 44100 AS sample_rate, " +
+        "CAST(64 AS BIGINT) AS n_samples, CAST(64 * 1000 // 44100 AS BIGINT) AS duration_ms, " +
+        "sqrt(CAST(sum(v * v) AS DOUBLE) / 64.0) AS rms, " +
+        "CAST(sum(CASE WHEN pv IS NOT NULL AND v * pv < 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS zero_crossings, CAST(max(abs(v)) AS INT) AS peak " +
+        "FROM l GROUP BY doc_id"),
 
     "x_multimodal_envelope" ->
       ("SELECT md5(text) AS asset_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +

@@ -522,6 +522,119 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ---------- real audio decode (PCM WAV) ----------
+
+  /** Decoded audio: mono samples (multi-channel mixes by floor-average),
+    * 16-bit range regardless of source depth. */
+  case class PcmAudio(sampleRate: Int, channels: Int, samples: Array[Int])
+
+  /** Decode a PCM WAV payload to mono samples — pure JVM, the RIFF chunk
+    * walk from [[parseHeader]] plus the sample read: 8-bit (unsigned,
+    * re-centered) or 16-bit LE, 1–8 channels floor-averaged to mono.
+    * Compressed codecs (audioFormat ≠ 1), truncated data chunks, or
+    * sample counts past the [[MaxPixels]]-scale guard → None, never a
+    * throw. */
+  def decodePcm(b: Array[Byte]): Option[PcmAudio] = try {
+    if (b == null || b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
+      return None
+    var i = 12L
+    var fmtOk = false; var audioFmt = 0; var channels = 0; var rate = 0; var bits = 0
+    var dataOff = -1L; var dataLen = 0L
+    while (i + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
+      val o = i.toInt
+      val sz = leInt(b, o + 4)
+      if (sz < 0) return None
+      val isFmt = b(o) == 'f' && b(o + 1) == 'm' && b(o + 2) == 't' && b(o + 3) == ' '
+      val isData = b(o) == 'd' && b(o + 1) == 'a' && b(o + 2) == 't' && b(o + 3) == 'a'
+      if (isFmt) {
+        if (i + 8 + 16 > b.length || sz < 16) return None
+        audioFmt = leShort(b, o + 8); channels = leShort(b, o + 10)
+        rate = leInt(b, o + 12); bits = leShort(b, o + 22)
+        fmtOk = true
+      } else if (isData) {
+        if (i + 8 + sz > b.length) return None // truncated data chunk
+        dataOff = i + 8; dataLen = sz.toLong
+      }
+      i += 8L + sz + (sz & 1) // RIFF chunks are word-aligned
+    }
+    if (!fmtOk || dataOff < 0) return None
+    if (audioFmt != 1 || rate <= 0 || channels < 1 || channels > 8 ||
+        (bits != 8 && bits != 16)) return None
+    val frameBytes = (bits / 8) * channels
+    val n = (dataLen / frameBytes).toInt
+    if (n <= 0 || n > MaxPixels) return None
+    val samples = new Array[Int](n)
+    var k = 0
+    while (k < n) {
+      var sum = 0
+      var c = 0
+      while (c < channels) {
+        val o = (dataOff + k.toLong * frameBytes + c * (bits / 8)).toInt
+        val v =
+          if (bits == 16) (((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)).toShort.toInt
+          else ((b(o) & 0xff) - 128) << 8 // 8-bit WAV is unsigned; scale to 16-bit range
+        sum += v; c += 1
+      }
+      samples(k) = Math.floorDiv(sum, channels)
+      k += 1
+    }
+    Some(PcmAudio(rate, channels, samples))
+  } catch { case _: Throwable => None }
+
+  /** 16-bit LE PCM WAV encoder — the FIXTURE side of the audio-decode
+    * contract (interleaved samples; a JUNK chunk sits before fmt so the
+    * decoder's chunk walk is exercised, as real encoders pad there). */
+  def encodeWavPcm(sampleRate: Int, channels: Int, interleaved: Array[Int]): Array[Byte] = {
+    require(interleaved.length % channels == 0, "interleaved length % channels != 0")
+    val dataLen = interleaved.length * 2
+    val bb = java.nio.ByteBuffer.allocate(12 + 12 + 24 + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .putInt(4 + 12 + 24 + 8 + dataLen)
+      .put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.put("JUNK".getBytes(java.nio.charset.StandardCharsets.US_ASCII)).putInt(4).putInt(0)
+    bb.put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII)).putInt(16)
+    bb.putShort(1.toShort).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort).putShort(16.toShort)
+    bb.put("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII)).putInt(dataLen)
+    interleaved.foreach(s => bb.putShort(s.toShort))
+    bb.array()
+  }
+
+  /** Audio-feature row: REAL signal statistics over decoded samples. */
+  case class AudioFeatures(asset_id: String, sample_rate: Int, n_samples: Long,
+                           duration_ms: Long, rms: Double, zero_crossings: Long,
+                           peak: Int)
+
+  /** Per-partition audio feature extraction: PCM-decodable payloads emit
+    * duration, RMS (sqrt of mean square — exact-double path: integer
+    * square sums, one division, one correctly-rounded sqrt, so the value
+    * is cross-engine deterministic), sign-flip zero-crossing count, and
+    * peak amplitude. Non-PCM payloads drop out (flatMap) — audio
+    * features of a non-audio byte stream are noise, not data. */
+  def decodeAudio(assets: DataFrame): Dataset[AudioFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.select("asset_id", "payload").as[(String, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        decodePcm(if (bytes == null) Array.emptyByteArray else bytes).map { a =>
+          val n = a.samples.length
+          var sumSq = 0L; var zc = 0L; var peak = 0
+          var i = 0
+          while (i < n) {
+            val s = a.samples(i)
+            sumSq += s.toLong * s
+            if (i > 0 && s.toLong * a.samples(i - 1) < 0) zc += 1
+            val as = math.abs(s); if (as > peak) peak = as
+            i += 1
+          }
+          AudioFeatures(id, a.sampleRate, n.toLong,
+            Math.floorDiv(n.toLong * 1000, a.sampleRate),
+            math.sqrt(sumSq.toDouble / n), zc, peak)
+        }
+      }
+  }
+
   /** Extracted-feature row produced by the decode stage: REAL header
     * metadata (format/width/height/sample_rate from [[parseHeader]]) and,
     * for decodable rasters, REAL perceptual features ([[averageHash]] +

@@ -922,6 +922,65 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeRaster("BM tiny".getBytes("UTF-8")).isEmpty)
   }
 
+  test("PCM WAV decode: 16-bit mono/stereo mix, 8-bit recenter, refusals") {
+    // mono round-trip through the fixture encoder (JUNK chunk forces the walk)
+    val mono = Array.tabulate(50)(i => (i * 1337 % 65536) - 32768)
+    val a = Multimodal.decodePcm(Multimodal.encodeWavPcm(8000, 1, mono)).get
+    assert(a.sampleRate == 8000 && a.channels == 1)
+    assert(a.samples.sameElements(mono))
+    // stereo floor-averages to mono — including the negative-sum case
+    // where truncating division would round the wrong way
+    val stereo = Array(100, 201, -100, -201, 30000, 2000, -32768, -32768)
+    val m = Multimodal.decodePcm(Multimodal.encodeWavPcm(44100, 2, stereo)).get
+    assert(m.samples.sameElements(Array(150, -151, 16000, -32768)))
+    // 8-bit unsigned: hand-build (encoder is 16-bit only); 128 -> 0
+    val bb = java.nio.ByteBuffer.allocate(12 + 24 + 8 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(28 + 8 + 4)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(1.toShort).putInt(11025)
+      .putInt(11025).putShort(1.toShort).putShort(8.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(4)
+    bb.put(0.toByte).put(128.toByte).put(255.toByte).put(64.toByte)
+    val e = Multimodal.decodePcm(bb.array()).get
+    assert(e.samples.sameElements(Array(-128 << 8, 0, 127 << 8, -64 << 8)))
+    // refusals: compressed format tag, truncated data chunk, not-RIFF
+    val ok = Multimodal.encodeWavPcm(8000, 1, mono)
+    assert(Multimodal.decodePcm(ok.take(ok.length - 7)).isEmpty)
+    val comp = ok.clone(); comp(12 + 12 + 8) = 3 // audioFormat -> IEEE float
+    assert(Multimodal.decodePcm(comp).isEmpty)
+    assert(Multimodal.decodePcm("RIFFxxxxnope".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodePcm(null).isEmpty)
+    // fuzz: mutations never throw (seeded)
+    val rnd = new scala.util.Random(0xacdc)
+    for (_ <- 0 until 2000) {
+      val b = ok.clone()
+      for (_ <- 0 to rnd.nextInt(8))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Multimodal.decodePcm(b) // must not throw
+    }
+  }
+
+  test("decodeAudio derives signal statistics from decoded samples") {
+    import spark.implicits._
+    // a square wave with known everything: period 4, amplitude 1000
+    val sq = Array.tabulate(64)(i => if (i % 4 < 2) 1000 else -1000)
+    val src = Seq(
+      ("sq", Multimodal.encodeWavPcm(16000, 1, sq)),
+      ("txt", "not audio".getBytes("UTF-8")),
+    ).toDF("name", "bytes")
+    val rows = Multimodal.decodeAudio(Multimodal.toAssets(src, "bytes", "audio"))
+      .collect()
+    assert(rows.length == 1, "non-PCM payloads drop out")
+    val r = rows.head
+    assert(r.sample_rate == 16000 && r.n_samples == 64)
+    assert(r.duration_ms == 4) // 64 * 1000 / 16000
+    assert(r.rms == 1000.0) // constant magnitude
+    assert(r.zero_crossings == 31) // sign flips every 2 samples over 64
+    assert(r.peak == 1000)
+  }
+
   test("decode emits real perceptual features for decodable payloads") {
     import spark.implicits._
     // two assets with the same pixels but different PNG byte streams
