@@ -31,13 +31,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 8g default — the restored known-good setting. The round-8 A/B behind
-  // it (full 91-query cold bench ~123 s @8g vs 366-1289 s @24g with
-  // episodic low-CPU stalls) ran on the SHARED box whose bench wall-clock
-  // swings 2-8x with external load, so the 24g numbers may be partly
-  // load-confounded rather than purely heap-induced; treat them as a
-  // reason to keep the known-good default, not as a durable heap
-  // characterization. Re-A/B on a quiet box (check BENCH_LAST.json's
-  // loadavg fields) before overriding with SPARK_DRIVER_MEM.
+  // 8g default. A quiet-box A/B (round 9, loadavg < 2 at start of both
+  // legs, full 96-query cold bench, reps=1, sf0.1) measured 62.6 s @8g vs
+  // 61.6 s @24g — identical within single-rep noise, which settles the
+  // round-8 adjudication: the earlier "24g collapse" (366-1289 s) was
+  // external box load, not heap size. Heap size is a non-factor for this
+  // workload on this box; 8g stays as the known-good default and leaves
+  // headroom for the driver's concurrent tooling. Override with
+  // SPARK_DRIVER_MEM if a bigger corpus needs it.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -376,6 +376,28 @@ object SparkEntryExt {
       Multimodal.decode(src).toDF()
         .select("asset_id", "format", "width", "height", "phash")
     },
+    "x_dedup_image_phash" -> { (s, dir) =>
+      // pixel-level image dedup end-to-end: docs in the same group
+      // (doc_id % 41) share base pixels; odd docs perturb ONE pixel
+      // (+120 on (0,0)) — a near-dup, not a copy; and every doc encodes
+      // with a doc-dependent filter phase, so identical pixels still ship
+      // as DIFFERENT PNG byte streams. Byte-level (md5) dedup finds
+      // nothing; the decode → averageHash → banded-pair path must find
+      // the groups. The oracle recomputes every hash from the pixel
+      // formula and replays band join + Hamming in SQL.
+      import s.implicits._
+      val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+        .select("doc_id").as[Long]
+      val src = docs.map { id =>
+        val g = id % 41
+        val gray = Array.tabulate(64) { i =>
+          val base = ((g * 31 + (i % 8) * 7 + (i / 8) * 13) % 251).toInt
+          if (id % 2 == 1 && i == 0) (base + 120) % 251 else base
+        }
+        (id.toString, Multimodal.encodeGrayPng(8, 8, gray, phase = (id % 3).toInt))
+      }.toDF("asset_id", "payload")
+      Multimodal.phashNearDupPairs(Multimodal.decode(src).toDF(), maxHamming = 8)
+    },
     "x_multimodal_audio" -> { (s, dir) =>
       // REAL PCM path end-to-end: each doc becomes a 64-sample mono
       // 16-bit WAV (s(i) = (doc_id·7919 + i·104729) mod 65536 − 32768,
@@ -634,6 +656,23 @@ object SparkEntryExt {
       case _ => Map.empty[String, String]
     })
 
+  // closed-form average-hash assembly over an 8x8-per-doc pixel formula —
+  // shared by x_multimodal_phash and x_dedup_image_phash so the nibble
+  // packing and threshold semantics cannot drift between the two oracles.
+  // avg(g) and the engine's mean are both exact doubles (integer sums,
+  // /64), so the strict > threshold cannot diverge cross-engine.
+  private def phashCtesSql(pixelExpr: String): String =
+    s"px AS (SELECT doc_id, x.range AS x, y.range AS y, $pixelExpr AS g " +
+      "FROM documents, range(8) x, range(8) y WHERE text IS NOT NULL), " +
+      "m AS (SELECT doc_id, avg(g) AS mn FROM px GROUP BY 1), " +
+      "nib AS (SELECT p.doc_id, p.y * 2 + p.x // 4 AS k, " +
+      "sum(CASE WHEN p.g > m.mn THEN (CASE p.x % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 " +
+      "WHEN 2 THEN 2 ELSE 1 END) ELSE 0 END) AS v " +
+      "FROM px p JOIN m USING (doc_id) GROUP BY 1, 2), " +
+      "hashes AS (SELECT doc_id, " +
+      "string_agg(printf('%x', CAST(v AS INT)), '' ORDER BY k) AS phash " +
+      "FROM nib GROUP BY doc_id)"
+
   def oracleSql: Map[String, String] = annOracles ++ Map(
     "p2_match_all" -> "SELECT * FROM region",
 
@@ -890,20 +929,35 @@ object SparkEntryExt {
     // independent recomputation of the average-hash from the pixel
     // FORMULA (never the bytes): the engine must encode->deflate->
     // inflate->unfilter->hash through real PNG machinery to land on the
-    // same 64 bits. avg(g) and the engine's mean are both exact doubles
-    // (integer sums, /64), so the strict > threshold cannot diverge.
+    // same 64 bits.
     "x_multimodal_phash" ->
-      ("WITH px AS (SELECT doc_id, x.range AS x, y.range AS y, " +
-        "(doc_id * 31 + x.range * 7 + y.range * 13) % 251 AS g " +
-        "FROM documents, range(8) x, range(8) y WHERE text IS NOT NULL), " +
-        "m AS (SELECT doc_id, avg(g) AS mn FROM px GROUP BY 1), " +
-        "nib AS (SELECT p.doc_id, p.y * 2 + p.x // 4 AS k, " +
-        "sum(CASE WHEN p.g > m.mn THEN (CASE p.x % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 " +
-        "WHEN 2 THEN 2 ELSE 1 END) ELSE 0 END) AS v " +
-        "FROM px p JOIN m USING (doc_id) GROUP BY 1, 2) " +
-        "SELECT CAST(doc_id AS VARCHAR) AS asset_id, 'png' AS format, " +
-        "8 AS width, 8 AS height, " +
-        "string_agg(printf('%x', CAST(v AS INT)), '' ORDER BY k) AS phash FROM nib GROUP BY doc_id"),
+      ("WITH " + phashCtesSql("(doc_id * 31 + x.range * 7 + y.range * 13) % 251") +
+        " SELECT CAST(doc_id AS VARCHAR) AS asset_id, 'png' AS format, " +
+        "8 AS width, 8 AS height, phash FROM hashes"),
+
+    // replay of the banded perceptual-pair contract: recompute each hash
+    // from the pixel formula, collapse identical hashes, then pair via
+    // shared-band OR + Hamming <= 8 — the exact LSH-recall semantic the
+    // engine's band join computes (never all-pairs there; plain join here
+    // is fine at oracle scale).
+    "x_dedup_image_phash" ->
+      ("WITH " + phashCtesSql(
+        "CASE WHEN doc_id % 2 = 1 AND x.range = 0 AND y.range = 0 " +
+          "THEN ((doc_id % 41) * 31 + 120) % 251 " +
+          "ELSE ((doc_id % 41) * 31 + x.range * 7 + y.range * 13) % 251 END") +
+        ", nodes AS (SELECT phash, min(CAST(doc_id AS VARCHAR)) AS rep, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "('0x' || substr(phash, 1, 8))::BIGINT AS h1, " +
+        "('0x' || substr(phash, 9, 8))::BIGINT AS h2 FROM hashes GROUP BY phash) " +
+        "SELECT a.rep AS rep_a, b.rep AS rep_b, a.phash AS phash_a, " +
+        "b.phash AS phash_b, " +
+        "CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) AS INT) AS hamming, " +
+        "a.n AS n_a, b.n AS n_b FROM nodes a JOIN nodes b ON a.phash < b.phash " +
+        "AND (substr(a.phash, 1, 4) = substr(b.phash, 1, 4) " +
+        "OR substr(a.phash, 5, 4) = substr(b.phash, 5, 4) " +
+        "OR substr(a.phash, 9, 4) = substr(b.phash, 9, 4) " +
+        "OR substr(a.phash, 13, 4) = substr(b.phash, 13, 4)) " +
+        "WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 8"),
 
     // independent recomputation of the audio statistics from the sample
     // FORMULA (never the bytes): the engine must encode->RIFF-walk->

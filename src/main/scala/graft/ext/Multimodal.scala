@@ -475,13 +475,15 @@ object Multimodal {
     * build payloads with it; [[decodeRaster]] must invert them). Emits
     * 8-bit color-type-0 PNG with scanline filters cycling None/Sub/Up so
     * the decoder's unfilter path is actually exercised, zlib-deflated
-    * IDAT, correct CRCs. */
-  def encodeGrayPng(w: Int, h: Int, gray: Array[Int]): Array[Byte] = {
+    * IDAT, correct CRCs. `phase` rotates the filter cycle: the same
+    * pixels encode to a DIFFERENT byte stream per phase — the fixture
+    * for pixel-level (not byte-level) dedup semantics. */
+  def encodeGrayPng(w: Int, h: Int, gray: Array[Int], phase: Int = 0): Array[Byte] = {
     require(gray.length == w * h, s"${gray.length} pixels for ${w}x$h")
     val raw = new Array[Byte]((w + 1) * h)
     var y = 0
     while (y < h) {
-      val f = y % 3
+      val f = (y + phase) % 3
       raw(y * (w + 1)) = f.toByte
       var x = 0
       while (x < w) {
@@ -673,6 +675,44 @@ object Multimodal {
             hm.sample_rate, phash, feat)
         }
       }
+  }
+
+  /** Perceptual near-dup pairs over decoded image features — the
+    * multimodal face of the dedup stack: byte-level dedup (content-hash
+    * asset_id) misses re-encoded copies of the same pixels; this catches
+    * them at the HASH level.
+    *
+    * Scale shape (mirrors the SimHash/MinHash ops in [[Dedup]]):
+    *  1. collapse identical hashes first (groupBy phash → representative
+    *     + count) — exact-dup groups ride as ONE node, so a mega-group of
+    *     identical images costs one row, never an n² pair blowup;
+    *  2. banded LSH on the 64-bit hash (4 bands × 4 hex nibbles):
+    *     candidates share ≥1 exact band — by pigeonhole any pair within
+    *     3 differing nibbles must. One shuffle, on the band key;
+    *  3. exact Hamming ≤ maxHamming on candidates only — never all-pairs.
+    * The contract is the LSH-recall one (shared-band AND Hamming ≤ t),
+    * replayable in plain SQL — the x_dedup_image_phash oracle does. */
+  def phashNearDupPairs(features: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val nodes = features.groupBy("phash").agg(
+      min(col("asset_id")).as("rep"), count(lit(1)).as("n"))
+    // two 32-bit halves: 8 hex chars always fit a BIGINT, so the parse
+    // stays ANSI-safe even with bit 63 set (a full 16-char conv would
+    // overflow signed 64-bit for hashes starting >= '8')
+    val h = nodes
+      .withColumn("h1", expr("cast(conv(substring(phash, 1, 8), 16, 10) as bigint)"))
+      .withColumn("h2", expr("cast(conv(substring(phash, 9, 8), 16, 10) as bigint)"))
+    val banded = h
+      .withColumn("band_idx", explode(array((0 until 4).map(lit(_)): _*)))
+      .withColumn("band", concat_ws(":", col("band_idx"),
+        expr("substring(phash, band_idx * 4 + 1, 4)")))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.phash") < col("b.phash"))
+      .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"),
+        col("a.phash").as("phash_a"), col("b.phash").as("phash_b"),
+        expr("cast(bit_count(a.h1 ^ b.h1) + bit_count(a.h2 ^ b.h2) as int)").as("hamming"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .where(col("hamming") <= maxHamming)
+      .distinct() // a pair may share several bands; one row per pair
   }
 
   /** Deterministic frame/window sampling plumbing: expand each asset into

@@ -981,6 +981,45 @@ class MultimodalSpec extends SparkSpec {
     assert(r.peak == 1000)
   }
 
+  test("phashNearDupPairs: byte-stream-invariant, collapses exact dups, banded pairs") {
+    import spark.implicits._
+    val px = Array.tabulate(64)(i => (i * 31 + 7) % 251)
+    val near = px.clone(); near(0) = (px(0) + 120) % 251 // one-pixel near-dup
+    val far = px.map(250 - _)                            // inverted image
+    val src = Seq(
+      ("a1", Multimodal.encodeGrayPng(8, 8, px, phase = 0)),
+      ("a2", Multimodal.encodeGrayPng(8, 8, px, phase = 1)), // same pixels, new bytes
+      ("b", Multimodal.encodeGrayPng(8, 8, near)),
+      ("z", Multimodal.encodeGrayPng(8, 8, far)),
+    ).toDF("asset_id", "payload")
+    val feats = Multimodal.decode(src).toDF()
+    val hashes = feats.select("asset_id", "phash").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // a1/a2: different byte streams, same pixels -> same hash
+    assert(hashes.toMap.apply("a1") == hashes.toMap.apply("a2"))
+    // reference implementation of the contract, independently in Scala:
+    // distinct-hash nodes, pairs share >=1 of 4 nibble-bands AND ham <= 8
+    def ham(x: String, y: String) = (BigInt(x, 16) ^ BigInt(y, 16)).bitCount
+    val nodes = hashes.groupBy(_._2).toSeq.map { case (ph, as) =>
+      (ph, as.map(_._1).min, as.length.toLong) }
+    val expect = (for {
+      a <- nodes; b <- nodes
+      if a._1 < b._1
+      if (0 until 4).exists(k => a._1.substring(k * 4, k * 4 + 4) ==
+        b._1.substring(k * 4, k * 4 + 4))
+      if ham(a._1, b._1) <= 8
+    } yield (a._2, b._2, a._1, b._1, ham(a._1, b._1), a._3, b._3)).toSet
+    assert(expect.nonEmpty, "fixture must produce at least one near-dup pair")
+    val got = Multimodal.phashNearDupPairs(feats, maxHamming = 8).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getInt(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == expect)
+    // the exact-dup group rides as ONE node: n=2 somewhere, never a
+    // self-pair of identical hashes
+    assert(got.forall(p => p._3 != p._4))
+    assert(nodes.exists(_._3 == 2L))
+  }
+
   test("decode emits real perceptual features for decodable payloads") {
     import spark.implicits._
     // two assets with the same pixels but different PNG byte streams
