@@ -82,6 +82,30 @@ object SparkEntryIdx {
       val m = maxSeq(log)
       Ingest.snapshotDiff(log, m / 3, m / 2)
     },
+    "x_lsm_compacted_read" -> { (s, dir) =>
+      // The LSM store driven END-TO-END through the real machinery — not
+      // the batch kernel st2 exercises: the changelog lands as JSON files,
+      // [[Ingest.run]] streams them into the bucketed manifest state
+      // (AvailableNow), and [[Ingest.compact]] ages every tombstone (the
+      // horizon is the log's max seq, so all of them). The returned frame
+      // is the RAW physical state — every surviving row in every
+      // manifest-referenced bucket version, no read-side latest-wins merge
+      // to hide write-path mistakes — which the oracle equates to the
+      // latest-wins fold of the changelog in plain SQL: a tombstone that
+      // survived compaction, a live key it dropped, a stale version left
+      // referenced, or a duplicate row across a chain all fail the
+      // compare. Deterministic because every bucket chain collapses to
+      // one base and seq is unique per key in the fixture.
+      val log = changelogOf(s, dir)
+      val base = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_lsm_oracle")
+      wipeDir(base) // fresh store per run: checkpoint + state must agree
+      log.coalesce(4).write.json(s"$base/log")
+      Ingest.run(s, s"$base/log", s"$base/state", s"$base/ckpt")
+      Ingest.compact(s, s"$base/state", dropTombstonesUpTo = maxSeq(log))
+      s.read.schema("key STRING, doc STRING, seq BIGINT, deleted BOOLEAN")
+        .parquet(s"$base/state/b*/v*")
+    },
 
     "x_phrase_search" -> { (s, dir) =>
       InvertedIndex.phraseSearch(
@@ -181,6 +205,16 @@ object SparkEntryIdx {
       when(col("event_id") % 7 === 0, "delete").otherwise("update").as("op"),
       concat(lit("u"), col("user_id"), lit("_"), col("event_id") % 50).as("key"),
       col("props").as("doc"))
+
+  /** recursive delete for the x_lsm_compacted_read scratch store (local
+    * tmp only — the query is its own writer and reader) */
+  private def wipeDir(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => java.nio.file.Files.delete(q))
+      finally walk.close()
+    }
 
   /** one number of driver-side metadata (the snapshot cut point) */
   private def maxSeq(log: DataFrame): Long = {
@@ -452,6 +486,18 @@ object SparkEntryIdx {
         "WHEN doc_after IS NULL THEN 'deleted' ELSE 'updated' END AS change, " +
         "doc_before, doc_after FROM sa FULL JOIN sb USING (key) " +
         "WHERE doc_before IS DISTINCT FROM doc_after"),
+
+    // the latest-wins fold of the whole changelog, live keys only, each
+    // with its winning seq and deleted=false — what the PHYSICAL
+    // post-compaction state must contain exactly (same tie-break order as
+    // snapSql / the engine's batchLatest; the fixture's seq is unique but
+    // the oracle must not rely on that)
+    "x_lsm_compacted_read" ->
+      (s"WITH $changelogSql SELECT key, doc, seq, false AS deleted FROM " +
+        "(SELECT key, doc, seq, op, row_number() OVER (PARTITION BY key " +
+        "ORDER BY seq DESC, (op = 'delete') DESC, doc DESC NULLS LAST) AS rn " +
+        "FROM log WHERE op IN ('insert', 'update', 'delete')) " +
+        "WHERE rn = 1 AND op <> 'delete'"),
   ) ++ pqOracle ++ semOracle ++ ivfPqOracle ++ xsemOracle
 
   /** x_decontaminate_semantic: stashed centroids as literals; both sides
