@@ -49,19 +49,49 @@ object Search {
 
   /** The shared semi-join. Key columns are addressed by name under fresh
     * aliases, so parent/child slices of the *same* nodes table (the common
-    * case) never trip Spark's ambiguous-self-join detection. */
+    * case) never trip Spark's ambiguous-self-join detection.
+    *
+    * The child side is collapsed to DISTINCT keys before the join — the
+    * aggregate-below-join rewrite, and at scale the load-bearing choice:
+    * a semi-join's probe side only ever answers "does this key exist", so
+    * shipping every child row across the exchange is pure waste, and under
+    * a hot root (one parent with millions of children — the likeliest real
+    * skew at 100×) it is a single-task straggler that AQE CANNOT repair:
+    * `OptimizeSkewedJoin.canSplitRightSide` excludes LeftSemi, because
+    * splitting the probe side of a semi-join would emit a stream row once
+    * per split it matches. The distinct's map-side partial aggregation
+    * instead collapses the hot key to ≤ one row per source partition
+    * BEFORE the exchange, so no skewed partition ever exists; the post-agg
+    * key set is also far smaller than the raw child table, putting the
+    * broadcast semi-join (zero parent shuffle) within reach where raw
+    * children would never fit. Null keys are dropped pre-agg: an equality
+    * join can never match them, and a null-heavy child column would
+    * otherwise BE the hot key. SkewSpec pins shape and output. */
   def hasChild(parents: DataFrame, filteredChildren: DataFrame,
-               parentKey: String, childParentKey: String): DataFrame =
-    parents.alias("__p").join(filteredChildren.alias("__c"),
+               parentKey: String, childParentKey: String): DataFrame = {
+    val childKeys = filteredChildren
+      .select(col(childParentKey))
+      .where(col(childParentKey).isNotNull)
+      .distinct()
+    parents.alias("__p").join(childKeys.alias("__c"),
       col(s"__p.$parentKey") === col(s"__c.$childParentKey"), "left_semi")
+  }
 
   /** P6 — `has_parent` (the reference *attempted* this and kept the failed
     * queries, `apiLogicForSearch.ts:123-162`; trivial as a semi-join the
     * other way): children whose parent satisfies the filtered parent set. */
   def hasParent(children: DataFrame, filteredParents: DataFrame,
-                childParentKey: String, parentKey: String): DataFrame =
-    children.alias("__c").join(filteredParents.alias("__p"),
+                childParentKey: String, parentKey: String): DataFrame = {
+    // same distinct-keys collapse as [[hasChild]]; parent keys are unique
+    // in the common case, but the rewrite keeps the probe side minimal
+    // (and broadcastable) regardless of what the caller filtered
+    val parentKeys = filteredParents
+      .select(col(parentKey))
+      .where(col(parentKey).isNotNull)
+      .distinct()
+    children.alias("__c").join(parentKeys.alias("__p"),
       col(s"__c.$childParentKey") === col(s"__p.$parentKey"), "left_semi")
+  }
 
   /** P7 — metadata lookups: by doc `_id` (`apiLogicForSearch.ts:44-55`) and
     * by `_routing` (`:56-67` — all docs co-routed with a root). */

@@ -149,4 +149,67 @@ class SkewSpec extends SparkSpec {
     assert(rows(17L) == ((2L, 1L, "line-17")))
     assert(rows.values.map(_._2).sum == 4000 + 1)
   }
+
+  test("has_child defuses a hot-root child key before any exchange") {
+    // the likeliest real skew at 100×: ONE root with 200k children next
+    // to thousands of one-child roots. A semi-join probing raw child rows
+    // routes every hot-key row through one task, and AQE cannot repair it
+    // (OptimizeSkewedJoin.canSplitRightSide excludes LeftSemi — splitting
+    // the probe side would emit a stream row once per matching split).
+    // hasChild must instead collapse the child side to distinct keys with
+    // a MAP-SIDE partial aggregate, so nothing that crosses an exchange
+    // on the probe side is pre-aggregation raw data.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val parents = spark.range(3000).select(col("id").as("pk"))
+    val hot = spark.range(200000).select(lit(0L).as("cpk"), lit(100.0).as("v"))
+    val minnows = spark.range(1, 3000).select(col("id").as("cpk"),
+      when(col("id") % 2 === 0, 100.0).otherwise(1.0).as("v"))
+    val children = hot.unionByName(minnows).repartition(16)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle path — with broadcast on, the tiny distinct key
+      // set broadcasts and the exchange this test pins never plans
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = graft.operators.Search.hasChildRange(
+        parents, children, "pk", "cpk", col("v"), 50.0, lt = false)
+      val got = q.collect().map(_.getLong(0)).toSet
+      val expect = (0L until 3000L).filter(i => i == 0L || i % 2 == 0).toSet
+      assert(got == expect,
+        s"wrong parents: missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(s.plan)
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+            Seq(r.child)
+          case other => other.children
+        }
+        p +: kids.flatMap(allNodes)
+      }
+      val joins = allNodes(q.queryExecution.executedPlan).collect {
+        case j: BaseJoinExec if j.joinType == LeftSemi => j
+      }
+      assert(joins.nonEmpty, "expected a left-semi join in the has_child plan")
+      val probe = allNodes(joins.head.right)
+      // every KEY-CLUSTERED exchange on the probe side ships
+      // post-partial-agg rows: a HashAggregate sits below it, so the
+      // 200k-copy hot key crossed the wire as <= one row per source
+      // partition. (Round-robin exchanges — the fixture's repartition —
+      // spread rows evenly and cannot concentrate a key.)
+      val clustered = probe.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+      }
+      assert(clustered.nonEmpty, "expected the distinct-keys hash exchange")
+      clustered.foreach { e =>
+        assert(allNodes(e).drop(1).exists(_.isInstanceOf[BaseAggregateExec]),
+          s"raw child rows cross a key-clustered exchange on the semi-join probe side:\n$e")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
 }
