@@ -430,6 +430,28 @@ object SparkEntryExt {
       Multimodal.frameSample(
         Multimodal.toAssets(Tables.documents(s, dir), "text", "text"))
     },
+    "x_multimodal_gif_frames" -> { (s, dir) =>
+      // REAL frame sampling end-to-end: each doc becomes an ANIMATED GIF
+      // with 2 + doc_id%3 frames of formulaic 8x8 pixels
+      // (g = (doc·31 + frame·17 + x·7 + y·13) mod 251), LZW-encoded by
+      // the fixture encoder; the engine must walk the container, LZW-
+      // decode each sampled frame through the palette, and average-hash
+      // real pixels. The oracle recomputes every hash from the pixel
+      // FORMULA (never the bytes) for the sampled frames {0, F-1}.
+      import s.implicits._
+      val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+        .select("doc_id").as[Long]
+      val src = docs.map { id =>
+        val nf = 2 + (id % 3).toInt
+        val frames = (0 until nf).map { f =>
+          Array.tabulate(64) { i =>
+            ((id * 31 + f * 17 + (i % 8) * 7 + (i / 8) * 13) % 251).toInt
+          }
+        }
+        (id.toString, Multimodal.encodeGif(8, 8, frames))
+      }.toDF("asset_id", "payload")
+      Multimodal.decodeFrames(src, n = 2).toDF()
+    },
 
     // ----- windows -----
     "x_window_sliding" -> { (s, dir) =>
@@ -983,6 +1005,26 @@ object SparkEntryExt {
         "f.frame_idx, CAST(floor(f.frame_idx * octet_length(encode(text)) / 4) AS BIGINT) AS byte_offset " +
         "FROM documents CROSS JOIN (SELECT unnest([0, 1, 2, 3])::BIGINT AS frame_idx) f " +
         "WHERE octet_length(encode(text)) > 0"),
+
+    // per-(doc, frame) replay of the average-hash from the pixel formula
+    // for the sampled frames {0, F-1} — the engine must land on the same
+    // 64 bits through encode -> container walk -> LZW -> palette -> hash
+    "x_multimodal_gif_frames" ->
+      ("WITH f AS (SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents " +
+        "WHERE text IS NOT NULL), " +
+        "fr AS (SELECT doc_id, nf, unnest([0, nf - 1]) AS fi FROM f), " +
+        "px AS (SELECT doc_id, nf, fi, x.range AS x, y.range AS y, " +
+        "(doc_id * 31 + fi * 17 + x.range * 7 + y.range * 13) % 251 AS g " +
+        "FROM fr, range(8) x, range(8) y), " +
+        "m AS (SELECT doc_id, fi, avg(g) AS mn FROM px GROUP BY 1, 2), " +
+        "nib AS (SELECT p.doc_id, p.nf, p.fi, p.y * 2 + p.x // 4 AS k, " +
+        "sum(CASE WHEN p.g > m.mn THEN (CASE p.x % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 " +
+        "WHEN 2 THEN 2 ELSE 1 END) ELSE 0 END) AS v " +
+        "FROM px p JOIN m ON p.doc_id = m.doc_id AND p.fi = m.fi GROUP BY 1, 2, 3, 4) " +
+        "SELECT CAST(doc_id AS VARCHAR) AS asset_id, CAST(nf AS INT) AS n_frames, " +
+        "CAST(fi AS INT) AS frame_idx, 8 AS width, 8 AS height, " +
+        "string_agg(printf('%x', CAST(v AS INT)), '' ORDER BY k) AS phash " +
+        "FROM nib GROUP BY doc_id, nf, fi"),
 
     "x_window_sliding" ->
       ("SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) " +

@@ -306,7 +306,21 @@ object Multimodal {
     * full-dictionary streams). Extensions (graphic control, comment,
     * application) are sub-block-walked and skipped. Interlaced frames
     * are out of envelope → None. */
-  private def decodeGif(b: Array[Byte]): Option[Raster] = {
+  private def decodeGif(b: Array[Byte]): Option[Raster] =
+    decodeGifFrames(b, maxFrames = 1).flatMap(_.headOption)
+
+  /** All frames of a (possibly animated) GIF, each decoded through the
+    * LZW path to its own grayscale raster. Frames are decoded as their
+    * encoded rects — no disposal compositing: the use here is per-frame
+    * FEATURES (hashes, stats), where the encoded frame is the honest
+    * unit, not faithful animation playback. Refusals mirror
+    * [[decodeRaster]] (interlaced, hostile dims, truncated LZW → None);
+    * `maxFrames` bounds work on hostile frame-count bombs — a payload
+    * claiming thousands of frames stops decoding at the cap instead of
+    * holding the worker. Never throws. */
+  def decodeGifFrames(b: Array[Byte], maxFrames: Int = 64): Option[Seq[Raster]] = try {
+    if (b == null || b.length < 13 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F')
+      return None
     val packed = b(10) & 0xff
     var pos = 13
     var gct: Array[Byte] = null
@@ -315,12 +329,15 @@ object Multimodal {
       if (pos + 3 * n > b.length) return None
       gct = java.util.Arrays.copyOfRange(b, pos, pos + 3 * n); pos += 3 * n
     }
-    while (pos < b.length) {
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Raster]
+    while (pos < b.length && frames.size < maxFrames) {
       (b(pos) & 0xff) match {
         case 0x21 => // extension: label byte, then length-prefixed sub-blocks
           pos += 2
           while (pos < b.length && (b(pos) & 0xff) != 0) pos += 1 + (b(pos) & 0xff)
           pos += 1 // block terminator
+        case 0x3b => // trailer: clean end of stream
+          return if (frames.nonEmpty) Some(frames.toSeq) else None
         case 0x2c => // image descriptor
           if (pos + 10 > b.length) return None
           val iw = leShort(b, pos + 5); val ih = leShort(b, pos + 7)
@@ -345,6 +362,7 @@ object Multimodal {
             if (pos + 1 + n > b.length) return None
             data.write(b, pos + 1, n); pos += 1 + n
           }
+          pos += 1 // block terminator
           val idx = lzwDecode(minCode, data.toByteArray, iw * ih).getOrElse(return None)
           val gray = new Array[Int](iw * ih)
           var p = 0
@@ -354,12 +372,12 @@ object Multimodal {
             gray(p) = luma(ct(ci) & 0xff, ct(ci + 1) & 0xff, ct(ci + 2) & 0xff)
             p += 1
           }
-          return Some(Raster(iw, ih, gray))
-        case _ => return None // trailer before any frame, or garbage
+          frames += Raster(iw, ih, gray)
+        case _ => return None // garbage block tag
       }
     }
-    None
-  }
+    if (frames.nonEmpty) Some(frames.toSeq) else None
+  } catch { case _: Throwable => None }
 
   /** GIF-flavor LZW: variable-width codes packed LSB-first. The
     * dictionary is a prefix-link table (prefix/suffix arrays), so
@@ -413,6 +431,90 @@ object Multimodal {
       }
     }
     if (outN == nPix) Some(out) else None
+  }
+
+  /** GIF-flavor LZW ENCODER — the inverse of [[lzwDecode]], used by
+    * [[encodeGif]] to build multi-frame fixtures whose byte streams
+    * exercise the decoder's real dictionary path (growth, code-width
+    * bumps, KwKwK chains) rather than a degenerate uncompressed stream.
+    * Dictionary is a HashMap keyed (prefixCode << 8 | suffix) — prefix
+    * codes < 4096, suffixes < 256, so the key fits an Int. The encoder's
+    * dict runs ONE entry ahead of the decoder's (the decoder adds the
+    * entry for code k while processing code k+1), so the width bump fires
+    * at (1 << codeSize) + 1 where the decoder's fires at 1 << codeSize —
+    * the classic sync rule. At 4096 the dict freezes (matching the
+    * decoder); no clear codes are emitted mid-stream. */
+  private def lzwEncode(minCode: Int, indices: Array[Int]): Array[Byte] = {
+    val clear = 1 << minCode; val endCode = clear + 1
+    var dictSize = clear + 2
+    var codeSize = minCode + 1
+    val dict = new java.util.HashMap[Integer, Integer]()
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nAcc = 0
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << nAcc; nAcc += codeSize
+      while (nAcc >= 8) { bits.write((acc & 0xff).toInt); acc >>>= 8; nAcc -= 8 }
+    }
+    emit(clear)
+    if (indices.nonEmpty) {
+      var prev = indices(0)
+      var i = 1
+      while (i < indices.length) {
+        val c = indices(i)
+        val key = Integer.valueOf((prev << 8) | c)
+        val hit = dict.get(key)
+        if (hit != null) prev = hit.intValue()
+        else {
+          emit(prev)
+          if (dictSize < 4096) {
+            dict.put(key, Integer.valueOf(dictSize))
+            dictSize += 1
+            if (dictSize == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+          }
+          prev = c
+        }
+        i += 1
+      }
+      emit(prev)
+    }
+    emit(endCode)
+    if (nAcc > 0) bits.write((acc & 0xff).toInt)
+    bits.toByteArray
+  }
+
+  /** Multi-frame grayscale GIF89a encoder (fixture builder, the
+    * [[encodeGrayPng]] contract: never consumed by queries to produce
+    * answers — [[decodeGifFrames]] must invert it through the real LZW
+    * machinery). 256-entry grayscale global color table, so palette
+    * index i decodes to luma EXACTLY i (BT.601 of (i,i,i) is i — the
+    * closed form the oracles replay). Each frame ships behind a Graphics
+    * Control Extension, exercising the decoder's extension-skip path. */
+  def encodeGif(w: Int, h: Int, frames: Seq[Array[Int]]): Array[Byte] = {
+    require(frames.nonEmpty, "at least one frame")
+    frames.foreach(f => require(f.length == w * h, s"${f.length} pixels for ${w}x$h"))
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h)
+    out.write(0xf7) // GCT present, 8-bit color resolution, 256 entries
+    out.write(0); out.write(0) // bg color, aspect
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    frames.foreach { f =>
+      // GCE: no disposal, 10cs delay — content the decoder must skip
+      out.write(Array[Byte](0x21, 0xf9.toByte, 4, 0, 10, 0, 0, 0))
+      out.write(0x2c); le16(0); le16(0); le16(w); le16(h); out.write(0)
+      out.write(8) // LZW min code size: full 256-literal alphabet
+      val data = lzwEncode(8, f)
+      var off = 0
+      while (off < data.length) {
+        val n = math.min(255, data.length - off)
+        out.write(n); out.write(data, off, n); off += n
+      }
+      out.write(0) // block terminator
+    }
+    out.write(0x3b)
+    out.toByteArray
   }
 
   /** Average-hash (aHash) over a decoded raster: an 8×8 grid of box-mean
@@ -648,11 +750,11 @@ object Multimodal {
   /** Per-partition decode stage. Header metadata is parsed for real from
     * the payload bytes. phash/feat are REAL perceptual features when the
     * payload decodes ([[decodeRaster]]: PNG via Inflater + unfilter, BMP
-    * raw rows — average-hash and 8 grid-row means over actual pixels);
-    * payloads outside the pure-JVM-decodable envelope (JPEG entropy
-    * stream, GIF LZW, arbitrary bytes) fall back to the md5-derived
-    * stand-in — deterministic, documented, and the seam where a full
-    * codec binds (one init per partition, same mapPartitions batch
+    * raw rows, GIF via LZW + palette — average-hash and 8 grid-row means
+    * over actual pixels); payloads outside the pure-JVM-decodable
+    * envelope (JPEG entropy stream, arbitrary bytes) fall back to the
+    * md5-derived stand-in — deterministic, documented, and the seam where
+    * a full codec binds (one init per partition, same mapPartitions batch
     * shape). */
   def decode(assets: DataFrame): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
@@ -715,13 +817,46 @@ object Multimodal {
       .distinct() // a pair may share several bands; one row per pair
   }
 
+  case class FrameFeatures(asset_id: String, n_frames: Int, frame_idx: Int,
+                           width: Int, height: Int, phash: String)
+
+  /** REAL frame sampling: decode a multi-frame (animated) GIF payload and
+    * emit per-frame perceptual features for `n` evenly spaced frames —
+    * indices ⌊j·(F−1)/(n−1)⌋ for j < n over F decoded frames (first and
+    * last always included; duplicates collapse when F < n). This is the
+    * video-pipeline sampling shape with the decode step REAL end-to-end:
+    * container walk → per-frame LZW → palette → average-hash, all inside
+    * the one [[decode]]-shaped mapPartitions stage (decode once per
+    * asset, emit ≤ n rows — never decode per sample point). Undecodable
+    * payloads opt out, the [[frameSample]] empty-payload contract; that
+    * byte-offset form remains the seam for containers without a pure-JVM
+    * codec. */
+  def decodeFrames(assets: DataFrame, n: Int = 2): Dataset[FrameFeatures] = {
+    require(n >= 2, s"n=$n: need at least first+last")
+    import assets.sparkSession.implicits._
+    assets.select("asset_id", "payload").as[(String, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        decodeGifFrames(bytes).toSeq.flatMap { frames =>
+          val f = frames.size
+          (0 until n).map(j => if (f == 1) 0 else (j.toLong * (f - 1) / (n - 1)).toInt)
+            .distinct
+            .map { fi =>
+              val r = frames(fi)
+              FrameFeatures(id, f, fi, r.width, r.height, averageHash(r))
+            }
+        }
+      }
+  }
+
   /** Deterministic frame/window sampling plumbing: expand each asset into
     * `n` evenly spaced sample points — byte offsets over the payload here;
     * a real demuxer would seek timestamps at the same seam. The stride
     * math, row expansion, and per-sample addressing are the real
     * machinery: a pure projection + generator (expansion factor exactly
     * `n`, no shuffle), feeding the [[decode]]-shaped per-partition
-    * codec stage downstream. Empty payloads opt out (nothing to seek). */
+    * codec stage downstream. Empty payloads opt out (nothing to seek).
+    * For GIF payloads [[decodeFrames]] supersedes this with REAL decoded
+    * frames. */
   def frameSample(assets: DataFrame, n: Int = 4): DataFrame =
     assets.select(col("asset_id"), length(col("payload")).cast("long").as("n_bytes"))
       .where(col("n_bytes") > 0)

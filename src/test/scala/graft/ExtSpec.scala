@@ -1020,6 +1020,82 @@ class MultimodalSpec extends SparkSpec {
     assert(nodes.exists(_._3 == 2L))
   }
 
+  test("encodeGif -> decodeGifFrames round-trips every frame exactly") {
+    // grayscale GCT: palette index i decodes to luma exactly i, so the
+    // round trip is pixel-identical — the closed form the oracle replays
+    val frames = (0 until 4).map(f =>
+      Array.tabulate(64)(i => (f * 17 + (i % 8) * 7 + (i / 8) * 13) % 251))
+    val bytes = Multimodal.encodeGif(8, 8, frames)
+    val got = Multimodal.decodeGifFrames(bytes)
+    assert(got.isDefined && got.get.size == 4, s"expected 4 frames: $got")
+    got.get.zip(frames).zipWithIndex.foreach { case ((r, want), f) =>
+      assert(r.width == 8 && r.height == 8)
+      assert(r.gray.sameElements(want), s"frame $f pixels differ")
+    }
+    // the single-frame read (decodeRaster) sees exactly frame 0
+    assert(Multimodal.decodeRaster(bytes).get.gray.sameElements(frames.head))
+    // parseHeader agrees on the envelope
+    val hm = Multimodal.parseHeader(bytes)
+    assert(hm.format == "gif" && hm.width.contains(8) && hm.height.contains(8))
+  }
+
+  test("LZW encoder drives the decoder through width bumps and a frozen dict") {
+    // 128x128 with enough 2-gram variety to push the dictionary past
+    // 1024 entries (several code-width bumps); a second all-same frame
+    // maximizes KwKwK run chains. Round-trip must be exact in both.
+    val w = 128; val h = 128
+    val noisy = Array.tabulate(w * h)(i => ((i * 37 + (i / w) * 91 + 7) % 251))
+    val flat = Array.fill(w * h)(123)
+    val got = Multimodal.decodeGifFrames(Multimodal.encodeGif(w, h, Seq(noisy, flat)))
+    assert(got.isDefined && got.get.size == 2)
+    assert(got.get(0).gray.sameElements(noisy), "noisy frame mismatch")
+    assert(got.get(1).gray.sameElements(flat), "flat frame mismatch")
+  }
+
+  test("decodeFrames samples first/last evenly and opts out of garbage") {
+    import spark.implicits._
+    val f4 = (0 until 4).map(f => Array.tabulate(64)(i => (f * 11 + i) % 251))
+    val src = Seq(
+      ("a", Multimodal.encodeGif(8, 8, f4)),                      // 4 frames
+      ("b", Multimodal.encodeGif(8, 8, f4.take(1))),              // 1 frame
+      ("junk", Array[Byte](1, 2, 3)),                             // refuses
+    ).toDF("asset_id", "payload")
+    val rows = Multimodal.decodeFrames(src, n = 2).collect()
+      .map(r => (r.asset_id, r.frame_idx) -> r).toMap
+    // 4-frame asset: frames 0 and 3; 1-frame asset: frame 0 only; junk: none
+    assert(rows.keySet == Set(("a", 0), ("a", 3), ("b", 0)), rows.keySet.toString)
+    assert(rows(("a", 0)).n_frames == 4 && rows(("b", 0)).n_frames == 1)
+    val want = Multimodal.averageHash(Multimodal.Raster(8, 8, f4(3)))
+    assert(rows(("a", 3)).phash == want)
+    // n=3 over 4 frames: indices floor(j*3/2) = 0, 1, 3
+    val idx3 = Multimodal.decodeFrames(src.where(col("asset_id") === "a"), n = 3)
+      .collect().map(_.frame_idx).sorted.toSeq
+    assert(idx3 == Seq(0, 1, 3), idx3.toString)
+  }
+
+  test("decodeGifFrames never throws on arbitrary or mutated bytes (fuzz, fixed seed)") {
+    val rnd = new scala.util.Random(0xf4a3)
+    val real = Multimodal.encodeGif(8, 8,
+      (0 until 3).map(f => Array.tabulate(64)(i => (f * 31 + i * 5) % 251)))
+    for (i <- 0 until 2000) {
+      val b =
+        if (i % 2 == 0) { // mutated real stream: walks deep decode paths
+          val m = real.clone()
+          for (_ <- 0 to rnd.nextInt(8)) m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+          m
+        } else {
+          val g = new Array[Byte](rnd.nextInt(96))
+          rnd.nextBytes(g)
+          "GIF89a".getBytes("US-ASCII") ++ g
+        }
+      Multimodal.decodeGifFrames(b).foreach(fs => assert(fs.nonEmpty)) // must not throw
+    }
+    // frame-count bomb: decoding stops at the cap, not at exhaustion
+    val bomb = Multimodal.encodeGif(4, 4,
+      Seq.fill(200)(Array.tabulate(16)(identity)))
+    assert(Multimodal.decodeGifFrames(bomb, maxFrames = 8).get.size == 8)
+  }
+
   test("decode emits real perceptual features for decodable payloads") {
     import spark.implicits._
     // two assets with the same pixels but different PNG byte streams
