@@ -452,6 +452,28 @@ object SparkEntryExt {
       }.toDF("asset_id", "payload")
       Multimodal.decodeFrames(src, n = 2).toDF()
     },
+    "x_multimodal_jpeg_phash" -> { (s, dir) =>
+      // REAL baseline-JPEG decode end-to-end: each doc becomes a 64x64
+      // JPEG of 8x8 block-constant pixels (g = (doc·31 + bx·7 + by·13)
+      // mod 251) with FlatQuant8 and restart markers; the engine must
+      // walk the markers, Huffman-decode (DC diffs across 64 blocks,
+      // RSTn predictor resets), dequant, IDCT and average-hash real
+      // pixels. The oracle recomputes every hash from the block FORMULA
+      // (never the bytes) — valid because this encode is exactly
+      // lossless (see FlatQuant8's doc).
+      import s.implicits._
+      val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+        .select("doc_id").as[Long]
+      val assets = docs.map { id =>
+        val px = Array.tabulate(64 * 64) { i =>
+          val bx = (i % 64) / 8; val by = (i / 64) / 8
+          ((id * 31 + bx * 7 + by * 13) % 251).toInt
+        }
+        (id.toString, Multimodal.encodeGrayJpeg(64, 64, px, restartInterval = 3))
+      }.toDF("asset_id", "payload")
+      Multimodal.decode(assets).toDF()
+        .select("asset_id", "format", "width", "height", "phash")
+    },
 
     // ----- windows -----
     "x_window_sliding" -> { (s, dir) =>
@@ -1025,6 +1047,24 @@ object SparkEntryExt {
         "CAST(fi AS INT) AS frame_idx, 8 AS width, 8 AS height, " +
         "string_agg(printf('%x', CAST(v AS INT)), '' ORDER BY k) AS phash " +
         "FROM nib GROUP BY doc_id, nf, fi"),
+
+    // per-doc replay of the average-hash from the block formula: the
+    // engine must land on the same 64 bits through JPEG encode -> marker
+    // walk -> Huffman -> dequant -> IDCT -> hash (lossless by FlatQuant8
+    // construction, so the pixel formula IS the decoded image)
+    "x_multimodal_jpeg_phash" ->
+      ("WITH px AS (SELECT doc_id, x.range AS bx, y.range AS by, " +
+        "(doc_id * 31 + bx * 7 + by * 13) % 251 AS g " +
+        "FROM documents, range(8) x, range(8) y WHERE text IS NOT NULL), " +
+        "m AS (SELECT doc_id, avg(g) AS mn FROM px GROUP BY 1), " +
+        "nib AS (SELECT p.doc_id, p.by * 2 + p.bx // 4 AS k, " +
+        "sum(CASE WHEN p.g > m.mn THEN (CASE p.bx % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 " +
+        "WHEN 2 THEN 2 ELSE 1 END) ELSE 0 END) AS v " +
+        "FROM px p JOIN m ON p.doc_id = m.doc_id GROUP BY 1, 2) " +
+        "SELECT CAST(doc_id AS VARCHAR) AS asset_id, 'jpeg' AS format, " +
+        "64 AS width, 64 AS height, " +
+        "string_agg(printf('%x', CAST(v AS INT)), '' ORDER BY k) AS phash " +
+        "FROM nib GROUP BY doc_id"),
 
     "x_window_sliding" ->
       ("SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) " +

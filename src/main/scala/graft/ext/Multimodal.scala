@@ -9,15 +9,17 @@ import org.apache.spark.sql.types._
   * decode / feature-extraction runs per-partition so a real codec binds
   * batch-wise (one codec init per partition, not per row).
   *
-  * Container-header DECODE IS REAL: [[headerMeta]] parses format,
-  * dimensions and sample rate from the payload's magic bytes (PNG IHDR,
-  * JPEG SOF marker scan, GIF logical screen descriptor, WAV fmt chunk) —
-  * no image library needed, headers are just bytes. Only the perceptual
-  * FEATURE stage ([[decode]]'s phash/feat columns) remains a
-  * deterministic md5-derived stand-in: real perceptual hashing needs a
-  * full pixel decode and this container ships no codec. The seam where
-  * that codec binds (mapPartitions, one init per partition, batch
-  * iteration, output schema) is the same one the header parser runs in.
+  * DECODE IS REAL, pure JVM, no codec library: [[parseHeader]] parses
+  * format, dimensions and sample rate from the payload's magic bytes
+  * (PNG IHDR, JPEG SOF marker scan, GIF logical screen descriptor, WAV
+  * fmt chunk); [[decodeRaster]] decodes actual pixels (PNG via Inflater
+  * + unfilter, BMP rows, GIF via LZW + palette, baseline JPEG via
+  * Huffman + dequant + IDCT); [[decodePcm]] decodes actual WAV samples.
+  * Perceptual features (phash/feat) are computed over decoded pixels;
+  * only payloads outside that envelope (progressive JPEG, unknown
+  * containers) fall back to a deterministic md5-derived stand-in at the
+  * documented seam (mapPartitions, one init per partition, batch
+  * iteration, output schema) where a full codec library would bind.
   *
   * Scale notes: media blobs dominate row size, so the asset table is
   * partitioned by content-hash prefix (uniform spread, no hot partitions)
@@ -159,23 +161,26 @@ object Multimodal {
   private val MaxDim = 1 << 14
   private val MaxPixels = 1 << 24
 
-  /** Decode a PNG or uncompressed-BMP payload to grayscale pixels — pure
-    * JVM (`java.util.zip.Inflater` for PNG's zlib IDAT stream; BMP rows
-    * are raw). Supports the byte layouts the formats actually ship at
+  /** Decode an image payload to grayscale pixels — pure JVM, no codec
+    * library. Supports the byte layouts the formats actually ship at
     * 8-bit depth: PNG color types 0/2/3/4/6 (gray, RGB, palette,
-    * gray+alpha, RGBA) with all five scanline filters (None/Sub/Up/
-    * Average/Paeth, PNG spec §9), non-interlaced; BMP 24-bit BI_RGB
-    * (bottom-up or top-down). RGB collapses to luma via the integer
-    * BT.601 weights (299/587/114)/1000. Anything else — truncated
-    * streams, garbage chunk lengths, hostile dimensions — returns None,
-    * NEVER throws (the [[parseHeader]] contract; MultimodalSpec fuzzes
-    * it). */
+    * gray+alpha, RGBA) via `java.util.zip.Inflater` with all five
+    * scanline filters (None/Sub/Up/Average/Paeth, PNG spec §9),
+    * non-interlaced; BMP 24-bit BI_RGB (bottom-up or top-down); GIF
+    * first-frame LZW; baseline JPEG (SOF0/SOF1 — marker walk, canonical
+    * Huffman, dequant, IDCT; see [[decodeJpeg]] for the envelope). RGB
+    * collapses to luma via the integer BT.601 weights (299/587/114)/1000;
+    * JPEG emits its Y channel directly. Anything else — truncated
+    * streams, garbage chunk lengths, hostile dimensions, progressive
+    * JPEG — returns None, NEVER throws (the [[parseHeader]] contract;
+    * MultimodalSpec fuzzes it). */
   def decodeRaster(b: Array[Byte]): Option[Raster] = try {
     if (b == null || b.length < 8) None
     else if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') decodePng(b)
     else if (b(0) == 'B' && b(1) == 'M' && b.length >= 54) decodeBmp(b)
     else if (b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
              (b(4) == '7' || b(4) == '9') && b(5) == 'a') decodeGif(b)
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) decodeJpeg(b)
     else None
   } catch { case _: Throwable => None }
 
@@ -517,6 +522,514 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ---------- real image decode: baseline JPEG (ITU-T T.81) ----------
+
+  /** Zigzag scan order: position k in the entropy stream → natural
+    * (row-major) index in the 8×8 block (T.81 Figure 5). */
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Cu·cos((2x+1)uπ/16) with Cu = 1/√2 for u = 0 — the shared separable
+    * basis for FDCT (encoder) and IDCT (decoder). Doubles are fine for
+    * features: the values below round to the same ints on every JVM (the
+    * basis entries are exactly-rounded doubles and the accumulation
+    * error is ~1e-13 against a ±0.5 rounding margin). */
+  private val DctBasis: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    (if (u == 0) 1.0 / math.sqrt(2.0) else 1.0) * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** Canonical Huffman table (T.81 Annex C): BITS (count of codes per
+    * length 1–16) + HUFFVAL (symbols in code order) expand to both the
+    * decoder's mincode/maxcode/valptr arrays (F.15) and the encoder's
+    * per-symbol (code, length) map. maxcode(l) = firstUnassigned − 1
+    * works for empty lengths too: any longer code's l-bit prefix is ≥
+    * the first unassigned code at l, so the `code > maxcode` descent
+    * never stops on an empty level. */
+  private final class HuffTab(bits: Array[Int], vals: Array[Int]) {
+    val mincode = new Array[Int](17)
+    val maxcode = new Array[Int](17)
+    val valptr = new Array[Int](17)
+    val codeOf = new Array[Int](256)
+    val lenOf = new Array[Int](256)
+    val huffval: Array[Int] = vals
+    val bitsArr: Array[Int] = bits
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        valptr(l) = k; mincode(l) = code
+        var i = 0
+        while (i < bits(l - 1)) {
+          codeOf(vals(k)) = code; lenOf(vals(k)) = l
+          code += 1; k += 1; i += 1
+        }
+        maxcode(l) = code - 1
+        code <<= 1; l += 1
+      }
+    }
+  }
+
+  // Annex K standard luminance tables — used for every component in the
+  // fixture encoder (baseline permits one table pair for all scans) and
+  // as public-spec constants, not tuned data.
+  private val StdDcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val StdDcVals = Array.tabulate(12)(identity)
+  private val StdAcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val StdAcVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** Flat quantization table with q(0,0) = 8: the DC step that makes
+    * block-constant images round-trip EXACTLY (FDCT of a constant block
+    * v is DC = 8·(v−128), so quantize-by-8 stores v−128 and the IDCT
+    * lands back on v before rounding can move it) — the closed form the
+    * x_multimodal_jpeg_phash oracle replays. */
+  val FlatQuant8: Array[Int] = Array.fill(64)(8)
+
+  /** Entropy-segment bit reader: MSB-first, 0xFF00 byte unstuffing; any
+    * real marker (RST, EOI, garbage) stops the stream — `eof` poisons
+    * every later read so a truncated stream fails the block count check
+    * instead of fabricating coefficients. */
+  private final class JpegBits(b: Array[Byte]) {
+    var pos = 0
+    private var acc = 0
+    private var cnt = 0
+    var eof = false
+    def bit(): Int = {
+      if (cnt == 0) {
+        if (pos >= b.length) { eof = true; return 0 }
+        var v = b(pos) & 0xff; pos += 1
+        if (v == 0xff) {
+          if (pos >= b.length) { eof = true; return 0 }
+          if ((b(pos) & 0xff) == 0) pos += 1 // stuffed data 0xFF
+          else { eof = true; pos -= 1; return 0 } // a marker: stop
+        }
+        acc = v; cnt = 8
+      }
+      cnt -= 1
+      (acc >>> cnt) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    /** Byte-align and consume the expected RSTn marker (n cycles 0–7). */
+    def restart(n: Int): Boolean = {
+      cnt = 0
+      if (pos + 1 < b.length && (b(pos) & 0xff) == 0xff &&
+          (b(pos + 1) & 0xff) == (0xd0 + n)) { pos += 2; eof = false; true }
+      else false
+    }
+  }
+
+  private def jpegDecodeSym(t: HuffTab, r: JpegBits): Int = {
+    var code = r.bit(); var l = 1
+    while (code > t.maxcode(l)) {
+      code = (code << 1) | r.bit(); l += 1
+      if (l > 16 || r.eof) return -1
+    }
+    t.huffval(t.valptr(l) + code - t.mincode(l))
+  }
+
+  /** T.81 F.12 EXTEND: an s-bit magnitude v to its signed value. */
+  private def jpegExtend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Baseline sequential JPEG decode to the luma plane — pure JVM.
+    * Envelope: SOF0/SOF1, 8-bit, one interleaved scan, ≤ 4 components
+    * with sampling factors 1–2 where the FIRST component (Y) carries the
+    * maxima (every camera/libjpeg layout: 4:4:4, 4:2:2, 4:2:0 gray or
+    * YCbCr). Chroma blocks are entropy-decoded to keep the bitstream in
+    * sync, then discarded — features need luma only, and in JFIF the Y
+    * channel IS the grayscale image (no color convert needed). DRI/RSTn
+    * restart intervals reset the DC predictors per T.81 F.2.1.3.1.
+    * Progressive (SOF2), arithmetic coding, 12-bit, and point transforms
+    * are out of envelope → None; truncated or desynced entropy data →
+    * None; NEVER throws (fuzzed in MultimodalSpec). */
+  private def decodeJpeg(b: Array[Byte]): Option[Raster] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    val quant = Array.ofDim[Int](4, 64)
+    val quantSeen = new Array[Boolean](4)
+    val dcTabs = new Array[HuffTab](4); val acTabs = new Array[HuffTab](4)
+    var w = 0; var h = 0; var nc = 0
+    var compH: Array[Int] = null; var compV: Array[Int] = null
+    var compQ: Array[Int] = null; var compId: Array[Int] = null
+    var restartInterval = 0
+    var sofSeen = false
+    var i = 2L
+    while (i + 3 < b.length) {
+      if ((b(i.toInt) & 0xff) != 0xff) return None
+      val marker = b(i.toInt + 1) & 0xff
+      if (marker == 0xff) { i += 1 } // fill byte
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) { i += 2 }
+      else if (marker == 0xd9) return None // EOI before SOS
+      else {
+        val o = i.toInt
+        val len = beShort(b, o + 2)
+        if (len < 2 || i + 2 + len > b.length) return None
+        marker match {
+          case 0xdb => // DQT: one or more (PqTq, 64 entries) tables
+            var p = o + 4
+            val end = o + 2 + len
+            while (p < end) {
+              val pq = (b(p) & 0xff) >> 4; val tq = b(p) & 0x0f
+              if (pq != 0 || tq > 3 || p + 65 > end) return None // 8-bit only
+              var k = 0
+              while (k < 64) { quant(tq)(k) = b(p + 1 + k) & 0xff; k += 1 }
+              quantSeen(tq) = true
+              p += 65
+            }
+          case 0xc4 => // DHT: one or more (TcTh, bits, vals) tables
+            var p = o + 4
+            val end = o + 2 + len
+            while (p < end) {
+              val tc = (b(p) & 0xff) >> 4; val th = b(p) & 0x0f
+              if (tc > 1 || th > 3 || p + 17 > end) return None
+              val bits = Array.tabulate(16)(j => b(p + 1 + j) & 0xff)
+              val n = bits.sum
+              if (n > 256 || p + 17 + n > end) return None
+              val vals = Array.tabulate(n)(j => b(p + 17 + j) & 0xff)
+              val tab = new HuffTab(bits, vals)
+              if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+              p += 17 + n
+            }
+          case 0xc0 | 0xc1 => // SOF0/1: baseline / extended sequential
+            if (sofSeen || len < 8) return None
+            if ((b(o + 4) & 0xff) != 8) return None // 8-bit precision
+            h = beShort(b, o + 5); w = beShort(b, o + 7)
+            nc = b(o + 9) & 0xff
+            if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim ||
+                w.toLong * h > MaxPixels || nc < 1 || nc > 4 ||
+                len < 8 + 3 * nc) return None
+            compId = new Array[Int](nc); compH = new Array[Int](nc)
+            compV = new Array[Int](nc); compQ = new Array[Int](nc)
+            var c = 0
+            while (c < nc) {
+              compId(c) = b(o + 10 + 3 * c) & 0xff
+              val hv = b(o + 11 + 3 * c) & 0xff
+              compH(c) = hv >> 4; compV(c) = hv & 0x0f
+              compQ(c) = b(o + 12 + 3 * c) & 0xff
+              if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2 ||
+                  compQ(c) > 3) return None
+              c += 1
+            }
+            sofSeen = true
+          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+               0xcd | 0xce | 0xcf =>
+            return None // progressive/lossless/arithmetic: out of envelope
+          case 0xdd => // DRI
+            if (len < 4) return None
+            restartInterval = beShort(b, o + 4)
+          case 0xda => // SOS: decode the interleaved scan and finish
+            if (!sofSeen) return None
+            val ns = b(o + 4) & 0xff
+            if (ns != nc || len < 6 + 2 * ns) return None
+            val scanDc = new Array[Int](nc); val scanAc = new Array[Int](nc)
+            var c = 0
+            while (c < ns) {
+              val cid = b(o + 5 + 2 * c) & 0xff
+              val idx = compId.indexOf(cid)
+              if (idx < 0) return None
+              scanDc(idx) = (b(o + 6 + 2 * c) & 0xff) >> 4
+              scanAc(idx) = b(o + 6 + 2 * c) & 0x0f
+              c += 1
+            }
+            c = 0
+            while (c < nc) {
+              if (!quantSeen(compQ(c)) || dcTabs(scanDc(c)) == null ||
+                  acTabs(scanAc(c)) == null) return None
+              c += 1
+            }
+            val hmax = compH.max; val vmax = compV.max
+            if (compH(0) != hmax || compV(0) != vmax) return None // Y first
+            val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            val ybw = mcusX * compH(0); val ybh = mcusY * compV(0)
+            if (ybw.toLong * ybh * 64 > 4L * MaxPixels) return None
+            val yPlane = new Array[Int](ybw * 8 * ybh * 8)
+            val coef = new Array[Int](64)
+            val pix = new Array[Int](64)
+            val tmp = new Array[Double](64)
+            val dcPred = new Array[Int](nc)
+            val r = new JpegBits(java.util.Arrays.copyOfRange(b, o + 2 + len, b.length))
+            var mcu = 0; var rstN = 0
+            val nMcus = mcusX * mcusY
+            while (mcu < nMcus) {
+              if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+                if (!r.restart(rstN)) return None
+                rstN = (rstN + 1) & 7
+                java.util.Arrays.fill(dcPred, 0)
+              }
+              val mx = mcu % mcusX; val my = mcu / mcusX
+              c = 0
+              while (c < nc) {
+                val q = quant(compQ(c))
+                var by = 0
+                while (by < compV(c)) {
+                  var bx = 0
+                  while (bx < compH(c)) {
+                    // entropy-decode one block (T.81 F.2.2)
+                    java.util.Arrays.fill(coef, 0)
+                    val s = jpegDecodeSym(dcTabs(scanDc(c)), r)
+                    if (s < 0 || s > 11) return None
+                    dcPred(c) += jpegExtend(r.bits(s), s)
+                    coef(0) = dcPred(c) * q(0)
+                    var k = 1
+                    while (k < 64) {
+                      val rs = jpegDecodeSym(acTabs(scanAc(c)), r)
+                      if (rs < 0) return None
+                      val run = rs >> 4; val size = rs & 0x0f
+                      if (size == 0) {
+                        if (run == 15) k += 16 else k = 64 // ZRL / EOB
+                      } else {
+                        k += run
+                        if (k > 63) return None
+                        coef(ZigZag(k)) = jpegExtend(r.bits(size), size) * q(k)
+                        k += 1
+                      }
+                    }
+                    if (r.eof) return None
+                    if (c == 0) {
+                      // IDCT (separable, shared basis) and place the block
+                      var v = 0
+                      while (v < 8) {
+                        var x = 0
+                        while (x < 8) {
+                          var acc = 0.0; var u = 0
+                          while (u < 8) { acc += DctBasis(u)(x) * coef(v * 8 + u); u += 1 }
+                          tmp(v * 8 + x) = acc
+                          x += 1
+                        }
+                        v += 1
+                      }
+                      var y = 0
+                      while (y < 8) {
+                        var x = 0
+                        while (x < 8) {
+                          var acc = 0.0; var v2 = 0
+                          while (v2 < 8) { acc += DctBasis(v2)(y) * tmp(v2 * 8 + x); v2 += 1 }
+                          val p = math.rint(acc / 4.0 + 128.0).toInt
+                          pix(y * 8 + x) = if (p < 0) 0 else if (p > 255) 255 else p
+                          x += 1
+                        }
+                        y += 1
+                      }
+                      val ox = (mx * compH(0) + bx) * 8; val oy = (my * compV(0) + by) * 8
+                      var yy = 0
+                      while (yy < 8) {
+                        System.arraycopy(pix, yy * 8, yPlane, (oy + yy) * (ybw * 8) + ox, 8)
+                        yy += 1
+                      }
+                    }
+                    bx += 1
+                  }
+                  by += 1
+                }
+                c += 1
+              }
+              mcu += 1
+            }
+            // crop the padded block grid to the true dimensions
+            val gray = new Array[Int](w * h)
+            var y = 0
+            while (y < h) {
+              System.arraycopy(yPlane, y * (ybw * 8), gray, y * w, w)
+              y += 1
+            }
+            return Some(Raster(w, h, gray))
+          case _ => () // APPn / COM / other: skip by length
+        }
+        i += 2L + len
+      }
+    }
+    None
+  }
+
+  /** Bit writer for the encoder: MSB-first with 0xFF→0xFF00 stuffing;
+    * flush pads to a byte boundary with 1-bits (T.81 F.1.2.3). */
+  private final class JpegBitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0L
+    private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); n += len
+      while (n >= 8) {
+        n -= 8
+        val v = ((acc >>> n) & 0xff).toInt
+        out.write(v)
+        if (v == 0xff) out.write(0)
+      }
+    }
+    def flush(): Unit = { val pad = (8 - n % 8) % 8; if (pad > 0) put((1 << pad) - 1, pad) }
+  }
+
+  private def jpegMagnitude(v: Int): Int =
+    if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** A component for [[encodeJpeg]]: sampling factors and its plane at
+    * the subsampled resolution ceil(w·h_c/h_max) × ceil(h·v_c/v_max). */
+  case class JpegComp(h: Int, v: Int, plane: Array[Int], pw: Int, ph: Int)
+
+  /** Baseline JPEG encoder — the FIXTURE side of the JPEG-decode
+    * contract (the [[encodeGrayPng]]/[[encodeGif]] pattern: specs and
+    * the x_multimodal_jpeg_phash oracle build payloads with it;
+    * [[decodeRaster]] must invert them through the real marker walk,
+    * Huffman, dequant and IDCT). Interleaved single scan, Annex K
+    * standard Huffman tables (pair 0 for every component), one quant
+    * table, optional DRI/RSTn restart intervals, edge-replicated
+    * partial-MCU padding. With [[FlatQuant8]] and block-constant pixels
+    * the encode is LOSSLESS (see FlatQuant8's doc), which is what makes
+    * a SQL oracle over encoded payloads possible at all. */
+  def encodeJpeg(w: Int, h: Int, comps: Seq[JpegComp], quantTab: Array[Int] = FlatQuant8,
+                 restartInterval: Int = 0): Array[Byte] = {
+    require(comps.nonEmpty && comps.size <= 4, s"${comps.size} components")
+    require(quantTab.length == 64, "quant table must have 64 entries")
+    comps.foreach(c => require(c.plane.length == c.pw * c.ph,
+      s"${c.plane.length} pixels for ${c.pw}x${c.ph}"))
+    val hmax = comps.map(_.h).max; val vmax = comps.map(_.v).max
+    require(comps.head.h == hmax && comps.head.v == vmax, "first component must carry max sampling")
+    val out = new java.io.ByteArrayOutputStream()
+    def be16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); be16(2 + 65); out.write(0x00) // DQT table 0, 8-bit
+    ZigZag.indices.foreach(k => out.write(quantTab(k)))
+    marker(0xc0); be16(8 + 3 * comps.size); out.write(8); be16(h); be16(w)
+    out.write(comps.size)
+    comps.zipWithIndex.foreach { case (c, idx) =>
+      out.write(idx + 1); out.write((c.h << 4) | c.v); out.write(0)
+    }
+    val dcTab = new HuffTab(StdDcBits, StdDcVals)
+    val acTab = new HuffTab(StdAcBits, StdAcVals)
+    def writeDht(tc: Int, t: HuffTab): Unit = {
+      marker(0xc4); be16(2 + 1 + 16 + t.huffval.length); out.write(tc << 4)
+      t.bitsArr.foreach(out.write); t.huffval.foreach(out.write)
+    }
+    writeDht(0, dcTab); writeDht(1, acTab)
+    if (restartInterval > 0) { marker(0xdd); be16(4); be16(restartInterval) }
+    marker(0xda); be16(6 + 2 * comps.size); out.write(comps.size)
+    comps.indices.foreach { idx => out.write(idx + 1); out.write(0x00) }
+    out.write(0); out.write(63); out.write(0) // Ss, Se, AhAl
+    val bw = new JpegBitWriter(out)
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val dcPred = new Array[Int](comps.size)
+    val block = new Array[Double](64)
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var rstN = 0
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bw.flush(); marker(0xd0 + rstN); rstN = (rstN + 1) & 7
+        java.util.Arrays.fill(dcPred, 0)
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      var ci = 0
+      while (ci < comps.size) {
+        val c = comps(ci)
+        var by = 0
+        while (by < c.v) {
+          var bx = 0
+          while (bx < c.h) {
+            // load the 8×8 block, edge-replicating past the plane bounds
+            val ox = (mx * c.h + bx) * 8; val oy = (my * c.v + by) * 8
+            var y = 0
+            while (y < 8) {
+              val sy = math.min(oy + y, c.ph - 1)
+              var x = 0
+              while (x < 8) {
+                val sx = math.min(ox + x, c.pw - 1)
+                block(y * 8 + x) = c.plane(sy * c.pw + sx) - 128.0
+                x += 1
+              }
+              y += 1
+            }
+            // FDCT (separable, shared basis), quantize in zigzag order
+            var u = 0
+            while (u < 8) {
+              var y2 = 0
+              while (y2 < 8) {
+                var acc = 0.0; var x2 = 0
+                while (x2 < 8) { acc += DctBasis(u)(x2) * block(y2 * 8 + x2); x2 += 1 }
+                tmp(y2 * 8 + u) = acc
+                y2 += 1
+              }
+              u += 1
+            }
+            var v = 0
+            while (v < 8) {
+              var u2 = 0
+              while (u2 < 8) {
+                var acc = 0.0; var y3 = 0
+                while (y3 < 8) { acc += DctBasis(v)(y3) * tmp(y3 * 8 + u2); y3 += 1 }
+                block(v * 8 + u2) = acc / 4.0 // block is free after pass 1
+                u2 += 1
+              }
+              v += 1
+            }
+            var k = 0
+            while (k < 64) {
+              coef(k) = math.rint(block(ZigZag(k)) / quantTab(k)).toInt
+              k += 1
+            }
+            // entropy-encode: DC diff + run-length ACs
+            val diff = coef(0) - dcPred(ci); dcPred(ci) = coef(0)
+            val s = jpegMagnitude(diff)
+            bw.put(dcTab.codeOf(s), dcTab.lenOf(s))
+            if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+            var run = 0
+            k = 1
+            while (k < 64) {
+              if (coef(k) == 0) run += 1
+              else {
+                while (run > 15) { bw.put(acTab.codeOf(0xf0), acTab.lenOf(0xf0)); run -= 16 }
+                val sz = jpegMagnitude(coef(k))
+                val sym = (run << 4) | sz
+                bw.put(acTab.codeOf(sym), acTab.lenOf(sym))
+                bw.put(if (coef(k) < 0) coef(k) + (1 << sz) - 1 else coef(k), sz)
+                run = 0
+              }
+              k += 1
+            }
+            if (run > 0) bw.put(acTab.codeOf(0x00), acTab.lenOf(0x00)) // EOB
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Grayscale baseline JPEG (single component). */
+  def encodeGrayJpeg(w: Int, h: Int, gray: Array[Int], quantTab: Array[Int] = FlatQuant8,
+                     restartInterval: Int = 0): Array[Byte] =
+    encodeJpeg(w, h, Seq(JpegComp(1, 1, gray, w, h)), quantTab, restartInterval)
+
   /** Average-hash (aHash) over a decoded raster: an 8×8 grid of box-mean
     * cells (cell(cx,cy) = mean gray over pixels with ⌊x·8/W⌋ = cx), bit
     * = cell mean strictly above the mean OF THE CELL MEANS, packed
@@ -750,11 +1263,12 @@ object Multimodal {
   /** Per-partition decode stage. Header metadata is parsed for real from
     * the payload bytes. phash/feat are REAL perceptual features when the
     * payload decodes ([[decodeRaster]]: PNG via Inflater + unfilter, BMP
-    * raw rows, GIF via LZW + palette — average-hash and 8 grid-row means
-    * over actual pixels); payloads outside the pure-JVM-decodable
-    * envelope (JPEG entropy stream, arbitrary bytes) fall back to the
-    * md5-derived stand-in — deterministic, documented, and the seam where
-    * a full codec binds (one init per partition, same mapPartitions batch
+    * raw rows, GIF via LZW + palette, baseline JPEG via Huffman +
+    * dequant + IDCT — average-hash and 8 grid-row means over actual
+    * pixels); payloads outside the pure-JVM-decodable envelope
+    * (progressive JPEG, arbitrary bytes) fall back to the md5-derived
+    * stand-in — deterministic, documented, and the seam where a full
+    * codec binds (one init per partition, same mapPartitions batch
     * shape). */
   def decode(assets: DataFrame): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._

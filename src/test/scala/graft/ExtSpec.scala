@@ -1096,6 +1096,118 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeGifFrames(bomb, maxFrames = 8).get.size == 8)
   }
 
+  test("encodeJpeg -> decodeRaster: block-constant images round-trip exactly (DC path, restarts)") {
+    // FlatQuant8 stores each constant block's DC as exactly v-128, so the
+    // full pipeline (FDCT -> quantize -> Huffman -> unstuff -> dequant ->
+    // IDCT) is lossless here — the closed form the oracle replays
+    val px = Array.tabulate(64 * 64) { i =>
+      val bx = (i % 64) / 8; val by = (i / 64) / 8
+      (7 * 31 + bx * 7 + by * 13) % 251
+    }
+    val b = Multimodal.encodeGrayJpeg(64, 64, px, restartInterval = 3)
+    val r = Multimodal.decodeRaster(b).get
+    assert(r.width == 64 && r.height == 64)
+    assert(r.gray.sameElements(px), "restart-interval stream mismatch")
+    // same pixels, no restarts: a different byte stream, same raster
+    assert(Multimodal.decodeRaster(Multimodal.encodeGrayJpeg(64, 64, px))
+      .get.gray.sameElements(px))
+    // non-multiple-of-8 dims: encoder edge-pads, decoder crops
+    val odd = Array.tabulate(20 * 12)(i => ((i % 20) / 8) * 50 + ((i / 20) / 8) * 30 + 40)
+    val r2 = Multimodal.decodeRaster(Multimodal.encodeGrayJpeg(20, 12, odd)).get
+    assert(r2.width == 20 && r2.height == 12 && r2.gray.sameElements(odd))
+    val hm = Multimodal.parseHeader(b)
+    assert(hm.format == "jpeg" && hm.width.contains(64) && hm.height.contains(64))
+  }
+
+  test("JPEG AC path: run-lengths, ZRL, magnitude categories, pinned loss bounds") {
+    // gradient: every block carries real AC coefficients; at q=1 the
+    // quantization error is < 0.5 per coefficient, so pixels round back
+    val g = Array.tabulate(24 * 16)(i => (i % 24) * 3 + (i / 24) * 5 + 60)
+    val q1 = Array.fill(64)(1)
+    assert(Multimodal.decodeRaster(Multimodal.encodeGrayJpeg(24, 16, g, q1))
+      .get.gray.sameElements(g), "q=1 gradient must be exact")
+    // fixed-seed full-range noise: worst-case Huffman streams (high
+    // categories, dense runs); loss is deterministic — pin its bounds
+    val rnd = new scala.util.Random(7)
+    val n = Array.tabulate(40 * 24)(_ => rnd.nextInt(256))
+    def err(q: Int): (Int, Double) = {
+      val d = Multimodal.decodeRaster(
+        Multimodal.encodeGrayJpeg(40, 24, n, Array.fill(64)(q))).get
+        .gray.zip(n).map { case (a, c) => math.abs(a - c) }
+      (d.max, d.sum.toDouble / d.length)
+    }
+    val (m2, _) = err(2)
+    assert(m2 <= 3, s"q=2 max error $m2")
+    val (m16, mean16) = err(16)
+    assert(m16 <= 16 && mean16 <= 4.5, s"q=16 error max=$m16 mean=$mean16")
+  }
+
+  test("JPEG 4:2:0 color: luma exact, subsampled chroma walked and discarded") {
+    // Y at 2x2 sampling (4 blocks per MCU), Cb/Cr at 1x1 half resolution:
+    // the decoder must entropy-decode chroma to stay in sync, then emit
+    // only the Y plane — constant chroma makes luma round-trip exact
+    val y = Array.tabulate(32 * 32) { i =>
+      val bx = (i % 32) / 8; val by = (i / 32) / 8
+      (40 + bx * 11 + by * 23) % 251
+    }
+    val half = Array.fill(16 * 16)(128)
+    val b = Multimodal.encodeJpeg(32, 32, Seq(
+      Multimodal.JpegComp(2, 2, y, 32, 32),
+      Multimodal.JpegComp(1, 1, half, 16, 16),
+      Multimodal.JpegComp(1, 1, half, 16, 16)))
+    val r = Multimodal.decodeRaster(b).get
+    assert(r.width == 32 && r.height == 32 && r.gray.sameElements(y))
+    // 4:4:4 layout too (1 block per component per MCU)
+    val y8 = Array.fill(64)(200)
+    val c8 = Array.fill(64)(90)
+    val b444 = Multimodal.encodeJpeg(8, 8, Seq(
+      Multimodal.JpegComp(1, 1, y8, 8, 8),
+      Multimodal.JpegComp(1, 1, c8, 8, 8),
+      Multimodal.JpegComp(1, 1, c8, 8, 8)))
+    assert(Multimodal.decodeRaster(b444).get.gray.sameElements(y8))
+  }
+
+  test("decodeJpeg never throws on arbitrary or mutated bytes (fuzz, fixed seed)") {
+    val rnd = new scala.util.Random(0x1be9)
+    val px = Array.tabulate(64 * 64)(i => (i * 7) % 251)
+    val real = Multimodal.encodeGrayJpeg(64, 64, px, restartInterval = 4)
+    for (i <- 0 until 2000) {
+      val b =
+        if (i % 2 == 0) { // mutated real stream: walks deep decode paths
+          val m = real.clone()
+          for (_ <- 0 to rnd.nextInt(8)) m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+          m
+        } else { // SOI + garbage
+          val g = new Array[Byte](rnd.nextInt(96))
+          rnd.nextBytes(g)
+          Array(0xff.toByte, 0xd8.toByte) ++ g
+        }
+      Multimodal.decodeRaster(b) // must not throw; None or a raster both fine
+    }
+    // truncated entropy stream: fails the block count, not the JVM
+    assert(Multimodal.decodeRaster(real.dropRight(real.length / 3)).isEmpty)
+    // progressive SOF2 is out of envelope: flip the SOF marker byte
+    val prog = real.clone()
+    val sofAt = (0 until prog.length - 1).find(j =>
+      (prog(j) & 0xff) == 0xff && (prog(j + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(Multimodal.decodeRaster(prog).isEmpty)
+  }
+
+  test("decode() emits real JPEG perceptual features through the full envelope") {
+    import spark.implicits._
+    val px = Array.tabulate(64 * 64) { i =>
+      val bx = (i % 64) / 8; val by = (i / 64) / 8
+      (3 * 31 + bx * 7 + by * 13) % 251
+    }
+    val assets = Seq(("j1", Multimodal.encodeGrayJpeg(64, 64, px, restartInterval = 3)))
+      .toDF("asset_id", "payload")
+    val f = Multimodal.decode(assets).collect().head
+    assert(f.format == "jpeg" && f.width.contains(64) && f.height.contains(64))
+    assert(f.phash == Multimodal.averageHash(Multimodal.Raster(64, 64, px)),
+      "phash must come from decoded pixels, not the md5 stand-in")
+  }
+
   test("decode emits real perceptual features for decodable payloads") {
     import spark.implicits._
     // two assets with the same pixels but different PNG byte streams
