@@ -30,6 +30,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // glob-path probe noise — see the matching note in Verify.scala
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+      org.apache.logging.log4j.Level.ERROR)
     // untimed warmup: JIT + whole-stage-codegen compilation + parquet
     // reader init, so the first timed query measures the query, not JVM
     // startup (~3-4 s otherwise attributed to whichever query runs first)

@@ -21,6 +21,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // FileStreamSink's is-this-a-streaming-sink probe can't stat a glob
+    // path (x_lsm_compacted_read's b*/v*) and logs a full spurious
+    // FileNotFoundException trace at WARN before reading fine; keep the
+    // log clean so real failures stand out
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
