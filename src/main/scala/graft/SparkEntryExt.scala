@@ -287,6 +287,11 @@ object SparkEntryExt {
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       Dedup.clusters(pairs, docs)
     },
+    "x_dedup_substring_spans" -> { (s, dir) =>
+      // maximal cross-doc duplicated token spans at 8-gram granularity
+      // (Lee et al.'s suffix-array dedup, relational form)
+      Dedup.exactSubstringSpans(Tables.documents(s, dir), k = 8)
+    },
     "x_dedup_incremental" -> { (s, dir) =>
       // ingest-time dedup: odd docs arrive as the batch, even docs are the
       // stored corpus — match against its indexes only
@@ -869,6 +874,26 @@ object SparkEntryExt {
     "x_dedup_minhash" ->
       (s"SELECT doc_id, array_to_string($sigSql, ',') AS sig_str FROM " +
         s"(SELECT doc_id, ${hashedSql(shinglesSql())} AS hs FROM documents)"),
+
+    // positional 8-grams duplicated across >= 2 distinct docs mark their
+    // positions covered; gaps-and-islands merges coverage into maximal
+    // spans — same tokenization, same 1-based inclusive span bounds
+    "x_dedup_substring_spans" ->
+      (s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents WHERE text IS NOT NULL), " +
+        "g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6), " +
+        "i -> {'pos': i, 'gram': array_to_string(tk[i:i+7], ' ')})) AS u FROM t), " +
+        "p AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g), " +
+        "dup AS (SELECT gram FROM p GROUP BY 1 HAVING min(doc_id) <> max(doc_id)), " +
+        "cov AS (SELECT doc_id, pos FROM p JOIN dup USING (gram)), " +
+        "isl AS (SELECT doc_id, pos, CASE WHEN pos > coalesce(max(pos + 7) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1 " +
+        "THEN 1 ELSE 0 END AS brk FROM cov), " +
+        "lab AS (SELECT doc_id, pos, sum(brk) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM isl) " +
+        "SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, " +
+        "CAST(max(pos) + 7 AS BIGINT) AS span_end, " +
+        "CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens " +
+        "FROM lab GROUP BY doc_id, island"),
 
     // a = the incoming (odd) side, b = the stored (even) side; same band
     // share, estimate gate, and exact-Jaccard verify as the self-join path

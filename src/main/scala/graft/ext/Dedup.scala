@@ -30,6 +30,57 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
 
+  /** Exact-substring duplicate spans (the suffix-array dedup of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022, re-expressed relationally): find every MAXIMAL token span
+    * that some other document also contains verbatim, at k-token
+    * granularity. A span of ≥ k tokens is cross-doc duplicated iff every
+    * one of its k-grams is — so positional k-grams stand in for suffix
+    * arrays: grams seen in ≥ 2 distinct docs mark their positions
+    * covered, and merging overlapping/adjacent covered intervals yields
+    * the maximal spans (start/end are 1-based token positions,
+    * inclusive). Intra-doc repetition alone does NOT mark a span (that is
+    * repetition scoring's domain, [[Curation.repetitionMetrics]]).
+    *
+    * Scale: one shuffle to aggregate grams (map-side combinable min/max —
+    * never a distinct-count), one inner join back to positions (build
+    * side is one row per duplicated gram; a boilerplate mega-gram skews
+    * the probe side but inner joins are AQE-skew-splittable, unlike the
+    * LeftSemi in has_child), and the island merge runs under a window
+    * PARTITIONED BY doc — per-doc state only, no global ordering. Grams
+    * ship as strings for oracle parity; at 100 TB swap the join key for
+    * [[graft.functions.TextFunctions.seededHash]] (DuckDB-reproducible)
+    * to shuffle 8 bytes instead of k words. */
+  def exactSubstringSpans(docs: DataFrame, k: Int = 8, textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2, s"k-gram width must be >= 2, got $k")
+    val toks = tokens(col(textCol))
+    val grams = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), explode(when(size(toks) >= k,
+        transform(sequence(lit(1), size(toks) - (k - 1)),
+          i => struct(i.cast("long").as("pos"),
+            concat_ws(" ", slice(toks, i, lit(k))).as("gram"))))
+        .otherwise(array().cast("array<struct<pos:bigint,gram:string>>"))).as("g"))
+      .select(col(idCol), col("g.pos").as("pos"), col("g.gram").as("gram"))
+    val dup = grams.groupBy("gram")
+      .agg(min(col(idCol)).as("d1"), max(col(idCol)).as("d2"))
+      .where(col("d1") =!= col("d2")).select("gram")
+    val covered = grams.join(dup, Seq("gram")).select(col(idCol), col("pos"))
+    val prevEnd = max(col("pos") + (k - 1)).over(
+      Window.partitionBy(col(idCol)).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, -1))
+    val islands = covered
+      .withColumn("brk",
+        when(col("pos") > coalesce(prevEnd, lit(-2L)) + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        Window.partitionBy(col(idCol)).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy(col(idCol), col("island"))
+      .agg(min("pos").as("span_start"), (max("pos") + (k - 1)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
   /** Per-doc MinHash signature (k affine minima over hashed n-word
     * shingles — one md5 per shingle), from the memoized signature table.
     * Synchronized across BOTH memo steps so [[invalidate]] cannot

@@ -157,6 +157,57 @@ class DedupSpec extends SparkSpec {
 
   lazy val docs = Tables.documents(spark, sf)
 
+  test("exactSubstringSpans: maximal cross-doc spans, merge rules, intra-doc exclusion") {
+    import spark.implicits._
+    val fixture = Seq(
+      // shared 3-gram prefix + shared suffix with a ONE-token gap between
+      // coverages: two spans, not merged (gap breaks contiguity)
+      (1L, "x1 x2 x3 q1 q2 z1 z2 z3"),
+      (2L, "x1 x2 x3 q9 z1 z2 z3"),
+      // intra-doc repetition only: gram "r r r" repeats inside doc 3 but
+      // appears in no other doc -> no coverage at all
+      (3L, "r r r r"),
+      // overlapping dup grams merge into one maximal span
+      (4L, "m1 m2 m3 m4"),
+      (5L, "m1 m2 m3 m4"),
+      // ADJACENT coverages merge even when sourced from different
+      // partners: [1,3] (with doc 7) touches [4,6] (with doc 8)
+      (6L, "a b c d e f"),
+      (7L, "a b c"),
+      (8L, "d e f"),
+      (9L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringSpans(fixture, k = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(out(1L) == Set((1L, 3L, 3L), (6L, 8L, 3L)), s"doc1: ${out.get(1L)}")
+    assert(out(2L) == Set((1L, 3L, 3L), (5L, 7L, 3L)), s"doc2: ${out.get(2L)}")
+    assert(!out.contains(3L), "intra-doc repetition must not mark spans")
+    assert(out(4L) == Set((1L, 4L, 4L)) && out(5L) == Set((1L, 4L, 4L)))
+    assert(out(6L) == Set((1L, 6L, 6L)), s"adjacent coverages must merge: ${out.get(6L)}")
+    assert(out(7L) == Set((1L, 3L, 3L)) && out(8L) == Set((1L, 3L, 3L)))
+    assert(!out.contains(9L))
+    // the gram join-back must be an INNER join: AQE can split a skewed
+    // probe side there (OptimizeSkewedJoin excludes LeftSemi — the same
+    // fact that forced has_child's distinct-collapse, SkewSpec)
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.catalyst.plans.Inner
+    val plan = Dedup.exactSubstringSpans(fixture, k = 3).queryExecution.executedPlan
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(s.plan)
+        case o => o.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    val joins = nodes(plan).collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty && joins.forall(_.joinType == Inner),
+      s"expected inner-only joins: ${joins.map(_.joinType)}")
+  }
+
   test("lsh candidates find the implanted near-dup pairs") {
     // ground truth: exact jaccard >= 0.9 over all pairs (sf0.001 is small)
     val sh = docs.select(col("doc_id"), TextFunctions.shingles(col("text")).as("sh"))
