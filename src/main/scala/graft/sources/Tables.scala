@@ -33,17 +33,39 @@ object Tables {
   def supplier(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "supplier")
   def nation(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "region")
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`, runtime-settable) and truncate
-    * to a microsecond TimestampType — the same truncation DuckDB applies
-    * when casting its timestamp_ns to its micros-based TIMESTAMP, so oracle
-    * comparisons line up.
+  /** `events.parquet`'s `ts` physical type has changed across fixture
+    * generations (TIMESTAMP(NANOS) → TIMESTAMP(MICROS, isAdjustedToUTC=false)),
+    * so normalize on the *observed* read schema rather than assuming one
+    * layout:
+    *   - LongType: nanos read via `spark.sql.legacy.parquet.nanosAsLong`
+    *     (set as a scoped read here, then truncated to micros — the same
+    *     truncation DuckDB applies casting timestamp_ns to TIMESTAMP);
+    *   - TimestampNTZType: cast to TimestampType — the session is pinned
+    *     UTC, so the wall-clock instant is preserved and DuckDB's ntz read
+    *     of the same file lines up;
+    *   - TimestampType: pass through.
+    * The nanos conf is only touched when the nanos layout is actually seen.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val path = s"$sfDir/events.parquet"
+    def tsType(df: DataFrame) = df.schema("ts").dataType
+    val probe =
+      try Some(spark.read.parquet(path))
+      catch { case _: org.apache.spark.SparkException => None } // nanos: vectorized reader rejects
+    probe.map(tsType) match {
+      case Some(TimestampType)    => probe.get
+      case Some(TimestampNTZType) => probe.get.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => // LongType probe or read rejection: legacy nanos layout.
+        // The conf must stay set for the lazy scan to execute, so it is
+        // left enabled — but only ever touched when this layout is seen.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = spark.read.parquet(path)
+        if (tsType(raw) == LongType)
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else raw
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")

@@ -38,6 +38,51 @@ class TablesSpec extends SparkSpec {
       assert(df.schema.nonEmpty, s"table $t has no schema")
     }
   }
+
+  // Pin the fixture contract: if the driver regenerates the parquet with a
+  // different physical layout, this fails with a named assertion instead of
+  // scattering DATATYPE_MISMATCH analysis errors through 13 queries (the
+  // round-9 failure mode, when events.ts silently moved NANOS → MICROS/NTZ).
+  test("fixture contract: loaded schemas carry the expected key columns/types") {
+    import org.apache.spark.sql.types._
+    def col(t: String, c: String): DataType =
+      graft.sources.Tables.load(spark, sf, t).schema
+        .find(_.name == c)
+        .getOrElse(fail(s"fixture contract: $t lacks column $c"))
+        .dataType
+    assert(col("events", "ts") == TimestampType,
+      "events.ts must normalize to TimestampType (micros, UTC session) — " +
+        "Tables.events handles NANOS-as-long / TIMESTAMP_NTZ / TIMESTAMP layouts")
+    assert(col("lineitem", "l_orderkey") == LongType, "lineitem.l_orderkey must be LongType")
+    assert(col("lineitem", "l_quantity").isInstanceOf[NumericType], "lineitem.l_quantity must be numeric")
+    assert(col("orders", "o_orderkey") == LongType, "orders.o_orderkey must be LongType")
+    assert(col("orders", "o_orderdate") == TimestampNTZType,
+      "orders.o_orderdate must be TimestampNTZType (timestamp[us], no tz)")
+    assert(col("customer", "c_custkey") == LongType, "customer.c_custkey must be LongType")
+    assert(!col("documents", "doc_id").isInstanceOf[StructType], "documents.doc_id must be atomic")
+    assert(col("documents", "text") == StringType, "documents.text must be StringType")
+    assert(col("embeddings", "embedding") match {
+      case ArrayType(_: NumericType, _) => true
+      case _                            => false
+    }, "embeddings.embedding must be array<numeric>")
+  }
+
+  // A deliberately perturbed events layout must still normalize: long-nanos
+  // (the pre-round-9 fixture shape) round-trips to the same instants as the
+  // current TIMESTAMP_NTZ layout.
+  test("fixture contract: events loader normalizes a legacy long-nanos layout") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_events_nanos").toString
+    val cur = graft.sources.Tables.events(spark, sf)
+    // write a copy with ts as raw nanos-since-epoch longs
+    cur.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val renorm = graft.sources.Tables.events(spark, tmp)
+    assert(renorm.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    val a = cur.agg(sum(unix_micros(col("ts")))).head.getLong(0)
+    val b = renorm.agg(sum(unix_micros(col("ts")))).head.getLong(0)
+    assert(a == b, "nanos layout must normalize to identical instants")
+  }
 }
 
 class CachesSpec extends SparkSpec {
