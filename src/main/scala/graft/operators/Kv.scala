@@ -136,13 +136,35 @@ object Kv {
   def cascadeDeleteRoot(nodes: DataFrame, rootKey: String): DataFrame =
     nodes.where(col("rootKey") =!= lit(rootKey))
 
-  /** Descendant closure of an arbitrary node (for subtree deletes):
-    * iterates parentKey joins down the (schema-bounded) depth. The walk
-    * touches only `(key, parentKey)` — that narrow edge projection is
-    * persisted once up front so each level (an action, because of its
-    * emptiness check) scans two slim columns instead of re-deriving the
-    * full nodes union (payload/etag included) every time. */
+  /** Descendant closure of an arbitrary node (for subtree deletes),
+    * key-addressed: the result is the distinct KEY set, and deleting it
+    * removes every occurrence of those keys (the store holds one object per
+    * key — same key ⇒ same object ⇒ same children — so closure-via-any-
+    * occurrence and closure-by-parentKey agree; DocOpsSpec asserts the
+    * equivalence).
+    *
+    * Fast path: when the nodes table carries the [[Shred]]-materialized
+    * `keyPath` ancestry column, descendant-or-self of K is the single
+    * predicate `keyPath CONTAINS "/K/"` — one filter + distinct, no
+    * iteration, no per-level Spark jobs, and the filter pushes down to the
+    * scan on a stored layout. Requires '/'-free keys (the [[Shred]] key
+    * grammar); keys containing '/' fall back to the BFS.
+    *
+    * Fallback (pathless node stores): iterative parentKey joins down the
+    * (schema-bounded) depth. The walk touches only `(key, parentKey)` —
+    * that narrow edge projection is persisted once up front so each level
+    * (an action, because of its emptiness check) scans two slim columns
+    * instead of re-deriving the full nodes union (payload/etag included)
+    * every time. */
   def subtreeKeys(nodes: DataFrame, key: String, maxDepth: Int = 64): DataFrame = {
+    if (nodes.columns.contains("keyPath") && !key.contains("/"))
+      return nodes.where(col("keyPath").contains(s"/$key/"))
+        .select(col("key")).distinct()
+    subtreeKeysBfs(nodes, key, maxDepth)
+  }
+
+  /** BFS closure over parentKey edges — the pathless-store fallback. */
+  private[graft] def subtreeKeysBfs(nodes: DataFrame, key: String, maxDepth: Int = 64): DataFrame = {
     val edges = nodes.select(col("key"), col("parentKey")).persist()
     var frontier = edges.select(col("key")).where(col("key") === lit(key))
     var acc = frontier

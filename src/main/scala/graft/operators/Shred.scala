@@ -34,10 +34,18 @@ import org.apache.spark.sql.types._
 object Shred {
 
   /** Metadata columns carried through the recursion. Prefixed to avoid
-    * collisions with user payload fields. */
+    * collisions with user payload fields.
+    *
+    * `__keyPath` is the materialized ancestry chain — `/rootKey/…/key/`,
+    * '/'-delimited — so "descendant-or-self of key K" is the single
+    * predicate `keyPath CONTAINS "/K/"`: no recursion, no joins, and at
+    * 100 TB a plain pushed-down string filter instead of a depth-many
+    * iterative job chain (see [[Kv.subtreeKeys]]). The database
+    * materialized-path pattern, applied at shred time where the ancestry
+    * is free. */
   val MetaCols: Seq[String] = Seq(
     "__key", "__objectType", "__objectId", "__parentKey", "__parentType",
-    "__rootKey", "__field", "__ord")
+    "__rootKey", "__field", "__ord", "__keyPath")
 
   def isNodeStruct(dt: DataType): Boolean = dt match {
     case s: StructType =>
@@ -108,7 +116,8 @@ object Shred {
         lit(null).cast("string").as("__parentType"),
         rootKey.as("__rootKey"),
         lit(null).cast("string").as("__field"),
-        lit(null).cast("int").as("__ord")
+        lit(null).cast("int").as("__ord"),
+        concat(lit("/"), rootKey, lit("/")).as("__keyPath")
       ) ++ docs.schema.fieldNames.map(col): _*)
   }
 
@@ -120,11 +129,12 @@ object Shred {
       //    document assembly — this is the load-bearing one.
       //  - repartition by __rootKey: document trees arrive co-located, so
       //    the downstream renest exchanges move far less data (same-key
-      //    rows are already together). Full exchange ELISION needs the
-      //    partitioning to survive the explode/rename chain, which alias
-      //    propagation currently does not guarantee — the bucketed
-      //    NodeStore layout is the proven exchange-free path
-      //    (NodeStoreSpec); at 100 TB that is the layout to use.
+      //    rows are already together). Measured (r10, sf0.1): dropping
+      //    this exchange saves ~1 s of build but costs p10's steady-state
+      //    renest 1.1 s → 8.4 s — the rootKey partitioning is what the
+      //    hit-filtered renest joins reuse. The bucketed NodeStore layout
+      //    is the fully exchange-free path (NodeStoreSpec); at 100 TB that
+      //    stored layout is the one to use.
       .repartition(col("__rootKey"))
       .persist()
     (prepared, walk(prepared, docs.schema, ""))
@@ -143,7 +153,7 @@ object Shred {
         case ArrayType(s: StructType, _) if isNodeStruct(s) =>
           val exploded = df.select(
             col("__key").as("__pk"), col("__objectType").as("__pt"),
-            col("__rootKey").as("__rk"),
+            col("__rootKey").as("__rk"), col("__keyPath").as("__kp"),
             posexplode(col(f.name)).as(Seq("__pos", "__node")))
           val child = childDf2(exploded, f.name, s)
           walk(child, s, joinPath(path, f.name)).toSeq
@@ -159,7 +169,8 @@ object Shred {
     parent
       .select(
         col("__key").as("__pk"), col("__objectType").as("__pt"),
-        col("__rootKey").as("__rk"), node.as("__node"), ord.as("__pos"))
+        col("__rootKey").as("__rk"), col("__keyPath").as("__kp"),
+        node.as("__node"), ord.as("__pos"))
       .where(col("__node").isNotNull)
       .select(childProjection(fieldName, s): _*)
 
@@ -175,7 +186,10 @@ object Shred {
       col("__pt").as("__parentType"),
       col("__rk").as("__rootKey"),
       lit(fieldName).as("__field"),
-      col("__pos").cast("int").as("__ord")
+      col("__pos").cast("int").as("__ord"),
+      concat(col("__kp"),
+        concat_ws("_", col("__node.objectType").cast("string"),
+          col("__node.objectId").cast("string")), lit("/")).as("__keyPath")
     ) ++ s.fieldNames.map(n => col(s"__node.$n").as(n))
 
   /** J1 output in its generic single-table form: the `nodes` table
@@ -201,6 +215,7 @@ object Shred {
         col("__field").as("field"),
         col("__ord").as("ord"),
         lit(path).as("path"),
+        col("__keyPath").as("keyPath"),
         payload.as("payload"),
         md5(payload).as("etag"))
     }

@@ -482,6 +482,22 @@ class KvSearchSpec extends SparkSpec {
     assert(!Kv.exists(after, "membercostshare_cs1"))
   }
 
+  test("keyPath materializes the ancestry chain; prefix closure ≡ BFS closure") {
+    // the materialized-path column is the full root→node key chain
+    val kp = nodes.where($"key" === "service_sv1").select("keyPath").head().getString(0)
+    assert(kp == "/plan_A/planservice_ps1/service_sv1/")
+    // fast path (single filter) and BFS fallback agree on every node key
+    for (k <- Seq("plan_A", "planservice_ps1", "service_sv1", "membercostshare_pcsB")) {
+      val fast = Kv.subtreeKeys(nodes, k).collect().map(_.getString(0)).toSet
+      val bfs = Kv.subtreeKeysBfs(nodes, k).collect().map(_.getString(0)).toSet
+      assert(fast == bfs, s"closure mismatch for $k: fast=$fast bfs=$bfs")
+    }
+    // pathless store (keyPath projected away) transparently takes the BFS
+    val pathless = Kv.subtreeKeys(nodes.drop("keyPath"), "planservice_ps1")
+      .collect().map(_.getString(0)).toSet
+    assert(pathless == Set("planservice_ps1", "service_sv1", "membercostshare_cs1"))
+  }
+
   test("search: conj equality, has_child range/eq, has_parent, routing") {
     val parents = nodes.where($"relName" === "plan")
     val costShares = nodes.where($"relName" === "planservice_membercostshare")

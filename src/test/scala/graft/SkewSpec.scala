@@ -55,6 +55,21 @@ class SkewSpec extends SparkSpec {
       s"every chain node must label 0: ${got.filter(_._2 != 0L).take(5).toSeq}")
   }
 
+  test("star CC early-exits: an already-converged star forest stops after one round") {
+    import spark.implicits._
+    // input already a star forest rooted at minima (the LSH anchor-pair
+    // shape x_dedup_clusters feeds at sf0.1, where the loop measures 2
+    // rounds total) — the fixpoint check must fire on the FIRST comparison,
+    // not run to a fixed round budget
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (10L, 11L), (10L, 12L))
+      .toDF("id_a", "id_b")
+    val nodes = spark.range(13).select(col("id").as("doc_id"))
+    val (out, rounds) = Dedup.clustersWithRounds(star, nodes)
+    assert(rounds == 1, s"converged star forest must stop after 1 round, ran $rounds")
+    val lab = out.as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L).forall(lab(_) == 0L) && Seq(11L, 12L).forall(lab(_) == 10L))
+  }
+
   test("LSH dedup caps mega-bucket candidates (10k identical docs -> star pairs)") {
     import spark.implicits._
     // 10k identical docs: every band bucket is one 10k-member cluster —
