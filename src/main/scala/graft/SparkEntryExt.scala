@@ -128,6 +128,27 @@ object SparkEntryExt {
       Ingest.applyBatch(Ingest.applyBatch(empty, log), log)
     },
 
+    "st4_barrier_visibility" -> { (s, dir) =>
+      // ST4 — read-your-writes across the batch barrier, batch-checkable
+      // form (the streaming form is StreamingSpec's Ingest.run round
+      // trips; this is the same versioned kernel those batches execute).
+      // The changelog splits on a NON-seq-aligned boundary (seq parity),
+      // so batch 2 carries events BOTH newer and older than batch 1's per
+      // key: applying it over batch 1's committed state exercises exactly
+      // what the barrier guarantees — batch 2 reads batch 1's writes (its
+      // stale events must lose to the seq fence) and extends them. The
+      // final visible state must equal the one-pass fold of the whole
+      // log, which is the oracle.
+      val log = SparkEntryIdx.changelogOf(s, dir)
+      val emptyVersioned = log
+        .select(col("key"), col("doc"), col("seq"), lit(false).as("deleted"))
+        .limit(0)
+      val afterB1 = Ingest.applyBatchVersioned(emptyVersioned, log.where(col("seq") % 2 === 0))
+      val afterB2 = Ingest.applyBatchVersioned(afterB1, log.where(col("seq") % 2 =!= 0))
+      afterB2.where(!col("deleted"))
+        .select(col("key"), col("doc"), col("seq").as("last_seq"))
+    },
+
     "s7_index_delete" -> { (s, dir) =>
       // index-doc batch delete by key set (anti-join form of S5/S7)
       val kv = Tables.orders(s, dir)
@@ -479,6 +500,24 @@ object SparkEntryExt {
       Multimodal.decode(assets).toDF()
         .select("asset_id", "format", "width", "height", "phash")
     },
+    "x_multimodal_progressive" -> { (s, dir) =>
+      // the decode seam's honesty contract: a progressive-DCT (SOF2)
+      // payload parses to real header metadata (format/dims) but sits
+      // OUTSIDE the baseline decode envelope, so the stage must flag it
+      // `decoded = false` rather than passing stand-in features off as
+      // pixels. Fixture: minimal SOF2 stream (SOI + SOF2 with per-doc
+      // dims + SOS + EOI) built inline, like x_multimodal_meta's headers.
+      val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+      val w = (col("doc_id") % 16 + 8).cast("int")
+      val h = (col("doc_id") % 7 + 8).cast("int")
+      val sof2Hex = concat(lit("FFD8FFC2000B08"),
+        lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
+        lit("01011100FFDA0008010100003F00FFD9"))
+      val src = docs.select(col("doc_id").cast("string").as("asset_id"),
+        unhex(sof2Hex).as("payload"))
+      Multimodal.decode(src).toDF()
+        .select("asset_id", "format", "width", "height", "decoded")
+    },
 
     // ----- windows -----
     "x_window_sliding" -> { (s, dir) =>
@@ -787,6 +826,13 @@ object SparkEntryExt {
         "CAST(event_id % 50 AS VARCHAR)) ORDER BY event_id DESC) AS rn FROM events) " +
         "WHERE rn = 1 AND op <> 'delete'"),
 
+    "st4_barrier_visibility" ->
+      ("SELECT key, doc, seq AS last_seq FROM (SELECT *, row_number() OVER (" +
+        "PARTITION BY key ORDER BY seq DESC) AS rn FROM (" +
+        "SELECT event_id AS seq, CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'update' END AS op, " +
+        "concat('u', CAST(user_id AS VARCHAR), '_', CAST(event_id % 50 AS VARCHAR)) AS key, " +
+        "props AS doc FROM events)) WHERE rn = 1 AND op <> 'delete'"),
+
     "s7_index_delete" ->
       "SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT'",
 
@@ -1090,6 +1136,13 @@ object SparkEntryExt {
         "64 AS width, 64 AS height, " +
         "string_agg(printf('%x', CAST(v AS INT)), '' ORDER BY k) AS phash " +
         "FROM nib GROUP BY doc_id"),
+
+    // header metadata is real (SOF2 frame dims), decoded must be FALSE:
+    // the stand-in path is taken and FLAGGED for progressive payloads
+    "x_multimodal_progressive" ->
+      ("SELECT CAST(doc_id AS VARCHAR) AS asset_id, 'jpeg-progressive' AS format, " +
+        "CAST(doc_id % 16 + 8 AS INT) AS width, CAST(doc_id % 7 + 8 AS INT) AS height, " +
+        "FALSE AS decoded FROM documents WHERE text IS NOT NULL"),
 
     "x_window_sliding" ->
       ("SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) " +

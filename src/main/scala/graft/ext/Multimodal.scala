@@ -113,9 +113,15 @@ object Multimodal {
           val isSof = marker >= 0xc0 && marker <= 0xcf &&
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc
           if (isSof) {
+            // progressive DCT (SOF2) is named explicitly: it parses as a
+            // JPEG but sits outside the baseline decode envelope, and the
+            // decode stage flags it `decoded = false` — callers can route
+            // such payloads to an external codec instead of trusting the
+            // stand-in features
+            val fmt = if (marker == 0xc2) "jpeg-progressive" else "jpeg"
             if (i + 8 < b.length)
-              return HeaderMeta("jpeg", Some(beShort(b, o + 7)), Some(beShort(b, o + 5)), None)
-            return HeaderMeta("jpeg", None, None, None)
+              return HeaderMeta(fmt, Some(beShort(b, o + 7)), Some(beShort(b, o + 5)), None)
+            return HeaderMeta(fmt, None, None, None)
           }
           i += 2L + len
         }
@@ -1256,9 +1262,15 @@ object Multimodal {
     * metadata (format/width/height/sample_rate from [[parseHeader]]) and,
     * for decodable rasters, REAL perceptual features ([[averageHash]] +
     * grid-row means over decoded pixels). */
+  /** `decoded` is the honesty bit: true ⇔ phash/feat came from REAL
+    * decoded pixels; false ⇔ the payload sat outside the pure-JVM decode
+    * envelope (progressive JPEG, arbitrary bytes) and the md5-derived
+    * stand-in filled in. Downstream perceptual dedup should filter on it
+    * (stand-in hashes only ever match byte-identical payloads). */
   case class AssetFeatures(asset_id: String, n_bytes: Long, format: String,
                            width: Option[Int], height: Option[Int],
-                           sample_rate: Option[Int], phash: String, feat: Array[Float])
+                           sample_rate: Option[Int], phash: String, feat: Array[Float],
+                           decoded: Boolean)
 
   /** Per-partition decode stage. Header metadata is parsed for real from
     * the payload bytes. phash/feat are REAL perceptual features when the
@@ -1288,7 +1300,7 @@ object Multimodal {
               java.lang.Long.parseLong(h.substring(i * 4, i * 4 + 4), 16).toFloat / 65535f
             }.toArray)
           AssetFeatures(id, b.length.toLong, hm.format, hm.width, hm.height,
-            hm.sample_rate, phash, feat)
+            hm.sample_rate, phash, feat, raster.isDefined)
         }
       }
   }

@@ -625,6 +625,34 @@ class MultimodalSpec extends SparkSpec {
     bb.array()
   }
 
+  private def progressiveJpegBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(2 + 13 + 10 + 2)
+    bb.put(Array(0xff, 0xd8).map(_.toByte)) // SOI
+    bb.put(Array(0xff, 0xc2).map(_.toByte)).putShort(11.toShort) // SOF2
+      .put(8.toByte).putShort(h.toShort).putShort(w.toShort).put(1.toByte)
+      .put(Array[Byte](1, 0x11, 0))
+    bb.put(Array(0xff, 0xda).map(_.toByte)).putShort(8.toShort) // SOS
+      .put(Array[Byte](1, 1, 0, 0, 0x3f, 0))
+    bb.put(Array(0xff, 0xd9).map(_.toByte)) // EOI
+    bb.array()
+  }
+
+  test("progressive JPEG: real header metadata, decoded=false, stand-in flagged") {
+    import spark.implicits._
+    // SOF2 names itself in the format and dims parse for real
+    assert(Multimodal.parseHeader(progressiveJpegBytes(320, 200)) ==
+      Multimodal.HeaderMeta("jpeg-progressive", Some(320), Some(200), None))
+    val src = Seq(("p1", progressiveJpegBytes(16, 8)),
+        ("b1", Multimodal.encodeGrayPng(8, 8, Array.tabulate(64)(_ % 251))))
+      .toDF("asset_id", "payload")
+    val rows = Multimodal.decode(src).toDF()
+      .select("asset_id", "format", "decoded").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    // the honesty bit: stand-in features are FLAGGED, real decodes are not
+    assert(rows("p1") == ("jpeg-progressive", false))
+    assert(rows("b1") == ("png", true))
+  }
+
   test("parseHeader reads real magic bytes: PNG/JPEG/GIF dims, WAV sample rate") {
     assert(Multimodal.parseHeader(pngBytes(640, 480)) ==
       Multimodal.HeaderMeta("png", Some(640), Some(480), None))
