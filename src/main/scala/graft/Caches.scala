@@ -11,6 +11,7 @@ import org.apache.spark.sql.SparkSession
 object Caches {
   def invalidate(spark: SparkSession): Unit = {
     graft.ext.Dedup.invalidate(spark)
+    graft.ext.Similarity.invalidate(spark)
     graft.ext.InvertedIndex.invalidate(spark)
     graft.ext.Curation.invalidate(spark)
     graft.ext.TextAnalysis.invalidate(spark)

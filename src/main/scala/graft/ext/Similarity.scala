@@ -32,6 +32,49 @@ object Similarity {
     * Bounded metadata (kCells·dim floats), never a data collect. */
   @volatile var lastLearned: Seq[(Long, Array[Float])] = Nil
 
+  /** Learned-model memo: (session, canonicalized corpus plan, params) →
+    * trained model. Training is deterministic given the corpus (seeded
+    * sample, seeded Lloyd's), so a memo hit returns exactly what
+    * retraining would — while skipping the sample scan + `iters` driver
+    * round trips per call. The values are kilobytes of driver metadata
+    * (the [[lastLearned]] contract), not cached data; at 100 TB this is
+    * the stored model artifact beside the index. Swept by
+    * [[graft.Caches.invalidate]]. */
+  private val modelMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      String), AnyRef]()
+
+  private def memoModel[T <: AnyRef](corpus: DataFrame, tag: String)(train: => T): T =
+    modelMemo.computeIfAbsent(
+      (corpus.sparkSession, corpus.queryExecution.analyzed.canonicalized, tag),
+      _ => train).asInstanceOf[T]
+
+  /** Persisted-relation memo for the PQ code table — the stored ANN index
+    * at scale (dim/m·32× smaller than the raw vectors; the search scan
+    * reads only it). Same contract as Dedup's signature tables. */
+  private val dfMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      String), DataFrame]()
+
+  private def memoDf(corpus: DataFrame, tag: String)(build: => DataFrame): DataFrame =
+    synchronized {
+      val df = dfMemo.computeIfAbsent(
+        (corpus.sparkSession, corpus.queryExecution.analyzed.canonicalized, tag),
+        _ => build)
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+      df
+    }
+
+  def invalidate(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    val it = modelMemo.entrySet().iterator()
+    while (it.hasNext) if (it.next().getKey._1 eq spark) it.remove()
+    val di = dfMemo.entrySet().iterator()
+    while (di.hasNext) {
+      val e = di.next()
+      if (e.getKey._1 eq spark) { e.getValue.unpersist(); di.remove() }
+    }
+  }
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
                      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
@@ -135,6 +178,17 @@ object Similarity {
   def learnedCentroids(corpus: DataFrame, kCells: Int, iters: Int = 2,
                        vecCol: String = "embedding", idCol: String = "vec_id",
                        stash: Boolean = true): Seq[(Long, Array[Float])] = {
+    val cents = memoModel(corpus, s"ivf|$kCells|$iters|$vecCol|$idCol") {
+      trainCentroids(corpus, kCells, iters, vecCol, idCol)
+    }
+    // the stash is per-CALL state (the oracle replays the most recent
+    // learn), so a memo hit still re-stashes
+    if (stash) lastLearned = cents
+    cents
+  }
+
+  private def trainCentroids(corpus: DataFrame, kCells: Int, iters: Int,
+                             vecCol: String, idCol: String): Seq[(Long, Array[Float])] = {
     val train = trainSample(
       corpus.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
         .select(col(idCol), col(vecCol)),
@@ -152,10 +206,6 @@ object Similarity {
       i += 1
     }
     train.unpersist(blocking = false)
-    // callers that learn centroids for a DIFFERENT query (e.g. semantic
-    // dedup) pass stash=false so they can never clobber the centroids the
-    // x_knn_ivf oracle replays
-    if (stash) lastLearned = cents
     cents
   }
 
@@ -261,8 +311,23 @@ object Similarity {
   def pqCodebooks(corpus: DataFrame, m: Int, kCodes: Int, iters: Int, dim: Int,
                   vecCol: String = "embedding", idCol: String = "vec_id",
                   stash: Boolean = true): Seq[(Int, Int, Array[Float])] = {
-    val ds = if (m > 0) dim / m else 0
-    if (ds == 0) { if (stash) lastLearnedPq = Nil; return Nil }
+    val out =
+      if (m > 0 && dim / m > 0)
+        memoModel(corpus, s"pq|$m|$kCodes|$iters|$dim|$vecCol|$idCol") {
+          trainPqCodebooks(corpus, m, kCodes, iters, dim, vecCol, idCol)
+        }
+      else Seq.empty[(Int, Int, Array[Float])]
+    // callers that learn codebooks for a DIFFERENT query pass stash=false
+    // so they can never clobber the books the x_knn_pq oracle replays; a
+    // memo hit still re-stashes (per-call state)
+    if (stash) lastLearnedPq = out
+    out
+  }
+
+  private def trainPqCodebooks(corpus: DataFrame, m: Int, kCodes: Int, iters: Int,
+                               dim: Int, vecCol: String,
+                               idCol: String): Seq[(Int, Int, Array[Float])] = {
+    val ds = dim / m
     val valid = trainSample(
       corpus.where(validVec(col(vecCol), dim))
         .select(col(idCol), col(vecCol).cast("array<double>").as("__v")),
@@ -300,7 +365,6 @@ object Similarity {
     valid.unpersist(blocking = false)
     val out = for (j <- 0 until m; (cw, c) <- books(j).zipWithIndex)
       yield (j, c, cw.map(_.toFloat))
-    if (stash) lastLearnedPq = out
     out
   }
 
@@ -383,9 +447,13 @@ object Similarity {
       return queries.select(col(idCol).as("query_id"), lit(1).as("rank"),
         col(idCol).as("neighbor_id"), lit(0d).as("adist")).limit(0)
     val cwLit = codebookLits(books, m)
-    val valid = corpus.where(validVec(col(vecCol), dim))
-      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-    val enc = valid.select(col(idCol), encodeCodes(books, m, ds))
+    // the encoded code table IS the stored PQ index — memoized/persisted
+    // so search reps scan codes, not re-encode the corpus
+    val enc = memoDf(corpus, s"pqenc|$m|$kCodes|$iters|$dim|$vecCol|$idCol") {
+      corpus.where(validVec(col(vecCol), dim))
+        .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+        .select(col(idCol), encodeCodes(books, m, ds))
+    }
     val q = broadcast(queries.where(validVec(col(vecCol), dim))
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("__qv"))
       .select(Seq(col("query_id")) ++ lutCols(cwLit, m, ds): _*))
