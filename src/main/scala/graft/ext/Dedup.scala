@@ -421,15 +421,23 @@ object Dedup {
 
     var edges = canon(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
       .localCheckpoint(true)
+    // counts come off the just-materialized checkpoint RDD — free relative
+    // to a join — and gate the equality check: both sides are DISTINCT
+    // canonical sets, so (a) unequal cardinality ⇒ not converged, no join
+    // needed at all, and (b) equal cardinality means next ⊆ edges ⟺
+    // next == edges — ONE anti-join, not two. On a converging graph most
+    // rounds change the edge count, so the typical round pays zero
+    // fixpoint-check jobs.
+    var nEdges = edges.count()
     var i = 0
-    var done = edges.isEmpty
+    var done = nEdges == 0L
     while (i < maxIter && !done) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      // both sides are distinct canonical sets: fixpoint == set equality,
-      // one anti-join each way (cheap — star edges are ≤ node count)
-      done = next.join(edges, Seq("u", "v"), "left_anti").isEmpty &&
-        edges.join(next, Seq("u", "v"), "left_anti").isEmpty
+      val nNext = next.count()
+      done = nNext == nEdges &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
       edges = next
+      nEdges = nNext
       i += 1
     }
     if (!done)
