@@ -518,6 +518,27 @@ object SparkEntryExt {
       Multimodal.decode(src).toDF()
         .select("asset_id", "format", "width", "height", "decoded")
     },
+    "x_multimodal_progressive_real" -> { (s, dir) =>
+      // REAL progressive decode end-to-end: the same 64x64 block-constant
+      // image as x_multimodal_jpeg_phash, but encoded as SOF2 spectral-
+      // selection scans (DC scan + two AC band scans). The engine must
+      // walk MULTIPLE scans, accumulate coefficients across them, and
+      // IDCT at EOI — landing on the identical pixel-formula hash the
+      // baseline query proves (same FlatQuant8 losslessness argument;
+      // only the scan organization differs), with decoded=true.
+      import s.implicits._
+      val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+        .select("doc_id").as[Long]
+      val assets = docs.map { id =>
+        val px = Array.tabulate(64 * 64) { i =>
+          val bx = (i % 64) / 8; val by = (i / 64) / 8
+          ((id * 31 + bx * 7 + by * 13) % 251).toInt
+        }
+        (id.toString, Multimodal.encodeGrayProgressiveJpeg(64, 64, px))
+      }.toDF("asset_id", "payload")
+      Multimodal.decode(assets).toDF()
+        .select("asset_id", "format", "width", "height", "decoded", "phash")
+    },
 
     // ----- windows -----
     "x_window_sliding" -> { (s, dir) =>
@@ -1138,11 +1159,28 @@ object SparkEntryExt {
         "FROM nib GROUP BY doc_id"),
 
     // header metadata is real (SOF2 frame dims), decoded must be FALSE:
-    // the stand-in path is taken and FLAGGED for progressive payloads
+    // the fixture's combined DC+AC scan is illegal under SOF2, so the
+    // stand-in path is taken and FLAGGED
     "x_multimodal_progressive" ->
       ("SELECT CAST(doc_id AS VARCHAR) AS asset_id, 'jpeg-progressive' AS format, " +
         "CAST(doc_id % 16 + 8 AS INT) AS width, CAST(doc_id % 7 + 8 AS INT) AS height, " +
         "FALSE AS decoded FROM documents WHERE text IS NOT NULL"),
+
+    // the jpeg_phash pixel-formula replay, for the SOF2 spectral-selection
+    // encode: real multi-scan decode ⇒ decoded TRUE and the identical hash
+    "x_multimodal_progressive_real" ->
+      ("WITH px AS (SELECT doc_id, x.range AS bx, y.range AS by, " +
+        "(doc_id * 31 + bx * 7 + by * 13) % 251 AS g " +
+        "FROM documents, range(8) x, range(8) y WHERE text IS NOT NULL), " +
+        "m AS (SELECT doc_id, avg(g) AS mn FROM px GROUP BY 1), " +
+        "nib AS (SELECT p.doc_id, p.by * 2 + p.bx // 4 AS k, " +
+        "sum(CASE WHEN p.g > m.mn THEN (CASE p.bx % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 " +
+        "WHEN 2 THEN 2 ELSE 1 END) ELSE 0 END) AS v " +
+        "FROM px p JOIN m ON p.doc_id = m.doc_id GROUP BY 1, 2) " +
+        "SELECT CAST(doc_id AS VARCHAR) AS asset_id, 'jpeg-progressive' AS format, " +
+        "64 AS width, 64 AS height, TRUE AS decoded, " +
+        "string_agg(printf('%x', CAST(v AS INT)), '' ORDER BY k) AS phash " +
+        "FROM nib GROUP BY doc_id"),
 
     "x_window_sliding" ->
       ("SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) " +

@@ -660,17 +660,53 @@ object Multimodal {
   private def jpegExtend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
-  /** Baseline sequential JPEG decode to the luma plane — pure JVM.
-    * Envelope: SOF0/SOF1, 8-bit, one interleaved scan, ≤ 4 components
-    * with sampling factors 1–2 where the FIRST component (Y) carries the
-    * maxima (every camera/libjpeg layout: 4:4:4, 4:2:2, 4:2:0 gray or
-    * YCbCr). Chroma blocks are entropy-decoded to keep the bitstream in
-    * sync, then discarded — features need luma only, and in JFIF the Y
-    * channel IS the grayscale image (no color convert needed). DRI/RSTn
-    * restart intervals reset the DC predictors per T.81 F.2.1.3.1.
-    * Progressive (SOF2), arithmetic coding, 12-bit, and point transforms
-    * are out of envelope → None; truncated or desynced entropy data →
-    * None; NEVER throws (fuzzed in MultimodalSpec). */
+  /** Separable 8×8 IDCT (shared basis) of DEQUANTIZED natural-order
+    * coefficients to clamped 0–255 pixels — the one arithmetic both the
+    * baseline scan and the progressive finish must share bit-for-bit
+    * (the lossless-fixture oracle depends on it). */
+  private def jpegIdctBlock(coef: Array[Int], pix: Array[Int], tmp: Array[Double]): Unit = {
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0; var u = 0
+        while (u < 8) { acc += DctBasis(u)(x) * coef(v * 8 + u); u += 1 }
+        tmp(v * 8 + x) = acc
+        x += 1
+      }
+      v += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0; var v2 = 0
+        while (v2 < 8) { acc += DctBasis(v2)(y) * tmp(v2 * 8 + x); v2 += 1 }
+        val p = math.rint(acc / 4.0 + 128.0).toInt
+        pix(y * 8 + x) = if (p < 0) 0 else if (p > 255) 255 else p
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** JPEG decode to the luma plane — pure JVM.
+    * Baseline envelope: SOF0/SOF1, 8-bit, one interleaved scan, ≤ 4
+    * components with sampling factors 1–2 where the FIRST component (Y)
+    * carries the maxima (every camera/libjpeg layout: 4:4:4, 4:2:2,
+    * 4:2:0 gray or YCbCr). Chroma blocks are entropy-decoded to keep the
+    * bitstream in sync, then discarded — features need luma only, and in
+    * JFIF the Y channel IS the grayscale image (no color convert
+    * needed). DRI/RSTn restart intervals reset the DC predictors per
+    * T.81 F.2.1.3.1.
+    * Progressive envelope (SOF2): grayscale, spectral-selection scans
+    * with Ah=Al=0 — coefficients accumulate across scans (EOB-run
+    * semantics per T.81 G.1.2.2) and IDCT at EOI; whatever spectra the
+    * scans covered render, exactly as progressive display would.
+    * Color/successive-approximation progressive, arithmetic coding,
+    * 12-bit, and point transforms are out of envelope → None; truncated
+    * or desynced entropy data → None; NEVER throws (fuzzed in
+    * MultimodalSpec). */
   private def decodeJpeg(b: Array[Byte]): Option[Raster] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     val quant = Array.ofDim[Int](4, 64)
@@ -681,13 +717,45 @@ object Multimodal {
     var compQ: Array[Int] = null; var compId: Array[Int] = null
     var restartInterval = 0
     var sofSeen = false
+    // progressive (SOF2) state: per-block DEQUANTIZED coefficients
+    // accumulated across scans; the grid is blocks, not MCUs (the
+    // progressive envelope is single-component, so they coincide)
+    var progressive = false
+    var coefs: Array[Array[Int]] = null
+    var blocksX = 0; var blocksY = 0
+    var iNext = -1L // set by a progressive scan: resume AFTER its entropy data
+    // EOI (or end of buffer) on a progressive stream with at least one
+    // decoded scan: the accumulated coefficients ARE the image (partial
+    // spectra render coarse, exactly as progressive display would)
+    def finishProgressive(): Option[Raster] = {
+      if (!progressive || coefs == null) return None
+      val pix = new Array[Int](64)
+      val tmp = new Array[Double](64)
+      val gray = new Array[Int](w * h)
+      var blk = 0
+      while (blk < coefs.length) {
+        jpegIdctBlock(coefs(blk), pix, tmp)
+        val ox = (blk % blocksX) * 8; val oy = (blk / blocksX) * 8
+        var y = 0
+        while (y < 8 && oy + y < h) {
+          var x = 0
+          while (x < 8 && ox + x < w) {
+            gray((oy + y) * w + ox + x) = pix(y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        blk += 1
+      }
+      Some(Raster(w, h, gray))
+    }
     var i = 2L
     while (i + 3 < b.length) {
       if ((b(i.toInt) & 0xff) != 0xff) return None
       val marker = b(i.toInt + 1) & 0xff
       if (marker == 0xff) { i += 1 } // fill byte
       else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) { i += 2 }
-      else if (marker == 0xd9) return None // EOI before SOS
+      else if (marker == 0xd9) return finishProgressive()
       else {
         val o = i.toInt
         val len = beShort(b, o + 2)
@@ -718,7 +786,7 @@ object Multimodal {
               if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
               p += 17 + n
             }
-          case 0xc0 | 0xc1 => // SOF0/1: baseline / extended sequential
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 baseline/extended; SOF2 progressive
             if (sofSeen || len < 8) return None
             if ((b(o + 4) & 0xff) != 8) return None // 8-bit precision
             h = beShort(b, o + 5); w = beShort(b, o + 7)
@@ -738,13 +806,96 @@ object Multimodal {
                   compQ(c) > 3) return None
               c += 1
             }
+            if (marker == 0xc2) {
+              // progressive envelope: grayscale (single component),
+              // spectral selection only — color progressive falls to the
+              // flagged stand-in
+              if (nc != 1) return None
+              progressive = true
+            }
             sofSeen = true
-          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
                0xcd | 0xce | 0xcf =>
-            return None // progressive/lossless/arithmetic: out of envelope
+            return None // lossless/arithmetic/hierarchical: out of envelope
           case 0xdd => // DRI
             if (len < 4) return None
             restartInterval = beShort(b, o + 4)
+          case 0xda if progressive => // progressive scan: accumulate coefficients
+            // envelope: single-component scans, Ah=Al=0 (no successive
+            // approximation), no restart intervals — anything else falls
+            // to the flagged stand-in. DC scan (Ss=Se=0) codes exactly
+            // like baseline DC; an AC band scan codes [Ss..Se] with
+            // ZRL + EOBn runs (T.81 G.1.2.2).
+            if (restartInterval > 0) return None
+            val ns = b(o + 4) & 0xff
+            if (ns != 1 || len < 8) return None
+            if ((b(o + 5) & 0xff) != compId(0)) return None
+            val td = (b(o + 6) & 0xff) >> 4; val ta = b(o + 6) & 0x0f
+            val ss = b(o + 7) & 0xff; val se = b(o + 8) & 0xff
+            if ((b(o + 9) & 0xff) != 0) return None // Ah/Al: out of envelope
+            val isDc = ss == 0
+            if (isDc && se != 0) return None // combined DC+AC scan is illegal in SOF2
+            if (!isDc && (se < ss || se > 63)) return None
+            if (!quantSeen(compQ(0))) return None
+            val q = quant(compQ(0))
+            val tab = if (isDc) dcTabs(td) else acTabs(ta)
+            if (tab == null || td > 3 || ta > 3) return None
+            if (coefs == null) {
+              blocksX = (w + 7) / 8; blocksY = (h + 7) / 8
+              if (blocksX.toLong * blocksY * 64 > 4L * MaxPixels) return None
+              coefs = Array.ofDim[Int](blocksX * blocksY, 64)
+            }
+            val r = new JpegBits(java.util.Arrays.copyOfRange(b, o + 2 + len, b.length))
+            var dcPred = 0
+            var eobrun = 0
+            var blk = 0
+            while (blk < coefs.length) {
+              val cf = coefs(blk)
+              if (isDc) {
+                val s = jpegDecodeSym(tab, r)
+                if (s < 0 || s > 11) return None
+                dcPred += jpegExtend(r.bits(s), s)
+                cf(0) = dcPred * q(0)
+              } else if (eobrun > 0) {
+                eobrun -= 1 // this block's band is all zero
+              } else {
+                var k = ss
+                var bandDone = false
+                while (k <= se && !bandDone) {
+                  val rs = jpegDecodeSym(tab, r)
+                  if (rs < 0) return None
+                  val run = rs >> 4; val size = rs & 0x0f
+                  if (size == 0) {
+                    if (run == 15) k += 16 // ZRL: 16 zeros inside the band
+                    else {
+                      // EOBn: this band ends; 2^run - 1 + ext more blocks' bands are zero
+                      eobrun = (1 << run) - 1 + (if (run > 0) r.bits(run) else 0)
+                      bandDone = true
+                    }
+                  } else {
+                    k += run
+                    if (k > se) return None
+                    cf(ZigZag(k)) = jpegExtend(r.bits(size), size) * q(k)
+                    k += 1
+                  }
+                }
+              }
+              if (r.eof) return None
+              blk += 1
+            }
+            // resume the marker walk at the next true marker after this
+            // scan's entropy data (entropy bytes stuff 0xFF as 0xFF00, so
+            // 0xFF followed by a non-stuffing, non-RST byte IS a marker)
+            var p = (o + 2 + len).toLong
+            while (iNext < 0 && p + 1 < b.length) {
+              if ((b(p.toInt) & 0xff) == 0xff) {
+                val m2 = b(p.toInt + 1) & 0xff
+                if (m2 != 0 && !(m2 >= 0xd0 && m2 <= 0xd7)) iNext = p
+              }
+              p += 1
+            }
+            if (iNext < 0) return None
+
           case 0xda => // SOS: decode the interleaved scan and finish
             if (!sofSeen) return None
             val ns = b(o + 4) & 0xff
@@ -815,30 +966,9 @@ object Multimodal {
                     }
                     if (r.eof) return None
                     if (c == 0) {
-                      // IDCT (separable, shared basis) and place the block
-                      var v = 0
-                      while (v < 8) {
-                        var x = 0
-                        while (x < 8) {
-                          var acc = 0.0; var u = 0
-                          while (u < 8) { acc += DctBasis(u)(x) * coef(v * 8 + u); u += 1 }
-                          tmp(v * 8 + x) = acc
-                          x += 1
-                        }
-                        v += 1
-                      }
-                      var y = 0
-                      while (y < 8) {
-                        var x = 0
-                        while (x < 8) {
-                          var acc = 0.0; var v2 = 0
-                          while (v2 < 8) { acc += DctBasis(v2)(y) * tmp(v2 * 8 + x); v2 += 1 }
-                          val p = math.rint(acc / 4.0 + 128.0).toInt
-                          pix(y * 8 + x) = if (p < 0) 0 else if (p > 255) 255 else p
-                          x += 1
-                        }
-                        y += 1
-                      }
+                      // IDCT (shared helper, identical to the progressive
+                      // finish) and place the block
+                      jpegIdctBlock(coef, pix, tmp)
                       val ox = (mx * compH(0) + bx) * 8; val oy = (my * compV(0) + by) * 8
                       var yy = 0
                       while (yy < 8) {
@@ -864,10 +994,13 @@ object Multimodal {
             return Some(Raster(w, h, gray))
           case _ => () // APPn / COM / other: skip by length
         }
-        i += 2L + len
+        if (iNext >= 0) { i = iNext; iNext = -1L } // progressive scan consumed
+        else i += 2L + len
       }
     }
-    None
+    // a trailing EOI sits in the final 2 bytes, past the `i + 3` guard —
+    // a progressive stream that decoded scans still finishes here
+    finishProgressive()
   }
 
   /** Bit writer for the encoder: MSB-first with 0xFF→0xFF00 stuffing;
@@ -889,6 +1022,53 @@ object Multimodal {
 
   private def jpegMagnitude(v: Int): Int =
     if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** Load an 8×8 block (edge-replicating past the plane bounds), FDCT
+    * with the shared basis, and quantize into zigzag-order `coef` — the
+    * one forward arithmetic both the baseline and progressive encoders
+    * share, mirroring [[jpegIdctBlock]] on the decode side. */
+  private def jpegFdctQuantBlock(plane: Array[Int], pw: Int, ph: Int, ox: Int, oy: Int,
+                                 quantTab: Array[Int], block: Array[Double],
+                                 tmp: Array[Double], coef: Array[Int]): Unit = {
+    var y = 0
+    while (y < 8) {
+      val sy = math.min(oy + y, ph - 1)
+      var x = 0
+      while (x < 8) {
+        val sx = math.min(ox + x, pw - 1)
+        block(y * 8 + x) = plane(sy * pw + sx) - 128.0
+        x += 1
+      }
+      y += 1
+    }
+    var u = 0
+    while (u < 8) {
+      var y2 = 0
+      while (y2 < 8) {
+        var acc = 0.0; var x2 = 0
+        while (x2 < 8) { acc += DctBasis(u)(x2) * block(y2 * 8 + x2); x2 += 1 }
+        tmp(y2 * 8 + u) = acc
+        y2 += 1
+      }
+      u += 1
+    }
+    var v = 0
+    while (v < 8) {
+      var u2 = 0
+      while (u2 < 8) {
+        var acc = 0.0; var y3 = 0
+        while (y3 < 8) { acc += DctBasis(v)(y3) * tmp(y3 * 8 + u2); y3 += 1 }
+        block(v * 8 + u2) = acc / 4.0 // block is free after pass 1
+        u2 += 1
+      }
+      v += 1
+    }
+    var k = 0
+    while (k < 64) {
+      coef(k) = math.rint(block(ZigZag(k)) / quantTab(k)).toInt
+      k += 1
+    }
+  }
 
   /** A component for [[encodeJpeg]]: sampling factors and its plane at
     * the subsampled resolution ceil(w·h_c/h_max) × ceil(h·v_c/v_max). */
@@ -957,54 +1137,15 @@ object Multimodal {
         while (by < c.v) {
           var bx = 0
           while (bx < c.h) {
-            // load the 8×8 block, edge-replicating past the plane bounds
             val ox = (mx * c.h + bx) * 8; val oy = (my * c.v + by) * 8
-            var y = 0
-            while (y < 8) {
-              val sy = math.min(oy + y, c.ph - 1)
-              var x = 0
-              while (x < 8) {
-                val sx = math.min(ox + x, c.pw - 1)
-                block(y * 8 + x) = c.plane(sy * c.pw + sx) - 128.0
-                x += 1
-              }
-              y += 1
-            }
-            // FDCT (separable, shared basis), quantize in zigzag order
-            var u = 0
-            while (u < 8) {
-              var y2 = 0
-              while (y2 < 8) {
-                var acc = 0.0; var x2 = 0
-                while (x2 < 8) { acc += DctBasis(u)(x2) * block(y2 * 8 + x2); x2 += 1 }
-                tmp(y2 * 8 + u) = acc
-                y2 += 1
-              }
-              u += 1
-            }
-            var v = 0
-            while (v < 8) {
-              var u2 = 0
-              while (u2 < 8) {
-                var acc = 0.0; var y3 = 0
-                while (y3 < 8) { acc += DctBasis(v)(y3) * tmp(y3 * 8 + u2); y3 += 1 }
-                block(v * 8 + u2) = acc / 4.0 // block is free after pass 1
-                u2 += 1
-              }
-              v += 1
-            }
-            var k = 0
-            while (k < 64) {
-              coef(k) = math.rint(block(ZigZag(k)) / quantTab(k)).toInt
-              k += 1
-            }
+            jpegFdctQuantBlock(c.plane, c.pw, c.ph, ox, oy, quantTab, block, tmp, coef)
             // entropy-encode: DC diff + run-length ACs
             val diff = coef(0) - dcPred(ci); dcPred(ci) = coef(0)
             val s = jpegMagnitude(diff)
             bw.put(dcTab.codeOf(s), dcTab.lenOf(s))
             if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
             var run = 0
-            k = 1
+            var k = 1
             while (k < 64) {
               if (coef(k) == 0) run += 1
               else {
@@ -1035,6 +1176,96 @@ object Multimodal {
   def encodeGrayJpeg(w: Int, h: Int, gray: Array[Int], quantTab: Array[Int] = FlatQuant8,
                      restartInterval: Int = 0): Array[Byte] =
     encodeJpeg(w, h, Seq(JpegComp(1, 1, gray, w, h)), quantTab, restartInterval)
+
+  /** Grayscale PROGRESSIVE JPEG (SOF2, spectral selection only): one DC
+    * scan (Ss=Se=0) followed by AC scans over the `bands` partition of
+    * the 1–63 spectrum, all with Ah=Al=0. Every band terminates with a
+    * plain EOB (EOB-run length 1), so the Annex K AC table suffices.
+    * The coefficients are IDENTICAL to [[encodeGrayJpeg]]'s (shared
+    * [[jpegFdctQuantBlock]]) — only the scan organization differs — so
+    * the FlatQuant8 losslessness argument carries over unchanged, which
+    * is what lets the progressive decode path share the baseline's
+    * pixel-formula oracle. */
+  def encodeGrayProgressiveJpeg(w: Int, h: Int, gray: Array[Int],
+                                quantTab: Array[Int] = FlatQuant8,
+                                bands: Seq[(Int, Int)] = Seq((1, 5), (6, 63))): Array[Byte] = {
+    require(gray.length == w * h, s"${gray.length} pixels for ${w}x$h")
+    require(quantTab.length == 64, "quant table must have 64 entries")
+    require(bands.nonEmpty && bands.head._1 == 1 && bands.last._2 == 63 &&
+      bands.forall { case (s, e) => s >= 1 && s <= e && e <= 63 } &&
+      bands.iterator.sliding(2).withPartial(false)
+        .forall(p => p(1)._1 == p(0)._2 + 1),
+      s"bands must partition 1..63 in order: $bands")
+    val out = new java.io.ByteArrayOutputStream()
+    def be16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); be16(2 + 65); out.write(0x00)
+    ZigZag.indices.foreach(k => out.write(quantTab(k)))
+    marker(0xc2); be16(8 + 3); out.write(8); be16(h); be16(w) // SOF2
+    out.write(1); out.write(1); out.write(0x11); out.write(0)
+    val dcTab = new HuffTab(StdDcBits, StdDcVals)
+    val acTab = new HuffTab(StdAcBits, StdAcVals)
+    def writeDht(tc: Int, t: HuffTab): Unit = {
+      marker(0xc4); be16(2 + 1 + 16 + t.huffval.length); out.write(tc << 4)
+      t.bitsArr.foreach(out.write); t.huffval.foreach(out.write)
+    }
+    writeDht(0, dcTab); writeDht(1, acTab)
+    def sos(ss: Int, se: Int): Unit = {
+      marker(0xda); be16(8); out.write(1); out.write(1); out.write(0x00)
+      out.write(ss); out.write(se); out.write(0x00)
+    }
+    // all blocks' zigzag coefficients up front (the scans re-walk them)
+    val bX = (w + 7) / 8; val bY = (h + 7) / 8
+    val all = Array.ofDim[Int](bX * bY, 64)
+    val block = new Array[Double](64); val tmp = new Array[Double](64)
+    var blk = 0
+    while (blk < all.length) {
+      jpegFdctQuantBlock(gray, w, h, (blk % bX) * 8, (blk / bX) * 8,
+        quantTab, block, tmp, all(blk))
+      blk += 1
+    }
+    // scan 1: DC (coded exactly like baseline DC)
+    sos(0, 0)
+    var bw = new JpegBitWriter(out)
+    var dcPred = 0
+    blk = 0
+    while (blk < all.length) {
+      val diff = all(blk)(0) - dcPred; dcPred = all(blk)(0)
+      val s = jpegMagnitude(diff)
+      bw.put(dcTab.codeOf(s), dcTab.lenOf(s))
+      if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      blk += 1
+    }
+    bw.flush()
+    // AC band scans
+    bands.foreach { case (ss, se) =>
+      sos(ss, se)
+      bw = new JpegBitWriter(out)
+      blk = 0
+      while (blk < all.length) {
+        val cf = all(blk)
+        var run = 0
+        var k = ss
+        while (k <= se) {
+          if (cf(k) == 0) run += 1
+          else {
+            while (run > 15) { bw.put(acTab.codeOf(0xf0), acTab.lenOf(0xf0)); run -= 16 }
+            val sz = jpegMagnitude(cf(k))
+            bw.put(acTab.codeOf((run << 4) | sz), acTab.lenOf((run << 4) | sz))
+            bw.put(if (cf(k) < 0) cf(k) + (1 << sz) - 1 else cf(k), sz)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) bw.put(acTab.codeOf(0x00), acTab.lenOf(0x00)) // EOB (run 1)
+        blk += 1
+      }
+      bw.flush()
+    }
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
 
   /** Average-hash (aHash) over a decoded raster: an 8×8 grid of box-mean
     * cells (cell(cx,cy) = mean gray over pixels with ⌊x·8/W⌋ = cx), bit
@@ -1264,8 +1495,9 @@ object Multimodal {
     * grid-row means over decoded pixels). */
   /** `decoded` is the honesty bit: true ⇔ phash/feat came from REAL
     * decoded pixels; false ⇔ the payload sat outside the pure-JVM decode
-    * envelope (progressive JPEG, arbitrary bytes) and the md5-derived
-    * stand-in filled in. Downstream perceptual dedup should filter on it
+    * envelope (color/successive-approximation progressive JPEG,
+    * arithmetic coding, arbitrary bytes) and the md5-derived stand-in
+    * filled in. Downstream perceptual dedup should filter on it
     * (stand-in hashes only ever match byte-identical payloads). */
   case class AssetFeatures(asset_id: String, n_bytes: Long, format: String,
                            width: Option[Int], height: Option[Int],
@@ -1276,12 +1508,13 @@ object Multimodal {
     * the payload bytes. phash/feat are REAL perceptual features when the
     * payload decodes ([[decodeRaster]]: PNG via Inflater + unfilter, BMP
     * raw rows, GIF via LZW + palette, baseline JPEG via Huffman +
-    * dequant + IDCT — average-hash and 8 grid-row means over actual
-    * pixels); payloads outside the pure-JVM-decodable envelope
-    * (progressive JPEG, arbitrary bytes) fall back to the md5-derived
-    * stand-in — deterministic, documented, and the seam where a full
-    * codec binds (one init per partition, same mapPartitions batch
-    * shape). */
+    * dequant + IDCT; grayscale progressive JPEG via multi-scan spectral
+    * assembly — average-hash and 8 grid-row means over actual pixels);
+    * payloads outside the pure-JVM-decodable envelope (color or
+    * successive-approximation progressive, arithmetic coding, arbitrary
+    * bytes) fall back to the md5-derived stand-in — deterministic,
+    * FLAGGED `decoded = false`, and the seam where a full codec binds
+    * (one init per partition, same mapPartitions batch shape). */
   def decode(assets: DataFrame): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.select("asset_id", "payload").as[(String, Array[Byte])]

@@ -642,6 +642,9 @@ class MultimodalSpec extends SparkSpec {
     // SOF2 names itself in the format and dims parse for real
     assert(Multimodal.parseHeader(progressiveJpegBytes(320, 200)) ==
       Multimodal.HeaderMeta("jpeg-progressive", Some(320), Some(200), None))
+    // this fixture's single scan claims Ss=0,Se=63 — a combined DC+AC
+    // scan, illegal under SOF2 — so it parses but cannot DECODE: the
+    // stand-in path must be taken and FLAGGED
     val src = Seq(("p1", progressiveJpegBytes(16, 8)),
         ("b1", Multimodal.encodeGrayPng(8, 8, Array.tabulate(64)(_ % 251))))
       .toDF("asset_id", "payload")
@@ -651,6 +654,50 @@ class MultimodalSpec extends SparkSpec {
     // the honesty bit: stand-in features are FLAGGED, real decodes are not
     assert(rows("p1") == ("jpeg-progressive", false))
     assert(rows("b1") == ("png", true))
+  }
+
+  test("progressive JPEG decodes for real: spectral-selection scans reassemble the image") {
+    // block-constant pixels + FlatQuant8: the encode is lossless, and the
+    // progressive scan organization must land on the SAME pixels as the
+    // baseline encode of the same image (shared FDCT/IDCT arithmetic)
+    val px = Array.tabulate(64 * 64) { i =>
+      val bx = (i % 64) / 8; val by = (i / 64) / 8
+      ((7L * 31 + bx * 7 + by * 13) % 251).toInt
+    }
+    val prog = Multimodal.encodeGrayProgressiveJpeg(64, 64, px)
+    assert(Multimodal.parseHeader(prog).format == "jpeg-progressive")
+    val dp = Multimodal.decodeRaster(prog)
+    assert(dp.isDefined, "in-envelope progressive stream must decode")
+    assert(dp.get.gray.sameElements(px), "FlatQuant8 block-constant must round-trip exactly")
+    val base = Multimodal.decodeRaster(Multimodal.encodeGrayJpeg(64, 64, px)).get
+    assert(Multimodal.averageHash(dp.get) == Multimodal.averageHash(base))
+    // arbitrary pixels, odd dims, 3-band spectral split: progressive and
+    // baseline decode to IDENTICAL pixels (same coefficients, different
+    // scan order)
+    val w = 21; val h = 13
+    val px2 = Array.tabulate(w * h)(i => (i * 37 + 11) % 256)
+    val p2 = Multimodal.decodeRaster(Multimodal.encodeGrayProgressiveJpeg(
+      w, h, px2, bands = Seq((1, 1), (2, 9), (10, 63)))).get
+    val b2 = Multimodal.decodeRaster(Multimodal.encodeGrayJpeg(w, h, px2)).get
+    assert(p2.gray.sameElements(b2.gray))
+    // truncation fuzz: every prefix decodes to None or a raster, never throws
+    (0 until prog.length by 3).foreach { n =>
+      Multimodal.decodeRaster(java.util.Arrays.copyOf(prog, n))
+    }
+    // successive approximation (Ah/Al != 0) stays out of envelope: flip
+    // the DC scan's AhAl byte and the stream must fall to None
+    val sosAt = {
+      var j = 2; var found = -1
+      while (found < 0 && j + 1 < prog.length) {
+        if ((prog(j) & 0xff) == 0xff && (prog(j + 1) & 0xff) == 0xda) found = j
+        else j += 1
+      }
+      found
+    }
+    assert(sosAt > 0)
+    val approx = prog.clone()
+    approx(sosAt + 2 + 2 + 1 + 2 + 2) = 0x01.toByte // Al=1 on the DC scan
+    assert(Multimodal.decodeRaster(approx).isEmpty)
   }
 
   test("parseHeader reads real magic bytes: PNG/JPEG/GIF dims, WAV sample rate") {
