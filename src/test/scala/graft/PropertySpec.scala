@@ -97,6 +97,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: progressive and baseline JPEG decode to identical pixels") {
+    import graft.ext.Multimodal
+    // random dims (incl. non-multiples of 8) and random pixels: the two
+    // encoders share FDCT/quantize and the decoders share IDCT, so the
+    // decoded rasters must be IDENTICAL even where quantization is lossy —
+    // the scan organization is the only difference
+    val imgGen = for {
+      w <- Gen.choose(1, 40); h <- Gen.choose(1, 40)
+      px <- Gen.listOfN(w * h, Gen.choose(0, 255))
+      split <- Gen.choose(1, 62)
+    } yield (w, h, px.toArray, split)
+    samples(imgGen, 12).foreach { case (w, h, px, split) =>
+      val prog = Multimodal.decodeRaster(Multimodal.encodeGrayProgressiveJpeg(
+        w, h, px, bands = Seq((1, split), (split + 1, 63)).filter(b => b._1 <= b._2)))
+      val base = Multimodal.decodeRaster(Multimodal.encodeGrayJpeg(w, h, px))
+      assert(prog.isDefined && base.isDefined, s"decode failed at ${w}x$h split=$split")
+      assert(prog.get.gray.sameElements(base.get.gray),
+        s"progressive != baseline pixels at ${w}x$h split=$split")
+    }
+  }
+
   test("S11: mapping introspection exposes the runtime schema") {
     val d = docs(spark, Seq(PlanFixture.planJson("A", Seq(("1", "x", 1.0)))))
     val nodes = Shred.nodes(d)
