@@ -149,6 +149,29 @@ object SparkEntryExt {
         .select(col("key"), col("doc"), col("seq").as("last_seq"))
     },
 
+    "st5_dlq_split" -> { (s, dir) =>
+      // ST5 — DLQ, batch-checkable form (the streaming form is
+      // StreamingSpec's foreachBatch side-table): a changelog where every
+      // 11th event carries an unknown op and every 13th a NULL op splits
+      // by the SAME validity predicate the apply kernel uses. The output
+      // is the full batch with its side assignment — the oracle proves
+      // applied + dlq PARTITIONS the batch (nothing lost, nothing
+      // double-counted), including the NULL-predicate rows a naive
+      // `where(!valid)` would drop from both sides.
+      val log = SparkEntryIdx.changelogOf(s, dir)
+        .withColumn("op",
+          when(col("seq") % 13 === 0, lit(null).cast("string"))
+            .when(col("seq") % 11 === 0, lit("zap"))
+            .otherwise(col("op")))
+      val (ok, dlq) = Ingest.withDlq(log, col("op").isin("insert", "update", "delete"))
+      ok.withColumn("side", lit("applied"))
+        .unionByName(dlq.withColumn("side", lit("dlq")))
+        .groupBy("side")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("op")).as("n_with_op"),
+          countDistinct(col("key")).as("n_keys"))
+    },
+
     "s7_index_delete" -> { (s, dir) =>
       // index-doc batch delete by key set (anti-join form of S5/S7)
       val kv = Tables.orders(s, dir)
@@ -853,6 +876,19 @@ object SparkEntryExt {
         "SELECT event_id AS seq, CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'update' END AS op, " +
         "concat('u', CAST(user_id AS VARCHAR), '_', CAST(event_id % 50 AS VARCHAR)) AS key, " +
         "props AS doc FROM events)) WHERE rn = 1 AND op <> 'delete'"),
+
+    "st5_dlq_split" ->
+      ("WITH log AS (SELECT event_id AS seq, " +
+        "CASE WHEN event_id % 13 = 0 THEN NULL " +
+        "WHEN event_id % 11 = 0 THEN 'zap' " +
+        "WHEN event_id % 7 = 0 THEN 'delete' ELSE 'update' END AS op, " +
+        "concat('u', CAST(user_id AS VARCHAR), '_', CAST(event_id % 50 AS VARCHAR)) AS key " +
+        "FROM events), " +
+        "sides AS (SELECT *, CASE WHEN op IN ('insert', 'update', 'delete') " +
+        "THEN 'applied' ELSE 'dlq' END AS side FROM log) " +
+        "SELECT side, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(count(op) AS BIGINT) AS n_with_op, " +
+        "CAST(count(DISTINCT key) AS BIGINT) AS n_keys FROM sides GROUP BY side"),
 
     "s7_index_delete" ->
       "SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT'",

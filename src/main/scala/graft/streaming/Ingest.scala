@@ -502,7 +502,13 @@ object Ingest {
 
   /** ST5 — dead-letter split: rows that fail validation go to a side table
     * instead of poisoning the stream (the reference retries invisibly;
-    * here the DLQ is explicit and queryable). */
-  def withDlq(batch: DataFrame, isValid: org.apache.spark.sql.Column): (DataFrame, DataFrame) =
-    (batch.where(isValid), batch.where(!isValid))
+    * here the DLQ is explicit and queryable). NULL-safe: a row where the
+    * predicate evaluates to NULL (e.g. a missing `op` field) has NOT
+    * validated, so it belongs in the DLQ — a bare `where(!isValid)` would
+    * silently drop it from BOTH sides, losing the row the DLQ exists to
+    * keep (the [[graft.operators.Kv.deleteWhere]] contract). */
+  def withDlq(batch: DataFrame, isValid: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
+    val ok = coalesce(isValid, lit(false))
+    (batch.where(ok), batch.where(!ok))
+  }
 }

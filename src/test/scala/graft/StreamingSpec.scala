@@ -645,5 +645,12 @@ class StreamingSpec extends SparkSpec {
     val (ok, dlq) = Ingest.withDlq(batch, get_json_object(col("doc"), "$.k").isNotNull)
     assert(ok.count() == 1 && dlq.count() == 1)
     assert(dlq.select("key").head().getString(0) == "b")
+    // NULL-predicate rows (e.g. a missing op) must land in the DLQ, not
+    // vanish from both sides: applied + dlq PARTITIONS the batch
+    val nulls = Seq((1L, "insert", "a", "x"), (2L, null, "b", "y"), (3L, "zap", "c", "z"))
+      .toDF("seq", "op", "key", "doc")
+    val (ok2, dlq2) = Ingest.withDlq(nulls, col("op").isin("insert", "update", "delete"))
+    assert(ok2.count() == 1 && dlq2.count() == 2, "no row may be lost on a NULL predicate")
+    assert(dlq2.select("key").collect().map(_.getString(0)).toSet == Set("b", "c"))
   }
 }
