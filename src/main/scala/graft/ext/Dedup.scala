@@ -402,13 +402,19 @@ object Dedup {
     // large-star: per node u over ALL neighbors, m = min(Γ(u) ∪ {u});
     // emit (v, m) for each strictly-larger neighbor v. Connectivity is
     // preserved because the dropped smaller-neighbor edges re-emit from
-    // the smaller endpoint's own perspective.
+    // the smaller endpoint's own perspective. The output is oriented but
+    // NOT deduplicated — its only consumer is smallStar, whose min
+    // aggregations are duplicate-insensitive and whose own output runs
+    // through canon's distinct; skipping the intermediate distinct saves
+    // one exchange per round (the loop is job-latency-bound on the tiny
+    // converged edge sets real dup graphs produce).
     def largeStar(e: DataFrame): DataFrame = {
       val bi = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       val mins = bi.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
-      canon(bi.where(col("v") > col("u")).join(mins, "u")
-        .select(col("v").as("u"), col("m").as("v")))
+      bi.where(col("v") > col("u")).join(mins, "u")
+        .select(greatest(col("v"), col("m")).as("u"), least(col("v"), col("m")).as("v"))
+        .where(col("u") =!= col("v"))
     }
 
     // small-star: per node u over its SMALLER neighbors N(u), m = min;
