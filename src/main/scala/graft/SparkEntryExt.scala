@@ -1303,11 +1303,11 @@ object SparkEntryExt {
       (s"WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents), " +
         "freq AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1), " +
         "tot AS (SELECT sum(cnt) AS n FROM freq), " +
-        "lp AS (SELECT term, round(log2(CAST(cnt AS DOUBLE) / n), 6) AS lp FROM freq, tot), " +
+        "lp AS (SELECT term, floor(log2(CAST(cnt AS DOUBLE) / n) * 1000000.0 + 0.5) / 1000000.0 AS lp FROM freq, tot), " +
         "per AS (SELECT t.doc_id, count(*) AS n_tokens, " +
         "sum(CAST(lp AS DECIMAL(18,6))) AS s FROM toks t JOIN lp USING (term) GROUP BY 1) " +
         "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, " +
-        "round(-CAST(s AS DOUBLE) / n_tokens, 6) AS bits_per_token FROM per"),
+        "floor((-CAST(s AS DOUBLE) / n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS bits_per_token FROM per"),
 
     "x_top_terms" ->
       (s"WITH toks AS (SELECT lang, unnest($toksSql) AS term FROM documents), " +

@@ -443,12 +443,12 @@ object SparkEntryIdx {
         "i -> tk[i] || ' ' || tk[i+1])) AS bg FROM t), " +
         "num AS (SELECT bg, count(*) AS c2 FROM bgs GROUP BY 1), " +
         "hist AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c2) AS c1 FROM num GROUP BY 1), " +
-        "lp AS (SELECT bg, round(log2(CAST(c2 AS DOUBLE) / c1), 6) AS lp " +
+        "lp AS (SELECT bg, floor(log2(CAST(c2 AS DOUBLE) / c1) * 1000000.0 + 0.5) / 1000000.0 AS lp " +
         "FROM num JOIN hist ON split_part(num.bg, ' ', 1) = hist.w1), " +
         "per AS (SELECT b.doc_id, count(*) AS n_bigrams, " +
         "sum(CAST(l.lp AS DECIMAL(18,6))) AS s FROM bgs b JOIN lp l USING (bg) GROUP BY 1) " +
         "SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, " +
-        "round(-CAST(s AS DOUBLE) / n_bigrams, 6) AS bits_per_bigram FROM per"),
+        "floor((-CAST(s AS DOUBLE) / n_bigrams) * 1000000.0 + 0.5) / 1000000.0 AS bits_per_bigram FROM per"),
 
     "x_line_dedup_global" ->
       (s"WITH $boilerplateSql, " +

@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Document-level text analysis (north-star extension): language-ID,
@@ -33,6 +33,15 @@ object TextAnalysis {
       if (e.getKey._1 eq spark) { e.getValue.unpersist(); it.remove() }
     }
   }
+
+  /** Cross-engine-deterministic 6dp rounding: `floor(x·1e6 + 0.5)/1e6` is
+    * the same IEEE double op sequence in Spark and DuckDB, so identical
+    * input doubles give identical results. `round(x, 6)` is NOT: Spark
+    * rounds the shortest decimal repr via BigDecimal HALF_UP while DuckDB
+    * multiplies in doubles, and the two disagree on representation ties —
+    * observed flipping the 6th decimal of one LM row in ~5000 at sf0.1. */
+  private def r6(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
 
   private def memoized(docs: DataFrame, tag: String)(build: => DataFrame): DataFrame =
     synchronized {
@@ -189,14 +198,14 @@ object TextAnalysis {
       val totalRow = cnt.agg(sum("c")).first()
       val total = if (totalRow.isNullAt(0)) 1L else totalRow.getLong(0)
       freq.select(col("term"),
-        round(log(2.0, col("cnt").cast("double") / lit(total.toDouble)), 6).as("lp"))
+        r6(log(2.0, col("cnt").cast("double") / lit(total.toDouble))).as("lp"))
     }
     cnt.join(lp, Seq("term"))
       .groupBy("doc_id")
       .agg(sum("c").as("n_tokens"),
         sum(col("c") * col("lp").cast("decimal(18,6)")).as("__s"))
       .select(col("doc_id"), col("n_tokens"),
-        round(-col("__s").cast("double") / col("n_tokens"), 6).as("bits_per_token"))
+        r6(-col("__s").cast("double") / col("n_tokens")).as("bits_per_token"))
   }
 
   /** Bigram-LM surprisal per document: mean −log₂ p(w₂|w₁) under the
@@ -227,14 +236,14 @@ object TextAnalysis {
           substring_index(col("bg"), " ", 1).as("w1"), col("c2"))
         .join(hist, Seq("w1"))
         .select(col("bg"),
-          round(log(2.0, col("c2").cast("double") / col("c1").cast("double")), 6).as("lp"))
+          r6(log(2.0, col("c2").cast("double") / col("c1").cast("double"))).as("lp"))
     }
     cnt.join(lp, Seq("bg"))
       .groupBy("doc_id")
       .agg(sum("c").as("n_bigrams"),
         sum(col("c") * col("lp").cast("decimal(18,6)")).as("__s"))
       .select(col("doc_id"), col("n_bigrams"),
-        round(-col("__s").cast("double") / col("n_bigrams"), 6).as("bits_per_bigram"))
+        r6(-col("__s").cast("double") / col("n_bigrams")).as("bits_per_bigram"))
   }
 
   /** Top-k most frequent terms per group (vocabulary reporting / frequent
