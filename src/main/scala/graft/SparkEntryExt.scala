@@ -697,8 +697,8 @@ object SparkEntryExt {
   private lazy val scoredTaggedSql =
     s"scored AS (SELECT doc_id, text, CAST(len($toksSql) AS BIGINT) AS n_tokens, " +
       "CASE WHEN length(text) = 0 THEN NULL ELSE " +
-      "round(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) " +
-      s"/ length(text), 6) END AS alnum_ratio, $langScoresSql FROM documents), " +
+      "floor(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) " +
+      s"/ length(text) * 1000000.0 + 0.5) / 1000000.0 END AS alnum_ratio, $langScoresSql FROM documents), " +
       s"tagged AS (SELECT *, $langIdCaseSql AS pred_lang FROM scored)"
   private val langIdCaseSql = {
     val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
@@ -722,7 +722,7 @@ object SparkEntryExt {
       s"(PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM $scoredCte " +
       "WHERE cos IS NOT NULL) " +
       "SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, " +
-      "round(cos, 6) AS cos_sim FROM ranked WHERE rank <= 10"
+      "floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim FROM ranked WHERE rank <= 10"
   private def lshOracleSql: String =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       "d AS (SELECT len(v) AS dim FROM e WHERE len(v) > 0 LIMIT 1), " +
@@ -777,7 +777,7 @@ object SparkEntryExt {
       "FROM e, d WHERE len(v) = dim AND len(list_filter(v, x -> x IS NULL)) = 0 " +
       "AND list_sum(list_transform(v, x -> x * x)) > 0) " +
       "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
-      "round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim " +
+      "floor(list_cosine_similarity(a.v, b.v) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim " +
       "FROM bk a JOIN bk b ON a.b = b.b AND a.vec_id < b.vec_id " +
       "WHERE list_cosine_similarity(a.v, b.v) > 0.45"
 
@@ -918,12 +918,12 @@ object SparkEntryExt {
     "x_text_quality" ->
       (s"SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens, " +
         s"CASE WHEN len($toksSql) = 0 THEN NULL ELSE " +
-        s"round(CAST(length(trim(text)) AS DOUBLE) / len($toksSql), 6) END AS mean_tok_len, " +
+        s"floor(CAST(length(trim(text)) AS DOUBLE) / len($toksSql) * 1000000.0 + 0.5) / 1000000.0 END AS mean_tok_len, " +
         s"CASE WHEN len($toksSql) = 0 THEN NULL ELSE " +
-        s"round(CAST(${langScoreSql("en")} AS DOUBLE) / len($toksSql), 6) END AS stop_ratio, " +
+        s"floor(CAST(${langScoreSql("en")} AS DOUBLE) / len($toksSql) * 1000000.0 + 0.5) / 1000000.0 END AS stop_ratio, " +
         "CASE WHEN length(text) = 0 THEN NULL ELSE " +
-        "round(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) " +
-        "/ length(text), 6) END AS alnum_ratio FROM documents"),
+        "floor(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) " +
+        "/ length(text) * 1000000.0 + 0.5) / 1000000.0 END AS alnum_ratio FROM documents"),
 
     "x_text_langid" ->
       (s"SELECT doc_id, $langIdCaseSql AS pred_lang FROM " +
@@ -1009,9 +1009,9 @@ object SparkEntryExt {
         "JOIN (SELECT md5(text) AS h, min(doc_id) AS match_id FROM documents " +
         "WHERE doc_id % 2 = 0 GROUP BY 1) s USING (h)), " +
         "cand AS (SELECT a.doc_id AS doc_id, b.doc_id AS st_id, " +
-        "round(CASE WHEN len(a.hs) = 0 AND len(b.hs) = 0 THEN 1.0 " +
+        "floor((CASE WHEN len(a.hs) = 0 AND len(b.hs) = 0 THEN 1.0 " +
         "ELSE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) / " +
-        "(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) END, 6) AS jaccard " +
+        "(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) END) * 1000000.0 + 0.5) / 1000000.0 AS jaccard " +
         "FROM sigs a JOIN sigs b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 " +
         s"AND (($bandShareSql) AND $estSql >= 0.3)), " +
         "nr AS (SELECT doc_id, st_id AS match_id, 'near' AS kind, jaccard " +
@@ -1059,9 +1059,9 @@ object SparkEntryExt {
         s"sigs AS (SELECT doc_id, hs, $sigSql AS sig FROM " +
         "(SELECT doc_id, " + hashedSql("sh") + " AS hs FROM base)) " +
         "SELECT * FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-        "round(CASE WHEN len(a.hs) = 0 AND len(b.hs) = 0 THEN 1.0 " +
+        "floor((CASE WHEN len(a.hs) = 0 AND len(b.hs) = 0 THEN 1.0 " +
         "ELSE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) / " +
-        "(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) END, 6) AS jaccard " +
+        "(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) END) * 1000000.0 + 0.5) / 1000000.0 AS jaccard " +
         s"FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id " +
         s"WHERE ($bandShareSql) AND $estSql >= 0.3) WHERE jaccard >= 0.8"),
 
@@ -1072,7 +1072,7 @@ object SparkEntryExt {
     "x_dedup_embed" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings) " +
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
-        "round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim " +
+        "floor(list_cosine_similarity(a.v, b.v) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim " +
         "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
         "WHERE list_cosine_similarity(a.v, b.v) > 0.45"),
 
@@ -1084,7 +1084,7 @@ object SparkEntryExt {
         "ranked AS (SELECT query_id, vec_id, cos, row_number() OVER " +
         "(PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM scored) " +
         "SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, " +
-        "round(cos, 6) AS cos_sim FROM ranked WHERE rank <= 10"),
+        "floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim FROM ranked WHERE rank <= 10"),
 
     // replays the payload CONSTRUCTION (header size + encoded dims); the
     // Spark side re-derives every value by PARSING the bytes it built —
@@ -1269,9 +1269,9 @@ object SparkEntryExt {
         "ba AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_b FROM bc GROUP BY 1) " +
         "SELECT wa.doc_id, CAST(n_words AS BIGINT) AS n_words, " +
         "CAST(n_distinct AS BIGINT) AS n_distinct, " +
-        "round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_word_frac, " +
-        "round(CAST(top_w AS DOUBLE) / n_words, 6) AS top_word_frac, " +
-        "round(CAST(top_b AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac " +
+        "floor((1.0 - CAST(n_distinct AS DOUBLE) / n_words) * 1000000.0 + 0.5) / 1000000.0 AS dup_word_frac, " +
+        "floor(CAST(top_w AS DOUBLE) / n_words * 1000000.0 + 0.5) / 1000000.0 AS top_word_frac, " +
+        "floor(CAST(top_b AS DOUBLE) / n_bigrams * 1000000.0 + 0.5) / 1000000.0 AS top_bigram_frac " +
         "FROM wa LEFT JOIN ba USING (doc_id)"),
 
     "x_shard_stats" ->

@@ -381,9 +381,9 @@ object SparkEntryIdx {
         s"dl AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS dl FROM documents), " +
         "st AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM dl), " +
         s"dfx AS (SELECT term, count(*) AS df FROM tf WHERE term IN (${inSql(bm25Terms)}) GROUP BY 1), " +
-        "idf AS (SELECT term, round(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf FROM dfx, st), " +
-        "sc AS (SELECT t.doc_id, round((i.idf * (t.tf * 2.2)) / " +
-        "(t.tf + 1.2 * (0.25 + (0.75 * d.dl) / s.avgdl)), 6) AS s1 " +
+        "idf AS (SELECT term, floor(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) * 1000000.0 + 0.5) / 1000000.0 AS idf FROM dfx, st), " +
+        "sc AS (SELECT t.doc_id, floor((i.idf * (t.tf * 2.2)) / " +
+        "(t.tf + 1.2 * (0.25 + (0.75 * d.dl) / s.avgdl)) * 1000000.0 + 0.5) / 1000000.0 AS s1 " +
         s"FROM tf t JOIN idf i USING (term) JOIN dl d USING (doc_id), st s " +
         s"WHERE t.term IN (${inSql(bm25Terms)})), " +
         "per AS (SELECT doc_id, sum(CAST(s1 AS DECIMAL(18,6))) AS s FROM sc GROUP BY 1) " +
@@ -433,7 +433,7 @@ object SparkEntryIdx {
         "FROM l GROUP BY 1, 2) " +
         "SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines, " +
         "CAST(count(*) AS BIGINT) AS n_unique, " +
-        "round(1.0 - CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS dup_line_frac, " +
+        "floor((1.0 - CAST(count(*) AS DOUBLE) / sum(cnt)) * 1000000.0 + 0.5) / 1000000.0 AS dup_line_frac, " +
         "string_agg(line, chr(10) ORDER BY pos) AS cleaned " +
         "FROM k GROUP BY doc_id"),
 
@@ -520,10 +520,10 @@ object SparkEntryIdx {
           "coalesce(list_cosine_similarity(t.v, c.cv), -2.0) DESC, c.cell) AS rn " +
           "FROM val t CROSS JOIN cents c) WHERE rn = 1), " +
           "pr AS (SELECT c.vec_id AS vid, b.vec_id AS bid, " +
-          "round(list_cosine_similarity(c.v, b.v), 6) AS cos " +
+          "floor(list_cosine_similarity(c.v, b.v) * 1000000.0 + 0.5) / 1000000.0 AS cos " +
           "FROM asg c JOIN asg b USING (cell) " +
           "WHERE c.vec_id >= 25 AND b.vec_id < 25 " +
-          "AND round(list_cosine_similarity(c.v, b.v), 6) > 0.45) " +
+          "AND floor(list_cosine_similarity(c.v, b.v) * 1000000.0 + 0.5) / 1000000.0 > 0.45) " +
           "SELECT vid AS vec_id, bid AS bench_id, cos AS cos_sim FROM " +
           "(SELECT vid, bid, cos, row_number() OVER " +
           "(PARTITION BY vid ORDER BY cos DESC, bid) AS rn FROM pr) WHERE rn = 1"))
@@ -555,9 +555,9 @@ object SparkEntryIdx {
           // both engines compare the same rounded value, so FP noise at
           // the minCos boundary cannot flip pair membership
           "pr AS (SELECT a.vec_id AS ka, b.vec_id AS kb, " +
-          "round(list_cosine_similarity(a.v, b.v), 6) AS cos " +
+          "floor(list_cosine_similarity(a.v, b.v) * 1000000.0 + 0.5) / 1000000.0 AS cos " +
           "FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
-          "WHERE round(list_cosine_similarity(a.v, b.v), 6) > 0.45) " +
+          "WHERE floor(list_cosine_similarity(a.v, b.v) * 1000000.0 + 0.5) / 1000000.0 > 0.45) " +
           "SELECT kb AS vec_id, ka AS keeper_id, cos AS cos_to_keeper " +
           "FROM (SELECT ka, kb, cos, row_number() OVER " +
           "(PARTITION BY kb ORDER BY ka) AS rn FROM pr) WHERE rn = 1"))
@@ -577,8 +577,9 @@ object SparkEntryIdx {
         s"($s, $c, [${v.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
       }.mkString(", ")
       val subDist =
-        s"round(list_sum(list_transform(range($ds), i -> " +
-          s"(t.v[c.sub * $ds + i + 1] - c.cv[i + 1]) * (t.v[c.sub * $ds + i + 1] - c.cv[i + 1]))), 6)"
+        s"floor(list_sum(list_transform(range($ds), i -> " +
+          s"(t.v[c.sub * $ds + i + 1] - c.cv[i + 1]) * (t.v[c.sub * $ds + i + 1] - c.cv[i + 1]))) " +
+          "* 1000000.0 + 0.5) / 1000000.0"
       Map("x_knn_pq" ->
         ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
           "d AS (SELECT len(v) AS dim FROM e WHERE len(v) > 0 LIMIT 1), " +
@@ -618,8 +619,9 @@ object SparkEntryIdx {
       }.mkString(", ")
       // 6dp-rounded squared-L2 between a residual subvector and a codeword
       def subDist(rv: String) =
-        s"round(list_sum(list_transform(range($ds), i -> " +
-          s"($rv[c.sub * $ds + i + 1] - c.cv[i + 1]) * ($rv[c.sub * $ds + i + 1] - c.cv[i + 1]))), 6)"
+        s"floor(list_sum(list_transform(range($ds), i -> " +
+          s"($rv[c.sub * $ds + i + 1] - c.cv[i + 1]) * ($rv[c.sub * $ds + i + 1] - c.cv[i + 1]))) " +
+          "* 1000000.0 + 0.5) / 1000000.0"
       val residual = "list_transform(range(len(t.v)), i -> t.v[i + 1] - c.cv[i + 1])"
       val assignRank = s"$residual AS rv, row_number() OVER (PARTITION BY t.vec_id ORDER BY " +
         "coalesce(list_cosine_similarity(t.v, c.cv), -2.0) DESC, c.cell) AS rn " +

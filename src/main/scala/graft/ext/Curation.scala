@@ -242,11 +242,11 @@ object Curation {
     words.join(bigrams, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"),
         col("n_words_distinct").as("n_distinct"),
-        round(lit(1.0) - col("n_words_distinct").cast("double") / col("n_words"), 6)
+        graft.functions.DetRound.round6(lit(1.0) - col("n_words_distinct").cast("double") / col("n_words"))
           .as("dup_word_frac"),
-        round(col("top_word_cnt").cast("double") / col("n_words"), 6)
+        graft.functions.DetRound.round6(col("top_word_cnt").cast("double") / col("n_words"))
           .as("top_word_frac"),
-        round(col("top_bigram_cnt").cast("double") / col("n_bigrams"), 6)
+        graft.functions.DetRound.round6(col("top_bigram_cnt").cast("double") / col("n_bigrams"))
           .as("top_bigram_frac"))
   }
 

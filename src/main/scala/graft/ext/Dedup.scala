@@ -298,7 +298,7 @@ object Dedup {
       .join(sh.select(col(idCol).as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("hs").as("hs_b")), "id_b")
       .withColumn("jaccard",
-        round(graft.plans.ArrayExpressions.sortedJaccard(col("hs_a"), col("hs_b")), 6))
+        graft.functions.DetRound.round6(graft.plans.ArrayExpressions.sortedJaccard(col("hs_a"), col("hs_b"))))
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
@@ -348,7 +348,7 @@ object Dedup {
       .join(iSh.select(col(idCol).as("in_id"), col("hs").as("hs_i")), "in_id")
       .join(sSh.select(col(idCol).as("st_id"), col("hs").as("hs_s")), "st_id")
       .withColumn("jaccard",
-        round(graft.plans.ArrayExpressions.sortedJaccard(col("hs_i"), col("hs_s")), 6))
+        graft.functions.DetRound.round6(graft.plans.ArrayExpressions.sortedJaccard(col("hs_i"), col("hs_s"))))
       .where(col("jaccard") >= minJaccard)
     val bestNear = verified
       .withColumn("__r", row_number().over(Window.partitionBy(col("in_id"))
@@ -501,7 +501,7 @@ object Dedup {
       .withColumn("cos", VectorFunctions.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")))
       .where(col("cos") > minCos)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        round(col("cos"), 6).as("cos_sim"))
+        graft.functions.DetRound.round6(col("cos")).as("cos_sim"))
   }
 
   /** Verification hook (the [[Similarity.lastLearned]] contract): the
@@ -540,7 +540,7 @@ object Dedup {
     val b = Similarity.assignCells(valid(bench), cents, vecCol)
       .select(col("cell"), col(idCol).as("__bid"), col(vecCol).as("__bv"))
     c.join(b, Seq("cell"))
-      .withColumn("cos", round(VectorFunctions.cosine(col(vecCol), col("__bv")), 6))
+      .withColumn("cos", graft.functions.DetRound.round6(VectorFunctions.cosine(col(vecCol), col("__bv"))))
       .where(col("cos") > minCos)
       .groupBy(col(idCol))
       .agg(max(struct(col("cos"), (-col("__bid")).as("nb"))).as("__m"))
@@ -584,7 +584,7 @@ object Dedup {
     // run and its oracle
     val pairs = withCell.alias("a").join(withCell.alias("b"),
         col("a.cell") === col("b.cell") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("cos", round(VectorFunctions.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 6))
+      .withColumn("cos", graft.functions.DetRound.round6(VectorFunctions.cosine(col(s"a.$vecCol"), col(s"b.$vecCol"))))
       .where(col("cos") > minCos)
     // keeper of a dropped row = its SMALLEST qualifying in-cell neighbor;
     // min over (keeper_id, cos) structs is deterministic (one cos per pair)

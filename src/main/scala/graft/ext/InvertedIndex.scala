@@ -205,14 +205,15 @@ object InvertedIndex {
     val dfx = post.where(col("term").isin(terms: _*))
       .groupBy("term").agg(count(lit(1)).as("df"))
     val idf = dfx.select(col("term"),
-      round(log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6).as("idf"))
+      graft.functions.DetRound.round6(log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)).as("idf"))
     val scored = post.where(col("term").isin(terms: _*))
       .join(idf, Seq("term"))
       .join(dl, Seq("doc_id"))
       .select(col("doc_id"),
-        round((col("idf") * (col("tf") * lit(k1 + 1.0))) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / lit(avgdl))),
-          6).as("s1"))
+        graft.functions.DetRound.round6(
+          (col("idf") * (col("tf") * lit(k1 + 1.0))) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / lit(avgdl))))
+          .as("s1"))
     val per = scored.groupBy("doc_id")
       .agg(sum(col("s1").cast("decimal(18,6)")).as("__s"))
       .select(col("doc_id"), col("__s").cast("double").as("score"))

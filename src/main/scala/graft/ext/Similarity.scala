@@ -107,7 +107,7 @@ object Similarity {
     survivors.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"),
-        col(idCol).as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+        col(idCol).as("neighbor_id"), graft.functions.DetRound.round6(col("cos")).as("cos_sim"))
   }
 
   /** IVF-style ANN over PRECOMPUTED cells (`cellCol`): centroids are the
@@ -408,7 +408,7 @@ object Similarity {
   private def lutCols(cwLit: IndexedSeq[Column], m: Int, ds: Int): Seq[Column] =
     (0 until m).map { j =>
       transform(cwLit(j), cw =>
-        round(l2sq(slice(col("__qv"), j * ds + 1, ds), cw), 6)).as(s"__lut$j")
+        graft.functions.DetRound.round6(l2sq(slice(col("__qv"), j * ds + 1, ds), cw))).as(s"__lut$j")
     }
 
   /** ADC distance of a row's `__codes` against the query's LUTs: m array

@@ -117,7 +117,7 @@ object TextAnalysis {
           array_sort(collect_list(struct(col("pos"), col("line")))),
           s => s("line"))).as("cleaned"))
       .select(col(idCol), col("n_lines"), col("n_unique"),
-        round(lit(1.0) - col("n_unique").cast("double") / col("n_lines"), 6)
+        r6(lit(1.0) - col("n_unique").cast("double") / col("n_lines"))
           .as("dup_line_frac"),
         col("cleaned"))
   }

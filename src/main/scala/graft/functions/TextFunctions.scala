@@ -131,12 +131,13 @@ object TextFunctions {
     struct(
       size(toks).cast("long").as("n_tokens"),
       when(n === 0, lit(null).cast("double"))
-        .otherwise(round(length(trim(text)).cast("double") / n, 6)).as("mean_tok_len"),
+        .otherwise(DetRound.round6(length(trim(text)).cast("double") / n)).as("mean_tok_len"),
       when(n === 0, lit(null).cast("double"))
-        .otherwise(round(sw / n, 6)).as("stop_ratio"),
+        .otherwise(DetRound.round6(sw / n)).as("stop_ratio"),
       when(length(text) === 0, lit(null).cast("double"))
-        .otherwise(round(length(regexp_replace(lower(text), "[^a-z0-9]", "")).cast("double") /
-          length(text), 6)).as("alnum_ratio"))
+        .otherwise(DetRound.round6(
+          length(regexp_replace(lower(text), "[^a-z0-9]", "")).cast("double") /
+            length(text))).as("alnum_ratio"))
   }
 
   /** Document fingerprint: order-insensitive content hash — md5 over the

@@ -21,9 +21,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * the DuckDB LUT-join oracle replay):
   *  - squared-L2 is the same left fold in element order
   *    (`acc + (x-cw)²`, doubles);
-  *  - each distance is rounded exactly like Spark's `round(d, 6)` on
-  *    DoubleType: NaN/Infinity pass through, else
-  *    `BigDecimal.valueOf(d).setScale(6, HALF_UP)`;
+  *  - each distance is rounded with the cross-engine-deterministic
+  *    floor form `floor(d·1e6 + 0.5)/1e6` ([[graft.functions.DetRound]]):
+  *    pure IEEE double ops, so the DuckDB replay's identical expression
+  *    lands on identical doubles, representation ties included
+  *    (NaN/Infinity propagate through the arithmetic unchanged);
   *  - argmin ties break to the LOWEST code, and NaN ranks greatest
   *    (code 0 first, then strict `Double.compare(d, best) < 0`) —
   *    matching `array_min` struct ordering over (d, code).
@@ -53,9 +55,7 @@ case class PqEncodeCodes(child: Expression, books: Seq[Seq[Seq[Double]]], ds: In
     }
 
   private def round6(d: Double): Double =
-    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
-    else java.math.BigDecimal.valueOf(d)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    Math.floor(d * 1000000.0 + 0.5) / 1000000.0
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -111,9 +111,7 @@ case class PqEncodeCodes(child: Expression, books: Seq[Seq[Seq[Double]]], ds: In
          |        double $diff = $v[$j * $ds + $t] - $cw[$t];
          |        $acc = $acc + $diff * $diff;
          |      }
-         |      double $d = (Double.isNaN($acc) || Double.isInfinite($acc)) ? $acc :
-         |        java.math.BigDecimal.valueOf($acc)
-         |          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |      double $d = Math.floor($acc * 1000000.0 + 0.5) / 1000000.0;
          |      if ($c == 0 || Double.compare($d, $best) < 0) { $bc = $c; $best = $d; }
          |    }
          |    $codes[$j] = $bc;
