@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped memo of PERSISTED derived relations, keyed by
+  * (session, canonicalized input plan, tag) — the shared-artifact pattern
+  * every operator family uses (shingle/signature tables, text count
+  * relations, LM models, PQ code tables): build once per distinct input,
+  * persist, hand every structurally-equal caller the same instance, and
+  * re-persist transparently if something (e.g. `clearCache`) dropped the
+  * entry. At 100 TB these are stored tables derived once per corpus
+  * version; locally they are cache entries with an explicit release
+  * valve.
+  *
+  * Every instance self-registers, so [[graft.Caches.invalidate]] sweeps
+  * ALL memos through [[PlanMemo.invalidateAll]] — a new memo cannot be
+  * forgotten from the sweep (the failure mode that left round-10's
+  * Similarity memo untracked until review). Owners needing cross-memo
+  * atomicity under one monitor (Dedup's two-step signature build) keep
+  * their own maps and locks instead.
+  */
+final class PlanMemo {
+  PlanMemo.register(this)
+
+  private val entries = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
+    DataFrame]()
+
+  /** Memoize `build`'s relation for (input plan, tag); persists on first
+    * use and re-persists if evicted. `build` must be pure plan
+    * construction — an eager action inside would run under this memo's
+    * monitor and stall every other caller. */
+  def apply(input: DataFrame, tag: String)(build: => DataFrame): DataFrame =
+    synchronized {
+      val key = (input.sparkSession, input.queryExecution.analyzed.canonicalized, tag)
+      val df = entries.computeIfAbsent(key, _ => build)
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+      df
+    }
+
+  /** Drop this session's entries (cache entries included). */
+  def invalidate(spark: SparkSession): Unit = synchronized {
+    val it = entries.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) { e.getValue.unpersist(); it.remove() }
+    }
+  }
+}
+
+object PlanMemo {
+  private val registry = new java.util.concurrent.CopyOnWriteArrayList[PlanMemo]()
+  private def register(m: PlanMemo): Unit = registry.add(m)
+
+  /** Sweep every registered memo for this session — called by
+    * [[Caches.invalidate]]. */
+  def invalidateAll(spark: SparkSession): Unit = {
+    val it = registry.iterator()
+    while (it.hasNext) it.next().invalidate(spark)
+  }
+}

@@ -54,21 +54,15 @@ object Dedup {
   def exactSubstringSpans(docs: DataFrame, k: Int = 8, textCol: String = "text",
                           idCol: String = "doc_id"): DataFrame = {
     require(k >= 2, s"k-gram width must be >= 2, got $k")
-    val grams = synchronized {
-      val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized,
-        textCol, idCol, k)
-      val df = gramMemo.computeIfAbsent(key, _ => {
-        val toks = tokens(col(textCol))
-        docs.where(col(textCol).isNotNull)
-          .select(col(idCol), explode(when(size(toks) >= k,
-            transform(sequence(lit(1), size(toks) - (k - 1)),
-              i => struct(i.cast("long").as("pos"),
-                concat_ws(" ", slice(toks, i, lit(k))).as("gram"))))
-            .otherwise(array().cast("array<struct<pos:bigint,gram:string>>"))).as("g"))
-          .select(col(idCol), col("g.pos").as("pos"), col("g.gram").as("gram"))
-      })
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
-      df
+    val grams = gramMemo(docs, s"grams|$textCol|$idCol|$k") {
+      val toks = tokens(col(textCol))
+      docs.where(col(textCol).isNotNull)
+        .select(col(idCol), explode(when(size(toks) >= k,
+          transform(sequence(lit(1), size(toks) - (k - 1)),
+            i => struct(i.cast("long").as("pos"),
+              concat_ws(" ", slice(toks, i, lit(k))).as("gram"))))
+          .otherwise(array().cast("array<struct<pos:bigint,gram:string>>"))).as("g"))
+        .select(col(idCol), col("g.pos").as("pos"), col("g.gram").as("gram"))
     }
     val dup = grams.groupBy("gram")
       .agg(min(col(idCol)).as("d1"), max(col(idCol)).as("d2"))
@@ -127,24 +121,20 @@ object Dedup {
     df
   }
 
-  /** Release this session's memoized shingle/signature tables (cache
-    * entries included) — the valve long-lived multi-tenant sessions need
-    * so the shared-artifact memos cannot accumulate unboundedly. */
   // positional k-gram relation for exact-substring span dedup: the
   // explode is the dominant cost of the query, and the relation is a
   // corpus-level artifact (at 100 TB: a stored table beside the corpus,
   // rebuilt per corpus version) — memoized like the shingle/signature
-  // tables
-  private val gramMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      String, String, Int), DataFrame]()
+  // tables, swept via the PlanMemo registry
+  private val gramMemo = new graft.PlanMemo
 
+  /** Release this session's memoized shingle/signature/candidate tables
+    * (cache entries included) — the valve long-lived multi-tenant
+    * sessions need so the shared-artifact memos cannot accumulate
+    * unboundedly. These three stay hand-rolled (not [[graft.PlanMemo]])
+    * because [[minhashSignatures]] needs the two-step build and this
+    * sweep to exclude each other under ONE monitor. */
   def invalidate(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
-    val gi = gramMemo.entrySet().iterator()
-    while (gi.hasNext) {
-      val e = gi.next()
-      if (e.getKey._1 eq spark) { e.getValue.unpersist(); gi.remove() }
-    }
     val ci = candMemo.entrySet().iterator()
     while (ci.hasNext) {
       val e = ci.next()

@@ -838,8 +838,11 @@ object Multimodal {
             if (!isDc && (se < ss || se > 63)) return None
             if (!quantSeen(compQ(0))) return None
             val q = quant(compQ(0))
+            // bounds BEFORE indexing: Td/Ta are 4-bit fields (0..15) but
+            // only 0..3 are valid table slots
+            if ((if (isDc) td else ta) > 3) return None
             val tab = if (isDc) dcTabs(td) else acTabs(ta)
-            if (tab == null || td > 3 || ta > 3) return None
+            if (tab == null) return None
             if (coefs == null) {
               blocksX = (w + 7) / 8; blocksY = (h + 7) / 8
               if (blocksX.toLong * blocksY * 64 > 4L * MaxPixels) return None
@@ -908,6 +911,9 @@ object Multimodal {
               if (idx < 0) return None
               scanDc(idx) = (b(o + 6 + 2 * c) & 0xff) >> 4
               scanAc(idx) = b(o + 6 + 2 * c) & 0x0f
+              // Td/Ta are 4-bit (0..15) but only 0..3 are valid slots —
+              // reject here so the table-null check below can't index out
+              if (scanDc(idx) > 3 || scanAc(idx) > 3) return None
               c += 1
             }
             c = 0

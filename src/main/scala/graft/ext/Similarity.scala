@@ -51,28 +51,18 @@ object Similarity {
 
   /** Persisted-relation memo for the PQ code table — the stored ANN index
     * at scale (dim/m·32× smaller than the raw vectors; the search scan
-    * reads only it). Same contract as Dedup's signature tables. */
-  private val dfMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      String), DataFrame]()
+    * reads only it). Same contract as Dedup's signature tables; swept by
+    * [[graft.PlanMemo.invalidateAll]] automatically. */
+  private val dfMemo = new graft.PlanMemo
 
   private def memoDf(corpus: DataFrame, tag: String)(build: => DataFrame): DataFrame =
-    synchronized {
-      val df = dfMemo.computeIfAbsent(
-        (corpus.sparkSession, corpus.queryExecution.analyzed.canonicalized, tag),
-        _ => build)
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
-      df
-    }
+    dfMemo(corpus, tag)(build)
 
-  def invalidate(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+  /** Drop this session's learned models (the DataFrame memo sweeps via
+    * the [[graft.PlanMemo]] registry). */
+  def invalidate(spark: org.apache.spark.sql.SparkSession): Unit = {
     val it = modelMemo.entrySet().iterator()
     while (it.hasNext) if (it.next().getKey._1 eq spark) it.remove()
-    val di = dfMemo.entrySet().iterator()
-    while (di.hasNext) {
-      val e = di.next()
-      if (e.getKey._1 eq spark) { e.getValue.unpersist(); di.remove() }
-    }
   }
 
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,

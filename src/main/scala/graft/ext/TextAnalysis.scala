@@ -20,36 +20,14 @@ object TextAnalysis {
     * aggregate branch exchanges partial-agg rows, not raw rows,
     * ReuseExchange can never dedupe them. At 100 TB these are stored
     * tables derived once per corpus version. */
-  private val relMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      String), DataFrame]()
+  private val relMemo = new graft.PlanMemo
 
-  /** Release this session's memoized derived relations (the
-    * [[graft.Caches]] sweep). */
-  def invalidate(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
-    val it = relMemo.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1 eq spark) { e.getValue.unpersist(); it.remove() }
-    }
-  }
-
-  /** Cross-engine-deterministic 6dp rounding: `floor(x·1e6 + 0.5)/1e6` is
-    * the same IEEE double op sequence in Spark and DuckDB, so identical
-    * input doubles give identical results. `round(x, 6)` is NOT: Spark
-    * rounds the shortest decimal repr via BigDecimal HALF_UP while DuckDB
-    * multiplies in doubles, and the two disagree on representation ties —
-    * observed flipping the 6th decimal of one LM row in ~5000 at sf0.1. */
-  private def r6(c: Column): Column =
-    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+  /** Cross-engine-deterministic 6dp rounding — the one formula of record
+    * lives in [[graft.functions.DetRound]]; this is just a local alias. */
+  private def r6(c: Column): Column = graft.functions.DetRound.round6(c)
 
   private def memoized(docs: DataFrame, tag: String)(build: => DataFrame): DataFrame =
-    synchronized {
-      val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized, tag)
-      val df = relMemo.computeIfAbsent(key, _ => build)
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
-      df
-    }
+    relMemo(docs, tag)(build)
 
   private[ext] def bigramCounts(docs: DataFrame, textCol: String): DataFrame =
     memoized(docs, s"bg|$textCol") {
@@ -188,15 +166,20 @@ object TextAnalysis {
     * fits. */
   def unigramSurprisal(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val cnt = termCounts(docs, textCol)
+    // corpus token total: ONE number of driver metadata, computed from the
+    // persisted count relation BEFORE entering the memo lock — the memo
+    // body must stay pure plan construction (an eager corpus action under
+    // the object monitor would stall every other memoized text relation
+    // and the invalidate sweep for a whole cluster job).
+    // Empty corpus -> sum is NULL; 1 keeps the plan valid (no rows flow).
+    val totalRow = cnt.agg(sum("c")).first()
+    val total = if (totalRow.isNullAt(0)) 1L else totalRow.getLong(0)
     // the MODEL — (term, lp) under the corpus unigram MLE — is itself a
     // memoized corpus-level artifact (a stored table at 100 TB, rebuilt
     // once per corpus version): scoring reps pay one join + one agg, not
     // a model rebuild
-    val lp = memoized(docs, s"uglm|$textCol") {
+    val lp = memoized(docs, s"uglm|$textCol|$total") {
       val freq = cnt.groupBy("term").agg(sum("c").as("cnt"))
-      // empty corpus -> sum is NULL; 1 keeps the plan valid (no rows flow)
-      val totalRow = cnt.agg(sum("c")).first()
-      val total = if (totalRow.isNullAt(0)) 1L else totalRow.getLong(0)
       freq.select(col("term"),
         r6(log(2.0, col("cnt").cast("double") / lit(total.toDouble))).as("lp"))
     }

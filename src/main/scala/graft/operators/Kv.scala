@@ -145,10 +145,11 @@ object Kv {
     *
     * Fast path: when the nodes table carries the [[Shred]]-materialized
     * `keyPath` ancestry column, descendant-or-self of K is the single
-    * predicate `keyPath CONTAINS "/K/"` — one filter + distinct, no
+    * predicate `keyPath CONTAINS "/esc(K)/"` — one filter + distinct, no
     * iteration, no per-level Spark jobs, and the filter pushes down to the
-    * scan on a stored layout. Requires '/'-free keys (the [[Shred]] key
-    * grammar); keys containing '/' fall back to the BFS.
+    * scan on a stored layout. Segments are percent-escaped at shred time
+    * ([[Shred.escapeSegment]]), so a stored key containing '/' cannot
+    * alias a segment boundary and the match is exact for ANY key.
     *
     * Fallback (pathless node stores): iterative parentKey joins down the
     * (schema-bounded) depth. The walk touches only `(key, parentKey)` —
@@ -157,8 +158,8 @@ object Kv {
     * instead of re-deriving the full nodes union (payload/etag included)
     * every time. */
   def subtreeKeys(nodes: DataFrame, key: String, maxDepth: Int = 64): DataFrame = {
-    if (nodes.columns.contains("keyPath") && !key.contains("/"))
-      return nodes.where(col("keyPath").contains(s"/$key/"))
+    if (nodes.columns.contains("keyPath"))
+      return nodes.where(col("keyPath").contains(s"/${Shred.escapeSegment(key)}/"))
         .select(col("key")).distinct()
     subtreeKeysBfs(nodes, key, maxDepth)
   }

@@ -42,10 +42,24 @@ object Shred {
     * 100 TB a plain pushed-down string filter instead of a depth-many
     * iterative job chain (see [[Kv.subtreeKeys]]). The database
     * materialized-path pattern, applied at shred time where the ancestry
-    * is free. */
+    * is free. Keys come from USER payload data and may contain '/', so
+    * each segment is percent-escaped ([[escapeSegment]]: '%'→'%25',
+    * '/'→'%2F') — the delimiter provably never occurs inside a segment
+    * and the contains-match cannot cross segment boundaries (DocOpsSpec
+    * pins a slash-bearing objectId against the BFS closure). */
   val MetaCols: Seq[String] = Seq(
     "__key", "__objectType", "__objectId", "__parentKey", "__parentType",
     "__rootKey", "__field", "__ord", "__keyPath")
+
+  /** Percent-escape a key for use as a keyPath segment: '%' first (so
+    * escaping is injective), then the '/' delimiter. Mirrored by the
+    * literal-side escape in [[Kv.subtreeKeys]]. */
+  def escapeSegment(c: Column): Column =
+    regexp_replace(regexp_replace(c, "%", "%25"), "/", "%2F")
+
+  /** The same escape for a driver-side literal key. */
+  def escapeSegment(key: String): String =
+    key.replace("%", "%25").replace("/", "%2F")
 
   def isNodeStruct(dt: DataType): Boolean = dt match {
     case s: StructType =>
@@ -117,7 +131,7 @@ object Shred {
         rootKey.as("__rootKey"),
         lit(null).cast("string").as("__field"),
         lit(null).cast("int").as("__ord"),
-        concat(lit("/"), rootKey, lit("/")).as("__keyPath")
+        concat(lit("/"), escapeSegment(rootKey), lit("/")).as("__keyPath")
       ) ++ docs.schema.fieldNames.map(col): _*)
   }
 
@@ -188,8 +202,8 @@ object Shred {
       lit(fieldName).as("__field"),
       col("__pos").cast("int").as("__ord"),
       concat(col("__kp"),
-        concat_ws("_", col("__node.objectType").cast("string"),
-          col("__node.objectId").cast("string")), lit("/")).as("__keyPath")
+        escapeSegment(concat_ws("_", col("__node.objectType").cast("string"),
+          col("__node.objectId").cast("string"))), lit("/")).as("__keyPath")
     ) ++ s.fieldNames.map(n => col(s"__node.$n").as(n))
 
   /** J1 output in its generic single-table form: the `nodes` table

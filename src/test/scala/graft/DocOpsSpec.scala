@@ -498,6 +498,28 @@ class KvSearchSpec extends SparkSpec {
     assert(pathless == Set("planservice_ps1", "service_sv1", "membercostshare_cs1"))
   }
 
+  test("keyPath segments escape '/': slash-bearing user ids cannot alias boundaries") {
+    // objectIds come from USER payloads — 'ps1/x' under plan S must not
+    // make subtreeKeys("planservice_ps1") (a key that does NOT exist
+    // here) match the '/planservice_ps1%2Fx/' segment, nor break the
+    // closure of the slash-bearing key itself
+    val adversarial = docs(spark, Seq(
+      """{"objectId":"S","objectType":"plan","planType":"inNetwork",
+         "planCostShares":{"copay":1.0,"objectId":"pcsS","objectType":"membercostshare"},
+         "linkedPlanServices":[{"objectId":"ps1/x","objectType":"planservice",
+           "linkedService":{"objectId":"sv/1","objectType":"service","name":"n"}}]}"""
+        .replaceAll("\n\\s*", "")))
+    val advNodes = Shred.nodes(adversarial)
+    // the phantom prefix key matches nothing
+    assert(Kv.subtreeKeys(advNodes, "planservice_ps1").isEmpty)
+    // fast path and BFS agree on the slash-bearing key's real subtree
+    val fast = Kv.subtreeKeys(advNodes, "planservice_ps1/x")
+      .collect().map(_.getString(0)).toSet
+    val bfs = Kv.subtreeKeysBfs(advNodes, "planservice_ps1/x")
+      .collect().map(_.getString(0)).toSet
+    assert(fast == Set("planservice_ps1/x", "service_sv/1") && fast == bfs)
+  }
+
   test("search: conj equality, has_child range/eq, has_parent, routing") {
     val parents = nodes.where($"relName" === "plan")
     val costShares = nodes.where($"relName" === "planservice_membercostshare")
