@@ -20,8 +20,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * their own maps and locks instead.
   */
 final class PlanMemo {
-  PlanMemo.register(this)
-
   private val entries = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
     DataFrame]()
@@ -46,6 +44,12 @@ final class PlanMemo {
       if (e.getKey._1 eq spark) { e.getValue.unpersist(); it.remove() }
     }
   }
+
+  // registration is the LAST constructor statement: the registry's
+  // CopyOnWriteArrayList lock publishes the fully-initialized instance
+  // (happens-before for sweep threads) — registering before `entries`
+  // was assigned let a concurrent invalidateAll NPE on the null field
+  PlanMemo.register(this)
 }
 
 object PlanMemo {
@@ -58,4 +62,10 @@ object PlanMemo {
     val it = registry.iterator()
     while (it.hasNext) it.next().invalidate(spark)
   }
+
+  /** Collision-proof multi-part tag: each part is length-prefixed, so a
+    * delimiter occurring INSIDE a part (legal in Spark column names)
+    * cannot alias two distinct part lists onto one tag. */
+  def tag(parts: Any*): String =
+    parts.map { p => val s = String.valueOf(p); s"${s.length}:$s" }.mkString("|")
 }

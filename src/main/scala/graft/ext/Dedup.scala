@@ -54,7 +54,7 @@ object Dedup {
   def exactSubstringSpans(docs: DataFrame, k: Int = 8, textCol: String = "text",
                           idCol: String = "doc_id"): DataFrame = {
     require(k >= 2, s"k-gram width must be >= 2, got $k")
-    val grams = gramMemo(docs, s"grams|$textCol|$idCol|$k") {
+    val grams = gramMemo(docs, graft.PlanMemo.tag("grams", textCol, idCol, k)) {
       val toks = tokens(col(textCol))
       docs.where(col(textCol).isNotNull)
         .select(col(idCol), explode(when(size(toks) >= k,
@@ -128,13 +128,17 @@ object Dedup {
   // tables, swept via the PlanMemo registry
   private val gramMemo = new graft.PlanMemo
 
-  /** Release this session's memoized shingle/signature/candidate tables
-    * (cache entries included) — the valve long-lived multi-tenant
+  /** Release this session's memoized shingle/signature/gram/candidate
+    * tables (cache entries included) — the valve long-lived multi-tenant
     * sessions need so the shared-artifact memos cannot accumulate
-    * unboundedly. These three stay hand-rolled (not [[graft.PlanMemo]])
-    * because [[minhashSignatures]] needs the two-step build and this
-    * sweep to exclude each other under ONE monitor. */
+    * unboundedly. The shingle/signature/candidate maps stay hand-rolled
+    * (not [[graft.PlanMemo]]) because [[minhashSignatures]] needs the
+    * two-step build and this sweep to exclude each other under ONE
+    * monitor; the gram memo sweeps here too so direct callers of this
+    * valve release everything Dedup memoized, not only the
+    * registry-swept subset. */
   def invalidate(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    gramMemo.invalidate(spark)
     val ci = candMemo.entrySet().iterator()
     while (ci.hasNext) {
       val e = ci.next()

@@ -168,7 +168,7 @@ object Similarity {
   def learnedCentroids(corpus: DataFrame, kCells: Int, iters: Int = 2,
                        vecCol: String = "embedding", idCol: String = "vec_id",
                        stash: Boolean = true): Seq[(Long, Array[Float])] = {
-    val cents = memoModel(corpus, s"ivf|$kCells|$iters|$vecCol|$idCol") {
+    val cents = memoModel(corpus, graft.PlanMemo.tag("ivf", kCells, iters, vecCol, idCol)) {
       trainCentroids(corpus, kCells, iters, vecCol, idCol)
     }
     // the stash is per-CALL state (the oracle replays the most recent
@@ -303,7 +303,7 @@ object Similarity {
                   stash: Boolean = true): Seq[(Int, Int, Array[Float])] = {
     val out =
       if (m > 0 && dim / m > 0)
-        memoModel(corpus, s"pq|$m|$kCodes|$iters|$dim|$vecCol|$idCol") {
+        memoModel(corpus, graft.PlanMemo.tag("pq", m, kCodes, iters, dim, vecCol, idCol)) {
           trainPqCodebooks(corpus, m, kCodes, iters, dim, vecCol, idCol)
         }
       else Seq.empty[(Int, Int, Array[Float])]
@@ -439,7 +439,7 @@ object Similarity {
     val cwLit = codebookLits(books, m)
     // the encoded code table IS the stored PQ index — memoized/persisted
     // so search reps scan codes, not re-encode the corpus
-    val enc = memoDf(corpus, s"pqenc|$m|$kCodes|$iters|$dim|$vecCol|$idCol") {
+    val enc = memoDf(corpus, graft.PlanMemo.tag("pqenc", m, kCodes, iters, dim, vecCol, idCol)) {
       corpus.where(validVec(col(vecCol), dim))
         .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
         .select(col(idCol), encodeCodes(books, m, ds))

@@ -30,21 +30,21 @@ object TextAnalysis {
     relMemo(docs, tag)(build)
 
   private[ext] def bigramCounts(docs: DataFrame, textCol: String): DataFrame =
-    memoized(docs, s"bg|$textCol") {
+    memoized(docs, graft.PlanMemo.tag("bg", textCol)) {
       docs.select(col("doc_id"),
           explode(Curation.ngramsAll(TextFunctions.tokens(col(textCol)), 2)).as("bg"))
         .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
     }
 
   private[ext] def termCounts(docs: DataFrame, textCol: String): DataFrame =
-    memoized(docs, s"tc|$textCol") {
+    memoized(docs, graft.PlanMemo.tag("tc", textCol)) {
       docs.select(col("doc_id"), explode(TextFunctions.tokens(col(textCol))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
     }
 
   private[ext] def explodedLines(docs: DataFrame, sep: String, textCol: String,
                                  idCol: String): DataFrame =
-    memoized(docs, s"lines|$sep|$textCol|$idCol") {
+    memoized(docs, graft.PlanMemo.tag("lines", sep, textCol, idCol)) {
       docs.select(col(idCol),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("pos", "line")))
@@ -166,19 +166,22 @@ object TextAnalysis {
     * fits. */
   def unigramSurprisal(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val cnt = termCounts(docs, textCol)
-    // corpus token total: ONE number of driver metadata, computed from the
-    // persisted count relation BEFORE entering the memo lock — the memo
-    // body must stay pure plan construction (an eager corpus action under
-    // the object monitor would stall every other memoized text relation
-    // and the invalidate sweep for a whole cluster job).
+    // corpus token total: ONE number of driver metadata. The 1-row total
+    // relation is itself memoized+persisted (and swept with everything
+    // else, so it can never go stale against the count relation it
+    // derives from), and the per-call action is a read of that cached
+    // single row — not a corpus aggregation, and never under the memo
+    // monitor (the memo body stays pure plan construction).
     // Empty corpus -> sum is NULL; 1 keeps the plan valid (no rows flow).
-    val totalRow = cnt.agg(sum("c")).first()
+    val totalRow = memoized(docs, graft.PlanMemo.tag("ugtot", textCol)) {
+      cnt.agg(sum("c").as("t"))
+    }.first()
     val total = if (totalRow.isNullAt(0)) 1L else totalRow.getLong(0)
     // the MODEL — (term, lp) under the corpus unigram MLE — is itself a
     // memoized corpus-level artifact (a stored table at 100 TB, rebuilt
     // once per corpus version): scoring reps pay one join + one agg, not
     // a model rebuild
-    val lp = memoized(docs, s"uglm|$textCol|$total") {
+    val lp = memoized(docs, graft.PlanMemo.tag("uglm", textCol, total)) {
       val freq = cnt.groupBy("term").agg(sum("c").as("cnt"))
       freq.select(col("term"),
         r6(log(2.0, col("cnt").cast("double") / lit(total.toDouble))).as("lp"))
@@ -211,7 +214,7 @@ object TextAnalysis {
     val cnt = bigramCounts(docs, textCol)
     // conditional-MLE model (bg, lp): memoized corpus artifact, same
     // contract as the unigram model above
-    val lp = memoized(docs, s"bglm|$textCol") {
+    val lp = memoized(docs, graft.PlanMemo.tag("bglm", textCol)) {
       val num = cnt.groupBy("bg").agg(sum("c").as("c2"))
       val hist = num.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
         .agg(sum("c2").as("c1"))

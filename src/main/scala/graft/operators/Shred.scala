@@ -52,10 +52,13 @@ object Shred {
     "__rootKey", "__field", "__ord", "__keyPath")
 
   /** Percent-escape a key for use as a keyPath segment: '%' first (so
-    * escaping is injective), then the '/' delimiter. Mirrored by the
+    * escaping is injective), then the '/' delimiter. Literal
+    * `StringReplace`, not `regexp_replace` — this stamp runs per emitted
+    * node on the shred hot path, and regex machinery per row is pure
+    * overhead for fixed single-char search strings. Mirrored by the
     * literal-side escape in [[Kv.subtreeKeys]]. */
   def escapeSegment(c: Column): Column =
-    regexp_replace(regexp_replace(c, "%", "%25"), "/", "%2F")
+    replace(replace(c, lit("%"), lit("%25")), lit("/"), lit("%2F"))
 
   /** The same escape for a driver-side literal key. */
   def escapeSegment(key: String): String =
