@@ -501,6 +501,32 @@ object SparkEntryExt {
       }.toDF("asset_id", "payload")
       Multimodal.decodeFrames(src, n = 2).toDF()
     },
+    "x_multimodal_video_frames" -> { (s, dir) =>
+      // REAL video end-to-end: each doc becomes an MJPEG-in-AVI clip with
+      // 2 + doc_id%3 frames of 64x64 block-constant pixels
+      // (g = (doc·31 + frame·17 + bx·7 + by·13) mod 251) at a per-doc
+      // frame rate; the engine must walk the RIFF container (avih for
+      // fps, movi for the actual frame chunks), sample frames {0, F-1},
+      // and baseline-JPEG-decode each sample through Huffman + dequant +
+      // IDCT before hashing real pixels. The oracle recomputes every hash
+      // from the block FORMULA (never the bytes) — the FlatQuant8
+      // losslessness argument of x_multimodal_jpeg_phash, per frame.
+      import s.implicits._
+      val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+        .select("doc_id").as[Long]
+      val src = docs.map { id =>
+        val nf = 2 + (id % 3).toInt
+        val frames = (0 until nf).map { f =>
+          Array.tabulate(64 * 64) { i =>
+            val bx = (i % 64) / 8; val by = (i / 64) / 8
+            ((id * 31 + f * 17 + bx * 7 + by * 13) % 251).toInt
+          }
+        }
+        (id.toString, Multimodal.encodeAviMjpeg(64, 64,
+          40000 + (id % 5).toInt * 1000, frames))
+      }.toDF("asset_id", "payload")
+      Multimodal.decodeVideoFrames(src, n = 2).toDF()
+    },
     "x_multimodal_jpeg_phash" -> { (s, dir) =>
       // REAL baseline-JPEG decode end-to-end: each doc becomes a 64x64
       // JPEG of 8x8 block-constant pixels (g = (doc·31 + bx·7 + by·13)
@@ -1173,6 +1199,28 @@ object SparkEntryExt {
         "FROM px p JOIN m ON p.doc_id = m.doc_id AND p.fi = m.fi GROUP BY 1, 2, 3, 4) " +
         "SELECT CAST(doc_id AS VARCHAR) AS asset_id, CAST(nf AS INT) AS n_frames, " +
         "CAST(fi AS INT) AS frame_idx, 8 AS width, 8 AS height, " +
+        "string_agg(printf('%x', CAST(v AS INT)), '' ORDER BY k) AS phash " +
+        "FROM nib GROUP BY doc_id, nf, fi"),
+
+    // per-frame replay of the average-hash from the block formula for the
+    // sampled frames {0, F-1}: the engine must land on the same bits
+    // through the AVI walk -> per-frame JPEG decode -> hash, and report
+    // the movi-walk frame count plus the avih frame rate
+    "x_multimodal_video_frames" ->
+      ("WITH f AS (SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents " +
+        "WHERE text IS NOT NULL), " +
+        "fr AS (SELECT doc_id, nf, unnest([0, nf - 1]) AS fi FROM f), " +
+        "px AS (SELECT doc_id, nf, fi, x.range AS bx, y.range AS by, " +
+        "(doc_id * 31 + fi * 17 + bx * 7 + by * 13) % 251 AS g " +
+        "FROM fr, range(8) x, range(8) y), " +
+        "m AS (SELECT doc_id, fi, avg(g) AS mn FROM px GROUP BY 1, 2), " +
+        "nib AS (SELECT p.doc_id, p.nf, p.fi, p.by * 2 + p.bx // 4 AS k, " +
+        "sum(CASE WHEN p.g > m.mn THEN (CASE p.bx % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 " +
+        "WHEN 2 THEN 2 ELSE 1 END) ELSE 0 END) AS v " +
+        "FROM px p JOIN m ON p.doc_id = m.doc_id AND p.fi = m.fi GROUP BY 1, 2, 3, 4) " +
+        "SELECT CAST(doc_id AS VARCHAR) AS asset_id, CAST(nf AS INT) AS n_frames, " +
+        "CAST(40000 + doc_id % 5 * 1000 AS INT) AS us_per_frame, " +
+        "CAST(fi AS INT) AS frame_idx, 64 AS width, 64 AS height, " +
         "string_agg(printf('%x', CAST(v AS INT)), '' ORDER BY k) AS phash " +
         "FROM nib GROUP BY doc_id, nf, fi"),
 

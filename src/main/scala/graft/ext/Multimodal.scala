@@ -132,6 +132,14 @@ object Multimodal {
     if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
         (b(4) == '7' || b(4) == '9') && b(5) == 'a')
       return HeaderMeta("gif", Some(leShort(b, 6)), Some(leShort(b, 8)), None)
+    // AVI: RIFF container — the avih header carries frame dims
+    if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ') {
+      return aviScan(b, wantFrames = false) match {
+        case Some(m) => HeaderMeta("avi", Some(m.width), Some(m.height), None)
+        case None    => HeaderMeta("avi", None, None, None)
+      }
+    }
     // WAV: RIFF container, chunk walk to "fmt "
     if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
@@ -1609,6 +1617,154 @@ object Multimodal {
               val r = frames(fi)
               FrameFeatures(id, f, fi, r.width, r.height, averageHash(r))
             }
+        }
+      }
+  }
+
+  // ---------- video: MJPEG-in-AVI container (public RIFF/AVI layout) ----------
+
+  /** Scanned AVI container metadata: `avih` fields plus the byte ranges of
+    * every video chunk in `movi` (offsets, not copies — [[parseHeader]]
+    * reads only the metadata; frame bytes are sliced lazily by the
+    * sampler). */
+  private case class AviMeta(usPerFrame: Int, width: Int, height: Int,
+                             frames: Vector[(Int, Int)])
+
+  // hostile-container guards, in the MaxDim/MaxPixels spirit: a chunk list
+  // claiming 2^30 frames is an attack on the index vector, and RIFF nests
+  // two levels deep in practice — unbounded LIST recursion is a stack bomb
+  private val MaxAviFrames = 1 << 16
+  private val MaxRiffDepth = 16
+
+  /** One RIFF walk for both callers: chunk iteration with LIST descent
+    * (depth-capped), `avih` for fps/dims, and — when `wantFrames` — the
+    * `##dc`/`##db` video chunk ranges inside `LIST movi`. The frame COUNT
+    * comes from walking `movi`, never from avih's dwTotalFrames: a header
+    * field is a claim, the chunk list is the data (ExtSpec feeds a lying
+    * header to pin this). Garbage sizes stop the walk at the malformed
+    * chunk; anything hostile (over-deep nesting, absurd frame counts)
+    * returns None, never a throw. */
+  private def aviScan(b: Array[Byte], wantFrames: Boolean): Option[AviMeta] = try {
+    if (b == null || b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'A' || b(9) != 'V' || b(10) != 'I' || b(11) != ' ')
+      return None
+    var usPerFrame = 0; var w = -1; var h = -1; var sawAvih = false
+    val frames = Vector.newBuilder[(Int, Int)]
+    var nFrames = 0; var hostile = false
+    def walk(start: Long, end: Long, inMovi: Boolean, depth: Int): Unit = {
+      if (depth > MaxRiffDepth) { hostile = true; return }
+      var i = start
+      while (!hostile && i + 8 <= end) {
+        val o = i.toInt
+        val sz = leInt(b, o + 4)
+        if (sz < 0 || i + 8 + sz > end) return // malformed size: stop here
+        val isList = b(o) == 'L' && b(o + 1) == 'I' && b(o + 2) == 'S' && b(o + 3) == 'T'
+        if (isList && sz >= 4) {
+          val movi = b(o + 8) == 'm' && b(o + 9) == 'o' && b(o + 10) == 'v' && b(o + 11) == 'i'
+          walk(i + 12, i + 8 + sz, inMovi || movi, depth + 1)
+        } else if (b(o) == 'a' && b(o + 1) == 'v' && b(o + 2) == 'i' && b(o + 3) == 'h' &&
+                   sz >= 40) {
+          usPerFrame = leInt(b, o + 8); w = leInt(b, o + 40); h = leInt(b, o + 44)
+          sawAvih = true
+        } else if (inMovi && b(o) >= '0' && b(o) <= '9' && b(o + 1) >= '0' && b(o + 1) <= '9' &&
+                   b(o + 2) == 'd' && (b(o + 3) == 'c' || b(o + 3) == 'b')) {
+          nFrames += 1
+          if (nFrames > MaxAviFrames) { hostile = true; return }
+          if (wantFrames) frames += ((o + 8, sz))
+        }
+        i += 8L + sz + (sz & 1) // RIFF chunks are word-aligned
+      }
+    }
+    walk(12L, b.length.toLong, inMovi = false, depth = 0)
+    if (hostile || !sawAvih || w < 0 || w > MaxDim || h < 0 || h > MaxDim) None
+    else Some(AviMeta(usPerFrame, w, h, frames.result()))
+  } catch { case _: Throwable => None }
+
+  /** MJPEG-in-AVI encoder — the FIXTURE side of the video-decode contract:
+    * RIFF('AVI ') with a spec-complete `hdrl` (avih + one 'vids'/'MJPG'
+    * stream: strh with scale/rate = usPerFrame/1e6, strf BITMAPINFOHEADER),
+    * each grayscale frame a baseline JPEG from [[encodeGrayJpeg]] in a
+    * word-aligned `00dc` chunk inside `LIST movi`, and a keyframe `idx1`
+    * index. FlatQuant8 block-constant frames round-trip losslessly, so a
+    * pixel formula stays oracle-checkable through the full container →
+    * JPEG → IDCT path. */
+  def encodeAviMjpeg(w: Int, h: Int, usPerFrame: Int, frames: Seq[Array[Int]]): Array[Byte] = {
+    require(frames.nonEmpty, "an AVI needs at least one frame")
+    val jpegs = frames.map(f => encodeGrayJpeg(w, h, f))
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val out = new java.io.ByteArrayOutputStream()
+    def tag(s: String): Unit = out.write(s.getBytes(ascii))
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+      out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+    }
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    val strlSize = 4 + (8 + 56) + (8 + 40)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val moviSize = 4 + jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+    val idx1Size = 16 * jpegs.length
+    tag("RIFF"); le32(4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)); tag("AVI ")
+    tag("LIST"); le32(hdrlSize); tag("hdrl")
+    tag("avih"); le32(56)
+    le32(usPerFrame); le32(0); le32(0); le32(0x10 /* AVIF_HASINDEX */)
+    le32(jpegs.length); le32(0); le32(1); le32(0); le32(w); le32(h)
+    le32(0); le32(0); le32(0); le32(0) // dwReserved[4]
+    tag("LIST"); le32(strlSize); tag("strl")
+    tag("strh"); le32(56)
+    tag("vids"); tag("MJPG"); le32(0); le16(0); le16(0); le32(0)
+    le32(usPerFrame); le32(1000000) // dwScale / dwRate: rate/scale = fps
+    le32(0); le32(jpegs.length); le32(jpegs.map(_.length).max); le32(0); le32(0)
+    le16(0); le16(0); le16(w); le16(h) // rcFrame
+    tag("strf"); le32(40)
+    le32(40); le32(w); le32(h); le16(1); le16(24); tag("MJPG"); le32(w * h * 3)
+    le32(0); le32(0); le32(0); le32(0)
+    tag("LIST"); le32(moviSize); tag("movi")
+    jpegs.foreach { j =>
+      tag("00dc"); le32(j.length); out.write(j)
+      if ((j.length & 1) == 1) out.write(0)
+    }
+    tag("idx1"); le32(idx1Size)
+    var off = 4 // idx1 offsets are relative to the 'movi' list-type fourcc
+    jpegs.foreach { j =>
+      tag("00dc"); le32(0x10 /* AVIIF_KEYFRAME */); le32(off); le32(j.length)
+      off += 8 + j.length + (j.length & 1)
+    }
+    out.toByteArray
+  }
+
+  /** Per-frame video features: REAL container walk + per-frame JPEG decode. */
+  case class VideoFrames(asset_id: String, n_frames: Int, us_per_frame: Int,
+                         frame_idx: Int, width: Int, height: Int, phash: String)
+
+  /** REAL video frame sampling: walk the AVI container, sample `n` evenly
+    * spaced video chunks (indices ⌊j·(F−1)/(n−1)⌋ — first and last always
+    * included, [[decodeFrames]]' stride), decode each sampled MJPEG frame
+    * through the real baseline-JPEG path, and average-hash the DECODED
+    * pixels. Dims come from the decoded raster, the frame count from the
+    * `movi` walk (never the header's claim), fps from avih. Exactly the
+    * sampled frames decode — never the whole stream (at 100 TB the movi
+    * walk is O(container), the codec O(samples)). An invalid container or
+    * ANY undecodable sampled frame opts the whole asset out (flatMap):
+    * half-decoded video features are noise, not data. */
+  def decodeVideoFrames(assets: DataFrame, n: Int = 2): Dataset[VideoFrames] = {
+    require(n >= 2, s"n=$n: need at least first+last")
+    import assets.sparkSession.implicits._
+    assets.select("asset_id", "payload").as[(String, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        aviScan(bytes, wantFrames = true).toSeq.flatMap { m =>
+          val f = m.frames.size
+          if (f == 0) Seq.empty
+          else {
+            val picks = (0 until n)
+              .map(j => if (f == 1) 0 else (j.toLong * (f - 1) / (n - 1)).toInt)
+              .distinct
+            val rows = picks.flatMap { fi =>
+              val (o, sz) = m.frames(fi)
+              decodeRaster(java.util.Arrays.copyOfRange(bytes, o, o + sz)).map(r =>
+                VideoFrames(id, f, m.usPerFrame, fi, r.width, r.height, averageHash(r)))
+            }
+            if (rows.size == picks.size) rows else Seq.empty // all-or-nothing
+          }
         }
       }
   }

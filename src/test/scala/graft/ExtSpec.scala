@@ -1199,6 +1199,77 @@ class MultimodalSpec extends SparkSpec {
     assert(idx3 == Seq(0, 1, 3), idx3.toString)
   }
 
+  // ---------- video: MJPEG-in-AVI ----------
+
+  private def aviFrames(nf: Int): Seq[Array[Int]] =
+    (0 until nf).map { f =>
+      Array.tabulate(64 * 64) { i =>
+        val bx = (i % 64) / 8; val by = (i / 64) / 8
+        (f * 17 + bx * 7 + by * 13) % 251
+      }
+    }
+
+  test("encodeAviMjpeg -> decodeVideoFrames round-trips sampled frames exactly") {
+    import spark.implicits._
+    val frames = aviFrames(4)
+    val bytes = Multimodal.encodeAviMjpeg(64, 64, 40000, frames)
+    // parseHeader reads the avih dims off the container
+    val hm = Multimodal.parseHeader(bytes)
+    assert(hm.format == "avi" && hm.width.contains(64) && hm.height.contains(64), hm.toString)
+    val src = Seq(("v", bytes)).toDF("asset_id", "payload")
+    val rows = Multimodal.decodeVideoFrames(src, n = 2).collect()
+      .map(r => r.frame_idx -> r).toMap
+    assert(rows.keySet == Set(0, 3), rows.keySet.toString)
+    rows.values.foreach { r =>
+      assert(r.n_frames == 4 && r.us_per_frame == 40000 && r.width == 64 && r.height == 64)
+    }
+    // the sampled hashes equal the formula raster's hash — block-constant
+    // FlatQuant8 frames survive the JPEG round trip losslessly
+    Seq(0, 3).foreach { fi =>
+      val want = Multimodal.averageHash(Multimodal.Raster(64, 64, frames(fi).clone()))
+      assert(rows(fi).phash == want, s"frame $fi hash")
+    }
+    // n=3 over 4 frames: indices 0, 1, 3 (decodeFrames' stride)
+    val idx3 = Multimodal.decodeVideoFrames(src, n = 3)
+      .collect().map(_.frame_idx).sorted.toSeq
+    assert(idx3 == Seq(0, 1, 3), idx3.toString)
+  }
+
+  test("AVI frame count comes from the movi walk, never the header's claim") {
+    import spark.implicits._
+    val bytes = Multimodal.encodeAviMjpeg(64, 64, 33333, aviFrames(3))
+    // avih data starts at byte 32 (RIFF 12 + LIST hdrl 12 + avih hdr 8);
+    // dwTotalFrames sits at data offset 16 — lie outrageously
+    bytes(48) = 99.toByte; bytes(49) = 0; bytes(50) = 0; bytes(51) = 0
+    val rows = Multimodal.decodeVideoFrames(
+      Seq(("v", bytes)).toDF("asset_id", "payload"), n = 2).collect()
+    assert(rows.nonEmpty && rows.forall(_.n_frames == 3),
+      rows.map(r => (r.frame_idx, r.n_frames)).toSeq.toString)
+  }
+
+  test("decodeVideoFrames opts whole assets out of garbage and half-decodable clips") {
+    import spark.implicits._
+    val good = Multimodal.encodeAviMjpeg(64, 64, 40000, aviFrames(2))
+    // corrupt the FIRST movi frame's JPEG magic: frame 1 still decodes,
+    // but a half-decoded clip must emit nothing (all-or-nothing)
+    val halfBad = good.clone()
+    val movi = {
+      var i = 0
+      while (!(halfBad(i) == '0' && halfBad(i + 1) == '0' &&
+               halfBad(i + 2) == 'd' && halfBad(i + 3) == 'c')) i += 1
+      i
+    }
+    halfBad(movi + 8) = 0 // SOI 0xFF -> 0x00: decodeRaster refuses the frame
+    val src = Seq(
+      ("ok", good),
+      ("half", halfBad),
+      ("trunc", good.take(40)),
+      ("junk", Array[Byte](9, 9, 9, 9)),
+    ).toDF("asset_id", "payload")
+    val ids = Multimodal.decodeVideoFrames(src, n = 2).collect().map(_.asset_id).toSet
+    assert(ids == Set("ok"), ids.toString)
+  }
+
   test("decodeGifFrames never throws on arbitrary or mutated bytes (fuzz, fixed seed)") {
     val rnd = new scala.util.Random(0xf4a3)
     val real = Multimodal.encodeGif(8, 8,
