@@ -172,6 +172,13 @@ object SparkEntryExt {
           countDistinct(col("key")).as("n_keys"))
     },
 
+    "st6_scd2_history" -> { (s, dir) =>
+      // ST6 — SCD2 history: the changelog as validity intervals, the
+      // point-in-time-join form of the same log st2/st3/snapshot read.
+      // One key-keyed window, no join; oracle is the lead() unroll.
+      Ingest.scd2History(SparkEntryIdx.changelogOf(s, dir))
+    },
+
     "s7_index_delete" -> { (s, dir) =>
       // index-doc batch delete by key set (anti-join form of S5/S7)
       val kv = Tables.orders(s, dir)
@@ -915,6 +922,19 @@ object SparkEntryExt {
         "SELECT side, CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(count(op) AS BIGINT) AS n_with_op, " +
         "CAST(count(DISTINCT key) AS BIGINT) AS n_keys FROM sides GROUP BY side"),
+
+    "st6_scd2_history" ->
+      ("WITH log AS (SELECT event_id AS seq, " +
+        "CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'update' END AS op, " +
+        "concat('u', CAST(user_id AS VARCHAR), '_', CAST(event_id % 50 AS VARCHAR)) AS key, " +
+        "props AS doc FROM events), " +
+        // lead() over the same (seq, delete-last, doc) order as
+        // Ingest.scd2History so equal-seq chains agree across engines
+        "v AS (SELECT *, lead(seq) OVER (PARTITION BY key " +
+        "ORDER BY seq, (op = 'delete'), doc) AS valid_to_seq FROM log " +
+        "WHERE op IN ('insert', 'update', 'delete')) " +
+        "SELECT key, doc, seq AS valid_from_seq, valid_to_seq, " +
+        "(valid_to_seq IS NULL) AS is_current FROM v WHERE op <> 'delete'"),
 
     "s7_index_delete" ->
       "SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT'",

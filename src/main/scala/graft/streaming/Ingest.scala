@@ -110,6 +110,34 @@ object Ingest {
         col("doc_before"), col("doc_after"))
   }
 
+  /** SCD2 history view: every non-delete changelog event becomes a
+    * VERSION row `(key, doc, valid_from_seq, valid_to_seq, is_current)`
+    * whose validity interval runs from its own seq to the next event on
+    * that key (any op — an update supersedes, a delete terminates), open
+    * (`NULL`, `is_current`) when nothing followed. This is the
+    * slowly-changing-dimension type-2 form of the same log
+    * [[snapshotAt]] reads: `snapshotAt(log, s)` ≡ the rows here with
+    * `valid_from_seq <= s < coalesce(valid_to_seq, ∞)`, so a
+    * point-in-time join against the store is a single range predicate on
+    * this relation instead of a per-probe log replay — the shape a
+    * training-data pipeline needs to join features "as of" each example's
+    * snapshot without leakage.
+    *
+    * One shuffle (the key-keyed window), no join; at 100 TB the relation
+    * is incrementally maintainable — a new chunk only rewrites the
+    * still-open rows of keys it touches. Equal-seq collisions order by
+    * the same (delete-first, doc) tiebreak as [[applyBatch]], so the
+    * surviving interval chain matches what replay would make visible. */
+  def scd2History(changelog: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("seq"), (col("op") === "delete"), col("doc").asc_nulls_first)
+    changelog.where(col("op").isin("insert", "update", "delete"))
+      .withColumn("valid_to_seq", lead(col("seq"), 1).over(w))
+      .where(col("op") =!= "delete")
+      .select(col("key"), col("doc"), col("seq").as("valid_from_seq"),
+        col("valid_to_seq"), col("valid_to_seq").isNull.as("is_current"))
+  }
+
   /** Per-key winners of ONE batch, in versioned `(key, doc, seq, deleted)`
     * tombstone form. Equal-seq collisions resolve deterministically:
     * deletes win ties (then doc order), never shuffle arrival order. */

@@ -286,6 +286,33 @@ class StreamingSpec extends SparkSpec {
     assert(snap(Long.MaxValue) == replay)
   }
 
+  test("scd2History: intervals tile each key's timeline and agree with snapshotAt at every cut") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, "insert", "a", "a1"), (2L, "insert", "b", "b1"),
+      (3L, "update", "a", "a2"), (4L, "delete", "b", null),
+      (5L, "insert", "c", "c1"), (6L, "delete", "a", null),
+      (7L, "insert", "b", "b2"))
+      .toDF("seq", "op", "key", "doc")
+    val hist = Ingest.scd2History(log).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    // one version row per non-delete event, closed by the NEXT event on the key
+    assert(hist.toSet == Set(
+      ("a", "a1", 1L, Some(3L), false), ("a", "a2", 3L, Some(6L), false),
+      ("b", "b1", 2L, Some(4L), false), ("b", "b2", 7L, None, true),
+      ("c", "c1", 5L, None, true)))
+    // the interval view reconstructs snapshotAt at EVERY cut point
+    for (cut <- 1L to 7L) {
+      val viaIntervals = hist.collect {
+        case (k, d, from, to, _) if from <= cut && to.forall(cut < _) => k -> d
+      }.toMap
+      val viaSnapshot = Ingest.snapshotAt(log, cut).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(viaIntervals == viaSnapshot, s"cut=$cut")
+    }
+  }
+
   test("snapshotDiff classifies added/updated/deleted and drops unchanged keys") {
     import spark.implicits._
     val log = Seq(
