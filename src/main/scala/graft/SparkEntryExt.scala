@@ -179,6 +179,20 @@ object SparkEntryExt {
       Ingest.scd2History(SparkEntryIdx.changelogOf(s, dir))
     },
 
+    "x_pit_join" -> { (s, dir) =>
+      // point-in-time feature join over the SCD2 intervals: each key
+      // probed at its own deterministic cut (per-key, not one global
+      // snapshot) — the leakage-free as-of lookup; probes before the
+      // key's first event or after its delete drop out
+      val hist = Ingest.scd2History(SparkEntryIdx.changelogOf(s, dir))
+      val probes = Tables.events(s, dir)
+        .select(
+          concat(lit("u"), col("user_id"), lit("_"), col("event_id") % 50).as("key"),
+          ((col("user_id") * 997 + (col("event_id") % 50) * 131) % 10000).as("as_of_seq"))
+        .distinct()
+      Ingest.pointInTime(hist, probes)
+    },
+
     "s7_index_delete" -> { (s, dir) =>
       // index-doc batch delete by key set (anti-join form of S5/S7)
       val kv = Tables.orders(s, dir)
@@ -935,6 +949,23 @@ object SparkEntryExt {
         "WHERE op IN ('insert', 'update', 'delete')) " +
         "SELECT key, doc, seq AS valid_from_seq, valid_to_seq, " +
         "(valid_to_seq IS NULL) AS is_current FROM v WHERE op <> 'delete'"),
+
+    "x_pit_join" ->
+      ("WITH log AS (SELECT event_id AS seq, " +
+        "CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'update' END AS op, " +
+        "concat('u', CAST(user_id AS VARCHAR), '_', CAST(event_id % 50 AS VARCHAR)) AS key, " +
+        "props AS doc FROM events), " +
+        "v AS (SELECT *, lead(seq) OVER (PARTITION BY key " +
+        "ORDER BY seq, (op = 'delete'), doc) AS valid_to_seq FROM log " +
+        "WHERE op IN ('insert', 'update', 'delete')), " +
+        "hist AS (SELECT key, doc, seq AS valid_from_seq, valid_to_seq " +
+        "FROM v WHERE op <> 'delete'), " +
+        "probes AS (SELECT DISTINCT concat('u', CAST(user_id AS VARCHAR), '_', " +
+        "CAST(event_id % 50 AS VARCHAR)) AS key, " +
+        "(user_id * 997 + (event_id % 50) * 131) % 10000 AS as_of_seq FROM events) " +
+        "SELECT p.key, p.as_of_seq, h.doc FROM probes p JOIN hist h ON p.key = h.key " +
+        "AND h.valid_from_seq <= p.as_of_seq " +
+        "AND (h.valid_to_seq IS NULL OR p.as_of_seq < h.valid_to_seq)"),
 
     "s7_index_delete" ->
       "SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT'",

@@ -138,6 +138,53 @@ object Ingest {
         col("valid_to_seq"), col("valid_to_seq").isNull.as("is_current"))
   }
 
+  /** Incremental maintenance of the [[scd2History]] relation: fold a new
+    * log `chunk` into a stored interval table, rewriting ONLY the touched
+    * keys' rows. Closed intervals are immutable by construction (their
+    * `valid_to_seq` was fixed by an event that already happened), so the
+    * merge is: pass untouched keys through; keep touched keys' closed
+    * rows; re-enter each touched key's OPEN row into the fold as a
+    * pseudo-event at its own `valid_from_seq` alongside the chunk's
+    * events; rebuild just that sliver with [[scd2History]].
+    *
+    * PRECONDITION (log-append order): every chunk seq exceeds every seq
+    * already folded into `history` — the same per-key monotonicity
+    * [[applyBatch]] requires. The touched-key set is batch-sized, so both
+    * pruning joins broadcast and the stored base relation never
+    * shuffles; the rebuild input is O(batch + touched open rows).
+    * StreamingSpec proves merge(history(prefix), suffix) == history(all)
+    * at every split point; PropertySpec replays random logs. */
+  def scd2Merge(history: DataFrame, chunk: DataFrame): DataFrame = {
+    val events = chunk.where(col("op").isin("insert", "update", "delete"))
+      .select("seq", "op", "key", "doc")
+    val touched = events.select("key").distinct()
+    val untouched = history.join(touched, Seq("key"), "left_anti")
+    val closedKept = history.join(touched, Seq("key"), "left_semi")
+      .where(!col("is_current"))
+    val reopened = history.join(touched, Seq("key"), "left_semi")
+      .where(col("is_current"))
+      .select(col("valid_from_seq").as("seq"), lit("update").as("op"),
+        col("key"), col("doc"))
+    untouched.unionByName(closedKept)
+      .unionByName(scd2History(reopened.unionByName(events)))
+  }
+
+  /** Point-in-time join: for each probe `(key, as_of_seq, …)`, the doc
+    * visible at that seq — the leakage-free feature-join a training
+    * pipeline runs against the store. One equality join on `key` (hash
+    * join; broadcast when probes are batch-sized) with the interval
+    * bounds as a join filter; per key the intervals are disjoint, so at
+    * most one row matches and no post-join dedup is needed. Probes
+    * falling where nothing is visible (before the first event, after a
+    * delete) drop out — inner semantics, like a missed lookup. */
+  def pointInTime(history: DataFrame, probes: DataFrame): DataFrame =
+    probes.join(history,
+      probes("key") === history("key") &&
+        history("valid_from_seq") <= probes("as_of_seq") &&
+        (history("valid_to_seq").isNull ||
+          probes("as_of_seq") < history("valid_to_seq")))
+      .select(probes("key"), probes("as_of_seq"), history("doc"))
+
   /** Per-key winners of ONE batch, in versioned `(key, doc, seq, deleted)`
     * tombstone form. Equal-seq collisions resolve deterministically:
     * deletes win ties (then doc order), never shuffle arrival order. */

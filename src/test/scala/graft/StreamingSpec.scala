@@ -313,6 +313,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("scd2Merge at every split equals the full rebuild; pointInTime agrees with snapshotAt") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val keys = Vector("a", "b", "c", "d")
+    val log = (1L to 40L).map { seq =>
+      val op = if (rnd.nextInt(5) == 0) "delete" else "update"
+      (seq, op, keys(rnd.nextInt(keys.size)), if (op == "delete") null else s"v$seq")
+    }.toDF("seq", "op", "key", "doc")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSet
+    val full = rows(Ingest.scd2History(log))
+    // incremental fold from ANY split point (incl. empty prefix) == rebuild
+    for (cut <- Seq(0L, 1L, 7L, 20L, 33L, 39L)) {
+      val merged = Ingest.scd2Merge(
+        Ingest.scd2History(log.where(col("seq") <= cut)),
+        log.where(col("seq") > cut))
+      assert(rows(merged) == full, s"split=$cut")
+    }
+    val hist = Ingest.scd2History(log)
+    for (cut <- Seq(5L, 17L, 40L)) {
+      val probes = keys.map(k => (k, cut)).toDF("key", "as_of_seq")
+      val got = Ingest.pointInTime(hist, probes).collect()
+        .map(r => r.getString(0) -> r.getString(2)).toMap
+      val want = Ingest.snapshotAt(log, cut).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == want, s"cut=$cut")
+    }
+  }
+
   test("snapshotDiff classifies added/updated/deleted and drops unchanged keys") {
     import spark.implicits._
     val log = Seq(
