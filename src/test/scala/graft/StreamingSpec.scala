@@ -343,6 +343,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamed SCD2: closed intervals across batches equal the batch rebuild's; replay is a no-op") {
+    import graft.streaming.Scd2Stream
+    import spark.implicits._
+    val dir = tmp(); val out = s"$dir/closed"; val ckpt = s"$dir/ckpt"
+    val log = s"$dir/log"; new java.io.File(log).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$log/b1.json"),
+      """{"seq":1,"op":"insert","key":"a","doc":"a1"}
+        |{"seq":2,"op":"insert","key":"b","doc":"b1"}
+        |{"seq":3,"op":"update","key":"a","doc":"a2"}
+        |""".stripMargin)
+    Scd2Stream.run(spark, log, out, ckpt)
+    // batch 2 closes across the batch boundary (a2 opened in batch 1)
+    Files.writeString(java.nio.file.Paths.get(s"$log/b2.json"),
+      """{"seq":4,"op":"delete","key":"b","doc":null}
+        |{"seq":5,"op":"insert","key":"c","doc":"c1"}
+        |{"seq":6,"op":"delete","key":"a","doc":null}
+        |{"seq":3,"op":"update","key":"a","doc":"STALE-REPLAY"}
+        |""".stripMargin)
+    Scd2Stream.run(spark, log, out, ckpt)
+    def closedSet() = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val fullLog = Seq(
+      (1L, "insert", "a", "a1"), (2L, "insert", "b", "b1"),
+      (3L, "update", "a", "a2"), (4L, "delete", "b", null),
+      (5L, "insert", "c", "c1"), (6L, "delete", "a", null))
+      .toDF("seq", "op", "key", "doc")
+    val batchClosed = Ingest.scd2History(fullLog).where(!col("is_current"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(closedSet() == batchClosed)
+    assert(closedSet() == Set(("a", "a1", 1L, 3L), ("a", "a2", 3L, 6L), ("b", "b1", 2L, 4L)))
+    // a third run with nothing new appends nothing (replay fence + checkpoint)
+    Scd2Stream.run(spark, log, out, ckpt)
+    assert(closedSet() == batchClosed)
+  }
+
   test("snapshotDiff classifies added/updated/deleted and drops unchanged keys") {
     import spark.implicits._
     val log = Seq(
