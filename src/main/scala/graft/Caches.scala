@@ -15,6 +15,7 @@ object Caches {
     graft.PlanMemo.invalidateAll(spark)
     graft.ext.Dedup.invalidate(spark)
     graft.ext.Similarity.invalidate(spark)
+    graft.ext.TextAnalysis.invalidate(spark)
     graft.ext.InvertedIndex.invalidate(spark)
     graft.ext.Curation.invalidate(spark)
     graft.operators.Shred.invalidate(spark)

@@ -287,6 +287,25 @@ object SparkEntryExt {
       TextAnalysis.withTokenCounts(Tables.documents(s, dir))
         .select("doc_id", "n_tokens", "n_subtokens")
     },
+    "x_bpe_merges" -> { (s, dir) =>
+      // REAL BPE merge training (Sennrich et al.): one corpus scan to
+      // word frequencies, then vocab-relation rounds of weighted
+      // pair-count + argmax. The oracle re-derives every round's argmax
+      // in DuckDB (pinned previous merges carry the state).
+      val merges = TextAnalysis.bpeTrainMerges(
+        Tables.documents(s, dir), nMerges = 8, stash = true)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((l, r, c), i) => ((i + 1).toLong, l, r, c) }
+        .toDF("merge_rank", "lhs", "rhs", "pair_count")
+    },
+    "x_bpe_segment" -> { (s, dir) =>
+      // the trained tokenizer applied: per-doc subword counts; merges
+      // apply once per DISTINCT word, occurrences re-join vocab-side
+      val docs = Tables.documents(s, dir)
+      val merges = TextAnalysis.bpeTrainMerges(docs, nMerges = 8, stash = true)
+      TextAnalysis.bpeTokenCounts(docs, merges)
+    },
     "x_pipeline_clean" -> { (s, dir) =>
       // the canonical corpus-cleaning flow, composed from the pieces:
       // quality gate → language filter → exact dedup. Everything up to the
@@ -828,6 +847,53 @@ object SparkEntryExt {
       "FROM bk a JOIN bk b ON a.b = b.b AND a.vec_id < b.vec_id " +
       "WHERE list_cosine_similarity(a.v, b.v) > 0.45"
 
+  // ---- BPE oracles: learned merges pinned as literals (the ANN-oracle
+  // contract), but every ROUND's argmax is re-derived independently —
+  // the pins only carry the vocab state between rounds, so the whole
+  // training chain is externally verified, not just replayed. The merge
+  // application is the same greedy fold as TextAnalysis.mergeFold,
+  // expressed as a DuckDB list_reduce (elements wrapped in singleton
+  // lists so the accumulator can be a list).
+  private def bpeEsc(s: String): String = s.replace("'", "''")
+  private def bpeAppSql(merges: Seq[(String, String, Long)]): String =
+    merges.zipWithIndex.foldLeft("(string_split(w, '') || ['</w>'])") {
+      case (inner, ((l, r, _), i)) =>
+        val k = i + 1
+        s"list_reduce(list_transform($inner, gx$k -> [gx$k]), " +
+          s"(acc$k, x$k) -> CASE WHEN len(acc$k) >= 1 AND acc$k[-1] = '${bpeEsc(l)}' " +
+          s"AND x$k[1] = '${bpeEsc(r)}' " +
+          s"THEN acc$k[:-2] || ['${bpeEsc(l + r)}'] ELSE acc$k || x$k END)"
+    }
+  private val bpeVocabSql =
+    s"toks AS (SELECT $toksSql AS t FROM documents WHERE text IS NOT NULL), " +
+      "words AS (SELECT unnest(t) AS w FROM toks), " +
+      "vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM words GROUP BY 1)"
+  private def bpeMergesOracleSql(merges: Seq[(String, String, Long)]): String = {
+    val rounds = merges.indices.map { i =>
+      s"(SELECT CAST(${i + 1} AS BIGINT) AS merge_rank, p['l'] AS lhs, p['r'] AS rhs, " +
+        "CAST(sum(f) AS BIGINT) AS pair_count FROM (" +
+        "SELECT f, unnest(list_transform(range(1, len(s)), j -> {'l': s[j], 'r': s[j+1]})) AS p " +
+        s"FROM (SELECT f, ${bpeAppSql(merges.take(i))} AS s FROM vocab)) " +
+        "GROUP BY 1, 2, 3 ORDER BY pair_count DESC, lhs, rhs LIMIT 1)"
+    }
+    s"WITH $bpeVocabSql SELECT * FROM (${rounds.mkString(" UNION ALL ")})"
+  }
+  private def bpeSegmentOracleSql(merges: Seq[(String, String, Long)]): String =
+    s"WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents WHERE text IS NOT NULL), " +
+      "dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n FROM " +
+      "(SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2), " +
+      s"wl AS (SELECT w, CAST(len(${bpeAppSql(merges)}) AS BIGINT) AS n_sym " +
+      "FROM (SELECT DISTINCT w FROM dw)) " +
+      "SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words, " +
+      "CAST(sum(n * n_sym) AS BIGINT) AS n_bpe_tokens FROM dw JOIN wl USING (w) GROUP BY 1"
+  private def bpeOracles: Map[String, String] =
+    TextAnalysis.lastBpeMerges match {
+      case m if m.nonEmpty =>
+        Map("x_bpe_merges" -> bpeMergesOracleSql(m),
+          "x_bpe_segment" -> bpeSegmentOracleSql(m))
+      case _ => Map.empty[String, String]
+    }
+
   private def annOracles: Map[String, String] =
     Map("x_knn_lsh" -> lshOracleSql,
       "x_dedup_embed_lsh" -> embedLshOracleSql) ++ (Similarity.lastLearned match {
@@ -852,7 +918,7 @@ object SparkEntryExt {
       "string_agg(printf('%x', CAST(v AS INT)), '' ORDER BY k) AS phash " +
       "FROM nib GROUP BY doc_id)"
 
-  def oracleSql: Map[String, String] = annOracles ++ Map(
+  def oracleSql: Map[String, String] = annOracles ++ bpeOracles ++ Map(
     "p2_match_all" -> "SELECT * FROM region",
 
     "m1_merge_patch" ->

@@ -258,4 +258,133 @@ object TextAnalysis {
       .where(col("rk") <= k)
       .drop("__pid", "__lrk")
   }
+
+  // ---------- BPE merge training (Sennrich et al. 2016, public algorithm) ----------
+
+  /** Verification hook for the BPE oracles — the most recent stashed
+    * training result. `graft.Verify` runs every query BEFORE dumping
+    * oracle SQL (the [[Similarity.lastLearned]] contract), so the oracle
+    * can pin the learned merges as literals and then INDEPENDENTLY
+    * re-derive each round's argmax in DuckDB — the pins carry state
+    * between rounds, every choice is still externally verified. */
+  @volatile var lastBpeMerges: Seq[(String, String, Long)] = Nil
+
+  /** Learned-merge memo: (session, canonicalized corpus plan, params) →
+    * merge table. Training is deterministic (integer pair counts, total
+    * tie-break order), so a hit returns exactly what retraining would;
+    * the value is a few dozen strings of driver metadata — at 100 TB the
+    * stored tokenizer artifact beside the corpus. Swept by
+    * [[graft.Caches.invalidate]]. */
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      String), Seq[(String, String, Long)]]()
+
+  def invalidate(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val it = bpeMemo.entrySet().iterator()
+    while (it.hasNext) if (it.next().getKey._1 eq spark) it.remove()
+  }
+
+  /** A word as its initial BPE symbols: characters plus the end-of-word
+    * sentinel (the marker that keeps merges from crossing word
+    * boundaries and distinguishes suffix from infix pairs). */
+  private def charSymbols(w: Column): Column =
+    concat(array_remove(split(w, ""), ""), array(lit("</w>")))
+
+  /** One merge applied to a symbol array — the greedy left-to-right
+    * pair rewrite as a single fold: append each symbol, collapsing
+    * `…, l | r` into `…, lr` as it arrives. Fold ≡ greedy for a single
+    * pair per pass: a collapse could only re-trigger if `l + r == l`,
+    * i.e. an empty `r`, which character symbols can't produce (the spec
+    * fuzzes this equivalence against a reference scan). The same fold
+    * runs in the DuckDB oracle via `list_reduce`. */
+  private def mergeFold(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) >= 1 && element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  private[graft] def bpeApplyMerges(w: Column, merges: Seq[(String, String, Long)]): Column =
+    merges.foldLeft(charSymbols(w)) { case (c, (l, r, _)) => mergeFold(c, l, r) }
+
+  /** Test hook: the fold on a pre-split symbol array (BpeSpec fuzzes it
+    * against a reference greedy scan). */
+  private[graft] def testMergeFold(syms: Column, l: String, r: String): Column =
+    mergeFold(syms, l, r)
+
+  /** Train `nMerges` BPE merges over the corpus. The corpus is scanned
+    * ONCE (word frequencies — one map-side-combinable aggregation); every
+    * subsequent round runs over the vocab-bounded `(freq, symbols)`
+    * relation: explode adjacent symbol pairs, weighted count, argmax.
+    * Each round's argmax is ONE collected row (bounded driver metadata);
+    * the winning pair is folded into the symbols and the relation
+    * re-persisted. Deterministic end-to-end: integer counts and a total
+    * (count desc, left, right) tie-break — which is what lets the DuckDB
+    * oracle re-derive every round. Stops early when no pair is left. */
+  def bpeTrainMerges(docs: DataFrame, nMerges: Int = 8, textCol: String = "text",
+                     stash: Boolean = false): Seq[(String, String, Long)] = {
+    require(nMerges >= 1 && nMerges <= 4096, s"nMerges=$nMerges out of range")
+    val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized,
+      graft.PlanMemo.tag("bpe", textCol, nMerges))
+    val merges = bpeMemo.computeIfAbsent(key, _ => bpeTrainImpl(docs, nMerges, textCol))
+    if (stash) lastBpeMerges = merges
+    merges
+  }
+
+  private def bpeTrainImpl(docs: DataFrame, nMerges: Int,
+                           textCol: String): Seq[(String, String, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var vocab = docs.where(col(textCol).isNotNull)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(col("f"), charSymbols(col("w")).as("syms"))
+      .persist()
+    try {
+      var rounds = 0
+      var exhausted = false
+      while (rounds < nMerges && !exhausted) {
+        // the size >= 2 guard matters: sequence(1, 0) would DESCEND and
+        // element_at(syms, 0) is an ANSI error on a fully-merged word
+        val best = vocab.select(col("f"),
+            explode(when(size(col("syms")) >= 2,
+              transform(sequence(lit(1), size(col("syms")) - 1),
+                j => struct(element_at(col("syms"), j).as("l"),
+                  element_at(col("syms"), j + 1).as("r"))))
+              .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("f")).as("c"))
+          .orderBy(col("c").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          out += ((l, r, c))
+          val next = vocab
+            .select(col("f"), mergeFold(col("syms"), l, r).as("syms")).persist()
+          next.count() // materialize THROUGH the old cache before dropping it
+          vocab.unpersist()
+          vocab = next
+        }
+        rounds += 1
+      }
+    } finally vocab.unpersist()
+    out.toSeq
+  }
+
+  /** Per-doc token counts under a trained merge table. Merges apply once
+    * per DISTINCT word (the vocab relation), never per occurrence; the
+    * per-doc totals come from joining the doc→word counts back — at
+    * 100 TB the corpus pays one word-count aggregation and one
+    * vocab-sized broadcast join, not a per-token rewrite. */
+  def bpeTokenCounts(docs: DataFrame, merges: Seq[(String, String, Long)],
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val docWords = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("n"))
+    val wordLen = docWords.select("w").distinct()
+      .select(col("w"), size(bpeApplyMerges(col("w"), merges)).as("n_sym"))
+    docWords.join(broadcast(wordLen), Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_sym")).as("n_bpe_tokens"))
+  }
 }

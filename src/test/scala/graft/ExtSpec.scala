@@ -135,6 +135,59 @@ class TextFunctionsSpec extends SparkSpec {
   }
 }
 
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ext.TextAnalysis
+
+  test("bpeTrainMerges learns the classic suffix merges on the Sennrich corpus") {
+    // low*5, lower*2, newest*6, widest*3 — (e,s), (s,t), (t,</w>) tie at
+    // 9; lexicographic tie-break picks (e,s), then the chain es+t, est+</w>
+    val corpus = Seq(
+      (1L, ("low " * 5 + "lower " * 2).trim),
+      (2L, ("newest " * 6 + "widest " * 3).trim)).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrainMerges(corpus, nMerges = 3)
+    assert(merges == Seq(("e", "s", 9L), ("es", "t", 9L), ("est", "</w>", 9L)))
+  }
+
+  test("mergeFold equals the greedy left-to-right reference scan on random inputs") {
+    def greedy(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(7)
+    val alphabet = Vector("a", "b", "ab", "c")
+    val cases = (1 to 60).map { _ =>
+      Vector.fill(1 + rnd.nextInt(9))(alphabet(rnd.nextInt(alphabet.size)))
+    }
+    for ((l, r) <- Seq(("a", "b"), ("a", "a"), ("ab", "c"), ("b", "a"))) {
+      val folded = cases.toDF("syms")
+        .select(col("syms"), TextAnalysis.testMergeFold(col("syms"), l, r).as("m"))
+        .collect()
+        .map(row => (row.getSeq[String](0).toVector, row.getSeq[String](1).toVector))
+      folded.foreach { case (orig, m) =>
+        assert(m == greedy(orig, l, r), s"input=$orig pair=($l,$r)")
+      }
+    }
+  }
+
+  test("bpeTokenCounts: merges apply per distinct word, totals weighted by occurrences") {
+    // vocab low*2 newest*2 — all pairs tie at 2, lex tie-break learns
+    // (e,s) then (e,w); low stays 4 symbols, newest folds to 5
+    val corpus = Seq((1L, "low low newest"), (2L, "newest")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrainMerges(corpus, nMerges = 2)
+    assert(merges == Seq(("e", "s", 2L), ("e", "w", 2L)))
+    val got = TextAnalysis.bpeTokenCounts(corpus, merges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> ((3L, 13L)), 2L -> ((1L, 5L))))
+  }
+}
+
 class JsonPathTypesSpec extends SparkSpec {
   import spark.implicits._
   import graft.plans.JsonExpressions.jsonPathTypes
