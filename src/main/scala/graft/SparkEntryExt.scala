@@ -176,7 +176,8 @@ object SparkEntryExt {
       // ST6 — SCD2 history: the changelog as validity intervals, the
       // point-in-time-join form of the same log st2/st3/snapshot read.
       // One key-keyed window, no join; oracle is the lead() unroll.
-      Ingest.scd2History(SparkEntryIdx.changelogOf(s, dir))
+      // Memoized: the history is a stored artifact shared with x_pit_join.
+      SparkEntryIdx.scd2HistoryOf(s, dir)
     },
 
     "x_pit_join" -> { (s, dir) =>
@@ -184,7 +185,7 @@ object SparkEntryExt {
       // probed at its own deterministic cut (per-key, not one global
       // snapshot) — the leakage-free as-of lookup; probes before the
       // key's first event or after its delete drop out
-      val hist = Ingest.scd2History(SparkEntryIdx.changelogOf(s, dir))
+      val hist = SparkEntryIdx.scd2HistoryOf(s, dir)
       val probes = Tables.events(s, dir)
         .select(
           concat(lit("u"), col("user_id"), lit("_"), col("event_id") % 50).as("key"),

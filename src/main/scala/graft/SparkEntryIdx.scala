@@ -206,6 +206,15 @@ object SparkEntryIdx {
       concat(lit("u"), col("user_id"), lit("_"), col("event_id") % 50).as("key"),
       col("props").as("doc"))
 
+  /** The SCD2 interval view of that changelog, memoized+persisted per
+    * (session, changelog plan): the stored history table both ST6 and the
+    * point-in-time join read — built once, like every shared artifact. */
+  private val histMemo = new graft.PlanMemo
+  private[graft] def scd2HistoryOf(s: SparkSession, dir: String): DataFrame = {
+    val log = changelogOf(s, dir)
+    histMemo(log, "scd2")(graft.streaming.Ingest.scd2History(log))
+  }
+
   /** recursive delete for the x_lsm_compacted_read scratch store (local
     * tmp only — the query is its own writer and reader) */
   private def wipeDir(p: java.nio.file.Path): Unit =
