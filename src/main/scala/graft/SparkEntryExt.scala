@@ -722,7 +722,7 @@ object SparkEntryExt {
     "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')"
   private def shinglesSql(t: String = toksSql) =
     s"list_distinct(list_transform(range(1, len($t) - 1), i -> array_to_string(($t)[i:i+2], ' ')))"
-  private def seedHashSql(seed: String, v: String) =
+  private[graft] def seedHashSql(seed: String, v: String) =
     s"(('0x' || substr(md5(CAST($seed AS VARCHAR) || '|' || $v), 1, 15)))::BIGINT"
   // base hash once per shingle, then k affine permutations mod P — mirrors
   // TextFunctions.baseShingleHash / minhashFromHashes exactly

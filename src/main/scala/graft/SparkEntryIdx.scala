@@ -51,6 +51,22 @@ object SparkEntryIdx {
           count(lit(1)).as("n_rows"))
         .join(est, Seq("o_orderpriority"))
     },
+    "x_sketch_cms" -> { (s, dir) =>
+      // Count-Min frequency sketch over the corpus terms: build the
+      // (d, bucket, counter) table, probe every distinct term (plus one
+      // known-absent probe), and report est next to the recomputed exact
+      // count — the one-sided bound est >= exact is oracle-visible.
+      val terms = Tables.documents(s, dir).where(col("text").isNotNull)
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+      val cms = Sketches.cmsTable(terms, col("term"))
+      val probes = terms.distinct()
+        .unionByName(s.range(1).select(lit("zzz-absent-probe").as("term")))
+      val exact = terms.groupBy("term").agg(count(lit(1)).as("exact_n"))
+      Sketches.cmsEstimate(cms, probes, col("term"))
+        .join(exact, Seq("term"), "left")
+        .select(col("term"), col("est"),
+          coalesce(col("exact_n"), lit(0L)).as("exact_n"))
+    },
     "x_index_lookup" -> { (s, dir) =>
       InvertedIndex.lookupAll(
         InvertedIndex.postings(Tables.documents(s, dir)), andTerms)
@@ -371,7 +387,26 @@ object SparkEntryIdx {
     case _ => Map.empty
   }
 
+  /** CMS oracle: the same md5-derived row hashes, bucket counts and
+    * min-over-rows estimate, re-derived from scratch in DuckDB. */
+  private def cmsOracleSql: String = {
+    val hash = (term: String) =>
+      s"(${SparkEntryExt.seedHashSql(s"(${Sketches.CmsSeed} + td.d)", term)} % 256)"
+    s"WITH toks AS (SELECT ${SparkEntryExt.toksSql} AS t FROM documents WHERE text IS NOT NULL), " +
+      "terms AS (SELECT unnest(t) AS term FROM toks), " +
+      "cms AS (SELECT d, bucket, CAST(count(*) AS BIGINT) AS counter FROM (" +
+      s"SELECT td.d, ${hash("term")} AS bucket FROM terms, range(4) td(d)) GROUP BY 1, 2), " +
+      "probes AS (SELECT DISTINCT term FROM terms UNION ALL SELECT 'zzz-absent-probe'), " +
+      s"pb AS (SELECT term, td.d, ${hash("term")} AS bucket FROM probes, range(4) td(d)), " +
+      "est AS (SELECT p.term, CAST(min(coalesce(c.counter, 0)) AS BIGINT) AS est " +
+      "FROM pb p LEFT JOIN cms c USING (d, bucket) GROUP BY 1), " +
+      "ex AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_n FROM terms GROUP BY 1) " +
+      "SELECT e.term, e.est, CAST(coalesce(x.exact_n, 0) AS BIGINT) AS exact_n " +
+      "FROM est e LEFT JOIN ex x USING (term)"
+  }
+
   def oracleSql: Map[String, String] = hllOracle ++ Map(
+    "x_sketch_cms" -> cmsOracleSql,
     "x_inverted_directory" -> directorySql("documents"),
 
     "x_index_lookup" ->

@@ -30,4 +30,43 @@ object Sketches {
       hll_sketch_estimate(hll_union_agg(col("sketch"), lit(true)))
         .as("approx_distinct"),
       sum(col("n_rows")).as("n_rows"))
+
+  /** Seed base for the Count-Min hash rows — `seededHash(item, CmsSeed+d)`
+    * is row d's hash function; md5-derived, so the DuckDB oracle computes
+    * identical buckets. */
+  val CmsSeed: Int = 9000
+
+  /** Count-Min sketch as a TABLE: `(d, bucket, counter)` with depth·width
+    * bounded rows — the frequency analogue of the HLL table above. One
+    * corpus pass (posexplode of the d bucket assignments per item, then a
+    * map-side-combinable count); MERGEABLE by construction: the sketch of
+    * a union is the bucket-wise SUM of the shards' sketches, so each
+    * ingest batch sketches only itself and stored sketches add up —
+    * SketchesSpec pins the merge law. Unlike the HLL binaries this is
+    * plain integer arithmetic end-to-end, so `x_sketch_cms` gets a full
+    * DuckDB oracle, not just a spec. */
+  def cmsTable(items: DataFrame, itemCol: Column,
+               depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 1, s"cms($depth x $width)")
+    val buckets = array((0 until depth).map(d =>
+      graft.functions.TextFunctions.seededHash(itemCol, CmsSeed + d) % width): _*)
+    items.select(posexplode(buckets).as(Seq("d", "bucket")))
+      .groupBy("d", "bucket").agg(count(lit(1)).as("counter"))
+  }
+
+  /** Point-estimate probe frequencies from a stored sketch table:
+    * `est = min_d counter[d][h_d(term)]` — the classic one-sided bound
+    * (est ≥ true count, exact absent collisions). Probes explode to
+    * (term, d, bucket) and join the depth·width-bounded sketch; an absent
+    * bucket row means zero. */
+  def cmsEstimate(cms: DataFrame, probes: DataFrame, probeCol: Column,
+                  depth: Int = 4, width: Int = 256): DataFrame = {
+    val pb = probes.select(probeCol.as("term"),
+      posexplode(array((0 until depth).map(d =>
+        graft.functions.TextFunctions.seededHash(probeCol, CmsSeed + d) % width): _*))
+        .as(Seq("d", "bucket")))
+    pb.join(cms, Seq("d", "bucket"), "left")
+      .groupBy("term")
+      .agg(min(coalesce(col("counter"), lit(0L))).as("est"))
+  }
 }

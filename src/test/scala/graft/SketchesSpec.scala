@@ -33,6 +33,32 @@ class SketchesSpec extends SparkSpec {
     old.unpersist()
   }
 
+  test("count-min: merge law, one-sided bound, exactness at wide width") {
+    import spark.implicits._
+    val a = Seq("x", "x", "y", "z", "x", "y").toDF("term")
+    val b = Seq("y", "w", "w").toDF("term")
+    val all = a.unionByName(b)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    // sketch of the union == bucket-wise sum of the shards' sketches
+    val whole = Sketches.cmsTable(all, col("term"), depth = 3, width = 8)
+    val merged = Sketches.cmsTable(a, col("term"), 3, 8)
+      .unionByName(Sketches.cmsTable(b, col("term"), 3, 8))
+      .groupBy("d", "bucket").agg(sum("counter").as("counter"))
+    assert(rows(whole) == rows(merged))
+    val probes = Seq("x", "y", "z", "w", "absent").toDF("term")
+    val exact = Map("x" -> 3L, "y" -> 3L, "z" -> 1L, "w" -> 2L, "absent" -> 0L)
+    // narrow sketch: estimates may collide upward but never undercount
+    val est8 = Sketches.cmsEstimate(whole, probes, col("term"), 3, 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) => assert(est8(t) >= n, s"$t: ${est8(t)} < $n") }
+    // wide sketch: no collisions at this cardinality -> exact counts
+    val wide = Sketches.cmsTable(all, col("term"), 3, 4096)
+    val estW = Sketches.cmsEstimate(wide, probes, col("term"), 3, 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estW == exact)
+  }
+
   test("quantile sketch (approx_percentile) tracks exact percentiles") {
     val vals = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("value"))
