@@ -10,12 +10,12 @@ import org.apache.spark.sql.SparkSession
   * is fine for a batch job but leaks in a long-lived multi-tenant JVM. */
 object Caches {
   def invalidate(spark: SparkSession): Unit = {
-    // every PlanMemo-backed relation memo sweeps through the registry —
-    // new memos are covered automatically, no per-object wiring
+    // every PlanMemo-backed relation memo and ModelMemo-backed learned
+    // model sweeps through its registry — new memos are covered
+    // automatically, no per-object wiring
     graft.PlanMemo.invalidateAll(spark)
+    graft.ModelMemo.invalidateAll(spark)
     graft.ext.Dedup.invalidate(spark)
-    graft.ext.Similarity.invalidate(spark)
-    graft.ext.TextAnalysis.invalidate(spark)
     graft.ext.InvertedIndex.invalidate(spark)
     graft.ext.Curation.invalidate(spark)
     graft.operators.Shred.invalidate(spark)

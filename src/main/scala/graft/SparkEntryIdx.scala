@@ -53,17 +53,19 @@ object SparkEntryIdx {
     },
     "x_sketch_cms" -> { (s, dir) =>
       // Count-Min frequency sketch over the corpus terms: build the
-      // (d, bucket, counter) table, probe every distinct term (plus one
-      // known-absent probe), and report est next to the recomputed exact
-      // count — the one-sided bound est >= exact is oracle-visible.
-      val terms = Tables.documents(s, dir).where(col("text").isNotNull)
-        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
-      val cms = Sketches.cmsTable(terms, col("term"))
-      val probes = terms.distinct()
+      // (d, bucket, counter, width) table, probe every distinct term
+      // (plus one known-absent probe), and report est next to the
+      // recomputed exact count — the one-sided bound est >= exact is
+      // oracle-visible. Everything derives from the MEMOIZED per-doc
+      // term-count relation (shared with the TF/LM queries), so the
+      // corpus is tokenized once, not three times.
+      val corpusCounts = TextAnalysis.termCounts(Tables.documents(s, dir), "text")
+        .groupBy("term").agg(sum(col("c")).as("exact_n"))
+      val cms = Sketches.cmsTableWeighted(corpusCounts, col("term"), col("exact_n"))
+      val probes = corpusCounts.select("term")
         .unionByName(s.range(1).select(lit("zzz-absent-probe").as("term")))
-      val exact = terms.groupBy("term").agg(count(lit(1)).as("exact_n"))
       Sketches.cmsEstimate(cms, probes, col("term"))
-        .join(exact, Seq("term"), "left")
+        .join(corpusCounts, Seq("term"), "left")
         .select(col("term"), col("est"),
           coalesce(col("exact_n"), lit(0L)).as("exact_n"))
     },

@@ -40,14 +40,10 @@ object Similarity {
     * (the [[lastLearned]] contract), not cached data; at 100 TB this is
     * the stored model artifact beside the index. Swept by
     * [[graft.Caches.invalidate]]. */
-  private val modelMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      String), AnyRef]()
+  private val modelMemo = new graft.ModelMemo[AnyRef]
 
   private def memoModel[T <: AnyRef](corpus: DataFrame, tag: String)(train: => T): T =
-    modelMemo.computeIfAbsent(
-      (corpus.sparkSession, corpus.queryExecution.analyzed.canonicalized, tag),
-      _ => train).asInstanceOf[T]
+    modelMemo(corpus, tag)(train).asInstanceOf[T]
 
   /** Persisted-relation memo for the PQ code table — the stored ANN index
     * at scale (dim/m·32× smaller than the raw vectors; the search scan
@@ -58,12 +54,6 @@ object Similarity {
   private def memoDf(corpus: DataFrame, tag: String)(build: => DataFrame): DataFrame =
     dfMemo(corpus, tag)(build)
 
-  /** Drop this session's learned models (the DataFrame memo sweeps via
-    * the [[graft.PlanMemo]] registry). */
-  def invalidate(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val it = modelMemo.entrySet().iterator()
-    while (it.hasNext) if (it.next().getKey._1 eq spark) it.remove()
-  }
 
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
                      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {

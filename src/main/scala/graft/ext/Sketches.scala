@@ -46,26 +46,48 @@ object Sketches {
     * plain integer arithmetic end-to-end, so `x_sketch_cms` gets a full
     * DuckDB oracle, not just a spec. */
   def cmsTable(items: DataFrame, itemCol: Column,
-               depth: Int = 4, width: Int = 256): DataFrame = {
+               depth: Int = 4, width: Int = 256): DataFrame =
+    cmsTableWeighted(items.select(itemCol.as("__item"), lit(1L).as("__w")),
+      col("__item"), col("__w"), depth, width)
+
+  /** Weighted build — for pre-aggregated `(item, count)` relations (e.g.
+    * a memoized term-count table): counter = Σ weight, identical to
+    * sketching each occurrence but without re-scanning the corpus. The
+    * table carries its `width` so reads are self-describing: estimation
+    * derives (depth, width) from the table instead of trusting the
+    * caller to repeat the build parameters — a mismatch cannot silently
+    * undercount. */
+  def cmsTableWeighted(items: DataFrame, itemCol: Column, weightCol: Column,
+                       depth: Int = 4, width: Int = 256): DataFrame = {
     require(depth >= 1 && width >= 1, s"cms($depth x $width)")
     val buckets = array((0 until depth).map(d =>
       graft.functions.TextFunctions.seededHash(itemCol, CmsSeed + d) % width): _*)
-    items.select(posexplode(buckets).as(Seq("d", "bucket")))
-      .groupBy("d", "bucket").agg(count(lit(1)).as("counter"))
+    items.select(posexplode(buckets).as(Seq("d", "bucket")), weightCol.as("__w"))
+      .groupBy("d", "bucket").agg(sum(col("__w")).as("counter"))
+      .withColumn("width", lit(width))
   }
 
   /** Point-estimate probe frequencies from a stored sketch table:
     * `est = min_d counter[d][h_d(term)]` — the classic one-sided bound
-    * (est ≥ true count, exact absent collisions). Probes explode to
-    * (term, d, bucket) and join the depth·width-bounded sketch; an absent
-    * bucket row means zero. */
-  def cmsEstimate(cms: DataFrame, probes: DataFrame, probeCol: Column,
-                  depth: Int = 4, width: Int = 256): DataFrame = {
+    * (est ≥ true count, exact absent collisions). (depth, width) are
+    * READ FROM THE TABLE (bounded metadata: ≤ depth distinct rows), so
+    * a probe can never hash with parameters the sketch wasn't built
+    * with; a table mixing widths (a mis-merged pair of sketches) fails
+    * loudly. Probes explode to (term, d, bucket) and join the
+    * depth·width-bounded sketch; an absent bucket row means zero. */
+  def cmsEstimate(cms: DataFrame, probes: DataFrame, probeCol: Column): DataFrame = {
+    val params = cms.select(col("d"), col("width")).distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1)
+    require(params.nonEmpty, "cmsEstimate: empty sketch table")
+    require(params.map(_._2).distinct.length == 1,
+      s"cmsEstimate: sketch table mixes widths ${params.map(_._2).distinct.mkString(",")}")
     val pb = probes.select(probeCol.as("term"),
-      posexplode(array((0 until depth).map(d =>
-        graft.functions.TextFunctions.seededHash(probeCol, CmsSeed + d) % width): _*))
-        .as(Seq("d", "bucket")))
-    pb.join(cms, Seq("d", "bucket"), "left")
+      explode(array(params.map { case (d, w) =>
+        struct(lit(d).as("d"),
+          (graft.functions.TextFunctions.seededHash(probeCol, CmsSeed + d) % w).as("bucket"))
+      }: _*)).as("p"))
+      .select(col("term"), col("p.d").as("d"), col("p.bucket").as("bucket"))
+    pb.join(cms.drop("width"), Seq("d", "bucket"), "left")
       .groupBy("term")
       .agg(min(coalesce(col("counter"), lit(0L))).as("est"))
   }

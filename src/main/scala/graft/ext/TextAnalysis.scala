@@ -36,7 +36,7 @@ object TextAnalysis {
         .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
     }
 
-  private[ext] def termCounts(docs: DataFrame, textCol: String): DataFrame =
+  private[graft] def termCounts(docs: DataFrame, textCol: String): DataFrame =
     memoized(docs, graft.PlanMemo.tag("tc", textCol)) {
       docs.select(col("doc_id"), explode(TextFunctions.tokens(col(textCol))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
@@ -273,16 +273,10 @@ object TextAnalysis {
     * merge table. Training is deterministic (integer pair counts, total
     * tie-break order), so a hit returns exactly what retraining would;
     * the value is a few dozen strings of driver metadata — at 100 TB the
-    * stored tokenizer artifact beside the corpus. Swept by
-    * [[graft.Caches.invalidate]]. */
-  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      String), Seq[(String, String, Long)]]()
-
-  def invalidate(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val it = bpeMemo.entrySet().iterator()
-    while (it.hasNext) if (it.next().getKey._1 eq spark) it.remove()
-  }
+    * stored tokenizer artifact beside the corpus. A self-registering
+    * [[graft.ModelMemo]], so [[graft.Caches.invalidate]] sweeps it
+    * structurally and training runs outside any map lock. */
+  private val bpeMemo = new graft.ModelMemo[Seq[(String, String, Long)]]
 
   /** A word as its initial BPE symbols: characters plus the end-of-word
     * sentinel (the marker that keeps merges from crossing word
@@ -323,9 +317,9 @@ object TextAnalysis {
   def bpeTrainMerges(docs: DataFrame, nMerges: Int = 8, textCol: String = "text",
                      stash: Boolean = false): Seq[(String, String, Long)] = {
     require(nMerges >= 1 && nMerges <= 4096, s"nMerges=$nMerges out of range")
-    val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized,
-      graft.PlanMemo.tag("bpe", textCol, nMerges))
-    val merges = bpeMemo.computeIfAbsent(key, _ => bpeTrainImpl(docs, nMerges, textCol))
+    val merges = bpeMemo(docs, graft.PlanMemo.tag("bpe", textCol, nMerges)) {
+      bpeTrainImpl(docs, nMerges, textCol)
+    }
     if (stash) lastBpeMerges = merges
     merges
   }

@@ -147,16 +147,31 @@ object Ingest {
     * pseudo-event at its own `valid_from_seq` alongside the chunk's
     * events; rebuild just that sliver with [[scd2History]].
     *
-    * PRECONDITION (log-append order): every chunk seq exceeds every seq
-    * already folded into `history` — the same per-key monotonicity
-    * [[applyBatch]] requires. The touched-key set is batch-sized, so both
-    * pruning joins broadcast and the stored base relation never
-    * shuffles; the rebuild input is O(batch + touched open rows).
-    * StreamingSpec proves merge(history(prefix), suffix) == history(all)
-    * at every split point; PropertySpec replays random logs. */
+    * PRECONDITION (log-append order): a genuinely NEW chunk's seqs
+    * exceed every seq already folded into `history` (the same per-key
+    * monotonicity [[applyBatch]] requires) — but an at-least-once
+    * REDELIVERY of an already-folded chunk is tolerated: each key's
+    * already-applied fence (the max event seq its interval rows record —
+    * a closed row's `valid_to_seq` IS the closing event's seq, an open
+    * row's `valid_from_seq` its opening one) drops replayed events
+    * before the rebuild, so merge is idempotent like the kernels it sits
+    * beside. The touched-key set is batch-sized, so the pruning joins
+    * broadcast and the stored base relation never shuffles; the rebuild
+    * input is O(batch + touched open rows). StreamingSpec proves
+    * merge(history(prefix), suffix) == history(all) at every split point
+    * and that re-merging a chunk is a no-op. */
   def scd2Merge(history: DataFrame, chunk: DataFrame): DataFrame = {
-    val events = chunk.where(col("op").isin("insert", "update", "delete"))
+    val raw = chunk.where(col("op").isin("insert", "update", "delete"))
       .select("seq", "op", "key", "doc")
+    // fence only the CHUNK's keys: the broadcast semi-join prunes the
+    // base relation before any aggregation, so the groupBy shuffles
+    // O(touched) rows, never the stored history
+    val fence = history.join(raw.select("key").distinct(), Seq("key"), "left_semi")
+      .groupBy("key")
+      .agg(max(coalesce(col("valid_to_seq"), col("valid_from_seq"))).as("__fence"))
+    val events = raw.join(fence, Seq("key"), "left")
+      .where(col("__fence").isNull || col("seq") > col("__fence"))
+      .drop("__fence")
     val touched = events.select("key").distinct()
     val untouched = history.join(touched, Seq("key"), "left_anti")
     val closedKept = history.join(touched, Seq("key"), "left_semi")

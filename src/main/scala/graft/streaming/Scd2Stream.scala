@@ -30,25 +30,37 @@ object Scd2Stream {
 
   /** Fold one key's batch slice into its open-version state, emitting
     * every interval the slice closes. Events sort by the SAME
-    * (seq, delete-last, doc) order as [[Ingest.scd2History]]'s window, so
-    * the streamed fold and the batch rebuild agree row-for-row; stale
-    * seqs (at-least-once replay) are ignored via the fence. */
+    * (seq, delete-last, null-doc-first, doc) order as
+    * [[Ingest.scd2History]]'s window; equal-seq collisions WITHIN a
+    * batch apply in that order (they are distinct events the batch
+    * rebuild resolves the same way — including the degenerate [s, s)
+    * interval it emits), while an event at or below the fence that
+    * nothing in this invocation applied is an at-least-once REPLAY and
+    * is a no-op. The one ambiguity this leaves — a genuinely new event
+    * arriving in a LATER batch with a seq equal to the fence — is
+    * indistinguishable from redelivery by seq alone and resolves as
+    * replay, so equal-seq collisions must co-arrive in one batch (true
+    * for a file log, where the batch is the file). A slice that applies
+    * nothing (all replays / unknown ops) leaves state UNTOUCHED — no
+    * state row materializes for garbage keys. */
   def updateKey(key: String, changes: Iterator[StatefulKv.Change],
                 state: GroupState[OpenState]): Iterator[ClosedVersion] = {
     var st = state.getOption.getOrElse(OpenState(Long.MinValue, 0L, null, open = false))
     val out = scala.collection.mutable.ArrayBuffer.empty[ClosedVersion]
+    var applied = false
     changes.toSeq
       .filter(c => c.op == "insert" || c.op == "update" || c.op == "delete")
-      .sortBy(c => (c.seq, c.op == "delete", Option(c.doc).getOrElse("")))
+      .sortBy(c => (c.seq, c.op == "delete", c.doc != null, Option(c.doc).getOrElse("")))
       .foreach { c =>
-        if (c.seq > st.lastSeq) {
+        if (c.seq > st.lastSeq || (applied && c.seq == st.lastSeq)) {
           if (st.open) out += ClosedVersion(key, st.doc, st.from, c.seq)
           st =
             if (c.op == "delete") OpenState(c.seq, 0L, null, open = false)
             else OpenState(c.seq, c.seq, c.doc, open = true)
+          applied = true
         }
       }
-    state.update(st)
+    if (applied) state.update(st)
     out.iterator
   }
 

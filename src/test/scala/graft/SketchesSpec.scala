@@ -41,22 +41,36 @@ class SketchesSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
     // sketch of the union == bucket-wise sum of the shards' sketches
+    // (width rides along in the group key, so a mis-merged pair of
+    // different-width sketches surfaces as distinct rows, not silence)
     val whole = Sketches.cmsTable(all, col("term"), depth = 3, width = 8)
     val merged = Sketches.cmsTable(a, col("term"), 3, 8)
       .unionByName(Sketches.cmsTable(b, col("term"), 3, 8))
-      .groupBy("d", "bucket").agg(sum("counter").as("counter"))
+      .groupBy("d", "bucket", "width").agg(sum("counter").as("counter"))
+      .select("d", "bucket", "counter", "width")
     assert(rows(whole) == rows(merged))
     val probes = Seq("x", "y", "z", "w", "absent").toDF("term")
     val exact = Map("x" -> 3L, "y" -> 3L, "z" -> 1L, "w" -> 2L, "absent" -> 0L)
-    // narrow sketch: estimates may collide upward but never undercount
-    val est8 = Sketches.cmsEstimate(whole, probes, col("term"), 3, 8)
+    // narrow sketch: estimates may collide upward but never undercount;
+    // (depth, width) derive from the table — no repeated build params
+    val est8 = Sketches.cmsEstimate(whole, probes, col("term"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (t, n) => assert(est8(t) >= n, s"$t: ${est8(t)} < $n") }
+    // the merged table estimates identically to the whole-build one
+    val estM = Sketches.cmsEstimate(merged, probes, col("term"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estM == est8)
     // wide sketch: no collisions at this cardinality -> exact counts
     val wide = Sketches.cmsTable(all, col("term"), 3, 4096)
-    val estW = Sketches.cmsEstimate(wide, probes, col("term"), 3, 4096)
+    val estW = Sketches.cmsEstimate(wide, probes, col("term"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(estW == exact)
+    // a table mixing widths (bad merge) fails loudly instead of undercounting
+    val bad = whole.unionByName(wide)
+    val err = intercept[IllegalArgumentException] {
+      Sketches.cmsEstimate(bad, probes, col("term"))
+    }
+    assert(err.getMessage.contains("mixes widths"))
   }
 
   test("quantile sketch (approx_percentile) tracks exact percentiles") {

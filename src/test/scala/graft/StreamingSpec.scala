@@ -331,6 +331,10 @@ class StreamingSpec extends SparkSpec {
         Ingest.scd2History(log.where(col("seq") <= cut)),
         log.where(col("seq") > cut))
       assert(rows(merged) == full, s"split=$cut")
+      // at-least-once redelivery of the SAME chunk is a no-op (the
+      // per-key fence drops already-folded events before the rebuild)
+      assert(rows(Ingest.scd2Merge(merged, log.where(col("seq") > cut))) == full,
+        s"replay at split=$cut")
     }
     val hist = Ingest.scd2History(log)
     for (cut <- Seq(5L, 17L, 40L)) {
@@ -375,6 +379,33 @@ class StreamingSpec extends SparkSpec {
     assert(closedSet() == Set(("a", "a1", 1L, 3L), ("a", "a2", 3L, 6L), ("b", "b1", 2L, 4L)))
     // a third run with nothing new appends nothing (replay fence + checkpoint)
     Scd2Stream.run(spark, log, out, ckpt)
+    assert(closedSet() == batchClosed)
+  }
+
+  test("streamed SCD2 resolves an equal-seq collision within a batch like the batch rebuild") {
+    import graft.streaming.Scd2Stream
+    import spark.implicits._
+    val dir = tmp(); val out = s"$dir/closed"; val ckpt = s"$dir/ckpt"
+    val log = s"$dir/log"; new java.io.File(log).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$log/b1.json"),
+      """{"seq":1,"op":"insert","key":"k","doc":"v1"}
+        |{"seq":5,"op":"update","key":"k","doc":"v5"}
+        |{"seq":5,"op":"delete","key":"k","doc":null}
+        |""".stripMargin)
+    Scd2Stream.run(spark, log, out, ckpt)
+    def closedSet() = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val batchClosed = Ingest.scd2History(Seq(
+      (1L, "insert", "k", "v1"), (5L, "update", "k", "v5"), (5L, "delete", "k", null))
+      .toDF("seq", "op", "key", "doc"))
+      .where(!col("is_current"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // the delete applies at equal seq because the update ahead of it in
+    // tiebreak order applied in the same invocation — including the
+    // degenerate [5,5) interval the batch form also emits
+    assert(closedSet() == batchClosed)
+    assert(closedSet() == Set(("k", "v1", 1L, 5L), ("k", "v5", 5L, 5L)))
+    Scd2Stream.run(spark, log, out, ckpt) // redelivery: no new rows
     assert(closedSet() == batchClosed)
   }
 
