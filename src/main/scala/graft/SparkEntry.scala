@@ -35,7 +35,7 @@ object SparkEntry {
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    SparkEntryExt.queries ++ SparkEntryIdx.queries ++ Map(
+    SparkEntryExt.queries ++ SparkEntryIdx.queries ++ SparkEntryLay.queries ++ Map(
     // ----- P: search surface (SURVEY §2.3) -----
     "p1_conj_eq" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
       Search.conjEquals(t("orders"),
@@ -219,7 +219,7 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] =
-    SparkEntryExt.oracleSql ++ SparkEntryIdx.oracleSql ++ Map(
+    SparkEntryExt.oracleSql ++ SparkEntryIdx.oracleSql ++ SparkEntryLay.oracleSql ++ Map(
     "p1_conj_eq" ->
       "SELECT * FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'",
     "p3_child_range_gt" ->

@@ -720,7 +720,7 @@ object SparkEntryExt {
   // empty text yields [''] in BOTH engines)
   private[graft] val toksSql =
     "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')"
-  private def shinglesSql(t: String = toksSql) =
+  private[graft] def shinglesSql(t: String = toksSql) =
     s"list_distinct(list_transform(range(1, len($t) - 1), i -> array_to_string(($t)[i:i+2], ' ')))"
   private[graft] def seedHashSql(seed: String, v: String) =
     s"(('0x' || substr(md5(CAST($seed AS VARCHAR) || '|' || $v), 1, 15)))::BIGINT"

@@ -1,0 +1,205 @@
+package graft
+
+import graft.ext.{Curation, Dedup, Layout, Sketches}
+import graft.functions.TextFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fourth query batch (round 10): the data-layout / scan-statistics family
+  * — Z-order clustering + zone-map pruning (the file-skipping machinery a
+  * 100 TB table lives or dies by) and the KMV bottom-k sketch whose set
+  * algebra (union / Jaccard / intersection) HLL binaries cannot express.
+  * Merged into [[SparkEntry.queries]]; same oracle conventions. */
+object SparkEntryLay {
+
+  // ---------- Z-order layout constants (shared verbatim by the oracle) ----------
+  /** o_orderdate spans 1995-01-01..2001-08-01 → day ∈ [0, 2404]. */
+  private val DayLo = 0.0
+  private val DayHi = 2405.0
+  /** o_totalprice spans ~1013..499979. */
+  private val PriceLo = 1000.0
+  private val PriceHi = 500000.0
+  /** 5 bits per dimension → ≤ 1024 zones: zone stats stay bounded
+    * metadata at any corpus size (zone COUNT is fixed; zone width grows
+    * with data — at 100 TB each zone is a file set, not a row set). */
+  private val ZBits = 5
+  /** Prune-query rectangle: calendar 1997 × a mid-range price band. */
+  private val QDayLo = 731L
+  private val QDayHi = 1095L
+  private val QPriceLo = 100000.0
+  private val QPriceHi = 200000.0
+
+  /** KMV sketch size. */
+  private val KmvK = 128
+  private val KmvShards = 16
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** orders with the layout columns: day (int days since 1995-01-01),
+    * price, and the Z-order zone id. */
+  private def laidOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val day = datediff(col("o_orderdate").cast("date"),
+      to_date(lit("1995-01-01"))).cast("long")
+    val dq = Layout.quantize(col("day"), DayLo, DayHi, ZBits)
+    val pq = Layout.quantize(col("price"), PriceLo, PriceHi, ZBits)
+    o.withColumn("day", day).withColumn("price", col("o_totalprice"))
+      .withColumn("zone", Layout.zValue(dq, pq, ZBits))
+  }
+
+  /** Per-shard hashed-shingle stream (shard, h) — reuses the dedup
+    * family's MEMOIZED shingle artifact (one tokenize+hash pass shared
+    * with MinHash/LSH/Jaccard/decontamination), then assigns the same
+    * content-hash shard id the export layout uses ([[Curation.ShardSeed]]).
+    */
+  private def shardShingles(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.hashedShingleTable(Tables.documents(s, dir))
+    sh.select(
+      (TextFunctions.seededHash(col("doc_id").cast("string"),
+        Curation.ShardSeed) % KmvShards).as("shard"),
+      explode(col("hs")).as("h"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_zorder_zonemap" -> { (s, dir) =>
+      // the zone map itself: the per-zone min/max rectangle a writer
+      // persists next to the data (≤ 4^bits rows). Tightness of these
+      // rectangles IS the layout's value — LayoutSpec quantifies it.
+      Layout.zoneMap(laidOrders(s, dir), "zone", Seq("day", "price"))
+    },
+    "x_zorder_prune" -> { (s, dir) =>
+      val laid = laidOrders(s, dir)
+      val stats = Layout.zoneMap(laid, "zone", Seq("day", "price"))
+      val cand = Layout.pruneCandidates(stats,
+        Seq(("day", QDayLo.toDouble, QDayHi.toDouble), ("price", QPriceLo, QPriceHi)))
+      // bounded metadata collects (≤ 4^bits rows): the scan planner's
+      // candidate zone list — at cluster scale this is the driver reading
+      // the stats table to prune FILES; LayoutSpec proves the same filter
+      // skips partition directories on a zone-partitioned write
+      val zTotal = stats.count()
+      val candZones = cand.select("zone").collect().map(_.getLong(0))
+      val hit = col("day").between(QDayLo, QDayHi) &&
+        col("price").between(QPriceLo, QPriceHi)
+      // the pruned scan: only candidate zones are read; equality of
+      // n_rows_match/revenue with the oracle's FULL-scan predicate proves
+      // pruning lost nothing
+      laid.where(col("zone").isin(candZones.toSeq: _*))
+        .agg(
+          count(lit(1)).as("n_rows_candidate"),
+          sum(when(hit, 1L).otherwise(0L)).as("n_rows_match"),
+          sum(when(hit, dec(col("price")))).cast("double").as("revenue"))
+        .select(lit(zTotal).as("n_zones_total"),
+          lit(candZones.length.toLong).as("n_zones_candidate"),
+          col("n_rows_candidate"), col("n_rows_match"), col("revenue"))
+    },
+
+    "x_sketch_kmv" -> { (s, dir) =>
+      // per-export-shard distinct-shingle estimate from the stored
+      // bottom-k sketch, pinned next to the recomputed exact count (the
+      // same estimate-vs-exact contract as x_sketch_hll / x_sketch_cms)
+      val items = shardShingles(s, dir)
+      val kmv = Sketches.kmvTable(items, col("h"), "shard", KmvK)
+      val est = Sketches.kmvEstimate(kmv, "shard", KmvK)
+      val exact = items.distinct().groupBy("shard")
+        .agg(count(lit(1)).as("n_exact"))
+      est.join(exact, Seq("shard"))
+        .select("shard", "n_exact", "n_topk", "kth_h", "est_distinct")
+    },
+    "x_sketch_kmv_jaccard" -> { (s, dir) =>
+      // cross-shard vocabulary overlap from SKETCHES ALONE (shards²·k
+      // bounded rows — never the corpus): the set-algebra capability HLL
+      // lacks; exact Jaccard recomputed alongside makes the error
+      // oracle-visible
+      val items = shardShingles(s, dir)
+      val kmv = Sketches.kmvTable(items, col("h"), "shard", KmvK)
+      val est = Sketches.kmvPairJaccard(kmv, "shard", KmvK)
+      val exact = Sketches.pairJaccardExact(items, "shard")
+      est.join(exact, Seq("g_a", "g_b"))
+        .select("g_a", "g_b", "n_topk", "est_common", "est_jaccard_ppm",
+          "n_inter", "n_union", "exact_jaccard_ppm")
+    }
+  )
+
+  // ---------- oracle SQL ----------
+
+  private val mmP = TextFunctions.MinhashP
+  private val daySql = "date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)"
+
+  private def quantSql(v: String, lo: Double, hi: Double, bits: Int): String = {
+    val cells = (1L << bits).toDouble
+    s"least(${(1L << bits) - 1}, greatest(0, CAST(floor((CAST($v AS DOUBLE) - $lo) * $cells / ${hi - lo}) AS BIGINT)))"
+  }
+
+  private def zSql(a: String, b: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"((($a >> $i) & 1) << ${2 * i + 1}) + ((($b >> $i) & 1) << ${2 * i})")
+      .mkString("(", " + ", ")")
+
+  /** orders CTE with day/price/zone — mirrors [[laidOrders]] bit-for-bit. */
+  private val zCte =
+    s"WITH base AS (SELECT $daySql AS day, o_totalprice AS price FROM orders), " +
+      s"z AS (SELECT day, price, ${zSql(quantSql("day", DayLo, DayHi, ZBits), quantSql("price", PriceLo, PriceHi, ZBits), ZBits)} AS zone FROM base)"
+
+  private val statsCte =
+    "st AS (SELECT zone, CAST(count(*) AS BIGINT) AS n_rows, " +
+      "min(day) AS min_day, max(day) AS max_day, " +
+      "min(price) AS min_price, max(price) AS max_price FROM z GROUP BY zone)"
+
+  /** shard/shingle-hash CTE shared by the KMV oracles — mirrors
+    * [[shardShingles]] (same shingle SQL as the dedup-family oracles, same
+    * shard hash as x_shard_stats). */
+  private val kmvHsCte = {
+    val shardSql =
+      s"${SparkEntryExt.seedHashSql(Curation.ShardSeed.toString, "CAST(doc_id AS VARCHAR)")} % $KmvShards"
+    s"WITH sh AS (SELECT doc_id, unnest(${SparkEntryExt.shinglesSql()}) AS s FROM documents), " +
+      s"hs AS (SELECT DISTINCT $shardSql AS shard, (('0x' || substr(md5(s), 1, 15)))::BIGINT % $mmP AS h FROM sh)"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "x_zorder_zonemap" ->
+      (s"$zCte, $statsCte SELECT zone, n_rows, min_day, max_day, min_price, max_price FROM st"),
+
+    "x_zorder_prune" ->
+      (s"$zCte, $statsCte, " +
+        s"cand AS (SELECT zone FROM st WHERE min_day <= $QDayHi AND max_day >= $QDayLo " +
+        s"AND min_price <= $QPriceHi AND max_price >= $QPriceLo), " +
+        "pruned AS (SELECT z.* FROM z JOIN cand USING (zone)) " +
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM st) AS n_zones_total, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_zones_candidate, " +
+        "CAST(count(*) AS BIGINT) AS n_rows_candidate, " +
+        s"CAST(sum(CASE WHEN day BETWEEN $QDayLo AND $QDayHi AND price BETWEEN $QPriceLo AND $QPriceHi THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_match, " +
+        s"CAST(sum(CASE WHEN day BETWEEN $QDayLo AND $QDayHi AND price BETWEEN $QPriceLo AND $QPriceHi THEN CAST(price AS DECIMAL(18,2)) END) AS DOUBLE) AS revenue " +
+        "FROM pruned"),
+
+    "x_sketch_kmv" ->
+      (s"$kmvHsCte, " +
+        "rk AS (SELECT shard, h, row_number() OVER (PARTITION BY shard ORDER BY h) AS rk FROM hs), " +
+        s"top AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_topk, max(h) AS kth_h FROM rk WHERE rk <= $KmvK GROUP BY shard), " +
+        "ex AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_exact FROM hs GROUP BY shard) " +
+        "SELECT t.shard, ex.n_exact, t.n_topk, t.kth_h, " +
+        s"CASE WHEN t.n_topk < $KmvK THEN t.n_topk ELSE (${(KmvK - 1).toLong * mmP}) // t.kth_h END AS est_distinct " +
+        "FROM top t JOIN ex USING (shard)"),
+
+    "x_sketch_kmv_jaccard" ->
+      (s"$kmvHsCte, " +
+        "rk AS (SELECT shard, h, row_number() OVER (PARTITION BY shard ORDER BY h) AS rk FROM hs), " +
+        s"sk AS (SELECT shard, h FROM rk WHERE rk <= $KmvK), " +
+        "pairs AS (SELECT a.shard AS g_a, b.shard AS g_b FROM (SELECT DISTINCT shard FROM hs) a " +
+        "JOIN (SELECT DISTINCT shard FROM hs) b ON a.shard < b.shard), " +
+        "uni AS (SELECT p.g_a, p.g_b, s.h, " +
+        "max(CASE WHEN s.shard = p.g_a THEN 1 ELSE 0 END) AS in_a, " +
+        "max(CASE WHEN s.shard = p.g_b THEN 1 ELSE 0 END) AS in_b " +
+        "FROM pairs p JOIN sk s ON s.shard = p.g_a OR s.shard = p.g_b GROUP BY 1, 2, 3), " +
+        "topu AS (SELECT *, row_number() OVER (PARTITION BY g_a, g_b ORDER BY h) AS rk FROM uni), " +
+        s"est AS (SELECT g_a, g_b, CAST(count(*) AS BIGINT) AS n_topk, CAST(sum(in_a * in_b) AS BIGINT) AS est_common FROM topu WHERE rk <= $KmvK GROUP BY 1, 2), " +
+        "fullu AS (SELECT p.g_a, p.g_b, s.h, " +
+        "max(CASE WHEN s.shard = p.g_a THEN 1 ELSE 0 END) AS in_a, " +
+        "max(CASE WHEN s.shard = p.g_b THEN 1 ELSE 0 END) AS in_b " +
+        "FROM pairs p JOIN hs s ON s.shard = p.g_a OR s.shard = p.g_b GROUP BY 1, 2, 3), " +
+        "exact AS (SELECT g_a, g_b, CAST(count(*) AS BIGINT) AS n_union, CAST(sum(in_a * in_b) AS BIGINT) AS n_inter FROM fullu GROUP BY 1, 2) " +
+        "SELECT e.g_a, e.g_b, e.n_topk, e.est_common, (1000000 * e.est_common) // e.n_topk AS est_jaccard_ppm, " +
+        "x.n_inter, x.n_union, (1000000 * x.n_inter) // x.n_union AS exact_jaccard_ppm " +
+        "FROM est e JOIN exact x USING (g_a, g_b)")
+  )
+}

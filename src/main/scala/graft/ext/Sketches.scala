@@ -67,6 +67,127 @@ object Sketches {
       .withColumn("width", lit(width))
   }
 
+  /** KMV (k-minimum-values / bottom-k, the theta-sketch core — Bar-Yossef
+    * et al. 2002): per group, the k SMALLEST distinct item-hash values.
+    * Where HLL answers only distinct-count, a KMV sketch is a uniform
+    * sample of the hash space that supports SET ALGEBRA — union is
+    * "merge + re-take bottom-k" and intersection/Jaccard fall out of the
+    * union sample ([[kmvPairJaccard]]) — which HLL binaries cannot do.
+    * Plain integer rows, so unlike the HLL path the whole family gets a
+    * full DuckDB oracle.
+    *
+    * Two-phase bottom-k, same contract as stratified sampling / the ANN
+    * search path: rank within (group, physical partition) first — a
+    * group's items never funnel through one window task — then the final
+    * per-group rank sees ≤ partitions·k survivors. Input arrives
+    * pre-hashed (`hashCol`) so callers reuse stored hash artifacts (the
+    * dedup family's shingle table) instead of re-hashing the corpus. */
+  def kmvTable(items: DataFrame, hashCol: Column, groupCol: String,
+               k: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"kmv(k=$k)")
+    val dist = items.select(col(groupCol), hashCol.as("h")).distinct()
+    val local = Window.partitionBy(col(groupCol), col("__pid")).orderBy(col("h"))
+    val global = Window.partitionBy(col(groupCol)).orderBy(col("h"))
+    dist.withColumn("__pid", spark_partition_id())
+      .withColumn("__lrk", row_number().over(local)).where(col("__lrk") <= k)
+      .withColumn("rk", row_number().over(global).cast("long")).where(col("rk") <= k)
+      .drop("__pid", "__lrk")
+  }
+
+  /** Distinct-count estimate from a KMV sketch: with the k-th smallest of
+    * n uniform draws on [0, space) at h_k, n ≈ (k−1)·space / h_k (the
+    * unbiased bottom-k estimator). A group with fewer than k distinct
+    * values IS its own sketch — the estimate is exact. All-integer
+    * arithmetic (`DIV`), so both engines floor identically. */
+  def kmvEstimate(kmv: DataFrame, groupCol: String, k: Int = 128,
+                  space: Long = graft.functions.TextFunctions.MinhashP): DataFrame =
+    kmv.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_topk"), max(col("h")).as("kth_h"))
+      .withColumn("est_distinct",
+        when(col("n_topk") < k, col("n_topk"))
+          .otherwise(expr(s"${(k - 1).toLong * space} DIV kth_h")))
+
+  /** Merge stored sketches (the law SketchesSpec pins:
+    * kmv(A ∪ B) == merge(kmv(A), kmv(B)) — bottom-k of bottom-ks is
+    * bottom-k of the union, because anything in the union's true bottom-k
+    * is in its own side's bottom-k). Re-keys each input to one group. */
+  def kmvMerge(sketches: Seq[DataFrame], asGroup: Long, groupCol: String,
+               k: Int = 128): DataFrame = {
+    val u = sketches.map(_.select(lit(asGroup).as(groupCol), col("h")))
+      .reduce(_.unionByName(_))
+    kmvTable(u, col("h"), groupCol, k)
+  }
+
+  /** The ordered group-pair frame `(g_a < g_b)`, built DRIVER-SIDE from
+    * the collected distinct group list — bounded metadata (one value per
+    * stored sketch group: shards, days, partitions — never data), same
+    * contract as the ANN centroid collects. A relational `g_a < g_b`
+    * self-join would plan as BroadcastNestedLoop (banned by
+    * PlanAuditSpec); groups² literal rows cost nothing. Group ids are
+    * integral (shard ids) so the ordering matches the oracle's numeric
+    * `<`. */
+  private def groupPairs(src: DataFrame, groupCol: String): DataFrame = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    val groups = src.select(col(groupCol).cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    (for { a <- groups; b <- groups if a < b } yield (a, b))
+      .toSeq.toDF("g_a", "g_b")
+  }
+
+  /** Pairwise Jaccard estimate between every two groups' sketches: take
+    * the bottom-k of the PAIR UNION's hash sample (a uniform sample of
+    * A ∪ B — computable from the two sketches alone) and count how many
+    * members lie in both sketches: J ≈ common / k. Everything here reads
+    * ONLY the sketch table — groups·k rows of bounded metadata — never
+    * the corpus; that is the point of storing sketches per shard. The
+    * group-pair frame is groups² rows (groups is small: shards,
+    * partitions, days), and both joins against it broadcast. Output:
+    * (g_a, g_b, n_topk, est_common, est_jaccard_ppm) with the ppm as
+    * exact integer floor — no cross-engine float. */
+  def kmvPairJaccard(kmv: DataFrame, groupCol: String, k: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = groupPairs(kmv, groupCol)
+    val m = kmv.select(col(groupCol).as("__g"), col("h"))
+    // membership-flagged union of the two sketches per pair (two equi-join
+    // legs instead of one OR-join — keeps the plan hash/broadcast, not BNL)
+    val left = broadcast(pairs).join(m, col("g_a") === col("__g"))
+      .select(col("g_a"), col("g_b"), col("h"), lit(1L).as("in_a"), lit(0L).as("in_b"))
+    val right = broadcast(pairs).join(m, col("g_b") === col("__g"))
+      .select(col("g_a"), col("g_b"), col("h"), lit(0L).as("in_a"), lit(1L).as("in_b"))
+    val uni = left.unionByName(right)
+      .groupBy("g_a", "g_b", "h")
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val w = Window.partitionBy(col("g_a"), col("g_b")).orderBy(col("h"))
+    uni.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k)
+      .groupBy("g_a", "g_b")
+      .agg(count(lit(1)).as("n_topk"),
+        sum(col("in_a") * col("in_b")).as("est_common"))
+      .withColumn("est_jaccard_ppm", expr("(1000000 * est_common) DIV n_topk"))
+  }
+
+  /** Exact pairwise Jaccard over the full distinct (group, h) relation —
+    * the verification side that makes the sketch's error oracle-visible
+    * (mirrors how x_sketch_hll/x_sketch_cms pin estimates next to exact
+    * counts). This side scans data and exists for the demo/oracle; a
+    * 100 TB deployment keeps only the sketches. */
+  def pairJaccardExact(dist: DataFrame, groupCol: String): DataFrame = {
+    val pairs = groupPairs(dist, groupCol)
+    val m = dist.select(col(groupCol).as("__g"), col("h")).distinct()
+    val left = broadcast(pairs).join(m, col("g_a") === col("__g"))
+      .select(col("g_a"), col("g_b"), col("h"), lit(1L).as("in_a"), lit(0L).as("in_b"))
+    val right = broadcast(pairs).join(m, col("g_b") === col("__g"))
+      .select(col("g_a"), col("g_b"), col("h"), lit(0L).as("in_a"), lit(1L).as("in_b"))
+    left.unionByName(right)
+      .groupBy("g_a", "g_b", "h")
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      .groupBy("g_a", "g_b")
+      .agg(count(lit(1)).as("n_union"),
+        sum(col("in_a") * col("in_b")).as("n_inter"))
+      .withColumn("exact_jaccard_ppm", expr("(1000000 * n_inter) DIV n_union"))
+  }
+
   /** Point-estimate probe frequencies from a stored sketch table:
     * `est = min_d counter[d][h_d(term)]` — the classic one-sided bound
     * (est ≥ true count, exact absent collisions). (depth, width) are

@@ -73,6 +73,69 @@ class SketchesSpec extends SparkSpec {
     assert(err.getMessage.contains("mixes widths"))
   }
 
+  test("kmv: merge law, exactness below k, estimate tracks exact distinct") {
+    // hashed-shingle stream grouped into 4 shards — the x_sketch_kmv shape
+    val items = graft.ext.Dedup.hashedShingleTable(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .select((col("doc_id") % 4).as("shard"), explode(col("hs")).as("h"))
+      .persist()
+    try {
+      val k = 64
+      // merge law: bottom-k of per-half bottom-ks == bottom-k of the union
+      val whole = Sketches.kmvTable(
+        items.select(lit(0L).as("shard"), col("h")), col("h"), "shard", k)
+      val halves = Seq(col("shard") < 2, col("shard") >= 2).map { p =>
+        Sketches.kmvTable(items.where(p)
+          .select(lit(0L).as("shard"), col("h")), col("h"), "shard", k)
+      }
+      val merged = Sketches.kmvMerge(halves, 0L, "shard", k)
+      def hs(df: org.apache.spark.sql.DataFrame) =
+        df.select("h").collect().map(_.getLong(0)).toSet
+      assert(hs(whole) == hs(merged), "kmv merge law broke")
+      // a group under k distinct values estimates EXACTLY (it is the set)
+      val tiny = items.limit(40).select(lit(9L).as("shard"), col("h"))
+      val tinyKmv = Sketches.kmvTable(tiny, col("h"), "shard", 128)
+      val tinyEst = Sketches.kmvEstimate(tinyKmv, "shard", 128)
+        .collect().head.getAs[Long]("est_distinct")
+      assert(tinyEst == tiny.distinct().count(), "sub-k group must be exact")
+      // estimate error within the bottom-k estimator's expected band
+      val kmv = Sketches.kmvTable(items, col("h"), "shard", k)
+      val est = Sketches.kmvEstimate(kmv, "shard", k)
+        .collect().map(r => r.getAs[Long]("shard") -> r.getAs[Long]("est_distinct")).toMap
+      val exact = items.distinct().groupBy("shard").count()
+        .collect().map(r => r.getAs[Long]("shard") -> r.getAs[Long]("count")).toMap
+      exact.foreach { case (s, n) =>
+        val e = est(s)
+        if (n <= k) assert(e == n, s"shard $s: sub-k estimate $e != $n")
+        else assert(math.abs(e.toDouble - n) / n < 0.5,
+          s"shard $s: estimate $e vs exact $n out of band")
+      }
+    } finally items.unpersist()
+  }
+
+  test("kmv pair Jaccard from sketches alone tracks the exact overlap") {
+    val items = graft.ext.Dedup.hashedShingleTable(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .select((col("doc_id") % 4).as("shard"), explode(col("hs")).as("h"))
+      .persist()
+    try {
+      val k = 64
+      val kmv = Sketches.kmvTable(items, col("h"), "shard", k)
+      val est = Sketches.kmvPairJaccard(kmv, "shard", k)
+        .collect().map(r => (r.getAs[Long]("g_a"), r.getAs[Long]("g_b")) ->
+          r.getAs[Long]("est_jaccard_ppm")).toMap
+      val exact = Sketches.pairJaccardExact(items, "shard")
+        .collect().map(r => (r.getAs[Long]("g_a"), r.getAs[Long]("g_b")) ->
+          r.getAs[Long]("exact_jaccard_ppm")).toMap
+      assert(est.keySet == exact.keySet && est.size == 6)
+      // k=64 → σ ≈ sqrt(J(1−J)/k) ≈ 6 points; allow a generous fixed band
+      exact.foreach { case (pair, x) =>
+        assert(math.abs(est(pair) - x) < 250000L,
+          s"pair $pair: est ${est(pair)} vs exact $x ppm")
+      }
+    } finally items.unpersist()
+  }
+
   test("quantile sketch (approx_percentile) tracks exact percentiles") {
     val vals = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("value"))
