@@ -94,6 +94,21 @@ object SparkEntryIdx {
       val log = changelogOf(s, dir)
       Ingest.snapshotAt(log, maxSeq(log) / 2)
     },
+    "x_mv_incremental" -> { (s, dir) =>
+      // incremental materialized-view maintenance: build the grouped
+      // aggregate at the log's 1/3 point, then fold the (1/3, 2/3] and
+      // (2/3, max] changelog slices in as retract+add deltas — the
+      // oracle rebuilds the same view DIRECTLY from the final snapshot,
+      // so any retraction mistake (stale contribution kept, delete not
+      // retracted, group not dropped at zero) hash-mismatches
+      val log = changelogOf(s, dir)
+      val m = maxSeq(log)
+      val kv = get_json_object(col("doc"), "$.k").cast("long")
+      val grp = (kv % 8).as("grp")
+      val mv0 = Ingest.mvBuild(Ingest.snapshotAt(log, m / 3), grp, kv)
+      val mv1 = Ingest.mvMaintain(mv0, log, m / 3, 2 * m / 3, grp, kv)
+      Ingest.mvMaintain(mv1, log, 2 * m / 3, m, grp, kv)
+    },
     "x_snapshot_diff" -> { (s, dir) =>
       // CDC between the 1/3 and 1/2 sequence points
       val log = changelogOf(s, dir)
@@ -522,6 +537,16 @@ object SparkEntryIdx {
     "x_snapshot_read" ->
       (s"WITH $changelogSql, cuts AS (SELECT max(seq) // 2 AS c FROM log) " +
         s"SELECT key, doc FROM ${snapSql("c", "doc")} s"),
+
+    // the oracle REBUILDS the view directly from the final snapshot —
+    // the Spark side got there by three incremental retract+add folds,
+    // so equality is the IVM law (fold == rebuild), not a replay
+    "x_mv_incremental" ->
+      (s"WITH $changelogSql, cuts AS (SELECT max(seq) AS c FROM log) " +
+        s"SELECT CAST(json_extract_string(doc, '$$.k') AS BIGINT) % 8 AS grp, " +
+        "CAST(count(*) AS BIGINT) AS n_keys, " +
+        s"CAST(sum(CAST(json_extract_string(doc, '$$.k') AS BIGINT)) AS BIGINT) AS sum_v " +
+        s"FROM ${snapSql("c", "doc")} s GROUP BY 1"),
 
     // doc-null classification is sound because props is never NULL in the
     // fixture (a deleted/absent key is the only way a side goes NULL)

@@ -171,20 +171,28 @@ object Sketches {
     * the verification side that makes the sketch's error oracle-visible
     * (mirrors how x_sketch_hll/x_sketch_cms pin estimates next to exact
     * counts). This side scans data and exists for the demo/oracle; a
-    * 100 TB deployment keeps only the sketches. */
+    * 100 TB deployment keeps only the sketches.
+    *
+    * Shape: intersections come from ONE h-keyed self-join (a hash in c
+    * groups yields c·(c−1)/2 pair rows — bounded by groups² per hash, and
+    * groups is small), unions by inclusion-exclusion against the
+    * group-cardinality-sized `sizes` relation. This replaces the naive
+    * per-pair replication form (every row × groups−1 copies through a
+    * (pair, h) aggregation), which was the whole cost of the first cut. */
   def pairJaccardExact(dist: DataFrame, groupCol: String): DataFrame = {
-    val pairs = groupPairs(dist, groupCol)
-    val m = dist.select(col(groupCol).as("__g"), col("h")).distinct()
-    val left = broadcast(pairs).join(m, col("g_a") === col("__g"))
-      .select(col("g_a"), col("g_b"), col("h"), lit(1L).as("in_a"), lit(0L).as("in_b"))
-    val right = broadcast(pairs).join(m, col("g_b") === col("__g"))
-      .select(col("g_a"), col("g_b"), col("h"), lit(0L).as("in_a"), lit(1L).as("in_b"))
-    left.unionByName(right)
-      .groupBy("g_a", "g_b", "h")
-      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
-      .groupBy("g_a", "g_b")
-      .agg(count(lit(1)).as("n_union"),
-        sum(col("in_a") * col("in_b")).as("n_inter"))
+    val m = dist.select(col(groupCol).cast("long").as("__g"), col("h")).distinct()
+    val sizes = m.groupBy("__g").agg(count(lit(1)).as("__n"))
+    val inter = m.select(col("__g").as("g_a"), col("h"))
+      .join(m.select(col("__g").as("g_b"), col("h")), Seq("h"))
+      .where(col("g_a") < col("g_b"))
+      .groupBy("g_a", "g_b").agg(count(lit(1)).as("n_inter"))
+    groupPairs(dist, groupCol) // zero-intersection pairs must still report
+      .join(inter, Seq("g_a", "g_b"), "left")
+      .join(sizes.select(col("__g").as("g_a"), col("__n").as("__na")), Seq("g_a"))
+      .join(sizes.select(col("__g").as("g_b"), col("__n").as("__nb")), Seq("g_b"))
+      .select(col("g_a"), col("g_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        (col("__na") + col("__nb") - coalesce(col("n_inter"), lit(0L))).as("n_union"))
       .withColumn("exact_jaccard_ppm", expr("(1000000 * n_inter) DIV n_union"))
   }
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -199,6 +199,76 @@ object Ingest {
         (history("valid_to_seq").isNull ||
           probes("as_of_seq") < history("valid_to_seq")))
       .select(probes("key"), probes("as_of_seq"), history("doc"))
+
+  /** Materialized-view build: the grouped aggregate `(grp, n_keys,
+    * sum_v)` over a store snapshot `(key, doc)` — the view
+    * [[mvMaintain]] keeps fresh incrementally. `groupExpr`/`valueExpr`
+    * are column expressions over the snapshot row (typically parsed out
+    * of `doc`). One map-side-combinable aggregation. */
+  def mvBuild(snapshot: DataFrame, groupExpr: Column, valueExpr: Column): DataFrame =
+    snapshot.select(groupExpr.as("grp"), valueExpr.as("__v"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_keys"), sum(col("__v")).as("sum_v"))
+
+  /** Incremental materialized-view maintenance: fold the changelog slice
+    * `(fromSeq, toSeq]` into a stored aggregate WITHOUT rescanning the
+    * store — the standard retract-then-add delta form of incremental
+    * view maintenance (count/sum are self-maintainable aggregates:
+    * Gupta & Mumick's IVM taxonomy). Each touched key contributes its
+    * old visible row negatively and its new visible row positively;
+    * untouched groups' rows pass through untouched, and a group whose
+    * key count reaches zero leaves the view.
+    *
+    * Scale shape: `touched` is batch-sized (broadcasts), and the
+    * before/after images come from the log RESTRICTED to touched keys
+    * before any window runs — O(touched history), never a store scan; on
+    * a stored LSM base ([[run]]'s state) the same images are per-key
+    * point lookups, the incremental-dedup contract. The view itself is
+    * group-cardinality-sized (bounded metadata for categorical groups);
+    * the merge is one map-side-combinable aggregation over
+    * view ∪ deltas. StreamingSpec proves fold-at-any-cuts == rebuild
+    * and that deletes retract; the x_mv_incremental oracle replays the
+    * three-cut fold against a direct aggregate over the final snapshot. */
+  def mvMaintain(mv: DataFrame, changelog: DataFrame, fromSeq: Long, toSeq: Long,
+                 groupExpr: Column, valueExpr: Column): DataFrame = {
+    val touched = changelog
+      .where(col("seq") > fromSeq && col("seq") <= toSeq)
+      .where(col("op").isin("insert", "update", "delete"))
+      .select("key").distinct()
+    // per-key history slice first (broadcast semi-join), THEN the
+    // latest-wins window: the window input is O(touched keys' history)
+    val slice = changelog.join(broadcast(touched), Seq("key"), "left_semi")
+    def image(cut: Long) = mvBuild(snapshotAt(slice, cut), groupExpr, valueExpr)
+    val retract = image(fromSeq)
+      .select(col("grp"), (-col("n_keys")).as("n_keys"), (-col("sum_v")).as("sum_v"))
+    mv.unionByName(retract).unionByName(image(toSeq))
+      .groupBy("grp")
+      .agg(sum(col("n_keys")).as("n_keys"), sum(col("sum_v")).as("sum_v"))
+      .where(col("n_keys") > 0)
+  }
+
+  /** Micro-batch form of [[mvMaintain]] for the streaming pipeline: the
+    * before-images come from the STORED state `(key, doc)` — a per-key
+    * probe of the batch-sized touched set, never a log replay — and the
+    * after-images from the ST3 kernel applied to that slice. Runs inside
+    * `foreachBatch` next to the state upsert itself (StreamingSpec
+    * drives it through a real file-stream + checkpoint); same
+    * retract+add delta algebra as the batch form, so the two agree on
+    * any split of the same log. */
+  def mvApplyBatch(mv: DataFrame, state: DataFrame, batch: DataFrame,
+                   groupExpr: Column, valueExpr: Column): DataFrame = {
+    val touched = batch.where(col("op").isin("insert", "update", "delete"))
+      .select("key").distinct()
+    val before = state.join(broadcast(touched), Seq("key"), "left_semi")
+      .select("key", "doc")
+    val after = applyBatch(before, batch)
+    val retract = mvBuild(before, groupExpr, valueExpr)
+      .select(col("grp"), (-col("n_keys")).as("n_keys"), (-col("sum_v")).as("sum_v"))
+    mv.unionByName(retract).unionByName(mvBuild(after, groupExpr, valueExpr))
+      .groupBy("grp")
+      .agg(sum(col("n_keys")).as("n_keys"), sum(col("sum_v")).as("sum_v"))
+      .where(col("n_keys") > 0)
+  }
 
   /** Per-key winners of ONE batch, in versioned `(key, doc, seq, deleted)`
     * tombstone form. Equal-seq collisions resolve deterministically:

@@ -1,0 +1,42 @@
+package graft
+
+import graft.sources.{Io, Tables}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** S12 breadth: interchange connectors round-trip losslessly and the
+  * DLQ reader quarantines malformed lines instead of failing the job. */
+class IoSpec extends SparkSpec {
+
+  private def tmp(): String = Files.createTempDirectory("graft_io").toString
+
+  test("documents round-trip losslessly through JSONL and CSV") {
+    val docs = Tables.documents(spark, sf).persist()
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(docs.columns.map(col): _*).collect().map(_.toSeq).toSet
+      val want = rows(docs)
+      val dir = tmp()
+      Io.writeJsonl(docs, s"$dir/j")
+      assert(rows(Io.readJsonl(spark, s"$dir/j", docs.schema)) == want, "jsonl")
+      Io.writeCsv(docs, s"$dir/c")
+      assert(rows(Io.readCsv(spark, s"$dir/c", docs.schema)) == want, "csv")
+    } finally docs.unpersist()
+  }
+
+  test("DLQ reader splits malformed JSONL lines without losing either side") {
+    val dir = tmp(); new java.io.File(s"$dir/in").mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in/feed.json"),
+      """{"seq":1,"op":"insert","key":"a","doc":"x"}
+        |this is not json at all
+        |{"seq":2,"op":"update","key":"b","doc":"y"}
+        |{"seq":3,"op":  <-- truncated
+        |""".stripMargin)
+    val (good, dlq) = Io.readJsonlWithDlq(spark, s"$dir/in",
+      graft.streaming.Ingest.changelogSchema)
+    assert(good.select("seq").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    val bad = dlq.collect().map(_.getString(0)).toSet
+    assert(bad == Set("this is not json at all", """{"seq":3,"op":  <-- truncated"""),
+      s"dlq captured: $bad")
+  }
+}

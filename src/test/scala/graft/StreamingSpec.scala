@@ -313,6 +313,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("incremental MV maintenance at any cut sequence equals a rebuild; deletes retract") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val keys = Vector("a", "b", "c", "d", "e")
+    val log = (1L to 60L).map { seq =>
+      val op = if (rnd.nextInt(4) == 0) "delete" else "update"
+      (seq, op, keys(rnd.nextInt(keys.size)),
+        if (op == "delete") null else s"""{"k": ${rnd.nextInt(100)}}""")
+    }.toDF("seq", "op", "key", "doc")
+    val kv = get_json_object(col("doc"), "$.k").cast("long")
+    val grp = (kv % 3).as("grp")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def rebuildAt(cut: Long) =
+      Ingest.mvBuild(Ingest.snapshotAt(log, cut), grp, kv)
+    // fold through ANY ascending cut sequence == direct rebuild at the end
+    for (cuts <- Seq(Seq(60L), Seq(20L, 40L, 60L), Seq(1L, 2L, 59L, 60L),
+      Seq(13L, 31L, 44L, 52L, 60L))) {
+      val folded = cuts.zip(0L +: cuts.init).foldLeft(rebuildAt(0L)) {
+        case (mv, (to, from)) => Ingest.mvMaintain(mv, log, from, to, grp, kv)
+      }
+      assert(rows(folded) == rows(rebuildAt(60L)), s"cuts=$cuts")
+    }
+    // delete retraction: wipe every key in a last chunk -> the view empties
+    val wipe = keys.zipWithIndex.map { case (k, i) =>
+      (100L + i, "delete", k, null: String) }.toDF("seq", "op", "key", "doc")
+    val all = log.unionByName(wipe)
+    val gone = Ingest.mvMaintain(rebuildAt(60L), all, 60L, 200L, grp, kv)
+    assert(gone.count() == 0, "deletes must retract their group contributions")
+  }
+
   test("scd2Merge at every split equals the full rebuild; pointInTime agrees with snapshotAt") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
@@ -723,6 +754,59 @@ class StreamingSpec extends SparkSpec {
           .toDF("doc_id", "text") })
       .orderBy("term", "doc_id").collect().toSeq
     assert(got == rebuilt, s"stream-folded index != rebuild:\n$got\n$rebuilt")
+  }
+
+  test("streaming MV maintenance: per-batch retract+add deltas equal a rebuild (extension)") {
+    import org.apache.spark.sql.types._
+    val dir = tmp(); val log = s"$dir/log"; new java.io.File(log).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$log/b1.json"),
+      """{"seq":1,"op":"insert","key":"a","doc":"{\"k\": 10}"}
+        |{"seq":2,"op":"insert","key":"b","doc":"{\"k\": 11}"}
+        |{"seq":3,"op":"insert","key":"c","doc":"{\"k\": 25}"}
+        |""".stripMargin)
+    Files.writeString(java.nio.file.Paths.get(s"$log/b2.json"),
+      """{"seq":4,"op":"update","key":"a","doc":"{\"k\": 13}"}
+        |{"seq":5,"op":"delete","key":"b","doc":null}
+        |{"seq":6,"op":"insert","key":"d","doc":"{\"k\": 31}"}
+        |""".stripMargin)
+    val kv = get_json_object(col("doc"), "$.k").cast("long")
+    val grp = (kv % 3).as("grp")
+    // versioned (state, mv) pair maintained per micro-batch: the MV fold
+    // runs in the SAME foreachBatch as the state upsert it shadows
+    val vdir = s"$dir/v"
+    def empty(schema: org.apache.spark.sql.types.StructType) =
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    empty(StructType(Seq(StructField("key", StringType), StructField("doc", StringType))))
+      .write.parquet(s"$vdir/state0")
+    empty(StructType(Seq(StructField("grp", LongType),
+      StructField("n_keys", LongType), StructField("sum_v", LongType))))
+      .write.parquet(s"$vdir/mv0")
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream.schema(Ingest.changelogSchema)
+      .option("maxFilesPerTrigger", 1).json(log)
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val v = version.get()
+        val state = spark.read.parquet(s"$vdir/state$v")
+        val mv = spark.read.parquet(s"$vdir/mv$v")
+        val batch = b.persist()
+        Ingest.mvApplyBatch(mv, state, batch, grp, kv)
+          .write.parquet(s"$vdir/mv${v + 1}")
+        Ingest.applyBatch(state, batch).write.parquet(s"$vdir/state${v + 1}")
+        batch.unpersist()
+        version.incrementAndGet(); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(version.get() >= 2, s"expected >=2 micro-batches, got ${version.get()}")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = rows(spark.read.parquet(s"$vdir/mv${version.get()}"))
+    val rebuilt = rows(Ingest.mvBuild(
+      spark.read.parquet(s"$vdir/state${version.get()}"), grp, kv))
+    assert(streamed == rebuilt, s"stream-folded MV != rebuild:\n$streamed\n$rebuilt")
+    // hand-checked: final state a=13, c=25, d=31 (b deleted) — all k%3==1
+    assert(streamed == Set((1L, 3L, 69L)), s"unexpected final MV: $streamed")
   }
 
   test("streaming near-dup ingest: each micro-batch dedupes against the stored corpus (extension)") {
