@@ -110,6 +110,25 @@ object SparkEntryLay {
           col("n_rows_candidate"), col("n_rows_match"), col("revenue"))
     },
 
+    "x_table_stats" -> { (s, dir) =>
+      // ANALYZE-style table statistics — the per-column relation a
+      // planner reads to size joins (broadcast vs shuffle) and to seed
+      // zone-map/range decisions. Exact NDVs here (Catalyst plans the
+      // multi-distinct agg with one Expand — the standard ANALYZE
+      // shape); at corpus scale the same relation swaps in the sketch
+      // family's estimators (HLL/KMV), which is why both live beside it.
+      Tables.orders(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col("o_custkey")).as("ndv_custkey"),
+        count_distinct(col("o_orderstatus")).as("ndv_status"),
+        count_distinct(col("o_orderpriority")).as("ndv_priority"),
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("nulls_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+    },
+
     "x_sketch_kmv" -> { (s, dir) =>
       // per-export-shard distinct-shingle estimate from the stored
       // bottom-k sketch, pinned next to the recomputed exact count (the
@@ -173,6 +192,15 @@ object SparkEntryLay {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "x_table_stats" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_custkey, " +
+        "CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS ndv_status, " +
+        "CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS ndv_priority, " +
+        "CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_price, " +
+        "min(o_totalprice) AS min_price, max(o_totalprice) AS max_price, " +
+        "min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM orders"),
+
     "x_zorder_zonemap" ->
       (s"$zCte, $statsCte SELECT zone, n_rows, min_day, max_day, min_price, max_price FROM st"),
 
