@@ -31,8 +31,9 @@ object SparkEntry {
     def t(name: String): DataFrame = Tables.load(s, d, name)
   }
 
-  // Decimal-safe revenue-ish aggregation helper
-  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  // Decimal-safe revenue-ish aggregation helper (shared across the
+  // query batches — ONE definition of the cross-engine money convention)
+  private[graft] def dec(c: Column): Column = c.cast("decimal(18,2)")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     SparkEntryExt.queries ++ SparkEntryIdx.queries ++ SparkEntryLay.queries ++ Map(

@@ -13,32 +13,34 @@ import org.apache.spark.sql.functions._
   * Merged into [[SparkEntry.queries]]; same oracle conventions. */
 object SparkEntryLay {
 
-  // ---------- Z-order layout constants (shared verbatim by the oracle) ----------
+  // ---------- Z-order layout constants (shared verbatim by the oracle
+  // AND by LayoutSpec — the spec must validate the layout the queries
+  // ship, not a private copy) ----------
   /** o_orderdate spans 1995-01-01..2001-08-01 → day ∈ [0, 2404]. */
-  private val DayLo = 0.0
-  private val DayHi = 2405.0
+  private[graft] val DayLo = 0.0
+  private[graft] val DayHi = 2405.0
   /** o_totalprice spans ~1013..499979. */
-  private val PriceLo = 1000.0
-  private val PriceHi = 500000.0
+  private[graft] val PriceLo = 1000.0
+  private[graft] val PriceHi = 500000.0
   /** 5 bits per dimension → ≤ 1024 zones: zone stats stay bounded
     * metadata at any corpus size (zone COUNT is fixed; zone width grows
     * with data — at 100 TB each zone is a file set, not a row set). */
-  private val ZBits = 5
+  private[graft] val ZBits = 5
   /** Prune-query rectangle: calendar 1997 × a mid-range price band. */
-  private val QDayLo = 731L
-  private val QDayHi = 1095L
-  private val QPriceLo = 100000.0
-  private val QPriceHi = 200000.0
+  private[graft] val QDayLo = 731L
+  private[graft] val QDayHi = 1095L
+  private[graft] val QPriceLo = 100000.0
+  private[graft] val QPriceHi = 200000.0
 
   /** KMV sketch size. */
   private val KmvK = 128
   private val KmvShards = 16
 
-  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def dec(c: Column): Column = SparkEntry.dec(c)
 
   /** orders with the layout columns: day (int days since 1995-01-01),
     * price, and the Z-order zone id. */
-  private def laidOrders(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def laidOrders(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val day = datediff(col("o_orderdate").cast("date"),
       to_date(lit("1995-01-01"))).cast("long")
@@ -86,15 +88,20 @@ object SparkEntryLay {
     },
     "x_zorder_prune" -> { (s, dir) =>
       val laid = laidOrders(s, dir)
-      val stats = Layout.zoneMap(laid, "zone", Seq("day", "price"))
-      val cand = Layout.pruneCandidates(stats,
-        Seq(("day", QDayLo.toDouble, QDayHi.toDouble), ("price", QPriceLo, QPriceHi)))
-      // bounded metadata collects (≤ 4^bits rows): the scan planner's
-      // candidate zone list — at cluster scale this is the driver reading
-      // the stats table to prune FILES; LayoutSpec proves the same filter
-      // skips partition directories on a zone-partitioned write
-      val zTotal = stats.count()
-      val candZones = cand.select("zone").collect().map(_.getLong(0))
+      // ONE bounded-metadata collect (≤ 4^bits rows) serves both the
+      // zone census and the candidate list — the scan planner reading
+      // the stats table to prune FILES, exactly once; interval
+      // intersection is driver-side arithmetic over those rows.
+      // LayoutSpec proves the same filter skips partition directories
+      // on a zone-partitioned write.
+      val statRows = Layout.zoneMap(laid, "zone", Seq("day", "price"))
+        .select("zone", "min_day", "max_day", "min_price", "max_price")
+        .collect()
+      val zTotal = statRows.length.toLong
+      val candZones = statRows.collect {
+        case r if r.getLong(1) <= QDayHi && r.getLong(2) >= QDayLo &&
+          r.getDouble(3) <= QPriceHi && r.getDouble(4) >= QPriceLo => r.getLong(0)
+      }
       val hit = col("day").between(QDayLo, QDayHi) &&
         col("price").between(QPriceLo, QPriceHi)
       // the pruned scan: only candidate zones are read; equality of

@@ -30,9 +30,13 @@ object Verify {
       org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 dumps just those
-    // queries (unset → all; the driver never sets it)
+    // queries (unset/empty → all; the driver never sets it). Typo'd names
+    // fail loudly — a silent zero-query dump reads as success downstream.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty).getOrElse(Set.empty[String])
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: $unknown")
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

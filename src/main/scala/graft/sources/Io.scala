@@ -44,16 +44,25 @@ object Io {
     * materialized read (the corrupt-record column is only populated
     * during parsing, so the two branches have to see the same pass —
     * persist guarantees it); returns (good, dlq). */
+  /** Memoized parses keyed on the read plan (⇒ per path+schema): repeated
+    * reads of a feed share one cached parse, and — critically — the
+    * persist is REGISTERED, so the [[graft.Caches]] sweep can release it;
+    * a bare `.persist()` here would pin one untracked relation per feed
+    * for the life of the session. */
+  private val dlqMemo = new graft.PlanMemo
+
   def readJsonlWithDlq(spark: SparkSession, path: String,
                        schema: StructType): (DataFrame, DataFrame) = {
     val corrupt = "_corrupt_record"
     require(!schema.fieldNames.contains(corrupt), s"schema already has $corrupt")
-    val raw = spark.read
+    val parsed = spark.read
       .schema(schema.add(corrupt, StringType))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corrupt)
       .json(path)
-      .persist()
+    // the corrupt column is only populated during parsing, so both
+    // branches must read the SAME materialized pass — the memo persists it
+    val raw = dlqMemo(parsed, "dlq")(parsed)
     val good = raw.where(col(corrupt).isNull).drop(corrupt)
     val dlq = raw.where(col(corrupt).isNotNull)
       .select(col(corrupt).as("raw_line"))

@@ -1,7 +1,6 @@
 package graft
 
 import graft.ext.Layout
-import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
 /** Z-order layout + zone-map pruning: correctness (pruning is loss-free),
@@ -11,26 +10,23 @@ import org.apache.spark.sql.functions._
   * dimensions' per-zone extents stay tight). */
 class LayoutSpec extends SparkSpec {
 
-  private val ZBits = 5
-  private def laid = {
-    val day = datediff(col("o_orderdate").cast("date"),
-      to_date(lit("1995-01-01"))).cast("long")
-    val o = Tables.orders(spark, sf)
-      .withColumn("day", day).withColumn("price", col("o_totalprice"))
-    val dq = Layout.quantize(col("day"), 0.0, 2405.0, ZBits)
-    val pq = Layout.quantize(col("price"), 1000.0, 500000.0, ZBits)
-    o.withColumn("zone", Layout.zValue(dq, pq, ZBits))
-  }
-  private val ranges = Seq(("day", 731.0, 1095.0), ("price", 100000.0, 200000.0))
-  private def hit = col("day").between(731, 1095) &&
-    col("price").between(100000.0, 200000.0)
+  // the SHIPPED layout under test — same construction and constants the
+  // x_zorder_* queries use (a private copy here would keep passing after
+  // a retune while the shipped layout drifted)
+  private val ZBits = SparkEntryLay.ZBits
+  private def laid = SparkEntryLay.laidOrders(spark, sf)
+  private val ranges = Seq(
+    ("day", SparkEntryLay.QDayLo.toDouble, SparkEntryLay.QDayHi.toDouble),
+    ("price", SparkEntryLay.QPriceLo, SparkEntryLay.QPriceHi))
+  private def hit = col("day").between(SparkEntryLay.QDayLo, SparkEntryLay.QDayHi) &&
+    col("price").between(SparkEntryLay.QPriceLo, SparkEntryLay.QPriceHi)
 
   test("zone ids stay within [0, 4^bits) and quantize clamps out-of-range input") {
     val mm = laid.agg(min("zone"), max("zone")).collect().head
     assert(mm.getLong(0) >= 0L && mm.getLong(1) < (1L << (2 * ZBits)))
     import spark.implicits._
     val q = Seq(-5.0, 0.0, 2404.0, 99999.0).toDF("v")
-      .select(Layout.quantize(col("v"), 0.0, 2405.0, ZBits).as("q"))
+      .select(Layout.quantize(col("v"), SparkEntryLay.DayLo, SparkEntryLay.DayHi, ZBits).as("q"))
       .collect().map(_.getLong(0)).toSeq
     assert(q == Seq(0L, 0L, 31L, 31L), s"clamping broke: $q")
   }
@@ -112,9 +108,9 @@ class LayoutSpec extends SparkSpec {
     // 6 on day (a finer day sort — its BEST case for day stats)
     val l = laid
       .withColumn("z64", Layout.zValue(
-        Layout.quantize(col("day"), 0.0, 2405.0, 3),
-        Layout.quantize(col("price"), 1000.0, 500000.0, 3), 3))
-      .withColumn("dayzone", Layout.quantize(col("day"), 0.0, 2405.0, 6))
+        Layout.quantize(col("day"), SparkEntryLay.DayLo, SparkEntryLay.DayHi, 3),
+        Layout.quantize(col("price"), SparkEntryLay.PriceLo, SparkEntryLay.PriceHi, 3), 3))
+      .withColumn("dayzone", Layout.quantize(col("day"), SparkEntryLay.DayLo, SparkEntryLay.DayHi, 6))
       .persist()
     try {
       def avgExtent(zcol: String, dim: String): Double =
@@ -129,7 +125,7 @@ class LayoutSpec extends SparkSpec {
       // …while day extents stay bounded by the 3-bit cell width (~300
       // days + sparse-sample slack), nothing like the full 2405-day range
       val zDay = avgExtent("z64", "day")
-      assert(zDay < 2405.0 / 8 * 1.2, s"z-order day extent too loose: $zDay")
+      assert(zDay < SparkEntryLay.DayHi / 8 * 1.2, s"z-order day extent too loose: $zDay")
     } finally l.unpersist()
   }
 }
