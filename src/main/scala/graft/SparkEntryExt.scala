@@ -639,6 +639,12 @@ object SparkEntryExt {
     "x_sessions" -> { (s, dir) =>
       Windows.sessions(Tables.events(s, dir), "ts", "user_id", gapSeconds = 1800)
     },
+    "x_resample_ffill" -> { (s, dir) =>
+      // irregular events regularized onto an hourly grid with forward
+      // fill — the feature-engineering resampler; keyed by
+      // (user, bucket), ~720 calendar buckets per user at any corpus size
+      Windows.resampleFfill(Tables.events(s, dir))
+    },
 
     // ----- corpus curation -----
     "x_mix_sample" -> { (s, dir) =>
@@ -1389,6 +1395,21 @@ object SparkEntryExt {
         "- k * (INTERVAL '30 minutes') AS window_start, event_type, " +
         "CAST(count(*) AS BIGINT) AS n FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) " +
         "GROUP BY 1, 2"),
+
+    // mirrors Windows.resampleFfill: last-obs-per-bucket via named-struct
+    // max (deterministic under equal timestamps — no fixture-uniqueness
+    // reliance), per-key calendar grid, ignore-nulls carry-forward
+    "x_resample_ffill" ->
+      ("WITH agg AS (SELECT user_id AS key, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS n_obs, " +
+        "(max({'t': CAST(ts AS TIMESTAMP), 'i': event_id, 'v': value})).v AS obs " +
+        "FROM events GROUP BY 1, 2), " +
+        "g AS (SELECT key, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket " +
+        "FROM (SELECT key, min(bucket) AS mn, max(bucket) AS mx FROM agg GROUP BY key)), " +
+        "j AS (SELECT g.key, g.bucket, coalesce(a.n_obs, 0) AS n_obs, a.obs " +
+        "FROM g LEFT JOIN agg a USING (key, bucket)) " +
+        "SELECT key, bucket, n_obs, last_value(obs IGNORE NULLS) OVER " +
+        "(PARTITION BY key ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS value_ffill FROM j"),
 
     "x_sessions" ->
       ("WITH flagged AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL THEN 0 " +

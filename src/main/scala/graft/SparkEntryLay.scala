@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Curation, Dedup, Layout, Sketches}
+import graft.ext.{Audit, Curation, Dedup, Layout, Sketches}
 import graft.functions.TextFunctions
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -35,6 +35,11 @@ object SparkEntryLay {
   /** KMV sketch size. */
   private val KmvK = 128
   private val KmvShards = 16
+
+  /** Corpus-fingerprint hash seed and hashed column order (the order is
+    * part of the digest definition — oracle mirrors it verbatim). */
+  private val FpSeed = 9200
+  private val FpCols = Seq("doc_id", "text", "lang", "source", "n_chars")
 
   private def dec(c: Column): Column = SparkEntry.dec(c)
 
@@ -115,6 +120,29 @@ object SparkEntryLay {
         .select(lit(zTotal).as("n_zones_total"),
           lit(candZones.length.toLong).as("n_zones_candidate"),
           col("n_rows_candidate"), col("n_rows_match"), col("revenue"))
+    },
+
+    "x_corpus_fingerprint" -> { (s, dir) =>
+      // per-source order-independent content digest: the cheapest "are
+      // these two copies the same corpus?" answer — compare 8-byte shard
+      // digests, ship only mismatched shards
+      Audit.fingerprintBy(Tables.documents(s, dir), "source", FpCols, FpSeed)
+    },
+    "x_fk_audit" -> { (s, dir) =>
+      // referential-integrity sweep over the star schema. Two dimension
+      // sides are deterministically DEGRADED (every 97th customer, every
+      // 101st part dropped — the "late-arriving dimension partition"
+      // failure) so the audit reports real non-zero orphan counts next
+      // to a clean relationship's zero.
+      val orders = Tables.orders(s, dir)
+      val lineitem = Tables.lineitem(s, dir)
+      val cust = Tables.customer(s, dir).where(col("c_custkey") % 97 =!= 0)
+      val part = Tables.part(s, dir).where(col("p_partkey") % 101 =!= 0)
+      Audit.fkOrphans("orders->customer", orders, "o_custkey", cust, "c_custkey")
+        .unionByName(Audit.fkOrphans("lineitem->orders", lineitem, "l_orderkey",
+          orders, "o_orderkey"))
+        .unionByName(Audit.fkOrphans("lineitem->part", lineitem, "l_partkey",
+          part, "p_partkey"))
     },
 
     "x_table_stats" -> { (s, dir) =>
@@ -198,7 +226,34 @@ object SparkEntryLay {
       s"hs AS (SELECT DISTINCT $shardSql AS shard, (('0x' || substr(md5(s), 1, 15)))::BIGINT % $mmP AS h FROM sh)"
   }
 
+  /** mirrors [[Audit.fingerprintBy]]'s payload: FpCols coalesced to '',
+    * '|'-joined, in declaration order. */
+  private val fpPayloadSql = FpCols
+    .map(c => s"coalesce(CAST($c AS VARCHAR), '')").mkString(" || '|' || ")
+
+  private def fkAuditLegSql(rel: String, child: String, childKey: String,
+                            parentSub: String, parentKey: String): String =
+    s"SELECT '$rel' AS relationship, CAST(count(*) AS BIGINT) AS n_child, " +
+      s"CAST(sum(CASE WHEN p.$parentKey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans " +
+      s"FROM $child c LEFT JOIN (SELECT DISTINCT $parentKey FROM $parentSub) p " +
+      s"ON p.$parentKey = c.$childKey"
+
   def oracleSql: Map[String, String] = Map(
+    "x_corpus_fingerprint" ->
+      (s"SELECT source, CAST(count(*) AS BIGINT) AS n_rows, bit_xor(h) AS xor_sig " +
+        s"FROM (SELECT source, ${SparkEntryExt.seedHashSql(FpSeed.toString, fpPayloadSql)} AS h " +
+        "FROM documents) GROUP BY source"),
+
+    "x_fk_audit" ->
+      (fkAuditLegSql("orders->customer", "orders", "o_custkey",
+        "customer WHERE c_custkey % 97 <> 0", "c_custkey") +
+        " UNION ALL " +
+        fkAuditLegSql("lineitem->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey") +
+        " UNION ALL " +
+        fkAuditLegSql("lineitem->part", "lineitem", "l_partkey",
+          "part WHERE p_partkey % 101 <> 0", "p_partkey")),
+
     "x_table_stats" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_custkey, " +

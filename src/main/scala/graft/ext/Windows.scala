@@ -53,6 +53,46 @@ object Windows {
       .agg(min(col(tsCol)).as("session_start"), max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"))
 
+  /** Time-series resampling with forward fill (the feature-engineering
+    * regularizer: metrics/sensor streams arrive irregularly, models want
+    * a fixed grid). Three steps, each scale-shaped:
+    *
+    *  1. last-observation-per-(key, bucket) via ONE map-side-combinable
+    *     `max(struct(ts, id, value))` aggregation — no window, so a hot
+    *     bucket combines on the map side instead of sorting through one
+    *     task; the (ts, id) prefix makes the winner deterministic even
+    *     under equal timestamps (no reliance on fixture uniqueness);
+    *  2. the per-key bucket grid from `sequence(min, max, interval)` —
+    *     grid size is (time span / granularity) per key, bounded by the
+    *     CALENDAR, not the event count;
+    *  3. one per-key ordered window carries the last observation forward
+    *     across empty buckets — per-partition state is the key's grid
+    *     length, again calendar-bounded.
+    *
+    * Output: `(key, bucket, n_obs, value_ffill)`; the first grid bucket
+    * always holds an observation (the grid starts at the key's first
+    * event), so `value_ffill` is never NULL. */
+  def resampleFfill(events: DataFrame, keyCol: String = "user_id",
+                    tsCol: String = "ts", idCol: String = "event_id",
+                    valCol: String = "value", unit: String = "hour"): DataFrame = {
+    val agg = events
+      .select(col(keyCol).as("key"), date_trunc(unit, col(tsCol)).as("bucket"),
+        struct(col(tsCol).as("t"), col(idCol).as("i"), col(valCol).as("v")).as("__m"))
+      .groupBy("key", "bucket")
+      .agg(count(lit(1)).as("n_obs"), max(col("__m")).as("__last"))
+      .select(col("key"), col("bucket"), col("n_obs"), col("__last.v").as("obs"))
+    val grid = agg.groupBy("key")
+      .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+      .select(col("key"),
+        explode(expr(s"sequence(mn, mx, interval 1 $unit)")).as("bucket"))
+    val ffill = W.partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    grid.join(agg, Seq("key", "bucket"), "left")
+      .select(col("key"), col("bucket"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        last(col("obs"), ignoreNulls = true).over(ffill).as("value_ffill"))
+  }
+
   /** The streaming form of [[sessions]]: Spark's native `session_window`
     * behind a watermark. State is bounded by the watermark (closed
     * sessions are emitted and evicted — the unbounded-key-cardinality

@@ -1,0 +1,53 @@
+package graft
+
+import graft.ext.Audit
+import org.apache.spark.sql.functions._
+
+/** Corpus fingerprints and referential-integrity sweeps: the digest is
+  * partition/order-independent and mergeable, flips on any single-row
+  * tamper, and the FK audit counts exactly the orphans. */
+class AuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cols = Seq("id", "payload")
+  private def fp(df: org.apache.spark.sql.DataFrame) =
+    Audit.fingerprintBy(df, "grp", cols, seed = 42)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("fingerprint is order/partition independent and merges by xor") {
+    val rows = (1L to 100L).map(i => (i % 4, i, s"payload-$i"))
+    val a = rows.toDF("grp", "id", "payload")
+    val shuffled = scala.util.Random.shuffle(rows).toDF("grp", "id", "payload")
+      .repartition(7)
+    assert(fp(a) == fp(shuffled), "digest depends on order/partitioning")
+    // merge law: xor of split digests == whole digest, counts add
+    val whole = fp(rows.map { case (_, i, p) => (0L, i, p) }.toDF("grp", "id", "payload"))(0L)
+    val halves = Seq(rows.filter(_._2 <= 50), rows.filter(_._2 > 50))
+      .map(h => fp(h.map { case (_, i, p) => (0L, i, p) }.toDF("grp", "id", "payload"))(0L))
+    assert((halves(0)._1 + halves(1)._1, halves(0)._2 ^ halves(1)._2) == whole,
+      "xor merge law broke")
+  }
+
+  test("fingerprint flips on a single-character tamper and on a dropped row") {
+    val base = (1L to 50L).map(i => (0L, i, s"payload-$i")).toDF("grp", "id", "payload")
+    val tampered = (1L to 50L).map(i => (0L, i, if (i == 37) "payload-37x" else s"payload-$i"))
+      .toDF("grp", "id", "payload")
+    val dropped = (1L to 50L).filter(_ != 37).map(i => (0L, i, s"payload-$i"))
+      .toDF("grp", "id", "payload")
+    assert(fp(base)(0L)._2 != fp(tampered)(0L)._2, "tamper went unseen")
+    assert(fp(base)(0L)._2 != fp(dropped)(0L)._2, "dropped row went unseen")
+  }
+
+  test("fk audit counts exactly the orphans; clean relationship reports zero") {
+    val child = Seq((1L, 10L), (2L, 20L), (3L, 99L), (4L, 20L), (5L, 98L))
+      .toDF("id", "fk")
+    val parent = Seq(10L, 20L, 30L).toDF("k")
+    val got = Audit.fkOrphans("child->parent", child, "fk", parent, "k")
+      .collect().head
+    assert((got.getString(0), got.getLong(1), got.getLong(2)) ==
+      (("child->parent", 5L, 2L)))
+    val clean = Audit.fkOrphans("clean", child, "fk",
+      child.select(col("fk")), "fk").collect().head
+    assert(clean.getLong(2) == 0L)
+  }
+}
