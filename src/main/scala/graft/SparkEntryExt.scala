@@ -377,6 +377,13 @@ object SparkEntryExt {
       // (Lee et al.'s suffix-array dedup, relational form)
       Dedup.exactSubstringSpans(Tables.documents(s, dir), k = 8)
     },
+    "x_cdc_chunks" -> { (s, dir) =>
+      // content-defined chunking over the same positional-gram artifact
+      // as x_dedup_substring_spans: boundaries from local content, chunk
+      // signatures xor-folded, corpus-wide recurrence flagged — the
+      // storage-dedup chunker's analytics
+      Dedup.cdcChunks(Tables.documents(s, dir))
+    },
     "x_dedup_incremental" -> { (s, dir) =>
       // ingest-time dedup: odd docs arrive as the batch, even docs are the
       // stored corpus — match against its indexes only
@@ -1131,6 +1138,20 @@ object SparkEntryExt {
     // positional 8-grams duplicated across >= 2 distinct docs mark their
     // positions covered; gaps-and-islands merges coverage into maximal
     // spans — same tokenization, same 1-based inclusive span bounds
+    // mirrors Dedup.cdcChunks over the same positional 8-gram pipeline
+    "x_cdc_chunks" ->
+      (s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents WHERE text IS NOT NULL), " +
+        "g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6), " +
+        "i -> {'pos': i, 'gram': array_to_string(tk[i:i+7], ' ')})) AS u FROM t), " +
+        s"p AS (SELECT doc_id, u.pos AS pos, (('0x' || substr(md5(u.gram), 1, 15)))::BIGINT % $mmP AS gh FROM g), " +
+        "c AS (SELECT doc_id, pos, gh, sum(CASE WHEN gh % 16 = 0 THEN 1 ELSE 0 END) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk FROM p), " +
+        "ch AS (SELECT doc_id, chunk, CAST(count(*) AS BIGINT) AS n_grams, bit_xor(gh) AS sig FROM c GROUP BY 1, 2), " +
+        "f AS (SELECT sig, n_grams, CAST(count(*) AS BIGINT) AS cnt FROM ch GROUP BY 1, 2) " +
+        "SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks, " +
+        "CAST(sum(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks " +
+        "FROM ch JOIN f USING (sig, n_grams) GROUP BY 1"),
+
     "x_dedup_substring_spans" ->
       (s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents WHERE text IS NOT NULL), " +
         "g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6), " +

@@ -41,6 +41,12 @@ object SparkEntryLay {
   private val FpSeed = 9200
   private val FpCols = Seq("doc_id", "text", "lang", "source", "n_chars")
 
+  /** Histogram-sketch bounds for events.value (0..~560 at every sf). */
+  private val HistLo = 0.0
+  private val HistHi = 600.0
+  private val HistBits = 6
+  private val HistQs = Seq((1, 2), (9, 10), (99, 100))
+
   private def dec(c: Column): Column = SparkEntry.dec(c)
 
   /** orders with the layout columns: day (int days since 1995-01-01),
@@ -164,6 +170,14 @@ object SparkEntryLay {
         max(col("o_orderkey")).as("max_key"))
     },
 
+    "x_sketch_histogram" -> { (s, dir) =>
+      // mergeable equi-width histogram (the quantile analogue of the CMS
+      // table): quantile estimates at bin resolution, all-integer
+      val h = Sketches.histogramTable(Tables.events(s, dir), col("value"),
+        HistLo, HistHi, HistBits)
+      Sketches.histogramQuantiles(h, HistQs)
+    },
+
     "x_sketch_kmv" -> { (s, dir) =>
       // per-export-shard distinct-shingle estimate from the stored
       // bottom-k sketch, pinned next to the recomputed exact count (the
@@ -277,6 +291,17 @@ object SparkEntryLay {
         s"CAST(sum(CASE WHEN day BETWEEN $QDayLo AND $QDayHi AND price BETWEEN $QPriceLo AND $QPriceHi THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_match, " +
         s"CAST(sum(CASE WHEN day BETWEEN $QDayLo AND $QDayHi AND price BETWEEN $QPriceLo AND $QPriceHi THEN CAST(price AS DECIMAL(18,2)) END) AS DOUBLE) AS revenue " +
         "FROM pruned"),
+
+    "x_sketch_histogram" -> {
+      val binSql = quantSql("value", HistLo, HistHi, HistBits)
+      val legs = HistQs.map { case (num, den) =>
+        s"SELECT ${num * 1000 / den} AS q_permille, CAST(min(bin) AS BIGINT) AS q_bin, " +
+          s"CAST(min(total) AS BIGINT) AS n_total FROM c WHERE cum * $den >= total * $num"
+      }.mkString(" UNION ALL ")
+      s"WITH h AS (SELECT $binSql AS bin, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1), " +
+        "c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum, " +
+        s"sum(cnt) OVER () AS total FROM h) $legs"
+    },
 
     "x_sketch_kmv" ->
       (s"$kmvHsCte, " +

@@ -51,10 +51,12 @@ object Dedup {
     * ship as strings for oracle parity; at 100 TB swap the join key for
     * [[graft.functions.TextFunctions.seededHash]] (DuckDB-reproducible)
     * to shuffle 8 bytes instead of k words. */
-  def exactSubstringSpans(docs: DataFrame, k: Int = 8, textCol: String = "text",
-                          idCol: String = "doc_id"): DataFrame = {
-    require(k >= 2, s"k-gram width must be >= 2, got $k")
-    val grams = gramMemo(docs, graft.PlanMemo.tag("grams", textCol, idCol, k)) {
+  /** The memoized positional k-gram relation `(idCol, pos, gram)` — a
+    * corpus-version artifact shared by [[exactSubstringSpans]] and
+    * [[cdcChunks]] (one explode pass serves both). */
+  private def posGramTable(docs: DataFrame, k: Int, textCol: String,
+                           idCol: String): DataFrame =
+    gramMemo(docs, graft.PlanMemo.tag("grams", textCol, idCol, k)) {
       val toks = tokens(col(textCol))
       docs.where(col(textCol).isNotNull)
         .select(col(idCol), explode(when(size(toks) >= k,
@@ -64,6 +66,11 @@ object Dedup {
           .otherwise(array().cast("array<struct<pos:bigint,gram:string>>"))).as("g"))
         .select(col(idCol), col("g.pos").as("pos"), col("g.gram").as("gram"))
     }
+
+  def exactSubstringSpans(docs: DataFrame, k: Int = 8, textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2, s"k-gram width must be >= 2, got $k")
+    val grams = posGramTable(docs, k, textCol, idCol)
     val dup = grams.groupBy("gram")
       .agg(min(col(idCol)).as("d1"), max(col(idCol)).as("d2"))
       .where(col("d1") =!= col("d2")).select("gram")
@@ -81,6 +88,44 @@ object Dedup {
       .agg(min("pos").as("span_start"), (max("pos") + (k - 1)).as("span_end"))
       .select(col(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** Content-defined chunking (LBFS/FastCDC family, token granularity):
+    * a chunk boundary falls wherever the rolling-window content hash —
+    * here the k-gram hash at each position — lands in a fixed residue
+    * class (`gh % boundaryMod == 0`, expected chunk ≈ boundaryMod
+    * grams). Boundaries depend only on LOCAL content, so an insertion
+    * early in a document shifts every fixed-size chunk but re-aligns
+    * content-defined ones within a window — the property that makes CDC
+    * the storage-dedup chunker. No min/max length normalization (a
+    * per-doc fold the analysis doesn't need; the raw rule keeps the
+    * oracle one window expression).
+    *
+    * Reads the SAME memoized positional k-gram artifact as
+    * [[exactSubstringSpans]] — no extra corpus pass. One doc-partitioned
+    * running-sum window labels chunks (per-doc state only), one
+    * map-side-combinable agg forms `(sig = bit_xor(gh), n_grams)` chunk
+    * signatures, and the corpus-wide signature frequency join flags
+    * chunks whose content recurs anywhere. Output per doc:
+    * `(idCol, n_chunks, n_shared_chunks)`. */
+  def cdcChunks(docs: DataFrame, k: Int = 8, boundaryMod: Int = 16,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(boundaryMod >= 2, s"boundaryMod must be >= 2, got $boundaryMod")
+    val grams = posGramTable(docs, k, textCol, idCol)
+    val withH = grams.withColumn("gh",
+      graft.functions.TextFunctions.baseShingleHash(col("gram")))
+    val run = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val chunks = withH
+      .withColumn("b", when(col("gh") % boundaryMod === 0, 1L).otherwise(0L))
+      .withColumn("chunk", sum(col("b")).over(run))
+      .groupBy(col(idCol), col("chunk"))
+      .agg(count(lit(1)).as("n_grams"), expr("bit_xor(gh)").as("sig"))
+    val freq = chunks.groupBy("sig", "n_grams").agg(count(lit(1)).as("cnt"))
+    chunks.join(freq, Seq("sig", "n_grams"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_shared_chunks"))
   }
 
   /** Per-doc MinHash signature (k affine minima over hashed n-word

@@ -196,6 +196,43 @@ object Sketches {
       .withColumn("exact_jaccard_ppm", expr("(1000000 * n_inter) DIV n_union"))
   }
 
+  /** Equi-width histogram as a TABLE `(bin, cnt)` — the quantile
+    * analogue of [[cmsTable]], completing the mergeable-sketch quartet
+    * (distinct: HLL/KMV, frequency: CMS, quantile: here). One
+    * map-side-combinable pass; MERGEABLE by construction (the histogram
+    * of a union is the bin-wise SUM), so per-shard histograms stored at
+    * ingest answer corpus quantiles without rescans. All-integer like
+    * CMS — full DuckDB oracle, unlike the binary `approx_percentile`
+    * sketches. Bin width is fixed up front ([[graft.ext.Layout.quantize]]
+    * does the cell arithmetic both engines share); resolution is the
+    * declared trade. */
+  def histogramTable(df: DataFrame, valueCol: Column, lo: Double, hi: Double,
+                     bits: Int = 6): DataFrame =
+    df.select(Layout.quantize(valueCol, lo, hi, bits).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+
+  /** Quantile estimates from a stored histogram: for each q = num/den,
+    * the smallest bin whose cumulative count reaches ceil(q · total) —
+    * `percentile_disc` at bin resolution. The histogram is bounded
+    * metadata (≤ 2^bits rows), so the cumulative window is driver-scale
+    * work; the threshold test cross-multiplies (`cum·den ≥ total·num` ⟺
+    * `cum ≥ ceil(q·total)`) so everything stays integer — no
+    * cross-engine float. */
+  def histogramQuantiles(hist: DataFrame, qs: Seq[(Int, Int)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total", sum(col("cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    qs.map { case (num, den) =>
+      cum.where(col("cum") * den >= col("total") * num)
+        .orderBy(col("bin")).limit(1)
+        .select(lit(num * 1000 / den).as("q_permille"), col("bin").as("q_bin"),
+          col("total").as("n_total"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Point-estimate probe frequencies from a stored sketch table:
     * `est = min_d counter[d][h_d(term)]` — the classic one-sided bound
     * (est ≥ true count, exact absent collisions). (depth, width) are

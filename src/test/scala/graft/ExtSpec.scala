@@ -261,6 +261,23 @@ class DedupSpec extends SparkSpec {
       s"expected inner-only joins: ${joins.map(_.joinType)}")
   }
 
+  test("cdc chunking re-aligns after a prefix insertion (the content-defined property)") {
+    import spark.implicits._
+    // deterministic 240-token stream with enough variety for boundaries
+    val toks = (1 to 240).map(i => s"w${(i * 7919) % 611}")
+    val doc1 = toks.mkString(" ")
+    val doc2 = "ins0 ins1 ins2 " + doc1 // fixed-size chunks would ALL shift
+    val fixture = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+    val out = Dedup.cdcChunks(fixture)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (n1, s1) = out(1L); val (n2, s2) = out(2L)
+    // boundaries depend only on local content, so after the first
+    // boundary past the insertion every chunk signature matches the
+    // other doc's — the majority of chunks on BOTH sides are shared
+    assert(s1 * 2 > n1, s"doc1: only $s1 of $n1 chunks re-aligned")
+    assert(s2 * 2 > n2, s"doc2: only $s2 of $n2 chunks re-aligned")
+  }
+
   test("lsh candidates find the implanted near-dup pairs") {
     // ground truth: exact jaccard >= 0.9 over all pairs (sf0.001 is small)
     val sh = docs.select(col("doc_id"), TextFunctions.shingles(col("text")).as("sh"))
@@ -611,6 +628,23 @@ class WindowsSpec extends SparkSpec {
       Seq("event_type"), Seq(count(lit(1)).as("n")))
       .agg(sum("n")).head().getLong(0)
     assert(total == 2 * n)
+  }
+
+  test("resampleFfill carries the last observation across empty grid buckets") {
+    import spark.implicits._
+    def ts(h: Int, m: Int) = new java.sql.Timestamp(((h * 60 + m) * 60L) * 1000)
+    // key 1: events in hours 0 and 2 (hour 1 is a gap); an equal-ts pair
+    // in hour 2 resolves by the (ts, id) tiebreak — higher id wins
+    val df = Seq(
+      (1L, 10L, ts(0, 10), 1.5), (1L, 20L, ts(2, 30), 2.5), (1L, 21L, ts(2, 30), 3.5),
+      (2L, 30L, ts(5, 0), 9.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = Windows.resampleFfill(df)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 3600000L,
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(out == Set(
+      (1L, 0L, 1L, 1.5), (1L, 1L, 0L, 1.5), (1L, 2L, 2L, 3.5),
+      (2L, 5L, 1L, 9.0)), s"got $out")
   }
 }
 

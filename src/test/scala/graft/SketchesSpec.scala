@@ -136,6 +136,32 @@ class SketchesSpec extends SparkSpec {
     } finally items.unpersist()
   }
 
+  test("histogram sketch: bin-sum merge law; quantile estimates within one bin of exact") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001").persist()
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val whole = Sketches.histogramTable(ev, col("value"), 0.0, 600.0, 6)
+      val merged = Seq(col("event_id") % 2 === 0, col("event_id") % 2 === 1)
+        .map(p => Sketches.histogramTable(ev.where(p), col("value"), 0.0, 600.0, 6))
+        .reduce(_.unionByName(_))
+        .groupBy("bin").agg(sum("cnt").as("cnt"))
+      assert(rows(whole) == rows(merged), "histogram merge law broke")
+      val est = Sketches.histogramQuantiles(whole, Seq((1, 2), (99, 100)))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val binW = 600.0 / 64
+      val Seq(e50, e99) = ev
+        .agg(percentile(col("value"), array(lit(0.5), lit(0.99))))
+        .collect().head.getSeq[Double](0).toSeq
+      // the exact quantile must fall inside (or within one bin of) the
+      // estimated bin — bin resolution is the histogram's declared trade
+      assert(math.abs((est(500) + 0.5) * binW - e50) <= binW * 1.5,
+        s"p50 bin ${est(500)} vs exact $e50")
+      assert(math.abs((est(990) + 0.5) * binW - e99) <= binW * 1.5,
+        s"p99 bin ${est(990)} vs exact $e99")
+    } finally ev.unpersist()
+  }
+
   test("quantile sketch (approx_percentile) tracks exact percentiles") {
     val vals = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("value"))
