@@ -109,9 +109,16 @@ object SparkEntryLay {
         .select("zone", "min_day", "max_day", "min_price", "max_price")
         .collect()
       val zTotal = statRows.length.toLong
+      def num(r: org.apache.spark.sql.Row, name: String): Option[Double] = {
+        val i = r.fieldIndex(name)
+        if (r.isNullAt(i)) None else Some(r.getAs[Number](i).doubleValue())
+      }
+      // same intersection rule as Layout.pruneCandidates, scalar form
       val candZones = statRows.collect {
-        case r if r.getLong(1) <= QDayHi && r.getLong(2) >= QDayLo &&
-          r.getDouble(3) <= QPriceHi && r.getDouble(4) >= QPriceLo => r.getLong(0)
+        case r if Layout.intersects(num(r, "min_day"), num(r, "max_day"),
+            QDayLo.toDouble, QDayHi.toDouble) &&
+          Layout.intersects(num(r, "min_price"), num(r, "max_price"),
+            QPriceLo, QPriceHi) => r.getLong(r.fieldIndex("zone"))
       }
       val hit = col("day").between(QDayLo, QDayHi) &&
         col("price").between(QPriceLo, QPriceHi)
@@ -240,10 +247,13 @@ object SparkEntryLay {
       s"hs AS (SELECT DISTINCT $shardSql AS shard, (('0x' || substr(md5(s), 1, 15)))::BIGINT % $mmP AS h FROM sh)"
   }
 
-  /** mirrors [[Audit.fingerprintBy]]'s payload: FpCols coalesced to '',
-    * '|'-joined, in declaration order. */
+  /** mirrors [[Audit.fingerprintBy]]'s injective payload: each part
+    * length-prefixed `V<len>:<value>`, NULL → `N`, concatenated in
+    * declaration order. */
   private val fpPayloadSql = FpCols
-    .map(c => s"coalesce(CAST($c AS VARCHAR), '')").mkString(" || '|' || ")
+    .map(c => s"(CASE WHEN CAST($c AS VARCHAR) IS NULL THEN 'N' " +
+      s"ELSE 'V' || CAST(length(CAST($c AS VARCHAR)) AS VARCHAR) || ':' || CAST($c AS VARCHAR) END)")
+    .mkString(" || ")
 
   private def fkAuditLegSql(rel: String, child: String, childKey: String,
                             parentSub: String, parentKey: String): String =

@@ -24,12 +24,21 @@ object Audit {
     * number of identical rows, so a duplicated+dropped pair would go
     * unseen on a multiset — with a key column present every row is
     * distinct and the digest is a faithful set fingerprint; `n_rows`
-    * independently pins cardinality. Columns coalesce to '' before
-    * concatenation so a NULL can't silently null the whole row hash. */
+    * independently pins cardinality.
+    *
+    * The payload encoding is INJECTIVE: each part is length-prefixed
+    * (`V<len>:<value>`, NULL → `N`), so a delimiter character inside a
+    * value cannot alias two distinct rows ('a|b','c' vs 'a','b|c') and a
+    * NULL is distinct from '' — a '' → NULL rewrite (the classic CSV
+    * round-trip hazard) flips the digest instead of hiding. Same rule
+    * PlanMemo.tag applies to memo keys, same reason. */
   def fingerprintBy(df: DataFrame, groupCol: String, cols: Seq[String],
                     seed: Int): DataFrame = {
-    val payload = concat_ws("|",
-      cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    val payload = concat(cols.map { c =>
+      val s = col(c).cast("string")
+      when(s.isNull, lit("N"))
+        .otherwise(concat(lit("V"), length(s).cast("string"), lit(":"), s))
+    }: _*)
     df.select(col(groupCol), TextFunctions.seededHash(payload, seed).as("__h"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_rows"), expr("bit_xor(__h)").as("xor_sig"))

@@ -30,6 +30,22 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
 
+  /** The memoized positional k-gram relation `(idCol, pos, gram)` — a
+    * corpus-version artifact shared by [[exactSubstringSpans]] and
+    * [[cdcChunks]] (one explode pass serves both). */
+  private def posGramTable(docs: DataFrame, k: Int, textCol: String,
+                           idCol: String): DataFrame =
+    gramMemo(docs, graft.PlanMemo.tag("grams", textCol, idCol, k)) {
+      val toks = tokens(col(textCol))
+      docs.where(col(textCol).isNotNull)
+        .select(col(idCol), explode(when(size(toks) >= k,
+          transform(sequence(lit(1), size(toks) - (k - 1)),
+            i => struct(i.cast("long").as("pos"),
+              concat_ws(" ", slice(toks, i, lit(k))).as("gram"))))
+          .otherwise(array().cast("array<struct<pos:bigint,gram:string>>"))).as("g"))
+        .select(col(idCol), col("g.pos").as("pos"), col("g.gram").as("gram"))
+    }
+
   /** Exact-substring duplicate spans (the suffix-array dedup of Lee et
     * al., "Deduplicating Training Data Makes Language Models Better",
     * ACL 2022, re-expressed relationally): find every MAXIMAL token span
@@ -51,22 +67,6 @@ object Dedup {
     * ship as strings for oracle parity; at 100 TB swap the join key for
     * [[graft.functions.TextFunctions.seededHash]] (DuckDB-reproducible)
     * to shuffle 8 bytes instead of k words. */
-  /** The memoized positional k-gram relation `(idCol, pos, gram)` — a
-    * corpus-version artifact shared by [[exactSubstringSpans]] and
-    * [[cdcChunks]] (one explode pass serves both). */
-  private def posGramTable(docs: DataFrame, k: Int, textCol: String,
-                           idCol: String): DataFrame =
-    gramMemo(docs, graft.PlanMemo.tag("grams", textCol, idCol, k)) {
-      val toks = tokens(col(textCol))
-      docs.where(col(textCol).isNotNull)
-        .select(col(idCol), explode(when(size(toks) >= k,
-          transform(sequence(lit(1), size(toks) - (k - 1)),
-            i => struct(i.cast("long").as("pos"),
-              concat_ws(" ", slice(toks, i, lit(k))).as("gram"))))
-          .otherwise(array().cast("array<struct<pos:bigint,gram:string>>"))).as("g"))
-        .select(col(idCol), col("g.pos").as("pos"), col("g.gram").as("gram"))
-    }
-
   def exactSubstringSpans(docs: DataFrame, k: Int = 8, textCol: String = "text",
                           idCol: String = "doc_id"): DataFrame = {
     require(k >= 2, s"k-gram width must be >= 2, got $k")
@@ -110,6 +110,7 @@ object Dedup {
     * `(idCol, n_chunks, n_shared_chunks)`. */
   def cdcChunks(docs: DataFrame, k: Int = 8, boundaryMod: Int = 16,
                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2, s"k-gram width must be >= 2, got $k")
     require(boundaryMod >= 2, s"boundaryMod must be >= 2, got $boundaryMod")
     val grams = posGramTable(docs, k, textCol, idCol)
     val withH = grams.withColumn("gh",

@@ -66,4 +66,17 @@ object Layout {
     stats.where(ranges.map { case (d, qlo, qhi) =>
       col(s"min_$d") <= qhi && col(s"max_$d") >= qlo
     }.reduce(_ && _))
+
+  /** Scalar form of the same interval-intersection rule — the ONE
+    * definition a driver-side planner applies to collected stats rows
+    * (x_zorder_prune) so it cannot drift from [[pruneCandidates]]'s
+    * relational form. A zone with NULL stats (no rows observed for the
+    * dimension) is never a candidate — matching the Column form, where
+    * a NULL comparison is filtered out. */
+  def intersects(minV: Option[Double], maxV: Option[Double],
+                 qlo: Double, qhi: Double): Boolean =
+    (minV, maxV) match {
+      case (Some(mn), Some(mx)) => mn <= qhi && mx >= qlo
+      case _ => false
+    }
 }

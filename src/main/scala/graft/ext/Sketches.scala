@@ -220,11 +220,15 @@ object Sketches {
     * cross-engine float. */
   def histogramQuantiles(hist: DataFrame, qs: Seq[(Int, Int)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the explicit constant partition key states the intent (ONE ≤2^bits
+    // row group by construction) and keeps WindowExec's single-partition
+    // warning out of every run's log — real warnings must stand out
+    val one = Window.partitionBy(lit(0))
     val cum = hist.withColumn("cum",
-      sum(col("cnt")).over(Window.orderBy(col("bin"))
+      sum(col("cnt")).over(one.orderBy(col("bin"))
         .rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("total", sum(col("cnt")).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        one.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     qs.map { case (num, den) =>
       cum.where(col("cum") * den >= col("total") * num)
         .orderBy(col("bin")).limit(1)

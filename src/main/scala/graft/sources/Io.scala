@@ -37,32 +37,45 @@ object Io {
       // multiLine: quoted embedded newlines are data, not row breaks
       .option("multiLine", "true").csv(path)
 
+  // live parse registry: every readJsonlWithDlq persist is tracked per
+  // session so the Caches sweep can release it — a bare .persist() would
+  // pin one untracked relation per feed for the life of the session. NOT
+  // a plan-keyed memo: a feed directory GROWS between calls (append-only
+  // ingest), and a memoized first parse would silently serve stale rows;
+  // each call parses fresh and registers its own entry.
+  private val liveParses =
+    new java.util.concurrent.ConcurrentLinkedQueue[(SparkSession, DataFrame)]()
+
+  /** Release this session's tracked DLQ parses (the [[graft.Caches]]
+    * sweep). */
+  def invalidate(spark: SparkSession): Unit = {
+    val it = liveParses.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e._1 eq spark) { e._2.unpersist(); it.remove() }
+    }
+  }
+
   /** JSONL ingest with a dead-letter queue: well-formed rows parse
     * against `schema`; malformed lines land in the DLQ relation VERBATIM
     * (`raw_line`) for replay after the producer is fixed — nothing is
     * lost and the job never fails on weather. The split must run off one
     * materialized read (the corrupt-record column is only populated
-    * during parsing, so the two branches have to see the same pass —
-    * persist guarantees it); returns (good, dlq). */
-  /** Memoized parses keyed on the read plan (⇒ per path+schema): repeated
-    * reads of a feed share one cached parse, and — critically — the
-    * persist is REGISTERED, so the [[graft.Caches]] sweep can release it;
-    * a bare `.persist()` here would pin one untracked relation per feed
-    * for the life of the session. */
-  private val dlqMemo = new graft.PlanMemo
-
+    * during parsing, and a projection of it ALONE is rejected uncached —
+    * persist guarantees one shared pass); returns (good, dlq). Each call
+    * re-parses (feeds grow), and the persist is registered for the
+    * [[graft.Caches]] sweep. */
   def readJsonlWithDlq(spark: SparkSession, path: String,
                        schema: StructType): (DataFrame, DataFrame) = {
     val corrupt = "_corrupt_record"
     require(!schema.fieldNames.contains(corrupt), s"schema already has $corrupt")
-    val parsed = spark.read
+    val raw = spark.read
       .schema(schema.add(corrupt, StringType))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corrupt)
       .json(path)
-    // the corrupt column is only populated during parsing, so both
-    // branches must read the SAME materialized pass — the memo persists it
-    val raw = dlqMemo(parsed, "dlq")(parsed)
+      .persist()
+    liveParses.add((spark, raw))
     val good = raw.where(col(corrupt).isNull).drop(corrupt)
     val dlq = raw.where(col(corrupt).isNotNull)
       .select(col(corrupt).as("raw_line"))
