@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => MinHashSignature(args(0), intArg("minhash_sig", args(1)))))
     e.injectFunction((FunctionIdentifier("hashed_shingles"), info("hashed_shingles"),
       (args: Seq[Expression]) => HashedShingles(args(0), intArg("hashed_shingles", args(1)))))
+    e.injectFunction((FunctionIdentifier("json_merge_patch"), info("json_merge_patch"),
+      (args: Seq[Expression]) => JsonMergePatch(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("simhash_tokens"), info("simhash_tokens"),
+      (args: Seq[Expression]) => SimHashTokens(args(0), intArg("simhash_tokens", args(1)))))
   }
 }
 
@@ -63,5 +67,9 @@ object GraftExtensions {
       args => MinHashSignature(args(0), intArg("minhash_sig", args(1))), "scala_udf")
     reg.createOrReplaceTempFunction("hashed_shingles",
       args => HashedShingles(args(0), intArg("hashed_shingles", args(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("json_merge_patch",
+      args => JsonMergePatch(args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash_tokens",
+      args => SimHashTokens(args(0), intArg("simhash_tokens", args(1))), "scala_udf")
   }
 }

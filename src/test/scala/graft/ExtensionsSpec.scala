@@ -28,5 +28,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT sorted_jaccard(array(1L,2L,3L), array(2L,3L,4L)) j")
       .head().getDouble(0) == 0.5)
+
+    // json_merge_patch from SQL == the same kernel through the Scala API
+    // (reference semantics: explicit null ASSIGNS null — m1_null_clear's
+    // fidelity contract — it does not delete the member as RFC 7386 would;
+    // nested objects merge recursively, new members append)
+    val patchSql = spark.sql(
+      """SELECT json_merge_patch('{"a":1,"b":{"x":1,"y":2},"c":3}',
+        |'{"b":{"y":null,"z":9},"c":null,"d":4}') m""".stripMargin)
+      .head().getString(0)
+    val patchApi = spark.range(1).select(
+      graft.plans.JsonExpressions.jsonMergePatch(
+        lit("""{"a":1,"b":{"x":1,"y":2},"c":3}"""),
+        lit("""{"b":{"y":null,"z":9},"c":null,"d":4}""")).as("m"))
+      .head().getString(0)
+    assert(patchSql == patchApi)
+    assert(patchSql == """{"a":1,"b":{"x":1,"y":null,"z":9},"c":null,"d":4}""", patchSql)
+
+    // simhash_tokens from SQL == TextFunctions' simhash column expression
+    val shSql = spark.sql(
+      "SELECT simhash_tokens(split('spark query window data', ' '), 16) s")
+      .head().getLong(0)
+    val shApi = spark.range(1).select(
+      graft.plans.ShingleExpression.simhashTokens(
+        split(lit("spark query window data"), " "), 16).as("s"))
+      .head().getLong(0)
+    assert(shSql == shApi)
   }
 }
