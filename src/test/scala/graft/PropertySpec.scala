@@ -118,6 +118,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: corpus fingerprint is partition-invariant, tamper-sensitive, injective on delimiters") {
+    import spark.implicits._
+    val rowsGen = for {
+      n <- Gen.choose(5, 40)
+      vals <- Gen.listOfN(n, Gen.oneOf(word, Gen.const("a|b"), Gen.const("")))
+    } yield vals.zipWithIndex.map { case (v, i) => (0L, i.toLong, v) }
+    def sig(rows: Seq[(Long, Long, String)], parts: Int): (Long, Long) =
+      graft.ext.Audit.fingerprintBy(
+        rows.toDF("grp", "id", "payload").repartition(parts),
+        "grp", Seq("id", "payload"), seed = 7)
+        .collect().head match { case r => (r.getLong(1), r.getLong(2)) }
+    samples(rowsGen, 8).foreach { rows =>
+      // any partitioning/order → identical digest
+      assert(sig(rows, 1) == sig(scala.util.Random.shuffle(rows), 5))
+      // flipping one payload character flips the digest
+      val tampered = rows.updated(0, rows.head.copy(_3 = rows.head._3 + "x"))
+      assert(sig(rows, 2)._2 != sig(tampered, 2)._2, s"tamper unseen on $rows")
+    }
+    // delimiter aliasing and NULL-vs-'' — the length-prefixed encoding's
+    // whole point: content moved across a field boundary, and a '' → NULL
+    // rewrite, must each flip the digest
+    def one(s1: String, s2: String): Long =
+      graft.ext.Audit.fingerprintBy(
+        Seq((0L, s1, s2)).toDF("grp", "s1", "s2"), "grp", Seq("s1", "s2"), 7)
+        .collect().head.getLong(2)
+    assert(one("a|b", "c") != one("a", "b|c"), "field-boundary alias")
+    assert(one(null, "c") != one("", "c"), "NULL aliases ''")
+  }
+
+  test("property: kmv merge law holds under random 3-way splits") {
+    import spark.implicits._
+    val itemsGen = for {
+      n <- Gen.choose(30, 120)
+      hs <- Gen.listOfN(n, Gen.choose(1L, 1000000L))
+    } yield hs
+    samples(itemsGen, 6).foreach { hs =>
+      val df = hs.map(h => (0L, h)).toDF("g", "h")
+      val whole = graft.ext.Sketches.kmvTable(df, col("h"), "g", 16)
+        .select("h").collect().map(_.getLong(0)).toSet
+      val parts = Seq(hs.indices.filter(_ % 3 == 0), hs.indices.filter(_ % 3 == 1),
+        hs.indices.filter(_ % 3 == 2))
+        .map(ix => graft.ext.Sketches.kmvTable(
+          ix.map(i => (0L, hs(i))).toDF("g", "h"), col("h"), "g", 16))
+      val merged = graft.ext.Sketches.kmvMerge(parts, 0L, "g", 16)
+        .select("h").collect().map(_.getLong(0)).toSet
+      assert(whole == merged, s"kmv merge law broke on ${hs.take(5)}...")
+    }
+  }
+
   test("S11: mapping introspection exposes the runtime schema") {
     val d = docs(spark, Seq(PlanFixture.planJson("A", Seq(("1", "x", 1.0)))))
     val nodes = Shred.nodes(d)
