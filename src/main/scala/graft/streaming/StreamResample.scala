@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** The streaming form of [[graft.ext.Windows.resampleFfill]]: closed grid
+  * buckets stream out of managed state instead of a batch grid join —
+  * the continuous regularizer a feature store runs on live metrics.
+  *
+  * Per key the state is ONE open bucket (index, within-bucket winning
+  * observation by the same `(ts, id)` tiebreak as the batch struct-max,
+  * observation count) — fixed-size per key, independent of history. An
+  * event in a LATER bucket closes the open one: the closed bucket emits
+  * with its own last observation, every skipped bucket in between emits
+  * as a gap row (`n_obs = 0`) carrying the closed bucket's value forward,
+  * and the new bucket opens. Append-mode semantics: a bucket emits
+  * exactly once, when the key's timeline passes it; the currently-open
+  * bucket is not yet visible (its winner could still change) — so the
+  * streamed output equals the batch rebuild MINUS each key's final
+  * bucket, which StreamResampleSpec pins across batch boundaries.
+  *
+  * PRECONDITION (same as [[Ingest.applyBatch]]): per-key event-time order
+  * must hold ACROSS batches (within a batch, events are sorted here); an
+  * event older than the open bucket is dropped — the watermark-expired
+  * analogue — rather than silently rewriting an already-emitted bucket. */
+object StreamResample {
+
+  case class Obs(key: Long, ts_micros: Long, event_id: Long, value: Double)
+  case class OpenBucket(bucket: Long, lastTs: Long, lastId: Long,
+                        lastV: Double, nObs: Long)
+  case class Out(key: Long, bucket: Long, n_obs: Long, value_ffill: Double)
+
+  def update(bucketMicros: Long)(key: Long, events: Iterator[Obs],
+             state: GroupState[OpenBucket]): Iterator[Out] = {
+    val sorted = events.toSeq.sortBy(e => (e.ts_micros, e.event_id))
+    var st = state.getOption.orNull
+    val out = scala.collection.mutable.ArrayBuffer.empty[Out]
+    sorted.foreach { e =>
+      val b = Math.floorDiv(e.ts_micros, bucketMicros)
+      if (st == null) {
+        st = OpenBucket(b, e.ts_micros, e.event_id, e.value, 1L)
+      } else if (b == st.bucket) {
+        // same (ts, id) ordering as the batch form's max(struct(...)):
+        // the later observation wins the bucket
+        val wins = e.ts_micros > st.lastTs ||
+          (e.ts_micros == st.lastTs && e.event_id > st.lastId)
+        st = if (wins)
+          OpenBucket(b, e.ts_micros, e.event_id, e.value, st.nObs + 1)
+        else st.copy(nObs = st.nObs + 1)
+      } else if (b > st.bucket) {
+        out += Out(key, st.bucket, st.nObs, st.lastV)
+        var g = st.bucket + 1
+        while (g < b) { out += Out(key, g, 0L, st.lastV); g += 1 }
+        st = OpenBucket(b, e.ts_micros, e.event_id, e.value, 1L)
+      } // else: event-time regression across batches — dropped (see doc)
+    }
+    if (st != null) state.update(st)
+    out.iterator
+  }
+
+  /** Drive a JSON observation stream through the stateful resampler into
+    * `outDir` (one closed-bucket row per emission, append-only). */
+  def run(spark: SparkSession, obsDir: String, outDir: String,
+          checkpointDir: String, bucketMicros: Long): StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("key", LongType, nullable = false),
+      StructField("ts_micros", LongType, nullable = false),
+      StructField("event_id", LongType, nullable = false),
+      StructField("value", DoubleType, nullable = false)))
+    val stream = spark.readStream.schema(schema).json(obsDir).as[Obs]
+    val closed: Dataset[Out] = stream
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(update(bucketMicros))
+    val q = closed.toDF()
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

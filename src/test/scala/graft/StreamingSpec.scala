@@ -809,6 +809,48 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == Set((1L, 3L, 69L)), s"unexpected final MV: $streamed")
   }
 
+  test("streaming resample: closed buckets across batches equal the batch rebuild minus open tails (extension)") {
+    import graft.streaming.StreamResample
+    val hour = 3600L * 1000000L
+    val dir = tmp(); val obs = s"$dir/obs"; new java.io.File(obs).mkdirs()
+    // batch 1: key 1 — an equal-ts pair in hour 0 (id tiebreak) then an
+    // hour-2 event that closes hour 0 and the hour-1 gap
+    Files.writeString(java.nio.file.Paths.get(s"$obs/b1.json"),
+      s"""{"key":1,"ts_micros":${0 * hour + 600}, "event_id":1,"value":1.0}
+         |{"key":1,"ts_micros":${0 * hour + 600}, "event_id":2,"value":2.0}
+         |{"key":1,"ts_micros":${2 * hour + 60}, "event_id":3,"value":3.0}
+         |""".stripMargin)
+    // batch 2: key 1 jumps to hour 5 (closes 2, gaps 3-4 carry 3.0 across
+    // the BATCH BOUNDARY from managed state); key 2 starts fresh
+    Files.writeString(java.nio.file.Paths.get(s"$obs/b2.json"),
+      s"""{"key":1,"ts_micros":${5 * hour + 60}, "event_id":4,"value":4.0}
+         |{"key":2,"ts_micros":${1 * hour + 60}, "event_id":10,"value":9.0}
+         |{"key":2,"ts_micros":${2 * hour + 60}, "event_id":11,"value":8.0}
+         |""".stripMargin)
+    StreamResample.run(spark, obs, s"$dir/out", s"$dir/ckpt", hour)
+    val streamed = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == Set(
+      (1L, 0L, 2L, 2.0), (1L, 1L, 0L, 2.0), (1L, 2L, 1L, 3.0),
+      (1L, 3L, 0L, 3.0), (1L, 4L, 0L, 3.0),
+      (2L, 1L, 1L, 9.0)), s"streamed: $streamed")
+    // and that set IS the batch rebuild minus each key's open (final) bucket
+    import spark.implicits._
+    val all = Seq(
+      (1L, 0L * hour + 600, 1L, 1.0), (1L, 0L * hour + 600, 2L, 2.0),
+      (1L, 2L * hour + 60, 3L, 3.0), (1L, 5L * hour + 60, 4L, 4.0),
+      (2L, 1L * hour + 60, 10L, 9.0), (2L, 2L * hour + 60, 11L, 8.0))
+      .toDF("user_id", "tsm", "event_id", "value")
+      .withColumn("ts", timestamp_micros(col("tsm")))
+    val batch = graft.ext.Windows.resampleFfill(all)
+      .select(col("key"), (unix_micros(col("bucket")) / hour).cast("long").as("b"),
+        col("n_obs"), col("value_ffill"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val open = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val batchClosed = batch.filterNot(r => open(r._1) == r._2).toSet
+    assert(streamed == batchClosed, s"stream != batch-minus-open:\n$streamed\n$batchClosed")
+  }
+
   test("streaming near-dup ingest: each micro-batch dedupes against the stored corpus (extension)") {
     import org.apache.spark.sql.types._
     val dir = tmp(); val log = s"$dir/docs"; new java.io.File(log).mkdirs()
