@@ -208,6 +208,7 @@ object SparkEntryLay {
       val exact = Sketches.pairJaccardExact(items, "shard")
       est.join(exact, Seq("g_a", "g_b"))
         .select("g_a", "g_b", "n_topk", "est_common", "est_jaccard_ppm",
+          "est_only_a", "est_only_b", "est_only_a_ppm", "est_only_b_ppm",
           "n_inter", "n_union", "exact_jaccard_ppm")
     }
   )
@@ -333,7 +334,9 @@ object SparkEntryLay {
         "max(CASE WHEN s.shard = p.g_b THEN 1 ELSE 0 END) AS in_b " +
         "FROM pairs p JOIN sk s ON s.shard = p.g_a OR s.shard = p.g_b GROUP BY 1, 2, 3), " +
         "topu AS (SELECT *, row_number() OVER (PARTITION BY g_a, g_b ORDER BY h) AS rk FROM uni), " +
-        s"est AS (SELECT g_a, g_b, CAST(count(*) AS BIGINT) AS n_topk, CAST(sum(in_a * in_b) AS BIGINT) AS est_common FROM topu WHERE rk <= $KmvK GROUP BY 1, 2), " +
+        s"est AS (SELECT g_a, g_b, CAST(count(*) AS BIGINT) AS n_topk, CAST(sum(in_a * in_b) AS BIGINT) AS est_common, " +
+        "CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS est_only_a, CAST(sum(in_b * (1 - in_a)) AS BIGINT) AS est_only_b " +
+        s"FROM topu WHERE rk <= $KmvK GROUP BY 1, 2), " +
         // exact side mirrors Sketches.pairJaccardExact: one h-keyed
         // self-join for intersections, inclusion-exclusion for unions
         "sizes AS (SELECT shard, CAST(count(*) AS BIGINT) AS n FROM hs GROUP BY shard), " +
@@ -344,6 +347,9 @@ object SparkEntryLay {
         "FROM pairs p LEFT JOIN inter i USING (g_a, g_b) " +
         "JOIN sizes sa ON sa.shard = p.g_a JOIN sizes sb ON sb.shard = p.g_b) " +
         "SELECT e.g_a, e.g_b, e.n_topk, e.est_common, (1000000 * e.est_common) // e.n_topk AS est_jaccard_ppm, " +
+        "e.est_only_a, e.est_only_b, " +
+        "(1000000 * e.est_only_a) // e.n_topk AS est_only_a_ppm, " +
+        "(1000000 * e.est_only_b) // e.n_topk AS est_only_b_ppm, " +
         "x.n_inter, x.n_union, (1000000 * x.n_inter) // x.n_union AS exact_jaccard_ppm " +
         "FROM est e JOIN exact x USING (g_a, g_b)")
   )

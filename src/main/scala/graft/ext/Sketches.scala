@@ -163,8 +163,14 @@ object Sketches {
     uni.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k)
       .groupBy("g_a", "g_b")
       .agg(count(lit(1)).as("n_topk"),
-        sum(col("in_a") * col("in_b")).as("est_common"))
+        sum(col("in_a") * col("in_b")).as("est_common"),
+        // the rest of the set algebra from the same union sample:
+        // members in exactly one sketch estimate the differences A∖B / B∖A
+        sum(col("in_a") * (lit(1L) - col("in_b"))).as("est_only_a"),
+        sum(col("in_b") * (lit(1L) - col("in_a"))).as("est_only_b"))
       .withColumn("est_jaccard_ppm", expr("(1000000 * est_common) DIV n_topk"))
+      .withColumn("est_only_a_ppm", expr("(1000000 * est_only_a) DIV n_topk"))
+      .withColumn("est_only_b_ppm", expr("(1000000 * est_only_b) DIV n_topk"))
   }
 
   /** Exact pairwise Jaccard over the full distinct (group, h) relation —
