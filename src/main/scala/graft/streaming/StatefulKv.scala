@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** The changelog upsert as STATEFUL streaming — the
   * `mapGroupsWithState` formulation of ST3, complementing
@@ -36,24 +36,15 @@ object StatefulKv {
   }
 
   /** Run the changelog through managed state, emitting one update row per
-    * changed key per batch to `outDir`. */
+    * changed key per batch to `outDir` (shared [[StreamDrive]] loop). */
   def run(spark: SparkSession, changelogDir: String, outDir: String,
-          checkpointDir: String): StreamingQuery = {
-    import spark.implicits._
-    val stream = spark.readStream.schema(Ingest.changelogSchema).json(changelogDir)
-      .as[Change]
-    val updates: Dataset[KvUpdate] = stream
-      .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateKey)
-    val q = updates.toDF()
-      .writeStream
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir)
-      .format("parquet")
-      .option("path", outDir)
-      .start()
-    q.awaitTermination()
-    q
-  }
+          checkpointDir: String): StreamingQuery =
+    StreamDrive.jsonToParquet(spark, Ingest.changelogSchema, changelogDir,
+      outDir, checkpointDir) { df =>
+      import spark.implicits._
+      val updates: Dataset[KvUpdate] = df.as[Change]
+        .groupByKey(_.key)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateKey)
+      updates.toDF()
+    }
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** The streaming form of [[graft.ext.Windows.resampleFfill]]: closed grid
   * buckets stream out of managed state instead of a batch grid join —
@@ -17,7 +17,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * exactly once, when the key's timeline passes it; the currently-open
   * bucket is not yet visible (its winner could still change) — so the
   * streamed output equals the batch rebuild MINUS each key's final
-  * bucket, which StreamResampleSpec pins across batch boundaries.
+  * bucket, which StreamingSpec pins across a REAL micro-batch boundary
+  * (maxFilesPerTrigger = 1 forces state to survive batches).
+  *
+  * Bucketing is epoch-aligned (`floorDiv(ts, bucketMicros)`), which
+  * coincides with the batch form's `date_trunc` exactly when the session
+  * timezone is UTC — the convention every entry point of this engine
+  * pins (Verify/Bench/tests) — so [[run]] REQUIRES it rather than
+  * silently diverging in an offset zone (where `date_trunc('hour')`
+  * truncates to :30 boundaries floorDiv knows nothing about).
   *
   * PRECONDITION (same as [[Ingest.applyBatch]]): per-key event-time order
   * must hold ACROSS batches (within a batch, events are sorted here); an
@@ -40,10 +48,13 @@ object StreamResample {
       if (st == null) {
         st = OpenBucket(b, e.ts_micros, e.event_id, e.value, 1L)
       } else if (b == st.bucket) {
-        // same (ts, id) ordering as the batch form's max(struct(...)):
-        // the later observation wins the bucket
+        // the same LEXICOGRAPHIC (ts, id, value) ordering as the batch
+        // form's max(struct(t, i, v)) — value included, so even a full
+        // (ts, id) collision (a replayed/corrected event) resolves
+        // identically in both forms instead of by encounter order
         val wins = e.ts_micros > st.lastTs ||
-          (e.ts_micros == st.lastTs && e.event_id > st.lastId)
+          (e.ts_micros == st.lastTs && (e.event_id > st.lastId ||
+            (e.event_id == st.lastId && e.value > st.lastV)))
         st = if (wins)
           OpenBucket(b, e.ts_micros, e.event_id, e.value, st.nObs + 1)
         else st.copy(nObs = st.nObs + 1)
@@ -59,30 +70,29 @@ object StreamResample {
   }
 
   /** Drive a JSON observation stream through the stateful resampler into
-    * `outDir` (one closed-bucket row per emission, append-only). */
+    * `outDir` (one closed-bucket row per emission, append-only).
+    * `maxFilesPerTrigger` lets tests force multi-batch consumption so the
+    * cross-batch state carry-over is actually exercised. */
   def run(spark: SparkSession, obsDir: String, outDir: String,
-          checkpointDir: String, bucketMicros: Long): StreamingQuery = {
+          checkpointDir: String, bucketMicros: Long,
+          maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     import spark.implicits._
     import org.apache.spark.sql.types._
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "StreamResample's epoch-aligned buckets match resampleFfill's " +
+        "date_trunc only under the engine's pinned-UTC convention")
     val schema = StructType(Seq(
       StructField("key", LongType, nullable = false),
       StructField("ts_micros", LongType, nullable = false),
       StructField("event_id", LongType, nullable = false),
       StructField("value", DoubleType, nullable = false)))
-    val stream = spark.readStream.schema(schema).json(obsDir).as[Obs]
-    val closed: Dataset[Out] = stream
-      .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(update(bucketMicros))
-    val q = closed.toDF()
-      .writeStream
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir)
-      .format("parquet")
-      .option("path", outDir)
-      .start()
-    q.awaitTermination()
-    q
+    StreamDrive.jsonToParquet(spark, schema, obsDir, outDir, checkpointDir,
+      maxFilesPerTrigger) { df =>
+      val closed: Dataset[Out] = df.as[Obs]
+        .groupByKey(_.key)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.NoTimeout())(update(bucketMicros))
+      closed.toDF()
+    }
   }
 }

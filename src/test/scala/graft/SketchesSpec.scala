@@ -133,7 +133,31 @@ class SketchesSpec extends SparkSpec {
         assert(math.abs(est(pair) - x) < 250000L,
           s"pair $pair: est ${est(pair)} vs exact $x ppm")
       }
+      // the union sample partitions: every top-k member is in exactly one
+      // of {both, only-A, only-B}
+      Sketches.kmvPairJaccard(kmv, "shard", k).collect().foreach { r =>
+        assert(r.getAs[Long]("est_common") + r.getAs[Long]("est_only_a") +
+          r.getAs[Long]("est_only_b") == r.getAs[Long]("n_topk"), r.toString)
+      }
     } finally items.unpersist()
+  }
+
+  test("kmv difference estimates: sub-k groups are exact and sides are not swapped") {
+    import spark.implicits._
+    // A = {1..40}, B = {1..10}: A∖B = 30, B∖A = 0 — both groups under k,
+    // so the union sample IS the union and the estimates are EXACT; a
+    // swapped est_only_a/est_only_b (mirrored identically in the oracle)
+    // would fail here against ground truth
+    val items = ((1L to 40L).map(h => (0L, h)) ++ (1L to 10L).map(h => (1L, h)))
+      .toDF("g", "h")
+    val kmv = Sketches.kmvTable(items, col("h"), "g", 64)
+    val r = Sketches.kmvPairJaccard(kmv, "g", 64).collect().head
+    assert((r.getAs[Long]("g_a"), r.getAs[Long]("g_b")) == ((0L, 1L)))
+    assert(r.getAs[Long]("n_topk") == 40L)
+    assert(r.getAs[Long]("est_common") == 10L)
+    assert(r.getAs[Long]("est_only_a") == 30L, "A-side difference wrong or swapped")
+    assert(r.getAs[Long]("est_only_b") == 0L, "B-side difference wrong or swapped")
+    assert(r.getAs[Long]("est_jaccard_ppm") == 1000000L * 10 / 40)
   }
 
   test("histogram sketch: bin-sum merge law; quantile estimates within one bin of exact") {

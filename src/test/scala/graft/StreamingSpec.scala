@@ -827,7 +827,14 @@ class StreamingSpec extends SparkSpec {
          |{"key":2,"ts_micros":${1 * hour + 60}, "event_id":10,"value":9.0}
          |{"key":2,"ts_micros":${2 * hour + 60}, "event_id":11,"value":8.0}
          |""".stripMargin)
-    StreamResample.run(spark, obs, s"$dir/out", s"$dir/ckpt", hour)
+    // maxFilesPerTrigger=1 forces b1/b2 into SEPARATE micro-batches: the
+    // hour-3/4 gap fill and the carry of 3.0 genuinely cross a batch
+    // boundary through managed state
+    StreamResample.run(spark, obs, s"$dir/out", s"$dir/ckpt", hour,
+      maxFilesPerTrigger = Some(1))
+    val nBatches = new java.io.File(s"$dir/ckpt/offsets").list()
+      .count(!_.startsWith("."))
+    assert(nBatches >= 2, s"expected >=2 micro-batches, got $nBatches")
     val streamed = spark.read.parquet(s"$dir/out").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(streamed == Set(
