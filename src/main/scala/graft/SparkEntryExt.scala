@@ -671,6 +671,15 @@ object SparkEntryExt {
       Curation.stratifiedSample(Tables.documents(s, dir))
         .select("doc_id", "lang", "rk")
     },
+    "x_weighted_sample" -> { (s, dir) =>
+      // quality-weighted selection: high-resource languages draw more
+      // priorities (min-of-w trick — integer A-ES), so P(selected) is
+      // exactly proportional to weight with zero float anywhere
+      val w = when(col("lang") === "en", 4)
+        .when(col("lang").isin("de", "fr"), 2).otherwise(1)
+      Curation.weightedSample(Tables.documents(s, dir), w)
+        .select("doc_id", "lang", "w", "priority", "rk")
+    },
     "x_pack_sequences" -> { (s, dir) =>
       Curation.packSequences(Tables.documents(s, dir))
     },
@@ -1486,6 +1495,21 @@ object SparkEntryExt {
       (s"SELECT ${seedHashSql(graft.ext.Curation.ShardSeed.toString, "CAST(doc_id AS VARCHAR)")} % 64 AS shard, " +
         "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
         "min(doc_id) AS min_doc, max(doc_id) AS max_doc FROM documents GROUP BY 1"),
+
+    // mirrors Curation.weightedSample: per-j draw = md5 hash of
+    // "seed|doc_id|j", masked to MaxValue when j > w, least-folded
+    "x_weighted_sample" -> {
+      val maxLong = Long.MaxValue
+      val drawsSql = (1 to 8).map { j =>
+        s"CASE WHEN $j <= w THEN ${seedHashSql(graft.ext.Curation.WeightSeed.toString, s"CAST(doc_id AS VARCHAR) || '|$j'")} ELSE $maxLong END"
+      }.mkString("least(", ", ", ")")
+      "WITH t AS (SELECT doc_id, lang, CASE WHEN lang = 'en' THEN 4 " +
+        "WHEN lang IN ('de', 'fr') THEN 2 ELSE 1 END AS w FROM documents), " +
+        s"p AS (SELECT doc_id, lang, CAST(w AS BIGINT) AS w, $drawsSql AS priority FROM t) " +
+        "SELECT doc_id, lang, w, priority, " +
+        "CAST(row_number() OVER (ORDER BY priority, doc_id) AS BIGINT) AS rk " +
+        "FROM p QUALIFY rk <= 50"
+    },
 
     "x_stratified_sample" ->
       (s"SELECT doc_id, lang, row_number() OVER (PARTITION BY lang " +

@@ -42,6 +42,7 @@ object Curation {
   val ShardSeed = 13
   val StratSeed = 17
   val PackOrderSeed = 19
+  val WeightSeed = 23
 
   /** 2^60 — the hash space of [[TextFunctions.seededHash]] (15 hex digits). */
   val HashSpace: Long = 1L << 60
@@ -278,6 +279,50 @@ object Curation {
       .withColumn("__lrk", row_number().over(local)).where(col("__lrk") <= k)
       .withColumn("rk", row_number().over(global).cast("long")).where(col("rk") <= k)
       .drop("__h", "__pid", "__lrk")
+  }
+
+  /** Deterministic weighted sampling without replacement (the
+    * quality-weighted corpus selector: upweight high-value documents
+    * without a separate high-resource pass): a row with integer weight w
+    * draws w independent content-hash priorities and keeps the MINIMUM;
+    * for any two rows, P(A's priority beats B's) = w_A / (w_A + w_B) —
+    * selection exactly proportional to weight — which is the
+    * "min of w exponentials" weighted-reservoir trick (Efraimidis &
+    * Spirakis's A-ES family) restated in INTEGER hash space, so there is
+    * no `pow(u, 1/w)` float for engines to disagree on and the DuckDB
+    * oracle replays every draw. Weights are bounded small integers
+    * (`maxW`): the draw fan-out is a fixed-width codegen'd `least` chain,
+    * O(maxW) per row, zero shuffle until the top-k.
+    *
+    * Selection is the global k smallest priorities via the SAME two-phase
+    * rank contract as [[stratifiedSample]] (pre-rank within the physical
+    * partition, final rank over ≤ partitions·k survivors — the corpus
+    * never funnels one window task), reproducible under any partitioning
+    * and across retries like every sampler here. */
+  def weightedSample(docs: DataFrame, weight: Column, k: Int = 50,
+                     maxW: Int = 8, idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxW >= 1, s"maxW must be >= 1, got $maxW")
+    val draws = (1 to maxW).map { j =>
+      when(lit(j) <= weight, TextFunctions.seededHash(
+        concat_ws("|", col(idCol).cast("string"), lit(j)), WeightSeed))
+        .otherwise(lit(Long.MaxValue))
+    }
+    val priority = draws.reduce((a, b) => least(a, b))
+    val local = Window.partitionBy(col("__pid")).orderBy(col("priority"), col(idCol))
+    // constant partition key: ONE bounded group (≤ partitions·k rows) by
+    // construction — and no spurious WindowExec single-partition warning
+    val global = Window.partitionBy(lit(0)).orderBy(col("priority"), col(idCol))
+    // withColumn REPLACES a same-named source column, so an input that
+    // already carries a "w" cannot make the output ambiguous
+    docs.withColumn("w", weight.cast("long"))
+      .withColumn("priority", priority)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrk", row_number().over(local)).where(col("__lrk") <= k)
+      // ≤ partitions·k survivors reach this single-task final rank — the
+      // same bounded-input exception stratifiedSample documents
+      .withColumn("rk", row_number().over(global).cast("long")).where(col("rk") <= k)
+      .drop("__pid", "__lrk")
   }
 
   /** Sequence packing for training export: concatenate each shard's

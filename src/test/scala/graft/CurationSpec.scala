@@ -164,4 +164,34 @@ class CurationSpec extends SparkSpec {
       .where(col("sub_n") > coalesce(col("n_docs"), lit(0L)))
     assert(joined.isEmpty, "subset shard counts exceeded full-corpus counts")
   }
+
+  test("weightedSample: partition-invariant, priority = min of the row's w draws, w=1 degenerates") {
+    import graft.functions.TextFunctions
+    val rows = (1L to 200L).map(i => (i, if (i % 3 == 0) 4 else 1)).toDF("doc_id", "w")
+    def sel(df: org.apache.spark.sql.DataFrame) =
+      Curation.weightedSample(df, col("w"), k = 20, idCol = "doc_id")
+        .select("doc_id", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // deterministic under any physical partitioning
+    assert(sel(rows) == sel(rows.repartition(7)), "selection depends on partitioning")
+    // mechanics: a row's priority IS the min of its w content-hash draws
+    val got = Curation.weightedSample(rows, col("w"), k = 200, idCol = "doc_id")
+      .select("doc_id", "w", "priority").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (id, w, p) =>
+      val manual = (1 to w.toInt).map { j =>
+        spark.range(1).select(TextFunctions.seededHash(
+          lit(s"$id|$j"), Curation.WeightSeed).as("h")).head().getLong(0)
+      }.min
+      assert(p == manual, s"doc $id (w=$w): priority $p != manual $manual")
+    }
+    // all-w=1 reduces to plain min-hash order (one draw per row)
+    val flat = (1L to 50L).map(i => (i, 1)).toDF("doc_id", "w")
+    val viaWeighted = Curation.weightedSample(flat, col("w"), k = 10, idCol = "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaSingleDraw = flat.select(col("doc_id"),
+      TextFunctions.seededHash(concat_ws("|", col("doc_id").cast("string"), lit(1)),
+        Curation.WeightSeed).as("h"))
+      .orderBy("h", "doc_id").limit(10).collect().map(_.getLong(0)).toSet
+    assert(viaWeighted == viaSingleDraw, "w=1 must equal unweighted min-hash selection")
+  }
 }
