@@ -1505,7 +1505,9 @@ object SparkEntryExt {
       }.mkString("least(", ", ", ")")
       "WITH t AS (SELECT doc_id, lang, CASE WHEN lang = 'en' THEN 4 " +
         "WHEN lang IN ('de', 'fr') THEN 2 ELSE 1 END AS w FROM documents), " +
-        s"p AS (SELECT doc_id, lang, CAST(w AS BIGINT) AS w, $drawsSql AS priority FROM t) " +
+        // mirrors the operator's domain gate (NULL id / sub-1 weight
+        // excluded) — vacuous on this fixture, load-bearing on a dirty one
+        s"p AS (SELECT doc_id, lang, CAST(w AS BIGINT) AS w, $drawsSql AS priority FROM t WHERE doc_id IS NOT NULL AND w >= 1) " +
         "SELECT doc_id, lang, w, priority, " +
         "CAST(row_number() OVER (ORDER BY priority, doc_id) AS BIGINT) AS rk " +
         "FROM p QUALIFY rk <= 50"

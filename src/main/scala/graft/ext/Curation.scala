@@ -267,18 +267,31 @@ object Curation {
     * tasks. */
   def stratifiedSample(docs: DataFrame, groupCol: String = "lang", k: Int = 20,
                        idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val h = TextFunctions.seededHash(col(idCol).cast("string"), StratSeed)
-    val local = Window.partitionBy(col(groupCol), col("__pid"))
-      .orderBy(col("__h"), col(idCol))
-    val global = Window.partitionBy(col(groupCol)).orderBy(col("__h"), col(idCol))
-    // the survivor SET depends on physical partitioning, but any k globally
-    // smallest rows are also top-k within their own partition, so the final
-    // ranking's OUTPUT does not
-    docs.withColumn("__h", h).withColumn("__pid", spark_partition_id())
+    twoPhaseTopK(docs.withColumn("__h", h), Seq(col(groupCol)),
+      Seq(col("__h"), col(idCol)), k).drop("__h")
+  }
+
+  /** The shared two-phase smallest-k rank: phase one ranks within
+    * (partKeys, physical partition) — a partition-key group never
+    * serializes onto one task — and only the ≤ partitions·k per-group
+    * survivors reach the final group-wide ranking (a bounded input, so
+    * an empty `partKeys` final phase is ONE bounded task, declared via a
+    * constant partition key). The survivor SET depends on physical
+    * partitioning, but any k globally smallest rows are also top-k
+    * within their own partition, so the OUTPUT does not — the
+    * invariant [[stratifiedSample]] and [[weightedSample]] both lean on,
+    * stated once. Emits `rk` (1-based, ≤ k per group). */
+  private def twoPhaseTopK(df: DataFrame, partKeys: Seq[Column],
+                           order: Seq[Column], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val local = Window.partitionBy(partKeys :+ col("__pid"): _*).orderBy(order: _*)
+    val globalKeys: Seq[Column] = if (partKeys.nonEmpty) partKeys else Seq(lit(0))
+    val global = Window.partitionBy(globalKeys: _*).orderBy(order: _*)
+    df.withColumn("__pid", spark_partition_id())
       .withColumn("__lrk", row_number().over(local)).where(col("__lrk") <= k)
       .withColumn("rk", row_number().over(global).cast("long")).where(col("rk") <= k)
-      .drop("__h", "__pid", "__lrk")
+      .drop("__pid", "__lrk")
   }
 
   /** Deterministic weighted sampling without replacement (the
@@ -294,35 +307,36 @@ object Curation {
     * (`maxW`): the draw fan-out is a fixed-width codegen'd `least` chain,
     * O(maxW) per row, zero shuffle until the top-k.
     *
-    * Selection is the global k smallest priorities via the SAME two-phase
-    * rank contract as [[stratifiedSample]] (pre-rank within the physical
-    * partition, final rank over ≤ partitions·k survivors — the corpus
-    * never funnels one window task), reproducible under any partitioning
-    * and across retries like every sampler here. */
+    * Weight domain, enforced not assumed: a weight under 1 (or NULL, or
+    * a NULL id — which the oracle's string concat would hash differently)
+    * means probability 0 and the row is EXCLUDED; a weight above `maxW`
+    * would be silently truncated to maxW draws — breaking the
+    * proportionality guarantee — so it raises instead. Selection is the
+    * global k smallest priorities via the shared [[twoPhaseTopK]]
+    * contract, reproducible under any partitioning and across retries
+    * like every sampler here. */
   def weightedSample(docs: DataFrame, weight: Column, k: Int = 50,
                      maxW: Int = 8, idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(maxW >= 1, s"maxW must be >= 1, got $maxW")
     val draws = (1 to maxW).map { j =>
       when(lit(j) <= weight, TextFunctions.seededHash(
         concat_ws("|", col(idCol).cast("string"), lit(j)), WeightSeed))
         .otherwise(lit(Long.MaxValue))
     }
-    val priority = draws.reduce((a, b) => least(a, b))
-    val local = Window.partitionBy(col("__pid")).orderBy(col("priority"), col(idCol))
-    // constant partition key: ONE bounded group (≤ partitions·k rows) by
-    // construction — and no spurious WindowExec single-partition warning
-    val global = Window.partitionBy(lit(0)).orderBy(col("priority"), col(idCol))
+    // the over-max guard lives INSIDE the priority expression (a separate
+    // assert column would be pruned away as unused)
+    val priority = when(weight > maxW, raise_error(concat(
+      lit(s"weightedSample: weight "), weight.cast("string"),
+      lit(s" exceeds maxW=$maxW — draws would truncate and break proportionality")))
+      .cast("long"))
+      .otherwise(draws.reduce((a, b) => least(a, b)))
     // withColumn REPLACES a same-named source column, so an input that
     // already carries a "w" cannot make the output ambiguous
-    docs.withColumn("w", weight.cast("long"))
-      .withColumn("priority", priority)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__lrk", row_number().over(local)).where(col("__lrk") <= k)
-      // ≤ partitions·k survivors reach this single-task final rank — the
-      // same bounded-input exception stratifiedSample documents
-      .withColumn("rk", row_number().over(global).cast("long")).where(col("rk") <= k)
-      .drop("__pid", "__lrk")
+    twoPhaseTopK(
+      docs.where(col(idCol).isNotNull && weight >= 1)
+        .withColumn("w", weight.cast("long"))
+        .withColumn("priority", priority),
+      Seq.empty, Seq(col("priority"), col(idCol)), k)
   }
 
   /** Sequence packing for training export: concatenate each shard's

@@ -174,15 +174,28 @@ class CurationSpec extends SparkSpec {
     // deterministic under any physical partitioning
     assert(sel(rows) == sel(rows.repartition(7)), "selection depends on partitioning")
     // mechanics: a row's priority IS the min of its w content-hash draws
+    // (re-derived in ONE job over the exploded (doc_id, j) pairs — not a
+    // per-row driver loop of Spark actions)
     val got = Curation.weightedSample(rows, col("w"), k = 200, idCol = "doc_id")
-      .select("doc_id", "w", "priority").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    got.foreach { case (id, w, p) =>
-      val manual = (1 to w.toInt).map { j =>
-        spark.range(1).select(TextFunctions.seededHash(
-          lit(s"$id|$j"), Curation.WeightSeed).as("h")).head().getLong(0)
-      }.min
-      assert(p == manual, s"doc $id (w=$w): priority $p != manual $manual")
+      .select("doc_id", "priority").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val manual = rows
+      .select(col("doc_id"), explode(sequence(lit(1), col("w"))).as("j"))
+      .select(col("doc_id"), TextFunctions.seededHash(
+        concat_ws("|", col("doc_id").cast("string"), col("j").cast("string")),
+        Curation.WeightSeed).as("h"))
+      .groupBy("doc_id").agg(min("h").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == manual, "priority != min of the row's w draws")
+    // domain gate: probability-0 rows (w < 1) are excluded, and a weight
+    // past maxW raises instead of silently truncating its draws
+    val withZero = ((1L to 5L).map(i => (i, 1)) :+ ((99L, 0))).toDF("doc_id", "w")
+    val zeroSel = Curation.weightedSample(withZero, col("w"), k = 10, idCol = "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!zeroSel.contains(99L) && zeroSel == (1L to 5L).toSet)
+    val over = Seq((1L, 9)).toDF("doc_id", "w")
+    intercept[Exception] {
+      Curation.weightedSample(over, col("w"), k = 1, idCol = "doc_id").collect()
     }
     // all-w=1 reduces to plain min-hash order (one draw per row)
     val flat = (1L to 50L).map(i => (i, 1)).toDF("doc_id", "w")
