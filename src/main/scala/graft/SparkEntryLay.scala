@@ -258,8 +258,11 @@ object SparkEntryLay {
 
   private def fkAuditLegSql(rel: String, child: String, childKey: String,
                             parentSub: String, parentKey: String): String =
+    // NULL child keys are "optional FK unset", not orphans — reported in
+    // their own column (mirrors Audit.fkOrphans' convention)
     s"SELECT '$rel' AS relationship, CAST(count(*) AS BIGINT) AS n_child, " +
-      s"CAST(sum(CASE WHEN p.$parentKey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans " +
+      s"CAST(sum(CASE WHEN c.$childKey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_keys, " +
+      s"CAST(sum(CASE WHEN c.$childKey IS NOT NULL AND p.$parentKey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans " +
       s"FROM $child c LEFT JOIN (SELECT DISTINCT $parentKey FROM $parentSub) p " +
       s"ON p.$parentKey = c.$childKey"
 

@@ -45,21 +45,31 @@ object Audit {
   }
 
   /** Referential-integrity sweep: orphan count for one child→parent
-    * relationship. One left-anti join on the key — broadcast when the
+    * relationship. One left-outer join on the key — broadcast when the
     * parent's key column is dimension-sized, shuffle-hash/SMJ otherwise
     * (Catalyst's call); the result is one row of bounded metadata per
-    * relationship, so a full star-schema audit is a union of these. */
+    * relationship, so a full star-schema audit is a union of these.
+    *
+    * NULL convention: a NULL child key is an OPTIONAL FK left unset, not
+    * a dangling reference — NULL never equi-joins, so counting it as an
+    * orphan would conflate "not set" with "referenced parent missing".
+    * `n_orphans` therefore counts only NON-NULL keys with no parent, and
+    * NULL keys are reported separately as `n_null_keys` so a nullable-FK
+    * table's audit row still surfaces them. */
   def fkOrphans(rel: String, child: DataFrame, childKey: String,
                 parent: DataFrame, parentKey: String): DataFrame = {
     val p = parent.select(col(parentKey).as("__k")).distinct()
       .withColumn("__present", lit(1))
-    // one outer join + one agg yields child count AND orphan count in a
+    // one outer join + one agg yields child/null/orphan counts in a
     // single pass (a separate anti-join + count pair would need a 1-row
     // join to reassemble — a nested-loop shape PlanAuditSpec bans)
     child.select(col(childKey).as("__k"))
       .join(p, Seq("__k"), "left")
       .agg(count(lit(1)).as("n_child"),
-        sum(when(col("__present").isNull, 1L).otherwise(0L)).as("n_orphans"))
-      .select(lit(rel).as("relationship"), col("n_child"), col("n_orphans"))
+        sum(when(col("__k").isNull, 1L).otherwise(0L)).as("n_null_keys"),
+        sum(when(col("__k").isNotNull && col("__present").isNull, 1L)
+          .otherwise(0L)).as("n_orphans"))
+      .select(lit(rel).as("relationship"), col("n_child"),
+        col("n_null_keys"), col("n_orphans"))
   }
 }

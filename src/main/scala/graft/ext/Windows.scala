@@ -71,20 +71,40 @@ object Windows {
     *
     * Output: `(key, bucket, n_obs, value_ffill)`; the first grid bucket
     * always holds an observation (the grid starts at the key's first
-    * event), so `value_ffill` is never NULL. */
+    * event), so `value_ffill` is never NULL.
+    *
+    * Corrupt-data guard: the per-key grid is bounded by the observed ts
+    * SPAN, so one bad far-future timestamp would otherwise explode an
+    * enormous `sequence` (Spark hard-errors past ~2^31 elements, and the
+    * job drowns well before that). A key whose span exceeds
+    * `maxGridBuckets` buckets FAILS the job loudly (`assert_true` naming
+    * the key) instead of materializing garbage — batch can fail-and-fix,
+    * and silent truncation would misreport the series as complete. The
+    * streaming form ([[graft.streaming.StreamResample]]) must instead
+    * DROP such events (append mode can never retract), so the two guards
+    * differ deliberately. */
   def resampleFfill(events: DataFrame, keyCol: String = "user_id",
                     tsCol: String = "ts", idCol: String = "event_id",
-                    valCol: String = "value", unit: String = "hour"): DataFrame = {
+                    valCol: String = "value", unit: String = "hour",
+                    maxGridBuckets: Long = 1000000L): DataFrame = {
     val agg = events
       .select(col(keyCol).as("key"), date_trunc(unit, col(tsCol)).as("bucket"),
         struct(col(tsCol).as("t"), col(idCol).as("i"), col(valCol).as("v")).as("__m"))
       .groupBy("key", "bucket")
       .agg(count(lit(1)).as("n_obs"), max(col("__m")).as("__last"))
       .select(col("key"), col("bucket"), col("n_obs"), col("__last.v").as("obs"))
+    // assert_true is NULL when the span is in bounds (so mx passes
+    // through untouched) and throws otherwise; routing mx THROUGH the
+    // guard keeps Catalyst from pruning the assertion away
+    val spanOk = assert_true(
+      col("mx") <= col("mn") + expr(s"interval $maxGridBuckets $unit"),
+      concat(lit(s"resampleFfill: key "), col("key").cast("string"),
+        lit(s" spans more than $maxGridBuckets $unit buckets (corrupt timestamp?)")))
     val grid = agg.groupBy("key")
       .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
       .select(col("key"),
-        explode(expr(s"sequence(mn, mx, interval 1 $unit)")).as("bucket"))
+        explode(sequence(col("mn"), when(spanOk.isNull, col("mx")),
+          expr(s"interval 1 $unit"))).as("bucket"))
     val ffill = W.partitionBy(col("key")).orderBy(col("bucket"))
       .rowsBetween(W.unboundedPreceding, W.currentRow)
     grid.join(agg, Seq("key", "bucket"), "left")

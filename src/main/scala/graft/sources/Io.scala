@@ -37,12 +37,13 @@ object Io {
       // multiLine: quoted embedded newlines are data, not row breaks
       .option("multiLine", "true").csv(path)
 
-  // live parse registry: every readJsonlWithDlq persist is tracked per
-  // session so the Caches sweep can release it — a bare .persist() would
-  // pin one untracked relation per feed for the life of the session. NOT
-  // a plan-keyed memo: a feed directory GROWS between calls (append-only
-  // ingest), and a memoized first parse would silently serve stale rows;
-  // each call parses fresh and registers its own entry.
+  // live parse registry, kept for any future persist-based reader: the
+  // DLQ split no longer registers here (it localCheckpoints — lineage
+  // truncated, blocks freed by the ContextCleaner when the handles die),
+  // so the sweep below is currently a no-op retained for the Caches
+  // contract. NOT a plan-keyed memo either way: a feed directory GROWS
+  // between calls (append-only ingest), and a memoized first parse would
+  // silently serve stale rows.
   private val liveParses =
     new java.util.concurrent.ConcurrentLinkedQueue[(SparkSession, DataFrame)]()
 
@@ -61,10 +62,17 @@ object Io {
     * (`raw_line`) for replay after the producer is fixed — nothing is
     * lost and the job never fails on weather. The split must run off one
     * materialized read (the corrupt-record column is only populated
-    * during parsing, and a projection of it ALONE is rejected uncached —
-    * persist guarantees one shared pass); returns (good, dlq). Each call
-    * re-parses (feeds grow), and the persist is registered for the
-    * [[graft.Caches]] sweep. */
+    * during parsing, and a projection of it ALONE is rejected when the
+    * plan reaches back to the raw JSON source), so the parse is EAGERLY
+    * materialized with a lineage-truncating `localCheckpoint`: the
+    * returned (good, dlq) handles reference the checkpointed blocks, not
+    * the source — they stay executable no matter when a
+    * [[graft.Caches]] invalidate sweep runs (a persist-based split died
+    * with an AnalysisException if swept before first use). Each call
+    * re-parses (feeds grow); checkpoint blocks are released by Spark's
+    * ContextCleaner once the handles are unreachable. At cluster scale
+    * the materialization is a DLQ-split TABLE WRITE (good/dlq parquet),
+    * same shape, durable. */
   def readJsonlWithDlq(spark: SparkSession, path: String,
                        schema: StructType): (DataFrame, DataFrame) = {
     val corrupt = "_corrupt_record"
@@ -74,8 +82,7 @@ object Io {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corrupt)
       .json(path)
-      .persist()
-    liveParses.add((spark, raw))
+      .localCheckpoint(true)
     val good = raw.where(col(corrupt).isNull).drop(corrupt)
     val dlq = raw.where(col(corrupt).isNotNull)
       .select(col(corrupt).as("raw_line"))

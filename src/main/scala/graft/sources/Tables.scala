@@ -38,13 +38,21 @@ object Tables {
     * so normalize on the *observed* read schema rather than assuming one
     * layout:
     *   - LongType: nanos read via `spark.sql.legacy.parquet.nanosAsLong`
-    *     (set as a scoped read here, then truncated to micros — the same
-    *     truncation DuckDB applies casting timestamp_ns to TIMESTAMP);
+    *     (scoped: the conf is set only around an EAGER materialization of
+    *     the legacy read — `localCheckpoint` truncates the lineage so no
+    *     later lazy scan needs the conf — and restored in a finally, so
+    *     one legacy file can never flip a session-wide parquet setting
+    *     for unrelated reads; the nanos→micros truncation is the same one
+    *     DuckDB applies casting timestamp_ns to TIMESTAMP);
     *   - TimestampNTZType: cast to TimestampType — the session is pinned
     *     UTC, so the wall-clock instant is preserved and DuckDB's ntz read
     *     of the same file lines up;
     *   - TimestampType: pass through.
-    * The nanos conf is only touched when the nanos layout is actually seen.
+    * The nanos conf is only touched when the nanos layout is actually
+    * seen, and the materialized legacy read is memoized per (session,
+    * path) so the eager pass runs once, not per query. At 100 TB the
+    * legacy path is a one-time REWRITE job (normalize + write micros),
+    * not a per-query checkpoint — this is the local stand-in.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
@@ -58,15 +66,27 @@ object Tables {
       case Some(TimestampType)    => probe.get
       case Some(TimestampNTZType) => probe.get.withColumn("ts", col("ts").cast(TimestampType))
       case _ => // LongType probe or read rejection: legacy nanos layout.
-        // The conf must stay set for the lazy scan to execute, so it is
-        // left enabled — but only ever touched when this layout is seen.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = spark.read.parquet(path)
-        if (tsType(raw) == LongType)
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else raw
+        legacyEvents.computeIfAbsent((spark, path), _ => {
+          val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+          val prior = spark.conf.getOption(confKey)
+          spark.conf.set(confKey, "true")
+          try {
+            val raw = spark.read.parquet(path)
+            val norm =
+              if (tsType(raw) == LongType)
+                raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+              else raw
+            norm.localCheckpoint(eager = true) // lineage cut: conf no longer needed
+          } finally prior match {
+            case Some(v) => spark.conf.set(confKey, v)
+            case None    => spark.conf.unset(confKey)
+          }
+        })
     }
   }
+  // memo for the (rare) legacy-nanos layout's eager normalization
+  private val legacyEvents =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
 }

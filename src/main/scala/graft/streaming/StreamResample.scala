@@ -38,7 +38,23 @@ object StreamResample {
                         lastV: Double, nObs: Long)
   case class Out(key: Long, bucket: Long, n_obs: Long, value_ffill: Double)
 
+  /** Max gap buckets filled per bucket transition. A single corrupt
+    * far-future timestamp would otherwise make the gap loop materialize
+    * millions of rows into the per-group buffer (executor OOM) — and in
+    * append mode those rows could never be retracted. An event jumping
+    * more than this many buckets ahead of the open one is treated like
+    * the time-regression case: DROPPED (state unchanged), logged for the
+    * operator to route to a DLQ feed. Deliberate asymmetry with the batch
+    * form, which fails the job instead (see resampleFfill's scaladoc):
+    * batch can fail-and-fix, a stream must keep serving. */
+  val MaxGapBuckets: Long = 100000L
+
   def update(bucketMicros: Long)(key: Long, events: Iterator[Obs],
+             state: GroupState[OpenBucket]): Iterator[Out] =
+    update(bucketMicros, MaxGapBuckets)(key, events, state)
+
+  def update(bucketMicros: Long, maxGapBuckets: Long)(key: Long,
+             events: Iterator[Obs],
              state: GroupState[OpenBucket]): Iterator[Out] = {
     val sorted = events.toSeq.sortBy(e => (e.ts_micros, e.event_id))
     var st = state.getOption.orNull
@@ -58,6 +74,13 @@ object StreamResample {
         st = if (wins)
           OpenBucket(b, e.ts_micros, e.event_id, e.value, st.nObs + 1)
         else st.copy(nObs = st.nObs + 1)
+      } else if (b > st.bucket && b - st.bucket > maxGapBuckets) {
+        // corrupt far-future event: filling the gap would materialize
+        // b - st.bucket rows (unbounded) into the buffer — drop it,
+        // keep the open bucket (see MaxGapBuckets)
+        java.util.logging.Logger.getLogger(getClass.getName).warning(
+          s"StreamResample: dropped event (key=$key, id=${e.event_id}) " +
+            s"jumping ${b - st.bucket} buckets ahead (max $maxGapBuckets)")
       } else if (b > st.bucket) {
         out += Out(key, st.bucket, st.nObs, st.lastV)
         var g = st.bucket + 1

@@ -44,10 +44,21 @@ class AuditSpec extends SparkSpec {
     val parent = Seq(10L, 20L, 30L).toDF("k")
     val got = Audit.fkOrphans("child->parent", child, "fk", parent, "k")
       .collect().head
-    assert((got.getString(0), got.getLong(1), got.getLong(2)) ==
-      (("child->parent", 5L, 2L)))
+    assert((got.getString(0), got.getLong(1), got.getLong(2), got.getLong(3)) ==
+      (("child->parent", 5L, 0L, 2L)))
     val clean = Audit.fkOrphans("clean", child, "fk",
       child.select(col("fk")), "fk").collect().head
-    assert(clean.getLong(2) == 0L)
+    assert(clean.getLong(3) == 0L)
+  }
+
+  test("fk audit reports NULL child keys as unset, never as orphans") {
+    // optional-FK convention: NULL never equi-joins, so counting it as an
+    // orphan would conflate "not set" with "referenced parent missing"
+    val child = Seq((1L, Some(10L)), (2L, None), (3L, Some(99L)), (4L, None))
+      .toDF("id", "fk")
+    val parent = Seq(10L, 20L).toDF("k")
+    val got = Audit.fkOrphans("opt", child, "fk", parent, "k").collect().head
+    assert((got.getLong(1), got.getLong(2), got.getLong(3)) == ((4L, 2L, 1L)),
+      s"want (n_child=4, n_null_keys=2, n_orphans=1), got $got")
   }
 }

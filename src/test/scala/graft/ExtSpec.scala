@@ -646,6 +646,28 @@ class WindowsSpec extends SparkSpec {
       (1L, 0L, 1L, 1.5), (1L, 1L, 0L, 1.5), (1L, 2L, 2L, 3.5),
       (2L, 5L, 1L, 9.0)), s"got $out")
   }
+
+  test("resampleFfill fails loudly on a corrupt far-future timestamp") {
+    import spark.implicits._
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600L * 1000)
+    // key 1 is healthy; key 2 carries one corrupt event 10 years ahead —
+    // without the span guard the grid explode materializes ~87k buckets
+    // per excess year; with maxGridBuckets = 100 it must fail by name
+    val df = Seq(
+      (1L, 10L, ts(0), 1.0), (1L, 11L, ts(3), 2.0),
+      (2L, 20L, ts(0), 5.0), (2L, 21L, ts(24L * 3650), 6.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val e = intercept[Exception] { // SparkRuntimeException from assert_true
+      Windows.resampleFfill(df, maxGridBuckets = 100L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("resampleFfill")),
+      s"guard must name the operator: ${msgs(e)}")
+    // in-bounds spans are untouched by the guard
+    assert(Windows.resampleFfill(df.where(col("user_id") === 1L),
+      maxGridBuckets = 100L).count() == 4L)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

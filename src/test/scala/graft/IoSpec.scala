@@ -39,4 +39,21 @@ class IoSpec extends SparkSpec {
     assert(bad == Set("this is not json at all", """{"seq":3,"op":  <-- truncated"""),
       s"dlq captured: $bad")
   }
+
+  test("DLQ handles stay executable across a cache-invalidate sweep") {
+    // the split is lineage-truncated at read time, so a Caches.invalidate
+    // landing BEFORE the caller's first action cannot strand the dlq
+    // handle on the raw JSON source (which rejects a corrupt-column-only
+    // projection with an AnalysisException)
+    val dir = tmp(); new java.io.File(s"$dir/in").mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in/feed.json"),
+      """{"seq":1,"op":"insert","key":"a","doc":"x"}
+        |broken line
+        |""".stripMargin)
+    val (good, dlq) = Io.readJsonlWithDlq(spark, s"$dir/in",
+      graft.streaming.Ingest.changelogSchema)
+    Caches.invalidate(spark) // sweep BEFORE any action on the handles
+    assert(dlq.collect().map(_.getString(0)).toSeq == Seq("broken line"))
+    assert(good.count() == 1L)
+  }
 }

@@ -79,6 +79,10 @@ class TablesSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$tmp/events.parquet")
     val renorm = graft.sources.Tables.events(spark, tmp)
     assert(renorm.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    // conf hygiene: the legacy read is materialized under a SCOPED conf —
+    // one legacy file must not flip a session-wide parquet setting
+    assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") != "true",
+      "nanosAsLong must be restored (default false) after a legacy-fixture read")
     val a = cur.agg(sum(unix_micros(col("ts")))).head.getLong(0)
     val b = renorm.agg(sum(unix_micros(col("ts")))).head.getLong(0)
     assert(a == b, "nanos layout must normalize to identical instants")

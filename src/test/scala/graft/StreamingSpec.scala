@@ -858,6 +858,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchClosed, s"stream != batch-minus-open:\n$streamed\n$batchClosed")
   }
 
+  test("StreamResample drops a corrupt far-future event instead of flooding gap rows") {
+    import graft.streaming.StreamResample
+    import graft.streaming.StreamResample.{Obs, OpenBucket}
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    def state(b: Long) = TestGroupState.create[OpenBucket](
+      Optional.of(OpenBucket(b, b * 100L, 1L, 1.0, 1L)),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+      0L, Optional.empty[Long](), false)
+    // jump beyond the cap: dropped — no output, open bucket unchanged
+    val s1 = state(5L)
+    val out1 = StreamResample.update(1L, maxGapBuckets = 10L)(
+      1L, Iterator(Obs(1L, 5000L, 9L, 2.0)), s1).toSeq
+    assert(out1.isEmpty, s"far-future event must emit nothing, got $out1")
+    assert(s1.get.bucket == 5L, "open bucket must survive the drop")
+    // jump inside the cap: normal close + bounded gap fill
+    val s2 = state(5L)
+    val out2 = StreamResample.update(1L, maxGapBuckets = 10L)(
+      1L, Iterator(Obs(1L, 8L, 9L, 2.0)), s2).toSeq
+    assert(out2.map(o => (o.bucket, o.n_obs)) == Seq((5L, 1L), (6L, 0L), (7L, 0L)))
+    assert(s2.get.bucket == 8L)
+  }
+
   test("streaming near-dup ingest: each micro-batch dedupes against the stored corpus (extension)") {
     import org.apache.spark.sql.types._
     val dir = tmp(); val log = s"$dir/docs"; new java.io.File(log).mkdirs()
