@@ -812,7 +812,7 @@ object SparkEntryExt {
       "WHERE cos IS NOT NULL) " +
       "SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, " +
       "floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim FROM ranked WHERE rank <= 10"
-  private def lshOracleSql: String =
+  private[graft] def lshOracleSql: String =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       "d AS (SELECT len(v) AS dim FROM e WHERE len(v) > 0 LIMIT 1), " +
       // rows whose vector is off-dim or carries NULL elements get a short
@@ -917,12 +917,31 @@ object SparkEntryExt {
       case _ => Map.empty[String, String]
     }
 
+  /** Exact brute-force top-k — the ground truth x_knn_recall measures
+    * every approximate method against (shared so they cannot drift). */
+  private[graft] val knnCosineOracleSql: String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+      "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10), " +
+      "scored AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qv, e.v) AS cos " +
+      "FROM q JOIN e ON e.vec_id <> q.query_id), " +
+      "ranked AS (SELECT query_id, vec_id, cos, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM scored) " +
+      "SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, " +
+      "floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim FROM ranked WHERE rank <= 10"
+
+  /** The x_knn_ivf replay SQL when the run's centroids are stashed —
+    * shared with x_knn_recall's oracle (SparkEntryIdx) so the two can
+    * never disagree about the replayed model. */
+  private[graft] def ivfOracleSqlOpt: Option[String] =
+    Similarity.lastLearned match {
+      case cents if cents.nonEmpty => Some(ivfOracleSql(cents))
+      case _                       => None
+    }
+
   private def annOracles: Map[String, String] =
     Map("x_knn_lsh" -> lshOracleSql,
-      "x_dedup_embed_lsh" -> embedLshOracleSql) ++ (Similarity.lastLearned match {
-      case cents if cents.nonEmpty => Map("x_knn_ivf" -> ivfOracleSql(cents))
-      case _ => Map.empty[String, String]
-    })
+      "x_dedup_embed_lsh" -> embedLshOracleSql) ++
+      ivfOracleSqlOpt.map("x_knn_ivf" -> _).toMap
 
   // closed-form average-hash assembly over an 8x8-per-doc pixel formula —
   // shared by x_multimodal_phash and x_dedup_image_phash so the nibble
@@ -1256,15 +1275,7 @@ object SparkEntryExt {
         "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
         "WHERE list_cosine_similarity(a.v, b.v) > 0.45"),
 
-    "x_knn_cosine" ->
-      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
-        "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10), " +
-        "scored AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qv, e.v) AS cos " +
-        "FROM q JOIN e ON e.vec_id <> q.query_id), " +
-        "ranked AS (SELECT query_id, vec_id, cos, row_number() OVER " +
-        "(PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM scored) " +
-        "SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, " +
-        "floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim FROM ranked WHERE rank <= 10"),
+    "x_knn_cosine" -> knnCosineOracleSql,
 
     // replays the payload CONSTRUCTION (header size + encoded dims); the
     // Spark side re-derives every value by PARSING the bytes it built —

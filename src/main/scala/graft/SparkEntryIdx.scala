@@ -227,7 +227,87 @@ object SparkEntryIdx {
       Similarity.pqTopK(embs, embs.where(col("vec_id") < 10), k = 10,
         m = 16, iters = 4)
     },
+
+    "x_knn_recall" -> { (s, dir) =>
+      // The retrieval-QUALITY gauge the per-method oracles cannot see:
+      // every x_knn_* approximate entry is deterministic and
+      // replay-verified, so a 20%-recall index would pass them
+      // identically. This entry joins each approximate method's top-10
+      // against the exact brute-force top-10 ON THE SAME FIXED QUERY SET
+      // and emits one (method, n_hits, n_exact, recall) row per method —
+      // the oracle re-derives all five retrievals (exact + 4 approximate,
+      // via the same replayed models as their own entries) and recomputes
+      // the overlap independently. Parameters MATCH the x_knn_* entries
+      // exactly, so the memoized models/artifacts are shared, never
+      // retrained, and the stashes the oracle replays are identical.
+      import s.implicits._
+      val embs = Tables.embeddings(s, dir)
+      val qs = embs.where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(embs, qs, k = 10)
+        .select("query_id", "neighbor_id")
+      val approx = Seq(
+        "ivf" -> Similarity.ivfTopKLearned(embs, qs, k = 10,
+          kCells = 8, iters = 2, nprobe = 2),
+        "ivfpq" -> Similarity.ivfPqTopK(embs, qs, k = 10, kCells = 8,
+          ivfIters = 2, nprobe = 2, m = 16, kCodes = 16, pqIters = 2),
+        "lsh" -> Similarity.lshTopK(embs, qs, k = 10),
+        "pq" -> Similarity.pqTopK(embs, qs, k = 10, m = 16, iters = 4))
+      val tagged = approx.map { case (nm, df) =>
+        df.select(lit(nm).as("method"), col("query_id"), col("neighbor_id"))
+      }.reduce(_ unionByName _)
+      val hits = tagged.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("method").agg(count(lit(1)).as("n_hits"))
+      // 1-row exact count joined on a literal key (a crossJoin would plan
+      // the nested-loop shape PlanAuditSpec bans)
+      val ne = exact.agg(count(lit(1)).as("n_exact")).withColumn("__j", lit(1))
+      approx.map(_._1).toDF("method") // left side: a method with 0 hits still reports
+        .join(hits, Seq("method"), "left")
+        .withColumn("__j", lit(1))
+        .join(ne, "__j")
+        .select(col("method"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          col("n_exact"),
+          graft.functions.DetRound.round6(
+            coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_exact"))
+            .as("recall"))
+    },
   )
+
+  /** x_knn_pq's replay SQL when the codebooks are stashed (shared with
+    * x_knn_recall's oracle). */
+  private[graft] def pqOracleSqlOpt: Option[String] = pqOracle.get("x_knn_pq")
+  /** x_knn_ivfpq's replay SQL when both models are stashed (shared with
+    * x_knn_recall's oracle). */
+  private[graft] def ivfPqOracleSqlOpt: Option[String] =
+    ivfPqOracle.get("x_knn_ivfpq")
+
+  /** x_knn_recall: recall@10 of every approximate ANN method against the
+    * exact brute-force top-10. Each method's retrieval is re-derived by
+    * its OWN oracle SQL (nested as a subquery — the replayed-model
+    * contract), the exact set by the brute-force SQL, and the overlap +
+    * ratio recomputed independently; omitted (rows-only check) if any
+    * model stash is empty, same defensive rule as the per-method
+    * entries. */
+  private def recallOracle: Map[String, String] =
+    (SparkEntryExt.ivfOracleSqlOpt, pqOracleSqlOpt, ivfPqOracleSqlOpt) match {
+      case (Some(ivf), Some(pq), Some(ivfpq)) =>
+        val methods = Seq("ivf" -> ivf, "ivfpq" -> ivfpq,
+          "lsh" -> SparkEntryExt.lshOracleSql, "pq" -> pq)
+        val ap = methods.map { case (nm, sql) =>
+          s"SELECT '$nm' AS method, query_id, neighbor_id FROM ($sql)"
+        }.mkString(" UNION ALL ")
+        Map("x_knn_recall" ->
+          (s"WITH exact AS (SELECT query_id, neighbor_id FROM (${SparkEntryExt.knnCosineOracleSql})), " +
+            s"ap AS ($ap), " +
+            "m(method) AS (VALUES ('ivf'), ('ivfpq'), ('lsh'), ('pq')), " +
+            "ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact), " +
+            "h AS (SELECT method, CAST(count(*) AS BIGINT) AS n_hits " +
+            "FROM ap JOIN exact USING (query_id, neighbor_id) GROUP BY 1) " +
+            "SELECT m.method, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits, ne.n_exact, " +
+            s"${graft.functions.DetRound.sql6("CAST(coalesce(h.n_hits, 0) AS DOUBLE) / ne.n_exact")} AS recall " +
+            "FROM m LEFT JOIN h USING (method) CROSS JOIN ne"))
+      case _ => Map.empty
+    }
 
   /** the st2 changelog shape: events replayed as a keyed upsert/delete
     * log — shared with SparkEntryExt's st2_changelog_apply entry so the
@@ -569,7 +649,7 @@ object SparkEntryIdx {
         "ORDER BY seq DESC, (op = 'delete') DESC, doc DESC NULLS LAST) AS rn " +
         "FROM log WHERE op IN ('insert', 'update', 'delete')) " +
         "WHERE rn = 1 AND op <> 'delete'"),
-  ) ++ pqOracle ++ semOracle ++ ivfPqOracle ++ xsemOracle
+  ) ++ pqOracle ++ semOracle ++ ivfPqOracle ++ xsemOracle ++ recallOracle
 
   /** x_decontaminate_semantic: stashed centroids as literals; both sides
     * assigned, across-side in-cell cosine, best bench match per flagged

@@ -13,7 +13,10 @@ class PlanAuditSpec extends SparkSpec {
     * infeasible-beyond-broadcast by construction in Dedup.scala), and the
     * PQ/ADC scan (broadcast query set × the m-byte code table — the scan
     * side is the compressed index, which is the point). */
-  private val broadcastBounded = Set("x_knn_cosine", "x_dedup_embed", "x_knn_pq")
+  private val broadcastBounded =
+    // x_knn_recall composes the exact baseline + PQ/ADC scan, so it
+    // inherits their broadcast-bounded shapes
+    Set("x_knn_cosine", "x_dedup_embed", "x_knn_pq", "x_knn_recall")
 
   test("no query plans a cartesian product or an unbounded nested loop") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -40,6 +40,20 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall")
   }
 
+  test("x_knn_recall reports every approximate method's recall@10 above its floor") {
+    // the driver entry measures recall vs the exact cosine top-10 in ONE
+    // query; floors sit under the measured fixture values (ivf 0.83,
+    // lsh 0.50, pq 0.49, ivfpq 0.45 at sf0.001) with regen headroom —
+    // near-uniform fixture vectors are the quantizers' worst case
+    val floors = Map("ivf" -> 0.7, "lsh" -> 0.45, "pq" -> 0.35, "ivfpq" -> 0.3)
+    val rows = SparkEntry.queries("x_knn_recall")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rows.keySet == floors.keySet, s"methods: ${rows.keySet}")
+    floors.foreach { case (m, f) =>
+      assert(rows(m) >= f, s"$m recall@10 = ${rows(m)} below floor $f")
+    }
+  }
+
   test("pqTopK on clustered data recovers cluster membership (>=0.9 recall@10)") {
     import spark.implicits._
     // 8 well-separated centers, 11 members each under small deterministic
