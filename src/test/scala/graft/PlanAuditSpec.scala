@@ -29,4 +29,114 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  /** Per-query shuffle budget: the count of `Exchange` (shuffle) nodes in
+    * the PRINTED unexecuted physical plan, pinned at the reviewed plans'
+    * values so a stray `repartition`/`distinct`/lost-broadcast regression
+    * fails BY NAME instead of silently shipping a new shuffle to the
+    * 100 TB cluster. This is a print-level gauge, deliberately: shared
+    * artifact lineage inside an InMemoryRelation prints once per
+    * consumer, so the number for artifact-heavy queries (j4, p10, kmv)
+    * exceeds the EXECUTED stage count — but it is deterministic for a
+    * fixed plan, which is all a regression pin needs. The per-family
+    * executed-shuffle story lives in SCALE.md's table; this map is its
+    * enforcement proxy. Regenerate after an intentional plan change with
+    * `graft.tools.ShowShuffles` (which mirrors TestSpark's config —
+    * join strategies depend on it). */
+  private val shuffleBudget: Map[String, Int] = Map(
+    // J/P: shred + renest over the bucketed NodeStore (big counts =
+    // shared assembly lineage printed per node table)
+    "j1_shred_counts" -> 10, "j2_renest_flat" -> 13,
+    "j4_cascade_counts" -> 10, "j4_subtree_counts" -> 43,
+    "p10_search_renest" -> 39, "p7_routing" -> 9,
+    "p1_conj_eq" -> 0, "p2_match_all" -> 0, "p3_child_range_gt" -> 1,
+    "p3_child_range_lt" -> 1, "p4_child_eq" -> 1, "p5_child_dotted" -> 2,
+    "p6_has_parent" -> 1, "p7_by_id" -> 0, "p8_count" -> 1,
+    "p9_projection" -> 3,
+    // S/M: KV gates and document middleware — joins and projections
+    "s10_cache_aside" -> 0, "s11_mapping" -> 0, "s2_exists" -> 1,
+    "s3_create_only" -> 0, "s4_upsert" -> 2, "s7_index_delete" -> 0,
+    "s8_delete_by_query" -> 1, "s9_scan_cap" -> 0,
+    "m1_merge_patch" -> 3, "m1_null_clear" -> 1, "m2_etag" -> 0,
+    "m2_etag_canonical" -> 2, "m3_if_none_match" -> 0, "m4_if_match" -> 0,
+    "m5_validate_json" -> 0, "m6_dates" -> 0, "m7_key_gate" -> 0,
+    // ST/temporal/changelog
+    "st2_changelog_apply" -> 6, "st3_upsert_latest" -> 1,
+    "st4_barrier_visibility" -> 2, "st5_dlq_split" -> 2,
+    "st6_scd2_history" -> 1, "x_asof_forward" -> 1, "x_asof_join" -> 1,
+    "x_range_join" -> 1, "x_sessions" -> 1, "x_window_sliding" -> 1,
+    "x_window_tumbling" -> 1, "x_resample_ffill" -> 2,
+    "x_snapshot_diff" -> 2, "x_snapshot_read" -> 1, "x_pit_join" -> 2,
+    "x_mv_incremental" -> 14, "x_lsm_compacted_read" -> 0,
+    // dedup family
+    "x_dedup_clusters" -> 0, "x_dedup_clusters_chain" -> 2,
+    "x_dedup_embed" -> 1, "x_dedup_embed_lsh" -> 0, "x_dedup_exact" -> 1,
+    "x_dedup_image_phash" -> 2, "x_dedup_incremental" -> 4,
+    "x_dedup_lsh_pairs" -> 8, "x_dedup_minhash" -> 0,
+    "x_dedup_ngram_jaccard" -> 4, "x_dedup_semantic" -> 1,
+    "x_dedup_simhash" -> 0, "x_dedup_substring_spans" -> 2,
+    "x_line_dedup" -> 2, "x_line_dedup_global" -> 2, "x_cdc_chunks" -> 3,
+    "x_decontaminate" -> 2, "x_decontaminate_semantic" -> 1,
+    // ANN
+    "x_knn_cosine" -> 2, "x_knn_ivf" -> 2, "x_knn_ivfpq" -> 2,
+    "x_knn_lsh" -> 3, "x_knn_pq" -> 2, "x_knn_recall" -> 16,
+    // multimodal: map-only decode seams
+    "x_multimodal_audio" -> 0, "x_multimodal_envelope" -> 0,
+    "x_multimodal_frames" -> 0, "x_multimodal_gif_frames" -> 0,
+    "x_multimodal_jpeg_phash" -> 0, "x_multimodal_meta" -> 0,
+    "x_multimodal_phash" -> 0, "x_multimodal_progressive" -> 0,
+    "x_multimodal_progressive_real" -> 0, "x_multimodal_video_frames" -> 0,
+    // text/quality/tokenizers
+    "x_text_fingerprint" -> 0, "x_text_langid" -> 0, "x_text_quality" -> 0,
+    "x_text_tf_df" -> 4, "x_text_tokens" -> 0, "x_token_bpeish" -> 0,
+    "x_bpe_merges" -> 0, "x_bpe_segment" -> 3, "x_top_terms" -> 3,
+    "x_quality_bigram_lm" -> 7, "x_quality_repetition" -> 4,
+    "x_quality_unigram_lm" -> 6,
+    // inverted index
+    "x_inverted_directory" -> 5, "x_index_delta" -> 9,
+    "x_index_lookup" -> 2, "x_bm25_topk" -> 7, "x_phrase_search" -> 1,
+    // curation
+    "x_bloom_prune" -> 1, "x_chunk_docs" -> 0, "x_mix_sample" -> 0,
+    "x_pack_sequences" -> 1, "x_pii_detect" -> 0, "x_pii_redact" -> 0,
+    "x_pipeline_clean" -> 1, "x_pipeline_export" -> 2,
+    "x_shard_stats" -> 1, "x_stratified_sample" -> 2,
+    "x_url_domains" -> 2, "x_weighted_sample" -> 1,
+    // sketches / stats / layout
+    "x_sketch_cms" -> 11, "x_sketch_histogram" -> 6, "x_sketch_hll" -> 3,
+    "x_sketch_kmv" -> 7, "x_sketch_kmv_jaccard" -> 32, "x_quantiles" -> 1,
+    "x_table_stats" -> 2, "x_corpus_fingerprint" -> 1, "x_fk_audit" -> 6,
+    "x_zorder_prune" -> 1, "x_zorder_zonemap" -> 1,
+  )
+
+  /** a node line whose name starts with "Exchange " is a shuffle;
+    * BroadcastExchange / ReusedExchange node names do not match */
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.toString.linesIterator.count { l =>
+      l.dropWhile(c => !c.isLetter).startsWith("Exchange ")
+    }
+
+  test("the shuffle counter sees a deliberate extra repartition") {
+    val base = spark.range(100).toDF("id").groupBy("id").count()
+    assert(shuffles(base.repartition(4)) == shuffles(base) + 1,
+      "an injected repartition must raise the counted shuffle number")
+  }
+
+  test("every query's plan stays within its shuffle budget") {
+    // start from a clean memo state: printed lineage inside shared
+    // artifacts depends on which memo entries already exist, so the sweep
+    // pins the SAME deterministic fresh-session-sorted-order plans that
+    // graft.tools.ShowShuffles measures (memos rebuild transparently)
+    Caches.invalidate(spark)
+    val counts = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> shuffles(fn(spark, sf))
+    }
+    val unbudgeted = counts.collect { case (n, _) if !shuffleBudget.contains(n) => n }
+    assert(unbudgeted.isEmpty,
+      s"queries with no shuffle budget (add one consciously, via " +
+        s"graft.tools.ShowShuffles): $unbudgeted")
+    val over = counts.collect {
+      case (n, c) if c > shuffleBudget(n) => s"$n: $c shuffles > budget ${shuffleBudget(n)}"
+    }
+    assert(over.isEmpty, over.mkString("\n"))
+  }
 }
