@@ -36,7 +36,8 @@ object SparkEntry {
   private[graft] def dec(c: Column): Column = c.cast("decimal(18,2)")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    SparkEntryExt.queries ++ SparkEntryIdx.queries ++ SparkEntryLay.queries ++ Map(
+    SparkEntryExt.queries ++ SparkEntryIdx.queries ++ SparkEntryLay.queries ++
+      SparkEntryUni.queries ++ Map(
     // ----- P: search surface (SURVEY §2.3) -----
     "p1_conj_eq" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
       Search.conjEquals(t("orders"),
@@ -220,7 +221,8 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] =
-    SparkEntryExt.oracleSql ++ SparkEntryIdx.oracleSql ++ SparkEntryLay.oracleSql ++ Map(
+    SparkEntryExt.oracleSql ++ SparkEntryIdx.oracleSql ++ SparkEntryLay.oracleSql ++
+      SparkEntryUni.oracleSql ++ Map(
     "p1_conj_eq" ->
       "SELECT * FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'",
     "p3_child_range_gt" ->
