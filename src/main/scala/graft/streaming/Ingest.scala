@@ -617,9 +617,15 @@ object Ingest {
     }
     fs.listStatus(manifestDir(root)).filter { st =>
       val nm = st.getPath.getName
-      nm.startsWith("m") && nm.endsWith(".json") &&
+      (nm.startsWith("m") && nm.endsWith(".json") &&
         nm.stripPrefix("m").stripSuffix(".json").forall(_.isDigit) &&
-        nm.stripPrefix("m").stripSuffix(".json").toLong < id
+        nm.stripPrefix("m").stripSuffix(".json").toLong < id) ||
+        // torn-write leftovers: a crash between fs.create(tmp) and the
+        // rename strands a _m*.json.tmp; it can never be read (the
+        // manifest scan filters on the m-prefix) but would otherwise
+        // linger forever. pruneTo runs only AFTER this commit's own tmp
+        // renamed in, so any tmp seen here is dead.
+        nm.endsWith(".json.tmp")
     }.foreach(st => fs.delete(st.getPath, true))
     fs.listStatus(root).filter { st =>
       val nm = st.getPath.getName

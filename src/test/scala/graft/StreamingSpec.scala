@@ -53,6 +53,87 @@ class StreamingSpec extends SparkSpec {
     assert(got2 == got)
   }
 
+  test("crash injection: torn staging dir + stray bucket version stay invisible; next commit heals") {
+    val dir = tmp(); val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
+    val log = s"$dir/log"; new java.io.File(log).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$log/b1.json"),
+      """{"seq":1,"op":"insert","key":"k1","doc":"a"}
+        |{"seq":2,"op":"insert","key":"k2","doc":"b"}
+        |""".stripMargin)
+    Ingest.run(spark, log, state, ckpt)
+    val committed = Ingest.readState(spark, state).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(committed == Map("k1" -> "a", "k2" -> "b"))
+    // simulate a crash MID-swapBuckets at the next id (1): a torn staging
+    // dir with garbage, plus bucket versions that renamed into place but
+    // whose manifest never committed — garbage bytes, not even parquet
+    def junk(path: String): Unit = {
+      new java.io.File(path).getParentFile.mkdirs()
+      Files.write(java.nio.file.Paths.get(path), Array.fill[Byte](64)(0x5a))
+    }
+    junk(s"$state/_staging_v1/bucket=0/part-torn.parquet")
+    junk(s"$state/b0/v1/part-torn.parquet")
+    junk(s"$state/b3/v1/part-torn.parquet")
+    // readers follow the manifest only: the strays are invisible, the
+    // store keeps serving the last committed version
+    val served = Ingest.readState(spark, state).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(served == committed, "torn artifacts must not change what readers see")
+    // the next batch commits id 1 over the strays (exists→delete→rename)
+    // and pruneTo sweeps whatever it didn't overwrite
+    Files.writeString(java.nio.file.Paths.get(s"$log/b2.json"),
+      """{"seq":3,"op":"insert","key":"k3","doc":"c"}""" + "\n")
+    Ingest.run(spark, log, state, ckpt)
+    val healed = Ingest.readState(spark, state).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(healed == Map("k1" -> "a", "k2" -> "b", "k3" -> "c"))
+    assert(!new java.io.File(s"$state/_staging_v1").exists(),
+      "staging leftovers must be gone after the healing commit")
+    // every bucket version on disk is referenced by the latest manifest
+    val mf = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new java.io.File(s"$state/manifest/m1.json"))
+    val referenced = {
+      val b = scala.collection.mutable.Set[String]()
+      val it = mf.get("buckets").fields()
+      while (it.hasNext) {
+        val e = it.next()
+        val vit = e.getValue.elements()
+        while (vit.hasNext) b += s"b${e.getKey}/v${vit.next().asLong()}"
+      }
+      b.toSet
+    }
+    val onDisk = new java.io.File(state).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
+      .flatMap(b => b.listFiles().filter(_.getName.matches("v\\d+"))
+        .map(v => s"${b.getName}/${v.getName}")).toSet
+    assert(onDisk == referenced,
+      s"unreferenced bucket versions survive: ${onDisk -- referenced}")
+  }
+
+  test("crash injection: a torn manifest tmp never serves and is swept by the next commit") {
+    val dir = tmp(); val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
+    val log = s"$dir/log"; new java.io.File(log).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$log/b1.json"),
+      """{"seq":1,"op":"insert","key":"k1","doc":"a"}""" + "\n")
+    Ingest.run(spark, log, state, ckpt)
+    // crash between fs.create(tmp) and the rename: a half-written tmp —
+    // the rename is the commit point, so this must never be read
+    Files.writeString(java.nio.file.Paths.get(s"$state/manifest/_m1.json.tmp"),
+      """{"n":8,"lastBatch":9,"buck""") // torn mid-json
+    val served = Ingest.readState(spark, state).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(served == Map("k1" -> "a"), "a torn manifest tmp must not serve")
+    Files.writeString(java.nio.file.Paths.get(s"$log/b2.json"),
+      """{"seq":2,"op":"update","key":"k1","doc":"b"}""" + "\n")
+    Ingest.run(spark, log, state, ckpt)
+    val healed = Ingest.readState(spark, state).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(healed == Map("k1" -> "b"))
+    val leftovers = new java.io.File(s"$state/manifest").listFiles()
+      .map(_.getName).filter(_.endsWith(".tmp")).toSeq
+    assert(leftovers.isEmpty, s"torn tmp must be swept by the next commit: $leftovers")
+  }
+
   test("versioned state: stale cross-batch events cannot regress or resurrect") {
     val dir = tmp(); val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
     val log = s"$dir/log"; new java.io.File(log).mkdirs()
