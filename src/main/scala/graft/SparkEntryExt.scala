@@ -617,12 +617,18 @@ object SparkEntryExt {
     },
     "x_multimodal_progressive_real" -> { (s, dir) =>
       // REAL progressive decode end-to-end: the same 64x64 block-constant
-      // image as x_multimodal_jpeg_phash, but encoded as SOF2 spectral-
-      // selection scans (DC scan + two AC band scans). The engine must
-      // walk MULTIPLE scans, accumulate coefficients across them, and
-      // IDCT at EOI — landing on the identical pixel-formula hash the
-      // baseline query proves (same FlatQuant8 losslessness argument;
-      // only the scan organization differs), with decoded=true.
+      // LUMA image as x_multimodal_jpeg_phash, but encoded as SOF2
+      // spectral-selection scans. Even docs are GRAYSCALE progressive
+      // (DC scan + two AC band scans); odd docs are COLOR 4:2:0
+      // progressive (INTERLEAVED 3-component DC scan + per-component AC
+      // band scans, chroma planes doc-derived) — the engine must walk
+      // every scan, track per-component coefficient grids through the
+      // interleaved MCU order, keep the entropy stream in sync through
+      // the chroma scans, and IDCT luma at EOI, landing on the identical
+      // pixel-formula hash the baseline query proves (same FlatQuant8
+      // losslessness argument; only the scan organization differs), with
+      // decoded=true. The oracle is one formula for BOTH parities: a
+      // color path that desyncs or falls to the stand-in hash-mismatches.
       import s.implicits._
       val docs = Tables.documents(s, dir).where(col("text").isNotNull)
         .select("doc_id").as[Long]
@@ -631,7 +637,22 @@ object SparkEntryExt {
           val bx = (i % 64) / 8; val by = (i / 64) / 8
           ((id * 31 + bx * 7 + by * 13) % 251).toInt
         }
-        (id.toString, Multimodal.encodeGrayProgressiveJpeg(64, 64, px))
+        val payload =
+          if (id % 2 == 0) Multimodal.encodeGrayProgressiveJpeg(64, 64, px)
+          else {
+            // 4:2:0 chroma at 32x32, block-constant so FlatQuant8 keeps
+            // the ENTROPY STREAM exact (content never reaches the luma
+            // output — it exists to force real multi-component decode)
+            def chroma(seed: Long) = Array.tabulate(32 * 32) { i =>
+              val bx = (i % 32) / 8; val by = (i / 32) / 8
+              ((id * seed + bx * 11 + by * 3) % 251).toInt
+            }
+            Multimodal.encodeProgressiveJpeg(64, 64, Seq(
+              Multimodal.JpegComp(2, 2, px, 64, 64),
+              Multimodal.JpegComp(1, 1, chroma(17), 32, 32),
+              Multimodal.JpegComp(1, 1, chroma(23), 32, 32)))
+          }
+        (id.toString, payload)
       }.toDF("asset_id", "payload")
       Multimodal.decode(assets).toDF()
         .select("asset_id", "format", "width", "height", "decoded", "phash")

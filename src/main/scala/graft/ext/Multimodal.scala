@@ -707,14 +707,17 @@ object Multimodal {
     * JFIF the Y channel IS the grayscale image (no color convert
     * needed). DRI/RSTn restart intervals reset the DC predictors per
     * T.81 F.2.1.3.1.
-    * Progressive envelope (SOF2): grayscale, spectral-selection scans
-    * with Ah=Al=0 — coefficients accumulate across scans (EOB-run
-    * semantics per T.81 G.1.2.2) and IDCT at EOI; whatever spectra the
-    * scans covered render, exactly as progressive display would.
-    * Color/successive-approximation progressive, arithmetic coding,
-    * 12-bit, and point transforms are out of envelope → None; truncated
-    * or desynced entropy data → None; NEVER throws (fuzzed in
-    * MultimodalSpec). */
+    * Progressive envelope (SOF2): gray OR color, spectral-selection
+    * scans with Ah=Al=0 — per-component coefficient grids accumulate
+    * across scans (DC scans interleaved in MCU order or
+    * single-component; AC band scans single-component per T.81, with
+    * EOB-run semantics per G.1.2.2) and the LUMA grid IDCTs at EOI;
+    * whatever spectra the scans covered render, exactly as progressive
+    * display would, and chroma scans are decoded for bitstream sync like
+    * the baseline path. Successive approximation, arithmetic coding,
+    * 12-bit, restart-in-progressive, and point transforms are out of
+    * envelope → None; truncated or desynced entropy data → None; NEVER
+    * throws (fuzzed in MultimodalSpec). */
   private def decodeJpeg(b: Array[Byte]): Option[Raster] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     val quant = Array.ofDim[Int](4, 64)
@@ -725,35 +728,47 @@ object Multimodal {
     var compQ: Array[Int] = null; var compId: Array[Int] = null
     var restartInterval = 0
     var sofSeen = false
-    // progressive (SOF2) state: per-block DEQUANTIZED coefficients
-    // accumulated across scans; the grid is blocks, not MCUs (the
-    // progressive envelope is single-component, so they coincide)
+    // progressive (SOF2) state: per-COMPONENT per-block DEQUANTIZED
+    // coefficients accumulated across scans, each component on its
+    // MCU-padded block grid (pbx × pby) so an interleaved DC scan's
+    // padding blocks have somewhere to land; AC scans walk the unpadded
+    // grid (nbx × nby) per T.81's non-interleaved rule
     var progressive = false
-    var coefs: Array[Array[Int]] = null
-    var blocksX = 0; var blocksY = 0
+    var coefsC: Array[Array[Array[Int]]] = null
+    var pbx: Array[Int] = null; var pby: Array[Int] = null
+    var nbx: Array[Int] = null; var nby: Array[Int] = null
+    var progScans = 0 // a zero-scan SOF2 stream must NOT render (all-gray lie)
     var iNext = -1L // set by a progressive scan: resume AFTER its entropy data
     // EOI (or end of buffer) on a progressive stream with at least one
-    // decoded scan: the accumulated coefficients ARE the image (partial
-    // spectra render coarse, exactly as progressive display would)
+    // decoded scan: the accumulated LUMA coefficients ARE the image
+    // (partial spectra render coarse, exactly as progressive display
+    // would; chroma is decoded for bitstream sync and feature parity
+    // with the baseline path, which also renders luma only)
     def finishProgressive(): Option[Raster] = {
-      if (!progressive || coefs == null) return None
+      if (!progressive || coefsC == null || progScans == 0) return None
       val pix = new Array[Int](64)
       val tmp = new Array[Double](64)
       val gray = new Array[Int](w * h)
-      var blk = 0
-      while (blk < coefs.length) {
-        jpegIdctBlock(coefs(blk), pix, tmp)
-        val ox = (blk % blocksX) * 8; val oy = (blk / blocksX) * 8
-        var y = 0
-        while (y < 8 && oy + y < h) {
-          var x = 0
-          while (x < 8 && ox + x < w) {
-            gray((oy + y) * w + ox + x) = pix(y * 8 + x)
-            x += 1
+      // component 0 carries max sampling, so its UNPADDED grid covers
+      // exactly ceil(w/8) × ceil(h/8)
+      var by = 0
+      while (by < nby(0)) {
+        var bx = 0
+        while (bx < nbx(0)) {
+          jpegIdctBlock(coefsC(0)(by * pbx(0) + bx), pix, tmp)
+          val ox = bx * 8; val oy = by * 8
+          var y = 0
+          while (y < 8 && oy + y < h) {
+            var x = 0
+            while (x < 8 && ox + x < w) {
+              gray((oy + y) * w + ox + x) = pix(y * 8 + x)
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+          bx += 1
         }
-        blk += 1
+        by += 1
       }
       Some(Raster(w, h, gray))
     }
@@ -815,10 +830,22 @@ object Multimodal {
               c += 1
             }
             if (marker == 0xc2) {
-              // progressive envelope: grayscale (single component),
-              // spectral selection only — color progressive falls to the
-              // flagged stand-in
-              if (nc != 1) return None
+              // progressive envelope: spectral selection only, gray OR
+              // color (interleaved DC scan + per-component AC band
+              // scans); successive approximation falls to the flagged
+              // stand-in. Like baseline, the FIRST component must carry
+              // the max sampling factors (the Y-first JFIF layout).
+              val hm = compH.max; val vm = compV.max
+              if (compH(0) != hm || compV(0) != vm) return None
+              val mX = (w + 8 * hm - 1) / (8 * hm)
+              val mY = (h + 8 * vm - 1) / (8 * vm)
+              pbx = Array.tabulate(nc)(c => mX * compH(c))
+              pby = Array.tabulate(nc)(c => mY * compV(c))
+              nbx = Array.tabulate(nc)(c => ((w * compH(c) + hm - 1) / hm + 7) / 8)
+              nby = Array.tabulate(nc)(c => ((h * compV(c) + vm - 1) / vm + 7) / 8)
+              val totalBlocks = (0 until nc).map(c => pbx(c).toLong * pby(c)).sum
+              if (totalBlocks * 64 > 16L * MaxPixels) return None
+              coefsC = Array.tabulate(nc)(c => Array.ofDim[Int](pbx(c) * pby(c), 64))
               progressive = true
             }
             sofSeen = true
@@ -829,70 +856,122 @@ object Multimodal {
             if (len < 4) return None
             restartInterval = beShort(b, o + 4)
           case 0xda if progressive => // progressive scan: accumulate coefficients
-            // envelope: single-component scans, Ah=Al=0 (no successive
-            // approximation), no restart intervals — anything else falls
-            // to the flagged stand-in. DC scan (Ss=Se=0) codes exactly
-            // like baseline DC; an AC band scan codes [Ss..Se] with
-            // ZRL + EOBn runs (T.81 G.1.2.2).
+            // envelope: Ah=Al=0 (no successive approximation), no
+            // restart intervals — anything else falls to the flagged
+            // stand-in. DC scans (Ss=Se=0) code like baseline DC and may
+            // be INTERLEAVED over all components (MCU order) or
+            // single-component; AC band scans are single-component per
+            // T.81 and code [Ss..Se] with ZRL + EOBn runs (G.1.2.2).
             if (restartInterval > 0) return None
             val ns = b(o + 4) & 0xff
-            if (ns != 1 || len < 8) return None
-            if ((b(o + 5) & 0xff) != compId(0)) return None
-            val td = (b(o + 6) & 0xff) >> 4; val ta = b(o + 6) & 0x0f
-            val ss = b(o + 7) & 0xff; val se = b(o + 8) & 0xff
-            if ((b(o + 9) & 0xff) != 0) return None // Ah/Al: out of envelope
+            if (len < 6 + 2 * ns || (ns != 1 && ns != nc)) return None
+            val ss = b(o + 4 + 2 * ns + 1) & 0xff
+            val se = b(o + 4 + 2 * ns + 2) & 0xff
+            if ((b(o + 4 + 2 * ns + 3) & 0xff) != 0) return None // Ah/Al
             val isDc = ss == 0
             if (isDc && se != 0) return None // combined DC+AC scan is illegal in SOF2
             if (!isDc && (se < ss || se > 63)) return None
-            if (!quantSeen(compQ(0))) return None
-            val q = quant(compQ(0))
-            // bounds BEFORE indexing: Td/Ta are 4-bit fields (0..15) but
-            // only 0..3 are valid table slots
-            if ((if (isDc) td else ta) > 3) return None
-            val tab = if (isDc) dcTabs(td) else acTabs(ta)
-            if (tab == null) return None
-            if (coefs == null) {
-              blocksX = (w + 7) / 8; blocksY = (h + 7) / 8
-              if (blocksX.toLong * blocksY * 64 > 4L * MaxPixels) return None
-              coefs = Array.ofDim[Int](blocksX * blocksY, 64)
+            if (!isDc && ns != 1) return None // AC scans are non-interleaved
+            // resolve the scan's components against SOF order; an
+            // interleaved scan must list ALL components in SOF order
+            val scanComp = new Array[Int](ns)
+            val scanTab = new Array[HuffTab](ns)
+            var sc = 0
+            while (sc < ns) {
+              val cid = b(o + 5 + 2 * sc) & 0xff
+              val idx = compId.indexOf(cid)
+              if (idx < 0 || (ns == nc && idx != sc)) return None
+              val td = (b(o + 6 + 2 * sc) & 0xff) >> 4
+              val ta = b(o + 6 + 2 * sc) & 0x0f
+              if ((if (isDc) td else ta) > 3) return None
+              val tab = if (isDc) dcTabs(td) else acTabs(ta)
+              if (tab == null || !quantSeen(compQ(idx))) return None
+              scanComp(sc) = idx; scanTab(sc) = tab
+              sc += 1
             }
             val r = new JpegBits(java.util.Arrays.copyOfRange(b, o + 2 + len, b.length))
-            var dcPred = 0
-            var eobrun = 0
-            var blk = 0
-            while (blk < coefs.length) {
-              val cf = coefs(blk)
-              if (isDc) {
-                val s = jpegDecodeSym(tab, r)
-                if (s < 0 || s > 11) return None
-                dcPred += jpegExtend(r.bits(s), s)
-                cf(0) = dcPred * q(0)
-              } else if (eobrun > 0) {
-                eobrun -= 1 // this block's band is all zero
-              } else {
-                var k = ss
-                var bandDone = false
-                while (k <= se && !bandDone) {
-                  val rs = jpegDecodeSym(tab, r)
-                  if (rs < 0) return None
-                  val run = rs >> 4; val size = rs & 0x0f
-                  if (size == 0) {
-                    if (run == 15) k += 16 // ZRL: 16 zeros inside the band
-                    else {
-                      // EOBn: this band ends; 2^run - 1 + ext more blocks' bands are zero
-                      eobrun = (1 << run) - 1 + (if (run > 0) r.bits(run) else 0)
-                      bandDone = true
+            if (isDc && ns > 1) {
+              // interleaved DC scan: MCU walk over every component's
+              // padded grid, per-component predictors
+              val hm = compH.max; val vm = compV.max
+              val mcusX = (w + 8 * hm - 1) / (8 * hm)
+              val mcusY = (h + 8 * vm - 1) / (8 * vm)
+              val dcPred = new Array[Int](nc)
+              var mcu = 0
+              val nMcus = mcusX * mcusY
+              while (mcu < nMcus) {
+                val mx = mcu % mcusX; val my = mcu / mcusX
+                var c = 0
+                while (c < ns) {
+                  val ci = scanComp(c)
+                  val q = quant(compQ(ci))
+                  var byy = 0
+                  while (byy < compV(ci)) {
+                    var bxx = 0
+                    while (bxx < compH(ci)) {
+                      val s = jpegDecodeSym(scanTab(c), r)
+                      if (s < 0 || s > 11) return None
+                      dcPred(ci) += jpegExtend(r.bits(s), s)
+                      coefsC(ci)((my * compV(ci) + byy) * pbx(ci) +
+                        (mx * compH(ci) + bxx))(0) = dcPred(ci) * q(0)
+                      bxx += 1
                     }
-                  } else {
-                    k += run
-                    if (k > se) return None
-                    cf(ZigZag(k)) = jpegExtend(r.bits(size), size) * q(k)
-                    k += 1
+                    byy += 1
                   }
+                  c += 1
                 }
+                if (r.eof) return None
+                mcu += 1
               }
-              if (r.eof) return None
-              blk += 1
+              progScans += 1
+            } else {
+              // single-component scan (DC or an AC band): row-major walk
+              // over the component's UNPADDED grid
+              val ci = scanComp(0)
+              val q = quant(compQ(ci))
+              val tab = scanTab(0)
+              var dcPred = 0
+              var eobrun = 0
+              var byy = 0
+              while (byy < nby(ci)) {
+                var bxx = 0
+                while (bxx < nbx(ci)) {
+                  val cf = coefsC(ci)(byy * pbx(ci) + bxx)
+                  if (isDc) {
+                    val s = jpegDecodeSym(tab, r)
+                    if (s < 0 || s > 11) return None
+                    dcPred += jpegExtend(r.bits(s), s)
+                    cf(0) = dcPred * q(0)
+                  } else if (eobrun > 0) {
+                    eobrun -= 1 // this block's band is all zero
+                  } else {
+                    var k = ss
+                    var bandDone = false
+                    while (k <= se && !bandDone) {
+                      val rs = jpegDecodeSym(tab, r)
+                      if (rs < 0) return None
+                      val run = rs >> 4; val size = rs & 0x0f
+                      if (size == 0) {
+                        if (run == 15) k += 16 // ZRL: 16 zeros inside the band
+                        else {
+                          // EOBn: this band ends; 2^run - 1 + ext more blocks' bands are zero
+                          eobrun = (1 << run) - 1 + (if (run > 0) r.bits(run) else 0)
+                          bandDone = true
+                        }
+                      } else {
+                        k += run
+                        if (k > se) return None
+                        cf(ZigZag(k)) = jpegExtend(r.bits(size), size) * q(k)
+                        k += 1
+                      }
+                    }
+                  }
+                  if (r.eof) return None
+                  bxx += 1
+                }
+                byy += 1
+              }
+              progScans += 1
             }
             // resume the marker walk at the next true marker after this
             // scan's entropy data (entropy bytes stuff 0xFF as 0xFF00, so
@@ -1202,22 +1281,47 @@ object Multimodal {
     * pixel-formula oracle. */
   def encodeGrayProgressiveJpeg(w: Int, h: Int, gray: Array[Int],
                                 quantTab: Array[Int] = FlatQuant8,
-                                bands: Seq[(Int, Int)] = Seq((1, 5), (6, 63))): Array[Byte] = {
-    require(gray.length == w * h, s"${gray.length} pixels for ${w}x$h")
+                                bands: Seq[(Int, Int)] = Seq((1, 5), (6, 63))): Array[Byte] =
+    encodeProgressiveJpeg(w, h, Seq(JpegComp(1, 1, gray, w, h)), quantTab, bands)
+
+  /** PROGRESSIVE JPEG encoder (SOF2, spectral selection only), gray OR
+    * color: one DC scan — INTERLEAVED over all components in MCU order
+    * when there is more than one (the standard progressive layout) —
+    * followed by per-component AC scans over the `bands` partition of
+    * the 1–63 spectrum, each walking the component's own (unpadded)
+    * block grid non-interleaved as T.81 requires of AC scans. All scans
+    * Ah=Al=0; every band terminates with a plain EOB (EOB-run length 1),
+    * so the Annex K AC table suffices. Coefficients are IDENTICAL to
+    * [[encodeJpeg]]'s (shared [[jpegFdctQuantBlock]]) — only the scan
+    * organization differs — so the FlatQuant8 losslessness argument
+    * carries over unchanged, which is what lets the progressive decode
+    * path (gray AND color) share the baseline's pixel-formula oracle. */
+  def encodeProgressiveJpeg(w: Int, h: Int, comps: Seq[JpegComp],
+                            quantTab: Array[Int] = FlatQuant8,
+                            bands: Seq[(Int, Int)] = Seq((1, 5), (6, 63))): Array[Byte] = {
+    require(comps.nonEmpty && comps.size <= 4, s"${comps.size} components")
+    comps.foreach(c => require(c.plane.length == c.pw * c.ph,
+      s"${c.plane.length} pixels for ${c.pw}x${c.ph}"))
     require(quantTab.length == 64, "quant table must have 64 entries")
     require(bands.nonEmpty && bands.head._1 == 1 && bands.last._2 == 63 &&
       bands.forall { case (s, e) => s >= 1 && s <= e && e <= 63 } &&
       bands.iterator.sliding(2).withPartial(false)
         .forall(p => p(1)._1 == p(0)._2 + 1),
       s"bands must partition 1..63 in order: $bands")
+    val hmax = comps.map(_.h).max; val vmax = comps.map(_.v).max
+    require(comps.head.h == hmax && comps.head.v == vmax,
+      "first component must carry max sampling")
     val out = new java.io.ByteArrayOutputStream()
     def be16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     marker(0xd8) // SOI
     marker(0xdb); be16(2 + 65); out.write(0x00)
     ZigZag.indices.foreach(k => out.write(quantTab(k)))
-    marker(0xc2); be16(8 + 3); out.write(8); be16(h); be16(w) // SOF2
-    out.write(1); out.write(1); out.write(0x11); out.write(0)
+    marker(0xc2); be16(8 + 3 * comps.size); out.write(8); be16(h); be16(w) // SOF2
+    out.write(comps.size)
+    comps.zipWithIndex.foreach { case (c, idx) =>
+      out.write(idx + 1); out.write((c.h << 4) | c.v); out.write(0)
+    }
     val dcTab = new HuffTab(StdDcBits, StdDcVals)
     val acTab = new HuffTab(StdAcBits, StdAcVals)
     def writeDht(tc: Int, t: HuffTab): Unit = {
@@ -1225,61 +1329,115 @@ object Multimodal {
       t.bitsArr.foreach(out.write); t.huffval.foreach(out.write)
     }
     writeDht(0, dcTab); writeDht(1, acTab)
-    def sos(ss: Int, se: Int): Unit = {
-      marker(0xda); be16(8); out.write(1); out.write(1); out.write(0x00)
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    // every component's coefficients up front, on the MCU-PADDED grid
+    // (pbx × pby blocks; padding blocks edge-replicate via the fdct's
+    // clamp) — the interleaved DC scan walks the padding too, exactly as
+    // a baseline interleaved scan would
+    val pbx = comps.map(c => mcusX * c.h); val pby = comps.map(c => mcusY * c.v)
+    val all = comps.indices.map(ci => Array.ofDim[Int](pbx(ci) * pby(ci), 64)).toArray
+    val block = new Array[Double](64); val tmp = new Array[Double](64)
+    comps.indices.foreach { ci =>
+      val c = comps(ci)
+      var blk = 0
+      while (blk < all(ci).length) {
+        jpegFdctQuantBlock(c.plane, c.pw, c.ph, (blk % pbx(ci)) * 8,
+          (blk / pbx(ci)) * 8, quantTab, block, tmp, all(ci)(blk))
+        blk += 1
+      }
+    }
+    def sos(compIdx: Seq[Int], ss: Int, se: Int): Unit = {
+      marker(0xda); be16(6 + 2 * compIdx.size); out.write(compIdx.size)
+      compIdx.foreach { idx => out.write(idx + 1); out.write(0x00) }
       out.write(ss); out.write(se); out.write(0x00)
     }
-    // all blocks' zigzag coefficients up front (the scans re-walk them)
-    val bX = (w + 7) / 8; val bY = (h + 7) / 8
-    val all = Array.ofDim[Int](bX * bY, 64)
-    val block = new Array[Double](64); val tmp = new Array[Double](64)
-    var blk = 0
-    while (blk < all.length) {
-      jpegFdctQuantBlock(gray, w, h, (blk % bX) * 8, (blk / bX) * 8,
-        quantTab, block, tmp, all(blk))
-      blk += 1
-    }
-    // scan 1: DC (coded exactly like baseline DC)
-    sos(0, 0)
-    var bw = new JpegBitWriter(out)
-    var dcPred = 0
-    blk = 0
-    while (blk < all.length) {
-      val diff = all(blk)(0) - dcPred; dcPred = all(blk)(0)
+    def putDc(bw: JpegBitWriter, diff: Int): Unit = {
       val s = jpegMagnitude(diff)
       bw.put(dcTab.codeOf(s), dcTab.lenOf(s))
       if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
-      blk += 1
     }
-    bw.flush()
-    // AC band scans
-    bands.foreach { case (ss, se) =>
-      sos(ss, se)
-      bw = new JpegBitWriter(out)
-      blk = 0
-      while (blk < all.length) {
-        val cf = all(blk)
-        var run = 0
-        var k = ss
-        while (k <= se) {
-          if (cf(k) == 0) run += 1
-          else {
-            while (run > 15) { bw.put(acTab.codeOf(0xf0), acTab.lenOf(0xf0)); run -= 16 }
-            val sz = jpegMagnitude(cf(k))
-            bw.put(acTab.codeOf((run << 4) | sz), acTab.lenOf((run << 4) | sz))
-            bw.put(if (cf(k) < 0) cf(k) + (1 << sz) - 1 else cf(k), sz)
-            run = 0
-          }
-          k += 1
-        }
-        if (run > 0) bw.put(acTab.codeOf(0x00), acTab.lenOf(0x00)) // EOB (run 1)
+    // scan 1: DC — interleaved in MCU order when multi-component,
+    // the component's own grid when single (a 1-component scan is
+    // non-interleaved by definition, T.81 A.2)
+    if (comps.size == 1) {
+      sos(Seq(0), 0, 0)
+      val bw = new JpegBitWriter(out)
+      var dcPred = 0
+      var blk = 0
+      while (blk < all(0).length) {
+        val dc = all(0)(blk)(0); putDc(bw, dc - dcPred); dcPred = dc
         blk += 1
       }
       bw.flush()
+    } else {
+      sos(comps.indices, 0, 0)
+      val bw = new JpegBitWriter(out)
+      val dcPred = new Array[Int](comps.size)
+      var mcu = 0
+      val nMcus = mcusX * mcusY
+      while (mcu < nMcus) {
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        var ci = 0
+        while (ci < comps.size) {
+          val c = comps(ci)
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              val blk = (my * c.v + by) * pbx(ci) + (mx * c.h + bx)
+              val dc = all(ci)(blk)(0)
+              putDc(bw, dc - dcPred(ci)); dcPred(ci) = dc
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+      }
+      bw.flush()
+    }
+    // AC band scans: per band, per component, non-interleaved over the
+    // component's UNPADDED block grid (ceil(comp_w/8) × ceil(comp_h/8))
+    bands.foreach { case (ss, se) =>
+      comps.indices.foreach { ci =>
+        val c = comps(ci)
+        val nbx = (ceilDiv(w * c.h, hmax) + 7) / 8
+        val nby = (ceilDiv(h * c.v, vmax) + 7) / 8
+        sos(Seq(ci), ss, se)
+        val bw = new JpegBitWriter(out)
+        var by = 0
+        while (by < nby) {
+          var bx = 0
+          while (bx < nbx) {
+            val cf = all(ci)(by * pbx(ci) + bx)
+            var run = 0
+            var k = ss
+            while (k <= se) {
+              if (cf(k) == 0) run += 1
+              else {
+                while (run > 15) { bw.put(acTab.codeOf(0xf0), acTab.lenOf(0xf0)); run -= 16 }
+                val sz = jpegMagnitude(cf(k))
+                bw.put(acTab.codeOf((run << 4) | sz), acTab.lenOf((run << 4) | sz))
+                bw.put(if (cf(k) < 0) cf(k) + (1 << sz) - 1 else cf(k), sz)
+                run = 0
+              }
+              k += 1
+            }
+            if (run > 0) bw.put(acTab.codeOf(0x00), acTab.lenOf(0x00)) // EOB (run 1)
+            bx += 1
+          }
+          by += 1
+        }
+        bw.flush()
+      }
     }
     marker(0xd9) // EOI
     out.toByteArray
   }
+
+  private def ceilDiv(a: Int, b: Int): Int = (a + b - 1) / b
 
   /** Average-hash (aHash) over a decoded raster: an 8×8 grid of box-mean
     * cells (cell(cx,cy) = mean gray over pixels with ⌊x·8/W⌋ = cx), bit

@@ -809,6 +809,62 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeRaster(approx).isEmpty)
   }
 
+  test("COLOR progressive JPEG decodes for real: interleaved DC + per-component AC scans") {
+    // 4:2:0 color: Y block-constant (lossless under FlatQuant8), chroma
+    // planes with their own content; the luma raster must round-trip
+    // exactly and equal the BASELINE color encode's decode of the same
+    // components (shared coefficients, different scan organization) —
+    // which only happens if the chroma scans stayed in bitstream sync
+    val px = Array.tabulate(64 * 64) { i =>
+      val bx = (i % 64) / 8; val by = (i / 64) / 8
+      ((9L * 31 + bx * 7 + by * 13) % 251).toInt
+    }
+    def chroma(seed: Int) = Array.tabulate(32 * 32) { i =>
+      val bx = (i % 32) / 8; val by = (i / 32) / 8
+      (seed + bx * 11 + by * 3) % 251
+    }
+    val comps = Seq(Multimodal.JpegComp(2, 2, px, 64, 64),
+      Multimodal.JpegComp(1, 1, chroma(17), 32, 32),
+      Multimodal.JpegComp(1, 1, chroma(23), 32, 32))
+    val prog = Multimodal.encodeProgressiveJpeg(64, 64, comps)
+    assert(Multimodal.parseHeader(prog).format == "jpeg-progressive")
+    val dp = Multimodal.decodeRaster(prog)
+    assert(dp.isDefined, "in-envelope color progressive stream must decode")
+    assert(dp.get.gray.sameElements(px), "luma must round-trip exactly")
+    val base = Multimodal.decodeRaster(Multimodal.encodeJpeg(64, 64, comps)).get
+    assert(dp.get.gray.sameElements(base.gray), "progressive == baseline luma")
+    // odd dims + partial MCUs + arbitrary pixels + 4:4:4: progressive and
+    // baseline land on identical lumas
+    val w = 21; val h = 13
+    def plane(seed: Int) = Array.tabulate(w * h)(i => (i * seed + 11) % 256)
+    val comps2 = Seq(Multimodal.JpegComp(1, 1, plane(37), w, h),
+      Multimodal.JpegComp(1, 1, plane(53), w, h),
+      Multimodal.JpegComp(1, 1, plane(71), w, h))
+    val p2 = Multimodal.decodeRaster(Multimodal.encodeProgressiveJpeg(
+      w, h, comps2, bands = Seq((1, 1), (2, 9), (10, 63)))).get
+    val b2 = Multimodal.decodeRaster(Multimodal.encodeJpeg(w, h, comps2)).get
+    assert(p2.gray.sameElements(b2.gray))
+    // truncation fuzz across the multi-scan color stream: None or a
+    // raster, never a throw
+    (0 until prog.length by 3).foreach { n =>
+      Multimodal.decodeRaster(java.util.Arrays.copyOf(prog, n))
+    }
+    // a zero-scan SOF2 stream (headers + EOI, no SOS) must NOT render an
+    // all-gray lie — no decoded scan, no raster
+    val headerOnly = {
+      val sosAt = {
+        var j = 2; var found = -1
+        while (found < 0 && j + 1 < prog.length) {
+          if ((prog(j) & 0xff) == 0xff && (prog(j + 1) & 0xff) == 0xda) found = j
+          else j += 1
+        }
+        found
+      }
+      java.util.Arrays.copyOf(prog, sosAt) ++ Array(0xff.toByte, 0xd9.toByte)
+    }
+    assert(Multimodal.decodeRaster(headerOnly).isEmpty)
+  }
+
   test("parseHeader reads real magic bytes: PNG/JPEG/GIF dims, WAV sample rate") {
     assert(Multimodal.parseHeader(pngBytes(640, 480)) ==
       Multimodal.HeaderMeta("png", Some(640), Some(480), None))
