@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Tests pin the disk-artifact memo OFF: suites assert plan SHAPES
+// (exchange counts, pushdown, exchange-free bucketed joins), which would
+// otherwise depend on whether a prior JVM left artifacts in the store.
+// ArtifactStoreSpec re-enables it locally around its own assertions.
+Test / javaOptions += "-Dgraft.disk.memo=0"
+// The 10x scale soak (SoakSpec) is opt-in: heavy, and its point is a
+// manual scaling measurement. Run with:
+//   sbt "testOnly graft.SoakSpec -- -n graft.Soak"
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.Soak")
 // Without this, sbt echoes the forked process's stdout through its logger
 // with an "[info] " prefix — which breaks any line-oriented JSON scrape of
 // the bench output (json.loads("[info] {...}") fails). StdoutOutput wires

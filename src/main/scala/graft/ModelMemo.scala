@@ -27,7 +27,11 @@ final class ModelMemo[T <: AnyRef] {
     val cached = entries.get(key)
     if (cached != null) cached.asInstanceOf[T]
     else {
-      val trained = train // eager Spark jobs run lock-free
+      // disk layer: a fresh JVM deserializes the stored model instead of
+      // retraining (the stored-tokenizer/index contract); a first
+      // training commits its result. Runs lock-free like the training.
+      val trained = ArtifactStore.getOrTrain[T](
+        ArtifactStore.dfKey(tag, Seq(input)))(train)
       val prev = entries.putIfAbsent(key, trained)
       (if (prev != null) prev else trained).asInstanceOf[T]
     }

@@ -27,11 +27,21 @@ final class PlanMemo {
   /** Memoize `build`'s relation for (input plan, tag); persists on first
     * use and re-persists if evicted. `build` must be pure plan
     * construction — an eager action inside would run under this memo's
-    * monitor and stall every other caller. */
+    * monitor and stall every other caller. (The [[ArtifactStore]] disk
+    * layer DOES run an eager parquet write/read under the monitor on a
+    * memory miss — acceptable for this engine's sequential drivers, and
+    * disabled in the test suite where suites share one session.)
+    *
+    * Disk layer: a memory miss first consults [[ArtifactStore]] under a
+    * (tag, input plan, input files) content key — a fresh JVM faults the
+    * stored artifact in from parquet instead of re-deriving it, and a
+    * first build commits its result for the next JVM. */
   def apply(input: DataFrame, tag: String)(build: => DataFrame): DataFrame =
     synchronized {
       val key = (input.sparkSession, input.queryExecution.analyzed.canonicalized, tag)
-      val df = entries.computeIfAbsent(key, _ => build)
+      val df = entries.computeIfAbsent(key, _ =>
+        ArtifactStore.getOrBuildDf(input.sparkSession,
+          ArtifactStore.dfKey(tag, Seq(input)))(build))
       if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
       df
     }

@@ -214,9 +214,13 @@ object Dedup {
       textCol, idCol, shingleN)
     repersist(shingleMemo.computeIfAbsent(key, _ =>
       // hashed shingle SET, sorted+distinct (the contract of the merge-scan
-      // Jaccard kernel), built by the fused codegen kernel in one pass
-      docs.select(col(idCol),
-        graft.plans.ShingleExpression.hashedShingles(tokens(col(textCol)), shingleN).as("hs"))))
+      // Jaccard kernel), built by the fused codegen kernel in one pass;
+      // disk-backed (ArtifactStore) — the stored signatures table
+      graft.ArtifactStore.getOrBuildDf(docs.sparkSession,
+        graft.ArtifactStore.dfKey(
+          graft.PlanMemo.tag("shingles", textCol, idCol, shingleN), Seq(docs)))(
+        docs.select(col(idCol),
+          graft.plans.ShingleExpression.hashedShingles(tokens(col(textCol)), shingleN).as("hs")))))
   }
 
   /** Public shared-artifact accessor to the memoized hashed-shingle table

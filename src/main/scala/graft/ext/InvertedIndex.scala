@@ -70,7 +70,10 @@ object InvertedIndex {
     * wants at any scale. */
   def postings(docs: DataFrame, textCol: String = "text"): DataFrame = synchronized {
     val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized, textCol)
-    repersist(postMemo.computeIfAbsent(key, _ => tokenizePostings(docs, textCol)))
+    repersist(postMemo.computeIfAbsent(key, _ =>
+      graft.ArtifactStore.getOrBuildDf(docs.sparkSession, // the stored index
+        graft.ArtifactStore.dfKey(graft.PlanMemo.tag("postings", textCol), Seq(docs)))(
+        tokenizePostings(docs, textCol))))
   }
 
   /** Per-term directory (the index's "dictionary" page): document
@@ -105,9 +108,11 @@ object InvertedIndex {
   def positionalPostings(docs: DataFrame, textCol: String = "text"): DataFrame = synchronized {
     val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized, textCol)
     repersist(posMemo.computeIfAbsent(key, _ =>
-      docs.select(col("doc_id"),
-          posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
-        .select("term", "doc_id", "pos")))
+      graft.ArtifactStore.getOrBuildDf(docs.sparkSession, // the stored index
+        graft.ArtifactStore.dfKey(graft.PlanMemo.tag("pospostings", textCol), Seq(docs)))(
+        docs.select(col("doc_id"),
+            posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
+          .select("term", "doc_id", "pos"))))
   }
 
   /** Exact phrase query over the positional index: an occurrence is an

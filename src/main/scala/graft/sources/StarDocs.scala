@@ -55,6 +55,17 @@ object StarDocs {
     val orders = Tables.orders(spark, sfDir)
     val li = Tables.lineitem(spark, sfDir)
     val part = Tables.part(spark, sfDir)
+    // the assembled documents table is the engine's most-shared stored
+    // artifact — disk-backed via ArtifactStore so a fresh JVM reads the
+    // parquet instead of re-running the assembly (fingerprinted on the
+    // three source tables; a driver fixture regen changes the key)
+    graft.ArtifactStore.getOrBuildDf(spark, graft.ArtifactStore.dfKey(
+      graft.PlanMemo.tag("stardocs"), Seq(orders, li, part))) {
+      assemble(orders, li, part)
+    }
+  }
+
+  private def assemble(orders: DataFrame, li: DataFrame, part: DataFrame): DataFrame = {
     // grandchild: the lineitem's part, a broadcast-joined nested struct
     // (l_orderkey, l_linenumber) is NOT unique in the fixture data, so the
     // child objectId is a deterministic per-order sequence: row_number over

@@ -9,6 +9,9 @@ package graft.tools
   */
 object ShowShuffles {
   def main(args: Array[String]): Unit = {
+    // plan shapes must match the TEST environment, which pins the disk
+    // artifact memo off (see build.sbt)
+    System.setProperty("graft.disk.memo", "0")
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]")

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Disk-artifact memo: content keying, atomic commit, fault-in, and the
+  * stale-read guards. The suite-wide `-Dgraft.disk.memo=0` pin is lifted
+  * locally (the flag is read per call). */
+class ArtifactStoreSpec extends SparkSpec {
+
+  private def withStore[T](body: => T): T = {
+    val prior = System.getProperty("graft.disk.memo")
+    System.setProperty("graft.disk.memo", "1")
+    try body
+    finally if (prior == null) System.clearProperty("graft.disk.memo")
+    else System.setProperty("graft.disk.memo", prior)
+  }
+
+  test("relation artifacts commit once and fault in without rebuilding") {
+    withStore {
+      val dir = Files.createTempDirectory("graft_store_in").toString
+      spark.range(100).select(col("id"), (col("id") * 3).as("v"))
+        .write.mode("overwrite").parquet(s"$dir/t.parquet")
+      val in = spark.read.parquet(s"$dir/t.parquet")
+      val key = ArtifactStore.dfKey(PlanMemo.tag("spec", "agg"), Seq(in))
+      assert(key.isDefined)
+      var builds = 0
+      def build = { builds += 1; in.groupBy((col("id") % 10).as("g")).agg(sum("v").as("s")) }
+      val first = ArtifactStore.getOrBuildDf(spark, key)(build)
+      val want = first.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // second call with the same key: served from parquet, no rebuild
+      val second = ArtifactStore.getOrBuildDf(spark, key)(build)
+      assert(builds == 1, s"expected 1 build, got $builds")
+      assert(second.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == want)
+    }
+  }
+
+  test("a changed input file changes the key — stale artifacts are unreachable") {
+    withStore {
+      val dir = Files.createTempDirectory("graft_store_fp").toString
+      def write(n: Long): Unit =
+        spark.range(n).select(col("id")).coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/t.parquet")
+      write(10)
+      val k1 = ArtifactStore.dfKey(PlanMemo.tag("spec", "fp"),
+        Seq(spark.read.parquet(s"$dir/t.parquet")))
+      // same path, different contents (length differs) — and even for
+      // same-length rewrites the mtime differs
+      write(500)
+      val k2 = ArtifactStore.dfKey(PlanMemo.tag("spec", "fp"),
+        Seq(spark.read.parquet(s"$dir/t.parquet")))
+      assert(k1.isDefined && k2.isDefined && k1 != k2,
+        s"fingerprint must change with the file: $k1 vs $k2")
+      // and a different TAG changes the key on identical inputs
+      val k3 = ArtifactStore.dfKey(PlanMemo.tag("spec", "fp2"),
+        Seq(spark.read.parquet(s"$dir/t.parquet")))
+      assert(k3 != k2)
+    }
+  }
+
+  test("model artifacts round-trip by java serialization; disabled flag bypasses disk") {
+    withStore {
+      val dir = Files.createTempDirectory("graft_store_m").toString
+      spark.range(7).write.mode("overwrite").parquet(s"$dir/t.parquet")
+      val in = spark.read.parquet(s"$dir/t.parquet")
+      val key = ArtifactStore.dfKey(PlanMemo.tag("spec", "model"), Seq(in))
+      var trains = 0
+      def train: Seq[(String, Long)] = { trains += 1; Seq("a" -> 1L, "b" -> 2L) }
+      assert(ArtifactStore.getOrTrain(key)(train) == Seq("a" -> 1L, "b" -> 2L))
+      assert(ArtifactStore.getOrTrain(key)(train) == Seq("a" -> 1L, "b" -> 2L))
+      assert(trains == 1, s"expected 1 training, got $trains")
+    }
+    // with the store disabled (the suite default), every call re-trains
+    var trains = 0
+    def train: String = { trains += 1; "x" }
+    assert(ArtifactStore.getOrTrain(Some("deadbeef"))(train) == "x")
+    assert(ArtifactStore.getOrTrain(Some("deadbeef"))(train) == "x")
+    assert(trains == 2, "disabled store must not serve from disk")
+  }
+
+  test("PlanMemo faults a prior JVM's artifact in from parquet (simulated via memo sweep)") {
+    withStore {
+      val dir = Files.createTempDirectory("graft_store_pm").toString
+      spark.range(50).select(col("id"), md5(col("id").cast("string")).as("h"))
+        .write.mode("overwrite").parquet(s"$dir/t.parquet")
+      val in = spark.read.parquet(s"$dir/t.parquet")
+      val memo = new PlanMemo
+      var builds = 0
+      def get() = memo(in, PlanMemo.tag("spec", "pm")) {
+        builds += 1; in.groupBy(substring(col("h"), 1, 1).as("p")).count()
+      }
+      val want = get().collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(builds == 1)
+      // a fresh JVM = empty memory memo, warm disk: sweep memory, re-ask
+      memo.invalidate(spark)
+      val again = get()
+      assert(builds == 1, "post-sweep fault-in must come from the disk artifact")
+      assert(again.collect().map(r => (r.getString(0), r.getLong(1))).toSet == want)
+    }
+  }
+}

@@ -1,0 +1,181 @@
+package graft
+
+import graft.ext.{Curation, Dedup, TextAnalysis}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.Tag
+
+/** Opt-in 10× scale soak (excluded from the default `sbt test` run via
+  * the `graft.Soak` tag — run with
+  * `sbt "testOnly graft.SoakSpec -- -n graft.Soak"`): the largest corpus
+  * a fixture provides is sf0.1, so scale claims otherwise rest on plan
+  * assertions alone. This suite self-unions the sf0.01 fixtures to ~10×
+  * (≈ sf0.1 volume on the 4-core test session) with salted ids and
+  * drives the hot skew-sensitive operators end-to-end, asserting the
+  * properties that distinguish linear from quadratic behavior: CC
+  * closure round counts stay logarithmic, LSH mega-buckets degrade to
+  * star pairs instead of all-pairs, samplers return exact counts
+  * independent of partitioning, no large stage collapses to a single
+  * task, AQE's skew-join split actually activates on a hot key, and
+  * wall time scales ~linearly 1×→10×. Measured numbers are recorded in
+  * SCALE.md ("10× soak"). */
+object Soak extends Tag("graft.Soak")
+
+class SoakSpec extends SparkSpec {
+
+  private val base = "/root/testdata/sf0.01"
+
+  /** 10× self-union with salted ids: copy i shifts doc_id by i·10⁹. */
+  private def docs10x(): DataFrame = {
+    val d = graft.sources.Tables.documents(spark, base).select("doc_id", "text")
+    (0 until 10).map(i => d.select(
+      (col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
+      col("text"))).reduce(_ unionByName _)
+      .repartition(16)
+  }
+
+  /** every stage that read >`recCap` records must have run >1 task
+    * (bounded finals — two-phase top-k, driver-metadata aggs — read less
+    * by construction, so they stay exempt) */
+  private def assertNoBigSingleTaskStage[T](recCap: Long)(body: => T): T = {
+    val offenders = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        val recs = m.inputMetrics.recordsRead + m.shuffleReadMetrics.recordsRead
+        if (sc.stageInfo.numTasks == 1 && recs > recCap)
+          offenders.add(s"stage ${sc.stageInfo.stageId} (${sc.stageInfo.name}): " +
+            s"$recs records on 1 task")
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val r = body
+      Thread.sleep(500) // listener bus drains asynchronously
+      assert(offenders.isEmpty, s"single-task stages over $recCap records:\n" +
+        String.join("\n", offenders))
+      r
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("global line dedup scales ~linearly 1×→10× with no fat single-task stage", Soak) {
+    def banner(d: DataFrame) = d.where(col("text").isNotNull).select(col("doc_id"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("SOAK COOKIE BANNER\n"), col("text"))).otherwise(col("text")).as("text"))
+    def run(d: DataFrame): (Long, Double) = {
+      Caches.invalidate(spark) // cold each measurement: memo reuse would fake linearity
+      val t0 = System.nanoTime()
+      val keptBanners = TextAnalysis.dedupeLinesGlobal(banner(d))
+        .where(col("cleaned").contains("SOAK COOKIE BANNER")).count()
+      (keptBanners, (System.nanoTime() - t0) / 1e9)
+    }
+    val one = graft.sources.Tables.documents(spark, base).select("doc_id", "text")
+    run(one) // warmup: JIT + codegen compile, so the 1× time is steady-state
+    val (kept1, t1) = run(one)
+    val (kept10, t10) = assertNoBigSingleTaskStage(500000L) { run(docs10x()) }
+    // C4 semantics: the corpus-wide boilerplate line survives exactly once
+    assert(kept1 == 1L && kept10 == 1L, s"banner survivors: 1x=$kept1 10x=$kept10")
+    info(f"dedupeLinesGlobal wall: 1x=$t1%.2fs 10x=$t10%.2fs ratio=${t10 / t1}%.1f")
+    assert(t10 <= 30 * t1 + 5.0, // generous local-noise margin; quadratic would be ~100×
+      f"10x took ${t10 / t1}%.1f× the 1x time — not ~linear")
+    Caches.invalidate(spark)
+  }
+
+  test("CC closure on a 10×-deeper chain stays logarithmic in rounds", Soak) {
+    import spark.implicits._
+    val n = 10240 // 10× SkewSpec's diameter-1023 chain
+    val chain = (0L until (n - 1)).map(i => (i, i + 1)).toDF("id_a", "id_b").repartition(16)
+    val nodes = (0L until n).toDF("doc_id")
+    val (out, rounds) = Dedup.clustersWithRounds(chain, nodes)
+    info(s"10x chain rounds: $rounds")
+    // heights halve per round: 10× the diameter adds ~log2(10) ≈ 3.3 rounds
+    assert(rounds <= 18, s"diameter-${n - 1} chain took $rounds rounds — not O(log n)")
+    val clusters = out.select("cluster").distinct().count()
+    assert(clusters == 1L, s"one chain must close to one cluster, got $clusters")
+  }
+
+  test("LSH mega-bucket (10× over the cap) emits star pairs, not all-pairs", Soak) {
+    import spark.implicits._
+    // one duplicate class far over DefaultMaxBucket (4096): all-pairs is
+    // ~179M candidate rows; the star degrade emits O(n)
+    val n = 6000
+    val mega = (0L until n).map(i => (i, "identical mega duplicate text block " +
+      "repeated across every ingest shard of the corpus tonight"))
+    val normal = (10000L until 10200L).map(i => (i, s"unique-document-$i with its own words $i"))
+    val d = (mega ++ normal).toDF("doc_id", "text").repartition(16)
+    val t0 = System.nanoTime()
+    val cands = Dedup.lshCandidates(d).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"mega-bucket candidates: $cands in $secs%.2fs")
+    assert(cands <= 4L * n, s"$cands candidate pairs — the cap did not defuse all-pairs")
+    assert(cands >= n - 1L, "star pairs must still connect the whole class")
+    Caches.invalidate(spark)
+  }
+
+  test("samplers at 10×: exact counts, output independent of partitioning", Soak) {
+    val d = docs10x().where(col("text").isNotNull)
+      .withColumn("lang", (col("doc_id") % 5).cast("string"))
+    def strat(parts: Int) = Curation.stratifiedSample(d.repartition(parts), "lang", k = 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = strat(16); val b = strat(7)
+    assert(a == b, "stratified sample must not depend on physical partitioning")
+    assert(a.size == 5 * 20)
+    def weighted(parts: Int) = Curation.weightedSample(
+      d.repartition(parts), (col("doc_id") % 8 + 1).cast("int"), k = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val wa = weighted(16); val wb = weighted(5)
+    assert(wa == wb, "weighted sample must not depend on physical partitioning")
+    assert(wa.size == 50)
+    Caches.invalidate(spark)
+  }
+
+  test("AQE skew-join split activates on a hot key under cluster-scale thresholds", Soak) {
+    // the corpus-wide-boilerplate join shape: one key carries 500k rows.
+    // Thresholds are scaled to the local fixture the way a cluster's
+    // defaults (256 MB) relate to its partitions; the assertion is that
+    // the engine's plans LET AQE split (no semi-join/probe shape that
+    // OptimizeSkewedJoin excludes) — the optimizer marks the join skew=true.
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val hot = spark.range(500000).select(lit("the hot boilerplate line").as("line"),
+        col("id").as("doc_id"))
+      val tail = spark.range(20000).select(concat(lit("line-"), col("id")).as("line"),
+        (col("id") + 1000000L).as("doc_id"))
+      val lines = hot.unionByName(tail).repartition(16)
+      // materialized (localCheckpoint): OptimizeSkewedJoin only matches
+      // SMJ(Sort(shuffle), Sort(shuffle)) — an aggregate between the
+      // shuffle and the sort on either side excludes the join, so the
+      // keeper relation must arrive as a plain scan, the way a stored
+      // keeper table would at scale
+      val keepers = lines.groupBy("line").agg(min("doc_id").as("keeper"))
+        .localCheckpoint(true)
+      // `<=` (not `===`): keeper is the per-line MIN doc_id so the two are
+      // equivalent, but an equality would be extracted into the equi-join
+      // keys, joining on (line, doc_id) — uniform, nothing for the skew
+      // rule to split. The inequality stays a post-join filter and the
+      // join keys on `line` alone, keeping the hot key hot.
+      val joined = lines.join(keepers, Seq("line"))
+        .where(col("doc_id") <= col("keeper"))
+      // collect() (not count()) so the ASSERTED QueryExecution is the one
+      // that ran — count() builds its own plan and would leave this one
+      // with isFinalPlan=false
+      assert(joined.collect().length == 20001)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew split did not activate; final plan:\n${plan.take(2000)}")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+}
