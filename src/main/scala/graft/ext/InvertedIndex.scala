@@ -223,7 +223,16 @@ object InvertedIndex {
       .agg(sum(col("s1").cast("decimal(18,6)")).as("__s"))
       .select(col("doc_id"), col("__s").cast("double").as("score"))
     val local = Window.partitionBy(col("__p")).orderBy(col("score").desc, col("doc_id"))
-    val global = Window.orderBy(col("score").desc, col("doc_id"))
+    // constant partition key (same idiom as Curation.twoPhaseTopK):
+    // DECLARES that the final rank's one task is intentional — its input
+    // is pre-filtered to ≤ k·partitions survivor rows. Spark 4's
+    // EliminateWindowPartitions folds the constant away again, which is
+    // desirable: the empty spec plus the rank<=k filter rewrites to
+    // TakeOrderedAndProject (tree-aggregated global top-k, no full
+    // exchange). The residual "No Partition Defined for Window" WARN is
+    // spurious here and suppressed in the drive mains; real fat
+    // single-task windows are caught by SkewSpec/SoakSpec listeners.
+    val global = Window.partitionBy(lit(0)).orderBy(col("score").desc, col("doc_id"))
     per.withColumn("__p", spark_partition_id())
       .withColumn("__r", row_number().over(local)).where(col("__r") <= k)
       .withColumn("rank", row_number().over(global)).where(col("rank") <= k)
