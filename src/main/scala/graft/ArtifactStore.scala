@@ -43,8 +43,84 @@ object ArtifactStore {
       sys.env.getOrElse("GRAFT_DISK_MEMO", "1")) != "0"
 
   private def root: java.nio.file.Path =
-    java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_ARTIFACT_DIR",
-      s"${System.getProperty("java.io.tmpdir")}/graft_artifacts"))
+    java.nio.file.Paths.get(System.getProperty("graft.artifacts.dir",
+      sys.env.getOrElse("GRAFT_ARTIFACT_DIR",
+        s"${System.getProperty("java.io.tmpdir")}/graft_artifacts")))
+
+  // ---- retention ------------------------------------------------------
+  // Content keys mean a corpus-version bump ORPHANS every old artifact
+  // (nothing ever asks for the old key again); without retention the
+  // store grows monotonically across fixture regens / code-salt bumps.
+  // Policy: reads touch their entry's mtime (LRU clock), and a sweep —
+  // run once per JVM before the first store access — deletes (1) torn
+  // `_tmp_*` leftovers from crashed writers older than one hour, (2)
+  // committed entries older than the TTL, then (3) oldest entries first
+  // until the store fits the size cap. Eviction is only ever a cache
+  // miss: the next request rebuilds and recommits. Deleting an entry a
+  // concurrent reader has open is a non-issue for this engine's
+  // sequential drivers; a shared cluster store would gate the sweep on
+  // a coordinator lease instead.
+
+  private def propMillis(prop: String, defaultMillis: Long): Long =
+    try System.getProperty(prop, defaultMillis.toString).toLong
+    catch { case _: NumberFormatException => defaultMillis }
+
+  private[graft] def ttlMillis: Long =
+    propMillis("graft.artifacts.ttl.ms", 7L * 24 * 3600 * 1000)
+  private[graft] def maxBytes: Long =
+    propMillis("graft.artifacts.max.bytes", 8L * 1024 * 1024 * 1024)
+
+  private val sweptOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def entrySize(p: java.nio.file.Path): Long = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.walk(p).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(f => try java.nio.file.Files.size(f) catch { case _: Exception => 0L })
+        .sum
+    else try java.nio.file.Files.size(p) catch { case _: Exception => 0L }
+  }
+
+  private def deleteEntry(p: java.nio.file.Path): Unit =
+    try {
+      if (java.nio.file.Files.isDirectory(p))
+        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+      else java.nio.file.Files.deleteIfExists(p)
+    } catch { case _: Exception => () }
+
+  /** LRU touch: a served artifact is recent, whatever its commit time. */
+  private def touch(p: java.nio.file.Path): Unit =
+    try java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: Exception => () }
+
+  /** Apply the retention policy now (also called lazily, once per JVM).
+    * Safe on a missing/empty root; every IO failure degrades to keeping
+    * the entry. */
+  def sweep(ttlMs: Long = ttlMillis, capBytes: Long = maxBytes): Unit = {
+    import scala.jdk.CollectionConverters._
+    val r = root
+    if (!java.nio.file.Files.isDirectory(r)) return
+    val now = System.currentTimeMillis()
+    val entries = java.nio.file.Files.list(r).iterator().asScala.toList
+    def mtime(p: java.nio.file.Path): Long =
+      try java.nio.file.Files.getLastModifiedTime(p).toMillis
+      catch { case _: Exception => 0L }
+    val (tmps, committed) = entries.partition(_.getFileName.toString.startsWith("_tmp_"))
+    tmps.filter(now - mtime(_) > 3600 * 1000L).foreach(deleteEntry)
+    val (expired, live) = committed.partition(now - mtime(_) > ttlMs)
+    expired.foreach(deleteEntry)
+    val sized = live.map(p => (p, entrySize(p), mtime(p))).sortBy(_._3) // oldest first
+    var excess = sized.map(_._2).sum - capBytes
+    sized.iterator.takeWhile(_ => excess > 0).foreach { case (p, sz, _) =>
+      deleteEntry(p); excess -= sz
+    }
+  }
+
+  private def sweepIfFirst(): Unit =
+    if (sweptOnce.compareAndSet(false, true))
+      try sweep() catch { case _: Exception => () }
 
   /** Content key for a derived relation: tag + every input's canonical
     * plan + underlying-file stats. Returns None when any input's files
@@ -87,9 +163,10 @@ object ArtifactStore {
     key.filter(_ => enabled) match {
       case None => build
       case Some(k) =>
+        sweepIfFirst()
         val dir = root.resolve(s"df_$k")
         if (java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
-          try return spark.read.parquet(dir.toString)
+          try { touch(dir); return spark.read.parquet(dir.toString) }
           catch { case _: Exception => () } // unreadable artifact: rebuild
         val built = build
         try {
@@ -110,12 +187,14 @@ object ArtifactStore {
     key.filter(_ => enabled) match {
       case None => train
       case Some(k) =>
+        sweepIfFirst()
         val f = root.resolve(s"model_$k.bin")
         if (java.nio.file.Files.exists(f)) {
           try {
             val in = new java.io.ObjectInputStream(
               java.nio.file.Files.newInputStream(f))
-            try return in.readObject().asInstanceOf[T] finally in.close()
+            try { val m = in.readObject().asInstanceOf[T]; touch(f); return m }
+            finally in.close()
           } catch { case _: Exception => () } // unreadable/stale class: retrain
         }
         val trained = train

@@ -78,6 +78,60 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(trains == 2, "disabled store must not serve from disk")
   }
 
+  test("retention sweep: TTL expiry, oldest-first size eviction, torn-tmp cleanup, LRU touch") {
+    withStore {
+      val storeDir = Files.createTempDirectory("graft_store_gc")
+      val priorDir = System.getProperty("graft.artifacts.dir")
+      System.setProperty("graft.artifacts.dir", storeDir.toString)
+      try {
+        def entry(name: String, ageMs: Long, bytes: Int): java.nio.file.Path = {
+          val d = storeDir.resolve(name)
+          Files.createDirectories(d)
+          Files.write(d.resolve("part-0.parquet"), new Array[Byte](bytes))
+          Files.write(d.resolve("_SUCCESS"), Array.emptyByteArray)
+          Files.setLastModifiedTime(d, java.nio.file.attribute.FileTime
+            .fromMillis(System.currentTimeMillis() - ageMs))
+          d
+        }
+        val h = 3600 * 1000L
+        val old = entry("df_old", ageMs = 10 * h, bytes = 100)
+        val mid = entry("df_mid", ageMs = 5 * h, bytes = 3000)
+        val fresh = entry("df_fresh", ageMs = 0, bytes = 100)
+        val tornOld = Files.createDirectories(storeDir.resolve("_tmp_df_x_1"))
+        Files.setLastModifiedTime(tornOld, java.nio.file.attribute.FileTime
+          .fromMillis(System.currentTimeMillis() - 2 * h))
+        val tornNew = Files.createDirectories(storeDir.resolve("_tmp_df_y_2"))
+        // TTL pass: 8h TTL expires df_old; live total 3.1 KB > 1 KB cap
+        // evicts oldest-first → df_mid goes, df_fresh stays; torn tmp
+        // older than 1h goes, an in-flight (fresh) tmp survives
+        ArtifactStore.sweep(ttlMs = 8 * h, capBytes = 1024)
+        assert(!Files.exists(old), "TTL-expired entry must be deleted")
+        assert(!Files.exists(mid), "size cap must evict oldest-first")
+        assert(Files.exists(fresh), "entry within TTL and cap must survive")
+        assert(!Files.exists(tornOld), "stale torn tmp must be swept")
+        assert(Files.exists(tornNew), "a fresh tmp may be a live writer — keep")
+        // LRU touch: a disk-served read refreshes the entry's clock, so a
+        // subsequent commit-age-based sweep keeps it
+        val dataDir = Files.createTempDirectory("graft_store_gc_in").toString
+        spark.range(10).write.mode("overwrite").parquet(s"$dataDir/t.parquet")
+        val in = spark.read.parquet(s"$dataDir/t.parquet")
+        val key = ArtifactStore.dfKey(PlanMemo.tag("spec", "gc"), Seq(in))
+        ArtifactStore.getOrBuildDf(spark, key)(in.groupBy().count()) // commit
+        val committed = Files.list(storeDir).iterator()
+        var served: java.nio.file.Path = null
+        while (committed.hasNext) { val p = committed.next()
+          if (p != fresh && !p.getFileName.toString.startsWith("_tmp_")) served = p }
+        assert(served != null)
+        Files.setLastModifiedTime(served, java.nio.file.attribute.FileTime
+          .fromMillis(System.currentTimeMillis() - 10 * h)) // pretend old commit
+        ArtifactStore.getOrBuildDf(spark, key)(fail("must be disk-served")).collect()
+        ArtifactStore.sweep(ttlMs = 8 * h, capBytes = Long.MaxValue)
+        assert(Files.exists(served), "a just-served artifact must survive a TTL sweep")
+      } finally if (priorDir == null) System.clearProperty("graft.artifacts.dir")
+      else System.setProperty("graft.artifacts.dir", priorDir)
+    }
+  }
+
   test("PlanMemo faults a prior JVM's artifact in from parquet (simulated via memo sweep)") {
     withStore {
       val dir = Files.createTempDirectory("graft_store_pm").toString
