@@ -428,6 +428,19 @@ object SparkEntryExt {
       val embs = Tables.embeddings(s, dir)
       Similarity.lshTopK(embs, embs.where(col("vec_id") < 10), k = 10)
     },
+    "x_knn_ivf_delta" -> { (s, dir) =>
+      // incremental index maintenance: centroids train on the BASE corpus
+      // only (every 5th vector arrives later as the delta batch); the
+      // frozen model assigns the delta map-only and search covers
+      // base ∪ delta. Oracle: the same replay machinery as x_knn_ivf with
+      // the base-trained centroids as literals — one shared assignment
+      // formula covers both sides precisely because the model is frozen.
+      val embs = Tables.embeddings(s, dir)
+      Similarity.ivfDeltaTopK(
+        embs.where(col("vec_id") % 5 =!= 4),
+        embs.where(col("vec_id") % 5 === 4),
+        embs.where(col("vec_id") < 10), k = 10, kCells = 8, iters = 2, nprobe = 2)
+    },
 
     // ----- multimodal plumbing -----
     "x_multimodal_meta" -> { (s, dir) =>
@@ -687,6 +700,12 @@ object SparkEntryExt {
     },
     "x_shard_stats" -> { (s, dir) =>
       Curation.shardStats(Tables.documents(s, dir))
+    },
+    "x_corpus_shuffle" -> { (s, dir) =>
+      // deterministic epoch-0 training order: dense per-shard positions
+      // via the distributed two-pass rank (range-bucketed hash + bounded
+      // offset metadata) — the oracle's single window proves it equal
+      Curation.corpusShuffle(Tables.documents(s, dir))
     },
     "x_stratified_sample" -> { (s, dir) =>
       Curation.stratifiedSample(Tables.documents(s, dir))
@@ -962,7 +981,14 @@ object SparkEntryExt {
   private def annOracles: Map[String, String] =
     Map("x_knn_lsh" -> lshOracleSql,
       "x_dedup_embed_lsh" -> embedLshOracleSql) ++
-      ivfOracleSqlOpt.map("x_knn_ivf" -> _).toMap
+      ivfOracleSqlOpt.map("x_knn_ivf" -> _).toMap ++
+      // same replay machinery, base-trained model: the frozen-centroid law
+      // means one assignment CTE over ALL vectors equals the engine's
+      // base-assign ∪ delta-assign exactly
+      (Similarity.lastLearnedDelta match {
+        case cents if cents.nonEmpty => Map("x_knn_ivf_delta" -> ivfOracleSql(cents))
+        case _                       => Map.empty[String, String]
+      })
 
   // closed-form average-hash assembly over an 8x8-per-doc pixel formula —
   // shared by x_multimodal_phash and x_dedup_image_phash so the nibble
@@ -1522,6 +1548,16 @@ object SparkEntryExt {
         "floor(CAST(top_w AS DOUBLE) / n_words * 1000000.0 + 0.5) / 1000000.0 AS top_word_frac, " +
         "floor(CAST(top_b AS DOUBLE) / n_bigrams * 1000000.0 + 0.5) / 1000000.0 AS top_bigram_frac " +
         "FROM wa LEFT JOIN ba USING (doc_id)"),
+
+    // one global window per shard re-derives the two-pass rank exactly
+    "x_corpus_shuffle" -> {
+      val h = seedHashSql(graft.ext.Curation.ShuffleOrderSeed.toString,
+        "'0|' || CAST(doc_id AS VARCHAR)")
+      s"WITH h AS (SELECT doc_id, $h AS hh FROM documents WHERE doc_id IS NOT NULL) " +
+        "SELECT doc_id, CAST(hh % 16 AS INT) AS shard, " +
+        "CAST(row_number() OVER (PARTITION BY hh % 16 ORDER BY hh, doc_id) AS BIGINT) AS pos " +
+        "FROM h"
+    },
 
     "x_shard_stats" ->
       (s"SELECT ${seedHashSql(graft.ext.Curation.ShardSeed.toString, "CAST(doc_id AS VARCHAR)")} % 64 AS shard, " +

@@ -43,6 +43,7 @@ object Curation {
   val StratSeed = 17
   val PackOrderSeed = 19
   val WeightSeed = 23
+  val ShuffleOrderSeed = 29
 
   /** 2^60 — the hash space of [[TextFunctions.seededHash]] (15 hex digits). */
   val HashSpace: Long = 1L << 60
@@ -382,6 +383,55 @@ object Curation {
     * col("shard"))` + `partitionBy`) for reproducible shard files — unlike
     * round-robin, adding or removing *other* documents never moves a
     * document between shards. */
+  /** Deterministic epoch shuffle: the global training order every run of
+    * data loading must agree on. Each doc gets `shard` (hash mod
+    * `nShards` — which worker/file group it belongs to) and a DENSE
+    * 1-based `pos` within its shard, ordered by the seeded content hash:
+    * reading shards round-robin by `pos` IS the shuffled epoch. A new
+    * `epoch` value re-permutes everything with no plan change
+    * (checkpoint/restart re-derives the identical order — no RNG state).
+    *
+    * The dense rank is the scale hazard: a global `row_number` is one
+    * task over the corpus, and even per-shard windows serialize
+    * corpus/nShards rows through single tasks. This is the standard
+    * two-pass distributed form instead: range-bucket the hash (bucket =
+    * high bits, so bucket order IS hash order), count per (shard,
+    * bucket) — bounded metadata, ≤ nShards·nBuckets rows — prefix-sum
+    * those counts driver-side into per-bucket starting offsets, then
+    * rank only within (shard, bucket) tasks of ~corpus/(nShards·nBuckets)
+    * rows and add the offset. Two shuffles on narrow (id, hash) rows;
+    * both knobs free to match cluster parallelism. */
+  def corpusShuffle(docs: DataFrame, nShards: Int = 16, nBuckets: Int = 64,
+                    epoch: Int = 0, idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(HashSpace % nBuckets == 0, s"nBuckets must divide 2^60: $nBuckets")
+    val spark = docs.sparkSession
+    val bucketWidth = HashSpace / nBuckets
+    val base = docs.where(col(idCol).isNotNull)
+      .select(col(idCol), TextFunctions.seededHash(
+        concat_ws("|", lit(epoch), col(idCol).cast("string")), ShuffleOrderSeed).as("__h"))
+      .withColumn("shard", (col("__h") % nShards).cast("int"))
+      .withColumn("__b", (col("__h") / bucketWidth).cast("int"))
+    // pass 1: bounded metadata — bucket populations, prefix-summed into
+    // the starting offset of each (shard, bucket) run
+    val counts = base.groupBy("shard", "__b").count()
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+    val offsets = counts.groupBy(_._1._1).iterator.flatMap { case (_, perShard) =>
+      val sorted = perShard.sortBy(_._1._2)
+      sorted.zip(sorted.scanLeft(0L)(_ + _._2)).map { case (((s, b), _), off) => (s, b, off) }
+    }.toSeq
+    import spark.implicits._
+    val offDf = offsets.toDF("shard", "__b", "__off")
+    // pass 2: rank within the bounded (shard, bucket) tasks, lift by the
+    // bucket's offset — equal to the one-window per-shard rank, provably
+    // (bucket order is hash order; CurationSpec pins the equality)
+    val w = Window.partitionBy(col("shard"), col("__b"))
+      .orderBy(col("__h"), col(idCol))
+    base.join(broadcast(offDf), Seq("shard", "__b"))
+      .withColumn("pos", (col("__off") + row_number().over(w)).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   def shardStats(docs: DataFrame, nShards: Int = 64,
                  idCol: String = "doc_id"): DataFrame =
     docs.select(

@@ -122,6 +122,39 @@ object Similarity {
       queries, k, vecCol, idCol, nprobe)
   }
 
+  /** The delta query's base-trained centroids — a SEPARATE stash from
+    * [[lastLearned]] so the full-corpus x_knn_ivf oracle can never be
+    * clobbered by the delta run, whatever the execution order. */
+  @volatile var lastLearnedDelta: Seq[(Long, Array[Float])] = Nil
+
+  /** Incremental IVF maintenance: new embeddings join a LIVE index
+    * without retraining it. The model (centroids learned on the base
+    * corpus) is FROZEN; indexing the delta batch is [[assignCells]] —
+    * a map-only projection against the centroid literals, O(batch) with
+    * zero exchanges and zero base reads — and search runs over the
+    * stored base assignment ∪ the delta assignment. This is how a
+    * 100 TB vector index absorbs a continuous embedding feed: the
+    * once-per-corpus-version training and base assignment are stored
+    * tables (the [[graft.ArtifactStore]] contract), each arriving batch
+    * pays only its own assignment, and cell-balance drift is repaired by
+    * an OFFLINE periodic retrain — the same base+delta+compaction shape
+    * as the LSM store and the inverted-index delta. Frozen-model law
+    * (spec-pinned): the delta's arrival changes no centroid, so
+    * assignment of any vector is identical before and after the merge —
+    * which is also what lets the oracle replay base and delta through
+    * one shared assignment formula. */
+  def ivfDeltaTopK(base: DataFrame, delta: DataFrame, queries: DataFrame,
+                   k: Int = 10, vecCol: String = "embedding",
+                   idCol: String = "vec_id", kCells: Int = 8, iters: Int = 2,
+                   nprobe: Int = 2): DataFrame = {
+    val cents = learnedCentroids(base, kCells, iters, vecCol, idCol, stash = false)
+    lastLearnedDelta = cents
+    ivfSearch(
+      assignCells(base, cents, vecCol)
+        .unionByName(assignCells(delta, cents, vecCol)),
+      cents, queries, k, vecCol, idCol, nprobe)
+  }
+
   /** Deterministic bounded training sample: the `n` rows with the
     * smallest `xxhash64(id)` (ties to the lowest id). k-means/PQ model
     * quality saturates far below corpus size (FAISS trains on ~100–256

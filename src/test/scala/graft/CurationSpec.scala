@@ -207,4 +207,35 @@ class CurationSpec extends SparkSpec {
       .orderBy("h", "doc_id").limit(10).collect().map(_.getLong(0)).toSet
     assert(viaWeighted == viaSingleDraw, "w=1 must equal unweighted min-hash selection")
   }
+
+  test("corpusShuffle: dense per-shard permutation, two-pass == one-window, " +
+       "partition-independent, epoch re-permutes") {
+    val ids = (1L to 500L).toDF("doc_id")
+    val out = Curation.corpusShuffle(ids, nShards = 4, nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.length == 500)
+    // pos is a dense 1..n permutation within every shard
+    out.groupBy(_._2).foreach { case (s, rows) =>
+      val ps = rows.map(_._3).sorted.toSeq
+      assert(ps == (1L to rows.length).toSeq, s"shard $s positions not dense: ${ps.take(5)}")
+    }
+    // the distributed two-pass rank equals the naive one-window form
+    val h = graft.functions.TextFunctions.seededHash(
+      concat_ws("|", lit(0), col("doc_id").cast("string")), Curation.ShuffleOrderSeed)
+    val naive = ids.select(col("doc_id"), (h % 4).cast("int").as("shard"), h.as("__h"))
+      .withColumn("pos", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy(col("__h"), col("doc_id"))).cast("long"))
+      .select("doc_id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSet == naive.toSet, "two-pass rank must equal the single-window rank")
+    // physical partitioning cannot change the order
+    val repart = Curation.corpusShuffle(ids.repartition(7), nShards = 4, nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(repart.toSet == out.toSet, "shuffle order must not depend on partitioning")
+    // a new epoch is a different permutation of the same rows
+    val e1 = Curation.corpusShuffle(ids, nShards = 4, nBuckets = 8, epoch = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(e1.map(_._1).toSet == out.map(_._1).toSet)
+    assert(e1.toSet != out.toSet, "epoch 1 must re-permute")
+  }
 }

@@ -465,6 +465,40 @@ class SimilaritySpec extends SparkSpec {
     assert(again == ivf)
   }
 
+  test("ivfDeltaTopK: frozen model, map-only O(batch) delta indexing, delta is searchable") {
+    val embs = Tables.embeddings(spark, sf)
+    val base = embs.where(col("vec_id") % 5 =!= 4)
+    val delta = embs.where(col("vec_id") % 5 === 4)
+    val qs = embs.where(col("vec_id") < 10)
+    val out = Similarity.ivfDeltaTopK(base, delta, qs, k = 10,
+      kCells = 8, iters = 2, nprobe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // frozen-model law: the delta's arrival changed no centroid — the
+    // stashed model IS the base-only model, bit for bit
+    val baseOnly = Similarity.learnedCentroids(base, kCells = 8, iters = 2,
+      stash = false)
+    assert(Similarity.lastLearnedDelta.map { case (c, v) => (c, v.toSeq) } ==
+      baseOnly.map { case (c, v) => (c, v.toSeq) },
+      "delta ingestion must not move centroids")
+    // maintenance cost law: indexing the delta batch is a map-only
+    // projection — zero exchanges, zero base reads in its plan
+    val deltaIndexed = Similarity.assignCells(delta, baseOnly)
+    val plan = deltaIndexed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"delta assignment must be map-only:\n$plan")
+    // delta vectors are first-class citizens of the merged index: they
+    // appear among the neighbors (every 5th vector is delta, so a 10-NN
+    // result missing ALL of them would mean the merge dropped the batch)
+    assert(out.exists { case (_, n) => n % 5 == 4 },
+      "no delta vector ever surfaced as a neighbor")
+    // and the search is deterministic end-to-end
+    val again = Similarity.ivfDeltaTopK(base, delta, qs, k = 10,
+      kCells = 8, iters = 2, nprobe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("lshTopK tolerates NULL, empty, and off-dim vectors (degenerate rows opt out)") {
     import spark.implicits._
     val base = Tables.embeddings(spark, sf).select("vec_id", "embedding").limit(50)

@@ -78,7 +78,8 @@ class PlanAuditSpec extends SparkSpec {
     "x_line_dedup" -> 2, "x_line_dedup_global" -> 2, "x_cdc_chunks" -> 3,
     "x_decontaminate" -> 2, "x_decontaminate_semantic" -> 1,
     // ANN
-    "x_knn_cosine" -> 2, "x_knn_ivf" -> 2, "x_knn_ivfpq" -> 2,
+    "x_knn_cosine" -> 2, "x_knn_ivf" -> 2, "x_knn_ivf_delta" -> 2,
+    "x_knn_ivfpq" -> 2,
     "x_knn_lsh" -> 3, "x_knn_pq" -> 2, "x_knn_recall" -> 16,
     // multimodal: map-only decode seams
     "x_multimodal_audio" -> 0, "x_multimodal_envelope" -> 0,
@@ -100,6 +101,10 @@ class PlanAuditSpec extends SparkSpec {
     "x_bloom_prune" -> 1, "x_chunk_docs" -> 0, "x_mix_sample" -> 0,
     "x_pack_sequences" -> 1, "x_pii_detect" -> 0, "x_pii_redact" -> 0,
     "x_pipeline_clean" -> 1, "x_pipeline_export" -> 2,
+    // corpus_shuffle's count pass (bounded metadata) runs eagerly at plan
+    // construction; the returned plan pays the one (shard, bucket) rank
+    // exchange
+    "x_corpus_shuffle" -> 1,
     "x_shard_stats" -> 1, "x_stratified_sample" -> 2,
     "x_url_domains" -> 2, "x_weighted_sample" -> 1,
     // sketches / stats / layout
