@@ -707,6 +707,11 @@ object SparkEntryExt {
       // offset metadata) — the oracle's single window proves it equal
       Curation.corpusShuffle(Tables.documents(s, dir))
     },
+    "x_token_budget_sample" -> { (s, dir) =>
+      // greedy per-language token-budget fill in content-hash order —
+      // the two-pass prefix sum; the oracle's one-window cumsum proves it
+      Curation.tokenBudgetSample(Tables.documents(s, dir))
+    },
     "x_stratified_sample" -> { (s, dir) =>
       Curation.stratifiedSample(Tables.documents(s, dir))
         .select("doc_id", "lang", "rk")
@@ -1557,6 +1562,17 @@ object SparkEntryExt {
         "SELECT doc_id, CAST(hh % 16 AS INT) AS shard, " +
         "CAST(row_number() OVER (PARTITION BY hh % 16 ORDER BY hh, doc_id) AS BIGINT) AS pos " +
         "FROM h"
+    },
+
+    // one running-sum window per group re-derives the two-pass prefix
+    "x_token_budget_sample" -> {
+      val h = seedHashSql(graft.ext.Curation.BudgetSeed.toString, "CAST(doc_id AS VARCHAR)")
+      s"WITH t AS (SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens, $h AS hh " +
+        "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL), " +
+        "c AS (SELECT doc_id, lang, n_tokens, sum(n_tokens) OVER " +
+        "(PARTITION BY lang ORDER BY hh, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "- n_tokens AS p FROM t) " +
+        "SELECT doc_id, lang, n_tokens FROM c WHERE p < 3000"
     },
 
     "x_shard_stats" ->

@@ -403,33 +403,81 @@ object Curation {
     * both knobs free to match cluster parallelism. */
   def corpusShuffle(docs: DataFrame, nShards: Int = 16, nBuckets: Int = 64,
                     epoch: Int = 0, idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(HashSpace % nBuckets == 0, s"nBuckets must divide 2^60: $nBuckets")
-    val spark = docs.sparkSession
-    val bucketWidth = HashSpace / nBuckets
     val base = docs.where(col(idCol).isNotNull)
       .select(col(idCol), TextFunctions.seededHash(
         concat_ws("|", lit(epoch), col(idCol).cast("string")), ShuffleOrderSeed).as("__h"))
       .withColumn("shard", (col("__h") % nShards).cast("int"))
-      .withColumn("__b", (col("__h") / bucketWidth).cast("int"))
-    // pass 1: bounded metadata — bucket populations, prefix-summed into
-    // the starting offset of each (shard, bucket) run
-    val counts = base.groupBy("shard", "__b").count()
-      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
-    val offsets = counts.groupBy(_._1._1).iterator.flatMap { case (_, perShard) =>
-      val sorted = perShard.sortBy(_._1._2)
-      sorted.zip(sorted.scanLeft(0L)(_ + _._2)).map { case (((s, b), _), off) => (s, b, off) }
-    }.toSeq
-    import spark.implicits._
-    val offDf = offsets.toDF("shard", "__b", "__off")
-    // pass 2: rank within the bounded (shard, bucket) tasks, lift by the
-    // bucket's offset — equal to the one-window per-shard rank, provably
-    // (bucket order is hash order; CurationSpec pins the equality)
-    val w = Window.partitionBy(col("shard"), col("__b"))
-      .orderBy(col("__h"), col(idCol))
-    base.join(broadcast(offDf), Seq("shard", "__b"))
-      .withColumn("pos", (col("__off") + row_number().over(w)).cast("long"))
+      .withColumn("__one", lit(1L))
+    // rank = exclusive prefix COUNT + 1 — equal to the one-window
+    // per-shard row_number, provably (bucket order is hash order;
+    // CurationSpec pins the equality)
+    bucketedPrefix(base, "shard", idCol, "__one", nBuckets)
+      .withColumn("pos", col("__prefix") + 1L)
       .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** Two-pass distributed EXCLUSIVE prefix sum of long column `mCol`
+    * over rows ordered by (`__h`, `idCol`) within `groupCol` — the
+    * scalable replacement for a per-group running-sum window, whose
+    * single task per group serializes corpus/groups rows. Bucket by the
+    * hash's high bits (so bucket order IS hash order), aggregate
+    * per-(group, bucket) totals — bounded metadata, ≤ groups·nBuckets
+    * rows — prefix-sum them driver-side into bucket starting offsets,
+    * then run the running sum only inside (group, bucket) tasks and
+    * lift by the offset. Input must carry `groupCol` (non-null),
+    * `idCol`, a non-null long `mCol`, and `__h` in [0, [[HashSpace]]).
+    * Appends `__prefix`: the sum of `mCol` over all same-group rows
+    * strictly before this one. Two shuffles, both on narrow rows. */
+  private def bucketedPrefix(base: DataFrame, groupCol: String, idCol: String,
+                             mCol: String, nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(HashSpace % nBuckets == 0, s"nBuckets must divide 2^60: $nBuckets")
+    val spark = base.sparkSession
+    val withB = base.withColumn("__b", (col("__h") / (HashSpace / nBuckets)).cast("int"))
+    val agg = withB.groupBy(col(groupCol), col("__b")).agg(sum(col(mCol)).as("__s"))
+    val offRows = agg.collect().groupBy(_.get(0)).iterator.flatMap { case (_, per) =>
+      val sorted = per.sortBy(_.getInt(1))
+      sorted.zip(sorted.scanLeft(0L)(_ + _.getLong(2))).map { case (r, off) =>
+        org.apache.spark.sql.Row(r.get(0), r.getInt(1), off) }
+    }.toSeq
+    val offSchema = org.apache.spark.sql.types.StructType(Seq(
+      agg.schema.fields(0),
+      org.apache.spark.sql.types.StructField("__b", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("__off", org.apache.spark.sql.types.LongType, nullable = false)))
+    val offDf = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(offRows).asJava, offSchema)
+    val w = Window.partitionBy(col(groupCol), col("__b"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.join(broadcast(offDf), Seq(groupCol, "__b"))
+      .withColumn("__prefix", col("__off") + sum(col(mCol)).over(w) - col(mCol))
+      .drop("__b", "__off")
+  }
+
+  val BudgetSeed = 31
+
+  /** Token-budget mixture fill: the "sample N tokens per language"
+    * selector a pretraining mix is actually specified in (token budgets
+    * per source, not row rates). Docs are taken greedily in seeded
+    * content-hash order within each group until the group's budget
+    * fills: a doc is kept iff the tokens of the docs BEFORE it (its
+    * exclusive prefix sum) are still under budget — so the selection is
+    * deterministic, partition-independent, reproducible across retries,
+    * and re-budgeting changes one literal. The first doc past the line
+    * is kept (budgets are fuzzy at one doc's granularity; dropping it
+    * would under-fill small groups). The prefix sum is the two-pass
+    * [[bucketedPrefix]] — never a per-group running-sum window. */
+  def tokenBudgetSample(docs: DataFrame, budgetTokens: Long = 3000,
+                        groupCol: String = "lang", idCol: String = "doc_id",
+                        textCol: String = "text", nBuckets: Int = 64): DataFrame = {
+    val base = docs
+      .where(col(idCol).isNotNull && col(textCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(idCol), col(groupCol),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"),
+        TextFunctions.seededHash(col(idCol).cast("string"), BudgetSeed).as("__h"))
+    bucketedPrefix(base, groupCol, idCol, "n_tokens", nBuckets)
+      .where(col("__prefix") < budgetTokens)
+      .select(col(idCol), col(groupCol), col("n_tokens"))
   }
 
   def shardStats(docs: DataFrame, nShards: Int = 64,

@@ -238,4 +238,50 @@ class CurationSpec extends SparkSpec {
     assert(e1.map(_._1).toSet == out.map(_._1).toSet)
     assert(e1.toSet != out.toSet, "epoch 1 must re-permute")
   }
+
+  test("tokenBudgetSample: greedy hash-order fill per group, two-pass == naive, " +
+       "partition-independent") {
+    // 40 docs across 2 langs, token counts 1..8 words
+    val rows = (1L to 40L).map { i =>
+      val lang = if (i % 2 == 0) "en" else "de"
+      val text = Seq.fill((i % 8 + 1).toInt)("w").mkString(" ")
+      (i, lang, text)
+    }
+    val d = rows.toDF("doc_id", "lang", "text")
+    val budget = 30L
+    val got = Curation.tokenBudgetSample(d, budgetTokens = budget, nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // naive greedy reference: sort each group by (hash, id), keep while
+    // the exclusive prefix stays under budget
+    def hash(i: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${Curation.BudgetSeed}|$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expect = rows.map { case (i, lang, text) =>
+      (i, lang, text.split("\\s+").length.toLong, hash(i))
+    }.groupBy(_._2).flatMap { case (_, g) =>
+      val sorted = g.sortBy(r => (r._4, r._1))
+      val prefixes = sorted.scanLeft(0L)(_ + _._3)
+      sorted.zip(prefixes).collect { case ((i, l, n, _), p) if p < budget => (i, l, n) }
+    }.toSet
+    assert(got.toSet == expect, s"greedy fill mismatch: got ${got.toSet.size}, want ${expect.size}")
+    // budget law: the last kept doc's exclusive prefix is under budget,
+    // so a group's total overshoots by less than one doc
+    got.groupBy(_._2).foreach { case (lang, kept) =>
+      val total = kept.map(_._3).sum
+      assert(total < budget + kept.map(_._3).max, s"$lang over-filled: $total")
+    }
+    // partitioning cannot change the selection
+    val repart = Curation.tokenBudgetSample(d.repartition(7), budgetTokens = budget, nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(repart.toSet == got.toSet)
+    // NULL lang / NULL text rows are excluded, not crashed on
+    val withNulls = d.unionByName(Seq((100L, null, "x x"), (101L, "en", null))
+      .toDF("doc_id", "lang", "text"))
+    val nn = Curation.tokenBudgetSample(withNulls, budgetTokens = budget, nBuckets = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(!nn.contains(100L) && !nn.contains(101L))
+  }
 }

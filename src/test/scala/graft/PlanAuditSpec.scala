@@ -104,7 +104,7 @@ class PlanAuditSpec extends SparkSpec {
     // corpus_shuffle's count pass (bounded metadata) runs eagerly at plan
     // construction; the returned plan pays the one (shard, bucket) rank
     // exchange
-    "x_corpus_shuffle" -> 1,
+    "x_corpus_shuffle" -> 1, "x_token_budget_sample" -> 1,
     "x_shard_stats" -> 1, "x_stratified_sample" -> 2,
     "x_url_domains" -> 2, "x_weighted_sample" -> 1,
     // sketches / stats / layout
