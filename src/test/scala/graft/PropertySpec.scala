@@ -167,6 +167,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("two-pass bucketed prefix == naive greedy under random corpora and bucket counts") {
+    import spark.implicits._
+    import graft.ext.Curation
+    def refHash(seed: Int, v: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed|$v".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val cfg = for {
+      n <- Gen.choose(30, 120)
+      budget <- Gen.choose(10L, 200L)
+      nBuckets <- Gen.oneOf(1, 2, 4, 16, 64) // incl. the 1-bucket degenerate
+      nShards <- Gen.choose(1, 6)
+    } yield (n, budget, nBuckets, nShards)
+    samples(cfg, 5).foreach { case (n, budget, nBuckets, nShards) =>
+      val rows = (1L to n).map { i =>
+        (i, s"g${i % 3}", Seq.fill((i % 7 + 1).toInt)("w").mkString(" "))
+      }
+      val d = rows.toDF("doc_id", "lang", "text")
+      val got = Curation.tokenBudgetSample(d, budget, nBuckets = nBuckets)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val expect = rows.map { case (i, g, t) =>
+        (i, g, t.split(" ").length.toLong, refHash(Curation.BudgetSeed, i.toString))
+      }.groupBy(_._2).flatMap { case (_, grp) =>
+        val sorted = grp.sortBy(r => (r._4, r._1))
+        sorted.zip(sorted.scanLeft(0L)(_ + _._3))
+          .collect { case ((i, g, tk, _), p) if p < budget => (i, g, tk) }
+      }.toSet
+      assert(got == expect,
+        s"budget fill mismatch at n=$n budget=$budget buckets=$nBuckets")
+      // the shuffle over the same helper: dense 1..m positions per shard
+      // at every bucket count, including one bucket
+      val sh = Curation.corpusShuffle(d.select("doc_id"), nShards, nBuckets)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      assert(sh.length == n)
+      sh.groupBy(_._2).foreach { case (shard, rs) =>
+        assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq,
+          s"shard $shard not dense at buckets=$nBuckets shards=$nShards")
+      }
+    }
+  }
+
   test("S11: mapping introspection exposes the runtime schema") {
     val d = docs(spark, Seq(PlanFixture.planJson("A", Seq(("1", "x", 1.0)))))
     val nodes = Shred.nodes(d)
