@@ -271,6 +271,44 @@ object SparkEntryIdx {
             coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_exact"))
             .as("recall"))
     },
+    "x_knn_mrr" -> { (s, dir) =>
+      // Rank-position quality beside x_knn_recall's set overlap: recall
+      // can't see WHERE the true neighbors land in an approximate list
+      // (an index that buries every true hit at rank 10 scores the same
+      // recall as one that leads with them). MRR@10 per method: for each
+      // query, the reciprocal of the best (minimum) rank at which any
+      // exact-top-10 neighbor appears, 0 when none does. Reciprocals are
+      // exact integers scaled by lcm(1..10)=2520 — the only float is one
+      // final division, so the oracle's re-derivation (same replayed
+      // models) cannot drift by summation order.
+      import s.implicits._
+      val embs = Tables.embeddings(s, dir)
+      val qs = embs.where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(embs, qs, k = 10)
+        .select("query_id", "neighbor_id")
+      val approx = Seq(
+        "ivf" -> Similarity.ivfTopKLearned(embs, qs, k = 10,
+          kCells = 8, iters = 2, nprobe = 2),
+        "ivfpq" -> Similarity.ivfPqTopK(embs, qs, k = 10, kCells = 8,
+          ivfIters = 2, nprobe = 2, m = 16, kCodes = 16, pqIters = 2),
+        "lsh" -> Similarity.lshTopK(embs, qs, k = 10),
+        "pq" -> Similarity.pqTopK(embs, qs, k = 10, m = 16, iters = 4))
+      val tagged = approx.map { case (nm, df) =>
+        df.select(lit(nm).as("method"), col("query_id"), col("neighbor_id"), col("rank"))
+      }.reduce(_ unionByName _)
+      val firstHit = tagged.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("method", "query_id").agg(min("rank").as("fr"))
+      // every (method, query) pair reports, hit or not — literal-key equi
+      // join of two bounded frames (4 × |queries|), the x_knn_recall shape
+      val mq = approx.map(_._1).toDF("method").withColumn("__j", lit(1))
+        .join(qs.select(col("vec_id").as("query_id")).withColumn("__j", lit(1)), "__j")
+      mq.join(firstHit, Seq("method", "query_id"), "left")
+        .withColumn("rrn", coalesce((lit(2520L) / col("fr")).cast("long"), lit(0L)))
+        .groupBy("method")
+        .agg(count(lit(1)).as("n_queries"),
+          graft.functions.DetRound.round6(
+            sum("rrn").cast("double") / (lit(2520.0) * count(lit(1)))).as("mrr"))
+    },
   )
 
   /** x_knn_pq's replay SQL when the codebooks are stashed (shared with
@@ -306,6 +344,33 @@ object SparkEntryIdx {
             "SELECT m.method, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits, ne.n_exact, " +
             s"${graft.functions.DetRound.sql6("CAST(coalesce(h.n_hits, 0) AS DOUBLE) / ne.n_exact")} AS recall " +
             "FROM m LEFT JOIN h USING (method) CROSS JOIN ne"))
+      case _ => Map.empty
+    }
+
+  /** x_knn_mrr: mean reciprocal rank of each approximate method against
+    * the exact top-10, re-derived from the same replayed models as
+    * x_knn_recall (shared subqueries — the two quality gauges can never
+    * replay different models). Reciprocals scaled by lcm(1..10)=2520 stay
+    * integer until one final division. Omitted when a stash is empty. */
+  private def mrrOracle: Map[String, String] =
+    (SparkEntryExt.ivfOracleSqlOpt, pqOracleSqlOpt, ivfPqOracleSqlOpt) match {
+      case (Some(ivf), Some(pq), Some(ivfpq)) =>
+        val methods = Seq("ivf" -> ivf, "ivfpq" -> ivfpq,
+          "lsh" -> SparkEntryExt.lshOracleSql, "pq" -> pq)
+        val ap = methods.map { case (nm, sql) =>
+          s"SELECT '$nm' AS method, query_id, neighbor_id, rank FROM ($sql)"
+        }.mkString(" UNION ALL ")
+        Map("x_knn_mrr" ->
+          (s"WITH exact AS (SELECT query_id, neighbor_id FROM (${SparkEntryExt.knnCosineOracleSql})), " +
+            s"ap AS ($ap), " +
+            "m(method) AS (VALUES ('ivf'), ('ivfpq'), ('lsh'), ('pq')), " +
+            "q AS (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 10), " +
+            "fh AS (SELECT method, query_id, min(rank) AS fr " +
+            "FROM ap JOIN exact USING (query_id, neighbor_id) GROUP BY 1, 2) " +
+            "SELECT m.method, CAST(count(*) AS BIGINT) AS n_queries, " +
+            s"${graft.functions.DetRound.sql6("CAST(sum(coalesce(2520 // fh.fr, 0)) AS DOUBLE) / (2520.0 * count(*))")} AS mrr " +
+            "FROM m CROSS JOIN q LEFT JOIN fh ON fh.method = m.method AND fh.query_id = q.query_id " +
+            "GROUP BY 1"))
       case _ => Map.empty
     }
 
@@ -649,7 +714,7 @@ object SparkEntryIdx {
         "ORDER BY seq DESC, (op = 'delete') DESC, doc DESC NULLS LAST) AS rn " +
         "FROM log WHERE op IN ('insert', 'update', 'delete')) " +
         "WHERE rn = 1 AND op <> 'delete'"),
-  ) ++ pqOracle ++ semOracle ++ ivfPqOracle ++ xsemOracle ++ recallOracle
+  ) ++ pqOracle ++ semOracle ++ ivfPqOracle ++ xsemOracle ++ recallOracle ++ mrrOracle
 
   /** x_decontaminate_semantic: stashed centroids as literals; both sides
     * assigned, across-side in-cell cosine, best bench match per flagged

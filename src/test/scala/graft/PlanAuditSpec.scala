@@ -16,7 +16,8 @@ class PlanAuditSpec extends SparkSpec {
   private val broadcastBounded =
     // x_knn_recall composes the exact baseline + PQ/ADC scan, so it
     // inherits their broadcast-bounded shapes
-    Set("x_knn_cosine", "x_dedup_embed", "x_knn_pq", "x_knn_recall")
+    Set("x_knn_cosine", "x_dedup_embed", "x_knn_pq", "x_knn_recall",
+      "x_knn_mrr")
 
   test("no query plans a cartesian product or an unbounded nested loop") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -80,7 +81,8 @@ class PlanAuditSpec extends SparkSpec {
     // ANN
     "x_knn_cosine" -> 2, "x_knn_ivf" -> 2, "x_knn_ivf_delta" -> 2,
     "x_knn_ivfpq" -> 2,
-    "x_knn_lsh" -> 3, "x_knn_pq" -> 2, "x_knn_recall" -> 16,
+    "x_knn_lsh" -> 3, "x_knn_mrr" -> 13, "x_knn_pq" -> 2,
+    "x_knn_recall" -> 16,
     // multimodal: map-only decode seams
     "x_multimodal_audio" -> 0, "x_multimodal_envelope" -> 0,
     "x_multimodal_frames" -> 0, "x_multimodal_gif_frames" -> 0,
