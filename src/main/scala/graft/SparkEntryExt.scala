@@ -384,6 +384,14 @@ object SparkEntryExt {
       // storage-dedup chunker's analytics
       Dedup.cdcChunks(Tables.documents(s, dir))
     },
+    "x_decontaminate_spans" -> { (s, dir) =>
+      // substring-level eval-leakage localization: exact verbatim spans
+      // (8-gram granularity) shared with the every-10th-doc benchmark —
+      // same bench split as x_decontaminate, same gram artifact as
+      // x_dedup_substring_spans
+      Dedup.decontaminateSpans(Tables.documents(s, dir),
+        col("doc_id") % 10 === 0, k = 8)
+    },
     "x_dedup_incremental" -> { (s, dir) =>
       // ingest-time dedup: odd docs arrive as the batch, even docs are the
       // stored corpus — match against its indexes only
@@ -1239,6 +1247,25 @@ object SparkEntryExt {
         "p AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g), " +
         "dup AS (SELECT gram FROM p GROUP BY 1 HAVING min(doc_id) <> max(doc_id)), " +
         "cov AS (SELECT doc_id, pos FROM p JOIN dup USING (gram)), " +
+        "isl AS (SELECT doc_id, pos, CASE WHEN pos > coalesce(max(pos + 7) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1 " +
+        "THEN 1 ELSE 0 END AS brk FROM cov), " +
+        "lab AS (SELECT doc_id, pos, sum(brk) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM isl) " +
+        "SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, " +
+        "CAST(max(pos) + 7 AS BIGINT) AS span_end, " +
+        "CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens " +
+        "FROM lab GROUP BY doc_id, island"),
+
+    // same gram/island machinery as x_dedup_substring_spans, with "dup in
+    // some other doc" replaced by "present in some benchmark doc"
+    "x_decontaminate_spans" ->
+      (s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents WHERE text IS NOT NULL), " +
+        "g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6), " +
+        "i -> {'pos': i, 'gram': array_to_string(tk[i:i+7], ' ')})) AS u FROM t), " +
+        "p AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g), " +
+        "bg AS (SELECT DISTINCT gram FROM p WHERE doc_id % 10 = 0), " +
+        "cov AS (SELECT doc_id, pos FROM p JOIN bg USING (gram) WHERE doc_id % 10 <> 0), " +
         "isl AS (SELECT doc_id, pos, CASE WHEN pos > coalesce(max(pos + 7) OVER " +
         "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1 " +
         "THEN 1 ELSE 0 END AS brk FROM cov), " +

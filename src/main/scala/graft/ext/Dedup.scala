@@ -75,6 +75,15 @@ object Dedup {
       .agg(min(col(idCol)).as("d1"), max(col(idCol)).as("d2"))
       .where(col("d1") =!= col("d2")).select("gram")
     val covered = grams.join(dup, Seq("gram")).select(col(idCol), col("pos"))
+    mergeCoveredSpans(covered, k, idCol)
+  }
+
+  /** Merge covered `(idCol, pos)` k-gram start positions into MAXIMAL
+    * inclusive token spans (1-based) — the island merge shared by
+    * [[exactSubstringSpans]] and [[decontaminateSpans]]. Windows are
+    * doc-partitioned: per-doc state only, no global ordering. */
+  private def mergeCoveredSpans(covered: DataFrame, k: Int,
+                                idCol: String): DataFrame = {
     val prevEnd = max(col("pos") + (k - 1)).over(
       Window.partitionBy(col(idCol)).orderBy(col("pos"))
         .rowsBetween(Window.unboundedPreceding, -1))
@@ -88,6 +97,35 @@ object Dedup {
       .agg(min("pos").as("span_start"), (max("pos") + (k - 1)).as("span_end"))
       .select(col(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** Substring-level benchmark decontamination (the form Lee et al. and
+    * most eval-hygiene pipelines actually apply): report every MAXIMAL
+    * verbatim token span (≥ k tokens) that a non-benchmark document
+    * shares with ANY benchmark document — with its exact 1-based
+    * positions, so the caller can excise the leaked passage instead of
+    * dropping the whole doc. Complements [[Curation.decontaminate]]'s
+    * distinct-n-gram OVERLAP COUNT: that gauges how contaminated a doc
+    * is; this localizes the contamination. A span qualifies iff every
+    * one of its k-grams occurs in the benchmark side, mirroring the
+    * cross-doc rule of [[exactSubstringSpans]] with "some other doc"
+    * replaced by "some benchmark doc".
+    *
+    * Scale: reads the SAME memoized positional k-gram artifact (no new
+    * corpus pass); the benchmark gram set is one distinct over the
+    * benchmark slice (small by definition); the probe back is one inner
+    * gram join (AQE-skew-splittable); the island merge is doc-local. */
+  def decontaminateSpans(docs: DataFrame, isBench: Column, k: Int = 8,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val grams = posGramTable(docs, k, textCol, idCol)
+    val benchIds = docs.where(isBench).select(col(idCol).as("__bid"))
+    val benchGrams = grams.join(benchIds, grams(idCol) === col("__bid"))
+      .select("gram").distinct()
+    val corpusGrams = grams.join(benchIds, grams(idCol) === col("__bid"), "left_anti")
+    val covered = corpusGrams.join(benchGrams, Seq("gram"))
+      .select(col(idCol), col("pos"))
+    mergeCoveredSpans(covered, k, idCol)
   }
 
   /** Content-defined chunking (LBFS/FastCDC family, token granularity):

@@ -210,6 +210,34 @@ class DedupSpec extends SparkSpec {
 
   lazy val docs = Tables.documents(spark, sf)
 
+  test("decontaminateSpans: localizes verbatim benchmark leakage, ignores corpus-only dups") {
+    import spark.implicits._
+    val fixture = Seq(
+      // benchmark doc (id % 10 == 0): its content is the contamination
+      (10L, "b1 b2 b3 b4 b5"),
+      // corpus doc embedding the bench passage verbatim mid-text: the
+      // span must localize to positions 3..7 exactly
+      (1L, "c1 c2 b1 b2 b3 b4 b5 c3"),
+      // two corpus docs sharing a passage with EACH OTHER but not the
+      // bench: substring DEDUP would span them, decontamination must not
+      (2L, "d1 d2 d3 d4 d5"),
+      (3L, "d1 d2 d3 d4 d5"),
+      // clean doc and a NULL
+      (4L, "e1 e2 e3"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminateSpans(fixture, col("doc_id") % 10 === 0, k = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(out(1L) == Set((3L, 7L, 5L)), s"leaked span must localize: ${out.get(1L)}")
+    assert(!out.contains(2L) && !out.contains(3L),
+      "corpus-to-corpus duplication is dedup's domain, not decontamination's")
+    assert(!out.contains(10L), "benchmark docs themselves must not report")
+    assert(!out.contains(4L) && !out.contains(5L))
+    // an empty benchmark contaminates nothing
+    assert(Dedup.decontaminateSpans(fixture, lit(false), k = 3).isEmpty)
+  }
+
   test("exactSubstringSpans: maximal cross-doc spans, merge rules, intra-doc exclusion") {
     import spark.implicits._
     val fixture = Seq(

@@ -130,6 +130,24 @@ class SoakSpec extends SparkSpec {
     Caches.invalidate(spark)
   }
 
+  test("bucketed prefix at 10×: dense shuffle ranks with no fat single-task stage", Soak) {
+    // the hazard the two-pass form exists to avoid: a per-shard rank
+    // window serializes corpus/nShards rows through one task — at 10×
+    // with 4 shards that's ~5800 rows/task here and corpus/4 at 100 TB.
+    // The bucketed form must keep every big stage multi-task AND still
+    // produce dense per-shard permutations.
+    val d = docs10x().where(col("text").isNotNull)
+    val out = assertNoBigSingleTaskStage(10000L) {
+      graft.ext.Curation.corpusShuffle(d.select("doc_id"), nShards = 4, nBuckets = 64)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    }
+    out.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $s not dense at 10x")
+    }
+    Caches.invalidate(spark)
+  }
+
   test("AQE skew-join split activates on a hot key under cluster-scale thresholds", Soak) {
     // the corpus-wide-boilerplate join shape: one key carries 500k rows.
     // Thresholds are scaled to the local fixture the way a cluster's
