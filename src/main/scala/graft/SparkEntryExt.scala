@@ -392,6 +392,12 @@ object SparkEntryExt {
       Dedup.decontaminateSpans(Tables.documents(s, dir),
         col("doc_id") % 10 === 0, k = 8)
     },
+    "x_span_excise" -> { (s, dir) =>
+      // the remediation the span report enables: contaminated docs
+      // rebuilt without their leaked passages (clean docs don't report)
+      Dedup.exciseSpans(Tables.documents(s, dir),
+        col("doc_id") % 10 === 0, k = 8)
+    },
     "x_dedup_incremental" -> { (s, dir) =>
       // ingest-time dedup: odd docs arrive as the batch, even docs are the
       // stored corpus — match against its indexes only
@@ -799,6 +805,27 @@ object SparkEntryExt {
     s"list_distinct(list_transform(range(1, len($t) - 1), i -> array_to_string(($t)[i:i+2], ' ')))"
   private[graft] def seedHashSql(seed: String, v: String) =
     s"(('0x' || substr(md5(CAST($seed AS VARCHAR) || '|' || $v), 1, 15)))::BIGINT"
+
+  /** CTE chain from documents to the benchmark-leakage span table `spx`
+    * (8-gram granularity; bench = every 10th doc), shared by
+    * x_decontaminate_spans and x_span_excise so the two can never apply
+    * different span rules. Also exposes `t (doc_id, tk)`. */
+  private val decontSpansCtes: String =
+    s"t AS (SELECT doc_id, $toksSql AS tk FROM documents WHERE text IS NOT NULL), " +
+      "g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6), " +
+      "i -> {'pos': i, 'gram': array_to_string(tk[i:i+7], ' ')})) AS u FROM t), " +
+      "p AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g), " +
+      "bg AS (SELECT DISTINCT gram FROM p WHERE doc_id % 10 = 0), " +
+      "cov AS (SELECT doc_id, pos FROM p JOIN bg USING (gram) WHERE doc_id % 10 <> 0), " +
+      "isl AS (SELECT doc_id, pos, CASE WHEN pos > coalesce(max(pos + 7) OVER " +
+      "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1 " +
+      "THEN 1 ELSE 0 END AS brk FROM cov), " +
+      "lab AS (SELECT doc_id, pos, sum(brk) OVER " +
+      "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM isl), " +
+      "spx AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, " +
+      "CAST(max(pos) + 7 AS BIGINT) AS span_end, " +
+      "CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens " +
+      "FROM lab GROUP BY doc_id, island)"
   // base hash once per shingle, then k affine permutations mod P — mirrors
   // TextFunctions.baseShingleHash / minhashFromHashes exactly
   private val mmP = graft.functions.TextFunctions.MinhashP
@@ -1260,21 +1287,22 @@ object SparkEntryExt {
     // same gram/island machinery as x_dedup_substring_spans, with "dup in
     // some other doc" replaced by "present in some benchmark doc"
     "x_decontaminate_spans" ->
-      (s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents WHERE text IS NOT NULL), " +
-        "g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6), " +
-        "i -> {'pos': i, 'gram': array_to_string(tk[i:i+7], ' ')})) AS u FROM t), " +
-        "p AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g), " +
-        "bg AS (SELECT DISTINCT gram FROM p WHERE doc_id % 10 = 0), " +
-        "cov AS (SELECT doc_id, pos FROM p JOIN bg USING (gram) WHERE doc_id % 10 <> 0), " +
-        "isl AS (SELECT doc_id, pos, CASE WHEN pos > coalesce(max(pos + 7) OVER " +
-        "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1 " +
-        "THEN 1 ELSE 0 END AS brk FROM cov), " +
-        "lab AS (SELECT doc_id, pos, sum(brk) OVER " +
-        "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM isl) " +
-        "SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, " +
-        "CAST(max(pos) + 7 AS BIGINT) AS span_end, " +
-        "CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens " +
-        "FROM lab GROUP BY doc_id, island"),
+      s"WITH $decontSpansCtes SELECT doc_id, span_start, span_end, span_tokens FROM spx",
+
+    // the excision over those spans: tokens at covered 1-based positions
+    // drop, the rest rejoin in order; span-list order is irrelevant (the
+    // membership test is order-independent on both engines)
+    "x_span_excise" ->
+      (s"WITH $decontSpansCtes, " +
+        "sp AS (SELECT doc_id, list([span_start, span_end]) AS sps, " +
+        "CAST(sum(span_tokens) AS BIGINT) AS n_removed FROM spx GROUP BY 1) " +
+        "SELECT t.doc_id, sp.n_removed, " +
+        // coalesce: DuckDB's array_to_string of an empty list is NULL,
+        // Spark's concat_ws is '' — a fully excised doc must agree
+        "coalesce(array_to_string(list_filter(list_transform(range(1, len(t.tk) + 1), " +
+        "i -> CASE WHEN len(list_filter(sp.sps, s -> i >= s[1] AND i <= s[2])) > 0 " +
+        "THEN NULL ELSE t.tk[i] END), x -> x IS NOT NULL), ' '), '') AS text_clean " +
+        "FROM t JOIN sp USING (doc_id)"),
 
     // a = the incoming (odd) side, b = the stored (even) side; same band
     // share, estimate gate, and exact-Jaccard verify as the self-join path

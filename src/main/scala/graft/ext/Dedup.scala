@@ -128,6 +128,33 @@ object Dedup {
     mergeCoveredSpans(covered, k, idCol)
   }
 
+  /** The remediation [[decontaminateSpans]] localizes for: rebuild each
+    * contaminated document's text WITHOUT the leaked passages, instead
+    * of dropping the document (dropping loses the clean majority of a
+    * long doc over one quoted benchmark item). Tokens whose 1-based
+    * position falls inside any leaked span are excised; the rest rejoin
+    * in order. Only contaminated docs report (the clean corpus is
+    * unchanged by definition — emitting it would rewrite 100 TB to edit
+    * a sliver). One shuffle beyond the span derivation: spans aggregate
+    * per doc, join back to the doc row, and the excision itself is one
+    * nested higher-order expression — no explode, no per-token rows.
+    * `n_removed` (= Σ span_tokens, exact because maximal spans are
+    * disjoint) lets the caller audit total excised volume. */
+  def exciseSpans(docs: DataFrame, isBench: Column, k: Int = 8,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spans = decontaminateSpans(docs, isBench, k, textCol, idCol)
+      .groupBy(col(idCol))
+      .agg(collect_list(array(col("span_start"), col("span_end"))).as("__sps"),
+        sum(col("span_tokens")).as("n_removed"))
+    val toks = tokens(col(textCol))
+    docs.join(spans, Seq(idCol))
+      .select(col(idCol), col("n_removed"),
+        concat_ws(" ", filter(toks, (t, i) =>
+          !exists(col("__sps"), s =>
+            (i + 1) >= s.getItem(0) && (i + 1) <= s.getItem(1))))
+          .as("text_clean"))
+  }
+
   /** Content-defined chunking (LBFS/FastCDC family, token granularity):
     * a chunk boundary falls wherever the rolling-window content hash —
     * here the k-gram hash at each position — lands in a fixed residue

@@ -238,6 +238,30 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.decontaminateSpans(fixture, lit(false), k = 3).isEmpty)
   }
 
+  test("exciseSpans: leaked passages cut at exact positions, clean docs untouched") {
+    import spark.implicits._
+    val fixture = Seq(
+      (10L, "b1 b2 b3 b4 b5"),                    // benchmark
+      (1L, "c1 c2 b1 b2 b3 b4 b5 c3"),            // leak mid-doc
+      (2L, "b1 b2 b3 b4 b5"),                     // whole doc is the leak
+      (4L, "e1 e2 e3"),                           // clean
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.exciseSpans(fixture, col("doc_id") % 10 === 0, k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) == ((5L, "c1 c2 c3")), s"doc1: ${out.get(1L)}")
+    assert(out(2L) == ((5L, "")), "a fully leaked doc excises to empty text")
+    assert(!out.contains(4L) && !out.contains(5L) && !out.contains(10L),
+      "clean, NULL, and benchmark docs must not report")
+    // audit law: n_removed + surviving tokens == original tokens
+    out.foreach { case (id, (removed, clean)) =>
+      val orig = fixture.where(col("doc_id") === id).head().getString(1)
+        .split("\\s+").length
+      val kept = if (clean.isEmpty) 0 else clean.split("\\s+").length
+      assert(removed + kept == orig, s"doc $id: $removed removed + $kept kept != $orig")
+    }
+  }
+
   test("exactSubstringSpans: maximal cross-doc spans, merge rules, intra-doc exclusion") {
     import spark.implicits._
     val fixture = Seq(

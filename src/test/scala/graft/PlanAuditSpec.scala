@@ -78,7 +78,7 @@ class PlanAuditSpec extends SparkSpec {
     "x_dedup_simhash" -> 0, "x_dedup_substring_spans" -> 2,
     "x_line_dedup" -> 2, "x_line_dedup_global" -> 2, "x_cdc_chunks" -> 3,
     "x_decontaminate" -> 2, "x_decontaminate_semantic" -> 1,
-    "x_decontaminate_spans" -> 2,
+    "x_decontaminate_spans" -> 2, "x_span_excise" -> 2,
     // ANN
     "x_knn_cosine" -> 2, "x_knn_ivf" -> 2, "x_knn_ivf_delta" -> 2,
     "x_knn_ivfpq" -> 2,
