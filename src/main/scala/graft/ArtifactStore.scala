@@ -126,6 +126,10 @@ object ArtifactStore {
     * plan + underlying-file stats. Returns None when any input's files
     * cannot be statted (a vanished scratch dir) — no disk entry then. */
   def dfKey(tag: String, inputs: Seq[DataFrame]): Option[String] = {
+    // disabled store: skip the whole canonicalize+stat+MD5 pass — every
+    // memo miss in the (store-off) test suite would otherwise pay it
+    // just for getOrBuildDf/getOrTrain to discard the key
+    if (!enabled) return None
     val md = java.security.MessageDigest.getInstance("MD5")
     def upd(s: String): Unit = { md.update(s.getBytes("UTF-8")); md.update(0.toByte) }
     upd(CodeSalt); upd(tag)
@@ -166,8 +170,16 @@ object ArtifactStore {
         sweepIfFirst()
         val dir = root.resolve(s"df_$k")
         if (java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
-          try { touch(dir); return spark.read.parquet(dir.toString) }
-          catch { case _: Exception => () } // unreadable artifact: rebuild
+          // touch only AFTER the read validates (the schema/footer pass
+          // runs eagerly here): touching first would TTL-refresh a
+          // corrupt entry on every attempt, making it immortal
+          try { val df = spark.read.parquet(dir.toString); touch(dir); return df }
+          catch { case _: Exception =>
+            // unreadable artifact: remove it so the rebuild's atomic
+            // rename can land — leaving it would fail every future
+            // commit (target exists) and re-pay the build per JVM forever
+            deleteEntry(dir)
+          }
         val built = build
         try {
           val tmp = root.resolve(s"_tmp_df_${k}_${java.util.UUID.randomUUID()}")

@@ -21,5 +21,6 @@ object Caches {
     graft.operators.Shred.invalidate(spark)
     graft.sources.StarDocs.invalidate(spark)
     graft.sources.Io.invalidate(spark)
+    graft.sources.Tables.invalidate(spark)
   }
 }

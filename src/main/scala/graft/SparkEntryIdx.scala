@@ -241,17 +241,7 @@ object SparkEntryIdx {
       // exactly, so the memoized models/artifacts are shared, never
       // retrained, and the stashes the oracle replays are identical.
       import s.implicits._
-      val embs = Tables.embeddings(s, dir)
-      val qs = embs.where(col("vec_id") < 10)
-      val exact = Similarity.bruteForceTopK(embs, qs, k = 10)
-        .select("query_id", "neighbor_id")
-      val approx = Seq(
-        "ivf" -> Similarity.ivfTopKLearned(embs, qs, k = 10,
-          kCells = 8, iters = 2, nprobe = 2),
-        "ivfpq" -> Similarity.ivfPqTopK(embs, qs, k = 10, kCells = 8,
-          ivfIters = 2, nprobe = 2, m = 16, kCodes = 16, pqIters = 2),
-        "lsh" -> Similarity.lshTopK(embs, qs, k = 10),
-        "pq" -> Similarity.pqTopK(embs, qs, k = 10, m = 16, iters = 4))
+      val (_, exact, approx) = annEvalSetup(s, dir)
       val tagged = approx.map { case (nm, df) =>
         df.select(lit(nm).as("method"), col("query_id"), col("neighbor_id"))
       }.reduce(_ unionByName _)
@@ -282,17 +272,7 @@ object SparkEntryIdx {
       // final division, so the oracle's re-derivation (same replayed
       // models) cannot drift by summation order.
       import s.implicits._
-      val embs = Tables.embeddings(s, dir)
-      val qs = embs.where(col("vec_id") < 10)
-      val exact = Similarity.bruteForceTopK(embs, qs, k = 10)
-        .select("query_id", "neighbor_id")
-      val approx = Seq(
-        "ivf" -> Similarity.ivfTopKLearned(embs, qs, k = 10,
-          kCells = 8, iters = 2, nprobe = 2),
-        "ivfpq" -> Similarity.ivfPqTopK(embs, qs, k = 10, kCells = 8,
-          ivfIters = 2, nprobe = 2, m = 16, kCodes = 16, pqIters = 2),
-        "lsh" -> Similarity.lshTopK(embs, qs, k = 10),
-        "pq" -> Similarity.pqTopK(embs, qs, k = 10, m = 16, iters = 4))
+      val (qs, exact, approx) = annEvalSetup(s, dir)
       val tagged = approx.map { case (nm, df) =>
         df.select(lit(nm).as("method"), col("query_id"), col("neighbor_id"), col("rank"))
       }.reduce(_ unionByName _)
@@ -311,6 +291,39 @@ object SparkEntryIdx {
     },
   )
 
+  /** The shared ANN evaluation bench for x_knn_recall and x_knn_mrr:
+    * exact baseline + the four approximate methods with EXACTLY the
+    * per-method entries' parameters, defined ONCE — so the two gauges
+    * can never measure differently-tuned indexes, and the memoized
+    * models/stashes their oracles replay are identical. Returns
+    * (queries, exact top-10 pairs, (method, result) list). */
+  private def annEvalSetup(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Seq[(String, DataFrame)]) = {
+    val embs = Tables.embeddings(s, dir)
+    val qs = embs.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(embs, qs, k = 10)
+      .select("query_id", "neighbor_id")
+    val approx = Seq(
+      "ivf" -> Similarity.ivfTopKLearned(embs, qs, k = 10,
+        kCells = 8, iters = 2, nprobe = 2),
+      "ivfpq" -> Similarity.ivfPqTopK(embs, qs, k = 10, kCells = 8,
+        ivfIters = 2, nprobe = 2, m = 16, kCodes = 16, pqIters = 2),
+      "lsh" -> Similarity.lshTopK(embs, qs, k = 10),
+      "pq" -> Similarity.pqTopK(embs, qs, k = 10, m = 16, iters = 4))
+    (qs, exact, approx)
+  }
+
+  /** Oracle counterpart of [[annEvalSetup]]: the four methods' replay
+    * SQLs when every model stash is present, None otherwise — shared by
+    * recallOracle and mrrOracle for the same no-drift reason. */
+  private def annMethodsSqlOpt: Option[Seq[(String, String)]] =
+    (SparkEntryExt.ivfOracleSqlOpt, pqOracleSqlOpt, ivfPqOracleSqlOpt) match {
+      case (Some(ivf), Some(pq), Some(ivfpq)) =>
+        Some(Seq("ivf" -> ivf, "ivfpq" -> ivfpq,
+          "lsh" -> SparkEntryExt.lshOracleSql, "pq" -> pq))
+      case _ => None
+    }
+
   /** x_knn_pq's replay SQL when the codebooks are stashed (shared with
     * x_knn_recall's oracle). */
   private[graft] def pqOracleSqlOpt: Option[String] = pqOracle.get("x_knn_pq")
@@ -327,10 +340,8 @@ object SparkEntryIdx {
     * model stash is empty, same defensive rule as the per-method
     * entries. */
   private def recallOracle: Map[String, String] =
-    (SparkEntryExt.ivfOracleSqlOpt, pqOracleSqlOpt, ivfPqOracleSqlOpt) match {
-      case (Some(ivf), Some(pq), Some(ivfpq)) =>
-        val methods = Seq("ivf" -> ivf, "ivfpq" -> ivfpq,
-          "lsh" -> SparkEntryExt.lshOracleSql, "pq" -> pq)
+    annMethodsSqlOpt match {
+      case Some(methods) =>
         val ap = methods.map { case (nm, sql) =>
           s"SELECT '$nm' AS method, query_id, neighbor_id FROM ($sql)"
         }.mkString(" UNION ALL ")
@@ -353,10 +364,8 @@ object SparkEntryIdx {
     * replay different models). Reciprocals scaled by lcm(1..10)=2520 stay
     * integer until one final division. Omitted when a stash is empty. */
   private def mrrOracle: Map[String, String] =
-    (SparkEntryExt.ivfOracleSqlOpt, pqOracleSqlOpt, ivfPqOracleSqlOpt) match {
-      case (Some(ivf), Some(pq), Some(ivfpq)) =>
-        val methods = Seq("ivf" -> ivf, "ivfpq" -> ivfpq,
-          "lsh" -> SparkEntryExt.lshOracleSql, "pq" -> pq)
+    annMethodsSqlOpt match {
+      case Some(methods) =>
         val ap = methods.map { case (nm, sql) =>
           s"SELECT '$nm' AS method, query_id, neighbor_id, rank FROM ($sql)"
         }.mkString(" UNION ALL ")

@@ -139,7 +139,16 @@ object Dedup {
     * per doc, join back to the doc row, and the excision itself is one
     * nested higher-order expression — no explode, no per-token rows.
     * `n_removed` (= Σ span_tokens, exact because maximal spans are
-    * disjoint) lets the caller audit total excised volume. */
+    * disjoint) lets the caller audit total excised volume.
+    *
+    * REPRESENTATION: spans are positions in the NORMALIZED token stream
+    * (`TextFunctions.tokens`: lowercased, whitespace-collapsed — the
+    * stream every token-level operator here works in), so `text_clean`
+    * is that normalized stream re-joined, not the original raw text with
+    * a window cut out. Pipelines tokenize downstream anyway; a caller
+    * who must preserve raw bytes should treat the span REPORT
+    * ([[decontaminateSpans]]) as the product and map positions back
+    * through an offset-preserving tokenizer of their own. */
   def exciseSpans(docs: DataFrame, isBench: Column, k: Int = 8,
                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val spans = decontaminateSpans(docs, isBench, k, textCol, idCol)

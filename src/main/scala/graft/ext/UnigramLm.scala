@@ -89,7 +89,12 @@ object UnigramLm {
                         maxVocab: Int, textCol: String): Trained = {
     val words = wordFreqs(docs, textCol).persist()
     try {
-      val maxWordLen = words.agg(max(length(col("w")))).head.getInt(0)
+      // empty/all-NULL corpus: max(length) aggregates to NULL and a
+      // primitive getInt would NPE mid-training — return the empty model
+      val maxLenRow = words.agg(max(length(col("w")))).head
+      if (maxLenRow.isNullAt(0))
+        return Trained(Seq.empty, Seq.empty, Seq(Seq.empty), 0, maxPieceLen, maxVocab)
+      val maxWordLen = maxLenRow.getInt(0)
       // seed vocabulary: every ≤maxPieceLen substring of every distinct
       // word, weighted by word frequency; kept = top maxVocab by
       // (count desc, piece) PLUS all single characters (the DP base

@@ -96,8 +96,13 @@ object Windows {
     // assert_true is NULL when the span is in bounds (so mx passes
     // through untouched) and throws otherwise; routing mx THROUGH the
     // guard keeps Catalyst from pruning the assertion away
+    // coalesce: a key whose every ts is NULL has mn = mx = NULL — a NULL
+    // condition would make assert_true THROW, turning data the old path
+    // silently omitted (sequence(NULL, NULL) → NULL → explode drops)
+    // into a job failure with a misleading span message
     val spanOk = assert_true(
-      col("mx") <= col("mn") + expr(s"interval $maxGridBuckets $unit"),
+      coalesce(col("mx") <= col("mn") + expr(s"interval $maxGridBuckets $unit"),
+        lit(true)),
       concat(lit(s"resampleFfill: key "), col("key").cast("string"),
         lit(s" spans more than $maxGridBuckets $unit buckets (corrupt timestamp?)")))
     val grid = agg.groupBy("key")

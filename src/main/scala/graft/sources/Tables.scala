@@ -87,6 +87,14 @@ object Tables {
   // memo for the (rare) legacy-nanos layout's eager normalization
   private val legacyEvents =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Release the memoized legacy-events checkpoints (the [[graft.Caches]]
+    * sweep): a fixture regenerated at the same path mid-session must not
+    * keep serving pre-regen rows from the eager checkpoint forever. */
+  def invalidate(spark: SparkSession): Unit = {
+    val it = legacyEvents.entrySet().iterator()
+    while (it.hasNext) if (it.next().getKey._1 eq spark) it.remove()
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
 }

@@ -59,6 +59,12 @@ object StreamResample {
     val sorted = events.toSeq.sortBy(e => (e.ts_micros, e.event_id))
     var st = state.getOption.orNull
     val out = scala.collection.mutable.ArrayBuffer.empty[Out]
+    // overflow-safe distance (corrupt extremes can straddle the Long
+    // range: a pre-epoch open bucket minus a far-future event overflows
+    // and would sign-flip PAST the guard it exists to arm)
+    def distance(hi: Long, lo: Long): Long =
+      try Math.subtractExact(hi, lo)
+      catch { case _: ArithmeticException => Long.MaxValue }
     sorted.foreach { e =>
       val b = Math.floorDiv(e.ts_micros, bucketMicros)
       if (st == null) {
@@ -74,17 +80,30 @@ object StreamResample {
         st = if (wins)
           OpenBucket(b, e.ts_micros, e.event_id, e.value, st.nObs + 1)
         else st.copy(nObs = st.nObs + 1)
-      } else if (b > st.bucket && b - st.bucket > maxGapBuckets) {
+      } else if (b > st.bucket && distance(b, st.bucket) > maxGapBuckets) {
         // corrupt far-future event: filling the gap would materialize
         // b - st.bucket rows (unbounded) into the buffer — drop it,
         // keep the open bucket (see MaxGapBuckets)
         java.util.logging.Logger.getLogger(getClass.getName).warning(
           s"StreamResample: dropped event (key=$key, id=${e.event_id}) " +
-            s"jumping ${b - st.bucket} buckets ahead (max $maxGapBuckets)")
+            s"jumping ahead of the open bucket (max $maxGapBuckets)")
       } else if (b > st.bucket) {
         out += Out(key, st.bucket, st.nObs, st.lastV)
         var g = st.bucket + 1
         while (g < b) { out += Out(key, g, 0L, st.lastV); g += 1 }
+        st = OpenBucket(b, e.ts_micros, e.event_id, e.value, 1L)
+      } else if (distance(st.bucket, b) > maxGapBuckets) {
+        // the OPEN BUCKET is the corrupt side: the forward guard bounds
+        // every later jump, so state this far AHEAD of a plausible event
+        // can only have been installed by a corrupt FIRST event for the
+        // key (the init path has no prior state to gauge against).
+        // Without healing, that one bad record silently drops every
+        // subsequent legitimate event for the key forever. Heal: discard
+        // the poisoned open bucket UNEMITTED (appending it would write
+        // garbage no retraction can remove) and re-open at the event.
+        java.util.logging.Logger.getLogger(getClass.getName).warning(
+          s"StreamResample: healed corrupt open bucket (key=$key, " +
+            s"bucket=${st.bucket}) — re-opened at event ${e.event_id}")
         st = OpenBucket(b, e.ts_micros, e.event_id, e.value, 1L)
       } // else: event-time regression across batches — dropped (see doc)
     }

@@ -78,6 +78,38 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(trains == 2, "disabled store must not serve from disk")
   }
 
+  test("a corrupt committed artifact self-heals: rebuilt, recommitted, then served") {
+    withStore {
+      val storeDir = Files.createTempDirectory("graft_store_heal")
+      val priorDir = System.getProperty("graft.artifacts.dir")
+      System.setProperty("graft.artifacts.dir", storeDir.toString)
+      try {
+        val dataDir = Files.createTempDirectory("graft_store_heal_in").toString
+        spark.range(20).write.mode("overwrite").parquet(s"$dataDir/t.parquet")
+        val in = spark.read.parquet(s"$dataDir/t.parquet")
+        val key = ArtifactStore.dfKey(PlanMemo.tag("spec", "heal"), Seq(in))
+        // plant a committed-but-unreadable entry at the key's slot
+        val dir = storeDir.resolve(s"df_${key.get}")
+        Files.createDirectories(dir)
+        Files.write(dir.resolve("part-0.parquet"), "not parquet".getBytes)
+        Files.write(dir.resolve("_SUCCESS"), Array.emptyByteArray)
+        var builds = 0
+        def get() = ArtifactStore.getOrBuildDf(spark, key) {
+          builds += 1; in.groupBy().count()
+        }
+        assert(get().collect().map(_.getLong(0)).toSeq == Seq(20L))
+        assert(builds == 1, "corrupt entry must trigger exactly one rebuild")
+        // the rebuild must have REPLACED the corrupt dir (delete + atomic
+        // rename), so the next call is disk-served — were the corrupt dir
+        // left in place, the rename would fail and every JVM would
+        // rebuild forever
+        assert(get().collect().map(_.getLong(0)).toSeq == Seq(20L))
+        assert(builds == 1, "post-heal read must come from the recommitted artifact")
+      } finally if (priorDir == null) System.clearProperty("graft.artifacts.dir")
+      else System.setProperty("graft.artifacts.dir", priorDir)
+    }
+  }
+
   test("retention sweep: TTL expiry, oldest-first size eviction, torn-tmp cleanup, LRU touch") {
     withStore {
       val storeDir = Files.createTempDirectory("graft_store_gc")

@@ -753,6 +753,15 @@ class WindowsSpec extends SparkSpec {
     // in-bounds spans are untouched by the guard
     assert(Windows.resampleFfill(df.where(col("user_id") === 1L),
       maxGridBuckets = 100L).count() == 4L)
+    // a key whose every ts is NULL has mn = mx = NULL: the guard must
+    // pass it through (the key silently drops, the old behavior), not
+    // throw a misleading span failure on a NULL condition
+    val withNullKey = df.where(col("user_id") === 1L).unionByName(
+      Seq((3L, 30L, null.asInstanceOf[java.sql.Timestamp], 7.0))
+        .toDF("user_id", "event_id", "ts", "value"))
+    val survived = Windows.resampleFfill(withNullKey, maxGridBuckets = 100L)
+    assert(survived.where(col("key") === 3L).isEmpty &&
+      survived.count() == 4L, "NULL-ts key must drop silently, others keep")
   }
 }
 

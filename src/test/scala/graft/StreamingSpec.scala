@@ -960,6 +960,24 @@ class StreamingSpec extends SparkSpec {
       1L, Iterator(Obs(1L, 8L, 9L, 2.0)), s2).toSeq
     assert(out2.map(o => (o.bucket, o.n_obs)) == Seq((5L, 1L), (6L, 0L), (7L, 0L)))
     assert(s2.get.bucket == 8L)
+    // corrupt FIRST event for a key: the init path can't gauge it (no
+    // prior state), so the open bucket itself is poisoned far-future —
+    // the next legitimate event must HEAL the key (discard the poisoned
+    // bucket unemitted, re-open at the event), not be dropped forever
+    val s3 = state(5000000L)
+    val out3 = StreamResample.update(1L, maxGapBuckets = 10L)(
+      1L, Iterator(Obs(1L, 7L, 9L, 2.0), Obs(1L, 8L, 10L, 3.0)), s3).toSeq
+    assert(out3.map(o => (o.bucket, o.n_obs)) == Seq((7L, 1L)),
+      s"heal must re-open at the event and emit nothing corrupt, got $out3")
+    assert(s3.get.bucket == 8L, "post-heal state must track the live events")
+    // overflow pair: pre-epoch open bucket + far-future event — the
+    // distance overflows Long; a sign-flip past the guard would re-open
+    // the unbounded gap loop the cap exists to stop
+    val s4 = state(Long.MinValue / 2)
+    val out4 = StreamResample.update(1L, maxGapBuckets = 10L)(
+      1L, Iterator(Obs(1L, Long.MaxValue / 2, 9L, 2.0)), s4).toSeq
+    assert(out4.isEmpty, "overflowing forward jump must still be dropped")
+    assert(s4.get.bucket == Long.MinValue / 2)
   }
 
   test("streaming near-dup ingest: each micro-batch dedupes against the stored corpus (extension)") {

@@ -102,6 +102,16 @@ class UnigramSpec extends SparkSpec {
     assert(t2 == t, "unigram training must be deterministic")
   }
 
+  test("training on an empty / all-NULL corpus yields the empty model, not an NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val t = UnigramLm.train(empty, rounds = 2, maxPieceLen = 4, maxVocab = 64)
+    assert(t.finalCosts.isEmpty && t.seedCosts.isEmpty && t.maxWordLen == 0)
+    val allNull = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val t2 = UnigramLm.train(allNull, rounds = 2, maxPieceLen = 4, maxVocab = 64)
+    assert(t2.finalCosts.isEmpty)
+  }
+
   test("segment counts: words never outnumber pieces and totals line up") {
     val docs = Tables.documents(spark, sf)
     val t = UnigramLm.train(docs, rounds = 2, maxPieceLen = 4, maxVocab = 64)
