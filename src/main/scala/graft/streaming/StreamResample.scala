@@ -34,41 +34,112 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamResample {
 
   case class Obs(key: Long, ts_micros: Long, event_id: Long, value: Double)
+
+  /** Managed per-key state. `candBucket`/`candCount` track the pending
+    * heal candidacy when no watermark anchor is available: the bucket of
+    * the last far-side event and how many consecutive, mutually-consistent
+    * far-side events have agreed with it (see [[HealConsensus]]). Both
+    * reset to zero whenever a plausible near event vouches for the open
+    * bucket. */
   case class OpenBucket(bucket: Long, lastTs: Long, lastId: Long,
-                        lastV: Double, nObs: Long)
+                        lastV: Double, nObs: Long,
+                        candBucket: Long = 0L, candCount: Int = 0)
+
   case class Out(key: Long, bucket: Long, n_obs: Long, value_ffill: Double)
 
   /** Max gap buckets filled per bucket transition. A single corrupt
     * far-future timestamp would otherwise make the gap loop materialize
     * millions of rows into the per-group buffer (executor OOM) — and in
     * append mode those rows could never be retracted. An event jumping
-    * more than this many buckets ahead of the open one is treated like
-    * the time-regression case: DROPPED (state unchanged), logged for the
-    * operator to route to a DLQ feed. Deliberate asymmetry with the batch
-    * form, which fails the job instead (see resampleFfill's scaladoc):
-    * batch can fail-and-fix, a stream must keep serving. */
+    * more than this many buckets away from the open one enters the
+    * far-jump ARBITRATION below instead of the normal close/gap/open
+    * path. Deliberate asymmetry with the batch form, which fails the job
+    * instead (see resampleFfill's scaladoc): batch can fail-and-fix, a
+    * stream must keep serving. Size it above the longest plausible idle
+    * period for a key — a legitimate event beyond it is treated as
+    * evidence in the arbitration, not applied directly. */
   val MaxGapBuckets: Long = 100000L
+
+  /** Consecutive mutually-consistent far-side events required to out-vote
+    * the open bucket when no watermark anchor exists. One corrupt event
+    * (an epoch-zero timestamp, a far-future fat-finger) can never reach
+    * this alone against a healthy key — it is dropped and merely opens a
+    * candidacy that the next plausible event cancels — while a genuinely
+    * poisoned key recovers after this many live events, because real
+    * traffic lands within [[MaxGapBuckets]] of itself. */
+  val HealConsensus: Int = 3
 
   def update(bucketMicros: Long)(key: Long, events: Iterator[Obs],
              state: GroupState[OpenBucket]): Iterator[Out] =
     update(bucketMicros, MaxGapBuckets)(key, events, state)
 
+  /** Far-jump arbitration (the heart of the corrupt-timestamp defence).
+    * When an event lands more than `maxGapBuckets` buckets from the open
+    * bucket, exactly one side is wrong but the pair alone cannot say
+    * which — a far-past EVENT against a healthy key and a healthy event
+    * against far-future STATE look identical from inside the pair. The
+    * decision therefore uses an external plausibility anchor:
+    *
+    *  1. The event-time watermark, when the query defines one
+    *     (`state.getCurrentWatermarkMs`): whichever side sits more than
+    *     `maxGapBuckets` buckets from the watermark is the corrupt one.
+    *     State corrupt + event plausible → heal immediately; state
+    *     plausible + event corrupt → drop the event; both implausible →
+    *     drop the event AND clear the state (nothing trustworthy
+    *     remains for the key).
+    *  2. Without a watermark, consensus: [[HealConsensus]] consecutive
+    *     far-side events that agree with EACH OTHER (each within
+    *     `maxGapBuckets` of the previous candidate) out-vote the open
+    *     bucket. Until the quorum is reached, far events are dropped
+    *     (the pre-heal behavior — harmless) and the candidacy is
+    *     persisted in state so recovery works across micro-batches.
+    *
+    * Healing direction decides the open bucket's fate: a FORWARD heal
+    * (state behind the live events — a far-past first event, or a key
+    * returning from a longer-than-`maxGapBuckets` idle period) EMITS the
+    * open bucket as a closed row with no gap fill, because that bucket
+    * lies in the key's past and may be legitimate pre-idle data; a
+    * BACKWARD heal (state implausibly in the future) DISCARDS it
+    * unemitted, because appending a future-timestamped row could never
+    * be retracted. */
   def update(bucketMicros: Long, maxGapBuckets: Long)(key: Long,
              events: Iterator[Obs],
              state: GroupState[OpenBucket]): Iterator[Out] = {
     val sorted = events.toSeq.sortBy(e => (e.ts_micros, e.event_id))
+    val hadState = state.exists
     var st = state.getOption.orNull
     val out = scala.collection.mutable.ArrayBuffer.empty[Out]
+    val log = java.util.logging.Logger.getLogger(getClass.getName)
     // overflow-safe distance (corrupt extremes can straddle the Long
     // range: a pre-epoch open bucket minus a far-future event overflows
     // and would sign-flip PAST the guard it exists to arm)
     def distance(hi: Long, lo: Long): Long =
       try Math.subtractExact(hi, lo)
       catch { case _: ArithmeticException => Long.MaxValue }
+    def far(a: Long, b: Long): Boolean =
+      (if (a >= b) distance(a, b) else distance(b, a)) > maxGapBuckets
+    // external plausibility anchor: a defined, advanced event-time
+    // watermark (batch queries report -1; a streaming query without
+    // `withWatermark` throws — both mean "no anchor", as does a
+    // watermark still at its initial 0)
+    val anchorBucket: Option[Long] =
+      (try state.getCurrentWatermarkMs()
+       catch { case _: Exception => -1L }) match {
+        case wm if wm > 0L =>
+          try Some(Math.floorDiv(Math.multiplyExact(wm, 1000L), bucketMicros))
+          catch { case _: ArithmeticException => None }
+        case _ => None
+      }
     sorted.foreach { e =>
       val b = Math.floorDiv(e.ts_micros, bucketMicros)
       if (st == null) {
-        st = OpenBucket(b, e.ts_micros, e.event_id, e.value, 1L)
+        // init path: with an anchor, refuse to install implausible state
+        // in the first place — the corrupt-first-event poisoning the
+        // heals exist to undo
+        if (anchorBucket.exists(wb => far(b, wb)))
+          log.warning(s"StreamResample: dropped implausible first event " +
+            s"(key=$key, id=${e.event_id}, bucket=$b) vs watermark")
+        else st = OpenBucket(b, e.ts_micros, e.event_id, e.value, 1L)
       } else if (b == st.bucket) {
         // the same LEXICOGRAPHIC (ts, id, value) ordering as the batch
         // form's max(struct(t, i, v)) — value included, so even a full
@@ -79,46 +150,84 @@ object StreamResample {
             (e.event_id == st.lastId && e.value > st.lastV)))
         st = if (wins)
           OpenBucket(b, e.ts_micros, e.event_id, e.value, st.nObs + 1)
-        else st.copy(nObs = st.nObs + 1)
-      } else if (b > st.bucket && distance(b, st.bucket) > maxGapBuckets) {
-        // corrupt far-future event: filling the gap would materialize
-        // b - st.bucket rows (unbounded) into the buffer — drop it,
-        // keep the open bucket (see MaxGapBuckets)
-        java.util.logging.Logger.getLogger(getClass.getName).warning(
-          s"StreamResample: dropped event (key=$key, id=${e.event_id}) " +
-            s"jumping ahead of the open bucket (max $maxGapBuckets)")
-      } else if (b > st.bucket) {
+        else st.copy(nObs = st.nObs + 1, candBucket = 0L, candCount = 0)
+      } else if (b > st.bucket && distance(b, st.bucket) <= maxGapBuckets) {
+        // normal close + bounded gap fill + re-open
         out += Out(key, st.bucket, st.nObs, st.lastV)
         var g = st.bucket + 1
         while (g < b) { out += Out(key, g, 0L, st.lastV); g += 1 }
         st = OpenBucket(b, e.ts_micros, e.event_id, e.value, 1L)
-      } else if (distance(st.bucket, b) > maxGapBuckets) {
-        // the OPEN BUCKET is the corrupt side: the forward guard bounds
-        // every later jump, so state this far AHEAD of a plausible event
-        // can only have been installed by a corrupt FIRST event for the
-        // key (the init path has no prior state to gauge against).
-        // Without healing, that one bad record silently drops every
-        // subsequent legitimate event for the key forever. Heal: discard
-        // the poisoned open bucket UNEMITTED (appending it would write
-        // garbage no retraction can remove) and re-open at the event.
-        java.util.logging.Logger.getLogger(getClass.getName).warning(
-          s"StreamResample: healed corrupt open bucket (key=$key, " +
-            s"bucket=${st.bucket}) — re-opened at event ${e.event_id}")
-        st = OpenBucket(b, e.ts_micros, e.event_id, e.value, 1L)
-      } // else: event-time regression across batches — dropped (see doc)
+      } else if (b < st.bucket && distance(st.bucket, b) <= maxGapBuckets) {
+        // ordinary cross-batch time regression: dropped (see the
+        // PRECONDITION above). A plausible NEAR event also vouches for
+        // the open bucket, so any pending heal candidacy is cancelled.
+        if (st.candCount != 0) st = st.copy(candBucket = 0L, candCount = 0)
+      } else {
+        // far jump, either direction — arbitrate (see method scaladoc)
+        val decided: Option[Boolean] = anchorBucket.map { wb =>
+          val stateCorrupt = far(st.bucket, wb)
+          val eventCorrupt = far(b, wb)
+          if (stateCorrupt && eventCorrupt) {
+            log.warning(s"StreamResample: key=$key — open bucket " +
+              s"${st.bucket} AND event bucket $b both implausible vs " +
+              s"watermark bucket $wb; clearing state, dropping event")
+            st = null
+            false
+          } else stateCorrupt // state corrupt, event plausible → heal
+        }
+        val healNow = decided.getOrElse {
+          if (st != null) {
+            val consistent = st.candCount > 0 && !far(b, st.candBucket)
+            val cnt = if (consistent) st.candCount + 1 else 1
+            st = st.copy(candBucket = b, candCount = cnt)
+            cnt >= HealConsensus
+          } else false
+        }
+        if (healNow && st != null) {
+          if (b > st.bucket) {
+            // forward heal: the open bucket is in the key's PAST — emit
+            // it (no gap fill; the gap exceeds maxGapBuckets by
+            // definition) so a legitimate pre-idle bucket is not lost
+            log.warning(s"StreamResample: forward heal (key=$key) — " +
+              s"closed stale bucket ${st.bucket}, re-opened at $b")
+            out += Out(key, st.bucket, st.nObs, st.lastV)
+          } else
+            // backward heal: the open bucket sits implausibly in the
+            // future — discard it UNEMITTED (an appended future row
+            // could never be retracted)
+            log.warning(s"StreamResample: backward heal (key=$key) — " +
+              s"discarded corrupt open bucket ${st.bucket}, re-opened " +
+              s"at $b")
+          st = OpenBucket(b, e.ts_micros, e.event_id, e.value, 1L)
+        } else if (!healNow && st != null && decided.isEmpty)
+          log.warning(s"StreamResample: dropped far event (key=$key, " +
+            s"id=${e.event_id}, bucket=$b vs open ${st.bucket}); heal " +
+            s"candidacy ${st.candCount}/$HealConsensus")
+        else if (!healNow && st != null)
+          log.warning(s"StreamResample: dropped implausible event " +
+            s"(key=$key, id=${e.event_id}, bucket=$b) vs watermark")
+      }
     }
     if (st != null) state.update(st)
+    else if (hadState) state.remove()
     out.iterator
   }
 
   /** Drive a JSON observation stream through the stateful resampler into
     * `outDir` (one closed-bucket row per emission, append-only).
     * `maxFilesPerTrigger` lets tests force multi-batch consumption so the
-    * cross-batch state carry-over is actually exercised. */
+    * cross-batch state carry-over is actually exercised.
+    * `watermarkDelay` (e.g. `"1 hour"`) attaches an event-time watermark
+    * to the observation stream, which (a) lets Spark expire genuinely
+    * late rows before the operator and (b) arms the watermark ANCHOR in
+    * [[update]]'s far-jump arbitration, so a poisoned key heals on the
+    * first plausible event instead of waiting for [[HealConsensus]]. */
   def run(spark: SparkSession, obsDir: String, outDir: String,
           checkpointDir: String, bucketMicros: Long,
-          maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+          maxFilesPerTrigger: Option[Int] = None,
+          watermarkDelay: Option[String] = None): StreamingQuery = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
     import org.apache.spark.sql.types._
     require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
       "StreamResample's epoch-aligned buckets match resampleFfill's " +
@@ -130,7 +239,10 @@ object StreamResample {
       StructField("value", DoubleType, nullable = false)))
     StreamDrive.jsonToParquet(spark, schema, obsDir, outDir, checkpointDir,
       maxFilesPerTrigger) { df =>
-      val closed: Dataset[Out] = df.as[Obs]
+      val anchored = watermarkDelay.fold(df)(d =>
+        df.withColumn("ts", timestamp_micros(col("ts_micros")))
+          .withWatermark("ts", d))
+      val closed: Dataset[Out] = anchored.as[Obs]
         .groupByKey(_.key)
         .flatMapGroupsWithState(OutputMode.Append(),
           GroupStateTimeout.NoTimeout())(update(bucketMicros))

@@ -961,15 +961,38 @@ class StreamingSpec extends SparkSpec {
     assert(out2.map(o => (o.bucket, o.n_obs)) == Seq((5L, 1L), (6L, 0L), (7L, 0L)))
     assert(s2.get.bucket == 8L)
     // corrupt FIRST event for a key: the init path can't gauge it (no
-    // prior state), so the open bucket itself is poisoned far-future —
-    // the next legitimate event must HEAL the key (discard the poisoned
-    // bucket unemitted, re-open at the event), not be dropped forever
+    // prior state), so the open bucket itself is poisoned far-future.
+    // Without a watermark anchor, HealConsensus (3) mutually-consistent
+    // live events out-vote it: the poisoned bucket is discarded
+    // UNEMITTED, state re-opens at the quorum event, and from there the
+    // key streams normally (event 10 closes bucket 9 the ordinary way).
     val s3 = state(5000000L)
     val out3 = StreamResample.update(1L, maxGapBuckets = 10L)(
-      1L, Iterator(Obs(1L, 7L, 9L, 2.0), Obs(1L, 8L, 10L, 3.0)), s3).toSeq
-    assert(out3.map(o => (o.bucket, o.n_obs)) == Seq((7L, 1L)),
-      s"heal must re-open at the event and emit nothing corrupt, got $out3")
-    assert(s3.get.bucket == 8L, "post-heal state must track the live events")
+      1L, Iterator(Obs(1L, 7L, 9L, 2.0), Obs(1L, 8L, 10L, 3.0),
+        Obs(1L, 9L, 11L, 4.0), Obs(1L, 10L, 12L, 5.0)), s3).toSeq
+    assert(out3.map(o => (o.bucket, o.n_obs)) == Seq((9L, 1L)),
+      s"consensus heal must re-open at the quorum event and emit " +
+        s"nothing corrupt, got $out3")
+    assert(s3.get.bucket == 10L, "post-heal state must track the live events")
+    // ONE corrupt far-PAST event against a HEALTHY key must NOT trigger
+    // the backward heal (that would poison the state and strand every
+    // later live event behind the forward guard): it is dropped, opens a
+    // candidacy, and the next plausible near event cancels the candidacy
+    val s3b = state(5L)
+    val out3b = StreamResample.update(1L, maxGapBuckets = 10L)(
+      1L, Iterator(Obs(1L, -5000000L, 13L, 9.9), Obs(1L, 6L, 14L, 2.0)),
+      s3b).toSeq
+    assert(out3b.map(o => (o.bucket, o.n_obs)) == Seq((5L, 1L)),
+      s"healthy key must survive one corrupt far-past event, got $out3b")
+    assert(s3b.get.bucket == 6L && s3b.get.candCount == 0,
+      s"candidacy must be cancelled by the plausible event: ${s3b.get}")
+    // and a lone corrupt event (no follow-up) leaves the open bucket
+    // untouched with only a pending candidacy persisted
+    val s3c = state(5L)
+    val out3c = StreamResample.update(1L, maxGapBuckets = 10L)(
+      1L, Iterator(Obs(1L, -5000000L, 15L, 9.9)), s3c).toSeq
+    assert(out3c.isEmpty && s3c.get.bucket == 5L && s3c.get.candCount == 1,
+      s"lone far-past event: drop + candidacy only, got $out3c / ${s3c.get}")
     // overflow pair: pre-epoch open bucket + far-future event — the
     // distance overflows Long; a sign-flip past the guard would re-open
     // the unbounded gap loop the cap exists to stop
@@ -978,6 +1001,64 @@ class StreamingSpec extends SparkSpec {
       1L, Iterator(Obs(1L, Long.MaxValue / 2, 9L, 2.0)), s4).toSeq
     assert(out4.isEmpty, "overflowing forward jump must still be dropped")
     assert(s4.get.bucket == Long.MinValue / 2)
+  }
+
+  test("StreamResample watermark anchor arbitrates far jumps in one event") {
+    import graft.streaming.StreamResample
+    import graft.streaming.StreamResample.{Obs, OpenBucket}
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    // bucketMicros=1000 so watermarkMs=5 → watermark bucket 5; keep all
+    // live traffic within maxGapBuckets=10 of that anchor
+    def state(b: Long, wmMs: Long) = TestGroupState.create[OpenBucket](
+      Optional.of(OpenBucket(b, b * 1000L, 1L, 1.0, 1L)),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+      0L, Optional.of(wmMs), false)
+    // 1) corrupt far-future STATE + plausible event: backward heal on
+    //    the FIRST event (no consensus wait) — poisoned bucket discarded
+    //    unemitted, state re-opens at the event
+    val s1 = state(5000000L, wmMs = 5L)
+    val out1 = StreamResample.update(1000L, maxGapBuckets = 10L)(
+      1L, Iterator(Obs(1L, 6000L, 2L, 2.0)), s1).toSeq
+    assert(out1.isEmpty && s1.get.bucket == 6L,
+      s"anchor backward heal must be immediate: $out1 / ${s1.get}")
+    // 2) healthy state + corrupt far-past EVENT: dropped, state intact —
+    //    the anchor proves the event is the corrupt side
+    val s2 = state(5L, wmMs = 5L)
+    val out2 = StreamResample.update(1000L, maxGapBuckets = 10L)(
+      1L, Iterator(Obs(1L, -9000000L, 3L, 9.9), Obs(1L, 7000L, 4L, 2.0)),
+      s2).toSeq
+    assert(out2.map(o => (o.bucket, o.n_obs)) == Seq((5L, 1L), (6L, 0L)),
+      s"anchor must protect a healthy key from a corrupt event: $out2")
+    assert(s2.get.bucket == 7L)
+    // 3) stale far-PAST state (corrupt first event installed it before a
+    //    watermark existed) + plausible event: forward heal EMITS the
+    //    stale bucket (it lies in the key's past — may be legit pre-idle
+    //    data) with no gap fill, then re-opens at the live event
+    val s3 = state(-8000000L, wmMs = 5L)
+    val out3 = StreamResample.update(1000L, maxGapBuckets = 10L)(
+      1L, Iterator(Obs(1L, 6000L, 5L, 2.0)), s3).toSeq
+    assert(out3.map(o => (o.bucket, o.n_obs)) == Seq((-8000000L, 1L)),
+      s"forward heal must close the stale bucket, no gap fill: $out3")
+    assert(s3.get.bucket == 6L)
+    // 4) BOTH sides implausible vs the anchor: drop the event AND clear
+    //    the state — nothing trustworthy remains for the key
+    val s4 = state(5000000L, wmMs = 5L)
+    val out4 = StreamResample.update(1000L, maxGapBuckets = 10L)(
+      1L, Iterator(Obs(1L, -9000000L, 6L, 9.9)), s4).toSeq
+    assert(out4.isEmpty && !s4.exists,
+      s"both-corrupt must clear state and emit nothing: $out4")
+    // 5) init path: a corrupt FIRST event can't even install state when
+    //    an anchor exists
+    val s5 = TestGroupState.create[OpenBucket](Optional.empty[OpenBucket](),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+      0L, Optional.of(5L), false)
+    val out5 = StreamResample.update(1000L, maxGapBuckets = 10L)(
+      1L, Iterator(Obs(1L, 5000000000L, 7L, 9.9), Obs(1L, 6000L, 8L, 2.0)),
+      s5).toSeq
+    assert(out5.isEmpty && s5.get.bucket == 6L,
+      s"anchored init must reject the corrupt event, open at the live " +
+        s"one: $out5 / ${s5.get}")
   }
 
   test("streaming near-dup ingest: each micro-batch dedupes against the stored corpus (extension)") {
