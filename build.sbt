@@ -40,13 +40,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 8g default. A quiet-box A/B (round 9, loadavg < 2 at start of both
-  // legs, full 96-query cold bench, reps=1, sf0.1) measured 62.6 s @8g vs
-  // 61.6 s @24g — identical within single-rep noise, which settles the
-  // round-8 adjudication: the earlier "24g collapse" (366-1289 s) was
-  // external box load, not heap size. Heap size is a non-factor for this
-  // workload on this box; 8g stays as the known-good default and leaves
-  // headroom for the driver's concurrent tooling. Override with
-  // SPARK_DRIVER_MEM if a bigger corpus needs it.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default, sized to the box (128 GiB). The round-9 A/B that kept
+  // 8g ("heap is a non-factor": 62.6 s @8g vs 61.6 s @24g) predates the
+  // ArtifactStore: by round 11 the 132 queries' persisted shared
+  // relations oversubscribe an 8g JVM's storage pool (~4g), and LRU
+  // eviction made a handful of queries re-derive shared artifacts on
+  // EVERY timed rep — x_sketch_kmv_jaccard benched 8.8 s median while a
+  // fresh-JVM RunOne showed 1.2 s warm. The bench must measure
+  // steady-state plans, so the storage pool now fits the full artifact
+  // working set; Bench.scala additionally stamps eviction/spill counters
+  // into the record so a still-polluted run self-identifies. Override
+  // with SPARK_DRIVER_MEM for smaller boxes.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

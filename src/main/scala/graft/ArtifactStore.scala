@@ -20,7 +20,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - the CANONICALIZED logical plan string + semantic hash of every
   *    input relation (captures schema, expressions, literals, paths);
   *  - a FINGERPRINT of every underlying file: path, length, modification
-  *    time — a regenerated fixture at the same path changes the key;
+  *    time — a regenerated fixture at the same path changes the key.
+  *    CAVEAT: mtime resolution is filesystem-dependent (1 s on ext3/
+  *    HFS+, 100 ns on ext4/XFS/APFS); a fixture regenerated to the SAME
+  *    byte length within the same mtime tick would keep its key. That
+  *    window is practically unreachable for parquet regens (row-group
+  *    ordering, compression and encoder state make same-length output
+  *    vanishingly rare, and this engine's fixtures regen between JVMs,
+  *    not within a tick) — a deployment on a coarse-mtime filesystem
+  *    that rewrites fixtures in place should add a content etag to the
+  *    fingerprint instead;
   *  - a code-version salt, bumped when a memoized builder's semantics
   *    change in a way the output plan key cannot see.
   *
@@ -122,9 +131,66 @@ object ArtifactStore {
     if (sweptOnce.compareAndSet(false, true))
       try sweep() catch { case _: Exception => () }
 
-  /** Content key for a derived relation: tag + every input's canonical
-    * plan + underlying-file stats. Returns None when any input's files
-    * cannot be statted (a vanished scratch dir) — no disk entry then. */
+  // ---- chain-stable keying --------------------------------------------
+  // A derived artifact's input is often ITSELF an artifact. Hashing the
+  // input's CURRENT plan makes the downstream key session-dependent: the
+  // building JVM sees the computed plan, a fresh JVM sees the
+  // parquet-read-of-artifact plan, so chained artifacts (kmvItems over
+  // the shingle table, signature tables over shingles) could never
+  // disk-hit across the build/fault boundary — each fresh JVM re-paid
+  // one derivation per chain link. The registry below maps a served or
+  // just-built artifact's canonical plan to its CONTENT KEY; dfKey
+  // substitutes `artifact:<key>` for any registered input, making the
+  // downstream key identical in both JVMs. Entries are validated against
+  // the input's current leaf-file stats before use, so an in-place
+  // fixture regen within one JVM cannot serve a stale chain key.
+  private val artifactKeys = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    (String, String)]() // canonical plan -> (content key, leaf fingerprint)
+
+  /** Sorted `path|len|mtime` stats of every file under the plan's leaf
+    * relations — the freshness component of every content key. Throws on
+    * a stat failure (callers catch and decline to key). */
+  private def leafStats(df: DataFrame): Seq[String] = {
+    val plan = df.queryExecution.analyzed
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val files = plan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.inputFiles.toSeq
+          case _ => Seq.empty[String]
+        }
+    }.flatten.sorted
+    files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      s"$f|${st.getLen}|${st.getModificationTime}"
+    }
+  }
+
+  private def fingerprint(stats: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    stats.foreach(s => { md.update(s.getBytes("UTF-8")); md.update(0.toByte) })
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Record that `df` IS the artifact committed/served under `key`, so
+    * downstream dfKey calls can key on the artifact's identity instead
+    * of whichever plan form this session happens to hold. Failures (a
+    * vanished file mid-stat) simply skip registration — downstream keys
+    * then fall back to plan hashing, which is correct, just not
+    * chain-stable. */
+  private def register(df: DataFrame, key: String): Unit =
+    try artifactKeys.put(df.queryExecution.analyzed.canonicalized,
+      (key, fingerprint(leafStats(df))))
+    catch { case _: Exception => () }
+
+  /** Content key for a derived relation: tag + per input either the
+    * input's own ARTIFACT key (chain-stable, see [[artifactKeys]]) or
+    * its canonical plan + underlying-file stats. Returns None when any
+    * input's files cannot be statted (a vanished scratch dir) — no disk
+    * entry then. */
   def dfKey(tag: String, inputs: Seq[DataFrame]): Option[String] = {
     // disabled store: skip the whole canonicalize+stat+MD5 pass — every
     // memo miss in the (store-off) test suite would otherwise pay it
@@ -135,22 +201,15 @@ object ArtifactStore {
     upd(CodeSalt); upd(tag)
     try {
       inputs.foreach { df =>
-        val plan = df.queryExecution.analyzed
-        upd(plan.canonicalized.toString)
-        upd(plan.semanticHash().toString)
-        val conf = df.sparkSession.sessionState.newHadoopConf()
-        val files = plan.collect {
-          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-            lr.relation match {
-              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-                fs.location.inputFiles.toSeq
-              case _ => Seq.empty[String]
-            }
-        }.flatten.sorted
-        files.foreach { f =>
-          val p = new org.apache.hadoop.fs.Path(f)
-          val st = p.getFileSystem(conf).getFileStatus(p)
-          upd(s"$f|${st.getLen}|${st.getModificationTime}")
+        val stats = leafStats(df)
+        val registered = artifactKeys.get(df.queryExecution.analyzed.canonicalized)
+        registered match {
+          case (k, fp) if fp == fingerprint(stats) => upd(s"artifact:$k")
+          case _ =>
+            val plan = df.queryExecution.analyzed
+            upd(plan.canonicalized.toString)
+            upd(plan.semanticHash().toString)
+            stats.foreach(upd)
         }
       }
       Some(md.digest().map("%02x".format(_)).mkString)
@@ -173,7 +232,8 @@ object ArtifactStore {
           // touch only AFTER the read validates (the schema/footer pass
           // runs eagerly here): touching first would TTL-refresh a
           // corrupt entry on every attempt, making it immortal
-          try { val df = spark.read.parquet(dir.toString); touch(dir); return df }
+          try { val df = spark.read.parquet(dir.toString); touch(dir)
+                register(df, k); return df }
           catch { case _: Exception =>
             // unreadable artifact: remove it so the rebuild's atomic
             // rename can land — leaving it would fail every future
@@ -191,6 +251,10 @@ object ArtifactStore {
             org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile); ()
           }
         } catch { case _: Exception => () } // degrade to memory-only
+        // register the BUILT form too: the building session hands this
+        // computed frame to downstream memos, whose keys must agree with
+        // the parquet-read form a fresh JVM will hand them
+        register(built, k)
         built
     }
 

@@ -30,6 +30,31 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Storage-pressure instrumentation (round 12): r11's medians were
+    // silently polluted by storage-pool LRU eviction (shared artifacts
+    // re-derived every rep), which only surfaced under adjudication
+    // re-measurement. Count RDD-block removals and shuffle/agg spills so
+    // a pressured run self-identifies in the record the way loadavg
+    // already does. Counters are read as deltas around each query's reps
+    // (listener-bus delivery is async, so deltas are diagnostic, not
+    // exact-to-the-rep — good enough to name the polluted queries).
+    val evictedBlocks = new java.util.concurrent.atomic.AtomicLong
+    val spilledBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onBlockUpdated(
+          b: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit = {
+        val info = b.blockUpdatedInfo
+        // a removal/eviction posts StorageLevel.NONE (isValid == false)
+        if (info.blockId.isRDD && !info.storageLevel.isValid)
+          evictedBlocks.incrementAndGet()
+      }
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null)
+          spilledBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    })
     // glob-path probe noise — see the matching note in Verify.scala
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
@@ -87,9 +112,15 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] artifact pass $name FAILED: ${e.getMessage}") }
     }
+    val evictedArtifactPass = evictedBlocks.get()
     Caches.invalidate(spark)
     val artifactSecs = (System.nanoTime() - tArt) / 1e9
+    // deliberate unpersists from Caches.invalidate also post removal
+    // events — rebase the counter after them so the timed phase starts
+    // near zero (listener delivery is async; the rebase is best-effort)
+    Thread.sleep(200); val evictedBase = evictedBlocks.get()
     val results = ordered.map { case (name, fn) =>
+      val ev0 = evictedBlocks.get()
       val ts = (1 to reps).map(_ => timeOnce(name, fn))
       val med =
         if (ts.contains(-1.0)) -1.0
@@ -98,9 +129,10 @@ object Bench {
           if (s.size % 2 == 1) s(s.size / 2)
           else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
         }
-      (name, med, ts.head)
+      (name, med, ts.head, evictedBlocks.get() - ev0)
     }
     val total = results.map(_._2).filter(_ >= 0).sum
+    val evictedTimed = evictedBlocks.get() - evictedBase
     // cold_total includes each query's FIRST rep — i.e. shared-artifact
     // builds (docs assembly, shred, shingle/signature tables) are charged
     // to whichever query faults them in, making the steady-state-vs-build
@@ -114,13 +146,15 @@ object Bench {
     // ~2200 chars — it can never sit complete inside that window once
     // sbt's trailer is appended. Full data goes to a file; stdout gets a
     // single compact line sized to survive the tail-scrape.
-    val fullQs = results.map { case (k, v, c) =>
-      "\"" + k + "\":{\"median\":" + v + ",\"cold\":" + c + "}"
+    val fullQs = results.map { case (k, v, c, ev) =>
+      val evField = if (ev > 0) ",\"evicted_blocks\":" + ev else ""
+      "\"" + k + "\":{\"median\":" + v + ",\"cold\":" + c + evField + "}"
     }.mkString("{", ",", "}")
     val loadEnd = procLine("/proc/loadavg")
     val uptimeEnd = procLine("/proc/uptime")
     val loadJson =
-      s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd","uptime_start":"$uptimeStart","uptime_end":"$uptimeEnd""""
+      s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd","uptime_start":"$uptimeStart","uptime_end":"$uptimeEnd"""" +
+        s""","evicted_blocks_timed":$evictedTimed,"evicted_blocks_artifact_pass":$evictedArtifactPass,"spilled_bytes":${spilledBytes.get()}"""
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"cold_total":$cold,"artifact_pass":$artifactSecs,"sf":"$sfDir","reps":$reps,"cpus":"$cpus",$loadJson}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
@@ -136,10 +170,10 @@ object Bench {
     // comma-decimal box would print "0,725" and break the JSON scrape
     def r3(d: Double): String =
       if (d < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val byCost = results.sortBy { case (_, m, _) => -(if (m < 0) Double.MaxValue else m) }
+    val byCost = results.sortBy { case (_, m, _, _) => -(if (m < 0) Double.MaxValue else m) }
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0; var omitted = 0; var omittedSum = 0.0
-    byCost.foreach { case (k, m, _) =>
+    byCost.foreach { case (k, m, _, _) =>
       val e = "\"" + k + "\":" + r3(m)
       if (used + e.length + 1 <= 1500) { kept += e; used += e.length + 1 }
       else { omitted += 1; if (m > 0) omittedSum += m }

@@ -173,11 +173,22 @@ object Sketches {
       .withColumn("est_only_b_ppm", expr("(1000000 * est_only_b) DIV n_topk"))
   }
 
+  /** Contract bound for [[pairJaccardExact]]: the h-keyed self-join
+    * yields up to groups²-per-hash pair rows, so the exact side is only
+    * sane while the group cardinality stays demo-sized. The guard below
+    * fails the JOB by name when a caller exceeds it (the
+    * [[graft.ext.Windows.resampleFfill]] span-clamp idiom) instead of
+    * silently planning a quadratic blow-up against a corpus-scale
+    * relation. */
+  val MaxExactJaccardGroups: Long = 4096L
+
   /** Exact pairwise Jaccard over the full distinct (group, h) relation —
     * the verification side that makes the sketch's error oracle-visible
     * (mirrors how x_sketch_hll/x_sketch_cms pin estimates next to exact
     * counts). This side scans data and exists for the demo/oracle; a
-    * 100 TB deployment keeps only the sketches.
+    * 100 TB deployment keeps only the sketches. Callers are held to
+    * [[MaxExactJaccardGroups]] groups — outside that the O(groups² per
+    * hash) shape fails loudly rather than running.
     *
     * Shape: intersections come from ONE h-keyed self-join (a hash in c
     * groups yields c·(c−1)/2 pair rows — bounded by groups² per hash, and
@@ -185,9 +196,27 @@ object Sketches {
     * group-cardinality-sized `sizes` relation. This replaces the naive
     * per-pair replication form (every row × groups−1 copies through a
     * (pair, h) aggregation), which was the whole cost of the first cut. */
-  def pairJaccardExact(dist: DataFrame, groupCol: String): DataFrame = {
+  def pairJaccardExact(dist: DataFrame, groupCol: String,
+                       maxGroups: Long = MaxExactJaccardGroups): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val m = dist.select(col(groupCol).cast("long").as("__g"), col("h")).distinct()
-    val sizes = m.groupBy("__g").agg(count(lit(1)).as("__n"))
+    val rawSizes = m.groupBy("__g").agg(count(lit(1)).as("__n"))
+    // group-count clamp: an empty-partition window over the GROUP-
+    // CARDINALITY-sized sizes relation (bounded metadata — the accepted
+    // single-task pattern of the two-phase top-k finals; a 1-row-join
+    // form constant-folds its literal key away and plans the
+    // BroadcastNestedLoop shape the audit bans); __n routes THROUGH the
+    // assert so Catalyst cannot prune the guard (assert_true is NULL
+    // when in bounds, throws otherwise — resampleFfill's span-clamp
+    // idiom)
+    val guard = assert_true(col("__ng") <= maxGroups,
+      concat(lit("pairJaccardExact: "), col("__ng").cast("string"),
+        lit(s" groups exceed the exact-side bound of $maxGroups " +
+          s"(demo/oracle contract — keep only the sketches at corpus " +
+          s"scale)")))
+    val sizes = rawSizes
+      .withColumn("__ng", count(lit(1)).over(Window.partitionBy()))
+      .select(col("__g"), when(guard.isNull, col("__n")).as("__n"))
     val inter = m.select(col("__g").as("g_a"), col("h"))
       .join(m.select(col("__g").as("g_b"), col("h")), Seq("h"))
       .where(col("g_a") < col("g_b"))

@@ -164,6 +164,68 @@ class ArtifactStoreSpec extends SparkSpec {
     }
   }
 
+  test("chained artifacts fault in end-to-end: the downstream key survives the build/fault boundary") {
+    withStore {
+      val storeDir = Files.createTempDirectory("graft_store_chain")
+      val priorDir = System.getProperty("graft.artifacts.dir")
+      System.setProperty("graft.artifacts.dir", storeDir.toString)
+      try {
+        val dataDir = Files.createTempDirectory("graft_store_chain_in").toString
+        spark.range(200).select(col("id"))
+          .write.mode("overwrite").parquet(s"$dataDir/t.parquet")
+        var builds1 = 0; var builds2 = 0
+        // two-link chain: link2's input IS link1's relation. In the
+        // building session that input is the COMPUTED plan; in a fresh
+        // session it is the PARQUET READ of link1's committed artifact.
+        // Before round 12 those two forms hashed to different link2 keys,
+        // so every fresh JVM re-paid one derivation per chain link.
+        def chain(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+          val in = s.read.parquet(s"$dataDir/t.parquet")
+          val m1 = new PlanMemo; val m2 = new PlanMemo
+          val link1 = m1(in, PlanMemo.tag("spec", "chain1")) {
+            builds1 += 1; in.select(col("id"), (col("id") % 7).as("g"))
+          }
+          m2(link1, PlanMemo.tag("spec", "chain2")) {
+            builds2 += 1; link1.groupBy(col("g")).agg(count("*").as("n"))
+          }
+        }
+        val want = chain(spark).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(builds1 == 1 && builds2 == 1)
+        // "fresh JVM": a new session + fresh memos, warm disk store. BOTH
+        // links must fault in from parquet with ZERO rebuilds — the
+        // downstream key must resolve through link1's ARTIFACT identity,
+        // not whichever plan form this session holds.
+        val s2 = spark.newSession()
+        val faulted = chain(s2)
+        assert(builds1 == 1 && builds2 == 1,
+          s"chain fault-in must rebuild nothing, got builds1=$builds1 builds2=$builds2")
+        assert(faulted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == want)
+        // and the served relation really reads from the store, not the corpus
+        val leaves = faulted.queryExecution.analyzed.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.toSeq
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        assert(leaves.nonEmpty && leaves.forall(_.contains(storeDir.getFileName.toString)),
+          s"link2 must be served from the artifact store, reads: $leaves")
+        // staleness guard: regenerating the INPUT must change both links'
+        // keys (no stale chain serve) — the registry validates its leaf
+        // fingerprints before substituting an artifact key
+        spark.range(300).select(col("id"))
+          .write.mode("overwrite").parquet(s"$dataDir/t.parquet")
+        val s3 = spark.newSession()
+        val regen = chain(s3)
+        assert(builds1 == 2 && builds2 == 2,
+          s"a regenerated input must rebuild the whole chain, got builds1=$builds1 builds2=$builds2")
+        assert(regen.collect().map(_.getLong(1)).sum == 300L)
+      } finally if (priorDir == null) System.clearProperty("graft.artifacts.dir")
+      else System.setProperty("graft.artifacts.dir", priorDir)
+    }
+  }
+
   test("PlanMemo faults a prior JVM's artifact in from parquet (simulated via memo sweep)") {
     withStore {
       val dir = Files.createTempDirectory("graft_store_pm").toString

@@ -78,12 +78,12 @@ class PlanAuditSpec extends SparkSpec {
     "x_dedup_simhash" -> 0, "x_dedup_substring_spans" -> 2,
     "x_line_dedup" -> 2, "x_line_dedup_global" -> 2, "x_cdc_chunks" -> 3,
     "x_decontaminate" -> 2, "x_decontaminate_semantic" -> 1,
-    "x_decontaminate_spans" -> 2, "x_span_excise" -> 2,
+    "x_decontaminate_spans" -> 2, "x_span_excise" -> 3,
     // ANN
     "x_knn_cosine" -> 2, "x_knn_ivf" -> 2, "x_knn_ivf_delta" -> 2,
     "x_knn_ivfpq" -> 2,
-    "x_knn_lsh" -> 3, "x_knn_mrr" -> 13, "x_knn_pq" -> 2,
-    "x_knn_recall" -> 16,
+    "x_knn_lsh" -> 3, "x_knn_mrr" -> 16, "x_knn_pq" -> 2,
+    "x_knn_recall" -> 18,
     // multimodal: map-only decode seams
     "x_multimodal_audio" -> 0, "x_multimodal_envelope" -> 0,
     "x_multimodal_frames" -> 0, "x_multimodal_gif_frames" -> 0,
@@ -112,7 +112,7 @@ class PlanAuditSpec extends SparkSpec {
     "x_url_domains" -> 2, "x_weighted_sample" -> 1,
     // sketches / stats / layout
     "x_sketch_cms" -> 11, "x_sketch_histogram" -> 6, "x_sketch_hll" -> 3,
-    "x_sketch_kmv" -> 7, "x_sketch_kmv_jaccard" -> 32, "x_quantiles" -> 1,
+    "x_sketch_kmv" -> 7, "x_sketch_kmv_jaccard" -> 34, "x_quantiles" -> 1,
     "x_table_stats" -> 2, "x_corpus_fingerprint" -> 1, "x_fk_audit" -> 6,
     "x_zorder_prune" -> 1, "x_zorder_zonemap" -> 1,
   )
@@ -128,6 +128,39 @@ class PlanAuditSpec extends SparkSpec {
     val base = spark.range(100).toDF("id").groupBy("id").count()
     assert(shuffles(base.repartition(4)) == shuffles(base) + 1,
       "an injected repartition must raise the counted shuffle number")
+  }
+
+  /** EXECUTED (post-AQE) shuffle-stage budgets for the three queries
+    * whose print-level budgets are inflated by shared InMemoryRelation
+    * lineage (cached lineage prints once per CONSUMER, so their print
+    * budgets are 14-43): a real extra exchange could hide inside that
+    * slack, so these pin the number of DISTINCT shuffle stages the final
+    * adaptive plan actually materialized — measured on the same fresh
+    * memo state as the print budgets. SCALE.md documents the per-family
+    * stage shapes these numbers witness. */
+  private val executedStageBudget: Map[String, Int] = Map(
+    "j4_subtree_counts" -> 7, "p10_search_renest" -> 5,
+    "x_mv_incremental" -> 12)
+
+  /** Distinct shuffle stages of THIS query execution's final adaptive
+    * plan. `collect()` (not `count()`) executes the df's own
+    * QueryExecution, so the inspected plan is the one that ran
+    * (isFinalPlan=true); reused stages share an id and count once. */
+  private def executedShuffleStages(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    raw"ShuffleQueryStage (\d+)".r.findAllMatchIn(s).map(_.group(1)).toSet.size
+  }
+
+  test("executed-stage budgets hold for the print-level outliers") {
+    Caches.invalidate(spark)
+    val over = executedStageBudget.toSeq.sortBy(_._1).flatMap { case (n, budget) =>
+      val c = executedShuffleStages(SparkEntry.queries(n)(spark, sf))
+      info(s"$n: $c executed shuffle stages (budget $budget)")
+      if (c > budget) Some(s"$n: $c executed shuffle stages > budget $budget")
+      else None
+    }
+    assert(over.isEmpty, over.mkString("\n"))
   }
 
   test("every query's plan stays within its shuffle budget") {

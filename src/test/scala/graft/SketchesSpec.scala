@@ -142,6 +142,25 @@ class SketchesSpec extends SparkSpec {
     } finally items.unpersist()
   }
 
+  test("pairJaccardExact fails loudly past its group-cardinality contract") {
+    // the exact side is O(groups² per hash) by construction — a caller
+    // pointing it at a corpus-scale group column must get a NAMED job
+    // failure, not a silent quadratic plan (resampleFfill's span-clamp
+    // idiom, here on group count)
+    val dist = spark.range(40)
+      .select((col("id") % 4).as("g"), (col("id") % 7).as("h"))
+    val e = intercept[Exception] {
+      Sketches.pairJaccardExact(dist, "g", maxGroups = 3).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("exceed the exact-side bound")),
+      s"guard must name the contract, got: ${msgs(e)}")
+    // within the bound the guard is invisible: same 4 groups, bound 4
+    val ok = Sketches.pairJaccardExact(dist, "g", maxGroups = 4).collect()
+    assert(ok.length == 6, s"4 groups -> 6 pairs, got ${ok.length}")
+  }
+
   test("kmv difference estimates: sub-k groups are exact and sides are not swapped") {
     import spark.implicits._
     // A = {1..40}, B = {1..10}: A∖B = 30, B∖A = 0 — both groups under k,
