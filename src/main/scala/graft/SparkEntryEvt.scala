@@ -1,0 +1,71 @@
+package graft
+
+import graft.ext.{Dedup, EventAnalytics}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fifth query batch: event-sequence analytics (ordered funnel, cohort
+  * retention) and soft dedup — round-12 extensions, all with fully
+  * re-deriving integer DuckDB oracles. */
+object SparkEntryEvt {
+
+  /** The funnel under test: acquisition → engagement → conversion over
+    * the events fixture's type vocabulary. Shared with the oracle so the
+    * two sides can never measure different funnels. */
+  private[graft] val FunnelSteps = Seq("signup", "click", "purchase")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_funnel" -> { (s, dir) =>
+      // ordered-funnel completion with greedy-earliest anchors: one row
+      // per step including empty tails, so drop-off is directly readable
+      EventAnalytics.funnel(Tables.events(s, dir), FunnelSteps)
+    },
+    "x_retention" -> { (s, dir) =>
+      // day-cohort retention triangle: (first-event day, day offset) ->
+      // active users; offset 0 is cohort size by construction
+      EventAnalytics.retentionCohorts(Tables.events(s, dir))
+    },
+    "x_dedup_soft" -> { (s, dir) =>
+      // soft dedup: per-doc ppm sampling weight that renormalizes each
+      // exact-duplicate class to unit mass instead of dropping copies
+      Dedup.softWeights(Tables.documents(s, dir))
+    },
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "x_funnel" -> {
+      // the same greedy-earliest chain, one CTE per step: step i is the
+      // earliest type-s_i event strictly after step i-1's anchor
+      val ctes = FunnelSteps.zipWithIndex.map { case (st, i) =>
+        if (i == 0)
+          s"s1 AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t " +
+            s"FROM events WHERE event_type = '$st' GROUP BY 1)"
+        else
+          s"s${i + 1} AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t " +
+            s"FROM events e JOIN s$i ON e.user_id = s$i.user_id " +
+            s"WHERE e.event_type = '$st' AND CAST(e.ts AS TIMESTAMP) > s$i.t " +
+            s"GROUP BY 1)"
+      }.mkString("WITH ", ", ", " ")
+      val branches = FunnelSteps.zipWithIndex.map { case (st, i) =>
+        s"SELECT CAST(${i + 1} AS BIGINT) AS step_idx, '$st' AS step, " +
+          s"CAST(count(*) AS BIGINT) AS n_users FROM s${i + 1}"
+      }.mkString(" UNION ALL ")
+      ctes + branches
+    },
+    "x_retention" ->
+      ("WITH f AS (SELECT user_id, date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS cohort " +
+        "FROM events GROUP BY 1), " +
+        "a AS (SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d " +
+        "FROM events) " +
+        "SELECT CAST(f.cohort AS TIMESTAMP) AS cohort, " +
+        "CAST(date_diff('day', f.cohort, a.d) AS BIGINT) AS day_offset, " +
+        "CAST(count(*) AS BIGINT) AS n_active " +
+        "FROM a JOIN f USING (user_id) GROUP BY 1, 2"),
+    "x_dedup_soft" ->
+      ("WITH c AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n_dupes " +
+        "FROM documents WHERE text IS NOT NULL GROUP BY 1) " +
+        "SELECT d.doc_id, c.n_dupes, 1000000 // c.n_dupes AS weight_ppm " +
+        "FROM documents d JOIN c ON md5(d.text) = c.h " +
+        "WHERE d.text IS NOT NULL"),
+  )
+}

@@ -210,6 +210,21 @@ object SparkEntryLay {
         .select("g_a", "g_b", "n_topk", "est_common", "est_jaccard_ppm",
           "est_only_a", "est_only_b", "est_only_a_ppm", "est_only_b_ppm",
           "n_inter", "n_union", "exact_jaccard_ppm")
+    },
+    "x_sketch_kmv_containment" -> { (s, dir) =>
+      // directional overlap Jaccard cannot see: a shard fully CONTAINED
+      // in another scores near-zero Jaccard but 100% containment — the
+      // quote/partial-scrape signature. Same union-sample algebra, same
+      // stored sketches; exact containments recomputed alongside
+      val items = shardShingles(s, dir)
+      val kmv = kmvOf(s, dir)
+      val est = Sketches.kmvPairContainment(kmv, "shard", KmvK)
+      val exact = Sketches.pairContainmentExact(items, "shard")
+      est.join(exact, Seq("g_a", "g_b"))
+        .select("g_a", "g_b", "n_topk", "est_common",
+          "est_contain_a_ppm", "est_contain_b_ppm",
+          "n_inter", "n_a", "n_b",
+          "exact_contain_a_ppm", "exact_contain_b_ppm")
     }
   )
 
@@ -327,33 +342,55 @@ object SparkEntryLay {
         "FROM top t JOIN ex USING (shard)"),
 
     "x_sketch_kmv_jaccard" ->
-      (s"$kmvHsCte, " +
-        "rk AS (SELECT shard, h, row_number() OVER (PARTITION BY shard ORDER BY h) AS rk FROM hs), " +
-        s"sk AS (SELECT shard, h FROM rk WHERE rk <= $KmvK), " +
-        "pairs AS (SELECT a.shard AS g_a, b.shard AS g_b FROM (SELECT DISTINCT shard FROM hs) a " +
-        "JOIN (SELECT DISTINCT shard FROM hs) b ON a.shard < b.shard), " +
-        "uni AS (SELECT p.g_a, p.g_b, s.h, " +
-        "max(CASE WHEN s.shard = p.g_a THEN 1 ELSE 0 END) AS in_a, " +
-        "max(CASE WHEN s.shard = p.g_b THEN 1 ELSE 0 END) AS in_b " +
-        "FROM pairs p JOIN sk s ON s.shard = p.g_a OR s.shard = p.g_b GROUP BY 1, 2, 3), " +
-        "topu AS (SELECT *, row_number() OVER (PARTITION BY g_a, g_b ORDER BY h) AS rk FROM uni), " +
-        s"est AS (SELECT g_a, g_b, CAST(count(*) AS BIGINT) AS n_topk, CAST(sum(in_a * in_b) AS BIGINT) AS est_common, " +
-        "CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS est_only_a, CAST(sum(in_b * (1 - in_a)) AS BIGINT) AS est_only_b " +
-        s"FROM topu WHERE rk <= $KmvK GROUP BY 1, 2), " +
-        // exact side mirrors Sketches.pairJaccardExact: one h-keyed
-        // self-join for intersections, inclusion-exclusion for unions
-        "sizes AS (SELECT shard, CAST(count(*) AS BIGINT) AS n FROM hs GROUP BY shard), " +
-        "inter AS (SELECT a.shard AS g_a, b.shard AS g_b, CAST(count(*) AS BIGINT) AS n_inter " +
-        "FROM hs a JOIN hs b ON a.h = b.h AND a.shard < b.shard GROUP BY 1, 2), " +
-        "exact AS (SELECT p.g_a, p.g_b, coalesce(i.n_inter, 0) AS n_inter, " +
-        "sa.n + sb.n - coalesce(i.n_inter, 0) AS n_union " +
-        "FROM pairs p LEFT JOIN inter i USING (g_a, g_b) " +
-        "JOIN sizes sa ON sa.shard = p.g_a JOIN sizes sb ON sb.shard = p.g_b) " +
+      (kmvPairCte +
         "SELECT e.g_a, e.g_b, e.n_topk, e.est_common, (1000000 * e.est_common) // e.n_topk AS est_jaccard_ppm, " +
         "e.est_only_a, e.est_only_b, " +
         "(1000000 * e.est_only_a) // e.n_topk AS est_only_a_ppm, " +
         "(1000000 * e.est_only_b) // e.n_topk AS est_only_b_ppm, " +
         "x.n_inter, x.n_union, (1000000 * x.n_inter) // x.n_union AS exact_jaccard_ppm " +
+        "FROM est e JOIN exact x USING (g_a, g_b)"),
+
+    "x_sketch_kmv_containment" ->
+      (kmvPairCte +
+        // directional algebra over the same sample/exact CTEs: the
+        // sample's A members partition into {both, only-A}, so
+        // C(A in B) = common / (common + only_a); NULL when the sample
+        // holds no A member (mirrors Sketches.kmvPairContainment)
+        "SELECT e.g_a, e.g_b, e.n_topk, e.est_common, " +
+        "(1000000 * e.est_common) // nullif(e.est_common + e.est_only_a, 0) AS est_contain_a_ppm, " +
+        "(1000000 * e.est_common) // nullif(e.est_common + e.est_only_b, 0) AS est_contain_b_ppm, " +
+        "x.n_inter, x.n_a, x.n_b, " +
+        "(1000000 * x.n_inter) // x.n_a AS exact_contain_a_ppm, " +
+        "(1000000 * x.n_inter) // x.n_b AS exact_contain_b_ppm " +
         "FROM est e JOIN exact x USING (g_a, g_b)")
   )
+
+  /** Shared CTE chain of the KMV pair oracles: union-sample estimate CTE
+    * (`est`) + exact set-statistics CTE (`exact` — one h-keyed self-join
+    * for intersections, group sizes, inclusion-exclusion union),
+    * mirroring [[Sketches.kmvPairJaccard]] / [[Sketches.pairSetStatsExact]]
+    * bit-for-bit. */
+  private def kmvPairCte: String =
+    s"$kmvHsCte, " +
+      "rk AS (SELECT shard, h, row_number() OVER (PARTITION BY shard ORDER BY h) AS rk FROM hs), " +
+      s"sk AS (SELECT shard, h FROM rk WHERE rk <= $KmvK), " +
+      "pairs AS (SELECT a.shard AS g_a, b.shard AS g_b FROM (SELECT DISTINCT shard FROM hs) a " +
+      "JOIN (SELECT DISTINCT shard FROM hs) b ON a.shard < b.shard), " +
+      "uni AS (SELECT p.g_a, p.g_b, s.h, " +
+      "max(CASE WHEN s.shard = p.g_a THEN 1 ELSE 0 END) AS in_a, " +
+      "max(CASE WHEN s.shard = p.g_b THEN 1 ELSE 0 END) AS in_b " +
+      "FROM pairs p JOIN sk s ON s.shard = p.g_a OR s.shard = p.g_b GROUP BY 1, 2, 3), " +
+      "topu AS (SELECT *, row_number() OVER (PARTITION BY g_a, g_b ORDER BY h) AS rk FROM uni), " +
+      s"est AS (SELECT g_a, g_b, CAST(count(*) AS BIGINT) AS n_topk, CAST(sum(in_a * in_b) AS BIGINT) AS est_common, " +
+      "CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS est_only_a, CAST(sum(in_b * (1 - in_a)) AS BIGINT) AS est_only_b " +
+      s"FROM topu WHERE rk <= $KmvK GROUP BY 1, 2), " +
+      "sizes AS (SELECT shard, CAST(count(*) AS BIGINT) AS n FROM hs GROUP BY shard), " +
+      "inter AS (SELECT a.shard AS g_a, b.shard AS g_b, CAST(count(*) AS BIGINT) AS n_inter " +
+      "FROM hs a JOIN hs b ON a.h = b.h AND a.shard < b.shard GROUP BY 1, 2), " +
+      "exact AS (SELECT p.g_a, p.g_b, coalesce(i.n_inter, 0) AS n_inter, " +
+      "sa.n AS n_a, sb.n AS n_b, " +
+      "sa.n + sb.n - coalesce(i.n_inter, 0) AS n_union " +
+      "FROM pairs p LEFT JOIN inter i USING (g_a, g_b) " +
+      "JOIN sizes sa ON sa.shard = p.g_a JOIN sizes sb ON sb.shard = p.g_b) " +
+      ""
 }

@@ -30,6 +30,30 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
 
+  /** Soft dedup: instead of DROPPING duplicates, emit a per-doc sampling
+    * weight that down-weights each exact-duplicate class to unit total
+    * mass — `weight_ppm = 1e6 DIV n_dupes` for a doc in a class of
+    * n_dupes (the SoftDeDup idea: repetition carries signal about
+    * distribution mass, so reweight rather than discard; integer ppm so
+    * the oracle re-derives it exactly). Every non-NULL-text doc reports —
+    * the pipeline multiplies these into its sampling rates, so a missing
+    * row would silently zero a document. Same one-shuffle shape as
+    * [[exact]] (group on the 16-byte content hash) plus the join back,
+    * which at 100 TB broadcasts the class-size relation only when the
+    * duplicate-class count is dimension-sized — otherwise it is one more
+    * hash-keyed shuffle, still never the O(n²) pair space. */
+  def softWeights(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val classes = docs.where(col(textCol).isNotNull)
+      .groupBy(md5(col(textCol)).as("__h"))
+      .agg(count(lit(1)).as("n_dupes"))
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol), md5(col(textCol)).as("__h"))
+      .join(classes, Seq("__h"))
+      .select(col(idCol), col("n_dupes"),
+        expr("1000000 DIV n_dupes").as("weight_ppm"))
+  }
+
   /** The memoized positional k-gram relation `(idCol, pos, gram)` — a
     * corpus-version artifact shared by [[exactSubstringSpans]] and
     * [[cdcChunks]] (one explode pass serves both). */

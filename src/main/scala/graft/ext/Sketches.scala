@@ -182,10 +182,12 @@ object Sketches {
     * relation. */
   val MaxExactJaccardGroups: Long = 4096L
 
-  /** Exact pairwise Jaccard over the full distinct (group, h) relation —
-    * the verification side that makes the sketch's error oracle-visible
+  /** Exact pairwise set statistics `(g_a, g_b, n_inter, n_a, n_b,
+    * n_union)` over the full distinct (group, h) relation — the shared
+    * verification side that makes the sketch estimates oracle-visible
     * (mirrors how x_sketch_hll/x_sketch_cms pin estimates next to exact
-    * counts). This side scans data and exists for the demo/oracle; a
+    * counts); [[pairJaccardExact]] and [[pairContainmentExact]] are its
+    * projections. This side scans data and exists for the demo/oracle; a
     * 100 TB deployment keeps only the sketches. Callers are held to
     * [[MaxExactJaccardGroups]] groups — outside that the O(groups² per
     * hash) shape fails loudly rather than running.
@@ -196,8 +198,8 @@ object Sketches {
     * group-cardinality-sized `sizes` relation. This replaces the naive
     * per-pair replication form (every row × groups−1 copies through a
     * (pair, h) aggregation), which was the whole cost of the first cut. */
-  def pairJaccardExact(dist: DataFrame, groupCol: String,
-                       maxGroups: Long = MaxExactJaccardGroups): DataFrame = {
+  def pairSetStatsExact(dist: DataFrame, groupCol: String,
+                        maxGroups: Long = MaxExactJaccardGroups): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = dist.select(col(groupCol).cast("long").as("__g"), col("h")).distinct()
     val rawSizes = m.groupBy("__g").agg(count(lit(1)).as("__n"))
@@ -227,9 +229,47 @@ object Sketches {
       .join(sizes.select(col("__g").as("g_b"), col("__n").as("__nb")), Seq("g_b"))
       .select(col("g_a"), col("g_b"),
         coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        col("__na").as("n_a"), col("__nb").as("n_b"),
         (col("__na") + col("__nb") - coalesce(col("n_inter"), lit(0L))).as("n_union"))
-      .withColumn("exact_jaccard_ppm", expr("(1000000 * n_inter) DIV n_union"))
   }
+
+  /** Exact pairwise Jaccard — [[pairSetStatsExact]] reduced to the
+    * (n_inter, n_union, ppm) columns x_sketch_kmv_jaccard pins. */
+  def pairJaccardExact(dist: DataFrame, groupCol: String,
+                       maxGroups: Long = MaxExactJaccardGroups): DataFrame =
+    pairSetStatsExact(dist, groupCol, maxGroups)
+      .select(col("g_a"), col("g_b"), col("n_inter"), col("n_union"))
+      .withColumn("exact_jaccard_ppm", expr("(1000000 * n_inter) DIV n_union"))
+
+  /** Containment asymmetry from the SAME union sample as
+    * [[kmvPairJaccard]]: C(A in B) = |A∩B| / |A|, estimated as
+    * `est_common / (est_common + est_only_a)` over the union's bottom-k
+    * (the sample's A-members partition into {both, only-A}). Jaccard is
+    * symmetric and misses subset relations — a small shard fully
+    * contained in a big one scores near-zero Jaccard but 100%
+    * containment, which is what quote/partial-scrape duplication looks
+    * like. NULL when the sample holds no A member at all (no evidence
+    * either way — the caller keeps, a 0 would claim disjointness). Same
+    * shards²·k bounded cost as the Jaccard estimate; sketches only. */
+  def kmvPairContainment(kmv: DataFrame, groupCol: String, k: Int): DataFrame =
+    kmvPairJaccard(kmv, groupCol, k)
+      .withColumn("est_contain_a_ppm",
+        expr("(1000000 * est_common) DIV nullif(est_common + est_only_a, 0)"))
+      .withColumn("est_contain_b_ppm",
+        expr("(1000000 * est_common) DIV nullif(est_common + est_only_b, 0)"))
+      .select("g_a", "g_b", "n_topk", "est_common", "est_only_a",
+        "est_only_b", "est_contain_a_ppm", "est_contain_b_ppm")
+
+  /** Exact pairwise containment (both directions) — the verification
+    * side for [[kmvPairContainment]], same contract/bound as
+    * [[pairJaccardExact]]. Group sizes are ≥ 1 by construction, so the
+    * exact ratios never divide by zero. */
+  def pairContainmentExact(dist: DataFrame, groupCol: String,
+                           maxGroups: Long = MaxExactJaccardGroups): DataFrame =
+    pairSetStatsExact(dist, groupCol, maxGroups)
+      .select(col("g_a"), col("g_b"), col("n_inter"), col("n_a"), col("n_b"))
+      .withColumn("exact_contain_a_ppm", expr("(1000000 * n_inter) DIV n_a"))
+      .withColumn("exact_contain_b_ppm", expr("(1000000 * n_inter) DIV n_b"))
 
   /** Equi-width histogram as a TABLE `(bin, cnt)` — the quantile
     * analogue of [[cmsTable]], completing the mergeable-sketch quartet

@@ -1,0 +1,98 @@
+package graft
+
+import graft.ext.{Dedup, EventAnalytics, Sketches}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics (ordered funnel, cohort retention) and the
+  * round-12 dedup/sketch additions (soft weights, KMV containment). */
+class EventAnalyticsSpec extends SparkSpec {
+
+  private def ev(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("user_id", "tss", "event_type")
+      .select(col("user_id"), to_timestamp(col("tss")).as("ts"),
+        col("event_type"))
+  }
+
+  test("funnel: strict order enforced, greedy-earliest maximal, empty tails report") {
+    val events = ev(
+      // u1 completes in order
+      (1L, "2024-01-01 10:00:00", "signup"),
+      (1L, "2024-01-01 11:00:00", "click"),
+      (1L, "2024-01-01 12:00:00", "purchase"),
+      // u2: purchase BEFORE click — must stop at signup+click
+      (2L, "2024-01-01 10:00:00", "signup"),
+      (2L, "2024-01-01 10:30:00", "purchase"),
+      (2L, "2024-01-01 11:00:00", "click"),
+      // u3: greedy trap — the EARLIEST signup is followed by everything;
+      // a non-greedy anchor (the 13:00 signup) would strand the click
+      (3L, "2024-01-01 09:00:00", "signup"),
+      (3L, "2024-01-01 13:00:00", "signup"),
+      (3L, "2024-01-01 10:00:00", "click"),
+      (3L, "2024-01-01 10:30:00", "purchase"),
+      // u4 never signs up
+      (4L, "2024-01-01 10:00:00", "click"),
+      (4L, "2024-01-01 11:00:00", "purchase"))
+    val got = EventAnalytics.funnel(events, Seq("signup", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "signup", 3L), (2L, "click", 3L), (3L, "purchase", 2L)),
+      s"got $got")
+    // equal timestamps do NOT satisfy the strict order
+    val tied = ev((9L, "2024-01-01 10:00:00", "signup"),
+      (9L, "2024-01-01 10:00:00", "click"))
+    val g2 = EventAnalytics.funnel(tied, Seq("signup", "click"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(g2 == Set(("signup", 1L), ("click", 0L)),
+      s"strictly-after must exclude ties and the empty tail must still report: $g2")
+  }
+
+  test("retention: offset 0 is cohort size; later offsets count distinct active users") {
+    val events = ev(
+      // cohort Jan-1: u1 active d0,d1; u2 active d0,d2 (twice that day)
+      (1L, "2024-01-01 10:00:00", "view"), (1L, "2024-01-02 10:00:00", "view"),
+      (2L, "2024-01-01 23:59:59", "view"), (2L, "2024-01-03 00:00:01", "view"),
+      (2L, "2024-01-03 15:00:00", "view"),
+      // cohort Jan-2: u3
+      (3L, "2024-01-02 05:00:00", "view"))
+    val got = EventAnalytics.retentionCohorts(events)
+      .collect().map(r => (r.getTimestamp(0).toString.take(10),
+        r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L), ("2024-01-01", 2L, 1L),
+      ("2024-01-02", 0L, 1L)), s"got $got")
+  }
+
+  test("soft dedup: each duplicate class renormalizes to ~unit mass; NULL text excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "same text"),
+      (4L, "unique"), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val w = Dedup.softWeights(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(w.keySet == Set(1L, 2L, 3L, 4L), s"NULL text must not report: $w")
+    assert(w(1L) == (3L, 333333L) && w(2L) == w(1L) && w(3L) == w(1L))
+    assert(w(4L) == (1L, 1000000L))
+    // class mass: 3 * 333333 = 999999 ppm (floor division — never OVER unit)
+    assert(w(1L)._2 * 3 <= 1000000L)
+  }
+
+  test("KMV containment: a contained subset scores full containment but low Jaccard") {
+    import spark.implicits._
+    // group 0 = {0..199}, group 1 = {0..19} (strict subset, 10%)
+    val items = (spark.range(200).select(lit(0L).as("g"), col("id").as("h")))
+      .unionByName(spark.range(20).select(lit(1L).as("g"), col("id").as("h")))
+    val k = 64
+    val kmv = Sketches.kmvTable(items, col("h"), "g", k)
+    val est = Sketches.kmvPairContainment(kmv, "g", k).collect().head
+    val exact = Sketches.pairContainmentExact(items, "g").collect().head
+    // exact: C(B in A) = 20/20 = 100%, C(A in B) = 20/200 = 10%
+    assert(exact.getAs[Long]("exact_contain_b_ppm") == 1000000L)
+    assert(exact.getAs[Long]("exact_contain_a_ppm") == 100000L)
+    // estimate: the sampled sides must agree within KMV error (k=64)
+    val eb = est.getAs[Long]("est_contain_b_ppm")
+    val ea = est.getAs[Long]("est_contain_a_ppm")
+    assert(eb > 750000L, s"subset side must estimate near-full containment: $eb")
+    assert(ea < 350000L, s"superset side must estimate low containment: $ea")
+  }
+}

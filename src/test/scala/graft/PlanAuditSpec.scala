@@ -79,6 +79,11 @@ class PlanAuditSpec extends SparkSpec {
     "x_line_dedup" -> 2, "x_line_dedup_global" -> 2, "x_cdc_chunks" -> 3,
     "x_decontaminate" -> 2, "x_decontaminate_semantic" -> 1,
     "x_decontaminate_spans" -> 2, "x_span_excise" -> 3,
+    "x_dedup_soft" -> 1,
+    // event-sequence analytics: k-step funnel = k user-keyed min-aggs
+    // chained through k-1 equi joins (print counts each chain per
+    // union branch); retention = 2 aggs + 1 user join
+    "x_funnel" -> 8, "x_retention" -> 3,
     // ANN
     "x_knn_cosine" -> 2, "x_knn_ivf" -> 2, "x_knn_ivf_delta" -> 2,
     "x_knn_ivfpq" -> 2,
@@ -112,7 +117,8 @@ class PlanAuditSpec extends SparkSpec {
     "x_url_domains" -> 2, "x_weighted_sample" -> 1,
     // sketches / stats / layout
     "x_sketch_cms" -> 11, "x_sketch_histogram" -> 6, "x_sketch_hll" -> 3,
-    "x_sketch_kmv" -> 7, "x_sketch_kmv_jaccard" -> 34, "x_quantiles" -> 1,
+    "x_sketch_kmv" -> 7, "x_sketch_kmv_jaccard" -> 34,
+    "x_sketch_kmv_containment" -> 34, "x_quantiles" -> 1,
     "x_table_stats" -> 2, "x_corpus_fingerprint" -> 1, "x_fk_audit" -> 6,
     "x_zorder_prune" -> 1, "x_zorder_zonemap" -> 1,
   )
@@ -154,6 +160,12 @@ class PlanAuditSpec extends SparkSpec {
 
   test("executed-stage budgets hold for the print-level outliers") {
     Caches.invalidate(spark)
+    // memos from OTHER sessions (suites that ran spark.newSession) live
+    // in the context-wide CacheManager and would be substituted into
+    // this session's plans as InMemoryRelations, changing stage counts
+    // run-to-run; clear the shared cache so the measured state is the
+    // same fresh one ShowShuffles measures
+    spark.catalog.clearCache()
     val over = executedStageBudget.toSeq.sortBy(_._1).flatMap { case (n, budget) =>
       val c = executedShuffleStages(SparkEntry.queries(n)(spark, sf))
       info(s"$n: $c executed shuffle stages (budget $budget)")
@@ -167,8 +179,13 @@ class PlanAuditSpec extends SparkSpec {
     // start from a clean memo state: printed lineage inside shared
     // artifacts depends on which memo entries already exist, so the sweep
     // pins the SAME deterministic fresh-session-sorted-order plans that
-    // graft.tools.ShowShuffles measures (memos rebuild transparently)
+    // graft.tools.ShowShuffles measures (memos rebuild transparently).
+    // clearCache additionally drops OTHER sessions' cached relations —
+    // the context-wide CacheManager substitutes those into this
+    // session's plans too, and which suites ran first must not move the
+    // printed counts
     Caches.invalidate(spark)
+    spark.catalog.clearCache()
     val counts = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> shuffles(fn(spark, sf))
     }
