@@ -46,6 +46,20 @@ class EventAnalyticsSpec extends SparkSpec {
       s"strictly-after must exclude ties and the empty tail must still report: $g2")
   }
 
+  test("fixture laws: funnel drop-off is monotone; retention offset-0 sums to the user count") {
+    val events = graft.sources.Tables.events(spark, sf)
+    val f = EventAnalytics.funnel(events, SparkEntryEvt.FunnelSteps)
+      .collect().sortBy(_.getLong(0)).map(_.getLong(2))
+    assert(f.zip(f.tail).forall { case (a, b) => a >= b },
+      s"completion counts must not increase down the funnel: ${f.toSeq}")
+    val r = EventAnalytics.retentionCohorts(events)
+    val cohortTotal = r.where(col("day_offset") === 0)
+      .agg(sum("n_active")).collect().head.getLong(0)
+    val users = events.select("user_id").distinct().count()
+    assert(cohortTotal == users,
+      s"offset-0 cells must partition the user base: $cohortTotal vs $users")
+  }
+
   test("retention: offset 0 is cohort size; later offsets count distinct active users") {
     val events = ev(
       // cohort Jan-1: u1 active d0,d1; u2 active d0,d2 (twice that day)

@@ -81,6 +81,20 @@ class PushdownSpec extends SparkSpec {
     }
   }
 
+  test("funnel pushes each step's event-type equality into its events scan") {
+    // the funnel's per-step slices are type-filtered BEFORE any agg/join;
+    // at 100 TB each slice must reach the scan as a pushed predicate (and
+    // prune whole files on a type-partitioned layout), not filter
+    // post-scan
+    val q = SparkEntry.queries("x_funnel")(spark, sf)
+    val pushed = scans(q).map(_.metadata("PushedFilters"))
+    assert(pushed.nonEmpty)
+    SparkEntryEvt.FunnelSteps.foreach { st =>
+      assert(pushed.exists(_.contains(s"EqualTo(event_type,$st)")),
+        s"step '$st' equality must be pushed; scans: $pushed")
+    }
+  }
+
   test("corpus-cleaning pipeline plans one scan and one exchange (SCALE.md claim)") {
     val q = SparkEntry.queries("x_pipeline_clean")(spark, sf)
     assert(scans(q).size == 1, "expected a single corpus scan")
