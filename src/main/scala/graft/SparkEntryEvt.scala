@@ -14,11 +14,22 @@ object SparkEntryEvt {
     * two sides can never measure different funnels. */
   private[graft] val FunnelSteps = Seq("signup", "click", "purchase")
 
+  /** Conversion window for the windowed funnel: 24 h in micros, shared
+    * with the oracle. */
+  private[graft] val FunnelWindowMicros = 86400000000L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_funnel" -> { (s, dir) =>
       // ordered-funnel completion with greedy-earliest anchors: one row
       // per step including empty tails, so drop-off is directly readable
       EventAnalytics.funnel(Tables.events(s, dir), FunnelSteps)
+    },
+    "x_funnel_window" -> { (s, dir) =>
+      // conversion-window funnel: completions only count when the whole
+      // chain fits in 24h of its first-step anchor — the DP runs as
+      // chained running-max window passes over one user-keyed sort
+      EventAnalytics.funnelWindowed(Tables.events(s, dir), FunnelSteps,
+        FunnelWindowMicros)
     },
     "x_retention" -> { (s, dir) =>
       // day-cohort retention triangle: (first-event day, day offset) ->
@@ -51,6 +62,36 @@ object SparkEntryEvt {
           s"CAST(count(*) AS BIGINT) AS n_users FROM s${i + 1}"
       }.mkString(" UNION ALL ")
       ctes + branches
+    },
+    "x_funnel_window" -> {
+      // the same running-max DP, as DuckDB window functions: b_i = max
+      // anchor (over strictly-preceding rows in (t, event_id) order) of
+      // a chain reaching level i+1; a step row completes its level iff
+      // the endpoint span fits the window
+      val over = "OVER (PARTITION BY user_id ORDER BY t, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+      val types = FunnelSteps.map(s => s"'$s'").mkString(", ")
+      val base = s"WITH s AS (SELECT user_id, event_id, event_type, " +
+        s"epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events " +
+        s"WHERE event_type IN ($types)), " +
+        s"w0 AS (SELECT *, max(CASE WHEN event_type = '${FunnelSteps.head}' " +
+        s"THEN t END) $over AS b0 FROM s)"
+      val chain = (1 until FunnelSteps.size - 1).map { i =>
+        s"w$i AS (SELECT *, max(CASE WHEN event_type = '${FunnelSteps(i)}' " +
+          s"THEN b${i - 1} END) $over AS b$i FROM w${i - 1})"
+      }
+      val lvlCases = FunnelSteps.zipWithIndex.map { case (st, i) =>
+        if (i == 0) s"WHEN event_type = '$st' THEN 1"
+        else s"WHEN event_type = '$st' AND b${i - 1} IS NOT NULL AND " +
+          s"t - b${i - 1} <= $FunnelWindowMicros THEN ${i + 1}"
+      }.mkString(" ")
+      val reach = s"r AS (SELECT user_id, max(CASE $lvlCases END) AS lvl " +
+        s"FROM w${FunnelSteps.size - 2} GROUP BY 1)"
+      val branches = FunnelSteps.zipWithIndex.map { case (st, i) =>
+        s"SELECT CAST(${i + 1} AS BIGINT) AS step_idx, '$st' AS step, " +
+          s"CAST(count(*) AS BIGINT) AS n_users FROM r WHERE lvl >= ${i + 1}"
+      }.mkString(" UNION ALL ")
+      (Seq(base) ++ chain ++ Seq(reach)).mkString(", ") + " " + branches
     },
     "x_retention" ->
       ("WITH f AS (SELECT user_id, date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS cohort " +

@@ -57,6 +57,78 @@ object EventAnalytics {
     }.reduce(_ unionByName _)
   }
 
+  /** Windowed funnel (the ClickHouse-`windowFunnel` form): like
+    * [[funnel]], but a completion only counts if the WHOLE chain fits
+    * inside `windowMicros` (first-step anchor → level-i event). The
+    * un-windowed funnel overstates conversion on long histories — a
+    * signup in January "converting" via a purchase in December is not a
+    * funnel the product team means — so the windowed form is what
+    * conversion dashboards actually plot.
+    *
+    * Exactness: level i is reachable within W iff SOME chain has
+    * `t_i − t_1 ≤ W`; intermediate events lie between the endpoints, so
+    * only the endpoint span binds, and maximizing the anchor `t_1` per
+    * prefix decides reachability. That max is a RUNNING maximum over the
+    * user's event stream in `(ts, event_id)` order: `b₀` = max anchor
+    * strictly before the current row, `b₁` = running max of `b₀` taken
+    * at step-2 rows, … — so the whole k-step DP is k chained running-max
+    * window passes over ONE user-partitioned sort (one exchange + one
+    * sort, k stacked WindowExecs with fixed per-row state; no
+    * collect_list, no per-user arrays).
+    * Order is the `(ts, event_id)` TOTAL order — deliberately: it keeps
+    * the DP deterministic under equal timestamps (documented divergence
+    * from [[funnel]]'s pure strictly-greater-ts rule) — and the windowed
+    * reach is monotone (a level-i chain's prefix certifies level i−1).
+    *
+    * Returns `(step_idx, step, n_users)` like [[funnel]], counting users
+    * whose windowed reach is ≥ each step. */
+  def funnelWindowed(events: DataFrame, steps: Seq[String],
+                     windowMicros: Long, tsCol: String = "ts",
+                     userCol: String = "user_id",
+                     typeCol: String = "event_type"): DataFrame = {
+    require(steps.size >= 2, s"a windowed funnel needs >= 2 steps, got $steps")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct event types, got $steps")
+    require(windowMicros > 0, s"window must be positive, got $windowMicros")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = events.where(col(typeCol).isin(steps: _*))
+      .withColumn("__t", unix_micros(col(tsCol)))
+    // __b(i) = running max, over strictly-preceding rows, of the best
+    // anchor of a chain reaching level i+1; __b0 anchors at step-1 rows.
+    // Each level references the previous level's column, so the passes
+    // stack as separate (same-spec) Window operators over one sort —
+    // window functions cannot nest inside one projection.
+    val withB = (1 until steps.size).foldLeft(
+      base.withColumn("__b0",
+        max(when(col(typeCol) === steps.head, col("__t"))).over(w))) {
+      (df, i) =>
+        if (i == steps.size - 1) df // the last step never anchors a later one
+        else df.withColumn(s"__b$i",
+          max(when(col(typeCol) === steps(i), col(s"__b${i - 1}"))).over(w))
+    }
+    // row-level reach: a step-i row completes level i iff its chain
+    // anchor exists and the endpoint span fits the window
+    val lvl = steps.zipWithIndex.map { case (st, i) =>
+      if (i == 0) when(col(typeCol) === st, lit(1L))
+      else when(col(typeCol) === st && col(s"__b${i - 1}").isNotNull &&
+        col("__t") - col(s"__b${i - 1}") <= windowMicros, lit((i + 1).toLong))
+    }.reduce((a, b) => greatest(a, b))
+    // group on the ORIGINAL user column: the window already partitioned
+    // by it, so the reach aggregation is exchange-free (renaming first
+    // cost a second user shuffle)
+    val reach = withB.select(col(userCol), lvl.as("__lvl"))
+      .groupBy(col(userCol)).agg(max(col("__lvl")).as("__reach"))
+    steps.zipWithIndex.map { case (st, i) =>
+      reach.where(col("__reach") >= (i + 1))
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit((i + 1).toLong).as("step_idx"), lit(st).as("step"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Cohort retention at day granularity: users cohort by the calendar
     * day of their FIRST event; each `(cohort, day_offset)` cell counts
     * the cohort's users active (≥1 event) on cohort-day + offset. The

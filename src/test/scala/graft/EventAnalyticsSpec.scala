@@ -46,6 +46,42 @@ class EventAnalyticsSpec extends SparkSpec {
       s"strictly-after must exclude ties and the empty tail must still report: $g2")
   }
 
+  test("windowed funnel: window binds on the endpoint span; a later anchor rescues a stale chain") {
+    val H = 3600L * 1000000L // one hour in micros
+    def run(rows: (Long, String, String)*) =
+      EventAnalytics.funnelWindowed(
+        ev(rows: _*).withColumn("event_id", unix_micros(col("ts"))),
+        Seq("signup", "click", "purchase"), windowMicros = 2 * H)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // u1: full chain inside 2h; u2: same chain but the purchase lands
+    // 2h01 after its signup anchor — level 3 must NOT count (level 2,
+    // 30 min after anchor, still does)
+    val a = run(
+      (1L, "2024-01-01 10:00:00", "signup"),
+      (1L, "2024-01-01 10:30:00", "click"),
+      (1L, "2024-01-01 11:30:00", "purchase"),
+      (2L, "2024-01-01 10:00:00", "signup"),
+      (2L, "2024-01-01 10:30:00", "click"),
+      (2L, "2024-01-01 12:01:00", "purchase"))
+    assert(a == Map(1L -> 2L, 2L -> 2L, 3L -> 1L), s"got $a")
+    // a FRESH signup re-anchors: the first chain's window expires, but
+    // the second signup+click pair brings the purchase back inside 2h —
+    // greedy-from-earliest would miss this; the running-max DP must not
+    val b = run(
+      (3L, "2024-01-01 00:00:00", "signup"),
+      (3L, "2024-01-01 00:10:00", "click"),
+      (3L, "2024-01-01 09:00:00", "signup"),
+      (3L, "2024-01-01 09:10:00", "click"),
+      (3L, "2024-01-01 10:00:00", "purchase"))
+    assert(b == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $b")
+    // out-of-order steps never chain, window or not
+    val c = run(
+      (4L, "2024-01-01 10:00:00", "click"),
+      (4L, "2024-01-01 10:30:00", "signup"),
+      (4L, "2024-01-01 10:40:00", "purchase"))
+    assert(c == Map(1L -> 1L, 2L -> 0L, 3L -> 0L), s"got $c")
+  }
+
   test("fixture laws: funnel drop-off is monotone; retention offset-0 sums to the user count") {
     val events = graft.sources.Tables.events(spark, sf)
     val f = EventAnalytics.funnel(events, SparkEntryEvt.FunnelSteps)
