@@ -221,11 +221,20 @@ object StreamResample {
     * to the observation stream, which (a) lets Spark expire genuinely
     * late rows before the operator and (b) arms the watermark ANCHOR in
     * [[update]]'s far-jump arbitration, so a poisoned key heals on the
-    * first plausible event instead of waiting for [[HealConsensus]]. */
+    * first plausible event instead of waiting for [[HealConsensus]].
+    * `validRangeMicros` is the watermark's OWN defense: Spark computes
+    * the watermark as max-seen-event-time minus delay, so a single
+    * corrupt far-FUTURE timestamp drags it past every legitimate event
+    * and the stream silently expires all real traffic — a poisoning the
+    * per-key state heals cannot undo because it happens upstream of the
+    * operator. Rows outside the deployment's declared plausible range
+    * are therefore dropped BEFORE `withWatermark` (the per-key
+    * arbitration still handles corrupt values INSIDE the range). */
   def run(spark: SparkSession, obsDir: String, outDir: String,
           checkpointDir: String, bucketMicros: Long,
           maxFilesPerTrigger: Option[Int] = None,
-          watermarkDelay: Option[String] = None): StreamingQuery = {
+          watermarkDelay: Option[String] = None,
+          validRangeMicros: Option[(Long, Long)] = None): StreamingQuery = {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_micros}
     import org.apache.spark.sql.types._
@@ -239,8 +248,11 @@ object StreamResample {
       StructField("value", DoubleType, nullable = false)))
     StreamDrive.jsonToParquet(spark, schema, obsDir, outDir, checkpointDir,
       maxFilesPerTrigger) { df =>
-      val anchored = watermarkDelay.fold(df)(d =>
-        df.withColumn("ts", timestamp_micros(col("ts_micros")))
+      val ranged = validRangeMicros.fold(df) { case (lo, hi) =>
+        df.where(col("ts_micros").between(lo, hi))
+      }
+      val anchored = watermarkDelay.fold(ranged)(d =>
+        ranged.withColumn("ts", timestamp_micros(col("ts_micros")))
           .withWatermark("ts", d))
       val closed: Dataset[Out] = anchored.as[Obs]
         .groupByKey(_.key)

@@ -939,6 +939,59 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchClosed, s"stream != batch-minus-open:\n$streamed\n$batchClosed")
   }
 
+  test("StreamResample end-to-end: validity range + watermark keep a corrupt feed serving") {
+    import graft.streaming.StreamResample
+    val hour = 3600L * 1000000L
+    val dir = tmp(); val obs = s"$dir/obs"; new java.io.File(obs).mkdirs()
+    def h(n: Long) = n * hour + 60L
+    // batch 1: key 1 establishes hours 0-2 (watermark after this batch =
+    // 2h - 1h = 1h > 0, arming the anchor for later batches)
+    Files.writeString(java.nio.file.Paths.get(s"$obs/b1.json"),
+      s"""{"key":1,"ts_micros":${h(0)},"event_id":1,"value":1.0}
+         |{"key":1,"ts_micros":${h(1)},"event_id":2,"value":2.0}
+         |{"key":1,"ts_micros":${h(2)},"event_id":3,"value":3.0}
+         |""".stripMargin)
+    // batch 2: key 1 advances; key 2 arrives ONLY as corrupt garbage — a
+    // far-future timestamp that, unfiltered, would drag the watermark to
+    // ~hour 5e6 and make Spark expire every later legitimate event
+    // (state heals can't fix an upstream watermark), plus a pre-epoch
+    // one. Both sit outside the declared valid range -> dropped at the
+    // source, before withWatermark ever sees them.
+    Files.writeString(java.nio.file.Paths.get(s"$obs/b2.json"),
+      s"""{"key":1,"ts_micros":${h(3)},"event_id":4,"value":4.0}
+         |{"key":2,"ts_micros":${5000000L * hour},"event_id":90,"value":9.9}
+         |{"key":2,"ts_micros":${-5000L * hour},"event_id":91,"value":9.9}
+         |""".stripMargin)
+    // batch 3: the stream must still be serving — key 1 closes hour 3,
+    // key 2 starts fresh at a plausible hour
+    Files.writeString(java.nio.file.Paths.get(s"$obs/b3.json"),
+      s"""{"key":1,"ts_micros":${h(4)},"event_id":5,"value":5.0}
+         |{"key":2,"ts_micros":${h(3)},"event_id":92,"value":7.0}
+         |""".stripMargin)
+    // pin distinct mtimes: the file source orders batches by timestamp,
+    // and three quick writes can land in one clock tick — batch ORDER is
+    // the point of this test (b1's rows must precede b2's watermark)
+    val now = System.currentTimeMillis()
+    Seq("b1.json" -> 3, "b2.json" -> 2, "b3.json" -> 1).foreach { case (f, back) =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(s"$obs/$f"),
+        java.nio.file.attribute.FileTime.fromMillis(now - back * 60000L))
+    }
+    StreamResample.run(spark, obs, s"$dir/out", s"$dir/ckpt", hour,
+      maxFilesPerTrigger = Some(1), watermarkDelay = Some("1 hour"),
+      validRangeMicros = Some((0L, 100L * hour)))
+    val nBatches = new java.io.File(s"$dir/ckpt/offsets").list()
+      .count(!_.startsWith("."))
+    assert(nBatches >= 3, s"expected >=3 micro-batches, got $nBatches")
+    val streamed = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // every legitimate closed bucket survives the corrupt feed; the
+    // garbage contributes NOTHING (no rows, no dropped-live-event holes)
+    assert(streamed == Set(
+      (1L, 0L, 1L, 1.0), (1L, 1L, 1L, 2.0), (1L, 2L, 1L, 3.0),
+      (1L, 3L, 1L, 4.0)), s"streamed: $streamed")
+  }
+
   test("StreamResample drops a corrupt far-future event instead of flooding gap rows") {
     import graft.streaming.StreamResample
     import graft.streaming.StreamResample.{Obs, OpenBucket}
