@@ -18,6 +18,11 @@ object SparkEntryEvt {
     * with the oracle. */
   private[graft] val FunnelWindowMicros = 86400000000L
 
+  /** Latency bands for the time-to-convert histogram: 1 h / 6 h / 24 h
+    * in micros (ascending), shared with the oracle. */
+  private[graft] val LatencyBandsMicros =
+    Seq(3600000000L, 21600000000L, 86400000000L)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_funnel" -> { (s, dir) =>
       // ordered-funnel completion with greedy-earliest anchors: one row
@@ -30,6 +35,13 @@ object SparkEntryEvt {
       // chained running-max window passes over one user-keyed sort
       EventAnalytics.funnelWindowed(Tables.events(s, dir), FunnelSteps,
         FunnelWindowMicros)
+    },
+    "x_funnel_latency" -> { (s, dir) =>
+      // time-to-convert histogram: each completing user's MINIMUM chain
+      // span (exact, via the same running-max anchor DP), bucketed into
+      // 1h/6h/24h bands with an overflow band
+      EventAnalytics.funnelLatency(Tables.events(s, dir), FunnelSteps,
+        LatencyBandsMicros)
     },
     "x_retention" -> { (s, dir) =>
       // day-cohort retention triangle: (first-event day, day offset) ->
@@ -92,6 +104,32 @@ object SparkEntryEvt {
           s"CAST(count(*) AS BIGINT) AS n_users FROM r WHERE lvl >= ${i + 1}"
       }.mkString(" UNION ALL ")
       (Seq(base) ++ chain ++ Seq(reach)).mkString(", ") + " " + branches
+    },
+    "x_funnel_latency" -> {
+      // same chain CTEs as x_funnel_window; the span at a final-step row
+      // is t - b_{k-2} (the DP maximizes the anchor, so that difference
+      // IS the minimal span of any chain ending there)
+      val over = "OVER (PARTITION BY user_id ORDER BY t, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+      val types = FunnelSteps.map(s => s"'$s'").mkString(", ")
+      val base = s"WITH s AS (SELECT user_id, event_id, event_type, " +
+        s"epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events " +
+        s"WHERE event_type IN ($types)), " +
+        s"w0 AS (SELECT *, max(CASE WHEN event_type = '${FunnelSteps.head}' " +
+        s"THEN t END) $over AS b0 FROM s)"
+      val chain = (1 until FunnelSteps.size - 1).map { i =>
+        s"w$i AS (SELECT *, max(CASE WHEN event_type = '${FunnelSteps(i)}' " +
+          s"THEN b${i - 1} END) $over AS b$i FROM w${i - 1})"
+      }
+      val last = FunnelSteps.size - 2
+      val best = s"best AS (SELECT user_id, min(t - b$last) AS b " +
+        s"FROM w$last WHERE event_type = '${FunnelSteps.last}' " +
+        s"AND b$last IS NOT NULL GROUP BY 1)"
+      val bandCase = LatencyBandsMicros.map(e => s"WHEN b <= $e THEN $e")
+        .mkString("CASE ", " ", " ELSE -1 END")
+      (Seq(base) ++ chain ++ Seq(best)).mkString(", ") +
+        s" SELECT CAST($bandCase AS BIGINT) AS band_micros, " +
+        "CAST(count(*) AS BIGINT) AS n_users FROM best GROUP BY 1"
     },
     "x_retention" ->
       ("WITH f AS (SELECT user_id, date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS cohort " +

@@ -86,29 +86,11 @@ object EventAnalytics {
                      windowMicros: Long, tsCol: String = "ts",
                      userCol: String = "user_id",
                      typeCol: String = "event_type"): DataFrame = {
-    require(steps.size >= 2, s"a windowed funnel needs >= 2 steps, got $steps")
-    require(steps.distinct.size == steps.size,
-      s"funnel steps must be distinct event types, got $steps")
     require(windowMicros > 0, s"window must be positive, got $windowMicros")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(userCol))
-      .orderBy(col(tsCol), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val base = events.where(col(typeCol).isin(steps: _*))
-      .withColumn("__t", unix_micros(col(tsCol)))
     // __b(i) = running max, over strictly-preceding rows, of the best
-    // anchor of a chain reaching level i+1; __b0 anchors at step-1 rows.
-    // Each level references the previous level's column, so the passes
-    // stack as separate (same-spec) Window operators over one sort —
-    // window functions cannot nest inside one projection.
-    val withB = (1 until steps.size).foldLeft(
-      base.withColumn("__b0",
-        max(when(col(typeCol) === steps.head, col("__t"))).over(w))) {
-      (df, i) =>
-        if (i == steps.size - 1) df // the last step never anchors a later one
-        else df.withColumn(s"__b$i",
-          max(when(col(typeCol) === steps(i), col(s"__b${i - 1}"))).over(w))
-    }
+    // anchor of a chain reaching level i+1; __b0 anchors at step-1 rows
+    // (shared with funnelLatency via funnelChain)
+    val withB = funnelChain(events, steps, tsCol, userCol, typeCol)
     // row-level reach: a step-i row completes level i iff its chain
     // anchor exists and the endpoint span fits the window
     val lvl = steps.zipWithIndex.map { case (st, i) =>
@@ -127,6 +109,64 @@ object EventAnalytics {
         .select(lit((i + 1).toLong).as("step_idx"), lit(st).as("step"),
           col("n_users"))
     }.reduce(_ unionByName _)
+  }
+
+  /** Time-to-convert distribution for the FULL funnel: each completing
+    * user's MINIMUM chain span (first-step anchor → final step), bucketed
+    * into latency bands — the "how fast do users convert" histogram next
+    * to [[funnelWindowed]]'s "how many". Exactness rides on the same
+    * running-max DP: the anchor column maximizes `t₁` per prefix, so
+    * `t − b` at a final-step row IS the minimum span of any chain ending
+    * there, and the per-user min over rows is the user's true minimum
+    * conversion time (integer micros end to end — no float, full
+    * oracle). Users whose best span exceeds the last band edge land in
+    * the overflow band (`band_micros = −1`); non-completing users do not
+    * report. Bands must be ascending; per-user state is one long. */
+  def funnelLatency(events: DataFrame, steps: Seq[String],
+                    bandsMicros: Seq[Long], tsCol: String = "ts",
+                    userCol: String = "user_id",
+                    typeCol: String = "event_type"): DataFrame = {
+    require(bandsMicros.nonEmpty && bandsMicros == bandsMicros.sorted &&
+      bandsMicros.forall(_ > 0), s"bands must be ascending positive: $bandsMicros")
+    // reuse the windowed DP with an unbounded window: only the span
+    // arithmetic differs
+    val chained = funnelChain(events, steps, tsCol, userCol, typeCol)
+    val span = col("__t") - col(s"__b${steps.size - 2}")
+    val best = chained
+      .where(col(typeCol) === steps.last &&
+        col(s"__b${steps.size - 2}").isNotNull)
+      .select(col(userCol), span.as("__span"))
+      .groupBy(col(userCol)).agg(min(col("__span")).as("__best"))
+    val band = bandsMicros.foldRight(lit(-1L)) { (edge, rest) =>
+      when(col("__best") <= edge, lit(edge)).otherwise(rest)
+    }
+    best.groupBy(band.as("band_micros"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** The shared anchor-DP columns of [[funnelWindowed]] and
+    * [[funnelLatency]]: `__t` (event micros) and `__b0 … __b(k−2)`
+    * running-max anchors, stacked over one user-partitioned sort. */
+  private def funnelChain(events: DataFrame, steps: Seq[String],
+                          tsCol: String, userCol: String,
+                          typeCol: String): DataFrame = {
+    require(steps.size >= 2, s"a funnel chain needs >= 2 steps, got $steps")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct event types, got $steps")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = events.where(col(typeCol).isin(steps: _*))
+      .withColumn("__t", unix_micros(col(tsCol)))
+    (1 until steps.size).foldLeft(
+      base.withColumn("__b0",
+        max(when(col(typeCol) === steps.head, col("__t"))).over(w))) {
+      (df, i) =>
+        if (i == steps.size - 1) df
+        else df.withColumn(s"__b$i",
+          max(when(col(typeCol) === steps(i), col(s"__b${i - 1}"))).over(w))
+    }
   }
 
   /** Cohort retention at day granularity: users cohort by the calendar

@@ -82,6 +82,35 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(c == Map(1L -> 1L, 2L -> 0L, 3L -> 0L), s"got $c")
   }
 
+  test("funnel latency: per-user MIN chain span, band edges inclusive, overflow band, no phantom rows") {
+    val H = 3600L * 1000000L
+    def run(rows: (Long, String, String)*) =
+      EventAnalytics.funnelLatency(
+        ev(rows: _*).withColumn("event_id", unix_micros(col("ts"))),
+        Seq("signup", "click", "purchase"), bandsMicros = Seq(1 * H, 6 * H))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = run(
+      // u1: two chains — 5h via the early signup, 1h (exactly) via the
+      // later one; the MIN (and the inclusive <= edge) must place it in
+      // the 1h band
+      (1L, "2024-01-01 00:00:00", "signup"),
+      (1L, "2024-01-01 04:00:00", "signup"),
+      (1L, "2024-01-01 04:30:00", "click"),
+      (1L, "2024-01-01 05:00:00", "purchase"),
+      // u2: only chain spans 5h30 -> 6h band
+      (2L, "2024-01-01 00:00:00", "signup"),
+      (2L, "2024-01-01 05:00:00", "click"),
+      (2L, "2024-01-01 05:30:00", "purchase"),
+      // u3: completes in 20h -> overflow band (-1)
+      (3L, "2024-01-01 00:00:00", "signup"),
+      (3L, "2024-01-01 10:00:00", "click"),
+      (3L, "2024-01-01 20:00:00", "purchase"),
+      // u4: never purchases -> absent
+      (4L, "2024-01-01 00:00:00", "signup"),
+      (4L, "2024-01-01 00:30:00", "click"))
+    assert(got == Map(1 * H -> 1L, 6 * H -> 1L, -1L -> 1L), s"got $got")
+  }
+
   test("fixture laws: funnel drop-off is monotone; retention offset-0 sums to the user count") {
     val events = graft.sources.Tables.events(spark, sf)
     val f = EventAnalytics.funnel(events, SparkEntryEvt.FunnelSteps)

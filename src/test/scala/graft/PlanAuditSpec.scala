@@ -83,8 +83,10 @@ class PlanAuditSpec extends SparkSpec {
     // event-sequence analytics: k-step funnel = k user-keyed min-aggs
     // chained through k-1 equi joins (print counts each chain per
     // union branch); retention = 2 aggs + 1 user join
-    // windowed funnel: one user-sort shuffle + per-branch union lineage
-    "x_funnel" -> 8, "x_funnel_window" -> 6, "x_retention" -> 3,
+    // windowed funnel: one user-sort shuffle + per-branch union lineage;
+    // latency histogram: the same sort + one band agg
+    "x_funnel" -> 8, "x_funnel_window" -> 6, "x_funnel_latency" -> 2,
+    "x_retention" -> 3,
     // ANN
     "x_knn_cosine" -> 2, "x_knn_ivf" -> 2, "x_knn_ivf_delta" -> 2,
     "x_knn_ivfpq" -> 2,
