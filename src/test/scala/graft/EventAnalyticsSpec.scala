@@ -111,6 +111,77 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == Map(1 * H -> 1L, 6 * H -> 1L, -1L -> 1L), s"got $got")
   }
 
+  test("property: windowed funnel + latency DP equal brute-force chain search on random streams") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val steps = Vector("a", "b", "c")
+    val W = 50L
+    val bands = Seq(10L, 30L)
+    val eventsGen: Gen[Seq[(Long, Long, Long, String)]] = for {
+      nUsers <- Gen.choose(1, 3)
+      n <- Gen.choose(1, 24)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(0, nUsers - 1)
+        t <- Gen.choose(0L, 120L) // small range -> tie collisions
+        ty <- Gen.oneOf("a", "b", "c", "noise")
+      } yield (u.toLong, t, ty))
+    } yield rows.zipWithIndex.map { case ((u, t, ty), id) =>
+      (u, t, id.toLong, ty)
+    }
+    // brute force: max level over ALL strictly-(t,id)-increasing chains
+    // matching the step prefix with endpoint span <= W; min span of full
+    // chains. Exponential, fine at n <= 12.
+    def brute(rows: Seq[(Long, Long, Long, String)])
+        : (Map[Int, Long], Map[Long, Long]) = {
+      val byUser = rows.groupBy(_._1)
+      val reach = scala.collection.mutable.Map.empty[Long, Int]
+      val best = scala.collection.mutable.Map.empty[Long, Long]
+      byUser.foreach { case (u, evs) =>
+        val sorted = evs.sortBy(e => (e._2, e._3)).toVector
+        def chains(level: Int, fromIdx: Int, anchor: Long): Unit = {
+          if (level > 0) {
+            val lvlReached = level
+            // window binds on the endpoint: the level event that got us
+            // here is sorted(fromIdx - 1)
+            val endT = sorted(fromIdx - 1)._2
+            if (level == 1 || endT - anchor <= W)
+              reach(u) = math.max(reach.getOrElse(u, 0), lvlReached)
+            if (level == steps.size)
+              best(u) = math.min(best.getOrElse(u, Long.MaxValue), endT - anchor)
+          }
+          if (level < steps.size)
+            (fromIdx until sorted.size).foreach { i =>
+              if (sorted(i)._4 == steps(level))
+                chains(level + 1, i + 1, if (level == 0) sorted(i)._2 else anchor)
+            }
+        }
+        chains(0, 0, 0L)
+      }
+      val perStep = (1 to steps.size).map(i =>
+        i -> reach.values.count(_ >= i).toLong).toMap
+      val hist = best.toSeq.map { case (_, s) =>
+        bands.find(s <= _).getOrElse(-1L)
+      }.groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+      (perStep, hist)
+    }
+    import spark.implicits._
+    (0 until 30).foreach { i =>
+      val rows = eventsGen.pureApply(Gen.Parameters.default, Seed(1234L + i))
+      val df = rows.toDF("user_id", "t", "event_id", "event_type")
+        .select(col("user_id"), timestamp_micros(col("t")).as("ts"),
+          col("event_id"), col("event_type"))
+      val (wantReach, wantHist) = brute(rows)
+      val gotReach = EventAnalytics.funnelWindowed(df, steps, W)
+        .collect().map(r => (r.getLong(0).toInt, r.getLong(2))).toMap
+      assert(gotReach == wantReach,
+        s"sample $i: windowed reach $gotReach != brute $wantReach for $rows")
+      val gotHist = EventAnalytics.funnelLatency(df, steps, bands)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(gotHist == wantHist,
+        s"sample $i: latency hist $gotHist != brute $wantHist for $rows")
+    }
+  }
+
   test("fixture laws: funnel drop-off is monotone; retention offset-0 sums to the user count") {
     val events = graft.sources.Tables.events(spark, sf)
     val f = EventAnalytics.funnel(events, SparkEntryEvt.FunnelSteps)
