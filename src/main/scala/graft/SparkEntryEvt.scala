@@ -43,6 +43,12 @@ object SparkEntryEvt {
       EventAnalytics.funnelLatency(Tables.events(s, dir), FunnelSteps,
         LatencyBandsMicros)
     },
+    "x_event_paths" -> { (s, dir) =>
+      // top-paths flow report: consecutive same-user event-type triples
+      // with every hop within 30 min; output bounded by |types|^3
+      EventAnalytics.eventPaths(Tables.events(s, dir),
+        maxGapMicros = 1800000000L)
+    },
     "x_retention" -> { (s, dir) =>
       // day-cohort retention triangle: (first-event day, day offset) ->
       // active users; offset 0 is cohort size by construction
@@ -131,6 +137,18 @@ object SparkEntryEvt {
         s" SELECT CAST($bandCase AS BIGINT) AS band_micros, " +
         "CAST(count(*) AS BIGINT) AS n_users FROM best GROUP BY 1"
     },
+    "x_event_paths" ->
+      ("WITH s AS (SELECT user_id, event_id, event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events), " +
+        "tri AS (SELECT event_type AS step1, " +
+        "lead(event_type, 1) OVER w AS step2, " +
+        "lead(event_type, 2) OVER w AS step3, " +
+        "lead(t, 1) OVER w - t AS g1, " +
+        "lead(t, 2) OVER w - lead(t, 1) OVER w AS g2 " +
+        "FROM s WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)) " +
+        "SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n_paths " +
+        "FROM tri WHERE step2 IS NOT NULL AND step3 IS NOT NULL " +
+        "AND g1 <= 1800000000 AND g2 <= 1800000000 GROUP BY 1, 2, 3"),
     "x_retention" ->
       ("WITH f AS (SELECT user_id, date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS cohort " +
         "FROM events GROUP BY 1), " +

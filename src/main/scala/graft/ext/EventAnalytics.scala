@@ -169,6 +169,38 @@ object EventAnalytics {
     }
   }
 
+  /** Event-path trigrams (the "top user paths" report): counts of each
+    * ordered triple of CONSECUTIVE same-user event types where each hop
+    * arrives within `maxGapMicros` of the previous event — the
+    * flow-analysis view of the event stream (which three-step journeys
+    * actually happen), complementing the funnel's fixed-target view.
+    * Consecutive means adjacent in the user's `(ts, event_id)` order:
+    * an intervening event of ANY type breaks the triple, which is what
+    * distinguishes a path report from a funnel.
+    *
+    * One user-partitioned sort with two `lead` passes, then a
+    * map-side-combinable count; output is bounded by |event types|³
+    * rows, independent of event volume. */
+  def eventPaths(events: DataFrame, maxGapMicros: Long, tsCol: String = "ts",
+                 userCol: String = "user_id",
+                 typeCol: String = "event_type"): DataFrame = {
+    require(maxGapMicros > 0, s"gap bound must be positive, got $maxGapMicros")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col("event_id"))
+    val t = unix_micros(col(tsCol))
+    val tri = events
+      .withColumn("__t", t)
+      .withColumn("__t2", lead(col(typeCol), 1).over(w))
+      .withColumn("__t3", lead(col(typeCol), 2).over(w))
+      .withColumn("__g1", lead(col("__t"), 1).over(w) - col("__t"))
+      .withColumn("__g2", lead(col("__t"), 2).over(w) - lead(col("__t"), 1).over(w))
+      .where(col("__t2").isNotNull && col("__t3").isNotNull &&
+        col("__g1") <= maxGapMicros && col("__g2") <= maxGapMicros)
+    tri.groupBy(col(typeCol).as("step1"), col("__t2").as("step2"),
+        col("__t3").as("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+  }
+
   /** Cohort retention at day granularity: users cohort by the calendar
     * day of their FIRST event; each `(cohort, day_offset)` cell counts
     * the cohort's users active (≥1 event) on cohort-day + offset. The

@@ -182,6 +182,35 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("event paths: adjacency (not subsequence), per-hop gap bound, cross-user isolation") {
+    val H = 3600L * 1000000L
+    def run(rows: (Long, String, String)*) =
+      EventAnalytics.eventPaths(
+        ev(rows: _*).withColumn("event_id", unix_micros(col("ts"))),
+        maxGapMicros = H)
+        .collect().map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+          r.getLong(3))).toMap
+    val got = run(
+      // u1: a->b->c and the overlapping b->c->a (sliding triples)
+      (1L, "2024-01-01 10:00:00", "a"),
+      (1L, "2024-01-01 10:10:00", "b"),
+      (1L, "2024-01-01 10:20:00", "c"),
+      (1L, "2024-01-01 10:30:00", "a"),
+      // u2: a->X->c — the intervening X breaks a,?,c adjacency
+      (2L, "2024-01-01 10:00:00", "a"),
+      (2L, "2024-01-01 10:10:00", "x"),
+      (2L, "2024-01-01 10:20:00", "c"),
+      // u3: second hop exceeds the 1h gap — no triple
+      (3L, "2024-01-01 10:00:00", "a"),
+      (3L, "2024-01-01 10:30:00", "b"),
+      (3L, "2024-01-01 12:00:00", "c"))
+    assert(got == Map(("a", "b", "c") -> 1L, ("b", "c", "a") -> 1L,
+      ("a", "x", "c") -> 1L), s"got $got")
+    // u1's last pair + u2's first event must NOT chain across users
+    assert(!got.keySet.exists { case (a, b, c) => Seq(a, b, c).contains("x") &&
+      (a, b, c) != ("a", "x", "c") }, s"cross-user leakage: $got")
+  }
+
   test("fixture laws: funnel drop-off is monotone; retention offset-0 sums to the user count") {
     val events = graft.sources.Tables.events(spark, sf)
     val f = EventAnalytics.funnel(events, SparkEntryEvt.FunnelSteps)
