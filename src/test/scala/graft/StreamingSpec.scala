@@ -939,6 +939,63 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchClosed, s"stream != batch-minus-open:\n$streamed\n$batchClosed")
   }
 
+  test("streaming funnel: completion log across batches equals the batch DP (extension)") {
+    import graft.streaming.StreamFunnel
+    val H = 3600L * 1000000L
+    val dir = tmp(); val evd = s"$dir/ev"; new java.io.File(evd).mkdirs()
+    def row(u: Long, h: Double, id: Long, ty: String) =
+      s"""{"user_id":$u,"ts_micros":${(h * H).toLong},"event_id":$id,"event_type":"$ty"}"""
+    // batch 1: u1 signs up + clicks; u2's chain will EXPIRE (2h window);
+    // u3 noise only
+    Files.writeString(java.nio.file.Paths.get(s"$evd/b1.json"), Seq(
+      row(1, 0.0, 1, "signup"), row(1, 0.5, 2, "click"),
+      row(2, 0.0, 3, "signup"), row(2, 0.5, 4, "click"),
+      row(3, 0.0, 5, "view")).mkString("", "\n", "\n"))
+    // batch 2: u1 purchases inside the window — the chain CROSSES the
+    // batch boundary through state; u2 purchases too late; u2 then
+    // re-anchors (fresh signup+click) and converts — the late-anchor
+    // rescue, also cross-batch
+    Files.writeString(java.nio.file.Paths.get(s"$evd/b2.json"), Seq(
+      row(1, 1.5, 6, "purchase"),
+      row(2, 5.0, 7, "purchase"),
+      row(2, 6.0, 8, "signup"), row(2, 6.5, 9, "click"),
+      row(2, 7.0, 10, "purchase")).mkString("", "\n", "\n"))
+    val now = System.currentTimeMillis()
+    Seq("b1.json" -> 2, "b2.json" -> 1).foreach { case (f, back) =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(s"$evd/$f"),
+        java.nio.file.attribute.FileTime.fromMillis(now - back * 60000L))
+    }
+    val steps = Seq("signup", "click", "purchase")
+    StreamFunnel.run(spark, evd, s"$dir/out", s"$dir/ckpt", steps,
+      windowMicros = 2 * H, maxFilesPerTrigger = Some(1))
+    val nBatches = new java.io.File(s"$dir/ckpt/offsets").list()
+      .count(!_.startsWith("."))
+    assert(nBatches >= 2, s"expected >=2 micro-batches, got $nBatches")
+    val log = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // each level emits exactly once per user, at its first certification
+    assert(log.groupBy(l => (l._1, l._2)).forall(_._2.length == 1),
+      s"duplicate level emissions: ${log.toSeq}")
+    assert(log.toSet == Set(
+      (1L, 1L, "signup", 0L), (1L, 2L, "click", (0.5 * H).toLong),
+      (1L, 3L, "purchase", (1.5 * H).toLong),
+      (2L, 1L, "signup", 0L), (2L, 2L, "click", (0.5 * H).toLong),
+      (2L, 3L, "purchase", (7.0 * H).toLong)), s"log: ${log.toSeq}")
+    // and the log's max level per user equals the batch DP on the union
+    import spark.implicits._
+    val all = spark.read.json(s"$evd/*.json")
+      .select(col("user_id"), timestamp_micros(col("ts_micros")).as("ts"),
+        col("event_id"), col("event_type"))
+    val batch = graft.ext.EventAnalytics.funnelWindowed(all, steps, 2 * H)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val streamedCounts = (1 to steps.size).map(i =>
+      i.toLong -> log.map(_._1).distinct.count(u =>
+        log.exists(l => l._1 == u && l._2 >= i)).toLong).toMap
+    assert(streamedCounts == batch,
+      s"streamed reach $streamedCounts != batch DP $batch")
+  }
+
   test("StreamResample end-to-end: validity range + watermark keep a corrupt feed serving") {
     import graft.streaming.StreamResample
     val hour = 3600L * 1000000L
