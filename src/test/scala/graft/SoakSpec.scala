@@ -148,6 +148,38 @@ class SoakSpec extends SparkSpec {
     Caches.invalidate(spark)
   }
 
+  test("funnel DP at 10×: ~linear wall, reach invariant, no fat single-task stage", Soak) {
+    import graft.ext.EventAnalytics
+    val steps = Seq("signup", "click", "purchase")
+    val W = 86400000000L
+    def events1x() = graft.sources.Tables.events(spark, base)
+      .select("user_id", "ts", "event_id", "event_type")
+    // 10× self-union with salted USERS: copy i shifts user_id, so the
+    // reach distribution replicates exactly 10× (each copy is an
+    // independent user population with identical event streams)
+    def events10x() = (0 until 10).map(i => events1x().select(
+      (col("user_id") + lit(i.toLong * 1000000000L)).as("user_id"),
+      col("ts"), (col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
+      col("event_type"))).reduce(_ unionByName _).repartition(16)
+    def run(d: DataFrame): (Map[Long, Long], Double) = {
+      Caches.invalidate(spark)
+      val t0 = System.nanoTime()
+      val reach = EventAnalytics.funnelWindowed(d, steps, W)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      (reach, (System.nanoTime() - t0) / 1e9)
+    }
+    run(events1x()) // warmup
+    val (r1, t1) = run(events1x())
+    val (r10, t10) = assertNoBigSingleTaskStage(500000L) { run(events10x()) }
+    // salted replication ⇒ every level's completion count scales ×10
+    assert(r10 == r1.map { case (k, v) => k -> v * 10 },
+      s"10× reach must be exactly 10× the 1× reach: $r1 vs $r10")
+    info(f"funnelWindowed wall: 1x=$t1%.2fs 10x=$t10%.2fs ratio=${t10 / t1}%.1f")
+    assert(t10 <= 30 * t1 + 5.0,
+      f"10x took ${t10 / t1}%.1f× the 1x time — not ~linear")
+    Caches.invalidate(spark)
+  }
+
   test("AQE skew-join split activates on a hot key under cluster-scale thresholds", Soak) {
     // the corpus-wide-boilerplate join shape: one key carries 500k rows.
     // Thresholds are scaled to the local fixture the way a cluster's
