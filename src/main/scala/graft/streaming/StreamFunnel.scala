@@ -39,6 +39,10 @@ object StreamFunnel {
     val k = steps.size
     val idx = steps.zipWithIndex.toMap
     val sorted = events.toSeq.sortBy(e => (e.ts_micros, e.event_id))
+      .filter(e => idx.contains(e.event_type))
+    // a key whose batch carried only non-step events must not ALLOCATE
+    // state (run() pre-filters, but update() is also a public kernel)
+    if (sorted.isEmpty && !state.exists) return Iterator.empty
     var st = state.getOption.getOrElse(
       FunnelState(Array.fill(math.max(k - 1, 1))(Long.MinValue), 0,
         Long.MinValue, Long.MinValue))
@@ -47,7 +51,7 @@ object StreamFunnel {
       idx.get(e.event_type).foreach { i =>
         val after = e.ts_micros > st.lastTs ||
           (e.ts_micros == st.lastTs && e.event_id > st.lastId)
-        if (after) {
+        if (after) { // regression fence: see PRECONDITION
           // reads see only STRICTLY PRECEDING events: this event's type
           // is i, and the transition reads b(i-1) / writes b(i), so the
           // read side cannot observe its own write
@@ -86,7 +90,13 @@ object StreamFunnel {
       StructField("event_type", StringType, nullable = false)))
     StreamDrive.jsonToParquet(spark, schema, evDir, outDir, checkpointDir,
       maxFilesPerTrigger) { df =>
-      val log: Dataset[Completion] = df.as[Ev]
+      // pre-filter to funnel types: non-step events neither shuffle nor
+      // allocate per-user state (a catalog-wide stream is mostly noise
+      // relative to any one funnel)
+      val log: Dataset[Completion] = df
+        .where(org.apache.spark.sql.functions.col("event_type")
+          .isin(steps: _*))
+        .as[Ev]
         .groupByKey(_.user_id)
         .flatMapGroupsWithState(OutputMode.Append(),
           GroupStateTimeout.NoTimeout())(update(steps, windowMicros))

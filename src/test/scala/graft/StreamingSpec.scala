@@ -994,6 +994,19 @@ class StreamingSpec extends SparkSpec {
         log.exists(l => l._1 == u && l._2 >= i)).toLong).toMap
     assert(streamedCounts == batch,
       s"streamed reach $streamedCounts != batch DP $batch")
+    // kernel guard: a batch of only non-step events must not ALLOCATE
+    // state for the key (catalog-wide streams are mostly noise relative
+    // to any one funnel — per-user state must track funnel entrants only)
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    val s0 = TestGroupState.create[StreamFunnel.FunnelState](
+      Optional.empty[StreamFunnel.FunnelState](),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+      0L, Optional.empty[Long](), false)
+    val none = StreamFunnel.update(steps, 2 * H)(9L,
+      Iterator(StreamFunnel.Ev(9L, 100L, 1L, "view")), s0).toSeq
+    assert(none.isEmpty && !s0.exists && !s0.isUpdated,
+      "noise-only batch must neither emit nor allocate state")
   }
 
   test("StreamResample end-to-end: validity range + watermark keep a corrupt feed serving") {
