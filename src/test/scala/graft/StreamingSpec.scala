@@ -994,6 +994,23 @@ class StreamingSpec extends SparkSpec {
         log.exists(l => l._1 == u && l._2 >= i)).toLong).toMap
     assert(streamedCounts == batch,
       s"streamed reach $streamedCounts != batch DP $batch")
+    // restart mid-feed: a NEW query on the same checkpoint + state must
+    // resume (u4 converts entirely in the new feed; u1/u2 re-emit
+    // NOTHING — their levels were already certified)
+    Files.writeString(java.nio.file.Paths.get(s"$evd/b3.json"), Seq(
+      row(1, 8.0, 11, "purchase"),
+      row(4, 9.0, 12, "signup"), row(4, 9.5, 13, "click"),
+      row(4, 9.9, 14, "purchase")).mkString("", "\n", "\n"))
+    StreamFunnel.run(spark, evd, s"$dir/out", s"$dir/ckpt", steps,
+      windowMicros = 2 * H, maxFilesPerTrigger = Some(1))
+    val log2 = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(log2.length == log.length + 3 &&
+      log2.groupBy(l => (l._1, l._2)).forall(_._2.length == 1),
+      s"restart must append exactly u4's three levels, no re-emits: ${log2.toSeq}")
+    assert(log2.toSet -- log.toSet == Set(
+      (4L, 1L, "signup", (9.0 * H).toLong), (4L, 2L, "click", (9.5 * H).toLong),
+      (4L, 3L, "purchase", (9.9 * H).toLong)), s"log2: ${log2.toSeq}")
     // kernel guard: a batch of only non-step events must not ALLOCATE
     // state for the key (catalog-wide streams are mostly noise relative
     // to any one funnel — per-user state must track funnel entrants only)
