@@ -49,6 +49,14 @@ object SparkEntryEvt {
       EventAnalytics.eventPaths(Tables.events(s, dir),
         maxGapMicros = 1800000000L)
     },
+    "x_attribution" -> { (s, dir) =>
+      // last-touch revenue attribution with a 6h lookback: the as-of
+      // join's staleness gate IS the lookback; unattributed purchases
+      // land in the (none) bucket so revenue always partitions
+      EventAnalytics.attributionLastTouch(Tables.events(s, dir),
+        purchaseType = "purchase", touchTypes = Seq("click", "view"),
+        lookbackSec = 21600L)
+    },
     "x_retention" -> { (s, dir) =>
       // day-cohort retention triangle: (first-event day, day offset) ->
       // active users; offset 0 is cohort size by construction
@@ -149,6 +157,25 @@ object SparkEntryEvt {
         "SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n_paths " +
         "FROM tri WHERE step2 IS NOT NULL AND step3 IS NOT NULL " +
         "AND g1 <= 1800000000 AND g2 <= 1800000000 GROUP BY 1, 2, 3"),
+    "x_attribution" ->
+      // DuckDB's native ASOF LEFT JOIN, with the same (user, ts)
+      // tie pre-dedup the engine's tiebreak implies and the lookback
+      // applied as a post-join CASE (stale match -> the (none) bucket,
+      // mirroring the as-of staleness gate nulling the payload)
+      ("WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "t AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS touch_ts, " +
+        "event_id AS touch_id, event_type AS channel " +
+        "FROM events WHERE event_type IN ('click', 'view') " +
+        "QUALIFY row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP) " +
+        "ORDER BY event_id DESC) = 1), " +
+        "j AS (SELECT p.value, CASE WHEN t.touch_ts IS NOT NULL AND " +
+        "epoch_us(p.ts) - epoch_us(t.touch_ts) <= 21600000000 " +
+        "THEN t.channel ELSE '(none)' END AS channel " +
+        "FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND t.touch_ts <= p.ts) " +
+        "SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value " +
+        "FROM j GROUP BY 1"),
     "x_retention" ->
       ("WITH f AS (SELECT user_id, date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS cohort " +
         "FROM events GROUP BY 1), " +

@@ -201,6 +201,36 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_paths"))
   }
 
+  /** Last-touch revenue attribution: every purchase credits its value to
+    * the user's most recent touch event (any of `touchTypes`) within
+    * `lookbackSec`; purchases with no touch inside the lookback land in
+    * the `(none)` bucket, so the report always partitions total revenue.
+    * This is the composition the as-of join exists for
+    * ([[graft.operators.TemporalJoins.asofLastBefore]] with its
+    * staleness gate = the attribution lookback) plus one
+    * map-side-combinable aggregation — bounded output (one row per
+    * channel + the none bucket). Ties (two touches at one timestamp)
+    * resolve to the larger event id, the as-of join's deterministic
+    * tiebreak. Money stays in DECIMAL(18,2) until the final cast. */
+  def attributionLastTouch(events: DataFrame, purchaseType: String,
+                           touchTypes: Seq[String], lookbackSec: Long,
+                           tsCol: String = "ts", userCol: String = "user_id",
+                           typeCol: String = "event_type"): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(purchaseType),
+      s"touch types must be non-empty and exclude the purchase type")
+    val p = events.where(col(typeCol) === purchaseType)
+      .select(col(userCol), col(tsCol), col("event_id"), col("value"))
+    val t = events.where(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol), col(tsCol).as("touch_ts"),
+        col("event_id").as("touch_id"), col(typeCol).as("channel"))
+    graft.operators.TemporalJoins.asofLastBefore(p, t, Seq(userCol),
+        tsCol, "touch_ts", "touch_id", maxGapSec = Some(lookbackSec))
+      .groupBy(coalesce(col("channel"), lit("(none)")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("attributed_value"))
+  }
+
   /** Cohort retention at day granularity: users cohort by the calendar
     * day of their FIRST event; each `(cohort, day_offset)` cell counts
     * the cohort's users active (≥1 event) on cohort-day + offset. The

@@ -211,6 +211,34 @@ class EventAnalyticsSpec extends SparkSpec {
       (a, b, c) != ("a", "x", "c") }, s"cross-user leakage: $got")
   }
 
+  test("attribution: last touch wins, lookback gates, ties break on event id, revenue partitions") {
+    import spark.implicits._
+    val events = Seq(
+      // u1: view then click then purchase -> click (last touch)
+      (1L, "2024-01-01 09:00:00", 1L, "view", 0.0),
+      (1L, "2024-01-01 10:00:00", 2L, "click", 0.0),
+      (1L, "2024-01-01 11:00:00", 3L, "purchase", 100.0),
+      // u2: only touch is 7h old -> outside the 6h lookback -> (none)
+      (2L, "2024-01-01 03:00:00", 4L, "view", 0.0),
+      (2L, "2024-01-01 10:00:00", 5L, "purchase", 50.0),
+      // u3: click and view at the SAME ts — larger event id (view) wins
+      (3L, "2024-01-01 10:00:00", 6L, "click", 0.0),
+      (3L, "2024-01-01 10:00:00", 7L, "view", 0.0),
+      (3L, "2024-01-01 10:30:00", 8L, "purchase", 25.0),
+      // u4: no touches at all -> (none)
+      (4L, "2024-01-01 10:00:00", 9L, "purchase", 10.0))
+      .toDF("user_id", "tss", "event_id", "event_type", "value")
+      .select(col("user_id"), to_timestamp(col("tss")).as("ts"),
+        col("event_id"), col("event_type"), col("value"))
+    val got = EventAnalytics.attributionLastTouch(events, "purchase",
+      Seq("click", "view"), lookbackSec = 21600L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == Map("click" -> (1L, 100.0), "view" -> (1L, 25.0),
+      "(none)" -> (2L, 60.0)), s"got $got")
+    // the report PARTITIONS total revenue — nothing dropped or doubled
+    assert(got.values.map(_._2).sum == 185.0)
+  }
+
   test("fixture laws: funnel drop-off is monotone; retention offset-0 sums to the user count") {
     val events = graft.sources.Tables.events(spark, sf)
     val f = EventAnalytics.funnel(events, SparkEntryEvt.FunnelSteps)

@@ -86,7 +86,7 @@ class PlanAuditSpec extends SparkSpec {
     // windowed funnel: one user-sort shuffle + per-branch union lineage;
     // latency histogram: the same sort + one band agg
     "x_funnel" -> 8, "x_funnel_window" -> 6, "x_funnel_latency" -> 2,
-    "x_event_paths" -> 2, "x_retention" -> 3,
+    "x_event_paths" -> 2, "x_attribution" -> 2, "x_retention" -> 3,
     // ANN
     "x_knn_cosine" -> 2, "x_knn_ivf" -> 2, "x_knn_ivf_delta" -> 2,
     "x_knn_ivfpq" -> 2,
