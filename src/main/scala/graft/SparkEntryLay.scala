@@ -2,7 +2,7 @@ package graft
 
 import graft.ext.{Audit, Curation, Dedup, Layout, Sketches}
 import graft.functions.TextFunctions
-import graft.sources.Tables
+import graft.sources.{Lake, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -90,7 +90,44 @@ object SparkEntryLay {
       Sketches.kmvTable(items, col("h"), "shard", KmvK))
   }
 
+  /** Partition-prune probe languages — shared with the oracle. */
+  private[graft] val PruneLangs = Seq("en", "de")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_bucketed_join" -> { (s, dir) =>
+      // the co-located fact↔fact join: both sides are stored hash-
+      // bucketed on the order key, so the merge join reads bucket i of
+      // lineitem against bucket i of orders with NO exchange and (one
+      // file per bucket, per-bucket sortBy) NO sort — the only shuffle
+      // in the whole plan is the final 5-row priority rollup. LakeSpec
+      // pins exactly that executed shape. The merge hints make the
+      // demonstration independent of the broadcast threshold; money
+      // stays decimal-exact until the final cast.
+      val l = Lake.bucketed(s, dir, "lineitem", "l_orderkey")
+      val o = Lake.bucketed(s, dir, "orders", "o_orderkey")
+      l.hint("merge").join(o.hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          count_distinct(col("o_orderkey")).as("n_orders"),
+          sum(dec(col("l_extendedprice")) *
+              (lit(java.math.BigDecimal.ONE) - col("l_discount").cast("decimal(4,2)")))
+            .cast("double").as("revenue"))
+    },
+    "x_partition_prune" -> { (s, dir) =>
+      // the selective scan against a directory-per-language layout: the
+      // lang IN (...) predicate resolves against partition DIRECTORIES
+      // during planning, so files of the other languages are never
+      // opened. LakeSpec asserts the scan's PartitionFilters and that
+      // every file actually read sits under a probed lang= directory.
+      Lake.partitioned(s, dir, "documents", "lang")
+        .where(col("lang").isin(PruneLangs: _*))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+    },
     "x_zorder_zonemap" -> { (s, dir) =>
       // the zone map itself: the per-zone min/max rectangle a writer
       // persists next to the data (≤ 4^bits rows). Tightness of these
@@ -282,6 +319,20 @@ object SparkEntryLay {
       s"ON p.$parentKey = c.$childKey"
 
   def oracleSql: Map[String, String] = Map(
+    "x_bucketed_join" ->
+      ("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items, " +
+        "CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"),
+
+    "x_partition_prune" ->
+      (s"SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "min(doc_id) AS min_doc, max(doc_id) AS max_doc FROM documents " +
+        s"WHERE lang IN (${PruneLangs.map(l => s"'$l'").mkString(", ")}) " +
+        "GROUP BY 1, 2"),
+
     "x_corpus_fingerprint" ->
       (s"SELECT source, CAST(count(*) AS BIGINT) AS n_rows, bit_xor(h) AS xor_sig " +
         s"FROM (SELECT source, ${SparkEntryExt.seedHashSql(FpSeed.toString, fpPayloadSql)} AS h " +

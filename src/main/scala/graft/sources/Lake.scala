@@ -1,0 +1,181 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Storage-layout materializations of the fixture tables: hash-BUCKETED
+  * copies (catalog tables carrying a bucket spec, so equi-joins and
+  * aggregations on the bucket key run with ZERO exchange) and
+  * hive-PARTITIONED copies (directory-per-value layout, so a filter on
+  * the partition column prunes whole directories before any file is
+  * opened).
+  *
+  * These are the two levers a 100 TB deployment pulls FIRST — bucketing
+  * turns every fact↔fact equi-join on the cluster key into a local merge
+  * (the shuffle that dominates such joins disappears from the plan, not
+  * just from the runtime), and partitioning turns selective scans into
+  * metadata operations — so the engine materializes them as first-class
+  * stored artifacts, exactly like the ArtifactStore's derived relations:
+  * content-keyed by the input's leaf files, written once per corpus
+  * version through an atomic tmp+rename, reused by every later session.
+  *
+  * Unlike the ArtifactStore's plan memos (pinned OFF in the test suite to
+  * keep plan shapes deterministic), the bucketed/partitioned LAYOUT IS
+  * the plan shape under test, so this store is always on; it degrades to
+  * returning the plain unbucketed frame on any IO/catalog failure
+  * (correctness preserved — the join merely shuffles again).
+  *
+  * Cluster note: bucket COUNT is a layout constant chosen per table at
+  * ingest (here [[DefaultBuckets]] for the local fixtures; a 100 TB
+  * lineitem would use thousands). Both join sides must share it — Spark
+  * only removes the exchange when the bucket specs line up. */
+object Lake {
+
+  /** Bucket count for the local fixture copies. Kept deliberately below
+    * the session's shuffle parallelism so a missed bucketed path is
+    * VISIBLE as a plan change, not hidden by equal partition counts. */
+  val DefaultBuckets = 16
+
+  private def root: java.nio.file.Path =
+    java.nio.file.Paths.get(System.getProperty("graft.buckets.dir",
+      sys.env.getOrElse("GRAFT_BUCKETS_DIR",
+        s"${System.getProperty("java.io.tmpdir")}/graft_buckets")))
+
+  /** `path|len|mtime` fingerprint of the frame's leaf files — same
+    * freshness contract as ArtifactStore's content keys (and the same
+    * documented mtime-granularity caveat). None ⇒ cannot key safely. */
+  private def leafKey(df: DataFrame): Option[String] =
+    try {
+      val plan = df.queryExecution.analyzed
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      val files = plan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.inputFiles.toSeq
+            case _ => Seq.empty[String]
+          }
+      }.flatten.sorted
+      if (files.isEmpty) None
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        files.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val st = p.getFileSystem(conf).getFileStatus(p)
+          md.update(s"$f|${st.getLen}|${st.getModificationTime}".getBytes("UTF-8"))
+          md.update(0.toByte)
+        }
+        Some(md.digest().map("%02x".format(_)).mkString.take(16))
+      }
+    } catch { case _: Exception => None }
+
+  /** Once per JVM, delete staging leftovers (`tmpw_*`) from crashed
+    * writers older than one hour — same torn-tmp policy as the
+    * ArtifactStore sweep. Committed layouts are never touched. */
+  private val sweptOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def sweepIfFirst(): Unit =
+    if (sweptOnce.compareAndSet(false, true)) try {
+      import scala.jdk.CollectionConverters._
+      val r = root
+      if (java.nio.file.Files.isDirectory(r)) {
+        val now = System.currentTimeMillis()
+        java.nio.file.Files.list(r).iterator().asScala
+          .filter(_.getFileName.toString.startsWith("tmpw_"))
+          .filter { p =>
+            (try java.nio.file.Files.getLastModifiedTime(p).toMillis
+             catch { case _: Exception => now }) < now - 3600 * 1000L
+          }
+          .foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
+      }
+    } catch { case _: Exception => () }
+
+  /** Move `tmp` to `dst` atomically; on a lost race (target exists),
+    * adopt the winner and discard ours. */
+  private def commitDir(tmp: java.nio.file.Path, dst: java.nio.file.Path): Unit =
+    try java.nio.file.Files.move(tmp, dst,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: Exception =>
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile); ()
+    }
+
+  private def hasSuccess(dir: java.nio.file.Path): Boolean =
+    java.nio.file.Files.exists(dir.resolve("_SUCCESS"))
+
+  /** A bucketed, per-bucket-sorted catalog copy of `table`, hash-bucketed
+    * on `keyCol`. The on-disk files are written ONCE per corpus version
+    * (content-keyed); each session only (re)registers the external
+    * catalog table over them. `repartition(n, key)` before the bucketed
+    * write uses the same murmur3 hash as the bucket id, so every bucket
+    * lands in exactly ONE file — which is also what lets Spark trust the
+    * per-bucket sort order and elide the merge-join's sorts. */
+  def bucketed(spark: SparkSession, sfDir: String, table: String,
+               keyCol: String, nBuckets: Int = DefaultBuckets): DataFrame = {
+    val df = Tables.load(spark, sfDir, table)
+    leafKey(df) match {
+      case None => df
+      case Some(k) =>
+        val tname = s"graft_bkt_${table}_${keyCol}_${nBuckets}_$k"
+        try {
+          if (!spark.catalog.tableExists(tname)) {
+            sweepIfFirst()
+            val dir = root.resolve(tname)
+            if (!hasSuccess(dir)) {
+              java.nio.file.Files.createDirectories(root)
+              // no leading underscore: DROP TABLE resolves the staged
+              // table's file index, and an underscore-prefixed location
+              // would be "all paths ignored" noise in the drive logs
+              val tmp = root.resolve(s"tmpw_${tname}_${java.util.UUID.randomUUID()}")
+              // bucketBy only writes through saveAsTable, so stage via a
+              // scratch external table, then drop it (files survive —
+              // external) and commit the directory under the content key
+              val wname = tname + "_w" + java.util.UUID.randomUUID().toString.replace("-", "")
+              df.repartition(nBuckets, col(keyCol))
+                .write.bucketBy(nBuckets, keyCol).sortBy(keyCol)
+                .option("path", tmp.toString).mode("overwrite").saveAsTable(wname)
+              spark.sql(s"DROP TABLE IF EXISTS $wname")
+              commitDir(tmp, dir)
+            }
+            if (!hasSuccess(dir)) return df
+            spark.sql(
+              s"CREATE TABLE $tname (${df.schema.toDDL}) USING parquet " +
+                s"CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $nBuckets BUCKETS " +
+                s"LOCATION '${dir.toUri}'")
+          }
+          spark.table(tname)
+        } catch { case _: Exception => df }
+    }
+  }
+
+  /** A hive-partitioned copy of `table`: one `partCol=value/` directory
+    * per distinct value. Reads go through parquet partition discovery, so
+    * an equality/IN filter on `partCol` becomes a PartitionFilter — the
+    * scan never lists, opens, or decodes files of other partitions.
+    * Column order and `partCol`'s type are restored to the source
+    * schema's (discovery re-types partition values and appends the
+    * column last). */
+  def partitioned(spark: SparkSession, sfDir: String, table: String,
+                  partCol: String): DataFrame = {
+    val df = Tables.load(spark, sfDir, table)
+    val srcCols = df.columns
+    def reorder(r: DataFrame): DataFrame =
+      r.select(srcCols.map { c =>
+        if (c == partCol) col(c).cast(df.schema(partCol).dataType).as(c) else col(c)
+      }.toIndexedSeq: _*)
+    leafKey(df) match {
+      case None => df
+      case Some(k) =>
+        val dname = s"graft_part_${table}_${partCol}_$k"
+        try {
+          sweepIfFirst()
+          val dir = root.resolve(dname)
+          if (!hasSuccess(dir)) {
+            java.nio.file.Files.createDirectories(root)
+            val tmp = root.resolve(s"tmpw_${dname}_${java.util.UUID.randomUUID()}")
+            df.write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
+            commitDir(tmp, dir)
+          }
+          if (!hasSuccess(dir)) df else reorder(spark.read.parquet(dir.toString))
+        } catch { case _: Exception => df }
+    }
+  }
+}

@@ -124,6 +124,10 @@ class PlanAuditSpec extends SparkSpec {
     "x_sketch_kmv_containment" -> 34, "x_quantiles" -> 1,
     "x_table_stats" -> 2, "x_corpus_fingerprint" -> 1, "x_fk_audit" -> 6,
     "x_zorder_prune" -> 1, "x_zorder_zonemap" -> 1,
+    // lake layouts: the bucketed join's only exchange is the final
+    // rollup (count_distinct's two-phase agg reuses it); the partitioned
+    // read pays one group-by exchange after directory pruning
+    "x_bucketed_join" -> 1, "x_partition_prune" -> 1,
   )
 
   /** a node line whose name starts with "Exchange " is a shuffle;
