@@ -1,8 +1,9 @@
 package graft
 
-import graft.ext.{Dedup, EventAnalytics}
+import graft.ext.{Dedup, EventAnalytics, Graph}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Fifth query batch: event-sequence analytics (ordered funnel, cohort
   * retention) and soft dedup — round-12 extensions, all with fully
@@ -23,7 +24,49 @@ object SparkEntryEvt {
   private[graft] val LatencyBandsMicros =
     Seq(3600000000L, 21600000000L, 86400000000L)
 
+  /** PageRank iteration count — shared with the oracle's unrolled CTEs. */
+  private[graft] val PageRankIters = 3
+
+  /** Undirected customer↔part co-purchase graph, as a symmetrized edge
+    * list with disjoint integer node ids (customer c → 2c, part p →
+    * 2p+1). Shared (memoized + persisted) by every graph query: the
+    * orders⋈lineitem distinct is one shuffle paid once per corpus, the
+    * same derived-edge-table contract a cluster materializes at ingest. */
+  private val edgesMemo = new graft.PlanMemo
+  private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val cp = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct()
+    val sym = cp.union(cp.select(col("dst").as("src"), col("src").as("dst")))
+    edgesMemo(sym, "cpEdges")(sym)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_pagerank" -> { (s, dir) =>
+      // damped PageRank over the co-purchase graph: per iteration one
+      // src-keyed join + one dst-keyed agg (2 exchanges, map-side
+      // combinable) — the Pregel superstep as a relational plan. Integer
+      // fixed-point mass makes every iteration bit-reproducible in the
+      // oracle's unrolled CTEs.
+      Graph.pageRank(coPurchaseEdges(s, dir), "src", "dst", PageRankIters)
+        .select(
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("part")).as("node_type"),
+          expr("node DIV 2").as("node_id"),
+          col("rank_scaled"))
+    },
+    "x_degree_stats" -> { (s, dir) =>
+      // degree histogram per node class — the skew gauge that decides
+      // salting/AQE settings for the iteration joins; output bounded by
+      // the distinct degree count
+      coPurchaseEdges(s, dir)
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .groupBy(when(col("src") % 2 === 0, lit("customer"))
+            .otherwise(lit("part")).as("node_type"), col("deg"))
+        .agg(count(lit(1)).as("n_nodes"))
+    },
     "x_funnel" -> { (s, dir) =>
       // ordered-funnel completion with greedy-earliest anchors: one row
       // per step including empty tails, so drop-off is directly readable
@@ -69,7 +112,37 @@ object SparkEntryEvt {
     },
   )
 
+  /** Shared graph CTEs: edge list + out-degrees, mirroring
+    * [[coPurchaseEdges]] (symmetrized ⇒ out-degree = degree). */
+  private val graphCte =
+    "WITH cp AS (SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+      "e AS (SELECT src, dst FROM cp UNION ALL SELECT dst AS src, src AS dst FROM cp), " +
+      "deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1)"
+
   def oracleSql: Map[String, String] = Map(
+    "x_pagerank" -> {
+      // the same fixed-point arithmetic, one CTE per iteration: floor
+      // divisions (DuckDB // = Spark DIV on this all-positive mass) make
+      // the chain exact, so the compare is hash-strict like every other
+      // oracle
+      val S = Graph.Scale
+      val (dn, dd) = (Graph.DampNum, Graph.DampDen)
+      val init = s"n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg), " +
+        s"r0 AS (SELECT id, $S // (SELECT n FROM n) AS r FROM deg)"
+      val its = (1 to PageRankIters).map { i =>
+        s"r$i AS (SELECT e.dst AS id, (SELECT ($S * ${dd - dn}) // ($dd * n) FROM n) + " +
+          s"($dn * sum(r.r // d.deg)) // $dd AS r " +
+          s"FROM e JOIN r${i - 1} r ON r.id = e.src JOIN deg d ON d.id = e.src " +
+          "GROUP BY e.dst)"
+      }
+      s"$graphCte, $init, ${its.mkString(", ")} " +
+        "SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'part' END AS node_type, " +
+        s"id // 2 AS node_id, r AS rank_scaled FROM r$PageRankIters"
+    },
+    "x_degree_stats" ->
+      (s"$graphCte SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'part' END AS node_type, " +
+        "deg, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1, 2"),
     "x_funnel" -> {
       // the same greedy-earliest chain, one CTE per step: step i is the
       // earliest type-s_i event strictly after step i-1's anchor

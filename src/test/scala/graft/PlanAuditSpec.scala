@@ -128,6 +128,10 @@ class PlanAuditSpec extends SparkSpec {
     // rollup (count_distinct's two-phase agg reuses it); the partitioned
     // read pays one group-by exchange after directory pruning
     "x_bucketed_join" -> 1, "x_partition_prune" -> 1,
+    // graph: the persisted edge artifact's lineage prints once per
+    // consumer (deg + per-iteration join), so pagerank's print count is
+    // inflated like j4/p10/kmv — its EXECUTED stages are pinned below
+    "x_pagerank" -> 28, "x_degree_stats" -> 4,
   )
 
   /** a node line whose name starts with "Exchange " is a shuffle;
@@ -153,7 +157,9 @@ class PlanAuditSpec extends SparkSpec {
     * stage shapes these numbers witness. */
   private val executedStageBudget: Map[String, Int] = Map(
     "j4_subtree_counts" -> 7, "p10_search_renest" -> 5,
-    "x_mv_incremental" -> 12)
+    // pagerank: edge-artifact build + degree agg + (join, agg) per
+    // iteration at 3 iterations — 2·iters + setup
+    "x_mv_incremental" -> 12, "x_pagerank" -> 9)
 
   /** Distinct shuffle stages of THIS query execution's final adaptive
     * plan. `collect()` (not `count()`) executes the df's own
