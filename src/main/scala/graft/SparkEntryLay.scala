@@ -128,6 +128,23 @@ object SparkEntryLay {
           min(col("doc_id")).as("min_doc"),
           max(col("doc_id")).as("max_doc"))
     },
+    "x_salted_join" -> { (s, dir) =>
+      // skew-salted join of the fact stream against a 6-row type
+      // dimension: event_type alone would hash every row of a type onto
+      // ONE reducer, so the join runs on (event_type, salt) with the
+      // dimension replicated 8x — the hot key now spans 8 reducers.
+      // Result is provably the plain join (oracle); SkewSpec pins the
+      // flattened shuffle histogram and the exact-equality law.
+      val e = Tables.events(s, dir)
+      val dim = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("type_total"))
+      graft.ext.Skew.saltedJoin(e, dim, Seq("event_type"),
+          col("event_id"), salts = 8)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast("double").as("sum_value"),
+          max(col("type_total")).as("type_total"))
+    },
     "x_zorder_zonemap" -> { (s, dir) =>
       // the zone map itself: the per-zone min/max rectangle a writer
       // persists next to the data (≤ 4^bits rows). Tightness of these
@@ -332,6 +349,14 @@ object SparkEntryLay {
         "min(doc_id) AS min_doc, max(doc_id) AS max_doc FROM documents " +
         s"WHERE lang IN (${PruneLangs.map(l => s"'$l'").mkString(", ")}) " +
         "GROUP BY 1, 2"),
+
+    "x_salted_join" ->
+      ("WITH dim AS (SELECT event_type, CAST(count(*) AS BIGINT) AS type_total " +
+        "FROM events GROUP BY 1) " +
+        "SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events, " +
+        "CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, " +
+        "max(d.type_total) AS type_total " +
+        "FROM events e JOIN dim d ON e.event_type = d.event_type GROUP BY 1"),
 
     "x_corpus_fingerprint" ->
       (s"SELECT source, CAST(count(*) AS BIGINT) AS n_rows, bit_xor(h) AS xor_sig " +

@@ -132,6 +132,8 @@ class PlanAuditSpec extends SparkSpec {
     // consumer (deg + per-iteration join), so pagerank's print count is
     // inflated like j4/p10/kmv — its EXECUTED stages are pinned below
     "x_pagerank" -> 28, "x_degree_stats" -> 4,
+    // salted join: dim agg + the (key, salt) join shuffle
+    "x_salted_join" -> 2,
   )
 
   /** a node line whose name starts with "Exchange " is a shuffle;

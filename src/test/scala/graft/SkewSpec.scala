@@ -121,6 +121,45 @@ class SkewSpec extends SparkSpec {
       s"missed true dups: $found")
   }
 
+  test("salted join equals the plain join and flattens the shuffle histogram") {
+    import spark.implicits._
+    // hot-key fixture: one key carries 90% of the fact rows
+    val big = spark.range(10000).select(
+      when(col("id") % 10 =!= 0, lit("hot")).otherwise(concat(lit("k"), col("id") % 5)).as("k"),
+      col("id").as("rid"))
+    val dim = Seq(("hot", 1L), ("k0", 2L), ("k1", 3L), ("k2", 4L),
+      ("k3", 5L), ("k4", 6L)).toDF("k", "payload")
+    val salts = 16
+    val salted = graft.ext.Skew.saltedJoin(big, dim, Seq("k"), col("rid"), salts)
+    val plain = big.join(dim, Seq("k"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+      "salting must not change the join result")
+    assert(!salted.columns.contains("__salt"), "salt column must not leak")
+    // shuffle histogram under Spark's own HashPartitioning arithmetic
+    // (murmur3 hash pmod p): the unsalted hot key pins ~90% of rows on
+    // one reducer; (key, salt) spreads them across `salts` reducers.
+    // p models a cluster's reducer count — it must exceed `salts` or
+    // salt-bucket collisions (8 combos into 8 bins) mask the flattening
+    val p = 32
+    def maxLoad(keyed: org.apache.spark.sql.DataFrame): Long = keyed
+      .groupBy(pmod(hash(keyed.columns.map(col).toIndexedSeq: _*), lit(p)).as("part"))
+      .agg(count(lit(1)).as("n")).agg(max("n")).head().getLong(0)
+    val unsaltedMax = maxLoad(big.select("k"))
+    val saltedMax = maxLoad(big.select(col("k"),
+      pmod(xxhash64(col("rid")), lit(salts.toLong)).as("__salt")))
+    assert(unsaltedMax >= 9000L, s"fixture lost its hot key ($unsaltedMax)")
+    // ≥3x: the ideal is `salts`x, but deterministic murmur3 collisions
+    // (several salt buckets sharing a reducer) keep the realized cut
+    // lower — the law pins the order of magnitude, not hash luck
+    assert(saltedMax * 3 <= unsaltedMax,
+      s"salting must cut the max reducer load ≥3x: $saltedMax vs $unsaltedMax")
+    // the executed join must actually key on the salt (no silent
+    // broadcast degrade)
+    salted.collect()
+    val planStr = salted.queryExecution.executedPlan.toString
+    assert(planStr.contains("__salt"), s"join did not shuffle on the salt:\n$planStr")
+  }
+
   test("dedupeLinesGlobal: a line shared by EVERY doc takes no single-task window") {
     // the operator's defining input: corpus-wide boilerplate. The old
     // line-keyed row_number window routed all 4000 copies of the banner
