@@ -1,7 +1,7 @@
 package graft
 
 import graft.ext.{Curation, Dedup, InvertedIndex, Pii, Similarity, Sketches, TextAnalysis}
-import graft.functions.TextFunctions
+import graft.functions.{TextFunctions, VectorFunctions}
 import graft.sources.Tables
 import graft.streaming.Ingest
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -19,6 +19,11 @@ object SparkEntryIdx {
   private val phrase = Seq("data", "table")
   /** BM25 terms: two dense + one rare (`dup`, df≈5%) so idf spread is real */
   private val bm25Terms = Seq("spark", "query", "dup")
+
+  /** Cluster-profile constants: k matches the fixture's 10 ground-truth
+    * labels; 3 Lloyd's iterations — shared with the oracle replay. */
+  private val ProfileK = 10
+  private val ProfileIters = 3
 
   /** Verification hook for x_sketch_hll (the [[Similarity.lastLearned]]
     * contract): the per-group HLL estimates of the most recent run, which
@@ -167,6 +172,30 @@ object SparkEntryIdx {
       // as literals
       Dedup.semanticNearDups(Tables.embeddings(s, dir), kCells = 8,
         iters = 2, minCos = 0.45)
+    },
+    "x_cluster_profile" -> { (s, dir) =>
+      // semantic clustering as a corpus-organization report: k-means
+      // cells (the IVF training path, own stash) scored against the
+      // fixture's ground-truth labels — per cell its size, majority
+      // label, and purity. Assignment is the map-only literal arg-max;
+      // the only shuffles are the two bounded aggs.
+      val embs = Tables.embeddings(s, dir)
+      val dim = VectorFunctions.probeDim(embs, "embedding")
+      val valid = embs.where(col("embedding").isNotNull &&
+        size(col("embedding")) === dim &&
+        !exists(col("embedding"), _.isNull) &&
+        VectorFunctions.norm(col("embedding")) > 0)
+      val cents = Similarity.learnedCentroids(valid, kCells = ProfileK,
+        iters = ProfileIters, stash = false)
+      Similarity.lastLearnedProfile = cents
+      Similarity.assignCells(valid, cents, "embedding")
+        .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("n"))
+        .groupBy(col("cell"))
+        .agg(sum(col("n")).as("n_vecs"),
+          max(struct(col("n"), (-col("label")).cast("long").as("nl"))).as("__m"))
+        .select(col("cell"), col("n_vecs"),
+          (-col("__m.nl")).as("top_label"), col("__m.n").as("n_top"),
+          expr("(1000000 * __m.n) DIV n_vecs").as("purity_ppm"))
     },
     "x_decontaminate_semantic" -> { (s, dir) =>
       // embedding-level eval-leakage check: vec_id < 25 plays the held-out
@@ -733,7 +762,8 @@ object SparkEntryIdx {
         "ORDER BY seq DESC, (op = 'delete') DESC, doc DESC NULLS LAST) AS rn " +
         "FROM log WHERE op IN ('insert', 'update', 'delete')) " +
         "WHERE rn = 1 AND op <> 'delete'"),
-  ) ++ pqOracle ++ semOracle ++ ivfPqOracle ++ xsemOracle ++ recallOracle ++ mrrOracle
+  ) ++ pqOracle ++ semOracle ++ ivfPqOracle ++ xsemOracle ++ recallOracle ++
+    mrrOracle ++ profileOracle
 
   /** x_decontaminate_semantic: stashed centroids as literals; both sides
     * assigned, across-side in-cell cosine, best bench match per flagged
@@ -764,6 +794,37 @@ object SparkEntryIdx {
           "(PARTITION BY vid ORDER BY cos DESC, bid) AS rn FROM pr) WHERE rn = 1"))
     case _ => Map.empty
   }
+
+  /** x_cluster_profile: the stashed centroids become VALUES literals,
+    * after which assignment (arg-max cosine, −2 floor, ties to lowest
+    * cell), the per-(cell, label) counts, majority label (ties to lowest
+    * label), and the ppm purity are deterministic SQL. */
+  private def profileOracle: Map[String, String] =
+    Similarity.lastLearnedProfile match {
+      case cents if cents.nonEmpty =>
+        val rows = cents.map { case (c, v) =>
+          s"($c, [${v.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+        }.mkString(", ")
+        Map("x_cluster_profile" ->
+          ("WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+            "d AS (SELECT len(v) AS dim FROM e WHERE len(v) > 0 LIMIT 1), " +
+            "val AS (SELECT vec_id, label, v FROM e, d WHERE len(v) = dim AND " +
+            "len(list_filter(v, x -> x IS NULL)) = 0 AND " +
+            "list_sum(list_transform(v, x -> x * x)) > 0), " +
+            s"cents(cell, cv) AS (VALUES $rows), " +
+            "assigned AS (SELECT vec_id, label, cell FROM (SELECT t.vec_id, t.label, c.cell, " +
+            "row_number() OVER (PARTITION BY t.vec_id ORDER BY " +
+            "coalesce(list_cosine_similarity(t.v, c.cv), -2.0) DESC, c.cell) AS rn " +
+            "FROM val t CROSS JOIN cents c) WHERE rn = 1), " +
+            "cl AS (SELECT cell, label, CAST(count(*) AS BIGINT) AS n FROM assigned GROUP BY 1, 2), " +
+            "tot AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n_vecs FROM cl GROUP BY 1), " +
+            "top AS (SELECT cell, CAST(label AS BIGINT) AS top_label, n AS n_top, " +
+            "row_number() OVER (PARTITION BY cell ORDER BY n DESC, label) AS rn FROM cl) " +
+            "SELECT t.cell, tot.n_vecs, t.top_label, t.n_top, " +
+            "(1000000 * t.n_top) // tot.n_vecs AS purity_ppm " +
+            "FROM top t JOIN tot USING (cell) WHERE t.rn = 1"))
+      case _ => Map.empty
+    }
 
   /** x_dedup_semantic: the learned centroids become VALUES literals (the
     * x_knn_ivf contract via [[graft.ext.Dedup.lastLearnedSem]]), after

@@ -127,6 +127,10 @@ object Similarity {
     * clobbered by the delta run, whatever the execution order. */
   @volatile var lastLearnedDelta: Seq[(Long, Array[Float])] = Nil
 
+  /** x_cluster_profile's centroid stash (same contract as [[lastLearned]];
+    * separate so the profile query can never clobber the IVF oracle). */
+  @volatile var lastLearnedProfile: Seq[(Long, Array[Float])] = Nil
+
   /** Incremental IVF maintenance: new embeddings join a LIVE index
     * without retraining it. The model (centroids learned on the base
     * corpus) is FROZEN; indexing the delta batch is [[assignCells]] —

@@ -134,6 +134,9 @@ class PlanAuditSpec extends SparkSpec {
     "x_pagerank" -> 28, "x_degree_stats" -> 4,
     // salted join: dim agg + the (key, salt) join shuffle
     "x_salted_join" -> 2,
+    // cluster profile: literal arg-max assignment is map-only; the two
+    // bounded aggs (cell-label counts, per-cell rollup) each shuffle once
+    "x_cluster_profile" -> 2,
   )
 
   /** a node line whose name starts with "Exchange " is a shuffle;

@@ -287,4 +287,19 @@ class PqSpec extends SparkSpec {
     // nearest by construction: 1 and 3 share vec 0's half-space codes
     assert(out.collect().filter(_.getInt(1) <= 2).map(_.getLong(2)).toSet == Set(1L, 3L))
   }
+
+  test("x_cluster_profile: cells partition the corpus; purity holds its pigeonhole floor") {
+    // NOTE the fixture's labels are deliberately near-orthogonal noise in
+    // embedding space (within-label avg cosine ≈ across-label), so HIGH
+    // purity would be a bug, not a target — the laws here are structural:
+    // the cells exactly partition the valid vectors, every majority count
+    // is consistent, and purity can never undercut the 1/k pigeonhole
+    val q = SparkEntry.queries("x_cluster_profile")(spark, sf).collect()
+    val total = Tables.embeddings(spark, sf).count()
+    assert(q.map(_.getLong(1)).sum == total, "cells must partition all vectors")
+    assert(q.forall(r => r.getLong(3) <= r.getLong(1)), "majority ≤ cell size")
+    assert(q.forall(r => r.getLong(4) >= 1000000L / 10), // k = 10 labels
+      s"purity under the pigeonhole floor: ${q.mkString(";")}")
+    assert(q.forall(r => r.getLong(4) == 1000000L * r.getLong(3) / r.getLong(1)))
+  }
 }
