@@ -67,6 +67,11 @@ object SparkEntryEvt {
             .otherwise(lit("part")).as("node_type"), col("deg"))
         .agg(count(lit(1)).as("n_nodes"))
     },
+    "x_anomaly_days" -> { (s, dir) =>
+      // spend-spike report: days where a user ran >3x their own cross-day
+      // average, decided division-free in exact decimal arithmetic
+      EventAnalytics.anomalousDays(Tables.events(s, dir), factor = 3)
+    },
     "x_funnel" -> { (s, dir) =>
       // ordered-funnel completion with greedy-earliest anchors: one row
       // per step including empty tails, so drop-off is directly readable
@@ -143,6 +148,17 @@ object SparkEntryEvt {
     "x_degree_stats" ->
       (s"$graphCte SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'part' END AS node_type, " +
         "deg, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1, 2"),
+    "x_anomaly_days" ->
+      ("WITH d AS (SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, " +
+        "CAST(count(*) AS BIGINT) AS n_events, " +
+        "sum(CAST(value AS DECIMAL(18,2))) AS day_sum FROM events GROUP BY 1, 2), " +
+        "u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS days_active, " +
+        "sum(day_sum) AS total FROM d GROUP BY 1) " +
+        "SELECT d.user_id, CAST(d.day AS TIMESTAMP) AS day, d.n_events, " +
+        "CAST(d.day_sum AS DOUBLE) AS day_value, u.days_active, " +
+        "CAST(u.total AS DOUBLE) AS user_total " +
+        "FROM d JOIN u USING (user_id) " +
+        "WHERE d.day_sum * u.days_active > 3 * u.total"),
     "x_funnel" -> {
       // the same greedy-earliest chain, one CTE per step: step i is the
       // earliest type-s_i event strictly after step i-1's anchor

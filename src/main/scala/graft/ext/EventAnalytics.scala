@@ -254,4 +254,31 @@ object EventAnalytics {
         datediff(col("__d"), col("cohort")).cast("long").as("day_offset"))
       .agg(count(lit(1)).as("n_active"))
   }
+
+  /** Behavioral anomaly report: the days a user's spend ran more than
+    * `factor`× their own cross-day average. The test is the
+    * division-free `day_sum · days_active > factor · total` (all
+    * DECIMAL/integer arithmetic — exact and associative, so the flags
+    * are bit-identical across engines and partitionings; a ratio of
+    * doubles could flip a boundary day between the run and its oracle).
+    *
+    * Two map-side-combinable aggregations plus one user-keyed join of
+    * bounded relations (≤ users·days rows); no windows, no skew cliff —
+    * a hot user only widens its own day rows. */
+  def anomalousDays(events: DataFrame, factor: Int = 3,
+                    tsCol: String = "ts", userCol: String = "user_id",
+                    valCol: String = "value"): DataFrame = {
+    require(factor >= 1, s"factor=$factor must be ≥ 1")
+    val daily = events.groupBy(col(userCol),
+        date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valCol).cast("decimal(18,2)")).as("__day_sum"))
+    val perUser = daily.groupBy(col(userCol))
+      .agg(count(lit(1)).as("days_active"), sum(col("__day_sum")).as("__total"))
+    daily.join(perUser, Seq(userCol))
+      .where(col("__day_sum") * col("days_active") > lit(factor) * col("__total"))
+      .select(col(userCol), col("day"), col("n_events"),
+        col("__day_sum").cast("double").as("day_value"),
+        col("days_active"), col("__total").cast("double").as("user_total"))
+  }
 }

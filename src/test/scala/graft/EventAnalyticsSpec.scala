@@ -302,4 +302,28 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(eb > 750000L, s"subset side must estimate near-full containment: $eb")
     assert(ea < 350000L, s"superset side must estimate low containment: $ea")
   }
+
+  test("anomalousDays flags exactly the spike day, never the flat user") {
+    import spark.implicits._
+    import graft.ext.EventAnalytics
+    def ev(u: Long, day: Int, v: Double, id: Long) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), u, "e", v)
+    // user 1: 10.0 on nine days, 500.0 on day 10 (avg 59 → spike > 3x avg)
+    // user 2: flat 50.0 across ten days (no day can exceed 3x its own avg)
+    val rows = (1 to 9).map(d => ev(1L, d, 10.0, d.toLong)) ++
+      Seq(ev(1L, 10, 500.0, 10L)) ++
+      (1 to 10).map(d => ev(2L, d, 50.0, 100L + d))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventAnalytics.anomalousDays(df, factor = 3).collect()
+    assert(got.length == 1 && got.head.getLong(0) == 1L)
+    assert(got.head.getTimestamp(1).toString.startsWith("2024-01-10"))
+    assert(got.head.getDouble(3) == 500.0 && got.head.getLong(4) == 10L)
+    // boundary exactness (strict >): two equal days at factor 1 sit
+    // EXACTLY at the average — decimal arithmetic must exclude both,
+    // where a double ratio could flip either way
+    val boundary = Seq(ev(3L, 1, 10.0, 201L), ev(3L, 2, 10.0, 202L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(EventAnalytics.anomalousDays(boundary, factor = 1).collect().isEmpty,
+      "a day exactly at the average must not flag")
+  }
 }

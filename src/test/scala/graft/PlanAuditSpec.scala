@@ -85,6 +85,8 @@ class PlanAuditSpec extends SparkSpec {
     // union branch); retention = 2 aggs + 1 user join
     // windowed funnel: one user-sort shuffle + per-branch union lineage;
     // latency histogram: the same sort + one band agg
+    // anomaly: (user, day) agg + per-user rollup + the user-keyed join
+    "x_anomaly_days" -> 3,
     "x_funnel" -> 8, "x_funnel_window" -> 6, "x_funnel_latency" -> 2,
     "x_event_paths" -> 2, "x_attribution" -> 2, "x_retention" -> 3,
     // ANN
