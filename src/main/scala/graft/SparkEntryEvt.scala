@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, EventAnalytics, Graph}
+import graft.ext.{Audit, Dedup, EventAnalytics, Graph, Sketches}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -33,15 +33,22 @@ object SparkEntryEvt {
     * orders⋈lineitem distinct is one shuffle paid once per corpus, the
     * same derived-edge-table contract a cluster materializes at ingest. */
   private val edgesMemo = new graft.PlanMemo
-  private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val cp = Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+  private def edgesOf(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val cp = orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"),
         (col("l_partkey") * 2 + 1).as("dst"))
       .distinct()
     val sym = cp.union(cp.select(col("dst").as("src"), col("src").as("dst")))
     edgesMemo(sym, "cpEdges")(sym)
   }
+  private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    edgesOf(Tables.orders(s, dir), Tables.lineitem(s, dir))
+  /** The delta scenario's BASE graph: every 10th order's purchases have
+    * not arrived yet (shared with the oracle's filtered CTE). */
+  private[graft] def baseEdges(s: SparkSession, dir: String): DataFrame =
+    edgesOf(Tables.orders(s, dir).where(col("o_orderkey") % 10 =!= 0),
+      Tables.lineitem(s, dir))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_pagerank" -> { (s, dir) =>
@@ -51,6 +58,21 @@ object SparkEntryEvt {
       // fixed-point mass makes every iteration bit-reproducible in the
       // oracle's unrolled CTEs.
       Graph.pageRank(coPurchaseEdges(s, dir), "src", "dst", PageRankIters)
+        .select(
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("part")).as("node_type"),
+          expr("node DIV 2").as("node_id"),
+          col("rank_scaled"))
+    },
+    "x_pagerank_delta" -> { (s, dir) =>
+      // incremental maintenance: rank the 90%-of-orders base graph with
+      // the full 3 iterations, then absorb the arriving 10% as ONE
+      // warm-start refresh iteration over the full edge list — the
+      // delta-index contract (x_index_delta / x_knn_ivf_delta) applied
+      // to the iterative-graph family. GraphSpec proves the refresh
+      // tracks the full rebuild strictly closer than a cold iteration.
+      val prior = Graph.pageRank(baseEdges(s, dir), "src", "dst", PageRankIters)
+      Graph.pageRankFrom(prior, coPurchaseEdges(s, dir), "src", "dst", 1)
         .select(
           when(col("node") % 2 === 0, lit("customer"))
             .otherwise(lit("part")).as("node_type"),
@@ -117,33 +139,60 @@ object SparkEntryEvt {
     },
   )
 
-  /** Shared graph CTEs: edge list + out-degrees, mirroring
-    * [[coPurchaseEdges]] (symmetrized ⇒ out-degree = degree). */
-  private val graphCte =
-    "WITH cp AS (SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst " +
-      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
-      "e AS (SELECT src, dst FROM cp UNION ALL SELECT dst AS src, src AS dst FROM cp), " +
-      "deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1)"
+  /** Graph CTE builder: edge list + out-degrees + vertex count for one
+    * edge set, name-prefixed so the delta oracle can hold the base and
+    * full graphs side by side. Mirrors [[coPurchaseEdges]]/[[baseEdges]]
+    * (symmetrized ⇒ out-degree = degree). */
+  private def graphCteFor(p: String, where: String): String =
+    s"cp$p AS (SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst " +
+      s"FROM orders JOIN lineitem ON o_orderkey = l_orderkey$where), " +
+      s"e$p AS (SELECT src, dst FROM cp$p UNION ALL SELECT dst AS src, src AS dst FROM cp$p), " +
+      s"deg$p AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM e$p GROUP BY 1), " +
+      s"n$p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg$p)"
+  private val graphCte = "WITH " + graphCteFor("", "")
+
+  /** One PageRank iteration as SQL over the `p`-prefixed graph: the same
+    * fixed-point arithmetic as [[Graph]] — floor divisions (DuckDB // =
+    * Spark DIV on this all-positive mass) keep the chain exact, so the
+    * compares stay hash-strict. */
+  private def prIterSql(p: String, out: String, in: String): String = {
+    val S = Graph.Scale
+    val (dn, dd) = (Graph.DampNum, Graph.DampDen)
+    s"$out AS (SELECT e$p.dst AS id, (SELECT ($S * ${dd - dn}) // ($dd * n) FROM n$p) + " +
+      s"($dn * sum(r.r // d.deg)) // $dd AS r " +
+      s"FROM e$p JOIN $in r ON r.id = e$p.src JOIN deg$p d ON d.id = e$p.src " +
+      s"GROUP BY e$p.dst)"
+  }
+
+  private val prSelect =
+    "SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'part' END AS node_type, " +
+      "id // 2 AS node_id, r AS rank_scaled FROM "
 
   def oracleSql: Map[String, String] = Map(
     "x_pagerank" -> {
-      // the same fixed-point arithmetic, one CTE per iteration: floor
-      // divisions (DuckDB // = Spark DIV on this all-positive mass) make
-      // the chain exact, so the compare is hash-strict like every other
-      // oracle
+      val init = s"r0 AS (SELECT id, ${Graph.Scale} // (SELECT n FROM n) AS r FROM deg)"
+      val its = (1 to PageRankIters).map(i => prIterSql("", s"r$i", s"r${i - 1}"))
+      s"$graphCte, $init, ${its.mkString(", ")} $prSelect r$PageRankIters"
+    },
+    "x_pagerank_delta" -> {
+      // base chain (orders % 10 <> 0) at full depth, then ONE refresh
+      // iteration over the full graph, initialized from the base ranks
+      // (new vertices seed at the uniform mass) — exactly pageRankFrom
       val S = Graph.Scale
-      val (dn, dd) = (Graph.DampNum, Graph.DampDen)
-      val init = s"n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg), " +
-        s"r0 AS (SELECT id, $S // (SELECT n FROM n) AS r FROM deg)"
-      val its = (1 to PageRankIters).map { i =>
-        s"r$i AS (SELECT e.dst AS id, (SELECT ($S * ${dd - dn}) // ($dd * n) FROM n) + " +
-          s"($dn * sum(r.r // d.deg)) // $dd AS r " +
-          s"FROM e JOIN r${i - 1} r ON r.id = e.src JOIN deg d ON d.id = e.src " +
-          "GROUP BY e.dst)"
-      }
-      s"$graphCte, $init, ${its.mkString(", ")} " +
-        "SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'part' END AS node_type, " +
-        s"id // 2 AS node_id, r AS rank_scaled FROM r$PageRankIters"
+      val baseInit = s"b0 AS (SELECT id, $S // (SELECT n FROM nb) AS r FROM degb)"
+      val baseIts = (1 to PageRankIters).map(i => prIterSql("b", s"b$i", s"b${i - 1}"))
+      // seed + exact mass renormalization back to Scale (HUGEINT mirrors
+      // Spark's DECIMAL(38,0) IntegralDivide — see Graph.pageRankFrom)
+      val warm = s"fraw AS (SELECT deg.id, coalesce(b$PageRankIters.r, " +
+        s"$S // (SELECT n FROM n)) AS r FROM deg " +
+        s"LEFT JOIN b$PageRankIters ON b$PageRankIters.id = deg.id), " +
+        s"ftot AS (SELECT CAST(sum(r) AS HUGEINT) AS t FROM fraw), " +
+        s"f0 AS (SELECT id, CAST(CAST(r AS HUGEINT) * $S // (SELECT t FROM ftot) " +
+        "AS BIGINT) AS r FROM fraw)"
+      "WITH " + graphCteFor("b", " WHERE o_orderkey % 10 <> 0") + ", " +
+        graphCteFor("", "") + ", " +
+        s"$baseInit, ${baseIts.mkString(", ")}, $warm, " +
+        prIterSql("", "f1", "f0") + " " + prSelect + "f1"
     },
     "x_degree_stats" ->
       (s"$graphCte SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'part' END AS node_type, " +

@@ -93,6 +93,28 @@ object SparkEntryLay {
   /** Partition-prune probe languages — shared with the oracle. */
   private[graft] val PruneLangs = Seq("en", "de")
 
+  /** The orders data contract: (rule, Spark predicate, DuckDB predicate)
+    * triples — ONE list feeds both engines so the contract can never
+    * diverge from its oracle. `price_under_100k` is deliberately
+    * violated by the fixture, so the report proves non-zero counts
+    * surface instead of vacuous passes. */
+  private[graft] val ContractRules: Seq[(String, Column, String)] = Seq(
+    ("orderkey_not_null", col("o_orderkey").isNotNull,
+      "o_orderkey IS NOT NULL"),
+    ("orderkey_positive", col("o_orderkey") > 0, "o_orderkey > 0"),
+    ("status_in_domain", col("o_orderstatus").isin("F", "O", "P"),
+      "o_orderstatus IN ('F', 'O', 'P')"),
+    ("priority_format", col("o_orderpriority").rlike("^[1-5]-"),
+      "regexp_matches(o_orderpriority, '^[1-5]-')"),
+    ("price_range", col("o_totalprice").between(0.0, 1000000.0),
+      "o_totalprice BETWEEN 0 AND 1000000"),
+    ("date_in_window",
+      col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("2002-01-01").cast("timestamp"),
+      "o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '2002-01-01'"),
+    ("price_under_100k", col("o_totalprice") <= 100000.0,
+      "o_totalprice <= 100000"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_bucketed_join" -> { (s, dir) =>
       // the co-located fact↔fact join: both sides are stored hash-
@@ -127,6 +149,13 @@ object SparkEntryLay {
           sum(col("n_chars")).as("sum_chars"),
           min(col("doc_id")).as("min_doc"),
           max(col("doc_id")).as("max_doc"))
+    },
+    "x_expectations" -> { (s, dir) =>
+      // the declarative data contract: one scan of orders evaluates
+      // every rule (conditional sums over the same pass), unpivoted to
+      // one (rule, n_rows, n_violations, pass) row each
+      graft.ext.Audit.expectations(Tables.orders(s, dir),
+        ContractRules.map(r => (r._1, r._2)))
     },
     "x_salted_join" -> { (s, dir) =>
       // skew-salted join of the fact stream against a 6-row type
@@ -349,6 +378,17 @@ object SparkEntryLay {
         "min(doc_id) AS min_doc, max(doc_id) AS max_doc FROM documents " +
         s"WHERE lang IN (${PruneLangs.map(l => s"'$l'").mkString(", ")}) " +
         "GROUP BY 1, 2"),
+
+    "x_expectations" -> {
+      // same rule list, same NULL-fails-the-expectation coalesce
+      val sums = ContractRules.zipWithIndex.map { case ((_, _, sql), i) =>
+        s"CAST(sum(CASE WHEN coalesce($sql, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v$i"
+      }.mkString(", ")
+      val branches = ContractRules.zipWithIndex.map { case ((name, _, _), i) =>
+        s"SELECT '$name' AS rule, n AS n_rows, v$i AS n_violations, v$i = 0 AS pass FROM t"
+      }.mkString(" UNION ALL ")
+      s"WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n, $sums FROM orders) $branches"
+    },
 
     "x_salted_join" ->
       ("WITH dim AS (SELECT event_type, CAST(count(*) AS BIGINT) AS type_total " +

@@ -72,4 +72,89 @@ object Audit {
       .select(lit(rel).as("relationship"), col("n_child"),
         col("n_null_keys"), col("n_orphans"))
   }
+
+  /** Declarative data-contract evaluation: `rules` is a list of named
+    * row predicates; ONE corpus scan computes every rule's violation
+    * count (each is a map-side-combinable conditional sum over the same
+    * pass), then a literal-array explode unpivots the single result row
+    * into `(rule, n_rows, n_violations, pass)` — bounded output, one
+    * row per rule.
+    *
+    * NULL convention: a predicate evaluating to NULL (e.g. a range test
+    * on a NULL column) counts as a VIOLATION — an expectation that
+    * cannot be affirmed is not met. Spell `isNull`-tolerant rules
+    * explicitly (`c.isNull || c.between(...)`) where NULL is allowed. */
+  /** Integer-exact distribution drift between two cohorts of one
+    * relation (corpus snapshot A vs B, last week vs this week): histogram
+    * both cohorts per `group` over `bucket` in ONE scan (conditional
+    * sums), then report the cross-multiplied L1 distance
+    * Σ_b |c_A(b)·n_B − c_B(b)·n_A| per group — the total-variation
+    * numerator scaled by n_A·n_B, kept in BIGINT so no division touches
+    * the compare (divide by n_A·n_B·2 off-engine for the [0,1] TV
+    * distance). Output is group-bounded: (group, n_a, n_b, n_buckets,
+    * l1_cross). Counts ≤ 2^31 keep every product well inside Long.
+    *
+    * This is the drift monitor a training pipeline runs between corpus
+    * versions: a big l1_cross on a feature histogram means the new
+    * snapshot shifted distribution and downstream mixes need re-weighing.
+    * Two map-side-combinable aggregations — no joins on data. */
+  def histogramDrift(df: DataFrame, group: Column, bucket: Column,
+                     inA: Column): DataFrame = {
+    val h = df.groupBy(group.as("grp"), bucket.as("__b"))
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(inA, 0L).otherwise(1L)).as("__cb"))
+    val tot = h.groupBy("grp")
+      .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    h.join(tot, Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        count(lit(1)).as("n_buckets"),
+        sum(abs(col("__ca") * col("__nb") - col("__cb") * col("__na")))
+          .as("l1_cross"))
+  }
+
+  /** Pre-join explosion audit: for an intended `left ⋈ right` equi-join,
+    * report the `topK` keys by OUTPUT contribution (n_left·n_right) —
+    * the report you run BEFORE shipping a 100 TB join, because one hot
+    * key that would put 10^10 rows on a single reducer is visible here
+    * for the cost of two map-side-combinable counts over key-cardinality
+    * data. Keys over a salting threshold go to [[graft.ext.Skew]]'s
+    * salted path; the rest join plain. Two-phase top-k (partition-local
+    * rank, then a final rank over ≤ partitions·topK survivors) — no
+    * global sort, no single-task window over key-cardinality data. Ties
+    * break on key for a deterministic oracle. */
+  def joinSkewReport(left: DataFrame, leftKey: Column,
+                     right: DataFrame, rightKey: Column,
+                     topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, s"joinSkewReport(topK=$topK)")
+    val lc = left.groupBy(leftKey.as("key")).agg(count(lit(1)).as("n_left"))
+    val rc = right.groupBy(rightKey.as("key")).agg(count(lit(1)).as("n_right"))
+    val contrib = lc.join(rc, Seq("key"))
+      .select(col("key"), col("n_left"), col("n_right"),
+        (col("n_left") * col("n_right")).as("out_rows"))
+    val local = Window.partitionBy(col("__pid"))
+      .orderBy(col("out_rows").desc, col("key"))
+    val global = Window.orderBy(col("out_rows").desc, col("key"))
+    contrib.withColumn("__pid", spark_partition_id())
+      .withColumn("__lrk", row_number().over(local)).where(col("__lrk") <= topK)
+      .withColumn("__rk", row_number().over(global)).where(col("__rk") <= topK)
+      .drop("__pid", "__lrk", "__rk")
+  }
+
+  def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "an empty contract audits nothing")
+    require(rules.map(_._1).distinct.size == rules.size,
+      s"duplicate rule names: ${rules.map(_._1)}")
+    val aggs = rules.map { case (n, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v_$n")
+    }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val pairs = rules.map { case (n, _) =>
+      struct(lit(n).as("rule"), col(s"__v_$n").as("nv"))
+    }
+    row.select(col("__n"), explode(array(pairs: _*)).as("r"))
+      .select(col("r.rule").as("rule"), col("__n").as("n_rows"),
+        col("r.nv").as("n_violations"), (col("r.nv") === 0L).as("pass"))
+  }
 }

@@ -61,4 +61,25 @@ class AuditSpec extends SparkSpec {
     assert((got.getLong(1), got.getLong(2), got.getLong(3)) == ((4L, 2L, 1L)),
       s"want (n_child=4, n_null_keys=2, n_orphans=1), got $got")
   }
+
+  test("expectations: one scan, NULL fails the rule, pass flags exact") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((Some(1L), "a"), (Some(-2L), "b"), (None, "a"))
+      .toDF("v", "tag")
+    val got = Audit.expectations(df, Seq(
+      ("v_not_null", col("v").isNotNull),
+      ("v_positive", col("v") > 0), // NULL row must count as a violation
+      ("tag_in_domain", col("tag").isin("a", "b"))))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got("v_not_null") == ((3L, 1L, false)))
+    assert(got("v_positive") == ((3L, 2L, false)), "NULL comparison must fail the rule")
+    assert(got("tag_in_domain") == ((3L, 0L, true)))
+    intercept[IllegalArgumentException] {
+      Audit.expectations(df, Seq(("dup", col("v").isNotNull), ("dup", col("v") > 0)))
+    }
+    intercept[IllegalArgumentException] {
+      Audit.expectations(df, Seq.empty)
+    }
+  }
 }

@@ -134,6 +134,12 @@ class PlanAuditSpec extends SparkSpec {
     // consumer (deg + per-iteration join), so pagerank's print count is
     // inflated like j4/p10/kmv — its EXECUTED stages are pinned below
     "x_pagerank" -> 28, "x_degree_stats" -> 4,
+    // delta refresh: base chain (3 iters over the filtered edge
+    // artifact) + seed join/renormalize + ONE full-graph iteration —
+    // print count inflated by the two edge artifacts' shared lineage
+    "x_pagerank_delta" -> 40,
+    // data contract: one scan, every rule a conditional sum in ONE agg
+    "x_expectations" -> 1,
     // salted join: dim agg + the (key, salt) join shuffle
     "x_salted_join" -> 2,
     // cluster profile: literal arg-max assignment is map-only; the two
