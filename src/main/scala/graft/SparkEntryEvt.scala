@@ -137,6 +137,58 @@ object SparkEntryEvt {
       // exact-duplicate class to unit mass instead of dropping copies
       Dedup.softWeights(Tables.documents(s, dir))
     },
+    "x_drift_report" -> { (s, dir) =>
+      // corpus-drift monitor: value histogram (width-25 buckets) of the
+      // month's first half vs second half, per event type — one scan,
+      // cross-multiplied integer L1 so no division touches the compare
+      Audit.histogramDrift(Tables.events(s, dir), col("event_type"),
+          floor(col("value") / lit(25.0)).cast("long"),
+          dayofmonth(col("ts")) <= 15)
+        .select(col("grp").as("event_type"), col("n_a"), col("n_b"),
+          col("n_buckets"), col("l1_cross"))
+    },
+    "x_join_size_est" -> { (s, dir) =>
+      // join-size estimation from ingest-time sketches: the CMS
+      // inner-product upper bound for the events self-join on user_id
+      // (= AMS F2) next to the exact Σc² — the cardinality gauge an
+      // optimizer reads BEFORE committing the corpus to a shuffle
+      val ev = Tables.events(s, dir)
+      val cms = Sketches.cmsTable(ev, col("user_id"))
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("__c"))
+        .agg(sum(col("__c") * col("__c")).as("join_rows"))
+        .select(lit("exact").as("method"), col("join_rows"))
+      exact.unionByName(Sketches.cmsJoinSize(cms, cms)
+        .select(lit("cms_est").as("method"), col("est_rows").as("join_rows")))
+    },
+    "x_join_skew_report" -> { (s, dir) =>
+      // pre-join explosion audit: top-10 keys by output contribution for
+      // the orders⋈events enrichment join — two counts + two-phase top-k
+      Audit.joinSkewReport(Tables.orders(s, dir), col("o_custkey"),
+        Tables.events(s, dir), col("user_id"), topK = 10)
+    },
+    "x_butterfly" -> { (s, dir) =>
+      // bipartite 4-cycle census of the co-purchase graph, off the SAME
+      // persisted symmetric edge artifact as pagerank (even src = the
+      // customer side, so each bipartite edge appears exactly once)
+      val bip = coPurchaseEdges(s, dir).where(col("src") % 2 === 0)
+        .select(expr("src DIV 2").as("u"), expr("dst DIV 2").as("v"))
+      Graph.butterflyCensus(bip, "u", "v")
+    },
+    "x_recon_report" -> { (s, dir) =>
+      // stored-rollup vs re-derived-children reconciliation in exact
+      // cents (the fixture's o_totalprice ≠ Σ extendedprice by design —
+      // non-zero diffs prove the report surfaces corruption)
+      Audit.moneyReconcile(Tables.orders(s, dir), col("o_orderkey"),
+          col("o_totalprice"), Tables.lineitem(s, dir), col("l_orderkey"),
+          col("l_extendedprice"), col("o_orderstatus"))
+        .withColumnRenamed("grp", "o_orderstatus")
+    },
+    "x_active_users" -> { (s, dir) =>
+      // DAU + exact 7-day rolling distinct users via the window-end
+      // expansion (equi-shuffles only — no range join, no sliding
+      // count_distinct window)
+      EventAnalytics.activeUsers(Tables.events(s, dir), windowDays = 7)
+    },
   )
 
   /** Graph CTE builder: edge list + out-degrees + vertex count for one
@@ -329,5 +381,80 @@ object SparkEntryEvt {
         "SELECT d.doc_id, c.n_dupes, 1000000 // c.n_dupes AS weight_ppm " +
         "FROM documents d JOIN c ON md5(d.text) = c.h " +
         "WHERE d.text IS NOT NULL"),
+
+    // same bucketing (floor of IEEE double division is exact in both
+    // engines), same NULL-free integer cross-multiplied L1
+    "x_drift_report" ->
+      ("WITH h AS (SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS b, " +
+        "CAST(sum(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS ca, " +
+        "CAST(sum(CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END) AS BIGINT) AS cb " +
+        "FROM events GROUP BY 1, 2), " +
+        "t AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS na, " +
+        "CAST(sum(cb) AS BIGINT) AS nb FROM h GROUP BY 1) " +
+        "SELECT h.event_type AS event_type, t.na AS n_a, t.nb AS n_b, " +
+        "CAST(count(*) AS BIGINT) AS n_buckets, " +
+        "CAST(sum(abs(ca * t.nb - cb * t.na)) AS BIGINT) AS l1_cross " +
+        "FROM h JOIN t USING (event_type) GROUP BY h.event_type, t.na, t.nb"),
+
+    // the CMS build replayed bucket-for-bucket (same md5-derived row
+    // hashes as x_sketch_cms), then the per-depth inner product
+    "x_join_size_est" -> {
+      val hash = s"(${SparkEntryExt.seedHashSql(s"(${Sketches.CmsSeed} + td.d)",
+        "CAST(user_id AS VARCHAR)")} % 256)"
+      "WITH cms AS (SELECT d, bucket, CAST(count(*) AS BIGINT) AS c FROM (" +
+        s"SELECT td.d, $hash AS bucket FROM events, range(4) td(d)) GROUP BY 1, 2), " +
+        "dots AS (SELECT d, sum(c * c) AS dot FROM cms GROUP BY 1), " +
+        "ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS join_rows FROM (" +
+        "SELECT count(*) AS c FROM events GROUP BY user_id)) " +
+        "SELECT 'exact' AS method, join_rows FROM ex " +
+        "UNION ALL SELECT 'cms_est' AS method, CAST(min(dot) AS BIGINT) AS join_rows FROM dots"
+    },
+
+    "x_join_skew_report" ->
+      ("WITH lc AS (SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n_left " +
+        "FROM orders GROUP BY 1), " +
+        "rc AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_right " +
+        "FROM events GROUP BY 1) " +
+        "SELECT key, n_left, n_right, n_left * n_right AS out_rows " +
+        "FROM lc JOIN rc USING (key) " +
+        "QUALIFY row_number() OVER (ORDER BY out_rows DESC, key) <= 10"),
+
+    // wedge/butterfly identities re-derived from the raw bipartite edge
+    // set (the engine side counts off the symmetrized artifact)
+    "x_butterfly" ->
+      ("WITH cp AS (SELECT DISTINCT o_custkey AS u, l_partkey AS v " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM cp GROUP BY 1), " +
+        "w AS (SELECT a.u AS u1, b.u AS u2, CAST(count(*) AS BIGINT) AS w " +
+        "FROM cp a JOIN cp b ON a.v = b.v AND a.u < b.u GROUP BY 1, 2) " +
+        "SELECT 'n_edges' AS metric, (SELECT CAST(count(*) AS BIGINT) FROM cp) AS value " +
+        "UNION ALL SELECT 'n_wedges' AS metric, " +
+        "(SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT) FROM deg) AS value " +
+        "UNION ALL SELECT 'n_butterflies' AS metric, " +
+        "(SELECT CAST(coalesce(sum(w * (w - 1) // 2), 0) AS BIGINT) FROM w) AS value"),
+
+    // identical floor-based cents derivation — no round() rounding-mode
+    // dependence in either engine
+    "x_recon_report" ->
+      ("WITH k AS (SELECT l_orderkey AS okey, " +
+        "CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS kc " +
+        "FROM lineitem GROUP BY 1) " +
+        "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_parents, " +
+        "CAST(sum(CASE WHEN d <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch, " +
+        "CAST(sum(abs(d)) AS BIGINT) AS sum_abs_diff_cents, " +
+        "CAST(max(abs(d)) AS BIGINT) AS max_abs_diff_cents FROM (" +
+        "SELECT o_orderstatus, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) " +
+        "- coalesce(k.kc, 0) AS d FROM orders LEFT JOIN k ON o_orderkey = k.okey) " +
+        "GROUP BY 1"),
+
+    // the same window-end expansion: each (day, user) supports the 7
+    // window days it falls in; only event-bearing days are reported
+    "x_active_users" ->
+      ("WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), " +
+        "dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY 1), " +
+        "ex AS (SELECT DISTINCT du.day + CAST(t.o AS INTEGER) AS day, du.user_id " +
+        "FROM du, range(7) t(o)), " +
+        "roll AS (SELECT day, CAST(count(*) AS BIGINT) AS rolling FROM ex GROUP BY 1) " +
+        "SELECT day, dau, rolling FROM dau JOIN roll USING (day)"),
   )
 }

@@ -372,6 +372,23 @@ object SparkEntryExt {
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       Dedup.clusters(pairs, docs)
     },
+    "x_cc_delta" -> { (s, dir) =>
+      // incremental closure maintenance: the chain fixture's links that
+      // land on a multiple of 16 arrive LATE. The stored assignment
+      // clusters the base (chains broken into 16-segments); the refresh
+      // absorbs the late links via quotient-graph CC (Dedup.clustersDelta
+      // — star loop on delta-sized input, one prior-assignment pass, a
+      // broadcast relabel) and must equal the full rebuild, which is
+      // exactly what the recursive-CTE oracle recomputes.
+      val docs = Tables.documents(s, dir).select("doc_id")
+      val all = docs.as("a").join(docs.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 1 &&
+            expr("a.doc_id div 128") === expr("b.doc_id div 128"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val base = all.where(col("id_b") % 16 =!= 0)
+      val late = all.where(col("id_b") % 16 === 0)
+      Dedup.clustersDelta(Dedup.clusters(base, docs), late, docs)
+    },
     "x_dedup_substring_spans" -> { (s, dir) =>
       // maximal cross-doc duplicated token spans at 8-gram granularity
       // (Lee et al.'s suffix-array dedup, relational form)
@@ -1345,6 +1362,18 @@ object SparkEntryExt {
     // rounds-=-diameter algorithm — the engine side must close it
     // logarithmically
     "x_dedup_clusters_chain" ->
+      ("WITH RECURSIVE e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst " +
+        "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 " +
+        "AND a.doc_id // 128 = b.doc_id // 128), " +
+        "edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0), " +
+        "walk(id, lbl) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id) " +
+        "SELECT id AS doc_id, min(lbl) AS cluster FROM walk GROUP BY 1"),
+
+    // the incremental refresh must equal the full closure over
+    // base ∪ late edges — the oracle recomputes that full closure (the
+    // base/delta split is invisible to it, which is the point)
+    "x_cc_delta" ->
       ("WITH RECURSIVE e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst " +
         "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 " +
         "AND a.doc_id // 128 = b.doc_id // 128), " +

@@ -113,6 +113,36 @@ object Audit {
           .as("l1_cross"))
   }
 
+  /** Parent↔child monetary reconciliation in EXACT integer cents: for
+    * each parent row, compare a stored rollup column against the sum
+    * re-derived from its children, and report per `reportBy` group the
+    * mismatch census (n_parents, n_mismatch, sum/max absolute diff).
+    * Cents come from `floor(x·100 + 0.5)` — IEEE double multiply-add
+    * and floor are exactly specified, so both engines derive identical
+    * integers without any decimal-rounding-mode dependence (round()
+    * half-up vs half-even is exactly the cross-engine trap this avoids).
+    * Parents with NO children reconcile against 0 (left join +
+    * coalesce), so dropped-children corruption is visible instead of
+    * silently excluded. One child-side rollup shuffle + one key join;
+    * the report is group-bounded. */
+  def moneyReconcile(parents: DataFrame, parentKey: Column, stored: Column,
+                     children: DataFrame, childKey: Column, amount: Column,
+                     reportBy: Column): DataFrame = {
+    def cents(c: Column) = floor(c * lit(100.0) + lit(0.5)).cast("long")
+    val kids = children.groupBy(childKey.as("__k"))
+      .agg(sum(cents(amount)).as("__kid_cents"))
+    parents.select(reportBy.as("grp"), parentKey.as("__k"),
+        cents(stored).as("__stored_cents"))
+      .join(kids, Seq("__k"), "left")
+      .select(col("grp"),
+        (col("__stored_cents") - coalesce(col("__kid_cents"), lit(0L))).as("__d"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_parents"),
+        sum(when(col("__d") =!= 0L, 1L).otherwise(0L)).as("n_mismatch"),
+        sum(abs(col("__d"))).as("sum_abs_diff_cents"),
+        max(abs(col("__d"))).as("max_abs_diff_cents"))
+  }
+
   /** Pre-join explosion audit: for an intended `left ⋈ right` equi-join,
     * report the `topK` keys by OUTPUT contribution (n_left·n_right) —
     * the report you run BEFORE shipping a 100 TB join, because one hot

@@ -614,6 +614,56 @@ object Dedup {
     (out, i)
   }
 
+  /** Incremental connected components — refresh a stored [[clusters]]
+    * assignment after an edge DELTA without re-running the star loop
+    * over the corpus-sized pair set. The prior labels are component
+    * minima, so contracting each prior component to its label gives a
+    * QUOTIENT graph whose edges are the delta pairs mapped through the
+    * prior assignment (endpoints unseen by the prior run label as
+    * themselves); running [[clusters]] on that delta-bounded quotient
+    * and composing the relabel map back over the prior assignment equals
+    * a full rebuild over base ∪ delta edges exactly (labels stay the
+    * overall min id: every quotient node is its base component's min, and
+    * quotient CC takes the min of those). This is the graph analogue of
+    * x_index_delta / x_knn_ivf_delta / x_pagerank_delta: the O(log n)
+    * iterative work runs on |delta| edges, the corpus pays ONE pass — the
+    * prior-assignment join — and the relabel map (only labels the delta
+    * MERGED, almost always ≪ the corpus) broadcasts.
+    *
+    * `prior` is a previous [[clusters]] output (`idCol`, `cluster`) over
+    * the base edges; `newPairs` the since-arrived `(id_a, id_b)` edges;
+    * `nodes` the full current node set (prior nodes ∪ any new ones). */
+  def clustersDelta(prior: DataFrame, newPairs: DataFrame, nodes: DataFrame,
+                    idCol: String = "doc_id", maxIter: Int = 40): DataFrame = {
+    val lbl = prior.select(col(idCol).as("__id"), col("cluster").as("__lbl"))
+    // current label of every node: prior assignment, self for new nodes
+    val labeled = nodes.select(col(idCol).as("__id"))
+      .join(lbl, Seq("__id"), "left")
+      .select(col("__id"), coalesce(col("__lbl"), col("__id")).as("__lbl"))
+    // quotient edges: delta pairs mapped endpoint → current label; pairs
+    // inside one prior component vanish here, so the star loop's input is
+    // bounded by the delta's cross-component mass
+    val qe = newPairs
+      .join(labeled.select(col("__id"), col("__lbl").as("__la")),
+        col("id_a") === col("__id"), "left").drop("__id")
+      .join(labeled.select(col("__id"), col("__lbl").as("__lb")),
+        col("id_b") === col("__id"), "left").drop("__id")
+      .select(coalesce(col("__la"), col("id_a")).as("id_a"),
+        coalesce(col("__lb"), col("id_b")).as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+    val touched = qe.select(col("id_a").as("__q"))
+      .unionByName(qe.select(col("id_b").as("__q"))).distinct()
+    // CC over the quotient: (label → merged component min label); only
+    // rows that actually RELABEL matter, and that set is delta-bounded —
+    // broadcast it over the corpus-sized prior assignment
+    val relabel = clusters(qe, touched, "__q", maxIter)
+      .where(col("__q") =!= col("cluster"))
+      .select(col("__q").as("__from"), col("cluster").as("__to"))
+    labeled.join(broadcast(relabel), col("__lbl") === col("__from"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("__to"), col("__lbl")).as("cluster"))
+  }
+
   /** Per-doc SimHash (near-identical docs land on close signatures;
     * equal signatures → near-certain dups). */
   def simhashes(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =

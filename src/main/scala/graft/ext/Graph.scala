@@ -65,6 +65,32 @@ object Graph {
                    dstCol: String, iters: Int): DataFrame =
     ranksOf(edges, srcCol, dstCol, iters, Some(prior))
 
+  /** Bipartite butterfly (2×2 biclique / 4-cycle) census over a distinct
+    * `(u, v)` edge list — the bipartite analogue of triangle counting
+    * (a bipartite graph has none) and the standard cohesion gauge for
+    * co-occurrence graphs (Sanei-Mehri et al., "Butterfly Counting in
+    * Bipartite Networks", KDD'18). Exact and integer:
+    * wedges = Σ_v C(deg v, 2) from the degree table alone (no join);
+    * butterflies = Σ_{u1<u2} C(w(u1,u2), 2) where w is the
+    * shared-neighbor count from the v-keyed wedge self-join. The join is
+    * the published-algorithm O(Σ deg²) cost, shuffled on v then on the
+    * (u1, u2) pair — AQE splits hub-v skew. Output is three bounded
+    * `(metric, value)` rows. */
+  def butterflyCensus(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
+    val e = edges.select(col(uCol).as("__u"), col(vCol).as("__v")).distinct()
+    val nEdges = e.groupBy().agg(count(lit(1)).as("value"))
+      .select(lit("n_edges").as("metric"), col("value"))
+    val nWedges = e.groupBy("__v").agg(count(lit(1)).as("__d"))
+      .agg(coalesce(sum(expr("__d * (__d - 1) DIV 2")), lit(0L)).as("value"))
+      .select(lit("n_wedges").as("metric"), col("value"))
+    val nBf = e.alias("a").join(e.alias("b"),
+        col("a.__v") === col("b.__v") && col("a.__u") < col("b.__u"))
+      .groupBy(col("a.__u"), col("b.__u")).agg(count(lit(1)).as("__w"))
+      .agg(coalesce(sum(expr("__w * (__w - 1) DIV 2")), lit(0L)).as("value"))
+      .select(lit("n_butterflies").as("metric"), col("value"))
+    nEdges.unionByName(nWedges).unionByName(nBf)
+  }
+
   private def ranksOf(edges: DataFrame, srcCol: String, dstCol: String,
                       iters: Int, prior: Option[DataFrame]): DataFrame = {
     require(iters >= 1 && iters <= 8, s"iters=$iters out of the unrolled range")

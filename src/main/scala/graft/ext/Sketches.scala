@@ -336,4 +336,27 @@ object Sketches {
       .groupBy("term")
       .agg(min(coalesce(col("counter"), lit(0L))).as("est"))
   }
+
+  /** Equi-join SIZE estimate from two CMS tables over the join key: per
+    * depth row, the bucket-wise inner product Σ_b cmsA[d][b]·cmsB[d][b]
+    * overestimates |A ⋈ B| (colliding keys only ADD cross terms), so the
+    * min over rows is a one-sided upper bound that sharpens with depth —
+    * the AMS/Count-Min inner-product estimator (Alon-Matias-Szegedy's F2
+    * when A = B). This is the cardinality gauge an optimizer consults
+    * before committing 100 TB to a shuffle: both sketches are
+    * depth·width-bounded MERGEABLE tables built at ingest, so the
+    * estimate costs a depth·width-sized join — the data is never
+    * touched. Returns one row `(est_rows)`; integer end-to-end, so the
+    * oracle re-derives it exactly. */
+  def cmsJoinSize(cmsA: DataFrame, cmsB: DataFrame): DataFrame = {
+    val widths = (cmsA.select("width").distinct().collect() ++
+      cmsB.select("width").distinct().collect()).map(_.getInt(0)).distinct
+    require(widths.length == 1,
+      s"cmsJoinSize: sketches built with different widths ${widths.mkString(",")}")
+    cmsA.select(col("d"), col("bucket"), col("counter").as("__ca"))
+      .join(cmsB.select(col("d"), col("bucket"), col("counter").as("__cb")),
+        Seq("d", "bucket"))
+      .groupBy(col("d")).agg(sum(col("__ca") * col("__cb")).as("__dot"))
+      .agg(min(col("__dot")).as("est_rows"))
+  }
 }

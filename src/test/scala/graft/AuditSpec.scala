@@ -82,4 +82,57 @@ class AuditSpec extends SparkSpec {
       Audit.expectations(df, Seq.empty)
     }
   }
+
+  test("histogramDrift: zero for identical cohorts, 2·na·nb for disjoint ones") {
+    import org.apache.spark.sql.functions.col
+    // identical shape A/B (same buckets, same proportions) → l1_cross 0
+    val same = Seq(("g", 1L, true), ("g", 1L, false), ("g", 2L, true),
+      ("g", 2L, false)).toDF("grp", "b", "ina")
+    val r1 = Audit.histogramDrift(same, col("grp"), col("b"), col("ina"))
+      .collect().head
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(4)) == ((2L, 2L, 0L)))
+    // disjoint support → Σ|ca·nb − cb·na| = na·nb + nb·na = 2·na·nb
+    val disj = Seq(("g", 1L, true), ("g", 1L, true), ("g", 2L, false))
+      .toDF("grp", "b", "ina")
+    val r2 = Audit.histogramDrift(disj, col("grp"), col("b"), col("ina"))
+      .collect().head
+    assert((r2.getLong(1), r2.getLong(2), r2.getLong(3), r2.getLong(4)) ==
+      ((2L, 1L, 2L, 4L)))
+  }
+
+  test("moneyReconcile: exact cents, childless parents reconcile against zero") {
+    import org.apache.spark.sql.functions.col
+    val parents = Seq((1L, 10.00, "a"), (2L, 5.55, "a"), (3L, 2.00, "b"))
+      .toDF("k", "stored", "grp")
+    val children = Seq((1L, 4.00), (1L, 6.00), (2L, 5.54))
+      .toDF("ck", "amt")
+    val got = Audit.moneyReconcile(parents, col("k"), col("stored"),
+        children, col("ck"), col("amt"), col("grp"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // grp a: order 1 matches to the cent, order 2 is 1 cent short
+    assert(got("a") == ((2L, 1L, 1L, 1L)), s"got ${got("a")}")
+    // grp b: no children → the full 200 cents is the visible diff
+    assert(got("b") == ((1L, 1L, 200L, 200L)), s"got ${got("b")}")
+  }
+
+  test("joinSkewReport: exact top-k by output contribution, key-tiebroken") {
+    import org.apache.spark.sql.functions.col
+    val left = (Seq.fill(6)(10L) ++ Seq.fill(3)(20L) ++ Seq(30L, 40L))
+      .toDF("k")
+    val right = (Seq.fill(2)(10L) ++ Seq.fill(5)(20L) ++ Seq(30L, 50L))
+      .toDF("j")
+    val got = Audit.joinSkewReport(left, col("k"), right, col("j"), topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // contributions: 10→6·2=12, 20→3·5=15, 30→1·1=1; 40/50 unmatched
+    assert(got.toSeq == Seq((10L, 6L, 2L, 12L), (20L, 3L, 5L, 15L)))
+    // deterministic tie-break on key: two keys with equal out_rows keep
+    // the smaller key
+    val l2 = Seq(1L, 2L, 3L).toDF("k")
+    val r2 = Seq(1L, 2L, 3L).toDF("j")
+    val ties = Audit.joinSkewReport(l2, col("k"), r2, col("j"), topK = 2)
+      .collect().map(_.getLong(0)).sorted
+    assert(ties.toSeq == Seq(1L, 2L))
+  }
 }

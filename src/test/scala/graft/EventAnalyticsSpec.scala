@@ -303,6 +303,28 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(ea < 350000L, s"superset side must estimate low containment: $ea")
   }
 
+  test("activeUsers: dau exact; rolling window unions the trailing days only") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "click"),
+      (2L, "2024-01-01 11:00:00", "click"),
+      (1L, "2024-01-02 10:00:00", "click"),
+      // day 3 empty; u3 appears alone on day 4
+      (3L, "2024-01-04 10:00:00", "click"),
+      // duplicate (day, user) must not double-count
+      (3L, "2024-01-04 23:00:00", "click"))
+    val got = EventAnalytics.activeUsers(events, windowDays = 2)
+      .collect().map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      "2024-01-01" -> ((2L, 2L)), // {u1,u2} both dau and 2-day window
+      "2024-01-02" -> ((1L, 2L)), // dau {u1}; window day1-2 = {u1,u2}
+      "2024-01-04" -> ((1L, 1L))), // empty day 3 not reported, not counted
+      s"got $got")
+    intercept[IllegalArgumentException] {
+      EventAnalytics.activeUsers(events, windowDays = 0)
+    }
+  }
+
   test("anomalousDays flags exactly the spike day, never the flat user") {
     import spark.implicits._
     import graft.ext.EventAnalytics

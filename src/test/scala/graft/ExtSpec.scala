@@ -370,6 +370,38 @@ class DedupSpec extends SparkSpec {
     assert(r0 == 0)
   }
 
+  test("clustersDelta: refresh equals full rebuild on random base/delta splits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 10
+      val all = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      // delta includes brand-new nodes (ids >= n) attaching to old ones
+      val late0 = (0 until 8).map(i => ((n + i % 4).toLong, rnd.nextInt(n).toLong))
+      val (base, lateOld) = all.partition { case (a, b) => (a + b) % 5 != 0 }
+      val late = lateOld ++ late0
+      val nodes = (0L until (n + 4L)).toDF("doc_id")
+      val basePairs = base.toDF("id_a", "id_b")
+      val latePairs = late.toDF("id_a", "id_b")
+      val prior = Dedup.clusters(basePairs, nodes.where(col("doc_id") < n))
+      val got = Dedup.clustersDelta(prior, latePairs, nodes)
+        .as[(Long, Long)].collect().toMap
+      val want = Dedup.clusters(basePairs.unionByName(latePairs), nodes)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"trial $trial: refresh diverged from rebuild")
+    }
+    // empty delta: the refresh is the prior assignment extended by
+    // self-labeled new nodes — no star rounds run at all
+    val nodes = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    val prior = Dedup.clusters(Seq((1L, 2L)).toDF("id_a", "id_b"),
+      Seq(1L, 2L, 3L).toDF("doc_id"))
+    val got = Dedup.clustersDelta(prior,
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 9L -> 9L))
+  }
+
   test("incremental dedup: batch matches stored indexes, exact beats near") {
     import spark.implicits._
     val mk = (id: Long, t: String) => (id, t)

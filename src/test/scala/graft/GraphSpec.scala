@@ -112,6 +112,23 @@ class GraphSpec extends SparkSpec {
       s"warm ${l1(expect)} !< cold ${l1(ref(full, 1))}")
   }
 
+  test("butterflyCensus: wedge and butterfly identities on a hand fixture") {
+    // K_{2,2} on {1,2}×{10,20} plus a pendant edge (3,10):
+    // deg(10)=3, deg(20)=2 → wedges 3+1 = 4
+    // shared-neighbor counts: (1,2)→2 (one butterfly), (1,3)/(2,3)→1
+    val e = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 20L), (2L, 20L),
+      (1L, 10L)) // duplicate edge must not inflate any census number
+      .toDF("u", "v")
+    val got = Graph.butterflyCensus(e, "u", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("n_edges" -> 5L, "n_wedges" -> 4L, "n_butterflies" -> 1L))
+    // butterfly-free: a star has wedges but no 4-cycles
+    val star = Seq((1L, 10L), (2L, 10L), (3L, 10L)).toDF("u", "v")
+    val s = Graph.butterflyCensus(star, "u", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s == Map("n_edges" -> 3L, "n_wedges" -> 3L, "n_butterflies" -> 0L))
+  }
+
   test("x_pagerank query: ranks positive, one row per co-purchase node") {
     val q = SparkEntry.queries("x_pagerank")(spark, sf)
     val degs = SparkEntry.queries("x_degree_stats")(spark, sf)

@@ -142,6 +142,27 @@ class PlanAuditSpec extends SparkSpec {
     "x_expectations" -> 1,
     // salted join: dim agg + the (key, salt) join shuffle
     "x_salted_join" -> 2,
+    // incremental CC: base-clusters build + the delta-sized quotient
+    // star loop (its iterative lineage prints per round) + one
+    // prior-assignment pass with a broadcast relabel
+    "x_cc_delta" -> 21,
+    // drift monitor: (grp, bucket) histogram + per-grp totals + the
+    // final per-grp rollup, all map-side combinable
+    "x_drift_report" -> 4,
+    // join-size estimate: two CMS builds (posexplode + count each) +
+    // the depth·width-bounded inner-product aggs + the exact Σc² side
+    "x_join_size_est" -> 6,
+    // pre-join skew audit: two key-count aggs + the two-phase top-k rank
+    "x_join_skew_report" -> 3,
+    // butterfly census: the three metric legs each print the shared
+    // edge artifact's distinct lineage; executed work is the v-keyed
+    // wedge join + pair agg
+    "x_butterfly" -> 19,
+    // reconciliation: child rollup + the parent key join's exchange
+    "x_recon_report" -> 2,
+    // active users: (day,user) dedup, dau agg, window-end expansion
+    // dedup + agg, final day join
+    "x_active_users" -> 5,
     // cluster profile: literal arg-max assignment is map-only; the two
     // bounded aggs (cell-label counts, per-cell rollup) each shuffle once
     "x_cluster_profile" -> 2,

@@ -205,6 +205,32 @@ class SketchesSpec extends SparkSpec {
     } finally ev.unpersist()
   }
 
+  test("cmsJoinSize: one-sided bound, exact at wide width, width-mismatch fails") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val a = Seq.fill(400)(rnd.nextInt(30).toLong).toDF("k")
+    val b = Seq.fill(300)(rnd.nextInt(40).toLong).toDF("k")
+    val exact = a.groupBy("k").count().withColumnRenamed("count", "ca")
+      .join(b.groupBy("k").count().withColumnRenamed("count", "cb"), "k")
+      .agg(sum(col("ca") * col("cb"))).collect().head.getLong(0)
+    val est = Sketches.cmsJoinSize(
+      Sketches.cmsTable(a, col("k")), Sketches.cmsTable(b, col("k")))
+      .collect().head.getLong(0)
+    assert(est >= exact, s"inner-product bound violated: $est < $exact")
+    // a width far above the key cardinality leaves no colliding cross
+    // terms with overwhelming probability over 30+40 keys → estimate
+    // collapses to the exact join size
+    val wide = Sketches.cmsJoinSize(
+      Sketches.cmsTable(a, col("k"), width = 65536),
+      Sketches.cmsTable(b, col("k"), width = 65536))
+      .collect().head.getLong(0)
+    assert(wide == exact, s"collision-free width should be exact: $wide != $exact")
+    intercept[IllegalArgumentException] {
+      Sketches.cmsJoinSize(Sketches.cmsTable(a, col("k"), width = 128),
+        Sketches.cmsTable(b, col("k"), width = 256)).collect()
+    }
+  }
+
   test("quantile sketch (approx_percentile) tracks exact percentiles") {
     val vals = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("value"))
