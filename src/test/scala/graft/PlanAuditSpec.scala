@@ -137,7 +137,7 @@ class PlanAuditSpec extends SparkSpec {
     // delta refresh: base chain (3 iters over the filtered edge
     // artifact) + seed join/renormalize + ONE full-graph iteration —
     // print count inflated by the two edge artifacts' shared lineage
-    "x_pagerank_delta" -> 40,
+    "x_pagerank_delta" -> 68,
     // data contract: one scan, every rule a conditional sum in ONE agg
     "x_expectations" -> 1,
     // salted join: dim agg + the (key, salt) join shuffle
@@ -145,7 +145,7 @@ class PlanAuditSpec extends SparkSpec {
     // incremental CC: base-clusters build + the delta-sized quotient
     // star loop (its iterative lineage prints per round) + one
     // prior-assignment pass with a broadcast relabel
-    "x_cc_delta" -> 21,
+    "x_cc_delta" -> 30,
     // drift monitor: (grp, bucket) histogram + per-grp totals + the
     // final per-grp rollup, all map-side combinable
     "x_drift_report" -> 4,
@@ -193,7 +193,10 @@ class PlanAuditSpec extends SparkSpec {
     "j4_subtree_counts" -> 7, "p10_search_renest" -> 5,
     // pagerank: edge-artifact build + degree agg + (join, agg) per
     // iteration at 3 iterations — 2·iters + setup
-    "x_mv_incremental" -> 12, "x_pagerank" -> 9)
+    "x_mv_incremental" -> 12, "x_pagerank" -> 9,
+    // the two delta refreshers: stored-prior lineage prints per consumer
+    // (print budgets 30/68), so pin their EXECUTED stages too
+    "x_cc_delta" -> 10, "x_pagerank_delta" -> 10)
 
   /** Distinct shuffle stages of THIS query execution's final adaptive
     * plan. `collect()` (not `count()`) executes the df's own
