@@ -450,6 +450,17 @@ object SparkEntryExt {
       val embs = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(embs, embs.where(col("vec_id") < 10), k = 10)
     },
+    "x_knn_filtered" -> { (s, dir) =>
+      // hybrid filtered vector search (the vector-DB "metadata filter"):
+      // top-k cosine among the label-1 slice only. The predicate lands
+      // on the CORPUS side before any scoring — pre-filtering, not
+      // post-filtering, so a selective filter can never starve the
+      // top-k below k while matches exist; on the IVF path the same
+      // predicate composes before cell probing.
+      val embs = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(embs.where(col("label") === 1),
+        embs.where(col("vec_id") < 10), k = 10)
+    },
     "x_knn_ivf" -> { (s, dir) =>
       // IVF path with LEARNED cells (deterministic seeded Lloyd's k-means,
       // no fixture column). Approximate RECALL, deterministic COMPUTATION:
@@ -1421,6 +1432,22 @@ object SparkEntryExt {
         "WHERE list_cosine_similarity(a.v, b.v) > 0.45"),
 
     "x_knn_cosine" -> knnCosineOracleSql,
+
+    // the exact baseline's SQL with the metadata predicate on the corpus
+    // CTE — query vectors stay unfiltered, like the engine side
+    "x_knn_filtered" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v " +
+        "FROM embeddings WHERE label = 1), " +
+        "q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qv " +
+        "FROM embeddings WHERE vec_id < 10), " +
+        "scored AS (SELECT q.query_id, e.vec_id, " +
+        "list_cosine_similarity(q.qv, e.v) AS cos " +
+        "FROM q JOIN e ON e.vec_id <> q.query_id), " +
+        "ranked AS (SELECT query_id, vec_id, cos, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM scored) " +
+        "SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, " +
+        "floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim " +
+        "FROM ranked WHERE rank <= 10"),
 
     // replays the payload CONSTRUCTION (header size + encoded dims); the
     // Spark side re-derives every value by PARSING the bytes it built —

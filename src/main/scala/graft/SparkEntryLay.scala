@@ -157,6 +157,57 @@ object SparkEntryLay {
       graft.ext.Audit.expectations(Tables.orders(s, dir),
         ContractRules.map(r => (r._1, r._2)))
     },
+    "x_schema_evolution" -> { (s, dir) =>
+      // lake snapshot merge across an evolved schema: the v1 half of the
+      // corpus predates the `lang` column and carries 32-bit char
+      // counts; unionByName(allowMissingColumns) backfills the missing
+      // column with NULL and widens INT→BIGINT — the read-side contract
+      // a 100 TB lake needs when old partitions were written by old jobs
+      val docs = Tables.documents(s, dir)
+      val v1 = docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"),
+          col("n_chars").cast("int").as("n_chars"))
+      val v2 = docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"), col("n_chars"), col("lang"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          length(col("text")).cast("long").as("text_len"))
+    },
+    "x_compaction_plan" -> { (s, dir) =>
+      // compaction planning over table stats: (lang, source) cell sizes
+      // ordered largest-first, binned by running-offset next-fit
+      // ((cum − size) DIV target). The window runs over CELL METADATA
+      // (≤ langs·sources rows — bounded like the sketch/centroid
+      // collects), never over data, so the single-task window frame is
+      // structurally fine at any corpus size.
+      import org.apache.spark.sql.expressions.Window
+      val target = 16384L
+      val cells = Tables.documents(s, dir).groupBy("lang", "source")
+        .agg(sum(col("n_chars")).as("cell_chars"))
+      val w = Window.orderBy(col("cell_chars").desc, col("lang"), col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.withColumn("cum", sum(col("cell_chars")).over(w))
+        .select(col("lang"), col("source"), col("cell_chars"),
+          expr(s"(cum - cell_chars) DIV $target").as("bin"))
+    },
+    "x_mix_temperature" -> { (s, dir) =>
+      // temperature-scaled language re-weighting (α = 0.5, the
+      // multilingual-sampling standard): weight_ppm ∝ √n_l, flattening
+      // head languages so low-resource ones survive the mix. √ stays
+      // deterministic (IEEE sqrt is correctly rounded in both engines,
+      // then floored to an integer before the ppm division).
+      import org.apache.spark.sql.expressions.Window
+      val byLang = Tables.documents(s, dir).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("s", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+      // the normalizing total runs as an unpartitioned window over the
+      // LANGUAGE table (bounded metadata, like the compaction cells)
+      val tot = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      byLang.withColumn("tot", sum(col("s")).over(tot))
+        .select(col("lang"), col("n_docs"),
+          expr("s * 1000000 DIV tot").as("weight_ppm"))
+    },
     "x_salted_join" -> { (s, dir) =>
       // skew-salted join of the fact stream against a 6-row type
       // dimension: event_type alone would hash every row of a type onto
@@ -389,6 +440,32 @@ object SparkEntryLay {
       }.mkString(" UNION ALL ")
       s"WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n, $sums FROM orders) $branches"
     },
+
+    // the evolved-schema read: v1 rows surface NULL lang and widened
+    // counts — spelled as the explicit NULL/cast union the engine's
+    // unionByName performs
+    "x_schema_evolution" ->
+      ("SELECT doc_id, NULL AS lang, CAST(CAST(n_chars AS INTEGER) AS BIGINT) " +
+        "AS n_chars, CAST(length(text) AS BIGINT) AS text_len " +
+        "FROM documents WHERE doc_id % 2 = 0 " +
+        "UNION ALL SELECT doc_id, lang, n_chars, CAST(length(text) AS BIGINT) " +
+        "AS text_len FROM documents WHERE doc_id % 2 = 1"),
+
+    "x_compaction_plan" ->
+      ("WITH cells AS (SELECT lang, source, CAST(sum(n_chars) AS BIGINT) " +
+        "AS cell_chars FROM documents GROUP BY 1, 2), " +
+        "c AS (SELECT lang, source, cell_chars, CAST(sum(cell_chars) OVER (" +
+        "ORDER BY cell_chars DESC, lang, source " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum " +
+        "FROM cells) " +
+        "SELECT lang, source, cell_chars, (cum - cell_chars) // 16384 AS bin FROM c"),
+
+    "x_mix_temperature" ->
+      ("WITH l AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS s " +
+        "FROM documents GROUP BY 1) " +
+        "SELECT lang, n_docs, s * 1000000 // (SELECT sum(s) FROM l) AS weight_ppm " +
+        "FROM l"),
 
     "x_salted_join" ->
       ("WITH dim AS (SELECT event_type, CAST(count(*) AS BIGINT) AS type_total " +

@@ -17,7 +17,10 @@ class PlanAuditSpec extends SparkSpec {
     // x_knn_recall composes the exact baseline + PQ/ADC scan, so it
     // inherits their broadcast-bounded shapes
     Set("x_knn_cosine", "x_dedup_embed", "x_knn_pq", "x_knn_recall",
-      "x_knn_mrr")
+      "x_knn_mrr",
+      // the filtered search runs the same broadcast-bounded exact scan
+      // over the metadata-sliced corpus
+      "x_knn_filtered")
 
   test("no query plans a cartesian product or an unbounded nested loop") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -154,6 +157,12 @@ class PlanAuditSpec extends SparkSpec {
     "x_join_size_est" -> 6,
     // pre-join skew audit: two key-count aggs + the two-phase top-k rank
     "x_join_skew_report" -> 3,
+    // lake/curation additions: the evolved-schema union is scan-only;
+    // compaction bins one exchange into the bounded-cell window + the
+    // cell agg; the temperature mix pays the lang agg + bounded window;
+    // filtered knn is the broadcast-bounded exact scan + two-phase rank
+    "x_schema_evolution" -> 0, "x_compaction_plan" -> 2,
+    "x_mix_temperature" -> 2, "x_knn_filtered" -> 2,
     // butterfly census: the three metric legs each print the shared
     // edge artifact's distinct lineage; executed work is the v-keyed
     // wedge join + pair agg
