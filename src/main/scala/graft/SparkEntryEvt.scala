@@ -26,6 +26,11 @@ object SparkEntryEvt {
 
   /** PageRank iteration count — shared with the oracle's unrolled CTEs. */
   private[graft] val PageRankIters = 3
+  /** Hub cap for the degree-capped census: sits in the fixture's p90–p99
+    * part-degree band at sf0.01 (max 49, p90 37, p99 43), so the valve
+    * demonstrably BINDS — some hubs are excluded and counted — while
+    * leaving a non-trivial retained census to verify. */
+  private[graft] val ButterflyCap = 40L
 
   /** Undirected customer↔part co-purchase graph, as a symmetrized edge
     * list with disjoint integer node ids (customer c → 2c, part p →
@@ -184,6 +189,15 @@ object SparkEntryEvt {
       val bip = coPurchaseEdges(s, dir).where(col("src") % 2 === 0)
         .select(expr("src DIV 2").as("u"), expr("dst DIV 2").as("v"))
       Graph.butterflyCensus(bip, "u", "v")
+    },
+    "x_butterfly_capped" -> { (s, dir) =>
+      // the census's scale valve exercised as a first-class query: part-
+      // side hubs above degree 40 (the fixture's p90–p99 band, so the cap
+      // genuinely BINDS here) are excluded from the wedge join and counted
+      // visibly; join cost becomes ≤ cap·|E|/2 rows regardless of skew
+      val bip = coPurchaseEdges(s, dir).where(col("src") % 2 === 0)
+        .select(expr("src DIV 2").as("u"), expr("dst DIV 2").as("v"))
+      Graph.butterflyCensusCapped(bip, "u", "v", maxVDegree = ButterflyCap)
     },
     "x_recon_report" -> { (s, dir) =>
       // stored-rollup vs re-derived-children reconciliation in exact
@@ -432,6 +446,25 @@ object SparkEntryEvt {
 
     // wedge/butterfly identities re-derived from the raw bipartite edge
     // set (the engine side counts off the symmetrized artifact)
+    // identical pre-filter over the degree relation: hubs above the cap
+    // leave the join and surface in n_hub_vs_capped instead
+    "x_butterfly_capped" ->
+      (s"WITH cp AS (SELECT DISTINCT o_custkey AS u, l_partkey AS v " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM cp GROUP BY 1), " +
+        s"k AS (SELECT u, cp.v FROM cp JOIN deg USING (v) WHERE d <= $ButterflyCap), " +
+        "w AS (SELECT a.u AS u1, b.u AS u2, CAST(count(*) AS BIGINT) AS w " +
+        "FROM k a JOIN k b ON a.v = b.v AND a.u < b.u GROUP BY 1, 2) " +
+        "SELECT 'n_hub_vs_capped' AS metric, " +
+        s"(SELECT CAST(count(*) AS BIGINT) FROM deg WHERE d > $ButterflyCap) AS value " +
+        "UNION ALL SELECT 'n_edges_kept' AS metric, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM k) AS value " +
+        "UNION ALL SELECT 'n_wedges' AS metric, " +
+        "(SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT) " +
+        s"FROM deg WHERE d <= $ButterflyCap) AS value " +
+        "UNION ALL SELECT 'n_butterflies' AS metric, " +
+        "(SELECT CAST(coalesce(sum(w * (w - 1) // 2), 0) AS BIGINT) FROM w) AS value"),
+
     "x_butterfly" ->
       ("WITH cp AS (SELECT DISTINCT o_custkey AS u, l_partkey AS v " +
         "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +

@@ -65,6 +65,16 @@ object Graph {
                    dstCol: String, iters: Int): DataFrame =
     ranksOf(edges, srcCol, dstCol, iters, Some(prior))
 
+  /** Loud-failure bound for the exact wedge self-join: the pair join
+    * emits exactly one row per wedge, so a census whose wedge total
+    * exceeds this would commit the cluster to a shuffle the caller
+    * almost certainly didn't size for (hub-v degree is quadratic in
+    * exactly the tail that explodes it). Past the bound the contract is
+    * [[butterflyCensusCapped]] — cap the hub tail, count it visibly —
+    * not a bigger cluster. Same fail-loudly-outside-contract valve as
+    * Sketches.MaxExactJaccardGroups. */
+  val MaxExactWedges: Long = 1000000000L
+
   /** Bipartite butterfly (2×2 biclique / 4-cycle) census over a distinct
     * `(u, v)` edge list — the bipartite analogue of triangle counting
     * (a bipartite graph has none) and the standard cohesion gauge for
@@ -75,9 +85,23 @@ object Graph {
     * shared-neighbor count from the v-keyed wedge self-join. The join is
     * the published-algorithm O(Σ deg²) cost, shuffled on v then on the
     * (u1, u2) pair — AQE splits hub-v skew. Output is three bounded
-    * `(metric, value)` rows. */
-  def butterflyCensus(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
+    * `(metric, value)` rows.
+    *
+    * Guard: the wedge total is checked BEFORE the pair join is committed
+    * (one map-side-combinable degree agg — a driver scalar, the same
+    * bounded-metadata contract as pageRank's vertex count); exceeding
+    * `maxWedges` throws with the capped variant named, rather than
+    * launching an O(wedges)-row shuffle. */
+  def butterflyCensus(edges: DataFrame, uCol: String, vCol: String,
+                      maxWedges: Long = MaxExactWedges): DataFrame = {
     val e = edges.select(col(uCol).as("__u"), col(vCol).as("__v")).distinct()
+    val wedgeTotal: Long = e.groupBy("__v").agg(count(lit(1)).as("__d"))
+      .agg(coalesce(sum(expr("__d * (__d - 1) DIV 2")), lit(0L)).as("__wt"))
+      .head.getLong(0)
+    require(wedgeTotal <= maxWedges,
+      s"butterflyCensus: $wedgeTotal wedges exceed the exact-join bound of " +
+        s"$maxWedges — degree-cap the hub tail (butterflyCensusCapped) or " +
+        s"sample before the exact census")
     val nEdges = e.groupBy().agg(count(lit(1)).as("value"))
       .select(lit("n_edges").as("metric"), col("value"))
     val nWedges = e.groupBy("__v").agg(count(lit(1)).as("__d"))
@@ -89,6 +113,40 @@ object Graph {
       .agg(coalesce(sum(expr("__w * (__w - 1) DIV 2")), lit(0L)).as("value"))
       .select(lit("n_butterflies").as("metric"), col("value"))
     nEdges.unionByName(nWedges).unionByName(nBf)
+  }
+
+  /** Degree-capped census — the 100 TB valve for the wedge join's
+    * O(Σ deg_v²) cost: v-side hubs with degree > `maxVDegree` are
+    * EXCLUDED from the wedge/butterfly join (the cost is quadratic in
+    * exactly the tail the cap removes) and reported as
+    * `n_hub_vs_capped`, so the census is exact on the retained subgraph
+    * and the exclusion is visible rather than silent. Join output is
+    * then ≤ maxVDegree·|E|/2 rows REGARDLESS of skew — a bound the
+    * caller can size a cluster to, where the exact census's bound grows
+    * with the square of whatever the hottest hub happens to be.
+    * (Sanei-Mehri KDD'18 §5's vertex-priority mitigation, expressed as a
+    * relational pre-filter over the degree relation the census already
+    * derives.) Four bounded `(metric, value)` rows. */
+  def butterflyCensusCapped(edges: DataFrame, uCol: String, vCol: String,
+                            maxVDegree: Long): DataFrame = {
+    require(maxVDegree >= 1, s"maxVDegree=$maxVDegree")
+    val e = edges.select(col(uCol).as("__u"), col(vCol).as("__v")).distinct()
+    val deg = e.groupBy("__v").agg(count(lit(1)).as("__d"))
+    val kept = e.join(deg.where(col("__d") <= maxVDegree).select("__v"), Seq("__v"))
+    val nHubs = deg.where(col("__d") > maxVDegree)
+      .agg(count(lit(1)).as("value"))
+      .select(lit("n_hub_vs_capped").as("metric"), col("value"))
+    val nEdges = kept.groupBy().agg(count(lit(1)).as("value"))
+      .select(lit("n_edges_kept").as("metric"), col("value"))
+    val nWedges = deg.where(col("__d") <= maxVDegree)
+      .agg(coalesce(sum(expr("__d * (__d - 1) DIV 2")), lit(0L)).as("value"))
+      .select(lit("n_wedges").as("metric"), col("value"))
+    val nBf = kept.alias("a").join(kept.alias("b"),
+        col("a.__v") === col("b.__v") && col("a.__u") < col("b.__u"))
+      .groupBy(col("a.__u"), col("b.__u")).agg(count(lit(1)).as("__w"))
+      .agg(coalesce(sum(expr("__w * (__w - 1) DIV 2")), lit(0L)).as("value"))
+      .select(lit("n_butterflies").as("metric"), col("value"))
+    nHubs.unionByName(nEdges).unionByName(nWedges).unionByName(nBf)
   }
 
   private def ranksOf(edges: DataFrame, srcCol: String, dstCol: String,

@@ -129,6 +129,55 @@ class GraphSpec extends SparkSpec {
     assert(s == Map("n_edges" -> 3L, "n_wedges" -> 3L, "n_butterflies" -> 0L))
   }
 
+  test("butterflyCensus fails loudly when the wedge join would exceed its bound") {
+    // the K_{2,2}+pendant fixture has 4 wedges; a bound of 3 must refuse
+    // BEFORE committing the pair join, naming the capped valve
+    val e = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 20L), (2L, 20L))
+      .toDF("u", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.butterflyCensus(e, "u", "v", maxWedges = 3L)
+    }
+    assert(ex.getMessage.contains("butterflyCensusCapped"))
+    // at the bound exactly, the census still runs
+    assert(Graph.butterflyCensus(e, "u", "v", maxWedges = 4L)
+      .collect().length == 3)
+  }
+
+  test("capped census: hubs leave the join visibly; a non-binding cap equals the exact census") {
+    val e = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 20L), (2L, 20L))
+      .toDF("u", "v")
+    // cap 2 excludes v=10 (deg 3): kept subgraph is K_{2,1} on v=20 —
+    // one wedge, zero butterflies, and exactly one capped hub reported
+    val capped = Graph.butterflyCensusCapped(e, "u", "v", maxVDegree = 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped == Map("n_hub_vs_capped" -> 1L, "n_edges_kept" -> 2L,
+      "n_wedges" -> 1L, "n_butterflies" -> 0L))
+    // a cap at/above the max degree binds nothing: counts match exact
+    val loose = Graph.butterflyCensusCapped(e, "u", "v", maxVDegree = 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Graph.butterflyCensus(e, "u", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(loose("n_hub_vs_capped") == 0L)
+    assert(loose("n_edges_kept") == exact("n_edges"))
+    assert(loose("n_wedges") == exact("n_wedges"))
+    assert(loose("n_butterflies") == exact("n_butterflies"))
+  }
+
+  test("x_butterfly_capped agrees with x_butterfly where the cap does not bind") {
+    // sf0.001's max part degree is 39 < the cap (40) — here the valve
+    // must be invisible: zero capped hubs and the exact census's counts.
+    // (At sf0.01, where the oracle gate runs, the cap sits in the p90–p99
+    // band and genuinely excludes hubs — that side is pinned by DuckDB.)
+    val capped = SparkEntry.queries("x_butterfly_capped")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = SparkEntry.queries("x_butterfly")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped("n_hub_vs_capped") == 0L)
+    assert(capped("n_edges_kept") == exact("n_edges"))
+    assert(capped("n_wedges") == exact("n_wedges"))
+    assert(capped("n_butterflies") == exact("n_butterflies"))
+  }
+
   test("x_pagerank query: ranks positive, one row per co-purchase node") {
     val q = SparkEntry.queries("x_pagerank")(spark, sf)
     val degs = SparkEntry.queries("x_degree_stats")(spark, sf)
