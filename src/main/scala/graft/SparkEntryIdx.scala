@@ -81,6 +81,13 @@ object SparkEntryIdx {
     "x_bm25_topk" -> { (s, dir) =>
       InvertedIndex.bm25TopK(Tables.documents(s, dir), bm25Terms)
     },
+    "x_sparse_topk_sim" -> { (s, dir) =>
+      // corpus-wide lexical near-neighbor pairs off the stored posting
+      // relation: df-pruned term-keyed posting self-join (Bayardo WWW'07
+      // all-pairs pruning), integer cos²-ppm scoring, two-phase top-k —
+      // the sparse counterpart of x_dedup_embed/x_knn_*
+      InvertedIndex.sparseTopkCosine(Tables.documents(s, dir), k = 50)
+    },
 
     "x_pii_detect" -> { (s, dir) =>
       Pii.detect(withInjectedPii(Tables.documents(s, dir)))
@@ -644,6 +651,26 @@ object SparkEntryIdx {
         "SELECT doc_id, CAST(s AS DOUBLE) AS score, " +
         "CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank FROM per " +
         "QUALIFY rank <= 20"),
+
+    // same df cut (division-free, ppm of the corpus), same integer
+    // cos²-ppm floor division (HUGEINT = the DECIMAL(38,0) path), same
+    // (score desc, doc_a, doc_b) tie order
+    "x_sparse_topk_sim" ->
+      (s"WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents), " +
+        "tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+        "keep AS (SELECT term FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1), n " +
+        "WHERE df * 1000000 <= 100000 * n.n), " +
+        "p AS (SELECT tf.* FROM tf JOIN keep USING (term)), " +
+        "norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM p GROUP BY 1), " +
+        "dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(sum(a.tf * b.tf) AS BIGINT) AS dot " +
+        "FROM p a JOIN p b ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "sim AS (SELECT doc_a, doc_b, dot, " +
+        "CAST((dot::HUGEINT * dot * 1000000) // (na.n2::HUGEINT * nb.n2) AS BIGINT) AS cos2_ppm " +
+        "FROM dots JOIN norms na ON na.doc_id = doc_a JOIN norms nb ON nb.doc_id = doc_b) " +
+        "SELECT CAST(row_number() OVER (ORDER BY cos2_ppm DESC, doc_a, doc_b) AS INT) AS rank, " +
+        "doc_a, doc_b, dot, cos2_ppm FROM sim QUALIFY rank <= 50"),
 
     "x_pii_detect" ->
       s"WITH $injectedPiiSql SELECT doc_id, $piiDetectColsSql FROM inj",

@@ -45,6 +45,15 @@ object SparkEntryUni {
         maxVocab = V, stash = true)
       UnigramLm.segmentCounts(docs, t)
     },
+    "x_unigram_ppl" -> { (s, dir) =>
+      // per-doc NLL quality score under the SAME trained model — the
+      // corpus-filter gauge (mean micro-nats per piece); integer end to
+      // end, so the oracle replays the score exactly
+      val docs = Tables.documents(s, dir)
+      val t = UnigramLm.train(docs, rounds = Rounds, maxPieceLen = L,
+        maxVocab = V, stash = true)
+      UnigramLm.docLmCost(docs, t)
+    },
   )
 
   // ---- oracle SQL: the training chain as pure DuckDB ----
@@ -68,7 +77,7 @@ object SparkEntryUni {
         s"row_number() OVER (PARTITION BY w ORDER BY cost, j) AS rn " +
         s"FROM ($branches)) WHERE rn = 1)"
     }
-    val fin = (1 to ml).map(i => s"SELECT w, ps FROM ${pfx}$i WHERE len(w) = $i")
+    val fin = (1 to ml).map(i => s"SELECT w, cost, ps FROM ${pfx}$i WHERE len(w) = $i")
       .mkString(" UNION ALL ")
     (dp0 +: dps :+ s"${pfx}seg AS MATERIALIZED ($fin)").mkString(", ")
   }
@@ -129,7 +138,19 @@ object SparkEntryUni {
             "wl AS MATERIALIZED (SELECT w, CAST(len(ps) AS BIGINT) AS n_sym FROM zseg) " +
             "SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words, " +
             "CAST(sum(n * n_sym) AS BIGINT) AS n_pieces " +
-            "FROM dwc JOIN wl USING (w) GROUP BY 1"))
+            "FROM dwc JOIN wl USING (w) GROUP BY 1"),
+        // the same final-round chain, reading the DP's cumulative COST
+        // beside the piece count — floor-mean per piece in micro-nats
+        "x_unigram_ppl" ->
+          (s"WITH ${trainingCtes(ml)}, " +
+            viterbiChain(s"c$Rounds", "z", ml) + ", " +
+            "dwc AS MATERIALIZED (SELECT doc_id, w, count(*) AS n FROM " +
+            "(SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2), " +
+            "wc AS MATERIALIZED (SELECT w, CAST(len(ps) AS BIGINT) AS n_sym, cost FROM zseg) " +
+            "SELECT doc_id, CAST(sum(n * n_sym) AS BIGINT) AS n_pieces, " +
+            "CAST(sum(n * cost) AS BIGINT) AS lm_cost, " +
+            "CAST(sum(n * cost) // sum(n * n_sym) AS BIGINT) AS ppl_micronats " +
+            "FROM dwc JOIN wc USING (w) GROUP BY 1"))
     case None => Map.empty
   }
 }

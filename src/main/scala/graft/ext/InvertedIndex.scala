@@ -193,6 +193,66 @@ object InvertedIndex {
     * (pre-rank within physical partition, then final rank over ≤ P·k
     * survivors) pattern — no partition-less window funneling the corpus
     * through one task. */
+  /** Corpus-wide sparse-cosine top-k document pairs off the SAME stored
+    * posting relation — the lexical analogue of the embedding near-dup
+    * family (Similarity.scala), and the posting-join realization of
+    * all-pairs similarity search (Bayardo, Ma, Srikant, "Scaling Up All
+    * Pairs Similarity Search", WWW'07 — this is their df-based
+    * candidate-pruning idea expressed relationally).
+    *
+    * The cost driver is the term-keyed posting self-join: Σ_term df²
+    * pair rows. That sum is dominated by exactly the stop-terms whose
+    * IDF ≈ 0 — quadratic cost, no cosine contrast — so terms whose df
+    * exceeds `dfCapPpm` of the corpus are pruned BEFORE the join
+    * (division-free: df·10⁶ ≤ cap·N). After the cut the join output is
+    * ≤ dfCap·Σdf rows — a bound the CAP sets, not whatever the hottest
+    * stop-word happens to be; every stage shuffles on term or doc_id
+    * (equi-keys, map-side combinable), so the plan survives a 100×
+    * scale-up by partitioning alone.
+    *
+    * Similarity is integer ppm of cos²: (dot²·10⁶) div (‖a‖²·‖b‖²),
+    * computed in DECIMAL(38,0) so million-token outliers can't overflow
+    * — monotone in cosine for the all-positive tf vectors, and
+    * bit-identical across engines and partitionings (the DuckDB oracle
+    * replays it exactly; a float cosine would hash-drift). Pairs sharing
+    * no retained term never materialize (their cosine contrast is
+    * stop-term-only by construction). Top-k is the standard two-phase
+    * rank. The corpus size is the one driver scalar (same contract as
+    * BM25's N/avgdl). */
+  def sparseTopkCosine(docs: DataFrame, k: Int = 50, dfCapPpm: Long = 100000L,
+                       textCol: String = "text"): DataFrame = {
+    require(k >= 1 && dfCapPpm >= 1 && dfCapPpm <= 1000000L,
+      s"sparseTopkCosine(k=$k, dfCapPpm=$dfCapPpm)")
+    val post = postings(docs, textCol)
+    val nDocs: Long = docs.count()
+    val keep = post.groupBy("term").agg(count(lit(1)).as("__df"))
+      .where(col("__df") * 1000000L <= lit(dfCapPpm * nDocs))
+      .select("term")
+    val p = post.join(keep, Seq("term"))
+    val norms = p.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("__n2"))
+    val dots = p.select(col("term"), col("doc_id").as("doc_a"), col("tf").as("__ta"))
+      .join(p.select(col("term"), col("doc_id").as("doc_b"), col("tf").as("__tb")),
+        Seq("term"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("__ta") * col("__tb")).as("dot"))
+    val sim = dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("__n2").as("__na")), Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("__n2").as("__nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("dot"),
+        expr("CAST(dot AS DECIMAL(19,0)) * CAST(dot AS DECIMAL(19,0)) * " +
+          "CAST(1000000 AS DECIMAL(7,0)) DIV " +
+          "(CAST(__na AS DECIMAL(19,0)) * CAST(__nb AS DECIMAL(19,0)))")
+          .as("cos2_ppm"))
+    val local = Window.partitionBy(col("__p"))
+      .orderBy(col("cos2_ppm").desc, col("doc_a"), col("doc_b"))
+    val global = Window.partitionBy(lit(0))
+      .orderBy(col("cos2_ppm").desc, col("doc_a"), col("doc_b"))
+    sim.withColumn("__p", spark_partition_id())
+      .withColumn("__r", row_number().over(local)).where(col("__r") <= k)
+      .withColumn("rank", row_number().over(global)).where(col("rank") <= k)
+      .select(col("rank"), col("doc_a"), col("doc_b"), col("dot"), col("cos2_ppm"))
+  }
+
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 20,
                k1: Double = 1.2, b: Double = 0.75,
                textCol: String = "text"): DataFrame = {

@@ -154,4 +154,43 @@ object UnigramLm {
       .agg(sum(col("n")).as("n_words"),
         sum(col("n") * col("n_sym")).as("n_pieces"))
   }
+
+  /** Per-doc negative log-likelihood under a trained model — the
+    * SentencePiece-family QUALITY SCORE a corpus filter thresholds on
+    * (gibberish and boilerplate segment into expensive rare pieces;
+    * fluent text into cheap frequent ones). Everything is the model's
+    * own fixed-point integers: `lm_cost` is the summed Viterbi cost in
+    * micro-nats (each piece cost is floor(−ln p·10⁶ + ½), see
+    * [[recost]]), `ppl_micronats` the floor mean per piece — so the
+    * DuckDB oracle replays the score bit-for-bit; a float NLL would
+    * hash-drift.
+    *
+    * Scale shape = [[segmentCounts]]: the codegen'd Viterbi runs once
+    * per DISTINCT word, each word's cost folds through a VOCAB-BOUNDED
+    * literal cost map (driver metadata, same contract as the centroid /
+    * codebook literals), and per-doc totals are one (doc, word) agg plus
+    * a broadcast join — no per-token rewrite of the corpus. */
+  def docLmCost(docs: DataFrame, model: Trained,
+                textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val docWords = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("n"))
+    val costMap = typedLit(model.finalCosts.toMap)
+    val wordCost = docWords.select("w").distinct()
+      .withColumn("__ps", ViterbiExpression.unigramSegment(
+        col("w"), model.finalCosts, model.maxPieceLen))
+      // element_at is ANSI-strict on maps: a piece outside the vocab
+      // throws instead of silently scoring 0 — structurally impossible
+      // (the DP only emits vocab pieces), and loud if that ever breaks
+      .select(col("w"), size(col("__ps")).as("n_sym"),
+        aggregate(col("__ps"), lit(0L),
+          (acc, p) => acc + element_at(costMap, p)).as("w_cost"))
+    docWords.join(broadcast(wordCost), Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n") * col("n_sym")).as("n_pieces"),
+        sum(col("n") * col("w_cost")).as("lm_cost"))
+      .select(col(idCol), col("n_pieces"), col("lm_cost"),
+        expr("lm_cost DIV n_pieces").as("ppl_micronats"))
+  }
 }

@@ -146,6 +146,46 @@ class InvertedIndexSpec extends SparkSpec {
     assert(merged == rebuilt && merged.nonEmpty)
   }
 
+  test("sparseTopkCosine: identical docs score 10^6 ppm; disjoint docs never pair") {
+    // doc 0 and 1 are identical; doc 2 shares nothing with them
+    val docs = Seq((0L, "alpha beta beta"), (1L, "alpha beta beta"),
+      (2L, "gamma delta")).toDF("doc_id", "text")
+    val got = InvertedIndex.sparseTopkCosine(docs, k = 10, dfCapPpm = 1000000L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(4)).toMap
+    assert(got == Map((0L, 1L) -> 1000000L),
+      "only the identical pair materializes, at exactly cos2 = 1e6 ppm")
+  }
+
+  test("sparseTopkCosine: the df cut removes stop-terms from both dot and norms") {
+    // 'the' appears in all 4 docs (df=4); with a 50% cap it is pruned,
+    // so docs sharing ONLY 'the' never pair, and the (0,1) cosine is
+    // computed over {alpha, beta} alone: dot=2, norms 2·2 → 1e6 ppm
+    val docs = Seq((0L, "the alpha beta"), (1L, "the alpha beta"),
+      (2L, "the gamma"), (3L, "the delta")).toDF("doc_id", "text")
+    val got = InvertedIndex.sparseTopkCosine(docs, k = 10, dfCapPpm = 500000L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(4)).toMap
+    assert(got == Map((0L, 1L) -> 1000000L))
+    // with no cut (100%), every doc pairs via 'the'
+    val all = InvertedIndex.sparseTopkCosine(docs, k = 10, dfCapPpm = 1000000L)
+      .collect()
+    assert(all.length == 6, "4 docs sharing a term -> all 6 pairs")
+    // top pair is still the identical one, ranked 1 deterministically
+    val top = all.find(_.getInt(0) == 1).get
+    assert((top.getLong(1), top.getLong(2)) == ((0L, 1L)))
+  }
+
+  test("sparseTopkCosine: ppm scoring orders partial overlaps correctly") {
+    // (0,1) share 2 of 3 terms; (0,2) share 1 of 3 — cosine must rank
+    // (0,1) first; hand values: dot=2, norms 3,3 -> floor(4e6/9)=444444
+    val docs = Seq((0L, "a b c"), (1L, "a b d"), (2L, "a e f"))
+      .toDF("doc_id", "text")
+    val rows = InvertedIndex.sparseTopkCosine(docs, k = 10, dfCapPpm = 1000000L)
+      .collect().map(r => ((r.getLong(1), r.getLong(2)), r.getInt(0), r.getLong(4)))
+    val m = rows.map(t => t._1 -> t._3).toMap
+    assert(m((0L, 1L)) == 444444L && m((0L, 2L)) == 111111L)
+    assert(rows.find(_._1 == ((0L, 1L))).get._2 == 1)
+  }
+
   test("applyDocDelta plan tokenizes ONLY the batch: one Generate, stored postings scanned as-is") {
     val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
     val base = Seq((0L, "old stale words"), (2L, "keep these words")).toDF("doc_id", "text")

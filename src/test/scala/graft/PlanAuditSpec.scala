@@ -107,10 +107,14 @@ class PlanAuditSpec extends SparkSpec {
     "x_text_fingerprint" -> 0, "x_text_langid" -> 0, "x_text_quality" -> 0,
     "x_text_tf_df" -> 4, "x_text_tokens" -> 0, "x_token_bpeish" -> 0,
     "x_bpe_merges" -> 0, "x_bpe_segment" -> 3, "x_top_terms" -> 3,
-    "x_unigram_train" -> 0, "x_unigram_segment" -> 3,
+    "x_unigram_train" -> 0, "x_unigram_segment" -> 3, "x_unigram_ppl" -> 3,
     "x_quality_bigram_lm" -> 7, "x_quality_repetition" -> 4,
     "x_quality_unigram_lm" -> 6,
     // inverted index
+    // sparse all-pairs similarity: df agg + pruned-posting join (on the
+    // memoized posting relation, whose lineage prints per consumer) +
+    // pair agg + two norm joins + the two-phase rank
+    "x_sparse_topk_sim" -> 16,
     "x_inverted_directory" -> 5, "x_index_delta" -> 9,
     "x_index_lookup" -> 2, "x_bm25_topk" -> 7, "x_phrase_search" -> 1,
     // curation

@@ -127,4 +127,37 @@ class UnigramSpec extends SparkSpec {
       assert(totWords == totToks, s"$totWords words vs $totToks corpus tokens")
     } finally out.unpersist()
   }
+
+  test("docLmCost: per-doc cost is the exact sum of its words' Viterbi costs") {
+    val docs = Tables.documents(spark, sf)
+    val t = UnigramLm.train(docs, rounds = 2, maxPieceLen = 4, maxVocab = 64)
+    val out = UnigramLm.docLmCost(docs, t).persist()
+    try {
+      // structural laws: every piece costs > 0 (−ln p of p < 1), so
+      // lm_cost bounds n_pieces · min cost; floor mean stays within the
+      // model's cost range
+      val minC = t.finalCosts.map(_._2).min
+      val maxC = t.finalCosts.map(_._2).max
+      assert(out.where(col("lm_cost") < col("n_pieces") * minC).isEmpty)
+      assert(out.where(col("ppl_micronats") < minC ||
+        col("ppl_micronats") > maxC).isEmpty,
+        "mean piece cost must sit inside [min piece cost, max piece cost]")
+      // exactness on one doc: replay the cost by hand from the word
+      // relation and the driver model (a Viterbi replica already fuzzed
+      // against exhaustive enumeration above)
+      val one = docs.where(col("doc_id") === 0L && col("text").isNotNull)
+      if (!one.isEmpty) {
+        val words = one.select(explode(
+          graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n")).collect()
+        val costOf = t.finalCosts.toMap
+        val expect = words.map { r =>
+          val pieces = seg(r.getString(0), costOf, t.maxPieceLen).get
+          r.getLong(1) * pieces.map(costOf).sum
+        }.sum
+        val got = out.where(col("doc_id") === 0L).head.getLong(2)
+        assert(got == expect, s"doc 0 lm_cost $got vs replayed $expect")
+      }
+    } finally out.unpersist()
+  }
 }
