@@ -204,6 +204,28 @@ object SparkEntryIdx {
           (-col("__m.nl")).as("top_label"), col("__m.n").as("n_top"),
           expr("(1000000 * __m.n) DIV n_vecs").as("purity_ppm"))
     },
+    "x_kmeans_step" -> { (s, dir) =>
+      // one EXACT distributed Lloyd update — the k-means superstep as a
+      // relational plan: map-only literal arg-max assignment (zero corpus
+      // shuffle), then ONE (cell, dim) agg over fixed-point components.
+      // The +10⁶ shift after floor(x·10⁶+½) keeps every value
+      // non-negative, so Spark's truncating DIV and DuckDB's flooring //
+      // agree exactly; output is k·dim bounded rows — the new centroids
+      // with their membership counts, ready to literal-broadcast into
+      // the next superstep
+      val embs = Tables.embeddings(s, dir)
+      val dim = VectorFunctions.probeDim(embs, "embedding")
+      val valid = embs.where(col("embedding").isNotNull &&
+        size(col("embedding")) === dim &&
+        !exists(col("embedding"), _.isNull) &&
+        !exists(col("embedding"), _ < -1.0f) &&
+        VectorFunctions.norm(col("embedding")) > 0)
+      val cents = Similarity.learnedCentroids(valid, kCells = ProfileK,
+        iters = ProfileIters, stash = false)
+      Similarity.lastLearnedStep = cents
+      Similarity.lloydUpdateFp(
+        Similarity.assignCells(valid, cents, "embedding"), "embedding")
+    },
     "x_decontaminate_semantic" -> { (s, dir) =>
       // embedding-level eval-leakage check: vec_id < 25 plays the held-out
       // benchmark, the rest the training corpus. Deterministic given the
@@ -790,7 +812,7 @@ object SparkEntryIdx {
         "FROM log WHERE op IN ('insert', 'update', 'delete')) " +
         "WHERE rn = 1 AND op <> 'delete'"),
   ) ++ pqOracle ++ semOracle ++ ivfPqOracle ++ xsemOracle ++ recallOracle ++
-    mrrOracle ++ profileOracle
+    mrrOracle ++ profileOracle ++ kmeansOracle
 
   /** x_decontaminate_semantic: stashed centroids as literals; both sides
     * assigned, across-side in-cell cosine, best bench match per flagged
@@ -850,6 +872,37 @@ object SparkEntryIdx {
             "SELECT t.cell, tot.n_vecs, t.top_label, t.n_top, " +
             "(1000000 * t.n_top) // tot.n_vecs AS purity_ppm " +
             "FROM top t JOIN tot USING (cell) WHERE t.rn = 1"))
+      case _ => Map.empty
+    }
+
+  /** x_kmeans_step: the stashed centroids become VALUES literals; the
+    * assignment replays the profile oracle's arg-max, then the Lloyd
+    * update is the same fixed-point component agg — the shift keeps the
+    * floor division sign-free, so `//` == Spark's `DIV` exactly. */
+  private def kmeansOracle: Map[String, String] =
+    Similarity.lastLearnedStep match {
+      case cents if cents.nonEmpty =>
+        val rows = cents.map { case (c, v) =>
+          s"($c, [${v.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+        }.mkString(", ")
+        Map("x_kmeans_step" ->
+          ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+            "d AS (SELECT len(v) AS dim FROM e WHERE len(v) > 0 LIMIT 1), " +
+            "val AS (SELECT vec_id, v FROM e, d WHERE len(v) = dim AND " +
+            "len(list_filter(v, x -> x IS NULL)) = 0 AND " +
+            "len(list_filter(v, x -> x < -1.0)) = 0 AND " +
+            "list_sum(list_transform(v, x -> x * x)) > 0), " +
+            s"cents(cell, cv) AS (VALUES $rows), " +
+            "assigned AS (SELECT vec_id, v, cell FROM (SELECT t.vec_id, t.v, c.cell, " +
+            "row_number() OVER (PARTITION BY t.vec_id ORDER BY " +
+            "coalesce(list_cosine_similarity(t.v, c.cv), -2.0) DESC, c.cell) AS rn " +
+            "FROM val t CROSS JOIN cents c) WHERE rn = 1), " +
+            "idx AS (SELECT cell, v, unnest(range(1, len(v) + 1)) AS dim FROM assigned), " +
+            "comp AS (SELECT cell, CAST(dim AS INTEGER) AS dim, " +
+            "CAST(floor(v[dim] * 1000000.0 + 0.5) AS BIGINT) + 1000000 AS fp FROM idx) " +
+            "SELECT cell, dim, CAST(count(*) AS BIGINT) AS n_vecs, " +
+            "CAST((sum(fp) // count(*)) - 1000000 AS BIGINT) AS mean_fp " +
+            "FROM comp GROUP BY 1, 2"))
       case _ => Map.empty
     }
 

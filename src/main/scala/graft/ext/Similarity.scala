@@ -131,6 +131,9 @@ object Similarity {
     * separate so the profile query can never clobber the IVF oracle). */
   @volatile var lastLearnedProfile: Seq[(Long, Array[Float])] = Nil
 
+  /** x_kmeans_step's centroid stash (separate for the same reason). */
+  @volatile var lastLearnedStep: Seq[(Long, Array[Float])] = Nil
+
   /** Incremental IVF maintenance: new embeddings join a LIVE index
     * without retraining it. The model (centroids learned on the base
     * corpus) is FROZEN; indexing the delta batch is [[assignCells]] —
@@ -242,6 +245,29 @@ object Similarity {
         (-c("cell")).as("nc"))))
     corpus.withColumn("cell", -best("nc"))
   }
+
+  /** One EXACT Lloyd update over an assigned corpus: per-(cell, dim)
+    * integer mean of the fixed-point components. Each coordinate maps to
+    * floor(x·10⁶ + ½) + 10⁶ — the shift keeps every value non-negative
+    * for unit-scaled embeddings (x ≥ −1), which is what makes Spark's
+    * truncating `DIV` and DuckDB's flooring `//` produce the SAME
+    * quotient (they disagree on negatives); the shift is subtracted back
+    * after the division. Output is k·dim bounded rows `(cell, dim,
+    * n_vecs, mean_fp)` — the next superstep's centroids with their
+    * membership counts, small enough to collect and literal-broadcast
+    * the way [[assignCells]] consumes them. One (cell, dim)-keyed
+    * map-side-combinable agg; callers guarantee x ≥ −1 (filter or
+    * contract), else the shifted value goes negative and the floor/
+    * truncate divergence returns. */
+  def lloydUpdateFp(withCell: DataFrame, vecCol: String = "embedding"): DataFrame =
+    withCell
+      .select(col("cell"), posexplode(col(vecCol)).as(Seq("__p", "__x")))
+      .groupBy(col("cell"), (col("__p") + 1).as("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(floor(col("__x").cast("double") * 1000000.0 + 0.5).cast("long")
+          + 1000000L).as("__s"))
+      .select(col("cell"), col("dim"), col("n_vecs"),
+        (expr("__s DIV n_vecs") - 1000000L).as("mean_fp"))
 
   /** Per-cell elementwise mean vectors (posexplode + two hash aggs). */
   private def cellMeans(withCell: DataFrame, vecCol: String): DataFrame =

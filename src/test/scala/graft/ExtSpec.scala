@@ -724,6 +724,40 @@ class SimilaritySpec extends SparkSpec {
       .where(col("a.vec_id") === 0)
     assert(math.abs(self.head().getDouble(0) - 1.0) < 1e-12)
   }
+
+  test("lloydUpdateFp: exact fixed-point means on a hand fixture; assignment plan stays map-only") {
+    import spark.implicits._
+    // two explicit centroids; vectors cluster unambiguously by sign
+    val cents = Seq((0L, Array(1f, 0f)), (1L, Array(-1f, 0f)))
+    val embs = Seq(
+      (0L, Array(0.5f, 0.25f)),   // cell 0
+      (1L, Array(0.75f, -0.25f)), // cell 0
+      (2L, Array(-0.5f, 0.5f))    // cell 1
+    ).toDF("vec_id", "embedding")
+    val assigned = Similarity.assignCells(embs, cents)
+    assert(!assigned.queryExecution.executedPlan.toString.contains("Exchange"),
+      "assignment must be a map-only projection")
+    val got = Similarity.lloydUpdateFp(assigned)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // cell 0 dim 1: shifted fps 1500000 and 1750000;
+    // (1500000 + 1750000) DIV 2 - 1000000 = 1625000 - 1000000 = 625000
+    assert(got((0L, 1)) == ((2L, 625000L)))
+    // cell 0 dim 2: floor(.25e6+.5)=250000, floor(-.25e6+.5)=-250000
+    // (wait: floor(-250000 + 0.5) = -250000 exactly) -> shifted
+    // 1250000 + 750000 = 2000000; DIV 2 = 1000000; -1e6 = 0
+    assert(got((0L, 2)) == ((2L, 0L)))
+    // cell 1: single member — means are its own fps
+    assert(got((1L, 1)) == ((1L, -500000L)))
+    assert(got((1L, 2)) == ((1L, 500000L)))
+    // the truncate-vs-floor trap the shift exists for: a NEGATIVE mean
+    // from an odd sum still floors like DuckDB (-0.25 avg of -1 and .5:
+    // shifted (0 + 1500000) DIV 2 = 750000 -> -250000, exact)
+    val odd = Seq((0L, Array(-1f)), (1L, Array(0.5f))).toDF("vec_id", "embedding")
+    val g2 = Similarity.lloydUpdateFp(odd.withColumn("cell", lit(0L)))
+      .collect().map(r => r.getLong(3))
+    assert(g2.toSeq == Seq(-250000L))
+  }
 }
 
 class WindowsSpec extends SparkSpec {

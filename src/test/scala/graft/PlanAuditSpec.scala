@@ -192,6 +192,8 @@ class PlanAuditSpec extends SparkSpec {
     // cluster profile: literal arg-max assignment is map-only; the two
     // bounded aggs (cell-label counts, per-cell rollup) each shuffle once
     "x_cluster_profile" -> 2,
+    // Lloyd superstep: map-only assignment + ONE (cell, dim) agg
+    "x_kmeans_step" -> 1,
   )
 
   /** a node line whose name starts with "Exchange " is a shuffle;
