@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Curation, Dedup, InvertedIndex, Pii, Similarity, Sketches, TextAnalysis}
+import graft.ext.{Audit, Curation, Dedup, InvertedIndex, Pii, Similarity, Sketches, TextAnalysis}
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.sources.Tables
 import graft.streaming.Ingest
@@ -105,6 +105,16 @@ object SparkEntryIdx {
       // time-travel: the store as of the log's midpoint sequence
       val log = changelogOf(s, dir)
       Ingest.snapshotAt(log, maxSeq(log) / 2)
+    },
+    "x_seq_gap_audit" -> { (s, dir) =>
+      // changelog completeness over a deliberately lossy, duplicated
+      // feed: every seq ≡ 13 (mod 101) dropped (a lost micro-batch's
+      // signature), every seq ≡ 0 (mod 97) delivered twice (at-least-
+      // once redelivery) — the per-segment report must surface exactly
+      // those holes and duplicates, bounded by segments not rows
+      val lossy = changelogOf(s, dir).where(col("seq") % 101 =!= 13)
+      val feed = lossy.unionAll(lossy.where(col("seq") % 97 === 0))
+      Audit.seqGapAudit(feed, col("seq"), bucketSize = 1000L)
     },
     "x_mv_incremental" -> { (s, dir) =>
       // incremental materialized-view maintenance: build the grouped
@@ -779,6 +789,26 @@ object SparkEntryIdx {
     "x_snapshot_read" ->
       (s"WITH $changelogSql, cuts AS (SELECT max(seq) // 2 AS c FROM log) " +
         s"SELECT key, doc FROM ${snapSql("c", "doc")} s"),
+
+    // same loss/dup injection, same keyed lag-over-(bucket, seq) gap
+    // detection — holes and redeliveries re-derived segment by segment
+    "x_seq_gap_audit" ->
+      (s"WITH $changelogSql, " +
+        "lossy AS (SELECT seq FROM log WHERE seq % 101 <> 13), " +
+        "feed AS (SELECT seq FROM lossy UNION ALL SELECT seq FROM lossy WHERE seq % 97 = 0), " +
+        "r AS (SELECT seq // 1000 AS bucket, seq FROM feed), " +
+        "dups AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows FROM r GROUP BY 1), " +
+        "d AS (SELECT DISTINCT bucket, seq FROM r), " +
+        "g AS (SELECT bucket, seq, lag(seq) OVER (PARTITION BY bucket ORDER BY seq) AS prev FROM d), " +
+        "gg AS (SELECT bucket, seq, CASE WHEN prev IS NOT NULL AND seq - prev > 1 " +
+        "THEN seq - prev - 1 ELSE 0 END AS gap FROM g), " +
+        "a AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_distinct, " +
+        "CAST(min(seq) AS BIGINT) AS lo, CAST(max(seq) AS BIGINT) AS hi, " +
+        "CAST(sum(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps, " +
+        "CAST(sum(gap) AS BIGINT) AS n_missing FROM gg GROUP BY 1) " +
+        "SELECT a.bucket, dups.n_rows, " +
+        "CAST(dups.n_rows - a.n_distinct AS BIGINT) AS n_dups, " +
+        "a.lo, a.hi, a.n_gaps, a.n_missing FROM a JOIN dups USING (bucket)"),
 
     // the oracle REBUILDS the view directly from the final snapshot —
     // the Spark side got there by three incremental retract+add folds,

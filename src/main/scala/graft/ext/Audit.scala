@@ -172,6 +172,46 @@ object Audit {
       .drop("__pid", "__lrk", "__rk")
   }
 
+  /** Changelog completeness audit: did every sequence number in the feed
+    * arrive exactly once? Consumers resuming from an offset can only
+    * trust their fold if the ingested range is CONTIGUOUS — a dropped
+    * batch shows up here as a gap long before it shows up as a wrong
+    * aggregate. Works per fixed-width `bucketSize` segment of the
+    * sequence space, so the report stays bounded (segments, not rows)
+    * and the window is KEYED by bucket — gap detection is one
+    * lag-over-(bucket, seq) pass plus one agg, both shuffling on the
+    * bucket key; no global sort, no single-task window. Boundary gaps
+    * BETWEEN buckets are attributed to the later bucket via each
+    * bucket's expected range [bucket·size, min(hi, next observed)) —
+    * kept internal-only here: `n_missing` counts holes strictly inside
+    * a bucket's observed [lo, hi] span, the signature a lost micro-batch
+    * leaves (whole missing buckets surface as absent report rows, which
+    * the bounded report makes obvious). Duplicates are counted
+    * separately (`n_dups`), not conflated with gaps. */
+  def seqGapAudit(log: DataFrame, seqCol: Column, bucketSize: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketSize >= 2, s"bucketSize=$bucketSize")
+    val rows = log.select(seqCol.cast("long").as("__seq"))
+      .select(expr(s"__seq DIV $bucketSize").as("bucket"), col("__seq"))
+    val dups = rows.groupBy("bucket")
+      .agg(count(lit(1)).as("__n_rows"))
+    val d = rows.distinct()
+    val w = Window.partitionBy("bucket").orderBy("__seq")
+    val gapped = d.withColumn("__prev", lag(col("__seq"), 1).over(w))
+      .withColumn("__gap",
+        when(col("__prev").isNotNull && col("__seq") - col("__prev") > 1L,
+          col("__seq") - col("__prev") - 1L).otherwise(0L))
+    gapped.groupBy("bucket")
+      .agg(count(lit(1)).as("n_distinct"), min("__seq").as("lo"),
+        max("__seq").as("hi"),
+        sum(when(col("__gap") > 0L, 1L).otherwise(0L)).as("n_gaps"),
+        sum(col("__gap")).as("n_missing"))
+      .join(dups, Seq("bucket"))
+      .select(col("bucket"), col("__n_rows").as("n_rows"),
+        (col("__n_rows") - col("n_distinct")).as("n_dups"),
+        col("lo"), col("hi"), col("n_gaps"), col("n_missing"))
+  }
+
   def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "an empty contract audits nothing")
     require(rules.map(_._1).distinct.size == rules.size,

@@ -37,6 +37,16 @@ object Io {
       // multiLine: quoted embedded newlines are data, not row breaks
       .option("multiLine", "true").csv(path)
 
+  /** ORC, the other columnar lake format a migration actually meets
+    * (Hive-era warehouses): schema-preserving, predicate-pushdown-capable
+    * like parquet — the schema argument on read is an ASSERTION (FAILFAST
+    * against drift), not inference, same contract as the text readers. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").orc(path)
+
   // live parse registry, kept for any future persist-based reader: the
   // DLQ split no longer registers here (it localCheckpoints — lineage
   // truncated, blocks freed by the ContextCleaner when the handles die),

@@ -135,4 +135,23 @@ class AuditSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted
     assert(ties.toSeq == Seq(1L, 2L))
   }
+
+  test("seqGapAudit: holes, duplicates, and bucket boundaries counted exactly") {
+    import spark.implicits._
+    // bucket 0 (size 10): seqs 1,2,3,5,6,9 with 3 delivered twice
+    //   -> 7 rows, 1 dup, gaps (3->5)=1 and (6->9)=2: n_gaps 2, missing 3
+    // bucket 1: 12 alone -> clean single row
+    val feed = Seq(1L, 2L, 3L, 3L, 5L, 6L, 9L, 12L).toDF("seq")
+    val got = Audit.seqGapAudit(feed, col("seq"), bucketSize = 10L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(got(0L) == ((7L, 1L, 1L, 9L, 2L, 3L)))
+    assert(got(1L) == ((1L, 0L, 12L, 12L, 0L, 0L)))
+    // a contiguous feed audits clean in every bucket
+    val clean = Audit.seqGapAudit((0L to 25L).toDF("seq"), col("seq"), 10L)
+      .collect()
+    assert(clean.forall(r => r.getLong(2) == 0L && r.getLong(5) == 0L &&
+      r.getLong(6) == 0L))
+  }
 }

@@ -21,7 +21,23 @@ class IoSpec extends SparkSpec {
       assert(rows(Io.readJsonl(spark, s"$dir/j", docs.schema)) == want, "jsonl")
       Io.writeCsv(docs, s"$dir/c")
       assert(rows(Io.readCsv(spark, s"$dir/c", docs.schema)) == want, "csv")
+      Io.writeOrc(docs, s"$dir/o")
+      assert(rows(Io.readOrc(spark, s"$dir/o", docs.schema)) == want, "orc")
     } finally docs.unpersist()
+  }
+
+  test("ORC scan pushes predicates and prunes columns like parquet") {
+    val docs = Tables.documents(spark, sf)
+    val dir = tmp()
+    Io.writeOrc(docs, s"$dir/o")
+    val q = Io.readOrc(spark, s"$dir/o", docs.schema)
+      .where(col("doc_id") === 7L).select("doc_id", "lang")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]"),
+      s"predicate must reach the ORC scan:\n$scan")
+    assert(!scan.contains("text#") || !scan.contains("ReadSchema: struct<doc_id:bigint,lang:string,text"),
+      "projection must prune unselected columns")
+    assert(q.count() == docs.where(col("doc_id") === 7L).count())
   }
 
   test("DLQ reader splits malformed JSONL lines without losing either side") {

@@ -164,6 +164,9 @@ class PlanAuditSpec extends SparkSpec {
     "x_join_size_est" -> 6,
     // pre-join skew audit: two key-count aggs + the two-phase top-k rank
     "x_join_skew_report" -> 3,
+    // changelog completeness: bucket-keyed distinct + lag window + agg,
+    // joined with the per-bucket row counts
+    "x_seq_gap_audit" -> 3,
     // lake/curation additions: the evolved-schema union is scan-only;
     // compaction bins one exchange into the bounded-cell window + the
     // cell agg; the temperature mix pays the lang agg + bounded window;
