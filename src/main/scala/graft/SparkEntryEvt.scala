@@ -214,7 +214,41 @@ object SparkEntryEvt {
       // count_distinct window)
       EventAnalytics.activeUsers(Tables.events(s, dir), windowDays = 7)
     },
+    "x_active_users_hll" -> { (s, dir) =>
+      // the wide-window path the exact expansion documents: day-level
+      // HLL sketches merged per window — the expansion is over the
+      // BOUNDED day relation, so a 365-day MAU costs days·window sketch
+      // merges, never users·window rows. Estimates stash for the oracle
+      // (x_sketch_hll's contract); exact DAU rides beside them.
+      val out = EventAnalytics.activeUsersHll(Tables.events(s, dir),
+        windowDays = 7)
+      lastActiveHll = out.select("day", "dau_est", "rolling_est").collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+      out
+    },
   )
+
+  /** x_active_users_hll's estimate stash (bounded: one row per day). */
+  @volatile private var lastActiveHll: Seq[(String, Long, Long)] = Nil
+
+  /** Estimates replay as VALUES literals; the exact DAU side is
+    * re-derived from the raw events (the x_sketch_hll oracle contract —
+    * HLL register binaries have no DuckDB counterpart, exactness rides
+    * in the same row instead). */
+  private def activeHllOracle: Map[String, String] = lastActiveHll match {
+    case est if est.nonEmpty =>
+      val rows = est.map { case (d, de, re) => s"(DATE '$d', $de, $re)" }
+        .mkString(", ")
+      Map("x_active_users_hll" ->
+        (s"WITH est(day, dau_est, rolling_est) AS (VALUES $rows), " +
+          "du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), " +
+          "dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau_exact FROM du GROUP BY 1) " +
+          "SELECT d.day, d.dau_exact, CAST(e.dau_est AS BIGINT) AS dau_est, " +
+          "CAST(e.rolling_est AS BIGINT) AS rolling_est " +
+          "FROM dau d JOIN est e USING (day)"))
+    case _ => Map.empty
+  }
 
   /** Graph CTE builder: edge list + out-degrees + vertex count for one
     * edge set, name-prefixed so the delta oracle can hold the base and
@@ -500,5 +534,5 @@ object SparkEntryEvt {
         "FROM du, range(7) t(o)), " +
         "roll AS (SELECT day, CAST(count(*) AS BIGINT) AS rolling FROM ex GROUP BY 1) " +
         "SELECT day, dau, rolling FROM dau JOIN roll USING (day)"),
-  )
+  ) ++ activeHllOracle
 }

@@ -282,6 +282,37 @@ object EventAnalytics {
     dau.join(rolling, Seq("day"))
   }
 
+  /** The documented approximate path for window widths too large to
+    * expand at the (day, user) grain ([[activeUsers]]'s explode): sketch
+    * each day ONCE (one corpus-pass HLL agg, output bounded by DAYS),
+    * then roll windows by merging the day-level sketches — the window
+    * expansion happens on the bounded day relation (sketch bytes ×
+    * window), so widening the window scales with days, never with users
+    * or events. A 365-day rolling MAU over 10¹⁰ events merges 365
+    * kilobyte-sized registers per reported day instead of exploding
+    * every (day, user) pair 365×. The exact DAU rides in the same
+    * relation so the estimate's error is visible; reported days are
+    * event-bearing days only, same as the exact path. */
+  def activeUsersHll(events: DataFrame, windowDays: Int = 7, lgK: Int = 12,
+                     tsCol: String = "ts", userCol: String = "user_id"): DataFrame = {
+    require(windowDays >= 1, s"windowDays=$windowDays must be ≥ 1")
+    val du = events.select(to_date(col(tsCol)).as("day"),
+      col(userCol).as("__u")).distinct()
+    val daily = du.groupBy("day")
+      .agg(hll_sketch_agg(col("__u"), lit(lgK)).as("__sk"),
+        count(lit(1)).as("dau_exact"))
+    val rolling = daily
+      .select(explode(sequence(lit(0), lit(windowDays - 1))).as("__off"),
+        col("day"), col("__sk"))
+      .select(date_add(col("day"), col("__off")).as("day"), col("__sk"))
+      .groupBy("day")
+      .agg(hll_sketch_estimate(hll_union_agg(col("__sk"), lit(true)))
+        .as("rolling_est"))
+    daily.select(col("day"), col("dau_exact"),
+        hll_sketch_estimate(col("__sk")).as("dau_est"))
+      .join(rolling, Seq("day"))
+  }
+
   /** Behavioral anomaly report: the days a user's spend ran more than
     * `factor`× their own cross-day average. The test is the
     * division-free `day_sum · days_active > factor · total` (all

@@ -325,6 +325,29 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("activeUsersHll: at toy cardinality the sketch path equals the exact expansion") {
+    // HLL is exact far below 2^lgK registers, so the day-sketch merge
+    // must reproduce the exact path's dau AND rolling numbers here —
+    // the law that makes it a drop-in wide-window replacement
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "click"),
+      (2L, "2024-01-01 11:00:00", "click"),
+      (1L, "2024-01-02 10:00:00", "click"),
+      (3L, "2024-01-04 10:00:00", "click"),
+      (3L, "2024-01-04 23:00:00", "click"))
+    val exact = EventAnalytics.activeUsers(events, windowDays = 2)
+      .collect().map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val est = EventAnalytics.activeUsersHll(events, windowDays = 2)
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(est.keySet == exact.keySet, "same event-bearing days reported")
+    est.foreach { case (d, (dauExact, dauEst, rollEst)) =>
+      assert((dauExact, dauEst, rollEst) ==
+        ((exact(d)._1, exact(d)._1, exact(d)._2)), s"day $d")
+    }
+  }
+
   test("anomalousDays flags exactly the spike day, never the flat user") {
     import spark.implicits._
     import graft.ext.EventAnalytics

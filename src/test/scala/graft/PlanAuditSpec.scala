@@ -192,6 +192,9 @@ class PlanAuditSpec extends SparkSpec {
     // active users: (day,user) dedup, dau agg, window-end expansion
     // dedup + agg, final day join
     "x_active_users" -> 5,
+    // wide-window sketch path: (day,user) dedup + day-sketch agg + the
+    // day-level (bounded) window merge + final day join
+    "x_active_users_hll" -> 5,
     // cluster profile: literal arg-max assignment is map-only; the two
     // bounded aggs (cell-label counts, per-cell rollup) each shuffle once
     "x_cluster_profile" -> 2,
