@@ -11,6 +11,18 @@ object Bench {
       java.nio.charset.StandardCharsets.UTF_8).trim
     catch { case _: Throwable => "" }
 
+  // Cumulative JVM GC milliseconds — the third pressure channel beside
+  // loadavg and the eviction/spill counters: a heap-pressured run (many
+  // persisted artifacts aging into the old gen) distorts medians through
+  // GC pauses without posting a single eviction, so the record carries
+  // GC-time deltas per phase and the share lets a polluted run
+  // self-identify exactly like the other two channels.
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val loadStart = procLine("/proc/loadavg")
     val uptimeStart = procLine("/proc/uptime")
@@ -107,6 +119,7 @@ object Bench {
     // indexes scenario — instead of re-deriving them from the corpus and
     // charging the build to whichever query faults it first.
     val tArt = System.nanoTime()
+    val gcArtStart = gcMillis()
     ordered.foreach { case (name, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -119,6 +132,9 @@ object Bench {
     // events — rebase the counter after them so the timed phase starts
     // near zero (listener delivery is async; the rebase is best-effort)
     Thread.sleep(200); val evictedBase = evictedBlocks.get()
+    val gcArtMs = gcMillis() - gcArtStart
+    val gcTimedStart = gcMillis()
+    val tTimed = System.nanoTime()
     val results = ordered.map { case (name, fn) =>
       val ev0 = evictedBlocks.get()
       val ts = (1 to reps).map(_ => timeOnce(name, fn))
@@ -132,6 +148,10 @@ object Bench {
       (name, med, ts.head, evictedBlocks.get() - ev0)
     }
     val total = results.map(_._2).filter(_ >= 0).sum
+    val gcTimedMs = gcMillis() - gcTimedStart
+    // GC share of the timed phase's WALL time: >10% means medians are
+    // pause-distorted and the run should be read with that caveat
+    val timedWallMs = (System.nanoTime() - tTimed) / 1000000L
     val evictedTimed = evictedBlocks.get() - evictedBase
     // cold_total includes each query's FIRST rep — i.e. shared-artifact
     // builds (docs assembly, shred, shingle/signature tables) are charged
@@ -154,7 +174,8 @@ object Bench {
     val uptimeEnd = procLine("/proc/uptime")
     val loadJson =
       s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd","uptime_start":"$uptimeStart","uptime_end":"$uptimeEnd"""" +
-        s""","evicted_blocks_timed":$evictedTimed,"evicted_blocks_artifact_pass":$evictedArtifactPass,"spilled_bytes":${spilledBytes.get()}"""
+        s""","evicted_blocks_timed":$evictedTimed,"evicted_blocks_artifact_pass":$evictedArtifactPass,"spilled_bytes":${spilledBytes.get()}""" +
+        s""","gc_ms_artifact_pass":$gcArtMs,"gc_ms_timed":$gcTimedMs,"gc_pct_timed":${if (timedWallMs > 0) 100L * gcTimedMs / timedWallMs else 0L}"""
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"cold_total":$cold,"artifact_pass":$artifactSecs,"sf":"$sfDir","reps":$reps,"cpus":"$cpus",$loadJson}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")

@@ -87,14 +87,24 @@ object Graph {
     * (u1, u2) pair — AQE splits hub-v skew. Output is three bounded
     * `(metric, value)` rows.
     *
-    * Guard: the wedge total is checked BEFORE the pair join is committed
+    * Guard: the wedge total is computed BEFORE the pair join is committed
     * (one map-side-combinable degree agg — a driver scalar, the same
     * bounded-metadata contract as pageRank's vertex count); exceeding
     * `maxWedges` throws with the capped variant named, rather than
-    * launching an O(wedges)-row shuffle. */
+    * launching an O(wedges)-row shuffle. The guard's scalar then IS the
+    * census's `n_wedges` row (a literal), so the check costs nothing the
+    * census wasn't already paying — the degree agg runs once, not twice.
+    *
+    * `assumeDistinct = true` skips the defensive dedup — for callers
+    * handing a relation that is distinct BY CONSTRUCTION (ideally a
+    * persisted/memoized one, so the census's metric branches all scan
+    * the same materialized rows instead of re-running the distinct per
+    * branch — the difference between one build and four). */
   def butterflyCensus(edges: DataFrame, uCol: String, vCol: String,
-                      maxWedges: Long = MaxExactWedges): DataFrame = {
-    val e = edges.select(col(uCol).as("__u"), col(vCol).as("__v")).distinct()
+                      maxWedges: Long = MaxExactWedges,
+                      assumeDistinct: Boolean = false): DataFrame = {
+    val proj = edges.select(col(uCol).as("__u"), col(vCol).as("__v"))
+    val e = if (assumeDistinct) proj else proj.distinct()
     val wedgeTotal: Long = e.groupBy("__v").agg(count(lit(1)).as("__d"))
       .agg(coalesce(sum(expr("__d * (__d - 1) DIV 2")), lit(0L)).as("__wt"))
       .head.getLong(0)
@@ -104,9 +114,8 @@ object Graph {
         s"sample before the exact census")
     val nEdges = e.groupBy().agg(count(lit(1)).as("value"))
       .select(lit("n_edges").as("metric"), col("value"))
-    val nWedges = e.groupBy("__v").agg(count(lit(1)).as("__d"))
-      .agg(coalesce(sum(expr("__d * (__d - 1) DIV 2")), lit(0L)).as("value"))
-      .select(lit("n_wedges").as("metric"), col("value"))
+    val nWedges = e.sparkSession.range(1)
+      .select(lit("n_wedges").as("metric"), lit(wedgeTotal).as("value"))
     val nBf = e.alias("a").join(e.alias("b"),
         col("a.__v") === col("b.__v") && col("a.__u") < col("b.__u"))
       .groupBy(col("a.__u"), col("b.__u")).agg(count(lit(1)).as("__w"))
@@ -128,9 +137,11 @@ object Graph {
     * relational pre-filter over the degree relation the census already
     * derives.) Four bounded `(metric, value)` rows. */
   def butterflyCensusCapped(edges: DataFrame, uCol: String, vCol: String,
-                            maxVDegree: Long): DataFrame = {
+                            maxVDegree: Long,
+                            assumeDistinct: Boolean = false): DataFrame = {
     require(maxVDegree >= 1, s"maxVDegree=$maxVDegree")
-    val e = edges.select(col(uCol).as("__u"), col(vCol).as("__v")).distinct()
+    val proj = edges.select(col(uCol).as("__u"), col(vCol).as("__v"))
+    val e = if (assumeDistinct) proj else proj.distinct()
     val deg = e.groupBy("__v").agg(count(lit(1)).as("__d"))
     val kept = e.join(deg.where(col("__d") <= maxVDegree).select("__v"), Seq("__v"))
     val nHubs = deg.where(col("__d") > maxVDegree)

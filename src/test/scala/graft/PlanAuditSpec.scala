@@ -173,12 +173,14 @@ class PlanAuditSpec extends SparkSpec {
     // filtered knn is the broadcast-bounded exact scan + two-phase rank
     "x_schema_evolution" -> 0, "x_compaction_plan" -> 2,
     "x_mix_temperature" -> 2, "x_knn_filtered" -> 2,
-    // butterfly census: the three metric legs each print the shared
-    // edge artifact's distinct lineage (the wedge guard's eager degree
-    // agg materializes the memo first, which shifts the printed count);
-    // executed work is the v-keyed wedge join + pair agg. The capped
-    // variant adds the degree-filter join per leg.
-    "x_butterfly" -> 21, "x_butterfly_capped" -> 42,
+    // butterfly census: the metric legs each print the MEMOIZED distinct
+    // bipartite relation's build lineage (InMemoryRelation prints per
+    // consumer — the j4/p10/kmv inflation), so the counts are high while
+    // the EXECUTED work halved when the census switched to assumeDistinct
+    // over the shared persisted relation (RunOne warm 3.6→1.9 s /
+    // 4.6→2.9 s at sf0.1). The capped variant adds the degree-filter
+    // join per leg.
+    "x_butterfly" -> 21, "x_butterfly_capped" -> 58,
     // multi-dimensional reporting: ROLLUP/CUBE/GROUPING SETS each plan
     // ONE exchange — Expand replicates rows per grouping set BEFORE the
     // aggregation, so map-side combine applies and the corpus is read
