@@ -105,23 +105,30 @@ object Graph {
                       assumeDistinct: Boolean = false): DataFrame = {
     val proj = edges.select(col(uCol).as("__u"), col(vCol).as("__v"))
     val e = if (assumeDistinct) proj else proj.distinct()
-    val wedgeTotal: Long = e.groupBy("__v").agg(count(lit(1)).as("__d"))
-      .agg(coalesce(sum(expr("__d * (__d - 1) DIV 2")), lit(0L)).as("__wt"))
-      .head.getLong(0)
+    // ONE eager degree agg yields both scalar metrics (Σd = edge count,
+    // ΣC(d,2) = wedge count) — bounded driver metadata, so the guard and
+    // the two cheap census rows cost a single pass; the pair join is the
+    // only lazy branch left, which is exactly the published cost profile
+    val row = e.groupBy("__v").agg(count(lit(1)).as("__d"))
+      .agg(coalesce(sum(col("__d")), lit(0L)).as("__ne"),
+        coalesce(sum(expr("__d * (__d - 1) DIV 2")), lit(0L)).as("__wt"))
+      .head
+    val (nE, wedgeTotal) = (row.getLong(0), row.getLong(1))
     require(wedgeTotal <= maxWedges,
       s"butterflyCensus: $wedgeTotal wedges exceed the exact-join bound of " +
         s"$maxWedges — degree-cap the hub tail (butterflyCensusCapped) or " +
         s"sample before the exact census")
-    val nEdges = e.groupBy().agg(count(lit(1)).as("value"))
-      .select(lit("n_edges").as("metric"), col("value"))
-    val nWedges = e.sparkSession.range(1)
-      .select(lit("n_wedges").as("metric"), lit(wedgeTotal).as("value"))
+    val scalars = e.sparkSession.range(1).select(explode(array(
+        struct(lit("n_edges").as("metric"), lit(nE).as("value")),
+        struct(lit("n_wedges").as("metric"), lit(wedgeTotal).as("value"))))
+        .as("__r"))
+      .select(col("__r.metric").as("metric"), col("__r.value").as("value"))
     val nBf = e.alias("a").join(e.alias("b"),
         col("a.__v") === col("b.__v") && col("a.__u") < col("b.__u"))
       .groupBy(col("a.__u"), col("b.__u")).agg(count(lit(1)).as("__w"))
       .agg(coalesce(sum(expr("__w * (__w - 1) DIV 2")), lit(0L)).as("value"))
       .select(lit("n_butterflies").as("metric"), col("value"))
-    nEdges.unionByName(nWedges).unionByName(nBf)
+    scalars.unionByName(nBf)
   }
 
   /** Degree-capped census — the 100 TB valve for the wedge join's
@@ -143,21 +150,32 @@ object Graph {
     val proj = edges.select(col(uCol).as("__u"), col(vCol).as("__v"))
     val e = if (assumeDistinct) proj else proj.distinct()
     val deg = e.groupBy("__v").agg(count(lit(1)).as("__d"))
+    // ONE eager degree agg yields all three scalar metrics (capped-hub
+    // count, retained edge count = Σd over kept, retained wedge count) —
+    // bounded driver metadata; the retained pair join is then the only
+    // lazy branch, consuming `kept` exactly once
+    val row = deg.agg(
+      coalesce(sum(when(col("__d") > maxVDegree, 1L).otherwise(0L)), lit(0L))
+        .as("__hubs"),
+      coalesce(sum(when(col("__d") <= maxVDegree, col("__d"))), lit(0L))
+        .as("__ne"),
+      coalesce(sum(when(col("__d") <= maxVDegree,
+        expr("__d * (__d - 1) DIV 2"))), lit(0L)).as("__wt"))
+      .head
+    val (nHubs, nE, wedges) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val scalars = e.sparkSession.range(1).select(explode(array(
+        struct(lit("n_hub_vs_capped").as("metric"), lit(nHubs).as("value")),
+        struct(lit("n_edges_kept").as("metric"), lit(nE).as("value")),
+        struct(lit("n_wedges").as("metric"), lit(wedges).as("value"))))
+        .as("__r"))
+      .select(col("__r.metric").as("metric"), col("__r.value").as("value"))
     val kept = e.join(deg.where(col("__d") <= maxVDegree).select("__v"), Seq("__v"))
-    val nHubs = deg.where(col("__d") > maxVDegree)
-      .agg(count(lit(1)).as("value"))
-      .select(lit("n_hub_vs_capped").as("metric"), col("value"))
-    val nEdges = kept.groupBy().agg(count(lit(1)).as("value"))
-      .select(lit("n_edges_kept").as("metric"), col("value"))
-    val nWedges = deg.where(col("__d") <= maxVDegree)
-      .agg(coalesce(sum(expr("__d * (__d - 1) DIV 2")), lit(0L)).as("value"))
-      .select(lit("n_wedges").as("metric"), col("value"))
     val nBf = kept.alias("a").join(kept.alias("b"),
         col("a.__v") === col("b.__v") && col("a.__u") < col("b.__u"))
       .groupBy(col("a.__u"), col("b.__u")).agg(count(lit(1)).as("__w"))
       .agg(coalesce(sum(expr("__w * (__w - 1) DIV 2")), lit(0L)).as("value"))
       .select(lit("n_butterflies").as("metric"), col("value"))
-    nHubs.unionByName(nEdges).unionByName(nWedges).unionByName(nBf)
+    scalars.unionByName(nBf)
   }
 
   private def ranksOf(edges: DataFrame, srcCol: String, dstCol: String,

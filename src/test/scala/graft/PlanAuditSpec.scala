@@ -173,14 +173,14 @@ class PlanAuditSpec extends SparkSpec {
     // filtered knn is the broadcast-bounded exact scan + two-phase rank
     "x_schema_evolution" -> 0, "x_compaction_plan" -> 2,
     "x_mix_temperature" -> 2, "x_knn_filtered" -> 2,
-    // butterfly census: the metric legs each print the MEMOIZED distinct
-    // bipartite relation's build lineage (InMemoryRelation prints per
-    // consumer — the j4/p10/kmv inflation), so the counts are high while
-    // the EXECUTED work halved when the census switched to assumeDistinct
-    // over the shared persisted relation (RunOne warm 3.6→1.9 s /
-    // 4.6→2.9 s at sf0.1). The capped variant adds the degree-filter
-    // join per leg.
-    "x_butterfly" -> 21, "x_butterfly_capped" -> 58,
+    // butterfly census: ONE eager bounded degree agg supplies every
+    // scalar metric as a literal (guard included), leaving the wedge
+    // pair join as the only lazy branch over the memoized distinct
+    // bipartite relation (whose cached lineage prints per consumer —
+    // the j4/p10/kmv inflation). Steady-state reps at sf0.1 fell
+    // 3.6→~2.0 s (exact) and 5.6→~2.4 s (capped) across the
+    // assumeDistinct + single-pass-scalars rework.
+    "x_butterfly" -> 14, "x_butterfly_capped" -> 28,
     // multi-dimensional reporting: ROLLUP/CUBE/GROUPING SETS each plan
     // ONE exchange — Expand replicates rows per grouping set BEFORE the
     // aggregation, so map-side combine applies and the corpus is read
