@@ -140,16 +140,48 @@ object UnigramLm {
     * n_words, n_pieces)`. The DP runs once per DISTINCT word; per-doc
     * totals come from one vocab-sized broadcast join back — the same
     * scale shape as [[TextAnalysis.bpeTokenCounts]]. */
+  // Shared consumer-side artifacts: the (doc, word, n) relation and the
+  // per-DISTINCT-word segmentation stats (piece count + summed piece
+  // cost) are the expensive halves of BOTH downstream readers
+  // (segmentCounts and docLmCost), so they are memoized+persisted like
+  // every other shared derived relation — the second reader pays one agg
+  // and a broadcast join, not a re-tokenize and a re-segmentation. The
+  // segmentation memo's tag carries a content hash of the cost table, so
+  // two different models never share an entry (and MurmurHash3 over the
+  // (piece, cost) pairs is content-deterministic, so the disk artifact
+  // key is stable across JVMs).
+  private val wordsMemo = new graft.PlanMemo
+  private val segMemo = new graft.PlanMemo
+
+  private def docWordsOf(docs: DataFrame, textCol: String,
+                         idCol: String): DataFrame =
+    wordsMemo(docs, graft.PlanMemo.tag("uniwords", textCol, idCol))(
+      docs.where(col(textCol).isNotNull)
+        .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("w"))
+        .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("n")))
+
+  private def wordSegOf(docs: DataFrame, model: Trained, textCol: String,
+                        idCol: String): DataFrame = {
+    val docWords = docWordsOf(docs, textCol, idCol)
+    val costMap = typedLit(model.finalCosts.toMap)
+    segMemo(docWords,
+      graft.PlanMemo.tag("uniseg", model.finalCosts.hashCode, model.maxPieceLen))(
+      docWords.select("w").distinct()
+        .withColumn("__ps", ViterbiExpression.unigramSegment(
+          col("w"), model.finalCosts, model.maxPieceLen))
+        // element_at is ANSI-strict on maps: a piece outside the vocab
+        // throws instead of silently scoring 0 — structurally impossible
+        // (the DP only emits vocab pieces), and loud if that ever breaks
+        .select(col("w"), size(col("__ps")).as("n_sym"),
+          aggregate(col("__ps"), lit(0L),
+            (acc, p) => acc + element_at(costMap, p)).as("w_cost")))
+  }
+
   def segmentCounts(docs: DataFrame, model: Trained,
                     textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
-    val docWords = docs.where(col(textCol).isNotNull)
-      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("w"))
-      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("n"))
-    val wordLen = docWords.select("w").distinct()
-      .select(col("w"), size(ViterbiExpression.unigramSegment(
-        col("w"), model.finalCosts, model.maxPieceLen)).as("n_sym"))
-    docWords.join(broadcast(wordLen), Seq("w"))
+    val docWords = docWordsOf(docs, textCol, idCol)
+    docWords.join(broadcast(wordSegOf(docs, model, textCol, idCol)), Seq("w"))
       .groupBy(col(idCol))
       .agg(sum(col("n")).as("n_words"),
         sum(col("n") * col("n_sym")).as("n_pieces"))
@@ -173,20 +205,8 @@ object UnigramLm {
   def docLmCost(docs: DataFrame, model: Trained,
                 textCol: String = "text",
                 idCol: String = "doc_id"): DataFrame = {
-    val docWords = docs.where(col(textCol).isNotNull)
-      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("w"))
-      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("n"))
-    val costMap = typedLit(model.finalCosts.toMap)
-    val wordCost = docWords.select("w").distinct()
-      .withColumn("__ps", ViterbiExpression.unigramSegment(
-        col("w"), model.finalCosts, model.maxPieceLen))
-      // element_at is ANSI-strict on maps: a piece outside the vocab
-      // throws instead of silently scoring 0 — structurally impossible
-      // (the DP only emits vocab pieces), and loud if that ever breaks
-      .select(col("w"), size(col("__ps")).as("n_sym"),
-        aggregate(col("__ps"), lit(0L),
-          (acc, p) => acc + element_at(costMap, p)).as("w_cost"))
-    docWords.join(broadcast(wordCost), Seq("w"))
+    val docWords = docWordsOf(docs, textCol, idCol)
+    docWords.join(broadcast(wordSegOf(docs, model, textCol, idCol)), Seq("w"))
       .groupBy(col(idCol))
       .agg(sum(col("n") * col("n_sym")).as("n_pieces"),
         sum(col("n") * col("w_cost")).as("lm_cost"))

@@ -107,7 +107,9 @@ class PlanAuditSpec extends SparkSpec {
     "x_text_fingerprint" -> 0, "x_text_langid" -> 0, "x_text_quality" -> 0,
     "x_text_tf_df" -> 4, "x_text_tokens" -> 0, "x_token_bpeish" -> 0,
     "x_bpe_merges" -> 0, "x_bpe_segment" -> 3, "x_top_terms" -> 3,
-    "x_unigram_train" -> 0, "x_unigram_segment" -> 3, "x_unigram_ppl" -> 3,
+    // segment/ppl read the MEMOIZED (doc, word, n) + per-word
+    // segmentation relations (cached lineage prints per consumer)
+    "x_unigram_train" -> 0, "x_unigram_segment" -> 4, "x_unigram_ppl" -> 4,
     "x_quality_bigram_lm" -> 7, "x_quality_repetition" -> 4,
     "x_quality_unigram_lm" -> 6,
     // inverted index
