@@ -19,6 +19,10 @@ object SparkEntryIdx {
   private val phrase = Seq("data", "table")
   /** BM25 terms: two dense + one rare (`dup`, df≈5%) so idf spread is real */
   private val bm25Terms = Seq("spark", "query", "dup")
+  /** x_bm25_delta's query terms: two corpus terms plus the marker the
+    * delta batch injects, so the ranked result proves rewritten docs
+    * are searchable through the merged index. */
+  private val deltaTerms = Seq("spark", "dup", "updated")
 
   /** Cluster-profile constants: k matches the fixture's 10 ground-truth
     * labels; 3 Lloyd's iterations — shared with the oracle replay. */
@@ -182,6 +186,24 @@ object SparkEntryIdx {
           base.where(col("doc_id") % 8 === 0).select("doc_id")))
     },
 
+    "x_bm25_delta" -> { (s, dir) =>
+      // ranked search served FROM the delta-maintained index (same
+      // base/upsert/delete scenario as x_index_delta): the merged
+      // posting relation answers BM25 directly — no rebuild, no corpus
+      // re-read — and the injected 'updated' term proves the batch's
+      // rewrites are SEARCHABLE, not just counted
+      val docs = Tables.documents(s, dir)
+      val base = docs.where(col("doc_id") % 2 === 0)
+      val upserts = base.where(col("doc_id") % 8 === 4)
+        .withColumn("text", concat(col("text"), lit(" updated entry")))
+        .unionByName(docs.where(col("doc_id") % 4 === 1))
+        .select("doc_id", "text")
+      InvertedIndex.bm25TopKPost(
+        InvertedIndex.applyDocDelta(
+          InvertedIndex.postings(base), upserts,
+          base.where(col("doc_id") % 8 === 0).select("doc_id")),
+        deltaTerms)
+    },
     "x_dedup_semantic" -> { (s, dir) =>
       // SemDeDup: learned-cell clustering + in-cell exact cosine. Like
       // x_knn_ivf: approximate recall, deterministic computation — the
@@ -703,6 +725,30 @@ object SparkEntryIdx {
         "FROM dots JOIN norms na ON na.doc_id = doc_a JOIN norms nb ON nb.doc_id = doc_b) " +
         "SELECT CAST(row_number() OVER (ORDER BY cos2_ppm DESC, doc_a, doc_b) AS INT) AS rank, " +
         "doc_a, doc_b, dot, cos2_ppm FROM sim QUALIFY rank <= 50"),
+
+    // the delta-merged corpus rebuilt as SQL (x_index_delta's final
+    // CTE), then the same BM25 derivation with INDEX-derived stats
+    // (N and dl from the tf relation — token-free docs are invisible
+    // to an index, and the post-based scorer mirrors that)
+    "x_bm25_delta" ->
+      ("WITH final AS (" +
+        "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0 AND doc_id % 8 NOT IN (0, 4) " +
+        "UNION ALL SELECT doc_id, text || ' updated entry' FROM documents WHERE doc_id % 8 = 4 " +
+        "UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1), " +
+        s"t2 AS (SELECT doc_id, unnest($toks) AS term FROM final), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1), " +
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM dl), " +
+        s"dfx AS (SELECT term, count(*) AS df FROM tf WHERE term IN (${inSql(deltaTerms)}) GROUP BY 1), " +
+        "idf AS (SELECT term, floor(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) * 1000000.0 + 0.5) / 1000000.0 AS idf FROM dfx, st), " +
+        "sc AS (SELECT t.doc_id, floor((i.idf * (t.tf * 2.2)) / " +
+        "(t.tf + 1.2 * (0.25 + (0.75 * d.dl) / s.avgdl)) * 1000000.0 + 0.5) / 1000000.0 AS s1 " +
+        s"FROM tf t JOIN idf i USING (term) JOIN dl d USING (doc_id), st s " +
+        s"WHERE t.term IN (${inSql(deltaTerms)})), " +
+        "per AS (SELECT doc_id, sum(CAST(s1 AS DECIMAL(18,6))) AS s FROM sc GROUP BY 1) " +
+        "SELECT doc_id, CAST(s AS DOUBLE) AS score, " +
+        "CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank FROM per " +
+        "QUALIFY rank <= 20"),
 
     "x_pii_detect" ->
       s"WITH $injectedPiiSql SELECT doc_id, $piiDetectColsSql FROM inj",

@@ -267,6 +267,31 @@ object InvertedIndex {
     val (n, avgdl) =
       if (st.isNullAt(1)) (0L, 1.0) else (st.getLong(0), st.getDouble(1))
     val dl = post.groupBy("doc_id").agg(sum("tf").as("dl"))
+    bm25Score(post, dl, n, avgdl, terms, k, k1, b)
+  }
+
+  /** BM25 over a POSTING RELATION — the search path a freshness-
+    * maintained index actually serves: compose with [[applyDocDelta]]
+    * for ranked search over base ∪ batch without rebuilding the index
+    * or re-reading the corpus. Corpus stats derive from the postings
+    * themselves (N = docs with ≥ 1 posting, dl = Σtf): token-free docs
+    * are invisible to an index, which IS the semantics of serving from
+    * one — [[bm25TopK]] keeps the all-docs stats for corpus-analytics
+    * parity. Same determinism contract (6dp-rounded idf and per-term
+    * scores, DECIMAL(18,6) order-independent per-doc sum, doc_id tie
+    * order). */
+  def bm25TopKPost(post: DataFrame, terms: Seq[String], k: Int = 20,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val dl = post.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val st = dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl")).first()
+    val (n, avgdl) =
+      if (st.isNullAt(1)) (0L, 1.0) else (st.getLong(0), st.getDouble(1))
+    bm25Score(post, dl, n, avgdl, terms, k, k1, b)
+  }
+
+  private def bm25Score(post: DataFrame, dl: DataFrame, n: Long,
+                        avgdl: Double, terms: Seq[String], k: Int,
+                        k1: Double, b: Double): DataFrame = {
     val dfx = post.where(col("term").isin(terms: _*))
       .groupBy("term").agg(count(lit(1)).as("df"))
     val idf = dfx.select(col("term"),

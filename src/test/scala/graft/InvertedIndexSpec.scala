@@ -146,6 +146,29 @@ class InvertedIndexSpec extends SparkSpec {
     assert(merged == rebuilt && merged.nonEmpty)
   }
 
+  test("bm25TopKPost over a delta-merged index equals a rebuild; batch rewrites are searchable") {
+    val base = Seq((0L, "old stale words"), (2L, "keep spark words"),
+      (4L, "spark query body")).toDF("doc_id", "text")
+    val upserts = Seq((4L, "spark query body updated entry"),
+      (5L, "fresh spark doc")).toDF("doc_id", "text")
+    val deleted = Seq(0L).toDF("doc_id")
+    val merged = InvertedIndex.applyDocDelta(
+      InvertedIndex.postings(base), upserts, deleted)
+    val rebuilt = InvertedIndex.postings(Seq((2L, "keep spark words"),
+      (4L, "spark query body updated entry"), (5L, "fresh spark doc"))
+      .toDF("doc_id", "text"))
+    val terms = Seq("spark", "updated")
+    def rows(post: org.apache.spark.sql.DataFrame) =
+      InvertedIndex.bm25TopKPost(post, terms).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    val m = rows(merged)
+    assert(m == rows(rebuilt), "serving from the merged index must equal a rebuild")
+    // the rewrite's injected term ranks its doc first (idf('updated') is
+    // the rarest), and the deleted doc never surfaces
+    assert(m.head._1 == 4L)
+    assert(!m.exists(_._1 == 0L))
+  }
+
   test("sparseTopkCosine: identical docs score 10^6 ppm; disjoint docs never pair") {
     // doc 0 and 1 are identical; doc 2 shares nothing with them
     val docs = Seq((0L, "alpha beta beta"), (1L, "alpha beta beta"),

@@ -117,8 +117,14 @@ class PlanAuditSpec extends SparkSpec {
     // memoized posting relation, whose lineage prints per consumer) +
     // pair agg + two norm joins + the two-phase rank
     "x_sparse_topk_sim" -> 16,
-    "x_inverted_directory" -> 5, "x_index_delta" -> 9,
+    // x_index_delta's print rose 9→11 when x_bm25_delta (alphabetically
+    // earlier in the sweep) began memoizing the same base postings —
+    // cached lineage prints per consumer, executed shape unchanged
+    "x_inverted_directory" -> 5, "x_index_delta" -> 11,
     "x_index_lookup" -> 2, "x_bm25_topk" -> 7, "x_phrase_search" -> 1,
+    // delta-served BM25: the merged union (stored scan + batch
+    // tokenize) feeds dl/df/score aggs + the two-phase rank
+    "x_bm25_delta" -> 16,
     // curation
     "x_bloom_prune" -> 1, "x_chunk_docs" -> 0, "x_mix_sample" -> 0,
     "x_pack_sequences" -> 1, "x_pii_detect" -> 0, "x_pii_redact" -> 0,
