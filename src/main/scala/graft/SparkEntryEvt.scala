@@ -281,8 +281,11 @@ object SparkEntryEvt {
   private def prIterSql(p: String, out: String, in: String): String = {
     val S = Graph.Scale
     val (dn, dd) = (Graph.DampNum, Graph.DampDen)
-    s"$out AS (SELECT e$p.dst AS id, (SELECT ($S * ${dd - dn}) // ($dd * n) FROM n$p) + " +
-      s"($dn * sum(r.r // d.deg)) // $dd AS r " +
+    // CAST back to BIGINT: DuckDB's sum(BIGINT) yields HUGEINT, which would
+    // otherwise infect `r` (and downstream rank_scaled) and break the
+    // driver's type-sensitive hash even though the values match Spark's.
+    s"$out AS (SELECT e$p.dst AS id, CAST((SELECT ($S * ${dd - dn}) // ($dd * n) FROM n$p) + " +
+      s"($dn * sum(r.r // d.deg)) // $dd AS BIGINT) AS r " +
       s"FROM e$p JOIN $in r ON r.id = e$p.src JOIN deg$p d ON d.id = e$p.src " +
       s"GROUP BY e$p.dst)"
   }

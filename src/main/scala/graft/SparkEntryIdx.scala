@@ -945,7 +945,8 @@ object SparkEntryIdx {
             "tot AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n_vecs FROM cl GROUP BY 1), " +
             "top AS (SELECT cell, CAST(label AS BIGINT) AS top_label, n AS n_top, " +
             "row_number() OVER (PARTITION BY cell ORDER BY n DESC, label) AS rn FROM cl) " +
-            "SELECT t.cell, tot.n_vecs, t.top_label, t.n_top, " +
+            // CAST: the VALUES literal types `cell` INTEGER; Spark's is BIGINT
+            "SELECT CAST(t.cell AS BIGINT) AS cell, tot.n_vecs, t.top_label, t.n_top, " +
             "(1000000 * t.n_top) // tot.n_vecs AS purity_ppm " +
             "FROM top t JOIN tot USING (cell) WHERE t.rn = 1"))
       case _ => Map.empty
@@ -976,7 +977,8 @@ object SparkEntryIdx {
             "idx AS (SELECT cell, v, unnest(range(1, len(v) + 1)) AS dim FROM assigned), " +
             "comp AS (SELECT cell, CAST(dim AS INTEGER) AS dim, " +
             "CAST(floor(v[dim] * 1000000.0 + 0.5) AS BIGINT) + 1000000 AS fp FROM idx) " +
-            "SELECT cell, dim, CAST(count(*) AS BIGINT) AS n_vecs, " +
+            // CAST: the VALUES literal types `cell` INTEGER; Spark's is BIGINT
+            "SELECT CAST(cell AS BIGINT) AS cell, dim, CAST(count(*) AS BIGINT) AS n_vecs, " +
             "CAST((sum(fp) // count(*)) - 1000000 AS BIGINT) AS mean_fp " +
             "FROM comp GROUP BY 1, 2"))
       case _ => Map.empty

@@ -464,7 +464,7 @@ object SparkEntryLay {
       ("WITH l AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS s " +
         "FROM documents GROUP BY 1) " +
-        "SELECT lang, n_docs, s * 1000000 // (SELECT sum(s) FROM l) AS weight_ppm " +
+        "SELECT lang, n_docs, CAST(s * 1000000 // (SELECT sum(s) FROM l) AS BIGINT) AS weight_ppm " +
         "FROM l"),
 
     "x_salted_join" ->

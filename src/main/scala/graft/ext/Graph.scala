@@ -183,29 +183,42 @@ object Graph {
     require(iters >= 1 && iters <= 8, s"iters=$iters out of the unrolled range")
     val deg = edges.groupBy(col(srcCol).as("__id"))
       .agg(count(lit(1)).as("__deg"))
-    val n: Long = deg.count() // the one driver scalar (vertex count)
-    require(n > 0, "pageRank on an empty edge list")
+    // ONE eager scalar job per call, warm or cold: the cold path counts
+    // vertices off the degree relation; the warm path folds the vertex
+    // count AND the seed-mass total into a single agg over the seeded
+    // left join (total = Σ prior + |unmatched| · (Scale div n), exactly
+    // the sum of the coalesced per-row seeds) — halving the delta's fixed
+    // per-execution overhead versus the former count()-then-sum() pair.
+    var n: Long = 0L
+    var ranks = prior match {
+      case None =>
+        n = deg.count() // the one driver scalar (vertex count)
+        require(n > 0, "pageRank on an empty edge list")
+        deg.select(col("__id"), lit(Scale / n).as("__r"))
+      case Some(p) =>
+        val joined = deg.select(col("__id"))
+          .join(p.select(col("node").as("__pid"), col("rank_scaled").as("__pr")),
+            col("__id") === col("__pid"), "left")
+        val row = joined.agg(count(lit(1)).as("__n"),
+          coalesce(sum(col("__pr")), lit(0L)).as("__pm"),
+          count(col("__pr")).as("__npr")).head
+        n = row.getLong(0)
+        require(n > 0, "pageRank on an empty edge list")
+        // renormalize seed mass to Scale: new vertices add Scale/n each
+        // and prior vertices dropped by the delta remove theirs; both
+        // shift total mass away from Scale. The per-row rescale is exact
+        // via DECIMAL(38,0) IntegralDivide (r·Scale ≤ ~2·10^24 ≪ 10^38).
+        val total: Long = row.getLong(1) + (n - row.getLong(2)) * (Scale / n)
+        require(total > 0, "warm-start seed carries no mass")
+        joined.select(col("__id"),
+          coalesce(col("__pr"), lit(Scale / n)).as("__r0"))
+          .select(col("__id"),
+            expr(s"CAST(__r0 AS DECIMAL(38,0)) * $Scale DIV $total").as("__r"))
+    }
     val withDeg = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .join(deg, col("__src") === col("__id"))
       .select(col("__src"), col("__dst"), col("__deg"))
     val base = (Scale * (DampDen - DampNum)) / (DampDen * n)
-    var ranks = prior match {
-      case None => deg.select(col("__id"), lit(Scale / n).as("__r"))
-      case Some(p) =>
-        val seeded = deg.select(col("__id"))
-          .join(p.select(col("node").as("__pid"), col("rank_scaled").as("__pr")),
-            col("__id") === col("__pid"), "left")
-          .select(col("__id"), coalesce(col("__pr"), lit(Scale / n)).as("__r0"))
-        // renormalize seed mass to Scale: new vertices add Scale/n each
-        // and prior vertices dropped by the delta remove theirs; both
-        // shift total mass away from Scale. `total` is the second driver
-        // scalar (one long); the per-row rescale is exact via
-        // DECIMAL(38,0) IntegralDivide (r·Scale ≤ ~2·10^24 ≪ 10^38).
-        val total: Long = seeded.agg(sum(col("__r0"))).head.getLong(0)
-        require(total > 0, "warm-start seed carries no mass")
-        seeded.select(col("__id"),
-          expr(s"CAST(__r0 AS DECIMAL(38,0)) * $Scale DIV $total").as("__r"))
-    }
     for (_ <- 1 to iters) {
       // DIV truncates toward zero = floor for this all-positive mass
       // (and matches DuckDB's // on the oracle side exactly)

@@ -49,14 +49,24 @@ for name, sql in sorted(oracle.items()):
         fail += 1
         continue
     try:
-        got = con.execute(f"SELECT * FROM '{pdir}/*.parquet'")
-        gc, gr = got.description, got.fetchall()
-        want = con.execute(sql)
-        wc, wr = want.description, want.fetchall()
-        gcols, grows = canon([c[0] for c in gc], gr)
-        wcols, wrows = canon([c[0] for c in wc], wr)
+        grel = con.sql(f"SELECT * FROM '{pdir}/*.parquet'")
+        gc, gt, gr = grel.columns, [str(t) for t in grel.types], grel.fetchall()
+        wrel = con.sql(sql)
+        wc, wt, wr = wrel.columns, [str(t) for t in wrel.types], wrel.fetchall()
+        gcols, grows = canon(gc, gr)
+        wcols, wrows = canon(wc, wr)
+        gtypes = [t for _, t in sorted(zip(gc, gt))]
+        wtypes = [t for _, t in sorted(zip(wc, wt))]
         if gcols != wcols:
             print(f"FAIL  {name}: columns {gcols} != {wcols}")
+            fail += 1
+        elif gtypes != wtypes:
+            # The driver's hasher is TYPE-SENSITIVE (round 12: three oracles
+            # were value-identical but returned HUGEINT where Spark wrote
+            # BIGINT and went driver-red). Mirror that strictness here so a
+            # type drift can never pass the local gate again.
+            bad = [(c, a, b) for c, a, b in zip(gcols, gtypes, wtypes) if a != b]
+            print(f"FAIL  {name}: result types differ (spark vs oracle): {bad}")
             fail += 1
         elif len(grows) != len(wrows):
             print(f"FAIL  {name}: rowcount {len(grows)} != {len(wrows)}")
