@@ -132,6 +132,16 @@ object SparkEntryExt {
       Ingest.applyBatch(Ingest.applyBatch(empty, log), log)
     },
 
+    "st1_smoke" -> { (s, _) =>
+      // ST1 driver-visible: run the real readStream → foreachBatch → LSM
+      // smoke (restart mid-feed; streamed state == batch fold — see
+      // Ingest.st1Smoke) and surface the pass bit as a 1-row relation the
+      // constant oracle can hash. A failed stream yields ok=0 → driver-red.
+      val ok = Ingest.st1Smoke(s)
+      s.sql(s"SELECT 'stream_restart_equals_batch_fold' AS check_name, " +
+        s"CAST(${if (ok) 1 else 0} AS BIGINT) AS ok")
+    },
+
     "st4_barrier_visibility" -> { (s, dir) =>
       // ST4 — read-your-writes across the batch barrier, batch-checkable
       // form (the streaming form is StreamingSpec's Ingest.run round
@@ -1148,6 +1158,9 @@ object SparkEntryExt {
         "row_number() OVER (PARTITION BY concat('u', CAST(user_id AS VARCHAR), '_', " +
         "CAST(event_id % 50 AS VARCHAR)) ORDER BY event_id DESC) AS rn FROM events) " +
         "WHERE rn = 1 AND op <> 'delete'"),
+
+    "st1_smoke" ->
+      "SELECT 'stream_restart_equals_batch_fold' AS check_name, CAST(1 AS BIGINT) AS ok",
 
     "st4_barrier_visibility" ->
       ("SELECT key, doc, seq AS last_seq FROM (SELECT *, row_number() OVER (" +

@@ -57,46 +57,10 @@ object Verify {
       // drop them between queries so 45 runs don't accumulate cache
       spark.catalog.clearCache()
     }
-    // ST1 smoke (SURVEY §2 ST1 is the one spec-only row — a live change
-    // producer is batch-inexpressible, so no DuckDB oracle can see it):
-    // drive the REAL readStream → foreachBatch → LSM-state path here,
-    // with a restart mid-feed (two AvailableNow runs off one checkpoint),
-    // and assert the served state equals the BATCH fold of the same
-    // changelog. Skipped under SPARK_GRAFT_ONLY (local single-query
-    // iteration).
-    if (only.isEmpty) {
-      try {
-        val root = Files.createTempDirectory("graft_st1_smoke").toString
-        val log = s"$root/log"; new java.io.File(log).mkdirs()
-        Files.writeString(Paths.get(s"$log/b1.json"),
-          """{"seq":1,"op":"insert","key":"k1","doc":"a"}
-            |{"seq":2,"op":"insert","key":"k2","doc":"b"}
-            |{"seq":3,"op":"insert","key":"k3","doc":"c"}
-            |""".stripMargin)
-        streaming.Ingest.run(spark, log, s"$root/state", s"$root/ckpt")
-        // restart: feed more of the changelog through a NEW query on the
-        // SAME checkpoint + state — managed offsets + the LSM manifest
-        // must carry the stream across the boundary
-        Files.writeString(Paths.get(s"$log/b2.json"),
-          """{"seq":4,"op":"update","key":"k1","doc":"x"}
-            |{"seq":5,"op":"delete","key":"k2","doc":null}
-            |{"seq":6,"op":"insert","key":"k4","doc":"d"}
-            |""".stripMargin)
-        streaming.Ingest.run(spark, log, s"$root/state", s"$root/ckpt")
-        val served = streaming.Ingest.readState(spark, s"$root/state")
-          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-        val folded = streaming.Ingest.applyBatch(
-          streaming.Ingest.readState(spark, s"$root/state_empty"),
-          spark.read.json(log))
-          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-        if (served == folded && served == Map("k1" -> "x", "k3" -> "c", "k4" -> "d"))
-          println("st1_smoke: ok")
-        else System.err.println(
-          s"st1_smoke: FAILED — streamed $served vs batch fold $folded")
-      } catch { case e: Throwable =>
-        System.err.println(s"st1_smoke: FAILED — ${e.getMessage}")
-      }
-    }
+    // ST1 smoke now runs INSIDE the query loop as the `st1_smoke` entry
+    // (Ingest.st1Smoke): the pass bit lands in the dump as a 1-row
+    // relation against a constant oracle, so the driver's correctness
+    // record carries the streaming row instead of a stdout-only line.
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

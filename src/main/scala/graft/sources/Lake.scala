@@ -36,6 +36,22 @@ object Lake {
     * VISIBLE as a plan change, not hidden by equal partition counts. */
   val DefaultBuckets = 16
 
+  /** Count of degrade events (store/catalog failure → plain unbucketed /
+    * unpartitioned frame). The degrade itself is the right production
+    * contract — correctness is preserved, the join merely shuffles — but
+    * it must be LOUD: a silently-degraded layout would let the bench
+    * measure a shuffling join while reporting it as bucketed. Every
+    * degrade path logs a WARN naming the table and bumps this counter
+    * (LakeSpec fault-injects a broken store root and asserts both). */
+  val degradeEvents = new java.util.concurrent.atomic.AtomicLong
+
+  private def degrade(what: String, reason: String): Unit = {
+    degradeEvents.incrementAndGet()
+    System.err.println(
+      s"[lake] WARN: DEGRADED to plain scan for $what ($reason) — " +
+        "downstream joins/filters lose the stored layout and will shuffle/scan")
+  }
+
   private def root: java.nio.file.Path =
     java.nio.file.Paths.get(System.getProperty("graft.buckets.dir",
       sys.env.getOrElse("GRAFT_BUCKETS_DIR",
@@ -112,7 +128,7 @@ object Lake {
                keyCol: String, nBuckets: Int = DefaultBuckets): DataFrame = {
     val df = Tables.load(spark, sfDir, table)
     leafKey(df) match {
-      case None => df
+      case None => degrade(s"bucketed($table,$keyCol)", "no content key for input leaves"); df
       case Some(k) =>
         val tname = s"graft_bkt_${table}_${keyCol}_${nBuckets}_$k"
         try {
@@ -135,14 +151,19 @@ object Lake {
               spark.sql(s"DROP TABLE IF EXISTS $wname")
               commitDir(tmp, dir)
             }
-            if (!hasSuccess(dir)) return df
+            if (!hasSuccess(dir)) {
+              degrade(s"bucketed($table,$keyCol)", "layout write did not commit")
+              return df
+            }
             spark.sql(
               s"CREATE TABLE $tname (${df.schema.toDDL}) USING parquet " +
                 s"CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $nBuckets BUCKETS " +
                 s"LOCATION '${dir.toUri}'")
           }
           spark.table(tname)
-        } catch { case _: Exception => df }
+        } catch { case e: Exception =>
+          degrade(s"bucketed($table,$keyCol)", e.toString); df
+        }
     }
   }
 
@@ -162,7 +183,7 @@ object Lake {
         if (c == partCol) col(c).cast(df.schema(partCol).dataType).as(c) else col(c)
       }.toIndexedSeq: _*)
     leafKey(df) match {
-      case None => df
+      case None => degrade(s"partitioned($table,$partCol)", "no content key for input leaves"); df
       case Some(k) =>
         val dname = s"graft_part_${table}_${partCol}_$k"
         try {
@@ -174,8 +195,12 @@ object Lake {
             df.write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
             commitDir(tmp, dir)
           }
-          if (!hasSuccess(dir)) df else reorder(spark.read.parquet(dir.toString))
-        } catch { case _: Exception => df }
+          if (!hasSuccess(dir)) {
+            degrade(s"partitioned($table,$partCol)", "layout write did not commit"); df
+          } else reorder(spark.read.parquet(dir.toString))
+        } catch { case e: Exception =>
+          degrade(s"partitioned($table,$partCol)", e.toString); df
+        }
     }
   }
 }

@@ -677,4 +677,58 @@ object Ingest {
     val ok = coalesce(isValid, lit(false))
     (batch.where(ok), batch.where(!ok))
   }
+
+  /** ST1 smoke as a callable check (SURVEY §2 ST1 is otherwise the one
+    * spec-only row — a live change producer is batch-inexpressible, so no
+    * DuckDB oracle can watch the stream itself; what CAN be oracled is the
+    * INVARIANT): drive the real readStream → foreachBatch → LSM-state
+    * path over a 6-event changelog with a restart mid-feed (two
+    * AvailableNow runs off one checkpoint), then return whether the served
+    * state equals both the batch fold of the same changelog and the
+    * expected literal. Exposed through SparkEntry.queries as `st1_smoke`
+    * (a 1-row relation vs a constant oracle), so the driver's correctness
+    * record carries the streaming row instead of a stdout-only line.
+    *
+    * Memoized per session: the invariant cannot change within a JVM, and
+    * plan-audit sweeps build every query's frame repeatedly — each build
+    * must not re-drive two streaming runs. */
+  private val smokeMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+  def st1Smoke(spark: SparkSession): Boolean = {
+    val cached = smokeMemo.get(spark)
+    if (cached != null) return cached.booleanValue()
+    val ok = st1SmokeUncached(spark)
+    smokeMemo.put(spark, java.lang.Boolean.valueOf(ok))
+    ok
+  }
+
+  private def st1SmokeUncached(spark: SparkSession): Boolean =
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft_st1_smoke").toString
+      val log = s"$root/log"; new java.io.File(log).mkdirs()
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$log/b1.json"),
+        """{"seq":1,"op":"insert","key":"k1","doc":"a"}
+          |{"seq":2,"op":"insert","key":"k2","doc":"b"}
+          |{"seq":3,"op":"insert","key":"k3","doc":"c"}
+          |""".stripMargin)
+      run(spark, log, s"$root/state", s"$root/ckpt")
+      // restart: feed more of the changelog through a NEW query on the
+      // SAME checkpoint + state — managed offsets + the LSM manifest
+      // must carry the stream across the boundary
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$log/b2.json"),
+        """{"seq":4,"op":"update","key":"k1","doc":"x"}
+          |{"seq":5,"op":"delete","key":"k2","doc":null}
+          |{"seq":6,"op":"insert","key":"k4","doc":"d"}
+          |""".stripMargin)
+      run(spark, log, s"$root/state", s"$root/ckpt")
+      val served = readState(spark, s"$root/state")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val folded = applyBatch(
+        readState(spark, s"$root/state_empty"), spark.read.json(log))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      served == folded && served == Map("k1" -> "x", "k3" -> "c", "k4" -> "d")
+    } catch { case e: Throwable =>
+      System.err.println(s"st1_smoke: FAILED — ${e.getMessage}"); false
+    }
 }

@@ -85,6 +85,33 @@ class LakeSpec extends SparkSpec {
       s"scan escaped the probed partitions: ${files.mkString(", ")}")
   }
 
+  test("a broken store root degrades LOUDLY to the plain frame, never a wrong result") {
+    // fault injection: point the layout store at a path that is a FILE,
+    // so directory creation throws — the production degrade path
+    val prev = System.getProperty("graft.buckets.dir")
+    val notADir = java.nio.file.Files.createTempFile("graft_not_a_dir", "").toString
+    System.setProperty("graft.buckets.dir", notADir)
+    try {
+      val before = Lake.degradeEvents.get()
+      // fresh (table, key, buckets) triple so no healthy catalog table
+      // from an earlier test can satisfy the lookup before the store IO
+      val df = Lake.bucketed(spark, sf, "orders", "o_custkey", nBuckets = 4)
+      assert(Lake.degradeEvents.get() > before,
+        "store failure must be counted/logged, not swallowed")
+      // correctness contract of the degrade: the plain unbucketed rows
+      assert(df.exceptAll(Tables.orders(spark, sf)).isEmpty &&
+        Tables.orders(spark, sf).exceptAll(df).isEmpty)
+      // and the plan honestly shows an unbucketed scan
+      val scans = nodesIn[FileSourceScanExec](df.queryExecution.executedPlan)
+      assert(scans.nonEmpty && scans.forall(!_.bucketedScan),
+        "degraded frame must not claim a bucketed scan")
+    } finally {
+      if (prev == null) System.clearProperty("graft.buckets.dir")
+      else System.setProperty("graft.buckets.dir", prev)
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(notADir))
+    }
+  }
+
   test("partitioned copy round-trips the source table exactly") {
     val p = Lake.partitioned(spark, sf, "documents", "lang")
     val d = Tables.documents(spark, sf)
