@@ -37,7 +37,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     SparkEntryExt.queries ++ SparkEntryIdx.queries ++ SparkEntryLay.queries ++
-      SparkEntryUni.queries ++ SparkEntryEvt.queries ++ SparkEntryRel.queries ++ Map(
+      SparkEntryUni.queries ++ SparkEntryEvt.queries ++ SparkEntryRel.queries ++
+      SparkEntryEr.queries ++ Map(
     // ----- P: search surface (SURVEY §2.3) -----
     "p1_conj_eq" -> { (s, dir) => val c = new Ctx(s, dir); import c.t;
       Search.conjEquals(t("orders"),
@@ -222,7 +223,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     SparkEntryExt.oracleSql ++ SparkEntryIdx.oracleSql ++ SparkEntryLay.oracleSql ++
-      SparkEntryUni.oracleSql ++ SparkEntryEvt.oracleSql ++ SparkEntryRel.oracleSql ++ Map(
+      SparkEntryUni.oracleSql ++ SparkEntryEvt.oracleSql ++ SparkEntryRel.oracleSql ++
+      SparkEntryEr.oracleSql ++ Map(
     "p1_conj_eq" ->
       "SELECT * FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'",
     "p3_child_range_gt" ->

@@ -1,0 +1,193 @@
+package graft
+
+import graft.ext.EntityResolution
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-13 additions: entity resolution (record linkage) and event-
+  * sequence mining.
+  *
+  * The ER scenario derives a deterministic "dirty registry" from the
+  * customer fixture (the m7_key_gate idiom — corrupt a slice via modular
+  * arithmetic so both engines can re-derive it): every 7th customer also
+  * appears under a synthetic rec_id with ONE character deleted from its
+  * name at a key-dependent position. The engine must link each typo'd
+  * row back to its canonical without an all-pairs scan —
+  * [[graft.ext.EntityResolution]]'s delete-1 (FastSS) blocking + exact
+  * levenshtein verify, then connected components for entity ids.
+  *
+  * The sequence queries are the Markov view of the events stream: the
+  * per-user transition matrix (which event follows which, row-normalized
+  * to ppm) and the top day-leading paths — the standard click-path
+  * mining pair, expressed as two shuffles (lag window + count) over the
+  * same user-time ordering the funnel/session queries already pin. */
+object SparkEntryEr {
+
+  /** Stored base-entity assignment for the delta query (x_er_delta's
+    * operational premise — the prior run's output, not recomputed per
+    * execution). */
+  private val priorMemo = new graft.PlanMemo
+
+  /** Dirty-registry derivation shared by both ER queries (and mirrored
+    * in [[registrySql]]): records are document-text prefixes (40 chars —
+    * a title-like string with natural entropy, so edit-distance-1
+    * collisions between UNRELATED records are rare; a serial-key name
+    * like "Customer#000000042" would chain the whole registry into one
+    * entity, every neighbor one digit-substitution away). Clean rows
+    * keep doc_id as rec_id; every 7th long-enough document adds a
+    * variant at rec_id + 10^6 whose name drops the character at
+    * key-dependent position (doc_id mod 20) + 5 — a single deletion, so
+    * each typo lands at edit distance exactly 1 from its canonical. */
+  private[graft] def registry(s: SparkSession, dir: String): DataFrame = {
+    val named = Tables.load(s, dir, "documents").where(col("text").isNotNull)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("name"),
+        length(col("text")).as("__len"))
+    val clean = named.select(col("doc_id").as("rec_id"), col("name"))
+    val dirty = named.where(col("__len") >= 30 && col("doc_id") % 7 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("rec_id"),
+        expr("concat(substring(name, 1, CAST(doc_id % 20 AS INT) + 4), " +
+          "substring(name, CAST(doc_id % 20 AS INT) + 6))").as("name"))
+    clean.unionByName(dirty)
+  }
+
+  private val registrySql: String =
+    "reg AS (SELECT doc_id AS rec_id, substr(text, 1, 40) AS name " +
+      "FROM documents WHERE text IS NOT NULL " +
+      "UNION ALL SELECT doc_id + 1000000 AS rec_id, " +
+      "substr(substr(text, 1, 40), 1, (doc_id % 20) + 4) || " +
+      "substr(substr(text, 1, 40), (doc_id % 20) + 6) AS name " +
+      "FROM documents WHERE text IS NOT NULL AND length(text) >= 30 " +
+      "AND doc_id % 7 = 0)"
+
+  /** The delete-1 neighborhood + verified-pair CTEs (FastSS re-derived in
+    * SQL — the oracle enumerates the same variants and the same
+    * levenshtein verify the engine runs). */
+  private val pairsCte: String =
+    registrySql + ", " +
+      "v AS (SELECT rec_id, name, unnest(list_distinct(list_append(" +
+      "list_transform(range(1, length(name) + 1), " +
+      "p -> substr(name, 1, p - 1) || substr(name, p + 1)), name))) AS variant FROM reg), " +
+      "cand AS (SELECT DISTINCT a.rec_id AS rec_a, b.rec_id AS rec_b, " +
+      "a.name AS na, b.name AS nb FROM v a JOIN v b " +
+      "ON a.variant = b.variant AND a.rec_id < b.rec_id), " +
+      "p AS (SELECT rec_a, rec_b, CAST(levenshtein(na, nb) AS BIGINT) AS dist " +
+      "FROM cand WHERE levenshtein(na, nb) <= 1)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "x_er_pairs" -> { (s, dir) =>
+      // linked record pairs: delete-1 blocked, levenshtein-verified —
+      // candidate volume Σ(len+1) per record, never all-pairs
+      EntityResolution.fuzzyPairs(registry(s, dir))
+    },
+
+    "x_er_clusters" -> { (s, dir) =>
+      // entity ids: transitive closure over the verified pairs (the CC
+      // loop the dedup family already soak-proves logarithmic)
+      EntityResolution.entities(registry(s, dir))
+    },
+
+    "x_er_delta" -> { (s, dir) =>
+      // incremental linkage: records with rec_id ≡ 3 (mod 10) arrive as
+      // the delta; the STORED base assignment (memoized — yesterday's
+      // x_er_clusters output, the operational premise) is refreshed by
+      // the delta-bounded variant probe + quotient-graph CC. Oracled
+      // against the FULL rebuild — the delta == rebuild law, driver-red
+      // if the composition ever diverges.
+      val reg = registry(s, dir)
+      val base = reg.where(col("rec_id") % 10 =!= 3)
+      val delta = reg.where(col("rec_id") % 10 === 3)
+      val prior = priorMemo(base, "erBaseEntities")(
+        EntityResolution.entities(base))
+      EntityResolution.entitiesDelta(reg, delta, prior)
+    },
+
+    "x_seq_transitions" -> { (s, dir) =>
+      // per-user Markov transition counts, row-normalized to ppm. The
+      // lag window shuffles once on user_id; the count and the row
+      // totals are two aggs over the 5×5 transition space, joined back
+      // broadcast-small.
+      val e = Tables.events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val bi = e.select(lag("event_type", 1).over(w).as("prev_type"),
+          col("event_type"))
+        .where(col("prev_type").isNotNull)
+      // row totals via a window over the COUNTS relation (≤ |alphabet|²
+      // rows), not a self-join — a join back onto `counts` would plan the
+      // whole window+agg subtree twice (Spark materializes nothing by
+      // default), doubling the corpus scans; the window costs one tiny
+      // exchange over the transition space instead
+      bi.groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("n_trans"))
+        .select(col("prev_type"), col("event_type"), col("n_trans"),
+          expr("CAST(n_trans * 1000000 DIV " +
+            "sum(n_trans) OVER (PARTITION BY prev_type) AS BIGINT)").as("ppm"))
+    },
+
+    "x_seq_top_paths" -> { (s, dir) =>
+      // top day-leading paths: first 4 events per (user, day) joined into
+      // a path string; global top 20 with a total order (count desc,
+      // path) so the LIMIT is deterministic. The rank window and the
+      // path agg share the (user_id, day) hash partitioning — one
+      // exchange serves both.
+      val e = Tables.events(s, dir)
+      val day = date_trunc("day", col("ts")).as("day")
+      val w = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      val ranked = e.select(col("user_id"), day, col("ts"), col("event_id"),
+          col("event_type"))
+        .select(col("user_id"), col("day"), col("event_type"),
+          row_number().over(w).as("rn"))
+        .where(col("rn") <= 4)
+      val paths = ranked.groupBy("user_id", "day")
+        .agg(array_join(expr(
+          "transform(array_sort(collect_list(struct(rn, event_type))), " +
+            "x -> x.event_type)"), ">").as("path"))
+      paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path")).limit(20)
+    }
+  )
+
+  /** Full-rebuild transitive closure (recursive CTE) — the oracle for
+    * BOTH x_er_clusters and x_er_delta. */
+  private val clustersRebuildSql: String =
+    s"WITH RECURSIVE $pairsCte, " +
+      "edges AS (SELECT rec_a AS src, rec_b AS dst FROM p " +
+      "UNION SELECT rec_b, rec_a FROM p), " +
+      "walk(id, lbl) AS (SELECT rec_id, rec_id FROM reg " +
+      "UNION SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id) " +
+      "SELECT id AS rec_id, min(lbl) AS entity_id FROM walk GROUP BY 1"
+
+  def oracleSql: Map[String, String] = Map(
+
+    "x_er_pairs" ->
+      (s"WITH $pairsCte SELECT rec_a, rec_b, dist FROM p"),
+
+    "x_er_clusters" -> clustersRebuildSql,
+
+    // the delta == rebuild law: the incremental composition must equal
+    // the full-rebuild closure EXACTLY, so it shares the rebuild oracle
+    "x_er_delta" -> clustersRebuildSql,
+
+    "x_seq_transitions" ->
+      ("WITH seq AS (SELECT event_type, lag(event_type) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), " +
+        "c AS (SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n_trans " +
+        "FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2), " +
+        "t AS (SELECT prev_type, CAST(sum(n_trans) AS BIGINT) AS tot FROM c GROUP BY 1) " +
+        "SELECT c.prev_type, c.event_type, c.n_trans, " +
+        "CAST(c.n_trans * 1000000 // t.tot AS BIGINT) AS ppm " +
+        "FROM c JOIN t USING (prev_type)"),
+
+    "x_seq_top_paths" ->
+      ("WITH r AS (SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, " +
+        "event_type, row_number() OVER (PARTITION BY user_id, " +
+        "date_trunc('day', CAST(ts AS TIMESTAMP)) ORDER BY ts, event_id) AS rn FROM events), " +
+        "p AS (SELECT user_id, day, string_agg(event_type, '>' ORDER BY rn) AS path " +
+        "FROM r WHERE rn <= 4 GROUP BY 1, 2) " +
+        "SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p " +
+        "GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20")
+  )
+}

@@ -643,6 +643,11 @@ object Dedup {
     // quotient edges: delta pairs mapped endpoint → current label; pairs
     // inside one prior component vanish here, so the star loop's input is
     // bounded by the delta's cross-component mass
+    // materialized (eager, delta-bounded rows): qe feeds the star loop,
+    // `touched`, AND the relabel join — left lazy, each consumer would
+    // re-plan the whole newPairs+labeled subtree (the print-level plan
+    // blow-up x_cc_delta's budgets used to absorb); the checkpoint costs
+    // one delta-sized pass and truncates all three lineages
     val qe = newPairs
       .join(labeled.select(col("__id"), col("__lbl").as("__la")),
         col("id_a") === col("__id"), "left").drop("__id")
@@ -651,6 +656,7 @@ object Dedup {
       .select(coalesce(col("__la"), col("id_a")).as("id_a"),
         coalesce(col("__lb"), col("id_b")).as("id_b"))
       .where(col("id_a") =!= col("id_b"))
+      .localCheckpoint(true)
     val touched = qe.select(col("id_a").as("__q"))
       .unionByName(qe.select(col("id_b").as("__q"))).distinct()
     // CC over the quotient: (label → merged component min label); only

@@ -1,0 +1,124 @@
+package graft
+
+import graft.ext.EntityResolution
+import org.apache.spark.sql.functions._
+
+/** Correctness evidence for the delete-1 (FastSS) record-linkage path:
+  * an EXHAUSTIVE small-universe ground truth (every string of length
+  * 1–3 over {a,b} — completeness of the neighborhood blocking is a
+  * theorem only for distance ≤ 1, so test it against brute force, not
+  * intuition), plus the skew valve and the transitive-closure contract
+  * the entity-id query rests on. */
+class EntityResolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** plain reference Levenshtein (DP) — the spec's independent oracle */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("blocking+verify equals brute force over the exhaustive ≤3-char universe") {
+    val strs = (1 to 3).flatMap(l =>
+      Seq.fill(l)(Seq("a", "b")).foldLeft(Seq(""))((acc, cs) =>
+        acc.flatMap(p => cs.map(p + _))))
+    val recs = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("rec_id", "name")
+    val got = EntityResolution.fuzzyPairs(recs)
+      .select("rec_a", "rec_b", "dist").as[(Long, Long, Long)]
+      .collect().toSet
+    val want = (for {
+      (a, i) <- strs.zipWithIndex; (b, j) <- strs.zipWithIndex
+      if i < j && lev(a, b) <= 1
+    } yield (i.toLong, j.toLong, lev(a, b).toLong)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty, "universe must actually contain qualifying pairs")
+  }
+
+  test("identical names pair at distance 0") {
+    val recs = Seq((1L, "same title"), (2L, "same title"), (3L, "other")).toDF("rec_id", "name")
+    val got = EntityResolution.fuzzyPairs(recs).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set((1L, 2L, 0L)))
+  }
+
+  test("shared-variant pairs past distance 1 are verified away") {
+    // "abc" and "acb" share delete-1 variants ("ab", "ac") but lev = 2
+    val recs = Seq((1L, "abc"), (2L, "acb")).toDF("rec_id", "name")
+    assert(EntityResolution.fuzzyPairs(recs).isEmpty)
+  }
+
+  test("over-cap variant buckets are excluded from the join and visible in stopVariants") {
+    // a mass-duplicate string (cap+2 copies) plus one genuine typo pair
+    val dup = (0 until 6).map(i => (100L + i, "mass duplicate"))
+    val pair = Seq((1L, "abcd"), (2L, "abce"))
+    val recs = (dup ++ pair).toDF("rec_id", "name")
+    val pairs = EntityResolution.fuzzyPairs(recs, maxBucket = 3)
+      .select("rec_a", "rec_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)),
+      s"dup-block pairs must be excluded by the cap, typo pair kept: $pairs")
+    val stops = EntityResolution.stopVariants(recs, maxBucket = 3)
+      .select("variant").as[String].collect()
+    assert(stops.contains("mass duplicate"),
+      s"excluded block must be observable: ${stops.take(5).mkString(",")}")
+    // and without the cap the dup block pairs normally
+    val uncapped = EntityResolution.fuzzyPairs(recs)
+    assert(uncapped.count() == 15 + 1) // C(6,2) dup pairs + the typo pair
+  }
+
+  test("entities are the transitive closure, labeled by component minimum") {
+    // chain: aaaa ~ aaab ~ aabb (ends at distance 2 — linked only through
+    // the middle), plus an isolated record
+    val recs = Seq((10L, "aaaa"), (11L, "aaab"), (12L, "aabb"), (13L, "zzzz"))
+      .toDF("rec_id", "name")
+    val ents = EntityResolution.entities(recs)
+      .select("rec_id", "entity_id").as[(Long, Long)].collect().toMap
+    assert(ents == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 13L), ents.toString)
+  }
+
+  test("incremental linkage equals the full rebuild, including a cross-entity merge") {
+    // base holds TWO separate entities ("brydge" and "bridgx" are at
+    // distance 2 — unlinked); the delta record "bridge" is at distance 1
+    // from BOTH, so the refresh must merge prior components, not just
+    // attach new rows — the hard case for any label-composition shortcut
+    val base = Seq((1L, "brydge"), (2L, "bridgx"), (10L, "unrelated title"))
+      .toDF("rec_id", "name")
+    val delta = Seq((100L, "bridge")).toDF("rec_id", "name")
+    val all = base.unionByName(delta)
+    val prior = EntityResolution.entities(base)
+    val pm = prior.select("rec_id", "entity_id").as[(Long, Long)].collect().toMap
+    assert(pm == Map(1L -> 1L, 2L -> 2L, 10L -> 10L), s"prior must start split: $pm")
+    val refreshed = EntityResolution.entitiesDelta(all, delta, prior)
+      .select("rec_id", "entity_id").as[(Long, Long)].collect().toMap
+    val rebuilt = EntityResolution.entities(all)
+      .select("rec_id", "entity_id").as[(Long, Long)].collect().toMap
+    assert(refreshed == rebuilt, s"delta $refreshed != rebuild $rebuilt")
+    assert(refreshed == Map(1L -> 1L, 2L -> 1L, 100L -> 1L, 10L -> 10L))
+  }
+
+  test("x_er_delta equals x_er_clusters on the fixture (the shared-oracle law, locally)") {
+    val full = SparkEntry.queries("x_er_clusters")(spark, sf)
+    val inc = SparkEntry.queries("x_er_delta")(spark, sf)
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+  }
+
+  test("x_er fixture scenario: every injected typo links back to its canonical") {
+    val pairs = SparkEntry.queries("x_er_pairs")(spark, sf)
+    val reg = SparkEntryEr.registry(spark, sf)
+    val dirty = reg.where(col("rec_id") >= 1000000L).count()
+    val linked = pairs.where(col("rec_b") === col("rec_a") + 1000000L).count()
+    assert(dirty > 0, "fixture must inject typos")
+    assert(linked == dirty, s"all $dirty typos must link, got $linked")
+    // clusters assign every registry row, entity = min member
+    val ents = SparkEntry.queries("x_er_clusters")(spark, sf)
+    assert(ents.count() == reg.count())
+    assert(ents.where(col("entity_id") > col("rec_id")).isEmpty,
+      "entity label must be the component minimum")
+  }
+}

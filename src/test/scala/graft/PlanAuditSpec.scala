@@ -65,6 +65,10 @@ class PlanAuditSpec extends SparkSpec {
     "m2_etag_canonical" -> 2, "m3_if_none_match" -> 0, "m4_if_match" -> 0,
     "m5_validate_json" -> 0, "m6_dates" -> 0, "m7_key_gate" -> 0,
     // ST/temporal/changelog
+    // st1_smoke's RELATION is a 1-row constant (the streaming drive runs
+    // as a side effect before it; its plans are streaming micro-batches,
+    // not this query's)
+    "st1_smoke" -> 0,
     "st2_changelog_apply" -> 6, "st3_upsert_latest" -> 1,
     "st4_barrier_visibility" -> 2, "st5_dlq_split" -> 2,
     "st6_scd2_history" -> 1, "x_asof_forward" -> 1, "x_asof_join" -> 1,
@@ -161,9 +165,10 @@ class PlanAuditSpec extends SparkSpec {
     // salted join: dim agg + the (key, salt) join shuffle
     "x_salted_join" -> 2,
     // incremental CC: base-clusters build + the delta-sized quotient
-    // star loop (its iterative lineage prints per round) + one
-    // prior-assignment pass with a broadcast relabel
-    "x_cc_delta" -> 30,
+    // quotient edges are checkpointed inside clustersDelta (r13), so the
+    // print shows the final label join + the checkpoint's own build, not
+    // the formerly-duplicated newPairs lineage (was budget 30)
+    "x_cc_delta" -> 8,
     // drift monitor: (grp, bucket) histogram + per-grp totals + the
     // final per-grp rollup, all map-side combinable
     "x_drift_report" -> 4,
@@ -175,6 +180,13 @@ class PlanAuditSpec extends SparkSpec {
     // changelog completeness: bucket-keyed distinct + lag window + agg,
     // joined with the per-bucket row counts
     "x_seq_gap_audit" -> 3,
+    // ER + sequence mining (r13): pairs = variant agg + candidate
+    // distinct + verify; clusters' star loop hides behind localCheckpoint
+    // (soak-proved O(log n)), printed plan shows seed + final label join;
+    // transitions = user window + transition agg + broadcast totals;
+    // top paths' rank window and path agg share one (user, day) exchange
+    "x_er_pairs" -> 3, "x_er_clusters" -> 2, "x_er_delta" -> 8,
+    "x_seq_transitions" -> 3, "x_seq_top_paths" -> 2,
     // lake/curation additions: the evolved-schema union is scan-only;
     // compaction bins one exchange into the bounded-cell window + the
     // cell agg; the temperature mix pays the lang agg + bounded window;

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the event-sequence mining pair (the DuckDB oracle does
+  * the value-level check; these pin the algebra the values must obey). */
+class SeqMiningSpec extends SparkSpec {
+
+  test("transition counts: one transition per event beyond each user's first") {
+    val e = graft.sources.Tables.events(spark, sf)
+    val trans = SparkEntry.queries("x_seq_transitions")(spark, sf)
+    val total = trans.agg(sum("n_trans")).head.getLong(0)
+    val expected = e.count() - e.select("user_id").distinct().count()
+    assert(total == expected, s"transitions $total != events-minus-first $expected")
+  }
+
+  test("row-normalized ppm sums to 10^6 minus floor loss per source type") {
+    val trans = SparkEntry.queries("x_seq_transitions")(spark, sf)
+    val rows = trans.groupBy("prev_type")
+      .agg(sum("ppm").as("s"), count(lit(1)).as("k"))
+      .collect()
+    rows.foreach { r =>
+      val (s, k) = (r.getLong(1), r.getLong(2))
+      assert(s <= 1000000L && s > 1000000L - k,
+        s"${r.getString(0)}: ppm row-sum $s outside (10^6 - $k, 10^6]")
+    }
+  }
+
+  test("top paths: deterministic total order, bounded fan-out, valid alphabet") {
+    val e = graft.sources.Tables.events(spark, sf)
+    val types = e.select("event_type").distinct().collect().map(_.getString(0)).toSet
+    val paths = SparkEntry.queries("x_seq_top_paths")(spark, sf).collect()
+    assert(paths.length <= 20)
+    val ns = paths.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "counts must be non-increasing")
+    paths.foreach { r =>
+      val segs = r.getString(0).split(">")
+      assert(segs.length <= 4 && segs.forall(types), s"bad path: ${r.getString(0)}")
+    }
+  }
+}
