@@ -55,6 +55,21 @@ object EntityResolution {
       .groupBy("variant").agg(count(lit(1)).as("bucket_size"))
       .where(col("bucket_size") > maxBucket)
 
+  /** The df-pruned variant INDEX — (variant, rec_id, name) for every
+    * surviving block. This is the ER family's stored artifact (the
+    * inverted-index analogue): built once per corpus version, persisted,
+    * and probed by both the self-join pair search and the delta probe.
+    * Bucket sizes over `maxBucket` are pruned here (the skew valve: a
+    * windowless two-pass agg on the same shuffle key the joins use). */
+  def variantIndex(recs: DataFrame, maxBucket: Int = DefaultMaxBucket,
+                   idCol: String = "rec_id", nameCol: String = "name"): DataFrame = {
+    val v = delete1Variants(recs, idCol, nameCol)
+    val keep = v.groupBy("variant").agg(count(lit(1)).as("__bs"))
+      .where(col("__bs") <= maxBucket)
+      .select("variant")
+    v.join(keep, Seq("variant"))
+  }
+
   /** All record pairs (rec_a < rec_b) within edit distance ≤ `maxDist`,
     * found via delete-1 blocking and verified with `levenshtein`.
     *
@@ -64,20 +79,18 @@ object EntityResolution {
     * Jaccard [[Dedup]] is the right tool, not edit distance). */
   def fuzzyPairs(recs: DataFrame, maxDist: Int = 1,
                  maxBucket: Int = DefaultMaxBucket,
-                 idCol: String = "rec_id", nameCol: String = "name"): DataFrame = {
+                 idCol: String = "rec_id", nameCol: String = "name"): DataFrame =
+    fuzzyPairsIdx(variantIndex(recs, maxBucket, idCol, nameCol), maxDist)
+
+  /** [[fuzzyPairs]] over a prebuilt (persisted/stored) [[variantIndex]] —
+    * what repeated executions pay in deployment: one self-join on the
+    * index, no variant rebuild. */
+  def fuzzyPairsIdx(index: DataFrame, maxDist: Int = 1): DataFrame = {
     require(maxDist >= 0 && maxDist <= 1,
       s"delete-1 blocking is complete only for maxDist ≤ 1 (got $maxDist); " +
         "use Dedup's MinHash/n-gram paths for looser matching")
-    val v = delete1Variants(recs, idCol, nameCol)
-    // df-prune non-discriminative blocks BEFORE the self-join (the skew
-    // valve): windowless two-pass — bucket sizes are an agg on the same
-    // shuffle key the join uses
-    val keep = v.groupBy("variant").agg(count(lit(1)).as("__bs"))
-      .where(col("__bs") <= maxBucket)
-      .select("variant")
-    val vk = v.join(keep, Seq("variant"))
-    val cand = vk.select(col("variant"), col("rec_id").as("rec_a"), col("name").as("__na"))
-      .join(vk.select(col("variant"), col("rec_id").as("rec_b"), col("name").as("__nb")),
+    val cand = index.select(col("variant"), col("rec_id").as("rec_a"), col("name").as("__na"))
+      .join(index.select(col("variant"), col("rec_id").as("rec_b"), col("name").as("__nb")),
         Seq("variant"))
       .where(col("rec_a") < col("rec_b"))
       .select("rec_a", "rec_b", "__na", "__nb")
@@ -93,11 +106,20 @@ object EntityResolution {
     * loop, so the O(log n) round bound and the soak evidence carry over. */
   def entities(recs: DataFrame, maxDist: Int = 1,
                maxBucket: Int = DefaultMaxBucket,
-               idCol: String = "rec_id", nameCol: String = "name"): DataFrame = {
-    val pairs = fuzzyPairs(recs, maxDist, maxBucket, idCol, nameCol)
-      .select(col("rec_a").as("id_a"), col("rec_b").as("id_b"))
+               idCol: String = "rec_id", nameCol: String = "name"): DataFrame =
+    entitiesFromPairs(fuzzyPairs(recs, maxDist, maxBucket, idCol, nameCol),
+      recs, idCol)
+
+  /** [[entities]] over a prebuilt [[variantIndex]]. */
+  def entitiesIdx(index: DataFrame, recs: DataFrame, maxDist: Int = 1,
+                  idCol: String = "rec_id"): DataFrame =
+    entitiesFromPairs(fuzzyPairsIdx(index, maxDist), recs, idCol)
+
+  private def entitiesFromPairs(pairs: DataFrame, recs: DataFrame,
+                                idCol: String): DataFrame = {
     val nodes = recs.select(col(idCol).as("doc_id"))
-    Dedup.clusters(pairs, nodes)
+    Dedup.clusters(pairs.select(col("rec_a").as("id_a"), col("rec_b").as("id_b")),
+        nodes)
       .select(col("doc_id").as("rec_id"), col("cluster").as("entity_id"))
   }
 
@@ -109,18 +131,23 @@ object EntityResolution {
     * would over base ∪ delta — required for the delta == rebuild law. */
   def fuzzyPairsDelta(all: DataFrame, delta: DataFrame, maxDist: Int = 1,
                       maxBucket: Int = DefaultMaxBucket,
-                      idCol: String = "rec_id", nameCol: String = "name"): DataFrame = {
+                      idCol: String = "rec_id", nameCol: String = "name"): DataFrame =
+    fuzzyPairsDeltaIdx(variantIndex(all, maxBucket, idCol, nameCol), delta,
+      maxDist, idCol, nameCol)
+
+  /** [[fuzzyPairsDelta]] over a prebuilt [[variantIndex]] of the FULL
+    * registry: the delta's (unpruned) variants probe the index — a
+    * delta-side variant whose block was pruned from the index simply
+    * finds no partner, which is exactly the cap semantics the full
+    * rebuild applies. */
+  def fuzzyPairsDeltaIdx(index: DataFrame, delta: DataFrame, maxDist: Int = 1,
+                         idCol: String = "rec_id", nameCol: String = "name"): DataFrame = {
     require(maxDist >= 0 && maxDist <= 1, s"delete-1 blocking: maxDist ≤ 1 (got $maxDist)")
-    val vAll = delete1Variants(all, idCol, nameCol)
-    val keep = vAll.groupBy("variant").agg(count(lit(1)).as("__bs"))
-      .where(col("__bs") <= maxBucket)
-      .select("variant")
-    val vKept = vAll.join(keep, Seq("variant"))
-    val vDelta = delete1Variants(delta, idCol, nameCol).join(keep, Seq("variant"))
+    val vDelta = delete1Variants(delta, idCol, nameCol)
     // canonical orientation + symmetric distance, so the (a, b) and
     // (b, a) probe hits collapse under the distinct
     vDelta.select(col("variant"), col("rec_id").as("__ra"), col("name").as("__na"))
-      .join(vKept.select(col("variant"), col("rec_id").as("__rb"), col("name").as("__nb")),
+      .join(index.select(col("variant"), col("rec_id").as("__rb"), col("name").as("__nb")),
         Seq("variant"))
       .where(col("__ra") =!= col("__rb"))
       .where(levenshtein(col("__na"), col("__nb")) <= maxDist)
@@ -139,15 +166,35 @@ object EntityResolution {
     * are already contracted inside the prior's components, and every
     * pair the full rebuild would add beyond them has a delta endpoint —
     * which is precisely [[fuzzyPairsDelta]]'s output. The corpus pays
-    * the one prior-label join; the star loop runs on delta-sized input. */
+    * the one prior-label join; the star loop runs on delta-sized input.
+    *
+    * Cap caveat (shared with every blocked-index delta maintainer): the
+    * prior's cap decisions were made over BASE bucket sizes; a delta that
+    * pushes a block past `maxBucket` changes which pairs the full rebuild
+    * admits, and the refresh cannot retract the prior's pairs — a
+    * cap-crossing refresh warrants a rebuild, the same way a
+    * cell-imbalanced IVF delta warrants a retrain. */
   def entitiesDelta(all: DataFrame, delta: DataFrame, prior: DataFrame,
                     maxDist: Int = 1, maxBucket: Int = DefaultMaxBucket,
-                    idCol: String = "rec_id", nameCol: String = "name"): DataFrame = {
-    val newPairs = fuzzyPairsDelta(all, delta, maxDist, maxBucket, idCol, nameCol)
-      .select(col("rec_a").as("id_a"), col("rec_b").as("id_b"))
+                    idCol: String = "rec_id", nameCol: String = "name"): DataFrame =
+    entitiesDeltaFromPairs(
+      fuzzyPairsDelta(all, delta, maxDist, maxBucket, idCol, nameCol),
+      all, prior, idCol)
+
+  /** [[entitiesDelta]] over a prebuilt FULL-registry [[variantIndex]]. */
+  def entitiesDeltaIdx(index: DataFrame, all: DataFrame, delta: DataFrame,
+                       prior: DataFrame, maxDist: Int = 1,
+                       idCol: String = "rec_id", nameCol: String = "name"): DataFrame =
+    entitiesDeltaFromPairs(
+      fuzzyPairsDeltaIdx(index, delta, maxDist, idCol, nameCol),
+      all, prior, idCol)
+
+  private def entitiesDeltaFromPairs(newPairs: DataFrame, all: DataFrame,
+                                     prior: DataFrame, idCol: String): DataFrame = {
     val nodes = all.select(col(idCol).as("doc_id"))
     val pr = prior.select(col("rec_id").as("doc_id"), col("entity_id").as("cluster"))
-    Dedup.clustersDelta(pr, newPairs, nodes)
+    Dedup.clustersDelta(pr,
+        newPairs.select(col("rec_a").as("id_a"), col("rec_b").as("id_b")), nodes)
       .select(col("doc_id").as("rec_id"), col("cluster").as("entity_id"))
   }
 }

@@ -185,7 +185,10 @@ class PlanAuditSpec extends SparkSpec {
     // (soak-proved O(log n)), printed plan shows seed + final label join;
     // transitions = user window + transition agg + broadcast totals;
     // top paths' rank window and path agg share one (user, day) exchange
-    "x_er_pairs" -> 3, "x_er_clusters" -> 2, "x_er_delta" -> 8,
+    // x_er_pairs: the persisted variant index's build lineage PRINTS on
+    // both self-join sides (2 each) + the candidate distinct; at
+    // execution both sides read the one InMemoryRelation
+    "x_er_pairs" -> 5, "x_er_clusters" -> 2, "x_er_delta" -> 8,
     "x_seq_transitions" -> 3, "x_seq_top_paths" -> 2,
     // lake/curation additions: the evolved-schema union is scan-only;
     // compaction bins one exchange into the bounded-cell window + the

@@ -229,6 +229,51 @@ class SoakSpec extends SparkSpec {
     }
   }
 
+  test("ER delete-1 blocking scales ~linearly 1×→10× with exactly 10× the pairs", Soak) {
+    // copies carry a per-copy name prefix: UNsalted text would make every
+    // copy an exact duplicate of its 9 siblings, and exact-dup pairs are
+    // genuinely quadratic in copy count (C(10,2) per name — the cap
+    // valve's case, not the scaling case under test here)
+    def recs(copies: Int): DataFrame = {
+      val d = graft.sources.Tables.documents(spark, base)
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("name0"),
+          length(col("text")).as("__len"))
+      (0 until copies).map { i =>
+        // typo selection/position key on the ORIGINAL doc_id: the copy
+        // shift is not a multiple of 7·20, so keying on rec_id would
+        // dirty a different subset per copy and break the exact-10× law
+        val c = d.select(col("doc_id"),
+          (col("doc_id") + lit(i.toLong * 1000000000L)).as("rec_id"),
+          // doubled digit: single-digit prefixes would sit at edit
+          // distance 1 ACROSS copies (one substitution), cross-linking
+          // every salted sibling; doubling makes the copy distance 2
+          concat(lit(s"x$i$i "), col("name0")).as("name"), col("__len"))
+        val clean = c.select("rec_id", "name")
+        val dirty = c.where(col("__len") >= 30 && col("doc_id") % 7 === 0)
+          .select((col("rec_id") + lit(100000000L)).as("rec_id"),
+            expr("concat(substring(name, 1, CAST(doc_id % 20 AS INT) + 4), " +
+              "substring(name, CAST(doc_id % 20 AS INT) + 6))").as("name"))
+        clean.unionByName(dirty)
+      }.reduce(_ unionByName _).repartition(16)
+    }
+    def run(copies: Int): (Long, Double) = {
+      Caches.invalidate(spark)
+      val t0 = System.nanoTime()
+      val n = graft.ext.EntityResolution.fuzzyPairs(recs(copies)).count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    run(1) // warmup (JIT + codegen)
+    val (p1, t1) = run(1)
+    val (p10, t10) = assertNoBigSingleTaskStage(500000L) { run(10) }
+    info(f"ER pairs: 1x=$p1 in $t1%.2fs, 10x=$p10 in $t10%.2fs ratio=${t10 / t1}%.1f")
+    // per-copy prefixes isolate copies, so the pair set replicates exactly
+    assert(p10 == 10 * p1, s"pairs must scale exactly 10x: $p1 -> $p10")
+    assert(t10 <= 30 * t1 + 5.0,
+      f"10x took ${t10 / t1}%.1f× the 1x time — not ~linear")
+    Caches.invalidate(spark)
+  }
+
   test("pagerank delta refresh beats the full rebuild at 10× edges", Soak) {
     // The delta's contract (Graph.pageRankFrom): ONE warm-start iteration
     // costs ~iters⁻¹ of the rebuild's edge shuffles plus a fixed O(V)
