@@ -34,6 +34,25 @@ object SparkEntryEr {
     * family's shared artifact (built once, persisted; every ER query
     * probes it instead of re-exploding Σ(len+1) variants per execution). */
   private val vIdxMemo = new graft.PlanMemo
+
+  /** Shared (user, prev, cur, n) transition-cell relation — the sequence
+    * family's stored artifact (the unigram/bigram count-relation
+    * pattern): ONE corpus lag-window pass serves the transition matrix,
+    * the surprise scorer's user and global branches, and any future
+    * sequence reader, instead of each branch re-planning the window. */
+  private val seqMemo = new graft.PlanMemo
+  private def transitionCells(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    seqMemo(e, "seqTransitionCells") {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      e.select(col("user_id"),
+          lag("event_type", 1).over(w).as("prev_type"), col("event_type"))
+        .where(col("prev_type").isNotNull)
+        // reuses the window's user_id partitioning (subset clustering)
+        .groupBy("user_id", "prev_type", "event_type")
+        .agg(count(lit(1)).as("__n"))
+    }
+  }
   private def storedIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val reg = registry(s, dir)
     (vIdxMemo(reg, "erVariantIndex")(
@@ -71,16 +90,25 @@ object SparkEntryEr {
       "FROM documents WHERE text IS NOT NULL AND length(text) >= 30 " +
       "AND doc_id % 7 = 0)"
 
+  /** The delete-1 variant enumeration as SQL — shared by every ER oracle. */
+  private def variantsSql(src: String, out: String): String =
+    s"$out AS (SELECT rec_id, name, unnest(list_distinct(list_append(" +
+      "list_transform(range(1, length(name) + 1), " +
+      s"p -> substr(name, 1, p - 1) || substr(name, p + 1)), name))) AS variant FROM $src)"
+
   /** The delete-1 neighborhood + verified-pair CTEs (FastSS re-derived in
-    * SQL — the oracle enumerates the same variants and the same
-    * levenshtein verify the engine runs). */
+    * SQL — the oracle enumerates the same variants, applies the same
+    * `maxBucket` block pruning, and runs the same levenshtein verify the
+    * engine does; at fixture scale no block nears the 1024 cap, but the
+    * mirror keeps the oracle exact rather than coincidentally equal). */
   private val pairsCte: String =
     registrySql + ", " +
-      "v AS (SELECT rec_id, name, unnest(list_distinct(list_append(" +
-      "list_transform(range(1, length(name) + 1), " +
-      "p -> substr(name, 1, p - 1) || substr(name, p + 1)), name))) AS variant FROM reg), " +
+      variantsSql("reg", "v") + ", " +
+      "keep AS (SELECT variant FROM v GROUP BY 1 HAVING count(*) <= " +
+      s"${EntityResolution.DefaultMaxBucket}), " +
+      "vk AS (SELECT v.* FROM v JOIN keep USING (variant)), " +
       "cand AS (SELECT DISTINCT a.rec_id AS rec_a, b.rec_id AS rec_b, " +
-      "a.name AS na, b.name AS nb FROM v a JOIN v b " +
+      "a.name AS na, b.name AS nb FROM vk a JOIN vk b " +
       "ON a.variant = b.variant AND a.rec_id < b.rec_id), " +
       "p AS (SELECT rec_a, rec_b, CAST(levenshtein(na, nb) AS BIGINT) AS dist " +
       "FROM cand WHERE levenshtein(na, nb) <= 1)"
@@ -116,26 +144,65 @@ object SparkEntryEr {
       EntityResolution.entitiesDeltaIdx(idx, reg, delta, prior)
     },
 
+    "x_er_best_match" -> { (s, dir) =>
+      // two-table linkage: the typo'd slice arrives as a probe batch and
+      // links to its best CANONICAL row (lowest distance, ties to lowest
+      // reference id) against the stored reference-side variant index —
+      // the master-table link API, top-1 per probe over a blocked
+      // candidate set
+      val reg = registry(s, dir)
+      val ref = reg.where(col("rec_id") < 1000000L)
+      val probe = reg.where(col("rec_id") >= 1000000L)
+      val refIdx = vIdxMemo(ref, "erRefVariantIndex")(
+        EntityResolution.variantIndex(ref))
+      EntityResolution.bestMatch(refIdx, probe)
+    },
+
     "x_seq_transitions" -> { (s, dir) =>
-      // per-user Markov transition counts, row-normalized to ppm. The
-      // lag window shuffles once on user_id; the count and the row
-      // totals are two aggs over the 5×5 transition space, joined back
-      // broadcast-small.
-      val e = Tables.events(s, dir)
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val bi = e.select(lag("event_type", 1).over(w).as("prev_type"),
-          col("event_type"))
-        .where(col("prev_type").isNotNull)
-      // row totals via a window over the COUNTS relation (≤ |alphabet|²
-      // rows), not a self-join — a join back onto `counts` would plan the
-      // whole window+agg subtree twice (Spark materializes nothing by
-      // default), doubling the corpus scans; the window costs one tiny
-      // exchange over the transition space instead
-      bi.groupBy("prev_type", "event_type")
-        .agg(count(lit(1)).as("n_trans"))
+      // per-user Markov transition counts, row-normalized to ppm — one
+      // rollup over the stored transition-cell relation. Row totals via
+      // a window over the COUNTS relation (≤ |alphabet|² rows), not a
+      // self-join: a join back onto the counts would plan the subtree
+      // twice; the window costs one tiny exchange instead.
+      transitionCells(s, dir)
+        .groupBy("prev_type", "event_type")
+        .agg(sum(col("__n")).as("n_trans"))
         .select(col("prev_type"), col("event_type"), col("n_trans"),
           expr("CAST(n_trans * 1000000 DIV " +
             "sum(n_trans) OVER (PARTITION BY prev_type) AS BIGINT)").as("ppm"))
+    },
+
+    "x_seq_surprise" -> { (s, dir) =>
+      // behavioral outliers: per-user L1 distance (ppm) between the
+      // user's transition distribution and the corpus-wide one, summed
+      // over the full global cell set — a user missing a cell contributes
+      // that cell's global mass, computed WITHOUT exploding users×cells:
+      // L1(u) = Σ_present |u−g| + (G_total − Σ_present g). All integer
+      // (the division-free outlier idiom of x_anomaly_days); top 10 under
+      // a total order so the LIMIT is deterministic.
+      val cells = transitionCells(s, dir)
+      val uc = cells
+        .select(col("user_id"), col("prev_type"), col("event_type"),
+          expr("CAST(__n * 1000000 DIV sum(__n) OVER " +
+            "(PARTITION BY user_id, prev_type) AS BIGINT)").as("__uppm"))
+      // global cells (≤ |alphabet|² rows) — derived from the same stored
+      // cell relation (Σ over users), broadcast onto the user cells
+      val gc = cells.groupBy("prev_type", "event_type")
+        .agg(sum(col("__n")).as("__gn"))
+        .select(col("prev_type"), col("event_type"),
+          expr("CAST(__gn * 1000000 DIV sum(__gn) OVER " +
+            "(PARTITION BY prev_type) AS BIGINT)").as("__gppm"))
+        // the grand total rides each broadcast cell row (unpartitioned
+        // window over ≤ |alphabet|² rows — structurally fine, the
+        // compaction-planner pattern) so no scalar cross join is needed
+        .withColumn("__gt", expr("sum(__gppm) OVER ()"))
+      val joined = uc.join(broadcast(gc), Seq("prev_type", "event_type"))
+      joined.groupBy("user_id")
+        .agg(sum(abs(col("__uppm") - col("__gppm"))).as("__present_l1"),
+          sum(col("__gppm")).as("__present_g"), max(col("__gt")).as("__gt"))
+        .select(col("user_id"),
+          (col("__present_l1") + col("__gt") - col("__present_g")).as("l1_ppm"))
+        .orderBy(col("l1_ppm").desc, col("user_id")).limit(10)
     },
 
     "x_seq_top_paths" -> { (s, dir) =>
@@ -183,6 +250,23 @@ object SparkEntryEr {
     // the full-rebuild closure EXACTLY, so it shares the rebuild oracle
     "x_er_delta" -> clustersRebuildSql,
 
+    "x_er_best_match" ->
+      (s"WITH $registrySql, " +
+        "ref AS (SELECT * FROM reg WHERE rec_id < 1000000), " +
+        "probe AS (SELECT * FROM reg WHERE rec_id >= 1000000), " +
+        variantsSql("ref", "vr") + ", " +
+        "rkeep AS (SELECT variant FROM vr GROUP BY 1 HAVING count(*) <= " +
+        s"${EntityResolution.DefaultMaxBucket}), " +
+        "vrk AS (SELECT vr.* FROM vr JOIN rkeep USING (variant)), " +
+        variantsSql("probe", "vp") + ", " +
+        "scored AS (SELECT DISTINCT p.rec_id, r.rec_id AS match_id, " +
+        "CAST(levenshtein(p.name, r.name) AS BIGINT) AS dist " +
+        "FROM vp p JOIN vrk r ON p.variant = r.variant " +
+        "WHERE levenshtein(p.name, r.name) <= 1) " +
+        "SELECT rec_id, match_id, dist FROM (SELECT *, row_number() OVER (" +
+        "PARTITION BY rec_id ORDER BY dist, match_id) AS rn FROM scored) " +
+        "WHERE rn = 1"),
+
     "x_seq_transitions" ->
       ("WITH seq AS (SELECT event_type, lag(event_type) OVER (" +
         "PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), " +
@@ -192,6 +276,25 @@ object SparkEntryEr {
         "SELECT c.prev_type, c.event_type, c.n_trans, " +
         "CAST(c.n_trans * 1000000 // t.tot AS BIGINT) AS ppm " +
         "FROM c JOIN t USING (prev_type)"),
+
+    "x_seq_surprise" ->
+      ("WITH tr AS (SELECT user_id, event_type, lag(event_type) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), " +
+        "t AS (SELECT user_id, prev_type, event_type FROM tr WHERE prev_type IS NOT NULL), " +
+        "ucn AS (SELECT user_id, prev_type, event_type, CAST(count(*) AS BIGINT) AS n " +
+        "FROM t GROUP BY 1, 2, 3), " +
+        "uc AS (SELECT user_id, prev_type, event_type, CAST(n * 1000000 // " +
+        "sum(n) OVER (PARTITION BY user_id, prev_type) AS BIGINT) AS uppm FROM ucn), " +
+        "gcn AS (SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n " +
+        "FROM t GROUP BY 1, 2), " +
+        "gc AS (SELECT prev_type, event_type, CAST(n * 1000000 // " +
+        "sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS gppm FROM gcn), " +
+        "gt AS (SELECT CAST(sum(gppm) AS BIGINT) AS g FROM gc), " +
+        "j AS (SELECT u.user_id, CAST(sum(abs(u.uppm - g.gppm)) AS BIGINT) AS pl1, " +
+        "CAST(sum(g.gppm) AS BIGINT) AS pg FROM uc u JOIN gc g " +
+        "USING (prev_type, event_type) GROUP BY 1) " +
+        "SELECT user_id, CAST(pl1 + (SELECT g FROM gt) - pg AS BIGINT) AS l1_ppm " +
+        "FROM j ORDER BY l1_ppm DESC, user_id LIMIT 10"),
 
     "x_seq_top_paths" ->
       ("WITH r AS (SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, " +

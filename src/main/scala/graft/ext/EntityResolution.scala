@@ -189,6 +189,32 @@ object EntityResolution {
       fuzzyPairsDeltaIdx(index, delta, maxDist, idCol, nameCol),
       all, prior, idCol)
 
+  /** Two-table linkage: each `probe` record's BEST reference match
+    * (lowest distance, ties to the lowest reference id — a total order,
+    * so the top-1 is deterministic) against a prebuilt reference-side
+    * [[variantIndex]]. The master-table link API: "which canonical row
+    * is this incoming record?". Candidates are blocked (delete-1
+    * neighborhood equi-join), so the per-probe top-1 window runs over a
+    * blocked candidate set, not the reference table. Probes with no
+    * qualifying match are absent from the output (the caller's 404). */
+  def bestMatch(refIndex: DataFrame, probe: DataFrame, maxDist: Int = 1,
+                idCol: String = "rec_id", nameCol: String = "name"): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 1, s"delete-1 blocking: maxDist ≤ 1 (got $maxDist)")
+    val vp = delete1Variants(probe, idCol, nameCol)
+    val scored = vp.select(col("variant"), col("rec_id"), col("name").as("__pn"))
+      .join(refIndex.select(col("variant"), col("rec_id").as("__mid"),
+        col("name").as("__rn")), Seq("variant"))
+      .where(levenshtein(col("__pn"), col("__rn")) <= maxDist)
+      .select(col("rec_id"), col("__mid"),
+        levenshtein(col("__pn"), col("__rn")).cast("long").as("dist"))
+      .distinct()
+    scored.withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("rec_id"))
+          .orderBy(col("dist"), col("__mid"))))
+      .where(col("__r") === 1)
+      .select(col("rec_id"), col("__mid").as("match_id"), col("dist"))
+  }
+
   private def entitiesDeltaFromPairs(newPairs: DataFrame, all: DataFrame,
                                      prior: DataFrame, idCol: String): DataFrame = {
     val nodes = all.select(col(idCol).as("doc_id"))

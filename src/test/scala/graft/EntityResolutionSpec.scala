@@ -82,6 +82,29 @@ class EntityResolutionSpec extends SparkSpec {
     assert(ents == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 13L), ents.toString)
   }
 
+  test("bestMatch: exact beats near, ties go to the lowest reference id, no-match is absent") {
+    val ref = Seq((1L, "alpha title"), (2L, "alphb title"), (5L, "alpha titlx"))
+      .toDF("rec_id", "name")
+    val probe = Seq(
+      (100L, "alpha title"),  // exact (dist 0) must beat the dist-1 refs
+      (101L, "alphc title"),  // dist 1 from refs 1 AND 2 → tie → ref 1
+      (102L, "zzz unrelated") // no qualifying match → absent
+    ).toDF("rec_id", "name")
+    val got = EntityResolution.bestMatch(
+        EntityResolution.variantIndex(ref), probe)
+      .select("rec_id", "match_id", "dist").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got == Set((100L, 1L, 0L), (101L, 1L, 1L)), got.toString)
+  }
+
+  test("x_er_best_match: every probe links, typos resolve to a dist-1 canonical") {
+    val m = SparkEntry.queries("x_er_best_match")(spark, sf)
+    val reg = SparkEntryEr.registry(spark, sf)
+    val probes = reg.where(col("rec_id") >= 1000000L).count()
+    assert(m.count() == probes, "every injected typo must find a canonical")
+    assert(m.where(col("dist") > 1L || col("match_id") >= 1000000L).isEmpty)
+  }
+
   test("incremental linkage equals the full rebuild, including a cross-entity merge") {
     // base holds TWO separate entities ("brydge" and "bridgx" are at
     // distance 2 — unlinked); the delta record "bridge" is at distance 1

@@ -189,7 +189,17 @@ class PlanAuditSpec extends SparkSpec {
     // both self-join sides (2 each) + the candidate distinct; at
     // execution both sides read the one InMemoryRelation
     "x_er_pairs" -> 5, "x_er_clusters" -> 2, "x_er_delta" -> 8,
+    // best_match: probe variants shuffle onto the cached index + the
+    // candidate distinct + the per-probe top-1 window
+    "x_er_best_match" -> 4,
     "x_seq_transitions" -> 3, "x_seq_top_paths" -> 2,
+    // surprise: the persisted transition-cell relation's build lineage
+    // PRINTS under both the user branch and the global branch (cached at
+    // execution) + the (prev,cur) rollup, its prev-window, and the final
+    // per-user agg; global side broadcasts
+    // (6 in a fresh session; the suite's shared-session cache state adds
+    // one ENSURE_REQUIREMENTS print — execution reads the one cache)
+    "x_seq_surprise" -> 7,
     // lake/curation additions: the evolved-schema union is scan-only;
     // compaction bins one exchange into the bounded-cell window + the
     // cell agg; the temperature mix pays the lang agg + bounded window;

@@ -26,6 +26,17 @@ class SeqMiningSpec extends SparkSpec {
     }
   }
 
+  test("surprise: L1 bounded by twice the global mass, order deterministic") {
+    val rows = SparkEntry.queries("x_seq_surprise")(spark, sf).collect()
+    assert(rows.length <= 10)
+    val ls = rows.map(_.getLong(1))
+    assert(ls.zip(ls.tail).forall { case (a, b) => a >= b }, "must be non-increasing")
+    // L1 between two sub-probability vectors (each row sums to ≤ 10^6,
+    // ≤ |alphabet| rows each side) is bounded by u_mass + g_mass
+    val cap = 2L * 1000000L * 5L
+    assert(ls.forall(l => l >= 0 && l <= cap), ls.mkString(","))
+  }
+
   test("top paths: deterministic total order, bounded fan-out, valid alphabet") {
     val e = graft.sources.Tables.events(spark, sf)
     val types = e.select("event_type").distinct().collect().map(_.getString(0)).toSet
