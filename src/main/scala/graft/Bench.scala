@@ -1,6 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Median of a rep set; any failed rep (-1) poisons the whole set to -1
+    * so a flaky query can never masquerade as a fast one. Package-visible
+    * for BenchLogicSpec. */
+  private[graft] def median(ts: Seq[Double]): Double =
+    if (ts.contains(-1.0)) -1.0
+    else {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+
+  /** A warm median slower than the query's own cold (first) rep is
+    * physically impossible from the engine side — caches only help — so
+    * it can only mean external box contention landed on the warm reps.
+    * The margin absorbs timer noise on sub-second queries. Failed
+    * measurements (-1 on either side) are never anomalies — they are
+    * failures, reported as such. */
+  private[graft] def anomalous(med: Double, cold: Double): Boolean =
+    med >= 0 && cold >= 0 && med > cold * 1.2 + 0.1
+
   // Box-load snapshot: the shared bench box swings 2-8x under external load
   // (three rounds of adjudication hung on proving it), so every record
   // carries /proc/loadavg + /proc/uptime at start AND end — a polluted run
@@ -140,19 +160,7 @@ object Bench {
     val gcArtMs = gcMillis() - gcArtStart
     val gcTimedStart = gcMillis()
     val tTimed = System.nanoTime()
-    def median(ts: Seq[Double]): Double =
-      if (ts.contains(-1.0)) -1.0
-      else {
-        val s = ts.sorted
-        if (s.size % 2 == 1) s(s.size / 2)
-        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-      }
-    // A warm median slower than the query's own cold (first) rep is
-    // physically impossible from the engine side — caches only help — so
-    // it can only mean external box contention landed on the warm reps.
-    // The margin absorbs timer noise on sub-second queries.
-    def anomalous(med: Double, cold: Double): Boolean =
-      med >= 0 && cold >= 0 && med > cold * 1.2 + 0.1
+    import Bench.{anomalous, median}
     val firstPass = ordered.map { case (name, fn) =>
       val ev0 = evictedBlocks.get()
       val ts = (1 to reps).map(_ => timeOnce(name, fn))

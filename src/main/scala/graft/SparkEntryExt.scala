@@ -789,6 +789,27 @@ object SparkEntryExt {
     "x_pack_sequences" -> { (s, dir) =>
       Curation.packSequences(Tables.documents(s, dir))
     },
+    "x_universe_sample" -> { (s, dir) =>
+      // universe (key-consistent) sampling (BlinkDB/Quickr): BOTH join
+      // sides filter independently by the SAME deterministic hash
+      // predicate on the join key, so the ~5% sample of orders arrives
+      // with exactly its lineitems — no coordination, no broadcast of
+      // sampled keys, each side prunes at its own scan. A row-level
+      // sample of each side would keep only ~0.25% of matching pairs
+      // and bias every join aggregate; the universe sample keeps the
+      // join distribution exact on the sampled key universe.
+      def in(k: String) = expr(
+        s"cast(conv(substring(md5(concat('u|', cast($k as string))), 1, 15), " +
+          s"16, 10) as bigint) % 100 < 5")
+      val o = Tables.orders(s, dir).where(in("o_orderkey"))
+      val l = Tables.lineitem(s, dir).where(in("l_orderkey"))
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(SparkEntry.dec(col("l_extendedprice")) *
+            (lit(java.math.BigDecimal.ONE) - SparkEntry.dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+    },
 
     "x_top_terms" -> { (s, dir) =>
       TextAnalysis.topTerms(Tables.documents(s, dir))
@@ -1729,6 +1750,16 @@ object SparkEntryExt {
         "CAST(row_number() OVER (ORDER BY priority, doc_id) AS BIGINT) AS rk " +
         "FROM p QUALIFY rk <= 50"
     },
+
+    // universe sampling: ONE key predicate serves both join sides (equal
+    // keys ⇒ equal hash), so the oracle states it once on the joined rows
+    "x_universe_sample" ->
+      ("SELECT o_orderkey, o_orderpriority, CAST(count(*) AS BIGINT) AS n_items, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+        "WHERE (('0x' || substr(md5('u|' || CAST(o_orderkey AS VARCHAR)), 1, 15)))::BIGINT % 100 < 5 " +
+        "GROUP BY 1, 2"),
 
     "x_stratified_sample" ->
       (s"SELECT doc_id, lang, row_number() OVER (PARTITION BY lang " +

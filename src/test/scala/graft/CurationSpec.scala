@@ -284,4 +284,29 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(!nn.contains(100L) && !nn.contains(101L))
   }
+
+  test("universe sample: join-consistent (equals the full join restricted to sampled keys) and filters land pre-join") {
+    import org.apache.spark.sql.functions._
+    val q = SparkEntry.queries("x_universe_sample")(spark, sf)
+    // the law: sampling BOTH sides by the key predicate loses no pair —
+    // output == the UNsampled join restricted to sampled order keys
+    val o = graft.sources.Tables.orders(spark, sf)
+    val l = graft.sources.Tables.lineitem(spark, sf)
+    val full = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(java.math.BigDecimal.ONE) - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+      .where(expr("cast(conv(substring(md5(concat('u|', cast(o_orderkey as string))), " +
+        "1, 15), 16, 10) as bigint) % 100 < 5"))
+    assert(q.exceptAll(full).isEmpty && full.exceptAll(q).isEmpty)
+    assert(q.count() > 0, "the 5% universe must be non-empty")
+    // and the predicate sits on BOTH scan sides, pre-join (each side
+    // prunes independently — the whole point of universe sampling)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert("md5".r.findAllIn(plan).size >= 2,
+      s"expected the key-hash filter on both join inputs:\n${plan.take(1500)}")
+  }
 }

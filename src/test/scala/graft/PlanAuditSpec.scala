@@ -133,6 +133,9 @@ class PlanAuditSpec extends SparkSpec {
     "x_bloom_prune" -> 1, "x_chunk_docs" -> 0, "x_mix_sample" -> 0,
     "x_pack_sequences" -> 1, "x_pii_detect" -> 0, "x_pii_redact" -> 0,
     "x_pipeline_clean" -> 1, "x_pipeline_export" -> 2,
+    // universe sample: both sides hash-filter at their scans; the
+    // broadcast fact-dim shape leaves one group-by exchange
+    "x_universe_sample" -> 1,
     // corpus_shuffle's count pass (bounded metadata) runs eagerly at plan
     // construction; the returned plan pays the one (shard, bucket) rank
     // exchange
