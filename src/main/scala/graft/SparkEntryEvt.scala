@@ -78,6 +78,19 @@ object SparkEntryEvt {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_bfs_levels" -> { (s, dir) =>
+      // single-source BFS over the co-purchase graph from customer 0:
+      // frontier-bounded iterative expansion (one join + distinct +
+      // anti-join per round, each round checkpointed), O(E) total work;
+      // the oracle re-derives every level with a recursive CTE. Unreached
+      // nodes are absent on both sides.
+      Graph.bfsLevels(coPurchaseEdges(s, dir), "src", "dst", source = 0L)
+        .select(
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("part")).as("node_type"),
+          expr("node DIV 2").as("node_id"),
+          col("level"))
+    },
     "x_pagerank" -> { (s, dir) =>
       // damped PageRank over the co-purchase graph: per iteration one
       // src-keyed join + one dst-keyed agg (2 exchanges, map-side
@@ -295,6 +308,15 @@ object SparkEntryEvt {
       "id // 2 AS node_id, r AS rank_scaled FROM "
 
   def oracleSql: Map[String, String] = Map(
+    "x_bfs_levels" ->
+      ("WITH RECURSIVE " + graphCteFor("", "") + ", " +
+        // UNION (not UNION ALL): distinct (id, lvl) pairs bound the walk
+        // on a cyclic graph; the lvl cap is the same loud-failure bound
+        // as the engine's maxRounds
+        "b(id, lvl) AS (SELECT CAST(0 AS BIGINT) AS id, 0 AS lvl " +
+        "UNION SELECT e.dst, b.lvl + 1 FROM b JOIN e ON e.src = b.id WHERE b.lvl < 64) " +
+        "SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'part' END AS node_type, " +
+        "id // 2 AS node_id, CAST(min(lvl) AS BIGINT) AS level FROM b GROUP BY 1, 2"),
     "x_pagerank" -> {
       val init = s"r0 AS (SELECT id, ${Graph.Scale} // (SELECT n FROM n) AS r FROM deg)"
       val its = (1 to PageRankIters).map(i => prIterSql("", s"r$i", s"r${i - 1}"))

@@ -178,6 +178,46 @@ object Graph {
     scalars.unionByName(nBf)
   }
 
+  /** Single-source BFS levels over a directed edge list (symmetrize for
+    * an undirected walk): iterative frontier expansion — per round ONE
+    * equi-join (frontier ⋈ edges), a distinct, and an anti-join against
+    * the visited set, each frontier checkpointed (the CC loop's
+    * materialization pattern, so round lineage never stacks). Rounds =
+    * the source's eccentricity; each round's cost is frontier-bounded,
+    * so the total work is O(E) across all rounds — the textbook
+    * distributed BFS. Unreached nodes are absent (the caller's -1).
+    *
+    * `maxRounds` is a loud-failure valve, not a truncation: exceeding it
+    * throws rather than returning a silently partial level map. */
+  def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
+                source: Long, maxRounds: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+    var visited = Seq((source, 0L)).toDF("node", "level").localCheckpoint(true)
+    var frontier = visited
+    var level = 0L
+    var more = true
+    while (more) {
+      level += 1
+      if (level > maxRounds)
+        throw new IllegalStateException(
+          s"bfsLevels: source $source has eccentricity > $maxRounds — " +
+            "raise maxRounds explicitly if the graph really is that deep")
+      val next = frontier.join(e, col("node") === col("__s"))
+        .select(col("__d").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(level).as("level"))
+        .localCheckpoint(true)
+      if (next.isEmpty) more = false
+      else {
+        visited = visited.unionByName(next).localCheckpoint(true)
+        frontier = next
+      }
+    }
+    visited
+  }
+
   private def ranksOf(edges: DataFrame, srcCol: String, dstCol: String,
                       iters: Int, prior: Option[DataFrame]): DataFrame = {
     require(iters >= 1 && iters <= 8, s"iters=$iters out of the unrolled range")

@@ -185,4 +185,37 @@ class GraphSpec extends SparkSpec {
     assert(q.count() == nNodes, "one rank row per node")
     assert(q.where(col("rank_scaled") <= 0).isEmpty, "all mass positive")
   }
+
+  test("bfsLevels: exact levels on a path-with-branch fixture; unreached absent") {
+    import spark.implicits._
+    // 0→1→2→3 with a shortcut 0→3' (node 5), plus an unreachable island 9→10
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 5L), (5L, 3L), (9L, 10L))
+      .toDF("src", "dst")
+    val got = Graph.bfsLevels(edges, "src", "dst", source = 0L)
+      .as[(Long, Long)].collect().toMap
+    // node 3 is reachable in 3 hops via the chain but 2 via the shortcut
+    assert(got == Map(0L -> 0L, 1L -> 1L, 5L -> 1L, 2L -> 2L, 3L -> 2L), got.toString)
+  }
+
+  test("bfsLevels: the BFS edge invariant holds on the co-purchase graph") {
+    val lv = SparkEntry.queries("x_bfs_levels")(spark, sf)
+      .select((col("node_id") * 2 + when(col("node_type") === "part", 1)
+        .otherwise(0)).as("node"), col("level"))
+    // exactly one source at level 0, and every edge's endpoints differ by
+    // at most one level when both are reached (the defining BFS property)
+    assert(lv.where(col("level") === 0).count() == 1)
+    val e = SparkEntryEvt.coPurchaseEdges(spark, sf)
+    val viol = e.join(lv.withColumnRenamed("node", "src").withColumnRenamed("level", "ls"), Seq("src"))
+      .join(lv.withColumnRenamed("node", "dst").withColumnRenamed("level", "ld"), Seq("dst"))
+      .where(abs(col("ls") - col("ld")) > 1)
+    assert(viol.isEmpty, "BFS levels of adjacent nodes must differ by <= 1")
+  }
+
+  test("bfsLevels: an impossible depth bound fails loudly, not partially") {
+    import spark.implicits._
+    val chain = (0L until 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      Graph.bfsLevels(chain, "src", "dst", source = 0L, maxRounds = 2)
+    }
+  }
 }

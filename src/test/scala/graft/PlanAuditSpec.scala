@@ -159,6 +159,9 @@ class PlanAuditSpec extends SparkSpec {
     // materialized edge-memo lineage (the guard runs eagerly when the
     // census queries are constructed earlier in the sorted sweep)
     "x_pagerank" -> 28, "x_degree_stats" -> 5,
+    // BFS rounds are checkpointed — the returned plan is a union of
+    // materialized frontiers, zero printable exchanges
+    "x_bfs_levels" -> 0,
     // delta refresh: base chain (3 iters over the filtered edge
     // artifact) + seed join/renormalize + ONE full-graph iteration —
     // print count inflated by the two edge artifacts' shared lineage
