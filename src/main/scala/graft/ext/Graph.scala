@@ -211,7 +211,10 @@ object Graph {
         .localCheckpoint(true)
       if (next.isEmpty) more = false
       else {
-        visited = visited.unionByName(next).localCheckpoint(true)
+        // plain union of ALREADY-checkpointed frontiers: every leaf is
+        // materialized, so the accumulated set needs no re-checkpoint —
+        // one fewer job per round on a loop that is job-latency-bound
+        visited = visited.unionByName(next)
         frontier = next
       }
     }
