@@ -10,19 +10,22 @@ import org.apache.spark.sql.functions._
   * sequence mining.
   *
   * The ER scenario derives a deterministic "dirty registry" from the
-  * customer fixture (the m7_key_gate idiom — corrupt a slice via modular
-  * arithmetic so both engines can re-derive it): every 7th customer also
-  * appears under a synthetic rec_id with ONE character deleted from its
-  * name at a key-dependent position. The engine must link each typo'd
-  * row back to its canonical without an all-pairs scan —
+  * documents fixture (the m7_key_gate idiom — corrupt a slice via modular
+  * arithmetic so both engines can re-derive it): every 7th long-enough
+  * document's 40-char text prefix also appears under a synthetic rec_id
+  * with ONE character deleted at a key-dependent position (see
+  * [[registry]]). The engine must link each typo'd row back to its
+  * canonical without an all-pairs scan —
   * [[graft.ext.EntityResolution]]'s delete-1 (FastSS) blocking + exact
-  * levenshtein verify, then connected components for entity ids.
+  * levenshtein verify, then connected components for entity ids, an
+  * incremental refresh, and a two-table best-match probe.
   *
   * The sequence queries are the Markov view of the events stream: the
   * per-user transition matrix (which event follows which, row-normalized
-  * to ppm) and the top day-leading paths — the standard click-path
-  * mining pair, expressed as two shuffles (lag window + count) over the
-  * same user-time ordering the funnel/session queries already pin. */
+  * to ppm), the top day-leading paths, and per-user L1 surprise against
+  * the global matrix — all rollups over ONE shared stored transition-cell
+  * relation ([[transitionCells]]) in the same user-time ordering the
+  * funnel/session queries already pin. */
 object SparkEntryEr {
 
   /** Stored base-entity assignment for the delta query (x_er_delta's
