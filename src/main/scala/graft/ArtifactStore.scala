@@ -51,6 +51,15 @@ object ArtifactStore {
     System.getProperty("graft.disk.memo",
       sys.env.getOrElse("GRAFT_DISK_MEMO", "1")) != "0"
 
+  /** Store failures that silently degraded to memory-only memoization
+    * (unwritable dir, torn commit, unreadable artifact, unserializable
+    * model). Degrading is the right production behavior — the build is
+    * always correct — but a degraded BENCH run re-pays derivations the
+    * record claims are stored, so Bench stamps this next to
+    * `evicted_blocks` (the [[graft.sources.Lake.degradeEvents]]
+    * contract: degrade loudly, machine-checkably). */
+  val degradeEvents = new java.util.concurrent.atomic.AtomicLong
+
   private def root: java.nio.file.Path =
     java.nio.file.Paths.get(System.getProperty("graft.artifacts.dir",
       sys.env.getOrElse("GRAFT_ARTIFACT_DIR",
@@ -148,6 +157,29 @@ object ArtifactStore {
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
     (String, String)]() // canonical plan -> (content key, leaf fingerprint)
 
+  // ---- same-JVM key stability -----------------------------------------
+  // A SELF-memoized artifact (memo input == build output — the co-purchase
+  // edge table, the assembled-docs pattern) resolves its FIRST key from
+  // plan+stats, and then its own build registers the frame in
+  // artifactKeys. Every later resolution in the same JVM would take the
+  // `artifact:<key>` substitution instead and land on a DIFFERENT key —
+  // so a cache sweep between the build and the next request (exactly
+  // Bench's artifact-pass → timed-phase boundary) re-derived the artifact
+  // and, worse, every artifact chained on it (round 13: x_pagerank_delta's
+  // 21 s "cold rep" was the base-rank chain rebuilding under a drifted
+  // key, not the refresh under test). The pin below maps the RAW digest
+  // (tag + canonical plans + leaf stats, no substitution — deterministic
+  // for a reconstructed plan) to the first resolved final key, so a JVM
+  // always re-resolves the same key. Staleness is impossible: the raw
+  // digest includes every leaf file's length+mtime, so a fixture regen
+  // changes the raw digest and the pin simply never matches again. A
+  // fresh JVM either reconstructs the same computed plan (same raw digest
+  // → same first-resolution key) or holds the parquet-read form of the
+  // artifact (registered at read → substitution path) — both land on the
+  // committed key, so cross-JVM behavior is unchanged.
+  private val resolvedKeys =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Sorted `path|len|mtime` stats of every file under the plan's leaf
     * relations — the freshness component of every content key. Throws on
     * a stat failure (callers catch and decline to key). */
@@ -196,23 +228,35 @@ object ArtifactStore {
     // memo miss in the (store-off) test suite would otherwise pay it
     // just for getOrBuildDf/getOrTrain to discard the key
     if (!enabled) return None
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def upd(s: String): Unit = { md.update(s.getBytes("UTF-8")); md.update(0.toByte) }
-    upd(CodeSalt); upd(tag)
+    val rawMd = java.security.MessageDigest.getInstance("MD5")
+    val subMd = java.security.MessageDigest.getInstance("MD5")
+    def upd(m: java.security.MessageDigest, s: String): Unit = {
+      m.update(s.getBytes("UTF-8")); m.update(0.toByte)
+    }
+    Seq(rawMd, subMd).foreach { m => upd(m, CodeSalt); upd(m, tag) }
     try {
       inputs.foreach { df =>
         val stats = leafStats(df)
-        val registered = artifactKeys.get(df.queryExecution.analyzed.canonicalized)
-        registered match {
-          case (k, fp) if fp == fingerprint(stats) => upd(s"artifact:$k")
+        val plan = df.queryExecution.analyzed
+        // raw digest: always plan+stats — the substitution-free identity
+        // of this request, stable across re-resolutions within a JVM
+        upd(rawMd, plan.canonicalized.toString)
+        upd(rawMd, plan.semanticHash().toString)
+        stats.foreach(upd(rawMd, _))
+        artifactKeys.get(plan.canonicalized) match {
+          case (k, fp) if fp == fingerprint(stats) => upd(subMd, s"artifact:$k")
           case _ =>
-            val plan = df.queryExecution.analyzed
-            upd(plan.canonicalized.toString)
-            upd(plan.semanticHash().toString)
-            stats.foreach(upd)
+            upd(subMd, plan.canonicalized.toString)
+            upd(subMd, plan.semanticHash().toString)
+            stats.foreach(upd(subMd, _))
         }
       }
-      Some(md.digest().map("%02x".format(_)).mkString)
+      val raw = rawMd.digest().map("%02x".format(_)).mkString
+      val sub = subMd.digest().map("%02x".format(_)).mkString
+      // first resolution for this raw identity wins and is pinned — see
+      // the resolvedKeys note above
+      resolvedKeys.putIfAbsent(raw, sub)
+      Some(resolvedKeys.get(raw))
     } catch { case _: Exception => None }
   }
 
@@ -238,6 +282,7 @@ object ArtifactStore {
             // unreadable artifact: remove it so the rebuild's atomic
             // rename can land — leaving it would fail every future
             // commit (target exists) and re-pay the build per JVM forever
+            degradeEvents.incrementAndGet()
             deleteEntry(dir)
           }
         val built = build
@@ -250,7 +295,7 @@ object ArtifactStore {
           catch { case _: Exception => // lost the race or target exists: adopt
             org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile); ()
           }
-        } catch { case _: Exception => () } // degrade to memory-only
+        } catch { case _: Exception => degradeEvents.incrementAndGet() }
         // register the BUILT form too: the building session hands this
         // computed frame to downstream memos, whose keys must agree with
         // the parquet-read form a fresh JVM will hand them
@@ -285,7 +330,7 @@ object ArtifactStore {
           catch { case _: Exception =>
             java.nio.file.Files.deleteIfExists(tmp); ()
           }
-        } catch { case _: Exception => () } // unserializable: memory-only
+        } catch { case _: Exception => degradeEvents.incrementAndGet() }
         trained
     }
 }

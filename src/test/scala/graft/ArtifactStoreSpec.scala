@@ -226,6 +226,48 @@ class ArtifactStoreSpec extends SparkSpec {
     }
   }
 
+  test("self-memoized artifacts keep a stable key across a cache sweep (no same-JVM rebuild)") {
+    withStore {
+      val storeDir = Files.createTempDirectory("graft_store_self")
+      val priorDir = System.getProperty("graft.artifacts.dir")
+      System.setProperty("graft.artifacts.dir", storeDir.toString)
+      try {
+        val dataDir = Files.createTempDirectory("graft_store_self_in").toString
+        spark.range(100).select(col("id"))
+          .write.mode("overwrite").parquet(s"$dataDir/t.parquet")
+        var builds = 0; var chainBuilds = 0
+        val mEdges = new PlanMemo; val mRanks = new PlanMemo
+        // the x_pagerank_delta shape: a SELF-memoized derived relation
+        // (memo input == build output) with a second artifact chained on
+        // it. Before round 14, the self-memo's own build registered the
+        // frame in the artifact-key registry, so its SECOND resolution in
+        // the same JVM substituted `artifact:<key>` and drifted to a new
+        // content key — a cache sweep between builds (Bench's artifact
+        // pass → timed phase) then re-derived the whole chain instead of
+        // disk-hitting the commit it had just paid for.
+        def ask(): org.apache.spark.sql.DataFrame = {
+          val in = spark.read.parquet(s"$dataDir/t.parquet")
+          val sym = in.select(col("id"), (col("id") % 5).as("g"))
+          val edges = mEdges(sym, PlanMemo.tag("spec", "selfEdges")) {
+            builds += 1; sym
+          }
+          mRanks(edges, PlanMemo.tag("spec", "selfRanks")) {
+            chainBuilds += 1; edges.groupBy(col("g")).agg(count("*").as("n"))
+          }
+        }
+        val want = ask().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(builds == 1 && chainBuilds == 1)
+        Caches.invalidate(spark) // the bench's artifact-pass boundary
+        val again = ask()
+        assert(builds == 1 && chainBuilds == 1,
+          s"post-sweep re-resolution must land on the committed key, " +
+            s"got builds=$builds chainBuilds=$chainBuilds")
+        assert(again.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == want)
+      } finally if (priorDir == null) System.clearProperty("graft.artifacts.dir")
+      else System.setProperty("graft.artifacts.dir", priorDir)
+    }
+  }
+
   test("PlanMemo faults a prior JVM's artifact in from parquet (simulated via memo sweep)") {
     withStore {
       val dir = Files.createTempDirectory("graft_store_pm").toString
