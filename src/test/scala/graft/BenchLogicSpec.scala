@@ -36,4 +36,35 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(!Bench.anomalous(med = -1.0, cold = 2.0))
     assert(!Bench.anomalous(med = 2.0, cold = -1.0))
   }
+
+  test("decaying: fires on the r13 x_pagerank_delta shape the anomaly test missed") {
+    // reps [21.4, 6.5, 1.8] passed median>cold clean (cold was the build)
+    // while the median sat mid-decay at 3.6x steady state — exactly what
+    // this detector is for
+    assert(Bench.decaying(Seq(21.4, 6.5, 1.8)))
+    // still-converging longer sets fire too
+    assert(Bench.decaying(Seq(10.0, 6.0, 4.0, 1.5)))
+  }
+
+  test("decaying: flat, noisy, short and failed sets do not fire") {
+    // flat warm reps: settled
+    assert(!Bench.decaying(Seq(5.0, 2.1, 2.0)))
+    // halving but non-monotone (noise, not convergence)
+    assert(!Bench.decaying(Seq(5.0, 1.0, 2.0, 0.9)))
+    // monotone but gently-settling tail (rep3 >= half of rep2)
+    assert(!Bench.decaying(Seq(9.0, 3.0, 2.0)))
+    // fewer than 3 reps carry no decay evidence
+    assert(!Bench.decaying(Seq(9.0, 1.0)))
+    // failures are failures
+    assert(!Bench.decaying(Seq(21.4, 6.5, -1.0)))
+  }
+
+  test("steady: min warm rep; cold excluded; failures poison") {
+    assert(Bench.steady(Seq(21.4, 6.5, 1.8)) == 1.8)
+    // a warm rep slower than a later one: min wins, order-free
+    assert(Bench.steady(Seq(3.0, 1.2, 2.0)) == 1.2)
+    // single-rep sets have no warm evidence beyond the one rep
+    assert(Bench.steady(Seq(7.0)) == 7.0)
+    assert(Bench.steady(Seq(1.0, -1.0, 2.0)) == -1.0)
+  }
 }
