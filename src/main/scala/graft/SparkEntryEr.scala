@@ -28,6 +28,15 @@ import org.apache.spark.sql.functions._
   * funnel/session queries already pin. */
 object SparkEntryEr {
 
+  /** Synthetic rec_id shift for the dirty-registry derivation: typo'd
+    * variants land at doc_id + ShiftBase, and the best-match probe split
+    * reads `rec_id >= ShiftBase` as "synthetic". [[registry]] guards the
+    * assumption (doc_id < ShiftBase) with an in-row raise_error, so a
+    * future fixture large enough to collide fails loudly instead of
+    * silently misclassifying clean rows as probes. Mirrored into every
+    * ER oracle via [[registrySql]]. */
+  private[graft] val ShiftBase = 1000000L
+
   /** Stored base-entity assignment for the delta query (x_er_delta's
     * operational premise — the prior run's output, not recomputed per
     * execution). */
@@ -76,9 +85,20 @@ object SparkEntryEr {
     val named = Tables.load(s, dir, "documents").where(col("text").isNotNull)
       .select(col("doc_id"), substring(col("text"), 1, 40).as("name"),
         length(col("text")).as("__len"))
-    val clean = named.select(col("doc_id").as("rec_id"), col("name"))
+    // the synthetic-rec_id shift assumes doc_id < 10^6; a larger fixture
+    // would collide clean and typo'd rec_ids and silently misclassify
+    // clean rows as probes (while staying oracle-green — both sides share
+    // the constant). Loud-failure valve INSIDE the rec_id expression (a
+    // separate assert column would be pruned as unused; the Curation
+    // weightedSample idiom): any out-of-range doc_id fails the job by name.
+    val cleanId = when(col("doc_id") >= ShiftBase, raise_error(concat(
+      lit("erRegistry: doc_id "), col("doc_id").cast("string"),
+      lit(s" >= $ShiftBase collides with the synthetic rec_id shift — " +
+        "raise ShiftBase past the fixture's key range"))).cast("long"))
+      .otherwise(col("doc_id"))
+    val clean = named.select(cleanId.as("rec_id"), col("name"))
     val dirty = named.where(col("__len") >= 30 && col("doc_id") % 7 === 0)
-      .select((col("doc_id") + lit(1000000L)).as("rec_id"),
+      .select((col("doc_id") + lit(ShiftBase)).as("rec_id"),
         expr("concat(substring(name, 1, CAST(doc_id % 20 AS INT) + 4), " +
           "substring(name, CAST(doc_id % 20 AS INT) + 6))").as("name"))
     clean.unionByName(dirty)
@@ -87,7 +107,7 @@ object SparkEntryEr {
   private val registrySql: String =
     "reg AS (SELECT doc_id AS rec_id, substr(text, 1, 40) AS name " +
       "FROM documents WHERE text IS NOT NULL " +
-      "UNION ALL SELECT doc_id + 1000000 AS rec_id, " +
+      s"UNION ALL SELECT doc_id + $ShiftBase AS rec_id, " +
       "substr(substr(text, 1, 40), 1, (doc_id % 20) + 4) || " +
       "substr(substr(text, 1, 40), (doc_id % 20) + 6) AS name " +
       "FROM documents WHERE text IS NOT NULL AND length(text) >= 30 " +
@@ -154,8 +174,8 @@ object SparkEntryEr {
       // the master-table link API, top-1 per probe over a blocked
       // candidate set
       val reg = registry(s, dir)
-      val ref = reg.where(col("rec_id") < 1000000L)
-      val probe = reg.where(col("rec_id") >= 1000000L)
+      val ref = reg.where(col("rec_id") < ShiftBase)
+      val probe = reg.where(col("rec_id") >= ShiftBase)
       val refIdx = vIdxMemo(ref, "erRefVariantIndex")(
         EntityResolution.variantIndex(ref))
       EntityResolution.bestMatch(refIdx, probe)
@@ -255,8 +275,8 @@ object SparkEntryEr {
 
     "x_er_best_match" ->
       (s"WITH $registrySql, " +
-        "ref AS (SELECT * FROM reg WHERE rec_id < 1000000), " +
-        "probe AS (SELECT * FROM reg WHERE rec_id >= 1000000), " +
+        s"ref AS (SELECT * FROM reg WHERE rec_id < $ShiftBase), " +
+        s"probe AS (SELECT * FROM reg WHERE rec_id >= $ShiftBase), " +
         variantsSql("ref", "vr") + ", " +
         "rkeep AS (SELECT variant FROM vr GROUP BY 1 HAVING count(*) <= " +
         s"${EntityResolution.DefaultMaxBucket}), " +

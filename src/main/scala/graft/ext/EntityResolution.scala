@@ -37,15 +37,20 @@ object EntityResolution {
 
   /** The delete-1 neighborhood relation: one row per (rec, variant),
     * where variants are the name itself plus each delete-1 string.
-    * Wholly map-side (explode over a codegen'd transform — no UDF). */
+    * Wholly map-side (explode over a codegen'd transform — no UDF).
+    * The caller's columns are rebound to fixed aliases FIRST, so the
+    * expr() below never interpolates a user column name into SQL text —
+    * a name needing backticks (space, dot, reserved word) resolves
+    * through col() exactly like idCol does. */
   def delete1Variants(recs: DataFrame, idCol: String = "rec_id",
                       nameCol: String = "name"): DataFrame =
-    recs.select(col(idCol).as("rec_id"), col(nameCol).as("name"),
-      explode(expr(
-        s"array_distinct(concat(array($nameCol), transform(" +
-          s"sequence(1, length($nameCol)), " +
-          s"p -> concat(substring($nameCol, 1, p - 1), substring($nameCol, p + 1)))))"
-      )).as("variant"))
+    recs.select(col(idCol).as("rec_id"), col(nameCol).as("name"))
+      .select(col("rec_id"), col("name"),
+        explode(expr(
+          "array_distinct(concat(array(name), transform(" +
+            "sequence(1, length(name)), " +
+            "p -> concat(substring(name, 1, p - 1), substring(name, p + 1)))))"
+        )).as("variant"))
 
   /** Variants whose bucket exceeds `maxBucket` — the visible exclusion
     * report (what [[fuzzyPairs]] refused to join on). */
@@ -173,7 +178,9 @@ object EntityResolution {
     * pushes a block past `maxBucket` changes which pairs the full rebuild
     * admits, and the refresh cannot retract the prior's pairs — a
     * cap-crossing refresh warrants a rebuild, the same way a
-    * cell-imbalanced IVF delta warrants a retrain. */
+    * cell-imbalanced IVF delta warrants a retrain. [[capCrossings]]
+    * computes that predicate cheaply — consult it before trusting the
+    * refresh, rebuild when it is non-empty. */
   def entitiesDelta(all: DataFrame, delta: DataFrame, prior: DataFrame,
                     maxDist: Int = 1, maxBucket: Int = DefaultMaxBucket,
                     idCol: String = "rec_id", nameCol: String = "name"): DataFrame =
@@ -188,6 +195,33 @@ object EntityResolution {
     entitiesDeltaFromPairs(
       fuzzyPairsDeltaIdx(index, delta, maxDist, idCol, nameCol),
       all, prior, idCol)
+
+  /** The rebuild-warranted predicate for [[entitiesDelta]], operational
+    * instead of documentation (r13 item): variant blocks that were
+    * ADMITTED under the base corpus (base bucket ≤ `maxBucket`) but
+    * would be PRUNED by a full rebuild over base ∪ delta (base + delta
+    * bucket > `maxBucket`). Pairs the prior contracted through such a
+    * block cannot be retracted by the refresh, so a non-empty result
+    * means the delta composition may diverge from the rebuild — rebuild
+    * instead (the IVF retrain-on-imbalance contract). Cost: the delta's
+    * variant explode plus one agg per side joined on the variant key —
+    * delta-sized iterative work against the base's bucket-size relation
+    * (at scale: a stored side table of the variant index). Returns
+    * `(variant, base_n, delta_n)` per crossing block. */
+  def capCrossings(base: DataFrame, delta: DataFrame,
+                   maxBucket: Int = DefaultMaxBucket,
+                   idCol: String = "rec_id", nameCol: String = "name"): DataFrame = {
+    val b = delete1Variants(base, idCol, nameCol)
+      .groupBy("variant").agg(count(lit(1)).as("base_n"))
+    val d = delete1Variants(delta, idCol, nameCol)
+      .groupBy("variant").agg(count(lit(1)).as("delta_n"))
+    // inner join: a crossing needs delta mass in the block; an
+    // all-delta block is pruned identically by refresh and rebuild
+    // (nothing admitted either way), so only shared variants can diverge
+    b.join(d, Seq("variant"))
+      .where(col("base_n") <= maxBucket &&
+        col("base_n") + col("delta_n") > maxBucket)
+  }
 
   /** Two-table linkage: each `probe` record's BEST reference match
     * (lowest distance, ties to the lowest reference id — a total order,

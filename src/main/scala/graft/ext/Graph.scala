@@ -200,16 +200,20 @@ object Graph {
     var more = true
     while (more) {
       level += 1
-      if (level > maxRounds)
-        throw new IllegalStateException(
-          s"bfsLevels: source $source has eccentricity > $maxRounds — " +
-            "raise maxRounds explicitly if the graph really is that deep")
       val next = frontier.join(e, col("node") === col("__s"))
         .select(col("__d").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .select(col("node"), lit(level).as("level"))
         .localCheckpoint(true)
       if (next.isEmpty) more = false
+      else if (level > maxRounds)
+        // checked only against a NON-EMPTY next frontier, so an
+        // eccentricity of exactly maxRounds completes (the valve fires
+        // when depth maxRounds+1 provably exists, matching the oracle's
+        // lvl < maxRounds recursion emitting level-maxRounds nodes)
+        throw new IllegalStateException(
+          s"bfsLevels: source $source has eccentricity > $maxRounds — " +
+            "raise maxRounds explicitly if the graph really is that deep")
       else {
         // plain union of ALREADY-checkpointed frontiers: every leaf is
         // materialized, so the accumulated set needs no re-checkpoint —

@@ -125,6 +125,41 @@ class EntityResolutionSpec extends SparkSpec {
     assert(refreshed == Map(1L -> 1L, 2L -> 1L, 100L -> 1L, 10L -> 10L))
   }
 
+  test("capCrossings flags exactly the deltas whose refresh can diverge from the rebuild") {
+    // base block at the cap: "ab" and "ac" share only variant "a"
+    // (bucket size 2). With maxBucket = 2 the prior links them. The
+    // delta "ad" pushes the "a" bucket to 3 > cap: a full rebuild
+    // prunes the block and admits NO pairs, but the refresh cannot
+    // retract the prior's link — the documented divergence the
+    // detector exists to catch (consult it before trusting a refresh;
+    // non-empty ⇒ rebuild).
+    val base = Seq((1L, "ab"), (2L, "ac")).toDF("rec_id", "name")
+    val delta = Seq((3L, "ad")).toDF("rec_id", "name")
+    val all = base.unionByName(delta)
+    val crossings = EntityResolution.capCrossings(base, delta, maxBucket = 2)
+      .select("variant", "base_n", "delta_n").as[(String, Long, Long)]
+      .collect().toSet
+    assert(crossings == Set(("a", 2L, 1L)), crossings.toString)
+    // the divergence is real: refresh keeps the prior's link, rebuild
+    // has none — so a refresher that skips the detector ships wrong labels
+    val prior = EntityResolution.entities(base, maxBucket = 2)
+    val refreshed = EntityResolution.entitiesDelta(all, delta, prior, maxBucket = 2)
+      .select("rec_id", "entity_id").as[(Long, Long)].collect().toMap
+    val rebuilt = EntityResolution.entities(all, maxBucket = 2)
+      .select("rec_id", "entity_id").as[(Long, Long)].collect().toMap
+    assert(rebuilt == Map(1L -> 1L, 2L -> 2L, 3L -> 3L), rebuilt.toString)
+    assert(refreshed != rebuilt,
+      "if this ever agrees, the refresh learned to retract — update the contract")
+    // a non-crossing delta (block stays within cap) is NOT flagged, and
+    // there the delta == rebuild law holds as always
+    val okDelta = Seq((4L, "xy")).toDF("rec_id", "name")
+    assert(EntityResolution.capCrossings(base, okDelta, maxBucket = 2).isEmpty)
+    // an all-delta over-cap block is pruned identically by both paths —
+    // not a crossing either
+    val newBlock = Seq((5L, "qr"), (6L, "qs"), (7L, "qt")).toDF("rec_id", "name")
+    assert(EntityResolution.capCrossings(base, newBlock, maxBucket = 2).isEmpty)
+  }
+
   test("x_er_delta equals x_er_clusters on the fixture (the shared-oracle law, locally)") {
     val full = SparkEntry.queries("x_er_clusters")(spark, sf)
     val inc = SparkEntry.queries("x_er_delta")(spark, sf)

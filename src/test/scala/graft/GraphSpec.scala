@@ -218,4 +218,20 @@ class GraphSpec extends SparkSpec {
       Graph.bfsLevels(chain, "src", "dst", source = 0L, maxRounds = 2)
     }
   }
+
+  test("bfsLevels: eccentricity exactly equal to maxRounds completes, not throws") {
+    import spark.implicits._
+    // a 5-hop chain has eccentricity 5 from node 0: maxRounds = 5 must
+    // finish with a level-5 node (the r13 advice off-by-one: the valve
+    // used to fire one round early, supporting only ecc <= maxRounds-1
+    // while the oracle's lvl < maxRounds cap emitted level-maxRounds rows)
+    val chain = (0L until 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Graph.bfsLevels(chain, "src", "dst", source = 0L, maxRounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L to 5L).map(i => i -> i).toMap)
+    // one short of the eccentricity still throws
+    intercept[IllegalStateException] {
+      Graph.bfsLevels(chain, "src", "dst", source = 0L, maxRounds = 4)
+    }
+  }
 }
