@@ -65,6 +65,27 @@ object SparkEntryEr {
         .agg(count(lit(1)).as("__n"))
     }
   }
+  /** Max in-sequence gap for episode steps: successive episode events may
+    * be up to this many POSITIONS apart in the user's timeline (gap 1 =
+    * contiguous — the x_event_paths case episodes generalize; intervening
+    * noise events up to the gap are skipped). Shared with the oracle. */
+  private[graft] val EpisodeMaxGap = 3
+  /** Top-k for the episode report (total order, deterministic LIMIT). */
+  private[graft] val EpisodeK = 20
+
+  /** Ordered per-user event positions — the episode family's stored
+    * relation (one (user, ts, event_id) sort per corpus serving any
+    * position-window self-join). */
+  private val ordMemo = new graft.PlanMemo
+  private def orderedEvents(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    ordMemo(e, "seqOrderedEvents") {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      e.select(col("user_id"), col("event_type"),
+        row_number().over(w).as("rn"))
+    }
+  }
+
   private def storedIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val reg = registry(s, dir)
     (vIdxMemo(reg, "erVariantIndex")(
@@ -228,6 +249,36 @@ object SparkEntryEr {
         .orderBy(col("l1_ppm").desc, col("user_id")).limit(10)
     },
 
+    "x_seq_episodes" -> { (s, dir) =>
+      // gap-bounded sequential patterns: top-20 length-3 episodes where
+      // each step follows the previous within EpisodeMaxGap POSITIONS of
+      // the user's timeline (noise events in between are skipped — the
+      // generalization of the contiguous x_event_paths triples). The gap
+      // is EXPANDED into explicit (rn + g) keys so both hops are pure
+      // EQUI-joins on (user_id, position) — candidate volume gap·N then
+      // gap²·N, linear in the corpus, where the naive user-only join
+      // with a range filter would go quadratic per user. All three scans
+      // share the stored ordered relation.
+      val r = orderedEvents(s, dir)
+      val gaps = array((1 to EpisodeMaxGap).map(lit): _*)
+      val ab = r.select(col("user_id"), col("event_type").as("step1"),
+          explode(gaps).as("__g"), col("rn"))
+        .select(col("user_id"), col("step1"), (col("rn") + col("__g")).as("__rn2"))
+        .join(r.select(col("user_id"), col("rn").as("__rn2"),
+          col("event_type").as("step2")), Seq("user_id", "__rn2"))
+      val abc = ab.select(col("user_id"), col("step1"), col("step2"),
+          explode(gaps).as("__g"), col("__rn2"))
+        .select(col("user_id"), col("step1"), col("step2"),
+          (col("__rn2") + col("__g")).as("__rn3"))
+        .join(r.select(col("user_id"), col("rn").as("__rn3"),
+          col("event_type").as("step3")), Seq("user_id", "__rn3"))
+      abc.groupBy("step1", "step2", "step3")
+        .agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("step1"), col("step2"),
+          col("step3"))
+        .limit(EpisodeK)
+    },
+
     "x_seq_top_paths" -> { (s, dir) =>
       // top day-leading paths: first 4 events per (user, day) joined into
       // a path string; global top 20 with a total order (count desc,
@@ -318,6 +369,21 @@ object SparkEntryEr {
         "USING (prev_type, event_type) GROUP BY 1) " +
         "SELECT user_id, CAST(pl1 + (SELECT g FROM gt) - pg AS BIGINT) AS l1_ppm " +
         "FROM j ORDER BY l1_ppm DESC, user_id LIMIT 10"),
+
+    "x_seq_episodes" ->
+      // same position-window semantics, as range-bounded joins (DuckDB's
+      // planner handles the small range natively; the engine side uses
+      // the expanded equi-join form for shuffle-key locality)
+      (s"WITH r AS (SELECT user_id, event_type, row_number() OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) " +
+        "SELECT a.event_type AS step1, b.event_type AS step2, " +
+        "c.event_type AS step3, CAST(count(*) AS BIGINT) AS n_occurrences " +
+        "FROM r a JOIN r b ON b.user_id = a.user_id " +
+        s"AND b.rn BETWEEN a.rn + 1 AND a.rn + $EpisodeMaxGap " +
+        "JOIN r c ON c.user_id = b.user_id " +
+        s"AND c.rn BETWEEN b.rn + 1 AND b.rn + $EpisodeMaxGap " +
+        "GROUP BY 1, 2, 3 " +
+        s"ORDER BY n_occurrences DESC, step1, step2, step3 LIMIT $EpisodeK"),
 
     "x_seq_top_paths" ->
       ("WITH r AS (SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, " +

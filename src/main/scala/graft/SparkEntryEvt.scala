@@ -60,6 +60,25 @@ object SparkEntryEvt {
     bipMemo(cp, "bipEdges")(cp.where(col("src") % 2 === 0)
       .select(expr("src DIV 2").as("u"), expr("dst DIV 2").as("v")))
   }
+  /** Weighted co-purchase edges for the shortest-path family: weight =
+    * 1 + min(l_quantity) % 3 per (customer, part) pair — a deterministic
+    * positive integer in {1,2,3} both engines re-derive exactly, small
+    * enough that weighted distances stay tiny on the small-world graph
+    * (oracle recursion stays bounded) while still exercising the
+    * cheaper-longer-path cases BFS cannot see. Memoized+persisted like
+    * the unweighted artifact (ONE orders⋈lineitem agg per corpus). */
+  private val wEdgesMemo = new graft.PlanMemo
+  private[graft] def weightedEdges(s: SparkSession, dir: String): DataFrame = {
+    val cp = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      .agg((lit(1) + min(col("l_quantity").cast("long")) % 3).as("wt"))
+    val sym = cp.union(cp.select(col("dst").as("src"), col("src").as("dst"),
+      col("wt")))
+    wEdgesMemo(sym, "cpWeightedEdges")(sym)
+  }
+
   /** The delta scenario's BASE graph: every 10th order's purchases have
     * not arrived yet (shared with the oracle's filtered CTE). */
   private[graft] def baseEdges(s: SparkSession, dir: String): DataFrame =
@@ -90,6 +109,20 @@ object SparkEntryEvt {
             .otherwise(lit("part")).as("node_type"),
           expr("node DIV 2").as("node_id"),
           col("level"))
+    },
+    "x_sssp" -> { (s, dir) =>
+      // weighted single-source shortest paths from customer 0: min-plus
+      // relaxation with an improved-vertex frontier (checkpointed per
+      // round, O(E) per round, rounds = weighted hop diameter); the
+      // oracle re-derives every distance with a bounded recursive walk +
+      // min. Exercises what BFS cannot: a 2-hop path of weight-1 edges
+      // must beat a direct weight-3 edge.
+      Graph.sssp(weightedEdges(s, dir), "src", "dst", "wt", source = 0L)
+        .select(
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("part")).as("node_type"),
+          expr("node DIV 2").as("node_id"),
+          col("dist"))
     },
     "x_pagerank" -> { (s, dir) =>
       // damped PageRank over the co-purchase graph: per iteration one
@@ -317,6 +350,22 @@ object SparkEntryEvt {
         "UNION SELECT e.dst, b.lvl + 1 FROM b JOIN e ON e.src = b.id WHERE b.lvl < 64) " +
         "SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'part' END AS node_type, " +
         "id // 2 AS node_id, CAST(min(lvl) AS BIGINT) AS level FROM b GROUP BY 1, 2"),
+    "x_sssp" ->
+      // bounded walk + min: every path of total weight <= 48 is
+      // enumerated (UNION dedups (id, d) states, so the recursion is
+      // finite on the cyclic graph); 48 sits 3x above the structural
+      // bound max_weight(3) * eccentricity(<=5 at these fixtures), and
+      // the engine's unbounded relaxation can only produce distances
+      // under that bound, so the cap never truncates a true distance
+      ("WITH RECURSIVE cpw AS (SELECT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst, " +
+        "1 + CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) % 3 AS wt " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2), " +
+        "e AS (SELECT src, dst, wt FROM cpw UNION ALL SELECT dst, src, wt FROM cpw), " +
+        "w(id, d) AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d " +
+        "UNION SELECT e.dst, w.d + e.wt FROM w JOIN e ON e.src = w.id " +
+        "WHERE w.d + e.wt <= 48) " +
+        "SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'part' END AS node_type, " +
+        "id // 2 AS node_id, CAST(min(d) AS BIGINT) AS dist FROM w GROUP BY 1, 2"),
     "x_pagerank" -> {
       val init = s"r0 AS (SELECT id, ${Graph.Scale} // (SELECT n FROM n) AS r FROM deg)"
       val its = (1 to PageRankIters).map(i => prIterSql("", s"r$i", s"r${i - 1}"))

@@ -225,6 +225,70 @@ object Graph {
     visited
   }
 
+  /** Single-source shortest paths over a weighted directed edge list
+    * (positive integer weights; symmetrize for an undirected walk) —
+    * the weighted companion to [[bfsLevels]]: iterated min-plus
+    * relaxation with a frontier of IMPROVED vertices. Per round one
+    * equi-join (frontier ⋈ edges on the source key), a per-destination
+    * min, and a compare against the running best; only strict
+    * improvements re-enter the frontier, so the loop does Bellman-Ford's
+    * work with Dijkstra-ish frontier discipline and terminates after at
+    * most max-shortest-path-hops rounds (≤ total dist / min weight —
+    * bounded, since weights are required positive). Each round's
+    * improvement set is checkpointed (the [[bfsLevels]] discipline:
+    * materialized leaves, no lineage stacking, the accumulated set never
+    * re-checkpoints); the running best is a groupBy-min over those
+    * leaves, O(n) per round and map-side combinable. Unreached nodes are
+    * absent. At cluster scale every round is one shuffle on the vertex
+    * key — the Pregel superstep — and total traffic is O(E) per round
+    * with round count bounded by the weighted hop diameter, not |V|.
+    *
+    * `maxRounds` is the same loud-failure valve as [[bfsLevels]]:
+    * improvements past it throw rather than return a silently
+    * non-converged distance map. */
+  def sssp(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+           source: Long, maxRounds: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"),
+      col(wCol).as("__w"))
+    // weights must be strictly positive: a zero/negative weight voids
+    // the hop-bounded termination argument (and negative cycles make
+    // "shortest" undefined). In-expression valve so it cannot be pruned.
+    val eGuarded = e.select(col("__s"), col("__d"),
+      when(col("__w") <= 0, raise_error(concat(lit("sssp: non-positive edge weight "),
+        col("__w").cast("string"), lit(" — shortest paths need weights > 0"))))
+        .otherwise(col("__w")).as("__w"))
+    var acc = Seq((source, 0L)).toDF("node", "dist").localCheckpoint(true)
+    var frontier = acc
+    var round = 0
+    var more = true
+    while (more) {
+      round += 1
+      // best-so-far per node from the accumulated (checkpointed) leaves;
+      // improvements only ever lower a node's min, so stale rows in acc
+      // are harmless — the groupBy-min is the authoritative state
+      val best = acc.groupBy("node").agg(min(col("dist")).as("__best"))
+      val cand = frontier.join(eGuarded, col("node") === col("__s"))
+        .select(col("__d").as("node"), (col("dist") + col("__w")).as("__cd"))
+        .groupBy("node").agg(min(col("__cd")).as("__cd"))
+      val improved = cand.join(best, Seq("node"), "left")
+        .where(col("__best").isNull || col("__cd") < col("__best"))
+        .select(col("node"), col("__cd").as("dist"))
+        .localCheckpoint(true)
+      if (improved.isEmpty) more = false
+      else if (round > maxRounds)
+        throw new IllegalStateException(
+          s"sssp: still improving after $maxRounds rounds from $source — " +
+            "raise maxRounds explicitly if shortest paths really are that long")
+      else {
+        acc = acc.unionByName(improved)
+        frontier = improved
+      }
+    }
+    acc.groupBy("node").agg(min(col("dist")).as("dist"))
+  }
+
   private def ranksOf(edges: DataFrame, srcCol: String, dstCol: String,
                       iters: Int, prior: Option[DataFrame]): DataFrame = {
     require(iters >= 1 && iters <= 8, s"iters=$iters out of the unrolled range")

@@ -211,6 +211,82 @@ class GraphSpec extends SparkSpec {
     assert(viol.isEmpty, "BFS levels of adjacent nodes must differ by <= 1")
   }
 
+  /** reference Dijkstra — the spec's independent oracle for sssp */
+  private def dijkstra(edges: Seq[(Long, Long, Long)], source: Long): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(e => (e._2, e._3)) }
+    val dist = scala.collection.mutable.Map(source -> 0L)
+    val pq = scala.collection.mutable.PriorityQueue((0L, source))(
+      Ordering.by[(Long, Long), Long](-_._1))
+    while (pq.nonEmpty) {
+      val (d, u) = pq.dequeue()
+      if (d == dist(u))
+        adj.getOrElse(u, Nil).foreach { case (v, w) =>
+          if (dist.get(v).forall(_ > d + w)) { dist(v) = d + w; pq.enqueue((d + w, v)) }
+        }
+    }
+    dist.toMap
+  }
+
+  test("sssp: a cheaper two-hop path beats the direct edge; unreached absent") {
+    import spark.implicits._
+    // 0→1 costs 3 directly but 2 via node 2; island 9→10 unreachable
+    val edges = Seq((0L, 1L, 3L), (0L, 2L, 1L), (2L, 1L, 1L), (9L, 10L, 1L))
+      .toDF("src", "dst", "wt")
+    val got = Graph.sssp(edges, "src", "dst", "wt", source = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 2L -> 1L, 1L -> 2L), got.toString)
+  }
+
+  test("sssp: matches Dijkstra on a pseudo-random weighted graph, independent of partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4100)
+    val edges0 = Seq.fill(400)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong,
+      (1 + rnd.nextInt(5)).toLong)).filter { case (a, b, _) => a != b }
+      .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq // one weight per arc
+    val sym = edges0 ++ edges0.map { case (a, b, w) => (b, a, w) }
+    val want = dijkstra(sym, 0L)
+    def run(parts: Int) = Graph.sssp(sym.toDF("src", "dst", "wt")
+        .repartition(parts), "src", "dst", "wt", source = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(run(7) == want)
+    assert(run(1) == want, "partitioning must not change distances")
+  }
+
+  test("x_sssp: triangle inequality on every co-purchase edge; reaches exactly the BFS set") {
+    val d = SparkEntry.queries("x_sssp")(spark, sf)
+      .select((col("node_id") * 2 + when(col("node_type") === "part", 1)
+        .otherwise(0)).as("node"), col("dist"))
+    val e = SparkEntryEvt.weightedEdges(spark, sf)
+    // relaxation fixed point: no edge can still improve its endpoint
+    val viol = e.join(d.withColumnRenamed("node", "src")
+        .withColumnRenamed("dist", "ds"), Seq("src"))
+      .join(d.withColumnRenamed("node", "dst")
+        .withColumnRenamed("dist", "dd"), Seq("dst"))
+      .where(col("dd") > col("ds") + col("wt"))
+    assert(viol.isEmpty, "dist(dst) <= dist(src) + w must hold on every edge")
+    // same reachable set as the unweighted walk, sources agree at 0
+    val bfs = SparkEntry.queries("x_bfs_levels")(spark, sf)
+    assert(d.count() == bfs.count())
+    assert(d.where(col("node") === 0).select("dist").head.getLong(0) == 0L)
+  }
+
+  test("sssp: non-positive weights fail loudly; an impossible round bound fails loudly") {
+    import spark.implicits._
+    val bad = Seq((0L, 1L, 0L)).toDF("src", "dst", "wt")
+    val ex = intercept[Exception] {
+      Graph.sssp(bad, "src", "dst", "wt", source = 0L).collect()
+    }
+    assert(ex.getMessage != null)
+    val chain = (0L until 5L).map(i => (i, i + 1, 1L)).toDF("src", "dst", "wt")
+    intercept[IllegalStateException] {
+      Graph.sssp(chain, "src", "dst", "wt", source = 0L, maxRounds = 4)
+    }
+    // rounds == longest shortest-path hops exactly: 5 completes
+    val ok = Graph.sssp(chain, "src", "dst", "wt", source = 0L, maxRounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(ok == (0L to 5L).map(i => i -> i).toMap)
+  }
+
   test("bfsLevels: an impossible depth bound fails loudly, not partially") {
     import spark.implicits._
     val chain = (0L until 5L).map(i => (i, i + 1)).toDF("src", "dst")

@@ -37,6 +37,36 @@ class SeqMiningSpec extends SparkSpec {
     assert(ls.forall(l => l >= 0 && l <= cap), ls.mkString(","))
   }
 
+  test("episodes: gap-expanded equi-joins equal the brute-force position scan") {
+    // independent in-memory oracle: enumerate (i, j, k) positions with
+    // 1 <= j-i <= gap and 1 <= k-j <= gap per user over the REAL fixture
+    // ordering, then compare the engine's full grouped relation (not just
+    // the top-k, so ties can't mask a miscount)
+    val gap = SparkEntryEr.EpisodeMaxGap
+    val byUser = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    val want = scala.collection.mutable.Map.empty[(String, String, String), Long]
+    byUser.values.foreach { evs =>
+      val seq = evs.sortBy(e => (e._2.getTime, e._3)).map(_._4).toVector
+      for {
+        i <- seq.indices; j <- (i + 1) to math.min(i + gap, seq.size - 1)
+        k <- (j + 1) to math.min(j + gap, seq.size - 1)
+      } {
+        val key = (seq(i), seq(j), seq(k))
+        want(key) = want.getOrElse(key, 0L) + 1L
+      }
+    }
+    val topWant = want.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(SparkEntryEr.EpisodeK)
+    val got = SparkEntry.queries("x_seq_episodes")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3)))
+    assert(got.toSeq == topWant,
+      s"got ${got.take(3).mkString(",")} want ${topWant.take(3).mkString(",")}")
+    assert(topWant.nonEmpty && topWant.head._2 > 0)
+  }
+
   test("top paths: deterministic total order, bounded fan-out, valid alphabet") {
     val e = graft.sources.Tables.events(spark, sf)
     val types = e.select("event_type").distinct().collect().map(_.getString(0)).toSet

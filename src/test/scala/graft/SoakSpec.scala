@@ -274,6 +274,38 @@ class SoakSpec extends SparkSpec {
     Caches.invalidate(spark)
   }
 
+  test("BFS at 10× edges: rounds pinned to eccentricity, wall ~linear in edge volume", Soak) {
+    // salted copies are DISJOINT components: source 0 reaches exactly
+    // copy 0, so the reached set and every level replicate the 1× run
+    // while each round's frontier⋈edges join scans 10× the edges — the
+    // claim under test is that BFS cost is (rounds = eccentricity) ×
+    // (per-round join ~ |E|), i.e. wall grows with edge volume, never
+    // with rounds × |V| or worse.
+    def salt(e: DataFrame): DataFrame = (0 until 10).map(i => e.select(
+      (col("src") + lit(i.toLong * 4000000000L)).as("src"),
+      (col("dst") + lit(i.toLong * 4000000000L)).as("dst")))
+      .reduce(_ unionByName _).repartition(32)
+    val e1 = SparkEntryEvt.coPurchaseEdges(spark, base)
+    val e10 = salt(e1).persist()
+    info(s"10x edges: ${e10.count()}")
+    def run(e: DataFrame): (Long, Long, Double) = {
+      val t0 = System.nanoTime()
+      val row = graft.ext.Graph.bfsLevels(e, "src", "dst", source = 0L)
+        .agg(count(lit(1)), max("level")).head
+      (row.getLong(0), row.getLong(1), (System.nanoTime() - t0) / 1e9)
+    }
+    run(e1) // warmup (JIT + codegen)
+    val (n1, ecc1, t1) = run(e1)
+    val (n10, ecc10, t10) = assertNoBigSingleTaskStage(500000L) { run(e10) }
+    info(f"bfs wall: 1x=$t1%.2fs 10x=$t10%.2fs ratio=${t10 / t1}%.1f " +
+      s"(reached $n1/$n10, ecc $ecc1/$ecc10)")
+    assert(n10 == n1, "disjoint salted copies: the reached set must not grow")
+    assert(ecc10 == ecc1, s"round count must stay = eccentricity: $ecc1 -> $ecc10")
+    assert(t10 <= 30 * t1 + 5.0,
+      f"10x took ${t10 / t1}%.1f× the 1x time — not ~linear in edge volume")
+    e10.unpersist(); Caches.invalidate(spark)
+  }
+
   test("pagerank delta refresh beats the full rebuild at 10× edges", Soak) {
     // The delta's contract (Graph.pageRankFrom): ONE warm-start iteration
     // costs ~iters⁻¹ of the rebuild's edge shuffles plus a fixed O(V)
