@@ -162,6 +162,13 @@ class PlanAuditSpec extends SparkSpec {
     // BFS rounds are checkpointed — the returned plan is a union of
     // materialized frontiers, zero printable exchanges
     "x_bfs_levels" -> 0,
+    // SSSP relaxation rounds are checkpointed like BFS; the returned plan
+    // is the final groupBy-min over materialized improvement leaves
+    "x_sssp" -> 1,
+    // episodes: ordered-events window exchange + two (user, position)
+    // equi-join shuffles + the bounded top-k rank — the gap expansion
+    // keeps both hops equi-joins, so no per-user quadratic shape prints
+    "x_seq_episodes" -> 4,
     // delta refresh: base chain (3 iters over the filtered edge
     // artifact) + seed join/renormalize + ONE full-graph iteration —
     // print count inflated by the two edge artifacts' shared lineage
