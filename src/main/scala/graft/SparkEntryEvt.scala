@@ -61,22 +61,46 @@ object SparkEntryEvt {
       .select(expr("src DIV 2").as("u"), expr("dst DIV 2").as("v")))
   }
   /** Weighted co-purchase edges for the shortest-path family: weight =
-    * 1 + min(l_quantity) % 3 per (customer, part) pair — a deterministic
+    * 1 + min(l_quantity % 3) per (customer, part) pair — a deterministic
     * positive integer in {1,2,3} both engines re-derive exactly, small
     * enough that weighted distances stay tiny on the small-world graph
     * (oracle recursion stays bounded) while still exercising the
-    * cheaper-longer-path cases BFS cannot see. Memoized+persisted like
-    * the unweighted artifact (ONE orders⋈lineitem agg per corpus). */
+    * cheaper-longer-path cases BFS cannot see. The mod sits INSIDE the
+    * min: min over per-row transforms is monotone under adding lineitems
+    * (more rows can only lower it), which is what entitles the delta
+    * refresh to treat base → full as pure additions + weight drops —
+    * `1 + min(qty) % 3` would let an arriving order RAISE a weight
+    * (min 3 → 2 flips wt 1 → 3) and silently void ssspFrom's
+    * upper-bound premise. Memoized+persisted like the unweighted
+    * artifact (ONE orders⋈lineitem agg per corpus). */
   private val wEdgesMemo = new graft.PlanMemo
-  private[graft] def weightedEdges(s: SparkSession, dir: String): DataFrame = {
-    val cp = Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+  private def weightedEdgesOf(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val cp = orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
       .groupBy((col("o_custkey") * 2).as("src"),
         (col("l_partkey") * 2 + 1).as("dst"))
-      .agg((lit(1) + min(col("l_quantity").cast("long")) % 3).as("wt"))
+      .agg((lit(1) + min(col("l_quantity").cast("long") % 3)).as("wt"))
     val sym = cp.union(cp.select(col("dst").as("src"), col("src").as("dst"),
       col("wt")))
     wEdgesMemo(sym, "cpWeightedEdges")(sym)
+  }
+  private[graft] def weightedEdges(s: SparkSession, dir: String): DataFrame =
+    weightedEdgesOf(Tables.orders(s, dir), Tables.lineitem(s, dir))
+  /** The delta scenario's base WEIGHTED graph (same arriving-orders split
+    * as [[baseEdges]]). Fewer orders can only RAISE a pair's min-quantity
+    * weight or remove the pair, so going base → full is monotone
+    * (additions + weight decreases) — exactly the regime where
+    * [[graft.ext.Graph.ssspFrom]]'s composition is exact. */
+  private[graft] def baseWeightedEdges(s: SparkSession, dir: String): DataFrame =
+    weightedEdgesOf(Tables.orders(s, dir).where(col("o_orderkey") % 10 =!= 0),
+      Tables.lineitem(s, dir))
+  /** STORED base distances — yesterday's x_sssp output over the base
+    * graph, the delta refresh's operational premise (the storedBaseRanks
+    * contract). */
+  private val distsMemo = new graft.PlanMemo
+  private[graft] def storedBaseDists(s: SparkSession, dir: String): DataFrame = {
+    val base = baseWeightedEdges(s, dir)
+    distsMemo(base, "baseSssp")(Graph.sssp(base, "src", "dst", "wt", source = 0L))
   }
 
   /** The delta scenario's BASE graph: every 10th order's purchases have
@@ -118,6 +142,30 @@ object SparkEntryEvt {
       // min. Exercises what BFS cannot: a 2-hop path of weight-1 edges
       // must beat a direct weight-3 edge.
       Graph.sssp(weightedEdges(s, dir), "src", "dst", "wt", source = 0L)
+        .select(
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("part")).as("node_type"),
+          expr("node DIV 2").as("node_id"),
+          col("dist"))
+    },
+    "x_sssp_delta" -> { (s, dir) =>
+      // incremental shortest paths: the arriving 10% of orders adds
+      // co-purchase edges and cheapens existing ones (min-quantity can
+      // only drop); the STORED base distances are refreshed by relaxing
+      // through the CHANGED edges only, then propagating improvements
+      // over the full edge list — delta-sized iterative work, exact by
+      // min-plus monotonicity. Oracled against the full rebuild (the
+      // delta == rebuild law, driver-red-able like x_er_delta).
+      val fullW = weightedEdges(s, dir)
+      val baseW = baseWeightedEdges(s, dir)
+      // changed edges: new pairs, or pairs whose weight dropped — an
+      // equi-join on the edge key against the stored base artifact
+      val delta = fullW.join(
+          baseW.select(col("src"), col("dst"), col("wt").as("__bw")),
+          Seq("src", "dst"), "left")
+        .where(col("__bw").isNull || col("wt") < col("__bw"))
+        .select("src", "dst", "wt")
+      Graph.ssspFrom(storedBaseDists(s, dir), fullW, delta, "src", "dst", "wt")
         .select(
           when(col("node") % 2 === 0, lit("customer"))
             .otherwise(lit("part")).as("node_type"),
@@ -336,6 +384,24 @@ object SparkEntryEvt {
       s"GROUP BY e$p.dst)"
   }
 
+  /** Full-rebuild shortest paths (bounded walk + min) — the oracle for
+    * BOTH x_sssp and x_sssp_delta. Every path of total weight <= 48 is
+    * enumerated (UNION dedups (id, d) states, so the recursion is finite
+    * on the cyclic graph); 48 sits 3x above the structural bound
+    * max_weight(3) * eccentricity(<=5 at these fixtures), and the
+    * engine's relaxation can only produce distances under that bound, so
+    * the cap never truncates a true distance. */
+  private val ssspRebuildSql: String =
+    "WITH RECURSIVE cpw AS (SELECT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst, " +
+      "1 + CAST(min(CAST(l_quantity AS BIGINT) % 3) AS BIGINT) AS wt " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2), " +
+      "e AS (SELECT src, dst, wt FROM cpw UNION ALL SELECT dst, src, wt FROM cpw), " +
+      "w(id, d) AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d " +
+      "UNION SELECT e.dst, w.d + e.wt FROM w JOIN e ON e.src = w.id " +
+      "WHERE w.d + e.wt <= 48) " +
+      "SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'part' END AS node_type, " +
+      "id // 2 AS node_id, CAST(min(d) AS BIGINT) AS dist FROM w GROUP BY 1, 2"
+
   private val prSelect =
     "SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'part' END AS node_type, " +
       "id // 2 AS node_id, r AS rank_scaled FROM "
@@ -350,22 +416,11 @@ object SparkEntryEvt {
         "UNION SELECT e.dst, b.lvl + 1 FROM b JOIN e ON e.src = b.id WHERE b.lvl < 64) " +
         "SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'part' END AS node_type, " +
         "id // 2 AS node_id, CAST(min(lvl) AS BIGINT) AS level FROM b GROUP BY 1, 2"),
-    "x_sssp" ->
-      // bounded walk + min: every path of total weight <= 48 is
-      // enumerated (UNION dedups (id, d) states, so the recursion is
-      // finite on the cyclic graph); 48 sits 3x above the structural
-      // bound max_weight(3) * eccentricity(<=5 at these fixtures), and
-      // the engine's unbounded relaxation can only produce distances
-      // under that bound, so the cap never truncates a true distance
-      ("WITH RECURSIVE cpw AS (SELECT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst, " +
-        "1 + CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) % 3 AS wt " +
-        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2), " +
-        "e AS (SELECT src, dst, wt FROM cpw UNION ALL SELECT dst, src, wt FROM cpw), " +
-        "w(id, d) AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d " +
-        "UNION SELECT e.dst, w.d + e.wt FROM w JOIN e ON e.src = w.id " +
-        "WHERE w.d + e.wt <= 48) " +
-        "SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'part' END AS node_type, " +
-        "id // 2 AS node_id, CAST(min(d) AS BIGINT) AS dist FROM w GROUP BY 1, 2"),
+    "x_sssp" -> ssspRebuildSql,
+    // the delta == rebuild law: min-plus monotonicity makes the
+    // incremental composition EXACTLY the full rebuild, so it shares
+    // the rebuild oracle (the x_er_delta pattern)
+    "x_sssp_delta" -> ssspRebuildSql,
     "x_pagerank" -> {
       val init = s"r0 AS (SELECT id, ${Graph.Scale} // (SELECT n FROM n) AS r FROM deg)"
       val its = (1 to PageRankIters).map(i => prIterSql("", s"r$i", s"r${i - 1}"))

@@ -250,24 +250,79 @@ object Graph {
            source: Long, maxRounds: Int = 64): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"),
-      col(wCol).as("__w"))
-    // weights must be strictly positive: a zero/negative weight voids
-    // the hop-bounded termination argument (and negative cycles make
-    // "shortest" undefined). In-expression valve so it cannot be pruned.
-    val eGuarded = e.select(col("__s"), col("__d"),
-      when(col("__w") <= 0, raise_error(concat(lit("sssp: non-positive edge weight "),
-        col("__w").cast("string"), lit(" — shortest paths need weights > 0"))))
-        .otherwise(col("__w")).as("__w"))
-    var acc = Seq((source, 0L)).toDF("node", "dist").localCheckpoint(true)
-    var frontier = acc
+    val eGuarded = guardedEdges(edges, srcCol, dstCol, wCol)
+    val seed = Seq((source, 0L)).toDF("node", "dist").localCheckpoint(true)
+    relaxToFixpoint(eGuarded, acc0 = seed, frontier0 = seed, maxRounds)
+  }
+
+  /** Incremental SSSP after edge ADDITIONS / weight DECREASES: compose a
+    * STORED distance table (`prior`: yesterday's [[sssp]] output over the
+    * base graph) with the arriving `deltaEdges` — the shortest-path
+    * member of the engine's delta-maintainer family (x_cc_delta /
+    * x_pagerank_delta / x_er_delta). Monotonicity is what makes the
+    * composition EXACT, not approximate: min-plus relaxation started
+    * from any per-node upper bound converges to the true fixed point,
+    * and prior distances ARE upper bounds when edges are only added or
+    * cheapened (removals/increases can raise distances — that's a
+    * rebuild, and [[ssspDeltaInvalid]]-style detection is the caller's
+    * contract the way capCrossings is for ER). The first frontier is
+    * delta-sized (only improvements through a changed edge enter);
+    * every later round relaxes over the full edge list but carries only
+    * still-improving vertices, so total iterative work is bounded by the
+    * delta's influence cone, not |V|.
+    *
+    * `edges` must be the FULL post-delta edge list (base ∪ delta —
+    * propagation beyond the first hop uses it). */
+  def ssspFrom(prior: DataFrame, edges: DataFrame, deltaEdges: DataFrame,
+               srcCol: String, dstCol: String, wCol: String,
+               maxRounds: Int = 64): DataFrame = {
+    val eGuarded = guardedEdges(edges, srcCol, dstCol, wCol)
+    val dGuarded = guardedEdges(deltaEdges, srcCol, dstCol, wCol)
+    val acc0 = prior.select(col("node"), col("dist"))
+    // first frontier: prior distances relaxed through the DELTA edges
+    // only — base-base relaxations are already at their fixed point in
+    // the prior, so only changed edges can open an improvement
+    val cand0 = acc0.join(dGuarded, col("node") === col("__s"))
+      .select(col("__d").as("node"), (col("dist") + col("__w")).as("__cd"))
+      .groupBy("node").agg(min(col("__cd")).as("__cd"))
+    val frontier0 = cand0
+      .join(acc0.withColumnRenamed("dist", "__best"), Seq("node"), "left")
+      .where(col("__best").isNull || col("__cd") < col("__best"))
+      .select(col("node"), col("__cd").as("dist"))
+      .localCheckpoint(true)
+    relaxToFixpoint(eGuarded, acc0, frontier0, maxRounds)
+  }
+
+  /** Strictly-positive-weight valve shared by the SSSP entry points: a
+    * zero/negative weight voids the hop-bounded termination argument
+    * (and negative cycles make "shortest" undefined). In-expression, so
+    * Catalyst cannot prune it. */
+  private def guardedEdges(edges: DataFrame, srcCol: String, dstCol: String,
+                           wCol: String): DataFrame =
+    edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"),
+      when(col(wCol) <= 0, raise_error(concat(lit("sssp: non-positive edge weight "),
+        col(wCol).cast("string"), lit(" — shortest paths need weights > 0"))))
+        .otherwise(col(wCol)).as("__w"))
+
+  /** The shared min-plus relaxation loop: per round one frontier⋈edges
+    * equi-join, a per-destination min, and a compare against the running
+    * best; only strict improvements re-enter the frontier (checkpointed —
+    * the [[bfsLevels]] discipline: materialized leaves, no lineage
+    * stacking, the accumulated set never re-checkpoints). Terminates in
+    * at most max-shortest-path-hops rounds since weights are positive;
+    * `maxRounds` is the loud-failure valve past that. */
+  private def relaxToFixpoint(eGuarded: DataFrame, acc0: DataFrame,
+                              frontier0: DataFrame, maxRounds: Int): DataFrame = {
+    var acc = acc0
+    var frontier = frontier0
     var round = 0
-    var more = true
+    var more = !frontier.isEmpty
     while (more) {
+      if (frontier ne acc0) acc = acc.unionByName(frontier)
       round += 1
-      // best-so-far per node from the accumulated (checkpointed) leaves;
-      // improvements only ever lower a node's min, so stale rows in acc
-      // are harmless — the groupBy-min is the authoritative state
+      // best-so-far per node from the accumulated leaves; improvements
+      // only ever lower a node's min, so stale rows in acc are harmless —
+      // the groupBy-min is the authoritative state
       val best = acc.groupBy("node").agg(min(col("dist")).as("__best"))
       val cand = frontier.join(eGuarded, col("node") === col("__s"))
         .select(col("__d").as("node"), (col("dist") + col("__w")).as("__cd"))
@@ -279,12 +334,9 @@ object Graph {
       if (improved.isEmpty) more = false
       else if (round > maxRounds)
         throw new IllegalStateException(
-          s"sssp: still improving after $maxRounds rounds from $source — " +
+          s"sssp: still improving after $maxRounds rounds — " +
             "raise maxRounds explicitly if shortest paths really are that long")
-      else {
-        acc = acc.unionByName(improved)
-        frontier = improved
-      }
+      else frontier = improved
     }
     acc.groupBy("node").agg(min(col("dist")).as("dist"))
   }

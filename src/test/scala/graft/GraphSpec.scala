@@ -270,6 +270,42 @@ class GraphSpec extends SparkSpec {
     assert(d.where(col("node") === 0).select("dist").head.getLong(0) == 0L)
   }
 
+  test("ssspFrom: delta refresh equals the rebuild under additions and weight drops") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(8814)
+    val base0 = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong,
+      (2 + rnd.nextInt(4)).toLong)).filter { case (a, b, _) => a != b }
+      .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq
+    val base = base0 ++ base0.map { case (a, b, w) => (b, a, w) }
+    // delta: new vertices 50..54 attach, an existing edge gets CHEAPER,
+    // and a brand-new shortcut opens — all three monotone change kinds
+    val adds0 = (0 until 8).map(i => ((50 + i % 5).toLong, rnd.nextInt(40).toLong, 1L))
+    val cheaper = base0.take(5).map { case (a, b, _) => (a, b, 1L) }
+    val delta0 = adds0 ++ cheaper
+    val deltaSym = delta0 ++ delta0.map { case (a, b, w) => (b, a, w) }
+    // full = base overridden by the delta's lower weights (min per arc)
+    val full = (base ++ deltaSym).groupBy(e => (e._1, e._2))
+      .map { case (_, es) => es.minBy(_._3) }.toSeq
+    val prior = dijkstra(base, 0L).toSeq.toDF("node", "dist")
+    val got = graft.ext.Graph.ssspFrom(prior, full.toDF("src", "dst", "wt"),
+        deltaSym.toDF("src", "dst", "wt"), "src", "dst", "wt")
+      .as[(Long, Long)].collect().toMap
+    assert(got == dijkstra(full, 0L),
+      "the refresh must land on exactly the rebuild's fixed point")
+    // an empty delta is a no-op refresh: prior comes back verbatim
+    val noop = graft.ext.Graph.ssspFrom(prior, base.toDF("src", "dst", "wt"),
+        Seq.empty[(Long, Long, Long)].toDF("src", "dst", "wt"),
+        "src", "dst", "wt")
+      .as[(Long, Long)].collect().toMap
+    assert(noop == dijkstra(base, 0L))
+  }
+
+  test("x_sssp_delta equals x_sssp on the fixture (the shared-oracle law, locally)") {
+    val full = SparkEntry.queries("x_sssp")(spark, sf)
+    val inc = SparkEntry.queries("x_sssp_delta")(spark, sf)
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+  }
+
   test("sssp: non-positive weights fail loudly; an impossible round bound fails loudly") {
     import spark.implicits._
     val bad = Seq((0L, 1L, 0L)).toDF("src", "dst", "wt")

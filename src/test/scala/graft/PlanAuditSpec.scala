@@ -165,6 +165,10 @@ class PlanAuditSpec extends SparkSpec {
     // SSSP relaxation rounds are checkpointed like BFS; the returned plan
     // is the final groupBy-min over materialized improvement leaves
     "x_sssp" -> 1,
+    // delta refresh: the changed-edge detection join (full ⋈ base edge
+    // artifacts) + the delta frontier's relaxation + the final min —
+    // rounds hide behind checkpoints exactly like x_sssp
+    "x_sssp_delta" -> 3,
     // episodes: ordered-events window exchange + two (user, position)
     // equi-join shuffles + the bounded top-k rank — the gap expansion
     // keeps both hops equi-joins, so no per-user quadratic shape prints
