@@ -167,10 +167,16 @@ object Bench {
     // charging the build to whichever query faults it first.
     val tArt = System.nanoTime()
     val gcArtStart = gcMillis()
-    ordered.foreach { case (name, fn) =>
+    // per-query artifact-pass walls: the pass is untimed by design (it is
+    // the once-per-corpus ingest cost), but WHICH query faults WHICH
+    // build in decides where a deployment's ingest budget goes — record
+    // the top of the distribution so a pass regression names its query
+    val artWalls = ordered.map { case (name, fn) =>
+      val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] artifact pass $name FAILED: ${e.getMessage}") }
+      name -> (System.nanoTime() - t0) / 1e9
     }
     val evictedArtifactPass = evictedBlocks.get()
     Caches.invalidate(spark)
@@ -270,8 +276,10 @@ object Bench {
       s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd","uptime_start":"$uptimeStart","uptime_end":"$uptimeEnd"""" +
         s""","evicted_blocks_timed":$evictedTimed,"evicted_blocks_artifact_pass":$evictedArtifactPass,"spilled_bytes":${spilledBytes.get()},$degradeJson""" +
         s""","gc_ms_artifact_pass":$gcArtMs,"gc_ms_timed":$gcTimedMs,"gc_pct_timed":${if (timedWallMs > 0) 100L * gcTimedMs / timedWallMs else 0L}"""
+    val artTopJson = artWalls.sortBy(-_._2).take(15)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"anomalies":$anomaliesJson,"warmup_decay":$decayJson,"cold_total":$cold,"steady_total":$steadyTotal,"artifact_pass":$artifactSecs,"sf":"$sfDir","reps":$reps,"cpus":"$cpus",$loadJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"anomalies":$anomaliesJson,"warmup_decay":$decayJson,"cold_total":$cold,"steady_total":$steadyTotal,"artifact_pass":$artifactSecs,"artifact_top":$artTopJson,"sf":"$sfDir","reps":$reps,"cpus":"$cpus",$loadJson}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
