@@ -284,6 +284,13 @@ object SparkEntryIdx {
     "x_quality_bigram_lm" -> { (s, dir) =>
       TextAnalysis.bigramSurprisal(Tables.documents(s, dir))
     },
+    "x_collocations" -> { (s, dir) =>
+      // top glued word pairs by integer PMI lift (n12·N·10^6 div n1·n2,
+      // DECIMAL(38,0) product — the log is monotone, so no float enters
+      // the ranking); marginals derive from the shared stored bigram
+      // relation, support-floored so hapax pairs don't crowd the report
+      TextAnalysis.collocations(Tables.documents(s, dir))
+    },
     "x_chunk_docs" -> { (s, dir) =>
       Curation.chunkDocuments(Tables.documents(s, dir), chunkTokens = 32,
         overlap = 8)
@@ -795,6 +802,24 @@ object SparkEntryIdx {
         "floor((1.0 - CAST(count(*) AS DOUBLE) / sum(cnt)) * 1000000.0 + 0.5) / 1000000.0 AS dup_line_frac, " +
         "string_agg(line, chr(10) ORDER BY pos) AS cleaned " +
         "FROM k GROUP BY doc_id"),
+
+    "x_collocations" ->
+      // same bigram derivation as the LM oracle; lift in HUGEINT // —
+      // bit-identical to Spark's DECIMAL(38,0) IntegralDivide on these
+      // all-positive counts
+      (s"WITH t AS (SELECT doc_id, $toks AS tk FROM documents), " +
+        "bgs AS (SELECT unnest(list_transform(range(1, len(tk)), " +
+        "i -> tk[i] || ' ' || tk[i+1])) AS bg FROM t), " +
+        "p AS (SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2, " +
+        "CAST(count(*) AS BIGINT) AS n12 FROM bgs GROUP BY 1, 2), " +
+        "tot AS (SELECT CAST(sum(n12) AS BIGINT) AS n FROM p), " +
+        "l AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM p GROUP BY 1), " +
+        "r AS (SELECT w2, CAST(sum(n12) AS BIGINT) AS n2 FROM p GROUP BY 1) " +
+        "SELECT p.w1, p.w2, p.n12, l.n1, r.n2, " +
+        "CAST(CAST(p.n12 AS HUGEINT) * (SELECT n FROM tot) * 1000000 " +
+        "// (CAST(l.n1 AS HUGEINT) * r.n2) AS BIGINT) AS lift_ppm " +
+        "FROM p JOIN l USING (w1) JOIN r USING (w2) WHERE p.n12 >= 5 " +
+        "ORDER BY lift_ppm DESC, w1, w2 LIMIT 50"),
 
     "x_quality_bigram_lm" ->
       (s"WITH t AS (SELECT doc_id, $toks AS tk FROM documents), " +

@@ -232,6 +232,49 @@ object TextAnalysis {
         r6(-col("__s").cast("double") / col("n_bigrams")).as("bits_per_bigram"))
   }
 
+  /** Top-k collocations: word pairs whose co-occurrence beats their
+    * unigram expectation — PMI's argument as an INTEGER lift in ppm,
+    * `lift_ppm = n₁₂ · N · 10⁶ div (n₁ · n₂)` (the log is monotone, so
+    * ranking by lift ranks by PMI without a float in sight; the product
+    * runs in DECIMAL(38,0) / HUGEINT so the chain is bit-replayable).
+    * Both marginals derive FROM the corpus bigram relation itself
+    * (prefix and suffix sums — no second corpus pass, the
+    * [[bigramSurprisal]] pattern), the corpus bigram total is one
+    * driver-metadata scalar read off the persisted 1-row memo, and
+    * `minCount` floors the support so singleton noise (two hapaxes
+    * meeting once score the maximal lift) never crowds the report. The
+    * final rank runs over the support-filtered pair relation under a
+    * total order (lift desc, then the pair), so the LIMIT is
+    * deterministic. The classic curation read on a corpus: boilerplate
+    * templates, glued entities and stock phrases surface at the top. */
+  def collocations(docs: DataFrame, textCol: String = "text",
+                   minCount: Long = 5, k: Int = 50): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"minCount=$minCount k=$k")
+    val cnt = bigramCounts(docs, textCol)
+    // corpus-level (w1, w2, n12) — a stored artifact like the LM models
+    val pairs = memoized(docs, graft.PlanMemo.tag("colloc", textCol)) {
+      cnt.groupBy("bg").agg(sum("c").as("n12"))
+        .select(substring_index(col("bg"), " ", 1).as("w1"),
+          substring_index(col("bg"), " ", -1).as("w2"), col("n12"))
+    }
+    // corpus bigram total: ONE driver scalar off the persisted relation
+    // (the unigramSurprisal contract — bounded metadata, never a corpus
+    // aggregation per call)
+    val totalRow = memoized(docs, graft.PlanMemo.tag("colloctot", textCol)) {
+      pairs.agg(sum("n12").as("t"))
+    }.first()
+    val total = if (totalRow.isNullAt(0)) 1L else totalRow.getLong(0)
+    val left = pairs.groupBy("w1").agg(sum(col("n12")).as("n1"))
+    val right = pairs.groupBy("w2").agg(sum(col("n12")).as("n2"))
+    pairs.where(col("n12") >= minCount)
+      .join(left, Seq("w1")).join(right, Seq("w2"))
+      .select(col("w1"), col("w2"), col("n12"), col("n1"), col("n2"),
+        expr(s"CAST(CAST(n12 AS DECIMAL(38,0)) * $total * 1000000 " +
+          "DIV (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Top-k most frequent terms per group (vocabulary reporting / frequent
     * items). Two map-side-combinable aggregations reduce the corpus to
     * per-(group, term) counts, then two-phase top-k (the [[Similarity]] /

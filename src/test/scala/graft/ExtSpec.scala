@@ -123,6 +123,38 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got == again)
   }
 
+  test("collocations: glued pairs outrank independent ones; support floor; integer lift exact") {
+    import graft.ext.TextAnalysis
+    import spark.implicits._
+    // "new york" always co-occurs (glued); "the cat"/"the dog" share the
+    // independent "the"; a hapax pair ("rare gem") would score maximal
+    // lift but sits under the support floor
+    val docs = Seq(
+      (1L, "new york new york new york the cat the dog"),
+      (2L, "new york the cat the dog rare gem"),
+      (3L, "new york the dog the cat")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, minCount = 3, k = 10).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(!got.keySet.exists(p => p._1 == "rare" || p._2 == "gem"),
+      s"hapax pair must sit under the support floor: ${got.keySet}")
+    // hand-check the lift arithmetic on (new, york): n12=5, n1(new)=5,
+    // n2(york)=5, N=total bigrams
+    val (n12, n1, n2, lift) = got(("new", "york"))
+    assert(n12 == 5L && n1 == 5L && n2 == 5L)
+    // N = sum over ALL corpus bigram occurrences = tokens-1 per doc summed
+    val bigN = Seq(10, 8, 6).map(_ - 1).sum
+    assert(lift == n12.toLong * bigN * 1000000L / (n1 * n2), s"lift=$lift")
+    // glued pair beats the independent-article pairs
+    val catLift = got.get(("the", "cat")).map(_._4).getOrElse(0L)
+    assert(lift > catLift, s"glued $lift !> independent $catLift")
+    // partition independence
+    val again = TextAnalysis.collocations(docs.repartition(5), minCount = 3, k = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(5))).toMap
+    assert(again == got.map { case (k2, v) => k2 -> v._4 })
+  }
+
   test("topTerms: per-group ranks, deterministic term tiebreak, k cap") {
     val df = Seq(
       ("en", "b b b a a c"), ("en", "a"),     // en: a=3, b=3, c=1

@@ -210,6 +210,12 @@ class PlanAuditSpec extends SparkSpec {
     // candidate distinct + the per-probe top-1 window
     "x_er_best_match" -> 4,
     "x_seq_transitions" -> 3, "x_seq_top_paths" -> 2,
+    // collocations: the persisted corpus-pair relation's build lineage
+    // (bigram explode + two aggs) PRINTS under the pair branch AND both
+    // marginal branches (one InMemoryRelation at execution — the
+    // x_er_pairs pattern), + the two marginal joins and their aggs;
+    // the final top-k is TakeOrdered over the support-filtered pairs
+    "x_collocations" -> 20,
     // surprise: the persisted transition-cell relation's build lineage
     // PRINTS under both the user branch and the global branch (cached at
     // execution) + the (prev,cur) rollup, its prev-window, and the final
