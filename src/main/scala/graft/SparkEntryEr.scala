@@ -185,6 +185,19 @@ object SparkEntryEr {
       val delta = reg.where(col("rec_id") % 10 === 3)
       val prior = priorMemo(base, "erBaseEntities")(
         EntityResolution.entities(base))
+      // the refresh's premise check, OPERATIONAL (r13 item 4): a delta
+      // that pushes a block past the cap changes which pairs the rebuild
+      // admits and the refresh can't retract — consult the stored
+      // BASE-side index (yesterday's — the post-delta index prunes
+      // exactly the crossing blocks, so it cannot see them) and refuse
+      // loudly rather than compose a silently-divergent assignment. One
+      // delta-bounded eager job against the persisted index — part of
+      // what a deployment's refresh honestly pays.
+      val baseIdx = vIdxMemo(base, "erBaseVariantIndex")(
+        EntityResolution.variantIndex(base))
+      require(EntityResolution.capCrossingsIdx(baseIdx, delta).isEmpty,
+        "x_er_delta: cap-crossing delta — the refresh cannot retract the " +
+          "prior's pairs; rebuild the entity assignment instead")
       EntityResolution.entitiesDeltaIdx(idx, reg, delta, prior)
     },
 

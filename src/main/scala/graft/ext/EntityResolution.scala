@@ -223,6 +223,27 @@ object EntityResolution {
         col("base_n") + col("delta_n") > maxBucket)
   }
 
+  /** [[capCrossings]] off the prebuilt (pruned) BASE-side [[variantIndex]]
+    * — yesterday's index, which a deployment has stored. The base index's
+    * pruning loses nothing: a retained block carries its FULL base
+    * membership (so base_n is exact), and a pruned block was already
+    * over the cap under base alone — admitted nothing into the prior,
+    * prunes identically in the rebuild, cannot diverge. So every
+    * possible crossing is visible from the pruned base index, at the
+    * cost of one delta variant explode + two aggs on the index's own
+    * join key. It MUST be the base index, not the post-delta one: a
+    * crossing block (base ≤ cap < base+delta) is exactly the block the
+    * FULL index prunes, so the full index cannot see it. */
+  def capCrossingsIdx(index: DataFrame, delta: DataFrame,
+                      maxBucket: Int = DefaultMaxBucket,
+                      idCol: String = "rec_id", nameCol: String = "name"): DataFrame = {
+    val b = index.groupBy("variant").agg(count(lit(1)).as("base_n"))
+    val d = delete1Variants(delta, idCol, nameCol)
+      .groupBy("variant").agg(count(lit(1)).as("delta_n"))
+    b.join(d, Seq("variant"))
+      .where(col("base_n") + col("delta_n") > maxBucket)
+  }
+
   /** Two-table linkage: each `probe` record's BEST reference match
     * (lowest distance, ties to the lowest reference id — a total order,
     * so the top-1 is deterministic) against a prebuilt reference-side

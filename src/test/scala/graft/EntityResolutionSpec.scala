@@ -150,10 +150,24 @@ class EntityResolutionSpec extends SparkSpec {
     assert(rebuilt == Map(1L -> 1L, 2L -> 2L, 3L -> 3L), rebuilt.toString)
     assert(refreshed != rebuilt,
       "if this ever agrees, the refresh learned to retract — update the contract")
+    // the deployment form — off the stored BASE index — sees the same
+    // crossing (the base index retains at-cap blocks with full
+    // membership; the POST-delta index would prune exactly this block
+    // and miss it, which is why the guard must read yesterday's index)
+    val baseIdx = EntityResolution.variantIndex(base, maxBucket = 2)
+    val idxCrossings = EntityResolution.capCrossingsIdx(baseIdx, delta, maxBucket = 2)
+      .select("variant", "base_n", "delta_n").as[(String, Long, Long)]
+      .collect().toSet
+    assert(idxCrossings == crossings, idxCrossings.toString)
+    val fullIdx = EntityResolution.variantIndex(all, maxBucket = 2)
+    assert(EntityResolution.capCrossingsIdx(fullIdx, delta, maxBucket = 2)
+      .where(col("variant") === "a").isEmpty,
+      "the post-delta index prunes the crossing block — it must not be the guard's input")
     // a non-crossing delta (block stays within cap) is NOT flagged, and
     // there the delta == rebuild law holds as always
     val okDelta = Seq((4L, "xy")).toDF("rec_id", "name")
     assert(EntityResolution.capCrossings(base, okDelta, maxBucket = 2).isEmpty)
+    assert(EntityResolution.capCrossingsIdx(baseIdx, okDelta, maxBucket = 2).isEmpty)
     // an all-delta over-cap block is pruned identically by both paths —
     // not a crossing either
     val newBlock = Seq((5L, "qr"), (6L, "qs"), (7L, "qt")).toDF("rec_id", "name")

@@ -114,7 +114,10 @@ class PlanAuditSpec extends SparkSpec {
     // segment/ppl read the MEMOIZED (doc, word, n) + per-word
     // segmentation relations (cached lineage prints per consumer)
     "x_unigram_train" -> 0, "x_unigram_segment" -> 4, "x_unigram_ppl" -> 4,
-    "x_quality_bigram_lm" -> 7, "x_quality_repetition" -> 4,
+    // bigram LM: was 7; x_collocations (earlier in the sorted sweep) now
+    // shares the bigram-count memo, whose cached-relation lineage prints
+    // under additional branches here (one InMemoryRelation at execution)
+    "x_quality_bigram_lm" -> 10, "x_quality_repetition" -> 4,
     "x_quality_unigram_lm" -> 6,
     // inverted index
     // sparse all-pairs similarity: df agg + pruned-posting join (on the
