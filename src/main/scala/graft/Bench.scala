@@ -34,6 +34,23 @@ object Bench {
       ts.iterator.sliding(2).forall(p => p(1) < p(0)) &&
       ts.last < 0.5 * ts(ts.size - 2)
 
+  /** Unstable warm spread — the third distortion shape (first seen in
+    * r14: reps [18.6, 35.4, 8.5] under firecracker CPU steal, which
+    * loadavg cannot see): the median equals the cold rep so the
+    * contention test stays quiet, and the set is not monotone so the
+    * decay test stays quiet, yet the warm reps disagree by 4×. A steady
+    * engine-side query's warm reps agree within ~±10% (caches only
+    * help); warm reps spread over 2× with a non-trivial absolute gap
+    * mean at least one rep measured the box, not the query — re-measure.
+    * The absolute floor keeps micro-query timer noise (20 ms vs 45 ms)
+    * from firing it. */
+  private[graft] def unstable(ts: Seq[Double]): Boolean =
+    ts.size >= 3 && !ts.contains(-1.0) && {
+      val warm = ts.tail
+      val (mx, mn) = (warm.max, warm.min)
+      mn > 0 && mx / mn > 2.0 && mx - mn > 0.3
+    }
+
   /** Best warm rep — the steady-state floor published beside every
     * median so a fault-in-shaped rep set is self-describing in the
     * record (min over warm reps; the cold rep is excluded because it
@@ -188,7 +205,7 @@ object Bench {
     val gcArtMs = gcMillis() - gcArtStart
     val gcTimedStart = gcMillis()
     val tTimed = System.nanoTime()
-    import Bench.{anomalous, decaying, median, steady}
+    import Bench.{anomalous, decaying, median, steady, unstable}
     val firstPass = ordered.map { case (name, fn) =>
       val ev0 = evictedBlocks.get()
       val ts = (1 to reps).map(_ => timeOnce(name, fn))
@@ -210,7 +227,7 @@ object Bench {
       val med = median(ts)
       val cold = ts.head
       val finalMed =
-        if (anomalous(med, cold) || decaying(ts)) {
+        if (anomalous(med, cold) || decaying(ts) || unstable(ts)) {
           val ts2 = (1 to reps).map(_ =>
             timeOnce(name, SparkEntry.queries(name)))
           remeasured(name) = ts2
@@ -231,6 +248,9 @@ object Bench {
     }
     val decayers = results.collect {
       case (name, _, _, _, ts, _) if decaying(ts) => name
+    }
+    val unstables = results.collect {
+      case (name, _, _, _, ts, _) if unstable(ts) => name
     }
     val total = results.map(_._2).filter(_ >= 0).sum
     val gcTimedMs = gcMillis() - gcTimedStart
@@ -264,6 +284,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val anomaliesJson = anomalies.map("\"" + _ + "\"").mkString("[", ",", "]")
     val decayJson = decayers.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val unstableJson = unstables.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadEnd = procLine("/proc/loadavg")
     val uptimeEnd = procLine("/proc/uptime")
     // degrade counters stamped into the record (r13 item: a degraded run
@@ -279,7 +300,7 @@ object Bench {
     val artTopJson = artWalls.sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"anomalies":$anomaliesJson,"warmup_decay":$decayJson,"cold_total":$cold,"steady_total":$steadyTotal,"artifact_pass":$artifactSecs,"artifact_top":$artTopJson,"sf":"$sfDir","reps":$reps,"cpus":"$cpus",$loadJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"anomalies":$anomaliesJson,"warmup_decay":$decayJson,"unstable":$unstableJson,"cold_total":$cold,"steady_total":$steadyTotal,"artifact_pass":$artifactSecs,"artifact_top":$artTopJson,"sf":"$sfDir","reps":$reps,"cpus":"$cpus",$loadJson}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -308,7 +329,7 @@ object Bench {
     Caches.invalidate(spark)
     spark.sparkContext.setLogLevel("OFF")
     try spark.stop() catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries_omitted":$omitted,"omitted_sum":${r3(omittedSum)},"cold_total":${r3(cold)},"steady_total":${r3(steadyTotal)},"artifact_pass":${r3(artifactSecs)},"anomaly_count":${anomalies.size},"decay_count":${decayers.size},"remeasured_count":${remeasured.size},"sf":"$sfDir",$loadJson,"full":"$outPath"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries_omitted":$omitted,"omitted_sum":${r3(omittedSum)},"cold_total":${r3(cold)},"steady_total":${r3(steadyTotal)},"artifact_pass":${r3(artifactSecs)},"anomaly_count":${anomalies.size},"decay_count":${decayers.size},"unstable_count":${unstables.size},"remeasured_count":${remeasured.size},"sf":"$sfDir",$loadJson,"full":"$outPath"}""")
     System.out.flush()
   }
 }

@@ -59,6 +59,21 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(!Bench.decaying(Seq(21.4, 6.5, -1.0)))
   }
 
+  test("unstable: fires on the r14 CPU-steal shape; quiet on steady, decaying and micro sets") {
+    // [18.6, 35.4, 8.5]: median == cold (contention test quiet), not
+    // monotone (decay test quiet), warm reps 4x apart — must fire
+    assert(Bench.unstable(Seq(18.61, 35.37, 8.48)))
+    // steady warm reps within ±10%: quiet
+    assert(!Bench.unstable(Seq(3.5, 2.6, 2.6)))
+    // normal fault-in shape (big cold, agreeing warms): quiet
+    assert(!Bench.unstable(Seq(10.0, 1.0, 1.1)))
+    // micro-queries under the absolute floor: 20ms vs 45ms is timer noise
+    assert(!Bench.unstable(Seq(0.1, 0.02, 0.045)))
+    // failures are failures; short sets carry no spread evidence
+    assert(!Bench.unstable(Seq(18.61, -1.0, 8.48)))
+    assert(!Bench.unstable(Seq(18.61, 8.48)))
+  }
+
   test("steady: min warm rep; cold excluded; failures poison") {
     assert(Bench.steady(Seq(21.4, 6.5, 1.8)) == 1.8)
     // a warm rep slower than a later one: min wins, order-free
