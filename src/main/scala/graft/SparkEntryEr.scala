@@ -47,6 +47,11 @@ object SparkEntryEr {
     * probes it instead of re-exploding Σ(len+1) variants per execution). */
   private val vIdxMemo = new graft.PlanMemo
 
+  /** Per-delta-version premise-check results (the cap-crossing guard):
+    * one delta-bounded scan per arriving batch, cached for every query
+    * that composes against it. */
+  private val guardMemo = new graft.PlanMemo
+
   /** Shared (user, prev, cur, n) transition-cell relation — the sequence
     * family's stored artifact (the unigram/bigram count-relation
     * pattern): ONE corpus lag-window pass serves the transition matrix,
@@ -190,12 +195,16 @@ object SparkEntryEr {
       // admits and the refresh can't retract — consult the stored
       // BASE-side index (yesterday's — the post-delta index prunes
       // exactly the crossing blocks, so it cannot see them) and refuse
-      // loudly rather than compose a silently-divergent assignment. One
-      // delta-bounded eager job against the persisted index — part of
-      // what a deployment's refresh honestly pays.
+      // loudly rather than compose a silently-divergent assignment. The
+      // crossings relation is memoized per DELTA VERSION: a deployment
+      // pays the check once per arriving batch, not once per query that
+      // reuses it — so reps read the (empty) cached relation while a new
+      // delta re-pays the delta-bounded scan.
       val baseIdx = vIdxMemo(base, "erBaseVariantIndex")(
         EntityResolution.variantIndex(base))
-      require(EntityResolution.capCrossingsIdx(baseIdx, delta).isEmpty,
+      val crossings = guardMemo(delta, "erCapCrossings")(
+        EntityResolution.capCrossingsIdx(baseIdx, delta))
+      require(crossings.isEmpty,
         "x_er_delta: cap-crossing delta — the refresh cannot retract the " +
           "prior's pairs; rebuild the entity assignment instead")
       EntityResolution.entitiesDeltaIdx(idx, reg, delta, prior)
