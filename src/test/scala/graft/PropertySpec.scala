@@ -209,6 +209,65 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: sssp delta refresh == Dijkstra rebuild over random graphs and monotone deltas") {
+    import spark.implicits._
+    // the law under trial: for ANY base graph, ANY mix of edge additions
+    // and weight decreases, relaxing the stored base distances through
+    // the changed edges converges to exactly the full rebuild's fixed
+    // point (min-plus monotonicity). Randomized trials complement the
+    // fixed-seed GraphSpec case — the failure modes here are structural
+    // (a missed frontier seed, a retained stale distance), which random
+    // deltas with new/isolated/cheapened edges probe far better than one
+    // hand fixture.
+    def dijkstra(edges: Seq[(Long, Long, Long)], source: Long): Map[Long, Long] = {
+      val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(e => (e._2, e._3)) }
+      val dist = scala.collection.mutable.Map(source -> 0L)
+      val pq = scala.collection.mutable.PriorityQueue((0L, source))(
+        Ordering.by[(Long, Long), Long](-_._1))
+      while (pq.nonEmpty) {
+        val (dd, u) = pq.dequeue()
+        if (dd == dist(u))
+          adj.getOrElse(u, Nil).foreach { case (v, w) =>
+            if (dist.get(v).forall(_ > dd + w)) { dist(v) = dd + w; pq.enqueue((dd + w, v)) }
+          }
+      }
+      dist.toMap
+    }
+    val arcGen = for {
+      a <- Gen.choose(0L, 24L); b <- Gen.choose(0L, 24L).suchThat(_ != a)
+      w <- Gen.choose(2L, 6L)
+    } yield (a, b, w)
+    val caseGen = for {
+      nBase <- Gen.choose(20, 120)
+      base0 <- Gen.listOfN(nBase, arcGen)
+      nAdd <- Gen.choose(1, 12)
+      adds0 <- Gen.listOfN(nAdd, for {
+        a <- Gen.choose(0L, 30L); b <- Gen.choose(0L, 30L).suchThat(_ != a)
+        w <- Gen.choose(1L, 4L)
+      } yield (a, b, w))
+      nCheap <- Gen.choose(0, 5)
+    } yield {
+      val base = base0.groupBy(e => (e._1, e._2)).map(_._2.head).toSeq
+      // weight drops on existing arcs + brand-new arcs (some to nodes
+      // 25..30, unreachable in base)
+      val cheap = base.take(nCheap).map { case (a, b, w) => (a, b, math.max(1L, w - 1)) }
+      (base, (adds0 ++ cheap).groupBy(e => (e._1, e._2)).map(_._2.minBy(_._3)).toSeq)
+    }
+    samples(caseGen, 12).zipWithIndex.foreach { case ((base, delta), i) =>
+      val full = (base ++ delta).groupBy(e => (e._1, e._2))
+        .map { case (_, es) => es.minBy(_._3) }.toSeq
+      val basePaths = dijkstra(base, 0L)
+      if (basePaths.nonEmpty) {
+        val prior = basePaths.toSeq.toDF("node", "dist")
+        val got = graft.ext.Graph.ssspFrom(prior,
+            full.toDF("src", "dst", "wt"), delta.toDF("src", "dst", "wt"),
+            "src", "dst", "wt")
+          .as[(Long, Long)].collect().toMap
+        assert(got == dijkstra(full, 0L), s"trial $i: refresh != rebuild")
+      }
+    }
+  }
+
   test("S11: mapping introspection exposes the runtime schema") {
     val d = docs(spark, Seq(PlanFixture.planJson("A", Seq(("1", "x", 1.0)))))
     val nodes = Shred.nodes(d)
