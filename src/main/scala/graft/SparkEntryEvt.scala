@@ -194,6 +194,20 @@ object SparkEntryEvt {
           expr("node DIV 2").as("node_id"),
           col("rank_scaled"))
     },
+    "x_pagerank_weighted" -> { (s, dir) =>
+      // edge-weighted importance walk over the SAME stored weighted-edge
+      // artifact the SSSP family reads: mass splits ∝ purchase-derived
+      // weight ((r·w) DIV Σw_out, all integer), 2 map-side-combinable
+      // exchanges per iteration; a constant weight provably reduces to
+      // the unweighted walk (GraphSpec pins the law)
+      Graph.pageRankWeighted(weightedEdges(s, dir), "src", "dst", "wt",
+          PageRankIters)
+        .select(
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("part")).as("node_type"),
+          expr("node DIV 2").as("node_id"),
+          col("rank_scaled"))
+    },
     "x_pagerank_delta" -> { (s, dir) =>
       // incremental maintenance: rank the 90%-of-orders base graph with
       // the full 3 iterations, then absorb the arriving 10% as ONE
@@ -434,6 +448,26 @@ object SparkEntryEvt {
       val init = s"r0 AS (SELECT id, ${Graph.Scale} // (SELECT n FROM n) AS r FROM deg)"
       val its = (1 to PageRankIters).map(i => prIterSql("", s"r$i", s"r${i - 1}"))
       s"$graphCte, $init, ${its.mkString(", ")} $prSelect r$PageRankIters"
+    },
+    "x_pagerank_weighted" -> {
+      // the weighted-edge derivation shared with the SSSP oracles, then
+      // the same unrolled fixed-point iterations with mass split ∝ weight
+      val S = Graph.Scale
+      val (dn, dd) = (Graph.DampNum, Graph.DampDen)
+      val g = "cpw AS (SELECT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst, " +
+        "1 + CAST(min(CAST(l_quantity AS BIGINT) % 3) AS BIGINT) AS wt " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2), " +
+        "e AS (SELECT src, dst, wt FROM cpw UNION ALL SELECT dst, src, wt FROM cpw), " +
+        "d AS (SELECT src AS id, CAST(sum(wt) AS BIGINT) AS ws FROM e GROUP BY 1), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)"
+      val init = s"w0 AS (SELECT id, $S // (SELECT n FROM n) AS r FROM d)"
+      val its = (1 to PageRankIters).map { i =>
+        s"w$i AS (SELECT e.dst AS id, CAST((SELECT ($S * ${dd - dn}) // ($dd * n) FROM n) + " +
+          s"($dn * sum((r.r * e.wt) // d.ws)) // $dd AS BIGINT) AS r " +
+          s"FROM e JOIN w${i - 1} r ON r.id = e.src JOIN d ON d.id = e.src " +
+          "GROUP BY e.dst)"
+      }
+      s"WITH $g, $init, ${its.mkString(", ")} $prSelect w$PageRankIters"
     },
     "x_pagerank_delta" -> {
       // base chain (orders % 10 <> 0) at full depth, then ONE refresh

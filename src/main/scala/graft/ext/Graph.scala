@@ -225,6 +225,45 @@ object Graph {
     visited
   }
 
+  /** Edge-weighted PageRank: mass leaves a vertex proportionally to edge
+    * weight — contrib = (r · w) div Σw_out instead of r div deg — the
+    * importance walk for graphs whose edges carry interaction strength
+    * (purchase quantity here; click counts, co-occurrence counts in
+    * general). Same plan shape and integer discipline as [[pageRank]]:
+    * 2 map-side-combinable exchanges per iteration, fixed-point mass at
+    * [[Scale]], floor division everywhere so the oracle replays each
+    * iteration bit-exactly (r ≤ Scale and w·r ≤ w·Scale ≪ 2⁶³ for the
+    * small integer weights this engine derives). A CONSTANT weight
+    * reduces to the unweighted walk exactly — floor((r·c)/(c·deg)) =
+    * floor(r/deg) — which GraphSpec pins as the sanity law. */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                       wCol: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters=$iters out of the unrolled range")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+      when(col(wCol) <= 0, raise_error(concat(
+        lit("pageRankWeighted: non-positive edge weight "),
+        col(wCol).cast("string"), lit(" — weighted mass split needs w > 0"))))
+        .otherwise(col(wCol)).as("__w"))
+    val ws = e.groupBy(col("__src").as("__id"))
+      .agg(sum(col("__w")).as("__ws"))
+    val n = ws.count() // the one driver scalar (vertex count)
+    require(n > 0, "pageRankWeighted on an empty edge list")
+    var ranks = ws.select(col("__id"), lit(Scale / n).as("__r"))
+    val withWs = e.join(ws, col("__src") === col("__id"))
+      .select(col("__src"), col("__dst"), col("__w"), col("__ws"))
+    val base = (Scale * (DampDen - DampNum)) / (DampDen * n)
+    for (_ <- 1 to iters) {
+      val contribs = withWs
+        .join(ranks, col("__src") === col("__id"))
+        .select(col("__dst"), expr("(__r * __w) DIV __ws").as("__c"))
+        .groupBy(col("__dst"))
+        .agg(sum(col("__c")).as("__sum"))
+      ranks = contribs.select(col("__dst").as("__id"),
+        (lit(base) + expr(s"($DampNum * __sum) DIV $DampDen")).as("__r"))
+    }
+    ranks.select(col("__id").as("node"), col("__r").as("rank_scaled"))
+  }
+
   /** Single-source shortest paths over a weighted directed edge list
     * (positive integer weights; symmetrize for an undirected walk) —
     * the weighted companion to [[bfsLevels]]: iterated min-plus

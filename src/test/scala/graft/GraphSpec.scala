@@ -112,6 +112,59 @@ class GraphSpec extends SparkSpec {
       s"warm ${l1(expect)} !< cold ${l1(ref(full, 1))}")
   }
 
+  /** driver-side replica of pageRankWeighted's integer arithmetic */
+  private def refWeighted(edges: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] = {
+    val ws = edges.groupBy(_._1).map { case (k, es) => k -> es.map(_._3).sum }
+    val n = ws.size.toLong
+    val base = (Graph.Scale * (Graph.DampDen - Graph.DampNum)) / (Graph.DampDen * n)
+    var r = ws.keys.map(k => k -> Graph.Scale / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _, w) => (r(s) * w) / ws(s) }.sum
+      }
+      r = contrib.map { case (id, c) =>
+        id -> (base + (Graph.DampNum * c) / Graph.DampDen)
+      }
+    }
+    r
+  }
+
+  test("pageRankWeighted: matches the reference fold; constant weights reduce to unweighted") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5501)
+    val arcs0 = Seq.fill(250)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong,
+      (1 + rnd.nextInt(4)).toLong)).filter { case (a, b, _) => a != b }
+      .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq
+    val sym = arcs0 ++ arcs0.map { case (a, b, w) => (b, a, w) }
+    val got = Graph.pageRankWeighted(sym.toDF("src", "dst", "wt").repartition(5),
+        "src", "dst", "wt", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refWeighted(sym, 3))
+    // constant-weight reduction: floor((r·c)/(c·deg)) = floor(r/deg),
+    // so any uniform weight yields EXACTLY the unweighted ranks
+    val const = sym.map { case (a, b, _) => (a, b, 7L) }
+    val flat = Graph.pageRankWeighted(const.toDF("src", "dst", "wt"),
+        "src", "dst", "wt", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unweighted = Graph.pageRank(sym.map(e => (e._1, e._2)).toDF("src", "dst"),
+        "src", "dst", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flat == unweighted, "uniform weights must reduce to the unweighted walk")
+  }
+
+  test("pageRankWeighted: upweighted edges pull rank toward their target") {
+    import spark.implicits._
+    // star hub 1 ↔ leaves 2..5; the hub→2 edge carries weight 9, the
+    // others weight 1 — leaf 2 must outrank the symmetric leaves
+    val arcs = (2L to 5L).flatMap(l =>
+      Seq((1L, l, if (l == 2L) 9L else 1L), (l, 1L, 1L)))
+    val got = Graph.pageRankWeighted(arcs.toDF("src", "dst", "wt"),
+        "src", "dst", "wt", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(2L) > got(3L) && got(3L) == got(4L) && got(4L) == got(5L),
+      got.toString)
+  }
+
   test("butterflyCensus: wedge and butterfly identities on a hand fixture") {
     // K_{2,2} on {1,2}×{10,20} plus a pendant edge (3,10):
     // deg(10)=3, deg(20)=2 → wedges 3+1 = 4

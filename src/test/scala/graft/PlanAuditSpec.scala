@@ -162,6 +162,9 @@ class PlanAuditSpec extends SparkSpec {
     // materialized edge-memo lineage (the guard runs eagerly when the
     // census queries are constructed earlier in the sorted sweep)
     "x_pagerank" -> 28, "x_degree_stats" -> 5,
+    // same unrolled 3-iteration shape as x_pagerank over the persisted
+    // weighted-edge artifact (weight-sum agg replaces the degree agg)
+    "x_pagerank_weighted" -> 28,
     // BFS rounds are checkpointed — the returned plan is a union of
     // materialized frontiers, zero printable exchanges
     "x_bfs_levels" -> 0,
