@@ -60,6 +60,18 @@ object Bench {
     else if (ts.size >= 2) ts.tail.min
     else ts.head
 
+  /** Combined steady floor over pass 1 and an optional remeasure set:
+    * steady() on BOTH (r14 advice) — each set's own cold-exclusion and
+    * poisoning rules apply per side, and a failed remeasure rep poisons
+    * only the remeasure side (pass 1's valid floor survives instead of
+    * the query silently dropping out of steady_total). */
+  private[graft] def steadyFloor(ts: Seq[Double], ts2: Option[Seq[Double]]): Double =
+    ts2 match {
+      case Some(r) if steady(r) >= 0 && steady(ts) >= 0 =>
+        math.min(steady(ts), steady(r))
+      case _ => steady(ts)
+    }
+
   // Box-load snapshot: the shared bench box swings 2-8x under external load
   // (three rounds of adjudication hung on proving it), so every record
   // carries /proc/loadavg + /proc/uptime at start AND end — a polluted run
@@ -111,6 +123,16 @@ object Bench {
     // exact-to-the-rep — good enough to name the polluted queries).
     val evictedBlocks = new java.util.concurrent.atomic.AtomicLong
     val spilledBytes = new java.util.concurrent.atomic.AtomicLong
+    // Per-query shuffle/scan volume (r14 item 7 — the runtime complement
+    // of PlanAuditSpec's static exchange budgets): cumulative shuffle
+    // WRITE bytes (each exchanged byte counted once, at its producer) and
+    // source records read, snapshotted as deltas around each query's rep
+    // set. A wall-clock blip with UNCHANGED bytes is box contention; a
+    // blip with a byte delta is a real plan/data regression — attributable
+    // from the record alone. Same async-delivery caveat as the eviction
+    // counter: deltas are diagnostic, not exact-to-the-rep.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onBlockUpdated(
           b: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit = {
@@ -122,8 +144,11 @@ object Bench {
       override def onTaskEnd(
           t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
-        if (m != null)
+        if (m != null) {
           spilledBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          recordsRead.addAndGet(m.inputMetrics.recordsRead)
+        }
       }
     })
     // glob-path probe noise — see the matching note in Verify.scala
@@ -208,8 +233,11 @@ object Bench {
     import Bench.{anomalous, decaying, median, steady, unstable}
     val firstPass = ordered.map { case (name, fn) =>
       val ev0 = evictedBlocks.get()
+      val sb0 = shuffleBytes.get()
+      val rr0 = recordsRead.get()
       val ts = (1 to reps).map(_ => timeOnce(name, fn))
-      (name, ts, evictedBlocks.get() - ev0)
+      (name, ts, evictedBlocks.get() - ev0,
+        shuffleBytes.get() - sb0, recordsRead.get() - rr0)
     }
     // Self-defense re-measure (round 12: the driver's record inflated 9
     // healthy queries ≥2× under loadavg 5.2, several median>cold): each
@@ -223,7 +251,7 @@ object Bench {
     // selection is auditable in the record rather than implicit.
     val remeasured = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val medianSource = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = firstPass.map { case (name, ts, ev) =>
+    val results = firstPass.map { case (name, ts, ev, sb, rr) =>
       val med = median(ts)
       val cold = ts.head
       val finalMed =
@@ -236,21 +264,17 @@ object Bench {
           else { medianSource(name) = "pass1"; med }
         } else med
       // steady-state floor over every warm rep both passes produced
-      val std = remeasured.get(name) match {
-        case Some(ts2) if median(ts2) >= 0 && !ts.contains(-1.0) =>
-          math.min(steady(ts), ts2.min)
-        case _ => steady(ts)
-      }
-      (name, finalMed, cold, ev, ts, std)
+      val std = Bench.steadyFloor(ts, remeasured.get(name))
+      (name, finalMed, cold, ev, ts, std, sb, rr)
     }
     val anomalies = results.collect {
-      case (name, med, cold, _, _, _) if anomalous(med, cold) => name
+      case (name, med, cold, _, _, _, _, _) if anomalous(med, cold) => name
     }
     val decayers = results.collect {
-      case (name, _, _, _, ts, _) if decaying(ts) => name
+      case (name, _, _, _, ts, _, _, _) if decaying(ts) => name
     }
     val unstables = results.collect {
-      case (name, _, _, _, ts, _) if unstable(ts) => name
+      case (name, _, _, _, ts, _, _, _) if unstable(ts) => name
     }
     val total = results.map(_._2).filter(_ >= 0).sum
     val gcTimedMs = gcMillis() - gcTimedStart
@@ -267,12 +291,14 @@ object Bench {
     // otherwise inflate cold while being excluded from total).
     val cold = results.filter(_._2 >= 0).map(_._3).sum
     val steadyTotal = results.map(_._6).filter(_ >= 0).sum
+    val shuffleTimedTotal = results.map(_._7).sum
+    val recordsTimedTotal = results.map(_._8).sum
     // Full-precision record → file: the harness scrapes only the LAST
     // ~2000 chars of stdout, and a 90-query full-precision JSON line is
     // ~2200 chars — it can never sit complete inside that window once
     // sbt's trailer is appended. Full data goes to a file; stdout gets a
     // single compact line sized to survive the tail-scrape.
-    val fullQs = results.map { case (k, v, c, ev, ts, std) =>
+    val fullQs = results.map { case (k, v, c, ev, ts, std, sb, rr) =>
       val evField = if (ev > 0) ",\"evicted_blocks\":" + ev else ""
       val repsField = ts.mkString(",\"reps\":[", ",", "]")
       val remField = remeasured.get(k)
@@ -280,6 +306,7 @@ object Bench {
       val srcField = medianSource.get(k)
         .map(s => ",\"median_source\":\"" + s + "\"").getOrElse("")
       "\"" + k + "\":{\"median\":" + v + ",\"cold\":" + c + ",\"steady\":" + std +
+        ",\"shuffle_bytes\":" + sb + ",\"records_read\":" + rr +
         evField + repsField + remField + srcField + "}"
     }.mkString("{", ",", "}")
     val anomaliesJson = anomalies.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -295,7 +322,7 @@ object Bench {
       s""""lake_degrades":${graft.sources.Lake.degradeEvents.get()},"artifact_degrades":${ArtifactStore.degradeEvents.get()}"""
     val loadJson =
       s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd","uptime_start":"$uptimeStart","uptime_end":"$uptimeEnd"""" +
-        s""","evicted_blocks_timed":$evictedTimed,"evicted_blocks_artifact_pass":$evictedArtifactPass,"spilled_bytes":${spilledBytes.get()},$degradeJson""" +
+        s""","evicted_blocks_timed":$evictedTimed,"evicted_blocks_artifact_pass":$evictedArtifactPass,"spilled_bytes":${spilledBytes.get()},"shuffle_bytes_timed":$shuffleTimedTotal,"records_read_timed":$recordsTimedTotal,$degradeJson""" +
         s""","gc_ms_artifact_pass":$gcArtMs,"gc_ms_timed":$gcTimedMs,"gc_pct_timed":${if (timedWallMs > 0) 100L * gcTimedMs / timedWallMs else 0L}"""
     val artTopJson = artWalls.sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -314,10 +341,10 @@ object Bench {
     // comma-decimal box would print "0,725" and break the JSON scrape
     def r3(d: Double): String =
       if (d < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val byCost = results.sortBy { case (_, m, _, _, _, _) => -(if (m < 0) Double.MaxValue else m) }
+    val byCost = results.sortBy { case (_, m, _, _, _, _, _, _) => -(if (m < 0) Double.MaxValue else m) }
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0; var omitted = 0; var omittedSum = 0.0
-    byCost.foreach { case (k, m, _, _, _, _) =>
+    byCost.foreach { case (k, m, _, _, _, _, _, _) =>
       val e = "\"" + k + "\":" + r3(m)
       if (used + e.length + 1 <= 1350) { kept += e; used += e.length + 1 }
       else { omitted += 1; if (m > 0) omittedSum += m }

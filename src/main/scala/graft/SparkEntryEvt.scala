@@ -60,6 +60,39 @@ object SparkEntryEvt {
     bipMemo(cp, "bipEdges")(cp.where(col("src") % 2 === 0)
       .select(expr("src DIV 2").as("u"), expr("dst DIV 2").as("v")))
   }
+  /** Minimum shared parts for the customer-projection edge (x_triangles):
+    * two customers link only when they co-purchased at least this many
+    * (capped-degree) parts. A raw one-shared-part projection of the
+    * fixture is near-complete (sf0.01: 560 k pairs over ~1.5 k customers,
+    * 82 M triangles — exact counting would be committing the cluster to
+    * an Ω(triangles) join), so the threshold is what makes the projected
+    * graph a GRAPH rather than a clique soup: ≥3 shared parts keeps
+    * 57 k edges / 323 k triangles at sf0.01 — non-trivial but bounded.
+    * Shared with the oracle's HAVING clause. */
+  private[graft] val MinSharedParts = 3L
+
+  /** The projected customer–customer co-purchase graph — the stored
+    * derived-edge artifact the triangle census reads: the capped v-keyed
+    * wedge join (the butterfly census's own bounded join: ≤ cap·|E|/2
+    * candidate rows regardless of hub skew) aggregated per customer pair
+    * and thresholded on shared-part support. Canonical (ua < ub) and
+    * distinct BY CONSTRUCTION (groupBy output). Memoized+persisted:
+    * built once per corpus version like the other edge artifacts. */
+  private val projMemo = new graft.PlanMemo
+  private[graft] def projectedCustomerEdges(s: SparkSession, dir: String): DataFrame = {
+    val bip = bipartiteEdges(s, dir)
+    projMemo(bip, "cpProjEdges") {
+      val deg = bip.groupBy("v").agg(count(lit(1)).as("__d"))
+      val kept = bip.join(deg.where(col("__d") <= ButterflyCap).select("v"), Seq("v"))
+      kept.alias("a").join(kept.alias("b"),
+          col("a.v") === col("b.v") && col("a.u") < col("b.u"))
+        .groupBy(col("a.u").as("ua"), col("b.u").as("ub"))
+        .agg(count(lit(1)).as("__w"))
+        .where(col("__w") >= MinSharedParts)
+        .select("ua", "ub")
+    }
+  }
+
   /** Weighted co-purchase edges for the shortest-path family: weight =
     * 1 + min(l_quantity % 3) per (customer, part) pair — a deterministic
     * positive integer in {1,2,3} both engines re-derive exactly, small
@@ -79,7 +112,12 @@ object SparkEntryEvt {
       .join(lineitem, col("o_orderkey") === col("l_orderkey"))
       .groupBy((col("o_custkey") * 2).as("src"),
         (col("l_partkey") * 2 + 1).as("dst"))
-      .agg((lit(1) + min(col("l_quantity").cast("long") % 3)).as("wt"))
+      // floor BEFORE the integer cast pins the truncation semantics:
+      // Spark's cast("long") truncates while DuckDB's CAST AS BIGINT
+      // rounds half-even, so a non-integral quantity in a future fixture
+      // would silently diverge engine vs oracle without the shared floor
+      // (r14 advice; the oracle applies the same floor)
+      .agg((lit(1) + min(floor(col("l_quantity")).cast("long") % 3)).as("wt"))
     val sym = cp.union(cp.select(col("dst").as("src"), col("src").as("dst"),
       col("wt")))
     wEdgesMemo(sym, "cpWeightedEdges")(sym)
@@ -119,6 +157,12 @@ object SparkEntryEvt {
         .where(col("__bw").isNull || col("wt") < col("__bw"))
         .select("src", "dst", "wt"))
   }
+  /** Per-delta-version premise check for the SSSP refresh (the ER guard's
+    * memo pattern): removed/raised arcs void ssspFrom's upper-bound
+    * argument, so the refresh must refuse rather than compose a
+    * silently-stale distance map. Memoized — a deployment pays the one
+    * arc-keyed anti-scan once per arriving batch, not once per query. */
+  private val ssspGuardMemo = new graft.PlanMemo
 
   /** The delta scenario's BASE graph: every 10th order's purchases have
     * not arrived yet (shared with the oracle's filtered CTE). */
@@ -173,7 +217,23 @@ object SparkEntryEvt {
       // over the full edge list — delta-sized iterative work, exact by
       // min-plus monotonicity. Oracled against the full rebuild (the
       // delta == rebuild law, driver-red-able like x_er_delta).
-      Graph.ssspFrom(storedBaseDists(s, dir), weightedEdges(s, dir),
+      //
+      // The monotonicity premise is CHECKED, not assumed (r14 item 1, the
+      // capCrossings move one family over): ssspInvalidations surfaces
+      // any base arc the delta removed or made heavier — changes the
+      // refresh cannot retract (min-plus never raises a stale-low prior)
+      // — and the query refuses loudly instead of composing a silently
+      // wrong distance map. The fixture is safe by construction
+      // (mod-inside-min monotonicity), so the memoized guard relation is
+      // empty and reps read the cached emptiness, the x_er_delta shape.
+      val fullW = weightedEdges(s, dir)
+      val invalidations = ssspGuardMemo(fullW, "ssspInvalidations")(
+        Graph.ssspInvalidations(baseWeightedEdges(s, dir), fullW,
+          "src", "dst", "wt"))
+      require(invalidations.isEmpty,
+        "x_sssp_delta: the delta removed or raised base arcs — the refresh " +
+          "cannot retract the prior's distances; rebuild with x_sssp instead")
+      Graph.ssspFrom(storedBaseDists(s, dir), fullW,
           weightedDeltaEdges(s, dir), "src", "dst", "wt")
         .select(
           when(col("node") % 2 === 0, lit("customer"))
@@ -328,6 +388,17 @@ object SparkEntryEvt {
       Graph.butterflyCensusCapped(bipartiteEdges(s, dir), "u", "v",
         maxVDegree = ButterflyCap, assumeDistinct = true)
     },
+    "x_triangles" -> { (s, dir) =>
+      // triangle census of the projected customer co-purchase graph
+      // (≥ MinSharedParts shared capped-degree parts — the stored
+      // projected-edge artifact), counted with degree-ordered orientation:
+      // every edge oriented low→high (degree, id), closed wedges counted
+      // once at their lowest-order vertex — join volume O(|E|^{3/2})
+      // regardless of hub skew, the published scale-safe form. The
+      // n_wedges_oriented row doubles as the loud-failure guard's bound.
+      Graph.triangleCensus(projectedCustomerEdges(s, dir), "ua", "ub",
+        assumeCanonical = true)
+    },
     "x_recon_report" -> { (s, dir) =>
       // stored-rollup vs re-derived-children reconciliation in exact
       // cents (the fixture's o_totalprice ≠ Σ extendedprice by design —
@@ -416,7 +487,7 @@ object SparkEntryEvt {
     * the cap never truncates a true distance. */
   private val ssspRebuildSql: String =
     "WITH RECURSIVE cpw AS (SELECT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst, " +
-      "1 + CAST(min(CAST(l_quantity AS BIGINT) % 3) AS BIGINT) AS wt " +
+      "1 + CAST(min(CAST(floor(l_quantity) AS BIGINT) % 3) AS BIGINT) AS wt " +
       "FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2), " +
       "e AS (SELECT src, dst, wt FROM cpw UNION ALL SELECT dst, src, wt FROM cpw), " +
       "w(id, d) AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d " +
@@ -455,7 +526,7 @@ object SparkEntryEvt {
       val S = Graph.Scale
       val (dn, dd) = (Graph.DampNum, Graph.DampDen)
       val g = "cpw AS (SELECT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst, " +
-        "1 + CAST(min(CAST(l_quantity AS BIGINT) % 3) AS BIGINT) AS wt " +
+        "1 + CAST(min(CAST(floor(l_quantity) AS BIGINT) % 3) AS BIGINT) AS wt " +
         "FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2), " +
         "e AS (SELECT src, dst, wt FROM cpw UNION ALL SELECT dst, src, wt FROM cpw), " +
         "d AS (SELECT src AS id, CAST(sum(wt) AS BIGINT) AS ws FROM e GROUP BY 1), " +
@@ -694,6 +765,35 @@ object SparkEntryEvt {
         "(SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT) FROM deg) AS value " +
         "UNION ALL SELECT 'n_butterflies' AS metric, " +
         "(SELECT CAST(coalesce(sum(w * (w - 1) // 2), 0) AS BIGINT) FROM w) AS value"),
+
+    // the same capped projection (HAVING mirrors MinSharedParts), the
+    // same (deg, id) orientation for the wedge row, and triangles
+    // re-derived INDEPENDENTLY as the canonical three-edge join over
+    // x<y<z — so an orientation mistake on the engine side cannot be
+    // mirrored into the oracle
+    "x_triangles" ->
+      ("WITH cp AS (SELECT DISTINCT o_custkey AS u, l_partkey AS v " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM cp GROUP BY 1), " +
+        s"k AS (SELECT u, cp.v FROM cp JOIN deg USING (v) WHERE d <= $ButterflyCap), " +
+        "pe AS (SELECT a.u AS ua, b.u AS ub FROM k a JOIN k b " +
+        "ON a.v = b.v AND a.u < b.u GROUP BY 1, 2 " +
+        s"HAVING count(*) >= $MinSharedParts), " +
+        "pd AS (SELECT x, CAST(sum(c) AS BIGINT) AS d FROM (" +
+        "SELECT ua AS x, count(*) AS c FROM pe GROUP BY 1 " +
+        "UNION ALL SELECT ub, count(*) FROM pe GROUP BY 1) GROUP BY 1), " +
+        "o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND pe.ua < pe.ub) " +
+        "THEN pe.ua ELSE pe.ub END AS s FROM pe " +
+        "JOIN pd da ON da.x = pe.ua JOIN pd db ON db.x = pe.ub), " +
+        "od AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM o GROUP BY 1) " +
+        "SELECT 'n_edges' AS metric, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM pe) AS value " +
+        "UNION ALL SELECT 'n_wedges_oriented' AS metric, " +
+        "(SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT) FROM od) AS value " +
+        "UNION ALL SELECT 'n_triangles' AS metric, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM pe e1 " +
+        "JOIN pe e2 ON e2.ua = e1.ua AND e2.ub > e1.ub " +
+        "JOIN pe e3 ON e3.ua = e1.ub AND e3.ub = e2.ub) AS value"),
 
     // identical floor-based cents derivation — no round() rounding-mode
     // dependence in either engine

@@ -240,8 +240,15 @@ object EntityResolution {
     val b = index.groupBy("variant").agg(count(lit(1)).as("base_n"))
     val d = delete1Variants(delta, idCol, nameCol)
       .groupBy("variant").agg(count(lit(1)).as("delta_n"))
+    // base_n <= maxBucket mirrors capCrossings exactly: a no-op when
+    // maxBucket equals the cap the index was built with (the index holds
+    // no over-cap block), but REQUIRED when a caller probes with a
+    // smaller cap — without it, base blocks already over that cap (which
+    // admitted nothing, so refresh and rebuild prune them identically)
+    // would be misreported as crossings (r14 advice)
     b.join(d, Seq("variant"))
-      .where(col("base_n") + col("delta_n") > maxBucket)
+      .where(col("base_n") <= maxBucket &&
+        col("base_n") + col("delta_n") > maxBucket)
   }
 
   /** Two-table linkage: each `probe` record's BEST reference match

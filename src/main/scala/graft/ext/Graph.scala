@@ -178,6 +178,87 @@ object Graph {
     scalars.unionByName(nBf)
   }
 
+  /** Exact triangle census over an undirected simple graph, with
+    * degree-ordered orientation (the published scale-safe form: orient
+    * every edge from its lower-(degree, id) endpoint to the higher, count
+    * closed oriented wedges — Schank & Wagner "Finding, Counting and
+    * Listing all Triangles in Large Graphs", WEA'05; the same orientation
+    * MapReduce triangle counting uses, Suri & Vassilvitskii WWW'11).
+    * Orientation bounds every vertex's out-degree by O(√|E|), so the
+    * wedge join emits Σ C(outdeg, 2) = O(|E|^{3/2}) candidates REGARDLESS
+    * of hub skew — where the naive wedge join is quadratic in exactly the
+    * hottest degree. Each triangle is counted exactly once (its
+    * lowest-order vertex owns the wedge).
+    *
+    * Input: unordered pairs in either orientation, duplicate- and
+    * self-loop-safe (`assumeCanonical = true` skips the normalize+distinct
+    * for relations that are already (a < b)-canonical and distinct BY
+    * CONSTRUCTION — e.g. a `groupBy(a, b)` output). Plan: one degree agg,
+    * two equi-joins to attach endpoint degrees, the oriented wedge
+    * self-join on the source key, and one closing equi-join against the
+    * oriented edge set — all shuffled on vertex/pair keys, AQE-splittable.
+    *
+    * Guard: the oriented wedge total is computed BEFORE the wedge join is
+    * committed (one agg over the oriented out-degree relation — a bounded
+    * driver scalar, the [[butterflyCensus]] contract); exceeding
+    * `maxWedges` throws rather than launching the shuffle. The guard's
+    * scalars then ARE the census's `n_edges` / `n_wedges_oriented` rows.
+    * Output: three `(metric, value)` rows. */
+  def triangleCensus(edges: DataFrame, aCol: String, bCol: String,
+                     maxWedges: Long = MaxExactWedges,
+                     assumeCanonical: Boolean = false): DataFrame = {
+    val e =
+      if (assumeCanonical) edges.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      else edges.select(least(col(aCol), col(bCol)).as("__a"),
+          greatest(col(aCol), col(bCol)).as("__b"))
+        .where(col("__a") =!= col("__b")).distinct()
+    val deg = e.select(col("__a").as("__x")).unionAll(e.select(col("__b").as("__x")))
+      .groupBy("__x").agg(count(lit(1)).as("__d"))
+    // orientation: lower (deg, id) → higher; the dst's order key rides
+    // along so the wedge join can order its two endpoints without a
+    // third degree join
+    val withD = e
+      .join(deg.select(col("__x").as("__a"), col("__d").as("__da")), Seq("__a"))
+      .join(deg.select(col("__x").as("__b"), col("__d").as("__db")), Seq("__b"))
+    val oriented = withD.select(
+        when(col("__da") < col("__db") ||
+            (col("__da") === col("__db") && col("__a") < col("__b")),
+          struct(col("__a").as("s"), col("__b").as("t"), col("__db").as("td")))
+          .otherwise(
+            struct(col("__b").as("s"), col("__a").as("t"), col("__da").as("td")))
+          .as("__o"))
+      .select(col("__o.s").as("__s"), col("__o.t").as("__t"), col("__o.td").as("__td"))
+      .localCheckpoint(true) // scanned by the guard agg + both join sides
+    // ONE eager agg yields both scalar metrics and the guard's bound
+    val row = oriented.groupBy("__s").agg(count(lit(1)).as("__od"))
+      .agg(coalesce(sum(col("__od")), lit(0L)).as("__ne"),
+        coalesce(sum(expr("__od * (__od - 1) DIV 2")), lit(0L)).as("__wt"))
+      .head
+    val (nE, wedgeTotal) = (row.getLong(0), row.getLong(1))
+    require(wedgeTotal <= maxWedges,
+      s"triangleCensus: $wedgeTotal oriented wedges exceed the exact-join " +
+        s"bound of $maxWedges — raise the projection's thresholds (degree " +
+        "cap / min edge weight) before the exact census")
+    val scalars = e.sparkSession.range(1).select(explode(array(
+        struct(lit("n_edges").as("metric"), lit(nE).as("value")),
+        struct(lit("n_wedges_oriented").as("metric"), lit(wedgeTotal).as("value"))))
+        .as("__r"))
+      .select(col("__r.metric").as("metric"), col("__r.value").as("value"))
+    // wedge at s over endpoints ordered by their (deg, id) keys: the
+    // closing edge, if present, is oriented lower → higher by definition
+    val wedges = oriented.alias("p").join(oriented.alias("q"),
+        col("p.__s") === col("q.__s") &&
+          (col("p.__td") < col("q.__td") ||
+            (col("p.__td") === col("q.__td") && col("p.__t") < col("q.__t"))))
+      .select(col("p.__t").as("__ws"), col("q.__t").as("__wt"))
+    val nTri = wedges
+      .join(oriented.select(col("__s").as("__ws"), col("__t").as("__wt")),
+        Seq("__ws", "__wt"))
+      .agg(count(lit(1)).as("value"))
+      .select(lit("n_triangles").as("metric"), col("value"))
+    scalars.unionByName(nTri)
+  }
+
   /** Single-source BFS levels over a directed edge list (symmetrize for
     * an undirected walk): iterative frontier expansion — per round ONE
     * equi-join (frontier ⋈ edges), a distinct, and an anti-join against
@@ -225,6 +306,16 @@ object Graph {
     visited
   }
 
+  /** Upper weight bound for [[pageRankWeighted]]: the per-edge
+    * contribution is plain Long `__r * __w` with r ≤ [[Scale]] = 10¹²,
+    * so w beyond ~9·10⁶ would WRAP silently and corrupt every rank with
+    * no error. 10⁶ leaves a 9× margin and is far above any interaction
+    * weight this engine derives (quantities, counts); heavier weights
+    * should be rescaled by the caller, not fed into wrapping arithmetic.
+    * Enforced in-row next to the positivity valve (r14 advice: the
+    * ≪2⁶³ assumption must live in a raise_error, not only in scaladoc). */
+  val MaxRankWeight: Long = 1000000L
+
   /** Edge-weighted PageRank: mass leaves a vertex proportionally to edge
     * weight — contrib = (r · w) div Σw_out instead of r div deg — the
     * importance walk for graphs whose edges carry interaction strength
@@ -232,17 +323,20 @@ object Graph {
     * general). Same plan shape and integer discipline as [[pageRank]]:
     * 2 map-side-combinable exchanges per iteration, fixed-point mass at
     * [[Scale]], floor division everywhere so the oracle replays each
-    * iteration bit-exactly (r ≤ Scale and w·r ≤ w·Scale ≪ 2⁶³ for the
-    * small integer weights this engine derives). A CONSTANT weight
-    * reduces to the unweighted walk exactly — floor((r·c)/(c·deg)) =
-    * floor(r/deg) — which GraphSpec pins as the sanity law. */
+    * iteration bit-exactly (r ≤ Scale and w·r ≤ [[MaxRankWeight]]·Scale
+    * ≪ 2⁶³ — enforced by the in-row valve, not assumed). A CONSTANT
+    * weight reduces to the unweighted walk exactly — floor((r·c)/(c·deg))
+    * = floor(r/deg) — which GraphSpec pins as the sanity law. */
   def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
                        wCol: String, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 8, s"iters=$iters out of the unrolled range")
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
-      when(col(wCol) <= 0, raise_error(concat(
-        lit("pageRankWeighted: non-positive edge weight "),
-        col(wCol).cast("string"), lit(" — weighted mass split needs w > 0"))))
+      when(col(wCol) <= 0 || col(wCol) > MaxRankWeight, raise_error(concat(
+        lit("pageRankWeighted: edge weight "),
+        col(wCol).cast("string"),
+        lit(s" outside (0, $MaxRankWeight] — the weighted mass split needs " +
+          "w > 0, and larger weights would overflow the Long contribution " +
+          "(rescale them first)"))))
         .otherwise(col(wCol)).as("__w"))
     val ws = e.groupBy(col("__src").as("__id"))
       .agg(sum(col("__w")).as("__ws"))
@@ -275,9 +369,10 @@ object Graph {
     * most max-shortest-path-hops rounds (≤ total dist / min weight —
     * bounded, since weights are required positive). Each round's
     * improvement set is checkpointed (the [[bfsLevels]] discipline:
-    * materialized leaves, no lineage stacking, the accumulated set never
-    * re-checkpoints); the running best is a groupBy-min over those
-    * leaves, O(n) per round and map-side combinable. Unreached nodes are
+    * materialized leaves, no lineage stacking); the running best is
+    * maintained incrementally — one anti-join + union per round,
+    * O(|best| + |frontier|), never a rescan of prior rounds' leaves.
+    * Unreached nodes are
     * absent. At cluster scale every round is one shuffle on the vertex
     * key — the Pregel superstep — and total traffic is O(E) per round
     * with round count bounded by the weighted hop diameter, not |V|.
@@ -303,8 +398,10 @@ object Graph {
     * from any per-node upper bound converges to the true fixed point,
     * and prior distances ARE upper bounds when edges are only added or
     * cheapened (removals/increases can raise distances — that's a
-    * rebuild, and [[ssspDeltaInvalid]]-style detection is the caller's
-    * contract the way capCrossings is for ER). The first frontier is
+    * rebuild, and [[ssspInvalidations]] is the OPERATIONAL detector:
+    * consult it per delta version and rebuild when it is non-empty,
+    * exactly the way capCrossings gates the ER refresh). The first
+    * frontier is
     * delta-sized (only improvements through a changed edge enter);
     * every later round relaxes over the full edge list but carries only
     * still-improving vertices, so total iterative work is bounded by the
@@ -332,6 +429,32 @@ object Graph {
     relaxToFixpoint(eGuarded, acc0, frontier0, maxRounds)
   }
 
+  /** The rebuild-warranted predicate for [[ssspFrom]], operational
+    * instead of documentation (the capCrossings move, one family over):
+    * base edges that VANISHED from the post-delta edge list, or whose
+    * weight ROSE — exactly the changes that void the refresh's
+    * prior-is-an-upper-bound premise (a removal/increase can RAISE true
+    * distances, and min-plus relaxation can never raise a stale-low
+    * prior back up, so the refresh would return silently wrong
+    * distances). Non-empty ⇒ rebuild with [[sssp]]; empty ⇒ base → full
+    * is pure additions + weight drops and [[ssspFrom]] is exact.
+    *
+    * Cost: ONE left join of the base edge list against the full list on
+    * the (src, dst) arc key — the same shuffle key the relaxation uses,
+    * so at cluster scale both sides are already co-partitioned; no
+    * iteration, no |V| term. Consult it once per arriving delta version
+    * (memoize like the ER guard) — it is the changelog audit, not a
+    * per-query cost. Returns `(src, dst, base_wt, new_wt)` per violating
+    * arc, `new_wt` NULL for a removal. */
+  def ssspInvalidations(baseEdges: DataFrame, fullEdges: DataFrame,
+                        srcCol: String, dstCol: String,
+                        wCol: String): DataFrame =
+    baseEdges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).as("base_wt"))
+      .join(fullEdges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).as("new_wt")), Seq("src", "dst"), "left")
+      .where(col("new_wt").isNull || col("new_wt") > col("base_wt"))
+
   /** Strictly-positive-weight valve shared by the SSSP entry points: a
     * zero/negative weight voids the hop-bounded termination argument
     * (and negative cycles make "shortest" undefined). In-expression, so
@@ -347,26 +470,39 @@ object Graph {
     * equi-join, a per-destination min, and a compare against the running
     * best; only strict improvements re-enter the frontier (checkpointed —
     * the [[bfsLevels]] discipline: materialized leaves, no lineage
-    * stacking, the accumulated set never re-checkpoints). Terminates in
-    * at most max-shortest-path-hops rounds since weights are positive;
-    * `maxRounds` is the loud-failure valve past that. */
+    * stacking). The running best is maintained INCREMENTALLY (r14 perf
+    * item): each round folds only the new improvement set into the
+    * checkpointed best relation — one anti-join + union, O(|best| +
+    * |frontier|) per round — instead of re-aggregating the union of
+    * EVERY prior round's leaves (O(rounds × Σimprovements): late rounds
+    * rescanned every earlier round's leaves, the dominant term as hop
+    * diameters grow). Correctness is unchanged: an improvement row
+    * strictly lowers its node's distance by construction of the
+    * `__cd < __best` filter, so override-by-node IS min-by-node.
+    * Terminates in at most max-shortest-path-hops rounds since weights
+    * are positive; `maxRounds` is the loud-failure valve past that. */
   private def relaxToFixpoint(eGuarded: DataFrame, acc0: DataFrame,
                               frontier0: DataFrame, maxRounds: Int): DataFrame = {
-    var acc = acc0
+    // improvements strictly beat the old row, so (best minus improved)
+    // ∪ improved is exactly the per-node min; checkpointed so the next
+    // round's anti-join reads a materialized relation, not stacked lineage
+    def absorb(best: DataFrame, improved: DataFrame): DataFrame =
+      best.join(improved.select("node"), Seq("node"), "left_anti")
+        .unionByName(improved)
+        .localCheckpoint(true)
+    var best =
+      if (frontier0 eq acc0) acc0 // cold start: the seed IS the state
+      else absorb(acc0, frontier0) // warm start: prior overridden by the delta frontier
     var frontier = frontier0
     var round = 0
     var more = !frontier.isEmpty
     while (more) {
-      if (frontier ne acc0) acc = acc.unionByName(frontier)
       round += 1
-      // best-so-far per node from the accumulated leaves; improvements
-      // only ever lower a node's min, so stale rows in acc are harmless —
-      // the groupBy-min is the authoritative state
-      val best = acc.groupBy("node").agg(min(col("dist")).as("__best"))
       val cand = frontier.join(eGuarded, col("node") === col("__s"))
         .select(col("__d").as("node"), (col("dist") + col("__w")).as("__cd"))
         .groupBy("node").agg(min(col("__cd")).as("__cd"))
-      val improved = cand.join(best, Seq("node"), "left")
+      val improved = cand
+        .join(best.withColumnRenamed("dist", "__best"), Seq("node"), "left")
         .where(col("__best").isNull || col("__cd") < col("__best"))
         .select(col("node"), col("__cd").as("dist"))
         .localCheckpoint(true)
@@ -375,9 +511,9 @@ object Graph {
         throw new IllegalStateException(
           s"sssp: still improving after $maxRounds rounds — " +
             "raise maxRounds explicitly if shortest paths really are that long")
-      else frontier = improved
+      else { best = absorb(best, improved); frontier = improved }
     }
-    acc.groupBy("node").agg(min(col("dist")).as("dist"))
+    best.select(col("node"), col("dist"))
   }
 
   private def ranksOf(edges: DataFrame, srcCol: String, dstCol: String,

@@ -82,4 +82,22 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(Bench.steady(Seq(7.0)) == 7.0)
     assert(Bench.steady(Seq(1.0, -1.0, 2.0)) == -1.0)
   }
+
+  test("steadyFloor: remeasure lowers the floor, its first rep is excluded, a failed remeasure rep can't poison pass 1") {
+    // both passes valid: min of the two steady floors
+    assert(Bench.steadyFloor(Seq(5.0, 2.0, 2.1), Some(Seq(3.0, 1.5, 1.6))) == 1.5)
+    // the remeasure's FIRST rep is excluded like pass 1's cold (r14
+    // advice: ts2.min used to include it) — 0.9 here is rep 1, not a floor
+    assert(Bench.steadyFloor(Seq(5.0, 2.0, 2.1), Some(Seq(0.9, 1.5, 1.6))) == 1.5)
+    // a failed remeasure rep poisons ONLY the remeasure side: pass 1's
+    // valid floor survives instead of the query dropping out of
+    // steady_total (the r14-advice poisoning bug)
+    assert(Bench.steadyFloor(Seq(5.0, 2.0, 2.1), Some(Seq(3.0, -1.0, 1.6))) == 2.0)
+    // no remeasure: pass 1's rules verbatim, poisoning included
+    assert(Bench.steadyFloor(Seq(5.0, 2.0, 2.1), None) == 2.0)
+    assert(Bench.steadyFloor(Seq(5.0, -1.0, 2.1), None) == -1.0)
+    // a pass-1 failure stays a failure even if the remeasure is clean —
+    // a flaky query must never masquerade as a fast one
+    assert(Bench.steadyFloor(Seq(5.0, -1.0, 2.1), Some(Seq(3.0, 1.5, 1.6))) == -1.0)
+  }
 }

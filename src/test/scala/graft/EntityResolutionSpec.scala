@@ -174,6 +174,26 @@ class EntityResolutionSpec extends SparkSpec {
     assert(EntityResolution.capCrossings(base, newBlock, maxBucket = 2).isEmpty)
   }
 
+  test("capCrossingsIdx with a cap below the index's build cap doesn't misreport over-cap base blocks") {
+    // index built at cap 3 retains the size-3 "a" block ("ab"/"ac"/"ad"
+    // all share variant "a"); probing with maxBucket = 2 must NOT report
+    // it as a crossing — at cap 2 that base block was already over-cap,
+    // admitted nothing into any cap-2 prior, and prunes identically in a
+    // cap-2 rebuild (r14 advice: the base_n <= maxBucket predicate the
+    // Idx variant used to omit)
+    val base = Seq((1L, "ab"), (2L, "ac"), (3L, "ad")).toDF("rec_id", "name")
+    val delta = Seq((4L, "ae")).toDF("rec_id", "name")
+    val idxCap3 = EntityResolution.variantIndex(base, maxBucket = 3)
+    assert(EntityResolution.capCrossingsIdx(idxCap3, delta, maxBucket = 2)
+      .where(col("variant") === "a").isEmpty,
+      "a base block already over the probe cap is not a crossing")
+    // at the matching cap 3 the same delta IS a crossing (3 <= 3 < 4)
+    val got = EntityResolution.capCrossingsIdx(idxCap3, delta, maxBucket = 3)
+      .select("variant", "base_n", "delta_n").as[(String, Long, Long)]
+      .collect().toSet
+    assert(got.contains(("a", 3L, 1L)), got.toString)
+  }
+
   test("x_er_delta equals x_er_clusters on the fixture (the shared-oracle law, locally)") {
     val full = SparkEntry.queries("x_er_clusters")(spark, sf)
     val inc = SparkEntry.queries("x_er_delta")(spark, sf)

@@ -376,6 +376,136 @@ class GraphSpec extends SparkSpec {
     assert(ok == (0L to 5L).map(i => i -> i).toMap)
   }
 
+  test("pageRankWeighted: an overflow-range weight fails loudly, not wraps") {
+    import spark.implicits._
+    // w > MaxRankWeight would make __r * __w wrap past 2^63 silently —
+    // the in-row valve must name the bound instead (r14 advice)
+    val hot = Seq((1L, 2L, Graph.MaxRankWeight + 1), (2L, 1L, 1L))
+      .toDF("src", "dst", "wt")
+    val ex = intercept[Exception] {
+      Graph.pageRankWeighted(hot, "src", "dst", "wt", 1).collect()
+    }
+    assert(ex.getMessage != null)
+    // at the bound exactly, the walk still runs
+    val ok = Seq((1L, 2L, Graph.MaxRankWeight), (2L, 1L, 1L))
+      .toDF("src", "dst", "wt")
+    assert(Graph.pageRankWeighted(ok, "src", "dst", "wt", 1).count() == 2)
+  }
+
+  test("ssspInvalidations: flags removals and raises, stays empty on monotone deltas") {
+    import spark.implicits._
+    val base = Seq((0L, 1L, 3L), (1L, 2L, 2L), (2L, 3L, 1L))
+      .toDF("src", "dst", "wt")
+    // monotone full: one arc cheaper, one arc new — nothing flagged
+    val monotone = Seq((0L, 1L, 2L), (1L, 2L, 2L), (2L, 3L, 1L), (0L, 3L, 9L))
+      .toDF("src", "dst", "wt")
+    assert(Graph.ssspInvalidations(base, monotone, "src", "dst", "wt").isEmpty)
+    // non-monotone full: (1,2) removed, (2,3) raised — exactly those two
+    val broken = Seq((0L, 1L, 3L), (2L, 3L, 5L)).toDF("src", "dst", "wt")
+    val got = Graph.ssspInvalidations(base, broken, "src", "dst", "wt")
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (2L, 3L)))
+  }
+
+  test("ssspFrom diverges under an edge removal — and the detector flags exactly that case") {
+    import spark.implicits._
+    // base: 0 →(1) 1 →(1) 2, plus a dear direct arc 0 →(9) 2.
+    // prior dist(2) = 2 rides the 0→1→2 path; the delta REMOVES (1, 2),
+    // so the true rebuild distance rises to 9 — a refresh seeded from the
+    // stale-low prior can never raise it back (min-plus only lowers).
+    val base = Seq((0L, 1L, 1L), (1L, 2L, 1L), (0L, 2L, 9L))
+      .toDF("src", "dst", "wt")
+    val full = Seq((0L, 1L, 1L), (0L, 2L, 9L)).toDF("src", "dst", "wt")
+    val prior = Graph.sssp(base, "src", "dst", "wt", source = 0L)
+    val refreshed = Graph.ssspFrom(prior, full,
+        Seq.empty[(Long, Long, Long)].toDF("src", "dst", "wt"),
+        "src", "dst", "wt")
+      .as[(Long, Long)].collect().toMap
+    val rebuilt = Graph.sssp(full, "src", "dst", "wt", source = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(refreshed(2L) == 2L && rebuilt(2L) == 9L,
+      s"the divergence this guard exists for: refresh ${refreshed(2L)} vs rebuild ${rebuilt(2L)}")
+    // the detector sees the removal from the EDGE LISTS alone — no
+    // distance computation, one arc-keyed anti-scan
+    val inv = Graph.ssspInvalidations(base, full, "src", "dst", "wt")
+    assert(!inv.isEmpty, "the removal must be flagged")
+    assert(inv.select("src", "dst").as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L)))
+    // a weight RAISE on the surviving graph is flagged the same way
+    val raised = Seq((0L, 1L, 1L), (1L, 2L, 7L), (0L, 2L, 9L))
+      .toDF("src", "dst", "wt")
+    assert(Graph.ssspInvalidations(base, raised, "src", "dst", "wt")
+      .select("src", "dst").as[(Long, Long)].collect().toSet == Set((1L, 2L)))
+  }
+
+  test("triangleCensus: K4 identities; duplicates and orientation noise don't inflate") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: 6 edges, C(4,3) = 4 triangles; oriented wedges
+    // under (deg, id) order (all degrees 3 → id order): outdeg 3, 2, 1
+    // → C(3,2) + C(2,2) = 4
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("a", "b")
+    val got = Graph.triangleCensus(k4, "a", "b")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("n_edges" -> 6L, "n_wedges_oriented" -> 4L,
+      "n_triangles" -> 4L), got.toString)
+    // the same graph fed dirty — duplicates, reversed pairs, a self-loop —
+    // must census identically after normalization
+    val dirty = k4.unionByName(k4.select(col("b").as("a"), col("a").as("b")))
+      .unionByName(Seq((2L, 2L), (1L, 2L)).toDF("a", "b"))
+    val gotDirty = Graph.triangleCensus(dirty, "a", "b")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotDirty == got, "normalize+distinct must absorb the noise")
+    // triangle-free: a star and a 4-cycle both count zero
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    assert(Graph.triangleCensus(star, "a", "b")
+      .where(col("metric") === "n_triangles").head.getLong(1) == 0L)
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    assert(Graph.triangleCensus(c4, "a", "b")
+      .where(col("metric") === "n_triangles").head.getLong(1) == 0L)
+  }
+
+  test("triangleCensus matches a brute-force count on a pseudo-random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7304)
+    val pairs = Seq.fill(300)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val eset = pairs.toSet
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val brute = (for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+      if eset((nodes(i), nodes(j))) && eset((nodes(i), nodes(k))) &&
+        eset((nodes(j), nodes(k)))
+    } yield 1).size.toLong
+    val got = Graph.triangleCensus(pairs.toDF("a", "b"), "a", "b",
+        assumeCanonical = true)
+      .where(col("metric") === "n_triangles").head.getLong(1)
+    assert(got == brute, s"engine $got vs brute force $brute")
+  }
+
+  test("triangleCensus fails loudly when the oriented wedge join would exceed its bound") {
+    import spark.implicits._
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("a", "b")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.triangleCensus(k4, "a", "b", maxWedges = 3L)
+    }
+    assert(ex.getMessage.contains("oriented wedges"))
+    // at the bound exactly (4 oriented wedges), the census still runs
+    assert(Graph.triangleCensus(k4, "a", "b", maxWedges = 4L)
+      .collect().length == 3)
+  }
+
+  test("x_triangles: census rows present and consistent on the fixture") {
+    val got = SparkEntry.queries("x_triangles")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set("n_edges", "n_wedges_oriented", "n_triangles"))
+    // triangles can never exceed oriented wedges (each triangle closes one)
+    assert(got("n_triangles") <= got("n_wedges_oriented"))
+    assert(got.values.forall(_ >= 0))
+  }
+
   test("bfsLevels: an impossible depth bound fails loudly, not partially") {
     import spark.implicits._
     val chain = (0L until 5L).map(i => (i, i + 1)).toDF("src", "dst")

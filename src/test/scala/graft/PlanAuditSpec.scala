@@ -168,13 +168,20 @@ class PlanAuditSpec extends SparkSpec {
     // BFS rounds are checkpointed — the returned plan is a union of
     // materialized frontiers, zero printable exchanges
     "x_bfs_levels" -> 0,
-    // SSSP relaxation rounds are checkpointed like BFS; the returned plan
-    // is the final groupBy-min over materialized improvement leaves
-    "x_sssp" -> 1,
-    // delta refresh: the changed-edge detection join (full ⋈ base edge
-    // artifacts) + the delta frontier's relaxation + the final min —
-    // rounds hide behind checkpoints exactly like x_sssp
-    "x_sssp_delta" -> 3,
+    // SSSP relaxation rounds are checkpointed like BFS, and since r15 the
+    // running best is maintained incrementally (anti-join + union folded
+    // into each round's checkpoint) — the returned plan is a select over
+    // the final materialized best relation, zero printable exchanges
+    "x_sssp" -> 0,
+    // delta refresh: same incremental-best shape — the guard's
+    // invalidation scan and the delta-frontier build run eagerly behind
+    // memo/checkpoints, so the returned plan is the materialized best
+    "x_sssp_delta" -> 0,
+    // triangle census: the projected-edge artifact's lineage + degree agg
+    // + two endpoint-degree joins feeding the wedge/closing joins; the
+    // scalar metric rows ride a range(1) — 5 printable exchanges at the
+    // fresh-session state ShowShuffles measures
+    "x_triangles" -> 5,
     // episodes: ordered-events window exchange + two (user, position)
     // equi-join shuffles + the bounded top-k rank — the gap expansion
     // keeps both hops equi-joins, so no per-user quadratic shape prints
