@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.EntityResolution
+import graft.ext.{EntityResolution, EventAnalytics}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -77,6 +77,12 @@ object SparkEntryEr {
   private[graft] val EpisodeMaxGap = 3
   /** Top-k for the episode report (total order, deterministic LIMIT). */
   private[graft] val EpisodeK = 20
+  /** Max wall-clock gap for the TIME-bounded episode variant: successive
+    * episode steps must land within 6 h of each other (the attribution
+    * lookback's band — the fixture's per-user event spacing makes 6 h a
+    * genuinely selective funnel window: ~5.5 k qualifying pairs of 10 k
+    * events at sf0.01). Shared with the oracle. */
+  private[graft] val EpisodeTimeGapMicros = 21600000000L
 
   /** Ordered per-user event positions — the episode family's stored
     * relation (one (user, ts, event_id) sort per corpus serving any
@@ -276,29 +282,28 @@ object SparkEntryEr {
       // each step follows the previous within EpisodeMaxGap POSITIONS of
       // the user's timeline (noise events in between are skipped — the
       // generalization of the contiguous x_event_paths triples). The gap
-      // is EXPANDED into explicit (rn + g) keys so both hops are pure
-      // EQUI-joins on (user_id, position) — candidate volume gap·N then
-      // gap²·N, linear in the corpus, where the naive user-only join
-      // with a range filter would go quadratic per user. All three scans
-      // share the stored ordered relation.
-      val r = orderedEvents(s, dir)
-      val gaps = array((1 to EpisodeMaxGap).map(lit): _*)
-      val ab = r.select(col("user_id"), col("event_type").as("step1"),
-          explode(gaps).as("__g"), col("rn"))
-        .select(col("user_id"), col("step1"), (col("rn") + col("__g")).as("__rn2"))
-        .join(r.select(col("user_id"), col("rn").as("__rn2"),
-          col("event_type").as("step2")), Seq("user_id", "__rn2"))
-      val abc = ab.select(col("user_id"), col("step1"), col("step2"),
-          explode(gaps).as("__g"), col("__rn2"))
-        .select(col("user_id"), col("step1"), col("step2"),
-          (col("__rn2") + col("__g")).as("__rn3"))
-        .join(r.select(col("user_id"), col("rn").as("__rn3"),
-          col("event_type").as("step3")), Seq("user_id", "__rn3"))
-      abc.groupBy("step1", "step2", "step3")
-        .agg(count(lit(1)).as("n_occurrences"))
-        .orderBy(col("n_occurrences").desc, col("step1"), col("step2"),
-          col("step3"))
-        .limit(EpisodeK)
+      // is EXPANDED into explicit (rn + g) keys so every hop is a pure
+      // EQUI-join on (user_id, position) — candidate volume gap²·N,
+      // linear in the corpus, where the naive user-only join with a
+      // range filter would go quadratic per user. Episode LENGTH is a
+      // library parameter (EventAnalytics.episodesTopK folds one
+      // equi-join leg per step — r14 item 8); all legs share the stored
+      // ordered relation.
+      EventAnalytics.episodesTopK(orderedEvents(s, dir), EpisodeMaxGap,
+        length = 3, topK = EpisodeK)
+    },
+
+    "x_seq_episodes_time" -> { (s, dir) =>
+      // wall-clock funnels: top-20 length-3 episodes where each step
+      // follows the previous within 6 h of EVENT TIME (position gaps
+      // can't see elapsed time — a click 3 events later might be a week
+      // later). The range predicate becomes an equi-join via banded
+      // time buckets of width = the gap (an in-gap successor can only
+      // sit in the event's own or the next bucket), so candidate volume
+      // is bounded by per-(user, 6h-bucket) occupancy — never per-user
+      // quadratic. Oracled against DuckDB's native range join.
+      EventAnalytics.episodesTimeTopK(Tables.events(s, dir),
+        EpisodeTimeGapMicros, length = 3, topK = EpisodeK)
     },
 
     "x_seq_top_paths" -> { (s, dir) =>
@@ -404,6 +409,25 @@ object SparkEntryEr {
         s"AND b.rn BETWEEN a.rn + 1 AND a.rn + $EpisodeMaxGap " +
         "JOIN r c ON c.user_id = b.user_id " +
         s"AND c.rn BETWEEN b.rn + 1 AND b.rn + $EpisodeMaxGap " +
+        "GROUP BY 1, 2, 3 " +
+        s"ORDER BY n_occurrences DESC, step1, step2, step3 LIMIT $EpisodeK"),
+
+    "x_seq_episodes_time" ->
+      // DuckDB replays the TIME-gap semantics as native range-bounded
+      // joins (strictly-after on (t, event_id), within the gap); the
+      // engine side uses the banded-bucket equi-join form for shuffle-key
+      // locality — the two derivations are independent, so a banding
+      // mistake (an in-gap pair dropped at a bucket boundary) mismatches
+      (s"WITH e AS (SELECT user_id, event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id FROM events) " +
+        "SELECT a.event_type AS step1, b.event_type AS step2, " +
+        "c.event_type AS step3, CAST(count(*) AS BIGINT) AS n_occurrences " +
+        "FROM e a JOIN e b ON b.user_id = a.user_id " +
+        "AND (b.t > a.t OR (b.t = a.t AND b.event_id > a.event_id)) " +
+        s"AND b.t - a.t <= $EpisodeTimeGapMicros " +
+        "JOIN e c ON c.user_id = b.user_id " +
+        "AND (c.t > b.t OR (c.t = b.t AND c.event_id > b.event_id)) " +
+        s"AND c.t - b.t <= $EpisodeTimeGapMicros " +
         "GROUP BY 1, 2, 3 " +
         s"ORDER BY n_occurrences DESC, step1, step2, step3 LIMIT $EpisodeK"),
 

@@ -29,6 +29,28 @@ object SparkEntryIdx {
   private val ProfileK = 10
   private val ProfileIters = 3
 
+  /** Fused-list depth for x_hybrid_search (top-10 per query, the ANN
+    * family's k — shared with the oracle's QUALIFY). */
+  private val HybridK = 10
+
+  /** The x_bm25_topk replay SQL, shared verbatim with x_hybrid_search's
+    * lexical leg so the two oracles can never rank differently. */
+  private def bm25TopkOracleSql: String =
+    s"WITH toks AS (SELECT doc_id, unnest($toks) AS term FROM documents), " +
+      "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+      s"dl AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS dl FROM documents), " +
+      "st AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM dl), " +
+      s"dfx AS (SELECT term, count(*) AS df FROM tf WHERE term IN (${inSql(bm25Terms)}) GROUP BY 1), " +
+      "idf AS (SELECT term, floor(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) * 1000000.0 + 0.5) / 1000000.0 AS idf FROM dfx, st), " +
+      "sc AS (SELECT t.doc_id, floor((i.idf * (t.tf * 2.2)) / " +
+      "(t.tf + 1.2 * (0.25 + (0.75 * d.dl) / s.avgdl)) * 1000000.0 + 0.5) / 1000000.0 AS s1 " +
+      s"FROM tf t JOIN idf i USING (term) JOIN dl d USING (doc_id), st s " +
+      s"WHERE t.term IN (${inSql(bm25Terms)})), " +
+      "per AS (SELECT doc_id, sum(CAST(s1 AS DECIMAL(18,6))) AS s FROM sc GROUP BY 1) " +
+      "SELECT doc_id, CAST(s AS DOUBLE) AS score, " +
+      "CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank FROM per " +
+      "QUALIFY rank <= 20"
+
   /** Verification hook for x_sketch_hll (the [[Similarity.lastLearned]]
     * contract): the per-group HLL estimates of the most recent run, which
     * the oracle replays as literals — the sketch binary itself is
@@ -84,6 +106,38 @@ object SparkEntryIdx {
     },
     "x_bm25_topk" -> { (s, dir) =>
       InvertedIndex.bm25TopK(Tables.documents(s, dir), bm25Terms)
+    },
+    "x_hybrid_search" -> { (s, dir) =>
+      // hybrid retrieval (the RAG/training-data fusion op): reciprocal-
+      // rank fusion of the two STORED indexes' rankings — the BM25 top-20
+      // lexical leg (one term-set query; the fixture carries a single
+      // lexical intent, so the leg is shared across the query vectors)
+      // and the exact cosine top-10 vector leg per query embedding
+      // (vec_id < 10, the ANN family's fixed query set; vec_id ≡ doc_id
+      // in the fixture, so both legs rank the same id space). Fusion is
+      // rank-only integer arithmetic (lcm-scaled reciprocals, the
+      // x_knn_mrr idiom) with a total order, so the oracle replays both
+      // legs AND the fused score exactly. Legs are memoized — bounded
+      // relations (≤ 20 and |q|·10 rows), the stored-ranking contract.
+      val embs = Tables.embeddings(s, dir)
+      val qs = embs.where(col("vec_id") < 10)
+      val knn = hybridMemo(embs, "hybridKnnLeg")(
+        Similarity.bruteForceTopK(embs, qs, k = HybridK)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank")))
+      val docs = Tables.documents(s, dir)
+      val bm = hybridMemo(docs, "hybridBm25Leg")(
+        InvertedIndex.bm25TopK(docs, bm25Terms)
+          .select(col("doc_id"), col("rank")))
+      // the shared lexical leg fans out to every query via a constant-key
+      // equi join; the key derives from DATA (x % 1 = 0) rather than
+      // lit(1) — a both-sides-foldable literal key lets Catalyst fold the
+      // equality to true and plan the BroadcastNestedLoop the audit bans,
+      // while the derived key keeps a hash join over the two bounded
+      // (≤ |q| and ≤ 20 row) memoized relations
+      val bmq = qs.select(col("vec_id").as("query_id"),
+          (col("vec_id") % 1).as("__j"))
+        .join(bm.withColumn("__j", col("doc_id") % 1), "__j").drop("__j")
+      InvertedIndex.rrfFusion(Seq("bm25" -> bmq, "knn" -> knn), topK = HybridK)
     },
     "x_sparse_topk_sim" -> { (s, dir) =>
       // corpus-wide lexical near-neighbor pairs off the stored posting
@@ -420,6 +474,9 @@ object SparkEntryIdx {
 
   private val annEvalMemo = new graft.PlanMemo
 
+  /** x_hybrid_search's leg memos (bounded ranking relations). */
+  private val hybridMemo = new graft.PlanMemo
+
   /** Oracle counterpart of [[annEvalSetup]]: the four methods' replay
     * SQLs when every model stash is present, None otherwise — shared by
     * recallOracle and mrrOracle for the same no-drift reason. */
@@ -697,21 +754,33 @@ object SparkEntryIdx {
     // same determinism contract as x_quality_unigram_lm: idf and each
     // per-term score rounded to 6 decimals, per-doc sum over
     // DECIMAL(18,6) (exact, order-independent), rank ties on doc_id
-    "x_bm25_topk" ->
-      (s"WITH toks AS (SELECT doc_id, unnest($toks) AS term FROM documents), " +
-        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), " +
-        s"dl AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS dl FROM documents), " +
-        "st AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM dl), " +
-        s"dfx AS (SELECT term, count(*) AS df FROM tf WHERE term IN (${inSql(bm25Terms)}) GROUP BY 1), " +
-        "idf AS (SELECT term, floor(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) * 1000000.0 + 0.5) / 1000000.0 AS idf FROM dfx, st), " +
-        "sc AS (SELECT t.doc_id, floor((i.idf * (t.tf * 2.2)) / " +
-        "(t.tf + 1.2 * (0.25 + (0.75 * d.dl) / s.avgdl)) * 1000000.0 + 0.5) / 1000000.0 AS s1 " +
-        s"FROM tf t JOIN idf i USING (term) JOIN dl d USING (doc_id), st s " +
-        s"WHERE t.term IN (${inSql(bm25Terms)})), " +
-        "per AS (SELECT doc_id, sum(CAST(s1 AS DECIMAL(18,6))) AS s FROM sc GROUP BY 1) " +
-        "SELECT doc_id, CAST(s AS DOUBLE) AS score, " +
-        "CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank FROM per " +
-        "QUALIFY rank <= 20"),
+    "x_bm25_topk" -> bm25TopkOracleSql,
+
+    // both legs replayed by their OWN oracles (the bm25 SQL above, the
+    // exact-knn SQL shared with x_knn_cosine/x_knn_recall), then the RRF
+    // fusion re-derived independently: integer lcm(1..20) reciprocals,
+    // Long sum, (rrf DESC, doc_id) total order — any fusion-arithmetic
+    // drift on the engine side hash-mismatches
+    "x_hybrid_search" ->
+      (s"WITH bm AS (SELECT doc_id, rank FROM ($bm25TopkOracleSql)), " +
+        s"knn AS (SELECT query_id, neighbor_id AS doc_id, rank " +
+        s"FROM (${SparkEntryExt.knnCosineOracleSql})), " +
+        "hq AS (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 10), " +
+        "bmq AS (SELECT hq.query_id, bm.doc_id, bm.rank AS bm25_rank FROM hq, bm), " +
+        "f AS (SELECT coalesce(bmq.query_id, knn.query_id) AS query_id, " +
+        "coalesce(bmq.doc_id, knn.doc_id) AS doc_id, " +
+        "CAST(coalesce(bmq.bm25_rank, 0) AS BIGINT) AS bm25_rank, " +
+        "CAST(coalesce(knn.rank, 0) AS BIGINT) AS knn_rank " +
+        "FROM bmq FULL OUTER JOIN knn " +
+        "ON bmq.query_id = knn.query_id AND bmq.doc_id = knn.doc_id), " +
+        "s AS (SELECT *, CAST(" +
+        s"(CASE WHEN bm25_rank > 0 THEN ${graft.ext.InvertedIndex.RrfScale} // bm25_rank ELSE 0 END) + " +
+        s"(CASE WHEN knn_rank > 0 THEN ${graft.ext.InvertedIndex.RrfScale} // knn_rank ELSE 0 END) " +
+        "AS BIGINT) AS rrf_scaled FROM f) " +
+        "SELECT query_id, doc_id, bm25_rank, knn_rank, rrf_scaled, " +
+        "CAST(row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY rrf_scaled DESC, doc_id) AS INT) AS rank " +
+        s"FROM s QUALIFY rank <= $HybridK"),
 
     // same df cut (division-free, ppm of the corpus), same integer
     // cos²-ppm floor division (HUGEINT = the DECIMAL(38,0) path), same

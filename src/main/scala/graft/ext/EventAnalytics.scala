@@ -201,6 +201,106 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_paths"))
   }
 
+  /** Gap-bounded sequential episodes over a POSITIONED event relation
+    * `(user_id, event_type, rn)` (one `row_number` per user in the
+    * caller's canonical ordering — pass a stored/memoized relation so
+    * the sort is paid once per corpus): the top-k length-`length`
+    * episodes where each step follows the previous within `maxGap`
+    * POSITIONS (noise events in between are skipped; gap 1 = contiguous
+    * paths). The gap is EXPANDED into explicit `(rn + 1..g)` keys so
+    * every hop is a pure EQUI-join on (user, position) — candidate
+    * volume gap^(length−1)·N, linear in the corpus, where the naive
+    * user-keyed range join goes per-user quadratic. `length` is a
+    * parameter, not a query shape (r14 item 8): the hop join FOLDS, one
+    * leg per step, each leg the same shuffle key. Output columns
+    * `step1..stepN, n_occurrences`, total-ordered top-k. */
+  def episodesTopK(ordered: DataFrame, maxGap: Int, length: Int,
+                   topK: Int): DataFrame = {
+    require(maxGap >= 1, s"maxGap must be >= 1, got $maxGap")
+    require(length >= 2 && length <= 6,
+      s"episode length $length outside [2, 6] — candidate volume is " +
+        "gap^(length-1) per event; longer episodes need sampling first")
+    val gaps = array((1 to maxGap).map(lit): _*)
+    val next = ordered.select(col("user_id"), col("rn").as("__rn"),
+      col("event_type").as("__next"))
+    var acc = ordered.select(col("user_id"),
+      array(col("event_type")).as("__steps"), col("rn").as("__rn"))
+    for (_ <- 2 to length) {
+      acc = acc
+        .select(col("user_id"), col("__steps"), explode(gaps).as("__g"),
+          col("__rn"))
+        .select(col("user_id"), col("__steps"),
+          (col("__rn") + col("__g")).as("__rn"))
+        .join(next, Seq("user_id", "__rn"))
+        .select(col("user_id"),
+          concat(col("__steps"), array(col("__next"))).as("__steps"),
+          col("__rn"))
+    }
+    episodeRollup(acc, length, topK)
+  }
+
+  /** Time-gap episodes — the wall-clock companion of [[episodesTopK]]
+    * (r14 item 5): each step follows the previous within `maxGapMicros`
+    * of EVENT TIME (order on (ts, event_id) so simultaneous events chain
+    * deterministically). The range predicate is turned into an equi-join
+    * by BANDED TIME BUCKETS of width = the gap: an event in bucket b can
+    * only be followed within the gap by events in buckets {b, b+1}, so
+    * the left side explodes to those two keys and the hop joins on
+    * (user, bucket) with the exact gap/order residual — candidate volume
+    * is bounded by per-(user, bucket) occupancy, never per-user
+    * quadratic. Negative epochs would floor-vs-truncate differently; the
+    * engine's fixtures are post-1970 and the valve below keeps it
+    * honest. Output matches [[episodesTopK]]. */
+  def episodesTimeTopK(events: DataFrame, maxGapMicros: Long, length: Int,
+                       topK: Int, tsCol: String = "ts",
+                       userCol: String = "user_id",
+                       typeCol: String = "event_type",
+                       idCol: String = "event_id"): DataFrame = {
+    require(maxGapMicros > 0, s"gap must be positive, got $maxGapMicros")
+    require(length >= 2 && length <= 6,
+      s"episode length $length outside [2, 6]")
+    // in-row valve: DIV truncates toward zero, so a pre-epoch timestamp
+    // would land in the WRONG band and silently drop pairs — fail by name
+    val t = when(unix_micros(col(tsCol)) < 0, raise_error(lit(
+      "episodesTimeTopK: pre-1970 timestamp — banded bucketing assumes " +
+        "non-negative epochs"))).otherwise(unix_micros(col(tsCol)))
+    val e = events.select(col(userCol).as("user_id"), t.as("__t"),
+      col(idCol).as("__id"), col(typeCol).as("event_type"))
+    val next = e.select(col("user_id"),
+      expr(s"__t DIV $maxGapMicros").as("__bkt"),
+      col("event_type").as("__next"), col("__t").as("__t2"),
+      col("__id").as("__id2"))
+    var acc = e.select(col("user_id"), array(col("event_type")).as("__steps"),
+      col("__t"), col("__id"))
+    for (_ <- 2 to length) {
+      acc = acc
+        .select(col("user_id"), col("__steps"), col("__t"), col("__id"),
+          explode(array(expr(s"__t DIV $maxGapMicros"),
+            expr(s"__t DIV $maxGapMicros") + 1)).as("__bkt"))
+        .join(next, Seq("user_id", "__bkt"))
+        .where(col("__t2") - col("__t") <= maxGapMicros &&
+          (col("__t2") > col("__t") ||
+            (col("__t2") === col("__t") && col("__id2") > col("__id"))))
+        .select(col("user_id"),
+          concat(col("__steps"), array(col("__next"))).as("__steps"),
+          col("__t2").as("__t"), col("__id2").as("__id"))
+    }
+    episodeRollup(acc, length, topK)
+  }
+
+  /** Shared episode tail: project the step array to `step1..stepN`
+    * columns, count occurrences, total-order the top-k. */
+  private def episodeRollup(acc: DataFrame, length: Int, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val named = acc.select(
+      (1 to length).map(i => col("__steps")(i - 1).as(s"step$i")): _*)
+    named.groupBy((1 to length).map(i => col(s"step$i")): _*)
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc +:
+        (1 to length).map(i => col(s"step$i")): _*)
+      .limit(topK)
+  }
+
   /** Last-touch revenue attribution: every purchase credits its value to
     * the user's most recent touch event (any of `touchTypes`) within
     * `lookbackSec`; purchases with no touch inside the lookback land in

@@ -323,4 +323,61 @@ object InvertedIndex {
       .withColumn("rank", row_number().over(global)).where(col("rank") <= k)
       .select(col("doc_id"), col("score"), col("rank"))
   }
+
+  /** Integer reciprocal scale for [[rrfFusion]]: lcm(1..20) = 232792560,
+    * so every reciprocal 1/rank with rank ≤ [[RrfMaxRank]] is an EXACT
+    * integer after scaling — the fused score is a Long sum, replayable
+    * bit-for-bit by the oracle with no float summation order anywhere in
+    * the ranking (the x_knn_mrr arithmetic, lifted from lcm(1..10)). */
+  val RrfScale: Long = 232792560L
+  /** Max per-source rank the integer scale covers. */
+  val RrfMaxRank = 20
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09 — the
+    * standard hybrid-retrieval combiner): fuse two or more per-query
+    * rankings `(query_id, doc_id, rank)` into one, scoring each doc by
+    * Σ_sources 1/rank (0 where a source didn't return it) and re-ranking
+    * per query. RRF is rank-only — BM25 scores and cosine similarities
+    * never share a unit, so fusing their RANKS is what makes
+    * lexical ⊕ vector composition principled rather than a scale fudge.
+    *
+    * Arithmetic is integer end-to-end: reciprocals scale by [[RrfScale]]
+    * (exact for ranks ≤ [[RrfMaxRank]], enforced by an in-row valve), the
+    * fused score is their Long sum, and the final order is total
+    * (rrf_scaled DESC, doc_id) so the LIMIT is deterministic and the
+    * DuckDB oracle replays the fusion exactly.
+    *
+    * Plan shape: one full-outer equi-join per extra source on the
+    * (query, doc) key — candidate volume is Σ per-source list lengths
+    * per query (bounded by queries · maxRank · sources), so the re-rank
+    * window runs over a BOUNDED-by-construction relation, never the
+    * corpus. Output: `query_id, doc_id, <name>_rank per source
+    * (0 = absent), rrf_scaled, rank`. */
+  def rrfFusion(rankings: Seq[(String, DataFrame)], topK: Int): DataFrame = {
+    require(rankings.size >= 2, "fusion needs at least two rankings")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val sides = rankings.map { case (nm, df) =>
+      df.select(col("query_id"), col("doc_id"),
+        when(col("rank") < 1 || col("rank") > RrfMaxRank, raise_error(concat(
+          lit("rrfFusion: rank "), col("rank").cast("string"),
+          lit(s" outside [1, $RrfMaxRank] — the integer reciprocal scale " +
+            "only covers that range (raise RrfScale's lcm consciously)"))))
+          .otherwise(col("rank")).cast("long").as(s"${nm}_rank"))
+    }
+    val joined = sides.reduce((a, b) => a.join(b, Seq("query_id", "doc_id"), "full"))
+    val rankCols = rankings.map { case (nm, _) => s"${nm}_rank" }
+    val filled = joined.select(col("query_id") +: col("doc_id") +:
+      rankCols.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+    val rrf = rankCols
+      .map(c => expr(s"CASE WHEN $c > 0 THEN $RrfScale DIV $c " +
+        "ELSE CAST(0 AS BIGINT) END"))
+      .reduce(_ + _)
+    // per-query window over the bounded fused candidate set (≤ sources ·
+    // maxRank rows per query) — never corpus-sized, so no two-phase top-k
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_scaled").desc, col("doc_id"))
+    filled.withColumn("rrf_scaled", rrf.cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+  }
 }

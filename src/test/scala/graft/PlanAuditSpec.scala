@@ -20,7 +20,11 @@ class PlanAuditSpec extends SparkSpec {
       "x_knn_mrr",
       // the filtered search runs the same broadcast-bounded exact scan
       // over the metadata-sliced corpus
-      "x_knn_filtered")
+      "x_knn_filtered",
+      // the hybrid fusion's vector leg IS the exact baseline
+      // (bruteForceTopK's deliberate broadcast scorer); the fusion joins
+      // themselves are equi-joins over bounded ranking relations
+      "x_hybrid_search")
 
   test("no query plans a cartesian product or an unbounded nested loop") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -186,6 +190,15 @@ class PlanAuditSpec extends SparkSpec {
     // equi-join shuffles + the bounded top-k rank — the gap expansion
     // keeps both hops equi-joins, so no per-user quadratic shape prints
     "x_seq_episodes" -> 4,
+    // time episodes: the banded (user, bucket) hops hash-join off ONE
+    // events scan (broadcast of the bounded hop side at this sf); the
+    // printable exchange is the final grouped top-k
+    "x_seq_episodes_time" -> 1,
+    // hybrid fusion: the two leg builds print their lineage (BM25's
+    // posting aggs + two-phase top-k, the brute-force kNN's bounded
+    // ranking) + the fused full-outer join and per-query re-rank — all
+    // over bounded ranking relations once the legs are memoized
+    "x_hybrid_search" -> 12,
     // delta refresh: base chain (3 iters over the filtered edge
     // artifact) + seed join/renormalize + ONE full-graph iteration —
     // print count inflated by the two edge artifacts' shared lineage

@@ -306,6 +306,40 @@ class SoakSpec extends SparkSpec {
     e10.unpersist(); Caches.invalidate(spark)
   }
 
+  test("SSSP at 10× edges: distances replicate, wall ~linear in edge volume", Soak) {
+    // the weighted companion of the BFS soak (r14 item 3 — the board's
+    // most expensive timed query finally gets its scale row): salted
+    // copies are DISJOINT weighted components, so source 0's distance
+    // map must REPLICATE the 1× run exactly (same reached set, same
+    // distances — hence the same weighted hop diameter driving the same
+    // round count) while every relaxation round's frontier⋈edges join
+    // scans 10× the edges. The claim under test is the r15 incremental-
+    // best loop: per-round cost O(|best| + |frontier| + |E_scanned|),
+    // wall growing with edge volume — never rounds × Σprior-leaves.
+    def salt(e: DataFrame): DataFrame = (0 until 10).map(i => e.select(
+      (col("src") + lit(i.toLong * 4000000000L)).as("src"),
+      (col("dst") + lit(i.toLong * 4000000000L)).as("dst"), col("wt")))
+      .reduce(_ unionByName _).repartition(32)
+    val e1 = SparkEntryEvt.weightedEdges(spark, base)
+    val e10 = salt(e1).persist()
+    info(s"10x weighted edges: ${e10.count()}")
+    def run(e: DataFrame): (Map[Long, Long], Double) = {
+      val t0 = System.nanoTime()
+      val dists = graft.ext.Graph.sssp(e, "src", "dst", "wt", source = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (dists, (System.nanoTime() - t0) / 1e9)
+    }
+    run(e1) // warmup (JIT + codegen)
+    val (d1, t1) = run(e1)
+    val (d10, t10) = assertNoBigSingleTaskStage(500000L) { run(e10) }
+    info(f"sssp wall: 1x=$t1%.2fs 10x=$t10%.2fs ratio=${t10 / t1}%.1f " +
+      s"(reached ${d1.size}/${d10.size}, max dist ${d1.values.max}/${d10.values.max})")
+    assert(d10 == d1, "disjoint salted copies: the distance map must replicate exactly")
+    assert(t10 <= 30 * t1 + 5.0,
+      f"10x took ${t10 / t1}%.1f× the 1x time — not ~linear in edge volume")
+    e10.unpersist(); Caches.invalidate(spark)
+  }
+
   test("pagerank delta refresh beats the full rebuild at 10× edges", Soak) {
     // The delta's contract (Graph.pageRankFrom): ONE warm-start iteration
     // costs ~iters⁻¹ of the rebuild's edge shuffles plus a fixed O(V)
