@@ -483,9 +483,8 @@ object Graph {
     * are positive; `maxRounds` is the loud-failure valve past that. */
   private def relaxToFixpoint(eGuarded: DataFrame, acc0: DataFrame,
                               frontier0: DataFrame, maxRounds: Int): DataFrame = {
-    // improvements strictly beat the old row, so (best minus improved)
-    // ∪ improved is exactly the per-node min; checkpointed so the next
-    // round's anti-join reads a materialized relation, not stacked lineage
+    // init only: improvements strictly beat the old row, so (best minus
+    // improved) ∪ improved is exactly the per-node min
     def absorb(best: DataFrame, improved: DataFrame): DataFrame =
       best.join(improved.select("node"), Seq("node"), "left_anti")
         .unionByName(improved)
@@ -501,17 +500,29 @@ object Graph {
       val cand = frontier.join(eGuarded, col("node") === col("__s"))
         .select(col("__d").as("node"), (col("dist") + col("__w")).as("__cd"))
         .groupBy("node").agg(min(col("__cd")).as("__cd"))
-      val improved = cand
-        .join(best.withColumnRenamed("dist", "__best"), Seq("node"), "left")
-        .where(col("__best").isNull || col("__cd") < col("__best"))
-        .select(col("node"), col("__cd").as("dist"))
+      // ONE full-outer join per round carries BOTH outputs — the
+      // improvement frontier (candidate strictly below the running best,
+      // or a first sighting) and the next best (per-node min of the two
+      // sides) — checkpointed once, so the loop pays one shuffle join +
+      // one materialization per round instead of separate improvement
+      // and merge joins; improved/best are narrow maps over it
+      val merged = cand
+        .join(best.withColumnRenamed("dist", "__best"), Seq("node"), "full")
         .localCheckpoint(true)
+      val improvedPred = col("__cd").isNotNull &&
+        (col("__best").isNull || col("__cd") < col("__best"))
+      val improved = merged.where(improvedPred)
+        .select(col("node"), col("__cd").as("dist"))
       if (improved.isEmpty) more = false
       else if (round > maxRounds)
         throw new IllegalStateException(
           s"sssp: still improving after $maxRounds rounds — " +
             "raise maxRounds explicitly if shortest paths really are that long")
-      else { best = absorb(best, improved); frontier = improved }
+      else {
+        best = merged.select(col("node"),
+          when(improvedPred, col("__cd")).otherwise(col("__best")).as("dist"))
+        frontier = improved
+      }
     }
     best.select(col("node"), col("dist"))
   }
