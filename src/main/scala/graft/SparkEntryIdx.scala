@@ -33,6 +33,35 @@ object SparkEntryIdx {
     * family's k — shared with the oracle's QUALIFY). */
   private val HybridK = 10
 
+  /** The fused-ranking replay SQL shared by both hybrid entries: the
+    * vector leg is any `(query_id, neighbor_id, rank)` subquery (the
+    * exact-knn SQL for x_hybrid_search, the stash-replayed IVF SQL for
+    * x_hybrid_search_ann), the lexical leg is [[bm25TopkOracleSql]]
+    * verbatim, and the RRF arithmetic is re-derived independently of the
+    * engine (integer lcm reciprocals, Long sum, total order). */
+  private def hybridFusionSql(vectorSql: String, vecName: String): String = {
+    val vr = s"${vecName}_rank"
+    val L = graft.ext.InvertedIndex.RrfScale
+    s"WITH bm AS (SELECT doc_id, rank FROM ($bm25TopkOracleSql)), " +
+      s"vec AS (SELECT query_id, neighbor_id AS doc_id, rank FROM ($vectorSql)), " +
+      "hq AS (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 10), " +
+      "bmq AS (SELECT hq.query_id, bm.doc_id, bm.rank AS bm25_rank FROM hq, bm), " +
+      "f AS (SELECT coalesce(bmq.query_id, vec.query_id) AS query_id, " +
+      "coalesce(bmq.doc_id, vec.doc_id) AS doc_id, " +
+      "CAST(coalesce(bmq.bm25_rank, 0) AS BIGINT) AS bm25_rank, " +
+      s"CAST(coalesce(vec.rank, 0) AS BIGINT) AS $vr " +
+      "FROM bmq FULL OUTER JOIN vec " +
+      "ON bmq.query_id = vec.query_id AND bmq.doc_id = vec.doc_id), " +
+      "s AS (SELECT *, CAST(" +
+      s"(CASE WHEN bm25_rank > 0 THEN $L // bm25_rank ELSE 0 END) + " +
+      s"(CASE WHEN $vr > 0 THEN $L // $vr ELSE 0 END) " +
+      "AS BIGINT) AS rrf_scaled FROM f) " +
+      s"SELECT query_id, doc_id, bm25_rank, $vr, rrf_scaled, " +
+      "CAST(row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY rrf_scaled DESC, doc_id) AS INT) AS rank " +
+      s"FROM s QUALIFY rank <= $HybridK"
+  }
+
   /** The x_bm25_topk replay SQL, shared verbatim with x_hybrid_search's
     * lexical leg so the two oracles can never rank differently. */
   private def bm25TopkOracleSql: String =
@@ -124,20 +153,26 @@ object SparkEntryIdx {
       val knn = hybridMemo(embs, "hybridKnnLeg")(
         Similarity.bruteForceTopK(embs, qs, k = HybridK)
           .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank")))
-      val docs = Tables.documents(s, dir)
-      val bm = hybridMemo(docs, "hybridBm25Leg")(
-        InvertedIndex.bm25TopK(docs, bm25Terms)
-          .select(col("doc_id"), col("rank")))
-      // the shared lexical leg fans out to every query via a constant-key
-      // equi join; the key derives from DATA (x % 1 = 0) rather than
-      // lit(1) — a both-sides-foldable literal key lets Catalyst fold the
-      // equality to true and plan the BroadcastNestedLoop the audit bans,
-      // while the derived key keeps a hash join over the two bounded
-      // (≤ |q| and ≤ 20 row) memoized relations
-      val bmq = qs.select(col("vec_id").as("query_id"),
-          (col("vec_id") % 1).as("__j"))
-        .join(bm.withColumn("__j", col("doc_id") % 1), "__j").drop("__j")
-      InvertedIndex.rrfFusion(Seq("bm25" -> bmq, "knn" -> knn), topK = HybridK)
+      InvertedIndex.rrfFusion(
+        Seq("bm25" -> bm25LegFanned(s, dir, qs), "knn" -> knn), topK = HybridK)
+    },
+    "x_hybrid_search_ann" -> { (s, dir) =>
+      // the hybrid fusion's SCALE path: same lexical leg, but the vector
+      // leg is the IVF INDEX retrieval (identical model/params to
+      // x_knn_ivf, so the learned centroids, memoized artifacts, and the
+      // oracle's replayed stash are all shared — the frozen-model
+      // contract) instead of the exact corpus scan. At 100 TB the exact
+      // leg is the recall yardstick; THIS is the shape a deployment
+      // serves: cells bound the candidate scan, fusion stays the same
+      // integer arithmetic over bounded ranking relations.
+      val embs = Tables.embeddings(s, dir)
+      val qs = embs.where(col("vec_id") < 10)
+      val ivf = hybridMemo(embs, "hybridIvfLeg")(
+        Similarity.ivfTopKLearned(embs, qs, k = HybridK,
+            kCells = 8, iters = 2, nprobe = 2)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank")))
+      InvertedIndex.rrfFusion(
+        Seq("bm25" -> bm25LegFanned(s, dir, qs), "ivf" -> ivf), topK = HybridK)
     },
     "x_sparse_topk_sim" -> { (s, dir) =>
       // corpus-wide lexical near-neighbor pairs off the stored posting
@@ -474,8 +509,25 @@ object SparkEntryIdx {
 
   private val annEvalMemo = new graft.PlanMemo
 
-  /** x_hybrid_search's leg memos (bounded ranking relations). */
+  /** The hybrid entries' leg memos (bounded ranking relations). */
   private val hybridMemo = new graft.PlanMemo
+
+  /** The shared lexical leg, fanned out to every query vector via a
+    * constant-key equi join; the key derives from DATA (x % 1 = 0)
+    * rather than lit(1) — a both-sides-foldable literal key lets
+    * Catalyst fold the equality to true and plan the
+    * BroadcastNestedLoop the audit bans, while the derived key keeps a
+    * hash join over the two bounded (≤ |q| and ≤ 20 row) memoized
+    * relations. */
+  private def bm25LegFanned(s: SparkSession, dir: String,
+                            qs: DataFrame): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bm = hybridMemo(docs, "hybridBm25Leg")(
+      InvertedIndex.bm25TopK(docs, bm25Terms)
+        .select(col("doc_id"), col("rank")))
+    qs.select(col("vec_id").as("query_id"), (col("vec_id") % 1).as("__j"))
+      .join(bm.withColumn("__j", col("doc_id") % 1), "__j").drop("__j")
+  }
 
   /** Oracle counterpart of [[annEvalSetup]]: the four methods' replay
     * SQLs when every model stash is present, None otherwise — shared by
@@ -762,25 +814,7 @@ object SparkEntryIdx {
     // Long sum, (rrf DESC, doc_id) total order — any fusion-arithmetic
     // drift on the engine side hash-mismatches
     "x_hybrid_search" ->
-      (s"WITH bm AS (SELECT doc_id, rank FROM ($bm25TopkOracleSql)), " +
-        s"knn AS (SELECT query_id, neighbor_id AS doc_id, rank " +
-        s"FROM (${SparkEntryExt.knnCosineOracleSql})), " +
-        "hq AS (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 10), " +
-        "bmq AS (SELECT hq.query_id, bm.doc_id, bm.rank AS bm25_rank FROM hq, bm), " +
-        "f AS (SELECT coalesce(bmq.query_id, knn.query_id) AS query_id, " +
-        "coalesce(bmq.doc_id, knn.doc_id) AS doc_id, " +
-        "CAST(coalesce(bmq.bm25_rank, 0) AS BIGINT) AS bm25_rank, " +
-        "CAST(coalesce(knn.rank, 0) AS BIGINT) AS knn_rank " +
-        "FROM bmq FULL OUTER JOIN knn " +
-        "ON bmq.query_id = knn.query_id AND bmq.doc_id = knn.doc_id), " +
-        "s AS (SELECT *, CAST(" +
-        s"(CASE WHEN bm25_rank > 0 THEN ${graft.ext.InvertedIndex.RrfScale} // bm25_rank ELSE 0 END) + " +
-        s"(CASE WHEN knn_rank > 0 THEN ${graft.ext.InvertedIndex.RrfScale} // knn_rank ELSE 0 END) " +
-        "AS BIGINT) AS rrf_scaled FROM f) " +
-        "SELECT query_id, doc_id, bm25_rank, knn_rank, rrf_scaled, " +
-        "CAST(row_number() OVER (PARTITION BY query_id " +
-        "ORDER BY rrf_scaled DESC, doc_id) AS INT) AS rank " +
-        s"FROM s QUALIFY rank <= $HybridK"),
+      hybridFusionSql(SparkEntryExt.knnCosineOracleSql, "knn"),
 
     // same df cut (division-free, ppm of the corpus), same integer
     // cos²-ppm floor division (HUGEINT = the DECIMAL(38,0) path), same
@@ -982,7 +1016,18 @@ object SparkEntryIdx {
         "FROM log WHERE op IN ('insert', 'update', 'delete')) " +
         "WHERE rn = 1 AND op <> 'delete'"),
   ) ++ pqOracle ++ semOracle ++ ivfPqOracle ++ xsemOracle ++ recallOracle ++
-    mrrOracle ++ profileOracle ++ kmeansOracle
+    mrrOracle ++ profileOracle ++ kmeansOracle ++ hybridAnnOracle
+
+  /** x_hybrid_search_ann's oracle: the SAME fusion SQL with the vector
+    * leg replaced by the stash-replayed IVF retrieval (identical model to
+    * x_knn_ivf — the frozen-model contract); omitted (rows-only check)
+    * when the centroid stash is empty, the per-method entries' rule. */
+  private def hybridAnnOracle: Map[String, String] =
+    SparkEntryExt.ivfOracleSqlOpt match {
+      case Some(ivfSql) =>
+        Map("x_hybrid_search_ann" -> hybridFusionSql(ivfSql, "ivf"))
+      case _ => Map.empty
+    }
 
   /** x_decontaminate_semantic: stashed centroids as literals; both sides
     * assigned, across-side in-cell cosine, best bench match per flagged

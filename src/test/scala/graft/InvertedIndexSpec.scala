@@ -265,6 +265,29 @@ class InvertedIndexSpec extends SparkSpec {
     assert(rows.exists(_.getLong(3) > 0), "no vector contribution")
   }
 
+  test("x_hybrid_search_ann: same lexical leg as the exact hybrid, full deterministic lists") {
+    val ann = SparkEntry.queries("x_hybrid_search_ann")(spark, sf).collect()
+    val exact = SparkEntry.queries("x_hybrid_search")(spark, sf).collect()
+    // 10 queries x top-10, ranks 1..10 per query, rrf non-increasing
+    assert(ann.length == 100, s"${ann.length}")
+    ann.groupBy(_.getLong(0)).values.foreach { qr =>
+      val sorted = qr.sortBy(_.getInt(5))
+      assert(sorted.map(_.getInt(5)).toSeq == (1 to 10))
+      val scores = sorted.map(_.getLong(4))
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+    }
+    // the LEXICAL leg is shared verbatim: the set of (doc, bm25_rank)
+    // contributions visible in the fused lists must agree wherever a doc
+    // carries a bm25 rank in both outputs
+    def bmRanks(rows: Array[org.apache.spark.sql.Row]) =
+      rows.filter(_.getLong(2) > 0).map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val (ba, be) = (bmRanks(ann), bmRanks(exact))
+    val shared = ba.keySet intersect be.keySet
+    assert(shared.nonEmpty, "the shared lexical leg must surface in both")
+    assert(shared.forall(d => ba(d) == be(d)),
+      "bm25 ranks must be identical across the two hybrid entries")
+  }
+
   test("applyDocDelta plan tokenizes ONLY the batch: one Generate, stored postings scanned as-is") {
     val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
     val base = Seq((0L, "old stale words"), (2L, "keep these words")).toDF("doc_id", "text")

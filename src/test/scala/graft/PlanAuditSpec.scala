@@ -195,10 +195,11 @@ class PlanAuditSpec extends SparkSpec {
     // printable exchange is the final grouped top-k
     "x_seq_episodes_time" -> 1,
     // hybrid fusion: the two leg builds print their lineage (BM25's
-    // posting aggs + two-phase top-k, the brute-force kNN's bounded
-    // ranking) + the fused full-outer join and per-query re-rank — all
-    // over bounded ranking relations once the legs are memoized
-    "x_hybrid_search" -> 12,
+    // posting aggs + two-phase top-k, the vector leg's bounded ranking) +
+    // the fused full-outer join and per-query re-rank — all over bounded
+    // ranking relations once the legs are memoized; the ANN variant's
+    // IVF leg prints the same count (cell assignment is map-only)
+    "x_hybrid_search" -> 12, "x_hybrid_search_ann" -> 12,
     // delta refresh: base chain (3 iters over the filtered edge
     // artifact) + seed join/renormalize + ONE full-graph iteration —
     // print count inflated by the two edge artifacts' shared lineage
