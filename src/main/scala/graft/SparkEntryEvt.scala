@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Audit, Dedup, EventAnalytics, Graph, Sketches}
+import graft.ext.{Audit, Dedup, EventAnalytics, Graph, Recommend, Sketches, Skyline}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -70,6 +70,54 @@ object SparkEntryEvt {
     * 57 k edges / 323 k triangles at sf0.01 — non-trivial but bounded.
     * Shared with the oracle's HAVING clause. */
   private[graft] val MinSharedParts = 3L
+
+  /** Teleport segment for x_ppr: NATION_0's customers (55 at sf0.01, all
+    * order-bearing, so the semi-join against the graph keeps them all).
+    * Shared with the oracle's seed CTE. */
+  private[graft] val PprSeedNation = 0L
+  /** k for x_kcore over the projected customer graph: 40 sits where the
+    * peel CASCADES at the fixtures (7 simultaneous-drop rounds to a
+    * 961-vertex core at sf0.01) instead of converging in one sweep, so
+    * the iterative semantics are actually exercised. Shared with the
+    * oracle's unrolled WHERE. */
+  private[graft] val KCoreK = 40L
+  /** Oracle unroll depth for x_kcore: ≥ the engine's observed peel depth
+    * (7 at sf0.01) with margin — peeling a CONVERGED core is the
+    * identity, so extra unrolled rounds are no-ops and oracle rounds ≥
+    * engine rounds replay exactly (the kCore contract). */
+  private[graft] val KCoreOracleRounds = 10
+  /** Pair-support floor for x_basket_rules: ≥2 co-occurrences keeps the
+    * 3.4 k frequent pairs (of 116 k candidates) at sf0.01 — the floor
+    * demonstrably BINDS while leaving a non-trivial rule set. */
+  private[graft] val RulesMinSupport = 2L
+  /** Top-k per user for x_copurchase_recs. */
+  private[graft] val RecsTopK = 5
+  /** x_skyline bucket width in cents ($500): puts ~200 buckets over the
+    * lineitem price range and thins 60 k points to 48 near-frontier
+    * survivors across 2 buckets at sf0.01 — the prune genuinely prunes
+    * AND the residual same-bucket join is genuinely exercised. */
+  private[graft] val SkylineBucketCents = 50000L
+  /** HITS iterations — shared with the oracle's unrolled CTEs. */
+  private[graft] val HitsIters = 3
+  /** Landmark set for the multi-source BFS: customers 0..3 (node ids
+    * 2c). Four sweeps in one loop — the landmark-budget knob, shared
+    * with the oracle's seed CTE. */
+  private[graft] val LandmarkMaxCust = 4L
+
+  /** The landmark-distance relation (source, node, dist) — memoized +
+    * persisted like every derived artifact: x_landmarks reads it raw,
+    * x_closeness aggregates it, one BFS loop serves both (at 100 TB the
+    * landmark sweep is a stored table refreshed with the corpus). */
+  private val lmMemo = new graft.PlanMemo
+  private[graft] def landmarkDists(s: SparkSession, dir: String): DataFrame = {
+    val e = coPurchaseEdges(s, dir)
+    lmMemo(e, s"lmBfs$LandmarkMaxCust") {
+      val seeds = Tables.customer(s, dir)
+        .where(col("c_custkey") < LandmarkMaxCust)
+        .select((col("c_custkey") * 2).as("lmid"))
+      Graph.multiSourceBfs(e, "src", "dst", seeds, "lmid")
+    }
+  }
 
   /** The projected customer–customer co-purchase graph — the stored
     * derived-edge artifact the triangle census reads: the capped v-keyed
@@ -426,6 +474,111 @@ object SparkEntryEvt {
         .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
         .toSeq.sortBy(_._1)
       out
+    },
+    "x_ppr" -> { (s, dir) =>
+      // personalized PageRank: the importance walk RELATIVE to one
+      // nation's customer segment — teleport mass returns to the seeds,
+      // so iteration-k state is the seeds' k-hop neighborhood, never |V|
+      // (a 55-seed segment query touches thousands of vertices of a
+      // billion-vertex graph). Same integer fixed point and superstep
+      // shape as x_pagerank; GraphSpec pins the seeds=ALL reduction law.
+      val seeds = Tables.customer(s, dir)
+        .where(col("c_nationkey") === PprSeedNation)
+        .select((col("c_custkey") * 2).as("sid"))
+      Graph.personalizedPageRank(coPurchaseEdges(s, dir), "src", "dst",
+          seeds, "sid", PageRankIters)
+        .select(
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("part")).as("node_type"),
+          expr("node DIV 2").as("node_id"),
+          col("rank_scaled"))
+    },
+    "x_kcore" -> { (s, dir) =>
+      // k-core of the projected customer co-purchase graph: the cohesion
+      // filter as an iterative simultaneous peel — per round one degree
+      // agg + two semi-joins over the (shrinking) survivor edges, rounds
+      // bounded by the cascade depth (7 here), never |V|. Reads the SAME
+      // stored projected-edge artifact as x_triangles.
+      Graph.kCore(projectedCustomerEdges(s, dir), "ua", "ub",
+        k = KCoreK.toInt, assumeCanonical = true)
+    },
+    "x_basket_rules" -> { (s, dir) =>
+      // association rules over order baskets: support/confidence/lift in
+      // exact ppm for every directed pair co-bought in ≥2 baskets.
+      // Candidate volume is Σ C(|basket|,2) — linear under the basket
+      // size valve — and the support floor lands BEFORE the marginal
+      // joins, so the joined side is already the small frequent set.
+      Recommend.basketRules(Tables.lineitem(s, dir), "l_orderkey",
+        "l_partkey", minPairSupport = RulesMinSupport)
+    },
+    "x_copurchase_recs" -> { (s, dir) =>
+      // "customers like you bought": neighborhood-vote CF over the SAME
+      // stored projected similarity graph as x_triangles/x_kcore, votes
+      // from ONE neighbor-keyed equi-join (|E|·avg-ownership candidates,
+      // never users×items), owned items anti-joined away, deterministic
+      // top-5 per customer
+      Recommend.neighborVoteRecs(projectedCustomerEdges(s, dir), "ua", "ub",
+          bipartiteEdges(s, dir), "u", "v", k = RecsTopK)
+        .select(col("user").as("cust"), col("item"), col("votes"),
+          col("rank").as("rnk"))
+    },
+    "x_skyline" -> { (s, dir) =>
+      // Pareto frontier (min price, max quantity) over lineitems: bucket
+      // prefix-max prune (60 k → 48 near-frontier survivors) then the
+      // same-bucket residual join — the quadratic step runs over the
+      // frontier band only, the full scan is touched twice. The shared
+      // floor(x*100+0.5) cents derivation is the x_recon_report one.
+      val pts = Tables.lineitem(s, dir).select(
+        (col("l_orderkey") * 100 + col("l_linenumber")).as("lid"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")
+          .as("price_cents"),
+        floor(col("l_quantity")).cast("long").as("qty"))
+      Skyline.skyline2d(pts, "lid", "price_cents", "qty",
+          bucketWidth = SkylineBucketCents)
+        .select(col("id").as("lid"), col("x").as("price_cents"),
+          col("y").as("qty"))
+    },
+    "x_hits" -> { (s, dir) =>
+      // HITS hubs & authorities over the DIRECTED customer→part purchase
+      // graph (the even-src half of the stored symmetric artifact —
+      // customers are the hubs, parts the authorities, Kleinberg's
+      // bipartite case): two equi-join+agg supersteps per iteration,
+      // vectors L1-renormalized in DECIMAL(38,0) so the oracle replays
+      // every iteration bit-exactly; on a symmetric list hub == auth
+      // (GraphSpec law)
+      Graph.hits(coPurchaseEdges(s, dir).where(col("src") % 2 === 0),
+          "src", "dst", HitsIters)
+        .select(
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("part")).as("node_type"),
+          expr("node DIV 2").as("node_id"),
+          col("hub_scaled"), col("auth_scaled"))
+    },
+    "x_landmarks" -> { (s, dir) =>
+      // exact hop distances from 4 landmark customers in ONE BFS loop
+      // (composite (source, node) state — L sweeps for one loop's
+      // rounds, the landmark-distance primitive billion-vertex distance
+      // estimation is built on); reads the stored landmark relation
+      landmarkDists(s, dir)
+        .select(expr("source DIV 2").as("landmark_cust"),
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("part")).as("node_type"),
+          expr("node DIV 2").as("node_id"),
+          col("dist"))
+    },
+    "x_closeness" -> { (s, dir) =>
+      // harmonic centrality ESTIMATED from the same stored landmark
+      // relation (Σ 1/dist over landmarks, exact integer ppm — floor
+      // division, no float): the scale path for "how central is every
+      // node" on a graph where true closeness would need all-pairs BFS
+      landmarkDists(s, dir)
+        .where(col("dist") > 0)
+        .groupBy(
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("part")).as("node_type"),
+          expr("node DIV 2").as("node_id"))
+        .agg(sum(expr("1000000 DIV dist")).as("harmonic_ppm"),
+          count(lit(1)).as("n_landmarks"))
     },
   )
 
@@ -818,5 +971,170 @@ object SparkEntryEvt {
         "FROM du, range(7) t(o)), " +
         "roll AS (SELECT day, CAST(count(*) AS BIGINT) AS rolling FROM ex GROUP BY 1) " +
         "SELECT day, dau, rolling FROM dau JOIN roll USING (day)"),
+
+    // same seed restriction (semi-join against the graph), same integer
+    // recurrence with ABSENT = 0: contribs per reached dst, then a full
+    // join against the seed relation puts the teleport base on seeds only
+    "x_ppr" -> {
+      val S = Graph.Scale
+      val (dn, dd) = (Graph.DampNum, Graph.DampDen)
+      val seeds = "s AS (SELECT DISTINCT c_custkey * 2 AS sid FROM customer " +
+        s"WHERE c_nationkey = $PprSeedNation " +
+        "AND EXISTS (SELECT 1 FROM deg WHERE deg.id = c_custkey * 2)), " +
+        "ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s), " +
+        s"p0 AS (SELECT sid AS id, $S // (SELECT n FROM ns) AS r FROM s)"
+      val its = (1 to PageRankIters).map { i =>
+        s"c$i AS (SELECT e.dst AS dst, CAST(sum(r.r // d.deg) AS BIGINT) AS sm " +
+          s"FROM e JOIN p${i - 1} r ON r.id = e.src JOIN deg d ON d.id = e.src " +
+          "GROUP BY e.dst), " +
+          s"p$i AS (SELECT coalesce(c.dst, s.sid) AS id, " +
+          "CAST((CASE WHEN s.sid IS NOT NULL THEN " +
+          s"(SELECT ($S * ${dd - dn}) // ($dd * n) FROM ns) ELSE 0 END) + " +
+          s"coalesce(($dn * c.sm) // $dd, 0) AS BIGINT) AS r " +
+          s"FROM c$i c FULL JOIN s ON c.dst = s.sid)"
+      }
+      s"$graphCte, $seeds, ${its.mkString(", ")} $prSelect p$PageRankIters"
+    },
+
+    // the same projected-edge derivation as x_triangles, then the peel
+    // UNROLLED: each round recomputes degrees over the prior survivor
+    // edges and keeps edges whose BOTH endpoints hold degree >= k —
+    // exactly the engine's simultaneous drop. Peeling a converged core
+    // is the identity, so unrolling past the cascade depth is safe.
+    "x_kcore" -> {
+      // every e_i is referenced twice by round i+1 (its degree agg and
+      // its edge filter) — MATERIALIZED stops DuckDB's inliner from
+      // turning the 10-round chain into 2^10 base scans
+      val proj = "cp AS (SELECT DISTINCT o_custkey AS u, l_partkey AS v " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "bdeg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM cp GROUP BY 1), " +
+        s"kk AS (SELECT u, cp.v FROM cp JOIN bdeg USING (v) WHERE d <= $ButterflyCap), " +
+        "e0 AS MATERIALIZED (SELECT a.u AS ua, b.u AS ub FROM kk a JOIN kk b " +
+        "ON a.v = b.v AND a.u < b.u GROUP BY 1, 2 " +
+        s"HAVING count(*) >= $MinSharedParts)"
+      val rounds = (1 to KCoreOracleRounds).map { i =>
+        s"d$i AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM " +
+          s"(SELECT ua AS x FROM e${i - 1} UNION ALL SELECT ub FROM e${i - 1}) " +
+          "GROUP BY 1), " +
+          s"e$i AS MATERIALIZED (SELECT e.ua, e.ub FROM e${i - 1} e " +
+          s"JOIN d$i a ON a.x = e.ua JOIN d$i b ON b.x = e.ub " +
+          s"WHERE a.d >= $KCoreK AND b.d >= $KCoreK)"
+      }
+      s"WITH $proj, ${rounds.mkString(", ")} " +
+        "SELECT x AS node, CAST(count(*) AS BIGINT) AS core_deg FROM " +
+        s"(SELECT ua AS x FROM e$KCoreOracleRounds " +
+        s"UNION ALL SELECT ub FROM e$KCoreOracleRounds) GROUP BY 1"
+    },
+
+    // identical basket-cap / support-floor / ppm floor-division chain;
+    // HUGEINT mirrors the engine's DECIMAL(38,0) products
+    "x_basket_rules" ->
+      ("WITH b0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem), " +
+        "sz AS (SELECT bk FROM b0 GROUP BY bk " +
+        s"HAVING count(*) <= ${Recommend.DefaultMaxBasketItems}), " +
+        "kept AS (SELECT b0.bk, b0.it FROM b0 JOIN sz USING (bk)), " +
+        "nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n FROM kept), " +
+        "ic AS (SELECT it, CAST(count(*) AS BIGINT) AS ni FROM kept GROUP BY 1), " +
+        "pr AS (SELECT a.it AS ia, b.it AS ib, CAST(count(*) AS BIGINT) AS n_ab " +
+        "FROM kept a JOIN kept b ON a.bk = b.bk AND a.it < b.it GROUP BY 1, 2 " +
+        s"HAVING count(*) >= $RulesMinSupport), " +
+        "dr AS (SELECT ia AS ant, ib AS cons, n_ab FROM pr " +
+        "UNION ALL SELECT ib, ia, n_ab FROM pr) " +
+        "SELECT ant, cons, n_ab, " +
+        s"CAST(CAST(n_ab AS HUGEINT) * ${Recommend.Ppm} // (SELECT n FROM nb) AS BIGINT) AS support_ppm, " +
+        s"CAST(CAST(n_ab AS HUGEINT) * ${Recommend.Ppm} // a.ni AS BIGINT) AS conf_ppm, " +
+        s"CAST(CAST(n_ab AS HUGEINT) * (SELECT n FROM nb) * ${Recommend.Ppm} // " +
+        "(CAST(a.ni AS HUGEINT) * c.ni) AS BIGINT) AS lift_ppm " +
+        "FROM dr JOIN ic a ON a.it = dr.ant JOIN ic c ON c.it = dr.cons"),
+
+    // the same projection CTE, symmetrized; owned anti-join as NOT
+    // EXISTS; the identical (votes DESC, item ASC) deterministic rank
+    "x_copurchase_recs" ->
+      ("WITH cp AS (SELECT DISTINCT o_custkey AS u, l_partkey AS v " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "bdeg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM cp GROUP BY 1), " +
+        s"kk AS (SELECT u, cp.v FROM cp JOIN bdeg USING (v) WHERE d <= $ButterflyCap), " +
+        "pe AS (SELECT a.u AS ua, b.u AS ub FROM kk a JOIN kk b " +
+        "ON a.v = b.v AND a.u < b.u GROUP BY 1, 2 " +
+        s"HAVING count(*) >= $MinSharedParts), " +
+        "sym AS (SELECT ua AS u, ub AS nb FROM pe UNION ALL SELECT ub, ua FROM pe), " +
+        "vt AS (SELECT sym.u, cp.v AS cand, CAST(count(*) AS BIGINT) AS votes " +
+        "FROM sym JOIN cp ON cp.u = sym.nb " +
+        "WHERE NOT EXISTS (SELECT 1 FROM cp o WHERE o.u = sym.u AND o.v = cp.v) " +
+        "GROUP BY 1, 2) " +
+        "SELECT u AS cust, cand AS item, votes, CAST(rn AS BIGINT) AS rnk FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY u ORDER BY votes DESC, cand) AS rn " +
+        s"FROM vt) WHERE rn <= $RecsTopK"),
+
+    // HITS unrolled: each iteration's raw vectors, HUGEINT mass totals
+    // and Scale-renormalizations mirror the engine's DECIMAL(38,0)
+    // floor chain term for term
+    "x_hits" -> {
+      val S = Graph.Scale
+      val g = "cp AS (SELECT DISTINCT o_custkey * 2 AS s, l_partkey * 2 + 1 AS d " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "nh AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n FROM cp), " +
+        s"h0 AS (SELECT DISTINCT s AS u, $S // (SELECT n FROM nh) AS h FROM cp)"
+      val its = (1 to HitsIters).map { i =>
+        s"a${i}r AS (SELECT d AS v, CAST(sum(h) AS BIGINT) AS a " +
+          s"FROM cp JOIN h${i - 1} ON h${i - 1}.u = cp.s GROUP BY 1), " +
+          s"a${i}t AS (SELECT CAST(sum(a) AS HUGEINT) AS t FROM a${i}r), " +
+          s"a$i AS (SELECT v, CAST(CAST(a AS HUGEINT) * $S // " +
+          s"(SELECT t FROM a${i}t) AS BIGINT) AS a FROM a${i}r), " +
+          s"h${i}r AS (SELECT s AS u, CAST(sum(a) AS BIGINT) AS h " +
+          s"FROM cp JOIN a$i ON a$i.v = cp.d GROUP BY 1), " +
+          s"h${i}t AS (SELECT CAST(sum(h) AS HUGEINT) AS t FROM h${i}r), " +
+          s"h$i AS (SELECT u, CAST(CAST(h AS HUGEINT) * $S // " +
+          s"(SELECT t FROM h${i}t) AS BIGINT) AS h FROM h${i}r)"
+      }
+      s"WITH $g, ${its.mkString(", ")}, " +
+        s"f AS (SELECT coalesce(h.u, a.v) AS id, coalesce(h.h, 0) AS hub, " +
+        s"coalesce(a.a, 0) AS auth FROM h$HitsIters h " +
+        s"FULL JOIN a$HitsIters a ON h.u = a.v) " +
+        "SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'part' END AS node_type, " +
+        "id // 2 AS node_id, CAST(hub AS BIGINT) AS hub_scaled, " +
+        "CAST(auth AS BIGINT) AS auth_scaled FROM f"
+    },
+
+    // the same recursive bounded walk as x_bfs_levels, widened to the
+    // (source, id) composite state
+    "x_landmarks" ->
+      ("WITH RECURSIVE " + graphCteFor("", "") + ", " +
+        "lm AS (SELECT DISTINCT c_custkey * 2 AS s FROM customer " +
+        s"WHERE c_custkey < $LandmarkMaxCust), " +
+        "w(s, id, d) AS (SELECT s, s AS id, 0 AS d FROM lm " +
+        "UNION SELECT w.s, e.dst, w.d + 1 FROM w JOIN e ON e.src = w.id " +
+        "WHERE w.d < 64) " +
+        "SELECT s // 2 AS landmark_cust, " +
+        "CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'part' END AS node_type, " +
+        "id // 2 AS node_id, CAST(min(d) AS BIGINT) AS dist " +
+        "FROM w GROUP BY 1, 2, 3"),
+
+    // harmonic centrality re-derived from the same walk: Σ 10⁶ // dist
+    // over landmarks, self-rows (dist 0) excluded
+    "x_closeness" ->
+      ("WITH RECURSIVE " + graphCteFor("", "") + ", " +
+        "lm AS (SELECT DISTINCT c_custkey * 2 AS s FROM customer " +
+        s"WHERE c_custkey < $LandmarkMaxCust), " +
+        "w(s, id, d) AS (SELECT s, s AS id, 0 AS d FROM lm " +
+        "UNION SELECT w.s, e.dst, w.d + 1 FROM w JOIN e ON e.src = w.id " +
+        "WHERE w.d < 64), " +
+        "md AS (SELECT s, id, CAST(min(d) AS BIGINT) AS dist FROM w GROUP BY 1, 2) " +
+        "SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'part' END AS node_type, " +
+        "id // 2 AS node_id, CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_ppm, " +
+        "CAST(count(*) AS BIGINT) AS n_landmarks " +
+        "FROM md WHERE dist > 0 GROUP BY 1, 2"),
+
+    // the skyline re-derived from the ICDE'01 DEFINITION (NOT EXISTS a
+    // dominator) — independent of the engine's bucket-prune path, so a
+    // prune mistake cannot be mirrored into the oracle
+    "x_skyline" ->
+      ("WITH p AS (SELECT l_orderkey * 100 + l_linenumber AS lid, " +
+        "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_cents, " +
+        "CAST(floor(l_quantity) AS BIGINT) AS qty FROM lineitem) " +
+        "SELECT lid, price_cents, qty FROM p WHERE NOT EXISTS (" +
+        "SELECT 1 FROM p q WHERE q.price_cents <= p.price_cents " +
+        "AND q.qty >= p.qty " +
+        "AND (q.price_cents < p.price_cents OR q.qty > p.qty))"),
   ) ++ activeHllOracle
 }

@@ -581,4 +581,233 @@ object Graph {
     }
     ranks.select(col("__id").as("node"), col("__r").as("rank_scaled"))
   }
+
+  /** Personalized PageRank: the importance walk RELATIVE to a seed set —
+    * teleport mass returns to the seeds instead of spreading uniformly
+    * (Jeh & Widom, "Scaling Personalized Web Search", WWW'03; the
+    * recommendation/trust primitive built on the same superstep as
+    * [[pageRank]]). Recurrence:
+    * r_{k+1}(v) = [v ∈ S]·(Scale·15) div (100·|S|)
+    *            + (85·Σ_{u→v} r_k(u) div deg u) div 100, with absent = 0.
+    * Vertices the walk never reaches carry zero mass and are simply
+    * ABSENT — the sparsity is the point at 100 TB: iteration k's state is
+    * bounded by the seeds' k-hop neighborhood, not |V|, so a 50-seed
+    * segment query touches a few thousand vertices of a billion-vertex
+    * graph. Same integer fixed-point discipline as [[pageRank]] (floor
+    * divisions, mass ≤ [[Scale]]), so the oracle replays each iteration
+    * bit-exactly; same 2 map-side-combinable exchanges per iteration,
+    * plus one seed-keyed outer join (seed side is |S| rows — broadcast).
+    *
+    * With S = ALL vertices this recurrence is IDENTICAL to [[pageRank]]
+    * term for term (base = Scale·15/(100·n), every vertex seeded at
+    * Scale/n) — the reduction law GraphSpec pins. Seeds not present in
+    * the graph are ignored (semi-join against the degree relation);
+    * the one driver scalar is the surviving seed count. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters=$iters out of the unrolled range")
+    val deg = edges.groupBy(col(srcCol).as("__id"))
+      .agg(count(lit(1)).as("__deg"))
+    // seeds restricted to graph vertices: teleporting to an isolated id
+    // would strand mass on a vertex with no out-edges (the dangling case
+    // the symmetrized-graph contract excludes)
+    val s = seeds.select(col(seedCol).as("__sid")).distinct()
+      .join(deg.select(col("__id").as("__sid")), Seq("__sid"), "left_semi")
+      .localCheckpoint(true) // |S| rows; scanned per iteration as the base term
+    val nS = s.count() // the one driver scalar (seed count)
+    require(nS > 0, "personalizedPageRank: no seed is a graph vertex")
+    val base = (Scale * (DampDen - DampNum)) / (DampDen * nS)
+    val withDeg = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .join(deg, col("__src") === col("__id"))
+      .select(col("__src"), col("__dst"), col("__deg"))
+    var ranks = s.select(col("__sid").as("__id"), lit(Scale / nS).as("__r"))
+    for (_ <- 1 to iters) {
+      val contribs = withDeg
+        .join(ranks, col("__src") === col("__id"))
+        .select(col("__dst"), expr("__r DIV __deg").as("__c"))
+        .groupBy(col("__dst"))
+        .agg(sum(col("__c")).as("__sum"))
+      // base term lands on seeds only; the outer join keeps contribution
+      // rows for non-seeds and seed rows the frontier hasn't reached yet
+      ranks = contribs
+        .join(s.select(col("__sid")), col("__dst") === col("__sid"), "full")
+        .select(coalesce(col("__dst"), col("__sid")).as("__id"),
+          (when(col("__sid").isNotNull, lit(base)).otherwise(lit(0L)) +
+            coalesce(expr(s"($DampNum * __sum) DIV $DampDen"), lit(0L)))
+            .as("__r"))
+    }
+    ranks.select(col("__id").as("node"), col("__r").as("rank_scaled"))
+  }
+
+  /** k-core: the maximal subgraph in which every vertex has degree ≥ k —
+    * the standard cohesion filter (Seidman, "Network structure and
+    * minimum degree", Social Networks 1983) and the distributed peel is
+    * the textbook one (Montresor et al., "Distributed k-Core
+    * Decomposition", PODC'11): repeatedly drop vertices with degree < k
+    * and their incident edges until none remain. Input is an undirected
+    * simple graph as canonical `(a < b)` distinct pairs (the projected
+    * co-purchase artifact's shape; set `assumeCanonical = false` for raw
+    * pair lists). Per round: one degree agg (both endpoints unioned,
+    * map-side combinable) and two semi-joins to drop incident edges,
+    * each round's survivor edge set checkpointed (the [[bfsLevels]]
+    * lineage discipline). Rounds are bounded by the peel depth — the
+    * longest removal cascade — not |V|; every round's cost is
+    * O(surviving edges), so total work is O(rounds·|E|) with the edge
+    * set only shrinking. At cluster scale each round is two shuffles on
+    * the vertex key (agg + semi-join) — the Pregel peel.
+    *
+    * Returns `(node, core_deg)` for the k-core's vertices with their
+    * WITHIN-CORE degree (≥ k by definition; empty for a graph with no
+    * k-core). `maxRounds` is the loud-failure valve: a cascade deeper
+    * than it throws rather than returning a silently unconverged core —
+    * and it is the constant an unrolled oracle shares, since peeling a
+    * CONVERGED core is the identity (extra unrolled rounds are no-ops,
+    * so oracle rounds ≥ engine rounds replay exactly). */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            maxRounds: Int = 32, assumeCanonical: Boolean = false): DataFrame = {
+    require(k >= 1, s"k=$k")
+    var e = (
+      if (assumeCanonical) edges.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      else edges.select(least(col(aCol), col(bCol)).as("__a"),
+          greatest(col(aCol), col(bCol)).as("__b"))
+        .where(col("__a") =!= col("__b")).distinct()
+      ).localCheckpoint(true)
+    var round = 0
+    var more = true
+    var deg: DataFrame = null
+    while (more) {
+      deg = e.select(col("__a").as("__x")).unionAll(e.select(col("__b").as("__x")))
+        .groupBy("__x").agg(count(lit(1)).as("__d"))
+        .localCheckpoint(true) // scanned by the scalar agg + the semi-joins
+      // ONE eager scalar job per round carries both loop controls
+      // (vertex total and sub-k count) — bounded driver metadata
+      val row = deg.agg(count(lit(1)).as("__n"),
+        coalesce(sum(when(col("__d") < k, 1L).otherwise(0L)), lit(0L)).as("__drop"))
+        .head
+      if (row.getLong(1) == 0L) more = false
+      else {
+        round += 1
+        if (round > maxRounds)
+          throw new IllegalStateException(
+            s"kCore: peel cascade deeper than $maxRounds rounds — raise " +
+              "maxRounds explicitly (and the oracle's unroll with it)")
+        val keep = deg.where(col("__d") >= k).select(col("__x"))
+        e = e.join(keep.select(col("__x").as("__a")), Seq("__a"), "left_semi")
+          .join(keep.select(col("__x").as("__b")), Seq("__b"), "left_semi")
+          .select("__a", "__b")
+          .localCheckpoint(true)
+      }
+    }
+    deg.select(col("__x").as("node"), col("__d").as("core_deg"))
+  }
+
+  /** HITS hubs & authorities (Kleinberg, "Authoritative sources in a
+    * hyperlinked environment", JACM'99) over a DIRECTED edge list: per
+    * iteration a_v = Σ_{u→v} h_u then h_u = Σ_{u→v} a_v, each vector
+    * L1-renormalized to total mass [[Scale]]. L1 (not the classical L2)
+    * is the deliberate choice here: the norm stays INTEGER — the
+    * renormalization is `raw · Scale DIV total` in DECIMAL(38,0), the
+    * exact [[pageRankFrom]] seed-mass arithmetic — so a DuckDB oracle
+    * replays every iteration bit-identically (L2 would put an irrational
+    * sqrt in the hot loop), and L1-vs-L2 changes only the vectors' scale,
+    * never their ORDER, which is what HITS is for.
+    *
+    * Plan shape per iteration: two equi-join+agg supersteps (src-keyed
+    * then dst-keyed — 4 map-side-combinable exchanges), each raw vector
+    * checkpointed and its mass total taken as ONE eager bounded scalar
+    * (the [[kCore]] per-round discipline; totals are vertex-bounded
+    * metadata). Overflow is structural, not assumed: raw entries are
+    * ≤ deg·Scale and the renormalization product lives in DECIMAL(38,0).
+    *
+    * Returns one row per participating vertex:
+    * `(node, hub_scaled, auth_scaled)` with 0 for the missing role —
+    * on a bipartite src/dst split (this engine's customer→part use) the
+    * roles partition the vertices. GraphSpec pins the closed-form case
+    * (a d-regular symmetric graph maps uniform → uniform at every
+    * superstep, so hub == auth == Scale/n exactly) and the L1 mass law
+    * (each vector totals Scale minus sub-per-vertex floor loss); note a
+    * GENERAL symmetric graph does NOT give hub == auth at finite k —
+    * auth runs a half-step ahead in the alternating recurrence. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters=$iters out of the unrolled range")
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .distinct().localCheckpoint(true)
+    val srcs = e.select(col("__s").as("__id")).distinct().localCheckpoint(true)
+    val nH = srcs.count() // driver scalar: hub count (bounded metadata)
+    require(nH > 0, "hits: empty edge list")
+    /** raw · Scale DIV total in DECIMAL(38,0) — exact, wrap-free. */
+    def renorm(raw: DataFrame, vCol: String, sCol: String): DataFrame = {
+      val ck = raw.localCheckpoint(true)
+      val total = ck.agg(coalesce(sum(col(sCol)), lit(0L))).head.getLong(0)
+      require(total > 0, "hits: a mass total collapsed to zero")
+      ck.select(col(vCol),
+        expr(s"CAST(CAST($sCol AS DECIMAL(38,0)) * ${Scale} DIV $total AS BIGINT)")
+          .as(sCol))
+    }
+    var h = srcs.select(col("__id").as("__u"), lit(Scale / nH).as("__h"))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      a = renorm(
+        e.join(h, col("__s") === col("__u"))
+          .groupBy(col("__d").as("__v")).agg(sum(col("__h")).as("__a")),
+        "__v", "__a")
+      h = renorm(
+        e.join(a, col("__d") === col("__v"))
+          .groupBy(col("__s").as("__u")).agg(sum(col("__a")).as("__h")),
+        "__u", "__h")
+    }
+    h.select(col("__u").as("node"), col("__h").as("hub_scaled"))
+      .join(a.select(col("__v").as("node"), col("__a").as("auth_scaled")),
+        Seq("node"), "full")
+      .select(col("node"), coalesce(col("hub_scaled"), lit(0L)).as("hub_scaled"),
+        coalesce(col("auth_scaled"), lit(0L)).as("auth_scaled"))
+  }
+
+  /** Multi-source BFS: exact hop distances from EVERY source in one
+    * loop — the landmark-distance primitive (Potamias et al., "Fast
+    * shortest path distance estimation in large networks", CIKM'09:
+    * d(u,v) estimates and closeness sketches come from a handful of
+    * landmark BFS sweeps, the only way all-pairs-ish distance questions
+    * survive a billion-vertex graph). The composite (source, node) state
+    * makes L sweeps ONE relational loop: per round one frontier⋈edges
+    * equi-join + distinct + anti-join against the visited set (the exact
+    * [[bfsLevels]] superstep with a wider key), rounds = max source
+    * eccentricity, total state ≤ L·|V| — bounded by the LANDMARK COUNT,
+    * which is the caller's budget knob, never |V|².
+    *
+    * Returns `(source, node, dist)` for every (source, reached node)
+    * pair. Sources absent from the graph contribute only their own
+    * (s, s, 0) row. Same non-empty-frontier `maxRounds` valve semantics
+    * as [[bfsLevels]] (eccentricity == maxRounds completes). */
+  def multiSourceBfs(edges: DataFrame, srcCol: String, dstCol: String,
+                     sources: DataFrame, sourceCol: String,
+                     maxRounds: Int = 64): DataFrame = {
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+    var visited = sources.select(col(sourceCol).as("__lm")).distinct()
+      .select(col("__lm"), col("__lm").as("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = visited
+    var level = 0L
+    var more = true
+    while (more) {
+      level += 1
+      val next = frontier.join(e, col("node") === col("__s"))
+        .select(col("__lm"), col("__d").as("node")).distinct()
+        .join(visited.select("__lm", "node"), Seq("__lm", "node"), "left_anti")
+        .select(col("__lm"), col("node"), lit(level).as("dist"))
+        .localCheckpoint(true)
+      if (next.isEmpty) more = false
+      else if (level > maxRounds)
+        throw new IllegalStateException(
+          s"multiSourceBfs: a source has eccentricity > $maxRounds — " +
+            "raise maxRounds explicitly if the graph really is that deep")
+      else {
+        visited = visited.unionByName(next)
+        frontier = next
+      }
+    }
+    visited.select(col("__lm").as("source"), col("node"), col("dist"))
+  }
 }

@@ -529,4 +529,273 @@ class GraphSpec extends SparkSpec {
       Graph.bfsLevels(chain, "src", "dst", source = 0L, maxRounds = 4)
     }
   }
+
+  /** Driver-side replica of personalizedPageRank's recurrence: absent =
+    * 0, teleport base on seeds only, same floor divisions. Sources
+    * present with rank 0 still yield a contribution ROW (sum 0) — row
+    * presence matters because the output set is the reached set. */
+  private def refPpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+                     iters: Int): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val s = seeds.filter(deg.contains)
+    val nS = s.size.toLong
+    val base = (Graph.Scale * (Graph.DampDen - Graph.DampNum)) / (Graph.DampDen * nS)
+    var r: Map[Long, Long] = s.map(k => k -> Graph.Scale / nS).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.filter(e => r.contains(e._1)).groupBy(_._2)
+        .map { case (dst, es) =>
+          dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+        }
+      r = (contrib.keySet ++ s).map { id =>
+        id -> ((if (s(id)) base else 0L) +
+          (Graph.DampNum * contrib.getOrElse(id, 0L)) / Graph.DampDen)
+      }.toMap
+    }
+    r
+  }
+
+  private def runPpr(edges: Seq[(Long, Long)], seeds: Seq[Long], iters: Int,
+                     parts: Int = 5): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.personalizedPageRank(edges.toDF("src", "dst").repartition(parts),
+        "src", "dst", seeds.toDF("sid"), "sid", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("personalizedPageRank matches the reference fold, independent of partitioning") {
+    val rnd = new scala.util.Random(1501)
+    val edges0 = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val edges = (edges0 ++ edges0.map(_.swap)).distinct
+    val seeds = Seq(0L, 1L, 2L)
+    val expected = refPpr(edges, seeds.toSet, 3)
+    assert(runPpr(edges, seeds, 3, parts = 7) == expected)
+    assert(runPpr(edges, seeds, 3, parts = 1) == expected,
+      "partitioning must not change personalized ranks")
+  }
+
+  test("personalizedPageRank with seeds = ALL vertices IS pageRank (the reduction law)") {
+    val rnd = new scala.util.Random(777)
+    val edges0 = Seq.fill(200)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val edges = (edges0 ++ edges0.map(_.swap)).distinct
+    val all = edges.map(_._1).distinct
+    assert(runPpr(edges, all, 3) == run(edges, 3),
+      "uniform seeding must reduce term-for-term to the global walk")
+  }
+
+  test("personalizedPageRank: state is the seeds' k-hop neighborhood, never |V|") {
+    import spark.implicits._
+    // two components: a seed triangle and a far square the walk never
+    // reaches — its vertices must be ABSENT, not zero-ranked rows
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val triSym = tri ++ tri.map(_.swap)
+    val sq = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L))
+    val edges = triSym ++ sq ++ sq.map(_.swap)
+    val got = runPpr(edges, Seq(1L), 3)
+    assert(got.keySet == Set(1L, 2L, 3L), s"far component leaked in: $got")
+    assert(got == refPpr(edges, Set(1L), 3))
+    // a 2-hop chain from the seed: iteration k reaches exactly k hops
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(runPpr(chain, Seq(1L), 2).keySet == Set(1L, 2L, 3L),
+      "iteration-2 state must stop at the 2-hop frontier")
+  }
+
+  test("personalizedPageRank: off-graph seeds are ignored; zero surviving seeds fail loudly") {
+    val edges = Seq((1L, 2L), (2L, 1L))
+    // 99 is not a vertex: the semi-join drops it and the walk runs on {1}
+    assert(runPpr(edges, Seq(1L, 99L), 2) == refPpr(edges, Set(1L), 2))
+    intercept[IllegalArgumentException] { runPpr(edges, Seq(99L), 2) }
+  }
+
+  /** Driver-side simultaneous peel (the engine's round semantics). */
+  private def refKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var adj = (edges ++ edges.map(_.swap)).distinct.groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2).toSet }
+    var changed = true
+    while (changed) {
+      val drop = adj.collect { case (v, ns) if ns.size < k => v }.toSet
+      changed = drop.nonEmpty
+      adj = adj.collect { case (v, ns) if !drop(v) => v -> ns.diff(drop) }
+    }
+    adj.map { case (v, ns) => v -> ns.size.toLong }
+  }
+
+  private def runKCore(edges: Seq[(Long, Long)], k: Int, maxRounds: Int = 32,
+                       canonical: Boolean = false): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.kCore(edges.toDF("a", "b"), "a", "b", k, maxRounds,
+        assumeCanonical = canonical)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("kCore: a K4 with a hanging path peels the path in cascade, keeps the clique") {
+    // K4 on 1..4 plus the tail 4-5-6-7: at k=2 the tail peels one vertex
+    // per round (7, then 6, then 5 — a genuine 3-round cascade), the K4
+    // survives with within-core degree 3 (node 4's tail edge must NOT
+    // count toward its core_deg)
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = k4 ++ Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    val got = runKCore(edges, k = 2, canonical = true)
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(got == refKCore(edges, 2))
+    // the cascade is 3 simultaneous-drop rounds: a 2-round valve throws
+    intercept[IllegalStateException] {
+      runKCore(edges, k = 2, maxRounds = 2, canonical = true)
+    }
+    // and exactly 3 completes (the bfsLevels off-by-one discipline)
+    assert(runKCore(edges, k = 2, maxRounds = 3, canonical = true) == got)
+  }
+
+  test("kCore: a graph with no k-core returns empty; k=1 keeps every non-isolated vertex") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(runKCore(tri, k = 3, canonical = true).isEmpty,
+      "a triangle has max degree 2 — no 3-core")
+    assert(runKCore(tri, k = 1, canonical = true) ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: raw pair lists canonicalize — duplicates, reversals and self-loops don't inflate") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val noisy = k4 ++ k4.map(_.swap) ++ k4 ++ Seq((2L, 2L))
+    assert(runKCore(noisy, k = 3) == runKCore(k4, k = 3, canonical = true))
+  }
+
+  test("kCore matches the reference peel on a pseudo-random graph, independent of partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4041)
+    val edges = Seq.fill(250)((rnd.nextInt(35).toLong, rnd.nextInt(35).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val expected = refKCore(edges, 4)
+    assert(expected.nonEmpty, "fixture sanity: the 4-core should be non-empty")
+    for (parts <- Seq(1, 7)) {
+      val got = Graph.kCore(edges.toDF("a", "b").repartition(parts), "a", "b", 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  /** Driver-side replica of hits' integer L1-normalized recurrence
+    * (BigInt mirrors the engine's DECIMAL(38,0) renormalization). */
+  private def refHits(edges: Seq[(Long, Long)],
+                      iters: Int): Map[Long, (Long, Long)] = {
+    val e = edges.distinct
+    val nH = e.map(_._1).distinct.size.toLong
+    var h: Map[Long, Long] = e.map(_._1).distinct.map(_ -> Graph.Scale / nH).toMap
+    var a: Map[Long, Long] = Map.empty
+    for (_ <- 1 to iters) {
+      val araw = e.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(x => h.getOrElse(x._1, 0L)).sum }
+      val at = BigInt(araw.values.sum)
+      a = araw.map { case (v, x) => v -> (BigInt(x) * Graph.Scale / at).toLong }
+      val hraw = e.groupBy(_._1).map { case (u, es) =>
+        u -> es.map(x => a.getOrElse(x._2, 0L)).sum }
+      val ht = BigInt(hraw.values.sum)
+      h = hraw.map { case (u, x) => u -> (BigInt(x) * Graph.Scale / ht).toLong }
+    }
+    (h.keySet ++ a.keySet).map(k =>
+      k -> ((h.getOrElse(k, 0L), a.getOrElse(k, 0L)))).toMap
+  }
+
+  private def runHits(edges: Seq[(Long, Long)], iters: Int,
+                      parts: Int = 5): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    Graph.hits(edges.toDF("src", "dst").repartition(parts), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+  }
+
+  test("hits: matches the reference fold on a random directed graph, independent of partitioning") {
+    val rnd = new scala.util.Random(1999)
+    val edges = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val expected = refHits(edges, 3)
+    assert(runHits(edges, 3, parts = 7) == expected)
+    assert(runHits(edges, 3, parts = 1) == expected)
+  }
+
+  test("hits: on a bipartite graph the roles partition — hubs carry auth 0 and vice versa") {
+    // hubs 1..3 → authorities 100..102; authority 100 is cited by all
+    val edges = Seq((1L, 100L), (2L, 100L), (3L, 100L),
+      (1L, 101L), (2L, 102L))
+    val got = runHits(edges, 3)
+    assert(got == refHits(edges, 3))
+    assert(Seq(1L, 2L, 3L).forall(u => got(u)._2 == 0L), "hubs have no auth mass")
+    assert(Seq(100L, 101L, 102L).forall(v => got(v)._1 == 0L), "auths have no hub mass")
+    // the universally-cited authority outranks the fringe ones
+    assert(got(100L)._2 > got(101L)._2 && got(100L)._2 > got(102L)._2)
+    // the 2-out-edge hubs outrank the 1-out-edge hub
+    assert(got(1L)._1 > got(3L)._1 && got(2L)._1 > got(3L)._1)
+  }
+
+  test("hits: a regular symmetric graph yields the uniform fixed point exactly") {
+    // on a d-regular symmetric graph every superstep maps uniform →
+    // uniform (each vertex receives d equal shares), so hub == auth ==
+    // Scale/n EXACTLY at every iteration — the closed-form case that
+    // pins the whole renormalization chain. (A general symmetric graph
+    // does NOT give hub == auth at finite k: auth is the half-step
+    // ahead of hub in the alternating recurrence.)
+    val n = 8L
+    val cycle = (0L until n).flatMap(i =>
+      Seq((i, (i + 1) % n), ((i + 1) % n, i)))
+    val got = runHits(cycle, 3)
+    val u = Graph.Scale / n
+    assert(got == (0L until n).map(i => i -> ((u, u))).toMap)
+  }
+
+  test("hits: each vector's L1 mass is Scale up to per-vertex floor loss") {
+    val rnd = new scala.util.Random(52)
+    val edges = Seq.fill(150)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val got = runHits(edges, 3)
+    val hubSum = got.values.map(_._1).sum
+    val authSum = got.values.map(_._2).sum
+    val n = got.size
+    // renormalization floors once per vertex: total ∈ (Scale - n, Scale]
+    assert(hubSum <= Graph.Scale && hubSum > Graph.Scale - n, s"hub mass $hubSum")
+    assert(authSum <= Graph.Scale && authSum > Graph.Scale - n, s"auth mass $authSum")
+  }
+
+  test("multiSourceBfs: one loop equals per-source bfsLevels; components stay isolated") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3141)
+    val edges0 = Seq.fill(120)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    // two disjoint components: 0..19 and 100..109
+    val far0 = Seq.fill(40)((100L + rnd.nextInt(10), 100L + rnd.nextInt(10)))
+      .filter { case (a, b) => a != b }.distinct
+    val edges = (edges0 ++ edges0.map(_.swap) ++ far0 ++ far0.map(_.swap)).distinct
+    val sources = Seq(0L, 1L, 100L)
+    val df = edges.toDF("src", "dst").repartition(7)
+    val got = Graph.multiSourceBfs(df, "src", "dst",
+        sources.toDF("s"), "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (s <- sources) {
+      val single = Graph.bfsLevels(df, "src", "dst", source = s)
+        .collect().map(r => (s, r.getLong(0)) -> r.getLong(1)).toMap
+      assert(got.filter(_._1._1 == s) == single, s"source $s diverges")
+    }
+    // isolation: no cross-component (source, node) pair exists
+    assert(!got.keys.exists { case (s, n) => (s < 100) != (n < 100) })
+  }
+
+  test("multiSourceBfs: sources absent from the graph contribute only their self-row") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L))
+    val got = Graph.multiSourceBfs(edges.toDF("src", "dst"), "src", "dst",
+        Seq(1L, 99L).toDF("s"), "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 1L) -> 0L, (1L, 2L) -> 1L, (99L, 99L) -> 0L))
+  }
+
+  test("multiSourceBfs: the depth valve fires past maxRounds, completes at the eccentricity") {
+    import spark.implicits._
+    val chain = (0L until 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    val src = Seq(0L).toDF("s")
+    intercept[IllegalStateException] {
+      Graph.multiSourceBfs(chain, "src", "dst", src, "s", maxRounds = 4)
+    }
+    val got = Graph.multiSourceBfs(chain, "src", "dst", src, "s", maxRounds = 5)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == (0L to 5L).map(i => i -> i).toMap)
+  }
 }

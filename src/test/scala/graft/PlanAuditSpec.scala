@@ -285,6 +285,32 @@ class PlanAuditSpec extends SparkSpec {
     "x_cluster_profile" -> 2,
     // Lloyd superstep: map-only assignment + ONE (cell, dim) agg
     "x_kmeans_step" -> 1,
+    // r15 additions. ppr: the shared edge artifact's lineage prints per
+    // consumer (the x_pagerank inflation) around 3 iterations of
+    // (src join + dst agg) + the seed semi-join; executed stages pinned
+    // below. kcore rounds are checkpointed (the BFS discipline) — the
+    // returned plan is a select over the final materialized degree
+    // relation, zero printable exchanges
+    "x_ppr" -> 27, "x_kcore" -> 0,
+    // basket rules: basket distinct + size gate + the basket-keyed pair
+    // self-join/agg + two marginal joins (lineage of the kept relation
+    // prints under each branch); executed stages pinned below
+    "x_basket_rules" -> 22,
+    // recs: the projected-edge + bipartite artifacts' build lineage
+    // prints under the vote join, the anti-join, AND the rank window
+    // (one InMemoryRelation each at execution — the x_pagerank_delta
+    // inflation); executed stages pinned below
+    "x_copurchase_recs" -> 68,
+    // skyline: survivors are localCheckpoint'd after the broadcast
+    // bucket-prefix prune; the residual same-bucket joins broadcast at
+    // this sf — zero printable exchanges in the returned plan
+    "x_skyline" -> 0,
+    // hits: iteration supersteps hide behind per-vector checkpoints (the
+    // kCore discipline); the returned plan is the final hub⋈auth full
+    // join over two materialized vectors. landmarks reads the memoized
+    // BFS relation raw (checkpointed rounds — zero printable exchanges);
+    // closeness pays the one (node_type, node_id) agg over it
+    "x_hits" -> 2, "x_landmarks" -> 0, "x_closeness" -> 1,
   )
 
   /** a node line whose name starts with "Exchange " is a shuffle;
@@ -320,7 +346,12 @@ class PlanAuditSpec extends SparkSpec {
     // reuse — observed 10 or 11 run-to-run on an identical plan), so its
     // pin allows that one-stage jitter; a genuinely new shuffle in the
     // refresh chain costs 2+ stages and still trips it
-    "x_cc_delta" -> 10, "x_pagerank_delta" -> 11)
+    "x_cc_delta" -> 10, "x_pagerank_delta" -> 11,
+    // r15 print-level outliers (print budgets 22-68 from shared artifact
+    // lineage): ppr = edge-artifact build + seed semi/count + 2 stages
+    // per iteration × 3; recs = projection reuse + vote join + anti-join
+    // + rank; rules = distinct + gate + pair agg + marginals
+    "x_ppr" -> 11, "x_copurchase_recs" -> 5, "x_basket_rules" -> 8)
 
   /** Distinct shuffle stages of THIS query execution's final adaptive
     * plan. `collect()` (not `count()`) executes the df's own
