@@ -373,6 +373,22 @@ object SparkEntryExt {
         .select("id_a", "id_b")
       Dedup.clusters(pairs, docs.select("doc_id"))
     },
+    "x_dedup_keep_best" -> { (s, dir) =>
+      // representative selection: per duplicate class keep the BEST doc
+      // (most tokens, ties to lowest id — a total order), not the
+      // arbitrary min-id — the curation step that decides which copy of
+      // a near-dup class actually trains. One quality join over the same
+      // closure x_dedup_clusters derives + a per-class top-1 window
+      // (partition-bounded: a class's rows = its membership, which the
+      // LSH band cap already bounds) + the class-size rollup sharing the
+      // cluster key.
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.lshCandidates(docs, k = mmSeeds, bands = mmBands, minEst = 0.5)
+        .select("id_a", "id_b")
+      Dedup.keepBest(Dedup.clusters(pairs, docs.select("doc_id")),
+        TextAnalysis.withQuality(docs).select(col("doc_id"), col("n_tokens")),
+        scoreCol = "n_tokens")
+    },
     "x_dedup_clusters_chain" -> { (s, dir) =>
       // adversarial closure shape: consecutive doc_ids inside a 128-wide
       // block form a pure path (diameter up to 127 — far past any
@@ -1410,6 +1426,27 @@ object SparkEntryExt {
         "walk(id, lbl) AS (SELECT doc_id, doc_id FROM documents " +
         "UNION SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id) " +
         "SELECT id AS doc_id, min(lbl) AS cluster FROM walk GROUP BY 1"),
+
+    // the same recursive closure + the shared tokenizer's n_tokens; the
+    // (n_tokens DESC, doc_id) top-1 mirrors the engine's total order
+    "x_dedup_keep_best" ->
+      (s"WITH RECURSIVE sigs AS (SELECT doc_id, $sigSql AS sig FROM " +
+        s"(SELECT doc_id, ${hashedSql(shinglesSql())} AS hs FROM documents)), " +
+        s"cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b " +
+        s"FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id " +
+        s"WHERE ($bandShareSql) AND $estSql >= 0.5), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM cand " +
+        "UNION SELECT id_b, id_a FROM cand), " +
+        "walk(id, lbl) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id), " +
+        "cl AS (SELECT id AS doc_id, min(lbl) AS cluster FROM walk GROUP BY 1), " +
+        s"q AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents), " +
+        "j AS (SELECT cl.cluster, cl.doc_id, q.n_tokens FROM cl JOIN q USING (doc_id)), " +
+        "sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members FROM j GROUP BY 1) " +
+        "SELECT j.cluster, j.doc_id AS kept_doc, j.n_tokens, sz.n_members " +
+        "FROM j JOIN sz USING (cluster) " +
+        "QUALIFY row_number() OVER (PARTITION BY j.cluster " +
+        "ORDER BY j.n_tokens DESC, j.doc_id) = 1"),
 
     // same recursive-CTE closure check, over a deterministic chain graph
     // (consecutive ids per 128-block) whose diameter defeats any

@@ -542,6 +542,37 @@ object Dedup {
                maxIter: Int = 40): DataFrame =
     clustersWithRounds(pairs, nodes, idCol, maxIter)._1
 
+  /** Representative selection over a [[clusters]] assignment: per
+    * duplicate class keep the BEST member — highest `scoreCol`, ties to
+    * the lowest id (a total order, so the choice is hash-stable
+    * cross-engine) — rather than the arbitrary min-id the cluster label
+    * happens to be. This is the curation step that decides which copy of
+    * a near-dup class actually trains: dropping to the label keeps
+    * whichever document got the smallest ingest id; keeping the
+    * longest/highest-quality copy is the published practice.
+    *
+    * Plan: one id-keyed equi-join of the assignment with the quality
+    * relation, a per-class top-1 window (partition-bounded — a class's
+    * rows are its membership, which the candidate generator's band cap
+    * already bounds) and the class-size rollup sharing the cluster key.
+    *
+    * Output: one row per class — (`cluster`, `kept_doc`, score under its
+    * original name, `n_members`). */
+  def keepBest(assignment: DataFrame, quality: DataFrame, scoreCol: String,
+               idCol: String = "doc_id"): DataFrame = {
+    val j = assignment.select(col(idCol), col("cluster"))
+      .join(quality.select(col(idCol), col(scoreCol)), Seq(idCol))
+    val sz = j.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+    val byQuality = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    j.withColumn("__rn", row_number().over(byQuality))
+      .where(col("__rn") === 1)
+      .join(sz, Seq("cluster"))
+      .select(col("cluster"), col(idCol).as("kept_doc"), col(scoreCol),
+        col("n_members"))
+  }
+
   /** [[clusters]] plus the number of alternating rounds the star loop
     * actually ran — the observable SkewSpec pins O(log n) convergence on
     * (rounds ≪ diameter for a chain fixture). */

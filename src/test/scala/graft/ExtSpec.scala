@@ -402,6 +402,22 @@ class DedupSpec extends SparkSpec {
     assert(r0 == 0)
   }
 
+  test("keepBest: highest score wins per class, ties to lowest id, singletons keep themselves") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 7L, 9L).toDF("doc_id")
+    // class {1,2,3}: doc 3 is longest; class {7,9}: TIE at 50 → keep 7;
+    // singleton 4 keeps itself whatever its score
+    val quality = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 5L),
+      (7L, 50L), (9L, 50L)).toDF("doc_id", "n_tokens")
+    val got = Dedup.keepBest(Dedup.clusters(pairs, nodes), quality, "n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 30L, 3L), (4L, 4L, 5L, 1L), (7L, 7L, 50L, 2L)))
+    // exactly one representative per class, and it is never the min-id
+    // label unless the min-id doc really is the best — the point of the op
+    assert(got.map(_._1).size == got.size)
+  }
+
   test("clustersDelta: refresh equals full rebuild on random base/delta splits") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)

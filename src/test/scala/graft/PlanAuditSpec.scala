@@ -311,6 +311,11 @@ class PlanAuditSpec extends SparkSpec {
     // BFS relation raw (checkpointed rounds — zero printable exchanges);
     // closeness pays the one (node_type, node_id) agg over it
     "x_hits" -> 2, "x_landmarks" -> 0, "x_closeness" -> 1,
+    // keep-best: the closure hides behind the star loop's checkpoints
+    // (x_dedup_clusters prints 0 the same way); the printable exchanges
+    // are the quality join + per-class top-1 window and the class-size
+    // rollup sharing the cluster key
+    "x_dedup_keep_best" -> 2,
   )
 
   /** a node line whose name starts with "Exchange " is a shuffle;

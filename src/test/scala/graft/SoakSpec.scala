@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Curation, Dedup, TextAnalysis}
+import graft.ext.{Curation, Dedup, Recommend, TextAnalysis}
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -269,6 +269,44 @@ class SoakSpec extends SparkSpec {
     info(f"ER pairs: 1x=$p1 in $t1%.2fs, 10x=$p10 in $t10%.2fs ratio=${t10 / t1}%.1f")
     // per-copy prefixes isolate copies, so the pair set replicates exactly
     assert(p10 == 10 * p1, s"pairs must scale exactly 10x: $p1 -> $p10")
+    assert(t10 <= 30 * t1 + 5.0,
+      f"10x took ${t10 / t1}%.1f× the 1x time — not ~linear")
+    Caches.invalidate(spark)
+  }
+
+  test("basket rules at 10× baskets: scores replicate exactly, pair volume ~linear", Soak) {
+    // salted basket ids, UNCHANGED items: n_baskets, every item marginal
+    // and every pair count scale by exactly 10, so support/confidence
+    // cancel and lift's 10·10/(10·10) cancels — the rule SET and every
+    // ppm score must replicate bit-exactly (with the support floor scaled
+    // to keep the frequent set identical), while the per-basket self-join
+    // processes 10× the candidate pairs
+    def baskets(copies: Int): DataFrame = {
+      val b = graft.sources.Tables.lineitem(spark, base)
+        .select(col("l_orderkey"), col("l_partkey"))
+      (0 until copies).map(i => b.select(
+          (col("l_orderkey") + lit(i.toLong * 1000000000L)).as("bk"),
+          col("l_partkey").as("it")))
+        .reduce(_ unionByName _).repartition(16)
+    }
+    def run(copies: Int): (Map[(Long, Long), (Long, Long, Long, Long)], Double) = {
+      Caches.invalidate(spark)
+      val t0 = System.nanoTime()
+      val rows = Recommend.basketRules(baskets(copies), "bk", "it",
+          minPairSupport = 2L * copies)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      (rows, (System.nanoTime() - t0) / 1e9)
+    }
+    run(1) // warmup (JIT + codegen)
+    val (r1, t1) = run(1)
+    val (r10, t10) = assertNoBigSingleTaskStage(500000L) { run(10) }
+    info(f"rules: 1x=${r1.size} in $t1%.2fs, 10x=${r10.size} in $t10%.2fs " +
+      f"ratio=${t10 / t1}%.1f")
+    assert(r10.keySet == r1.keySet, "the frequent rule set must replicate")
+    assert(r1.nonEmpty && r1.forall { case (k, (n, s, c, l)) =>
+      r10(k) == ((10 * n, s, c, l))
+    }, "pair counts scale exactly 10x; every ppm score is bit-identical")
     assert(t10 <= 30 * t1 + 5.0,
       f"10x took ${t10 / t1}%.1f× the 1x time — not ~linear")
     Caches.invalidate(spark)
