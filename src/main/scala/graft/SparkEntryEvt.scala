@@ -104,6 +104,35 @@ object SparkEntryEvt {
     * with the oracle's seed CTE. */
   private[graft] val LandmarkMaxCust = 4L
 
+  /** The STORED basket-rules index — yesterday's unfloored pair counts,
+    * item marginals and basket sizes over the 90%-of-orders base corpus
+    * (the storedBaseRanks/storedBaseDists contract: the delta refresh's
+    * operational premise is that these additive relations already exist
+    * as tables). Keeping pairs UNFLOORED is what lets an arriving batch
+    * promote a pair across the support floor without any rescan. */
+  private val brPairsMemo = new graft.PlanMemo
+  private val brItemsMemo = new graft.PlanMemo
+  private val brSizesMemo = new graft.PlanMemo
+  private def baseBasketRows(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).where(col("l_orderkey") % 10 =!= 0)
+  private[graft] def storedBasketPairs(s: SparkSession, dir: String): DataFrame = {
+    val base = baseBasketRows(s, dir)
+    brPairsMemo(base, "brBasePairs")(Recommend.pairCountsOf(
+      Recommend.keptOf(base, "l_orderkey", "l_partkey",
+        Recommend.DefaultMaxBasketItems)))
+  }
+  private[graft] def storedBasketItems(s: SparkSession, dir: String): DataFrame = {
+    val base = baseBasketRows(s, dir)
+    brItemsMemo(base, "brBaseItems")(Recommend.itemCountsOf(
+      Recommend.keptOf(base, "l_orderkey", "l_partkey",
+        Recommend.DefaultMaxBasketItems)))
+  }
+  private[graft] def storedBasketSizes(s: SparkSession, dir: String): DataFrame = {
+    val base = baseBasketRows(s, dir)
+    brSizesMemo(base, "brBaseSizes")(Recommend.basketSizesOf(base,
+      "l_orderkey", "l_partkey"))
+  }
+
   /** The landmark-distance relation (source, node, dist) — memoized +
     * persisted like every derived artifact: x_landmarks reads it raw,
     * x_closeness aggregates it, one BFS loop serves both (at 100 TB the
@@ -511,6 +540,21 @@ object SparkEntryEvt {
       Recommend.basketRules(Tables.lineitem(s, dir), "l_orderkey",
         "l_partkey", minPairSupport = RulesMinSupport)
     },
+    "x_basket_rules_delta" -> { (s, dir) =>
+      // incremental rule maintenance: the 90%-of-orders base is served
+      // from the STORED index (unfloored pair counts + marginals +
+      // basket sizes — all additive), the arriving 10% pays only its own
+      // pair expansion + one merge agg; composition is EXACT over
+      // disjoint basket ids and the chunked-arrival guard refuses the
+      // one delta that voids it. Shares x_basket_rules' full-corpus
+      // oracle — the delta == rebuild law is driver-red-able.
+      val li = Tables.lineitem(s, dir)
+      Recommend.basketRulesFrom(
+        storedBasketPairs(s, dir), storedBasketItems(s, dir),
+        storedBasketSizes(s, dir),
+        li.where(col("l_orderkey") % 10 === 0),
+        "l_orderkey", "l_partkey", minPairSupport = RulesMinSupport)
+    },
     "x_copurchase_recs" -> { (s, dir) =>
       // "customers like you bought": neighborhood-vote CF over the SAME
       // stored projected similarity graph as x_triangles/x_kcore, votes
@@ -546,8 +590,11 @@ object SparkEntryEvt {
       // vectors L1-renormalized in DECIMAL(38,0) so the oracle replays
       // every iteration bit-exactly; on a symmetric list hub == auth
       // (GraphSpec law)
+      // the artifact is distinct by construction (the even-src half of
+      // the distinct symmetric list) — assumeDistinct skips a full-edge
+      // dedup shuffle per execution
       Graph.hits(coPurchaseEdges(s, dir).where(col("src") % 2 === 0),
-          "src", "dst", HitsIters)
+          "src", "dst", HitsIters, assumeDistinct = true)
         .select(
           when(col("node") % 2 === 0, lit("customer"))
             .otherwise(lit("part")).as("node_type"),
@@ -1029,6 +1076,29 @@ object SparkEntryEvt {
     // identical basket-cap / support-floor / ppm floor-division chain;
     // HUGEINT mirrors the engine's DECIMAL(38,0) products
     "x_basket_rules" ->
+      ("WITH b0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem), " +
+        "sz AS (SELECT bk FROM b0 GROUP BY bk " +
+        s"HAVING count(*) <= ${Recommend.DefaultMaxBasketItems}), " +
+        "kept AS (SELECT b0.bk, b0.it FROM b0 JOIN sz USING (bk)), " +
+        "nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n FROM kept), " +
+        "ic AS (SELECT it, CAST(count(*) AS BIGINT) AS ni FROM kept GROUP BY 1), " +
+        "pr AS (SELECT a.it AS ia, b.it AS ib, CAST(count(*) AS BIGINT) AS n_ab " +
+        "FROM kept a JOIN kept b ON a.bk = b.bk AND a.it < b.it GROUP BY 1, 2 " +
+        s"HAVING count(*) >= $RulesMinSupport), " +
+        "dr AS (SELECT ia AS ant, ib AS cons, n_ab FROM pr " +
+        "UNION ALL SELECT ib, ia, n_ab FROM pr) " +
+        "SELECT ant, cons, n_ab, " +
+        s"CAST(CAST(n_ab AS HUGEINT) * ${Recommend.Ppm} // (SELECT n FROM nb) AS BIGINT) AS support_ppm, " +
+        s"CAST(CAST(n_ab AS HUGEINT) * ${Recommend.Ppm} // a.ni AS BIGINT) AS conf_ppm, " +
+        s"CAST(CAST(n_ab AS HUGEINT) * (SELECT n FROM nb) * ${Recommend.Ppm} // " +
+        "(CAST(a.ni AS HUGEINT) * c.ni) AS BIGINT) AS lift_ppm " +
+        "FROM dr JOIN ic a ON a.it = dr.ant JOIN ic c ON c.it = dr.cons"),
+
+    // delta == rebuild: composition over disjoint basket ids is exact
+    // term for term, so the refresh shares the FULL-corpus oracle (the
+    // x_sssp_delta / x_er_delta shared-oracle contract — a composition
+    // bug driver-reds against the rebuild, not against itself)
+    "x_basket_rules_delta" ->
       ("WITH b0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem), " +
         "sz AS (SELECT bk FROM b0 GROUP BY bk " +
         s"HAVING count(*) <= ${Recommend.DefaultMaxBasketItems}), " +

@@ -730,10 +730,14 @@ object Graph {
     * GENERAL symmetric graph does NOT give hub == auth at finite k —
     * auth runs a half-step ahead in the alternating recurrence. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-           iters: Int): DataFrame = {
+           iters: Int, assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 8, s"iters=$iters out of the unrolled range")
-    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
-      .distinct().localCheckpoint(true)
+    // assumeDistinct: the stored edge artifacts are distinct BY
+    // CONSTRUCTION (the butterfly census contract) — skipping the dedup
+    // saves one full-edge shuffle + re-materialization of an already
+    // persisted relation; raw lists keep the safe default
+    val e0 = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+    val e = if (assumeDistinct) e0 else e0.distinct().localCheckpoint(true)
     val srcs = e.select(col("__s").as("__id")).distinct().localCheckpoint(true)
     val nH = srcs.count() // driver scalar: hub count (bounded metadata)
     require(nH > 0, "hits: empty edge list")

@@ -53,22 +53,55 @@ object Recommend {
                   minPairSupport: Long,
                   maxBasketItems: Long = DefaultMaxBasketItems): DataFrame = {
     require(minPairSupport >= 1, s"minPairSupport=$minPairSupport")
-    val b0 = baskets.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-      .distinct()
-    val sizes = b0.groupBy("__b").agg(count(lit(1)).as("__bs"))
-    val kept = b0.join(sizes.where(col("__bs") <= maxBasketItems)
-      .select("__b"), Seq("__b"))
+    val kept = keptOf(baskets, basketCol, itemCol, maxBasketItems)
     // ONE driver scalar: the retained-basket count (the support/lift
     // denominator) — bounded metadata, the pageRank vertex-count contract
     val nB = kept.select("__b").distinct().count()
     require(nB > 0, "basketRules: no baskets under the size cap")
-    val itemCnt = kept.groupBy(col("__i").as("__it"))
-      .agg(count(lit(1)).as("__ni"))
-    val pairs = kept.alias("l").join(kept.alias("r"), col("l.__b") === col("r.__b")
+    scoreRules(pairCountsOf(kept), itemCountsOf(kept), nB, minPairSupport)
+  }
+
+  /** (basket, item) distinct pairs restricted to under-cap baskets. */
+  private[graft] def keptOf(baskets: DataFrame, basketCol: String, itemCol: String,
+                            maxBasketItems: Long): DataFrame = {
+    val b0 = baskets.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val sizes = b0.groupBy("__b").agg(count(lit(1)).as("__bs"))
+    b0.join(sizes.where(col("__bs") <= maxBasketItems).select("__b"), Seq("__b"))
+  }
+
+  /** Canonical UNFLOORED pair counts `(__ia < __ib, n_ab)` — the stored
+    * index relation of the delta path: counts are ADDITIVE over disjoint
+    * basket sets, and keeping sub-floor pairs is what lets an arriving
+    * batch promote a pair across the support floor without a rescan. */
+  private[graft] def pairCountsOf(kept: DataFrame): DataFrame =
+    kept.alias("l").join(kept.alias("r"), col("l.__b") === col("r.__b")
         && col("l.__i") < col("r.__i"))
       .groupBy(col("l.__i").as("__ia"), col("r.__i").as("__ib"))
       .agg(count(lit(1)).as("n_ab"))
-      .where(col("n_ab") >= minPairSupport)
+
+  /** Per-item retained-basket counts `(__it, __ni)` — additive like the
+    * pair counts. */
+  private[graft] def itemCountsOf(kept: DataFrame): DataFrame =
+    kept.groupBy(col("__i").as("__it")).agg(count(lit(1)).as("__ni"))
+
+  /** Per-basket item counts `(__b, __bs)` over ALL baskets (pre-cap):
+    * the delta guard's membership relation AND the retained-denominator
+    * source (`__bs <= cap` filters within). */
+  private[graft] def basketSizesOf(baskets: DataFrame, basketCol: String,
+                                   itemCol: String): DataFrame =
+    baskets.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct().groupBy("__b").agg(count(lit(1)).as("__bs"))
+
+  /** The shared scoring tail: floor the pair counts, direct them, join
+    * the marginals, score in exact ppm. Used verbatim by the full build
+    * and the delta composition so the two can never diverge
+    * arithmetically. */
+  private def scoreRules(pairCounts: DataFrame, itemCnt: DataFrame,
+                         nB: Long, minPairSupport: Long): DataFrame = {
+    // the support floor lands on the PAIR count before the marginal
+    // joins, so the joined side is already the (small) frequent set
+    val pairs = pairCounts.where(col("n_ab") >= minPairSupport)
     // directed rules: each frequent unordered pair yields A→B and B→A
     // (same n_ab, different confidence denominators)
     val directed = pairs.select(col("__ia").as("ant"), col("__ib").as("cons"), col("n_ab"))
@@ -83,6 +116,52 @@ object Recommend {
           .as("conf_ppm"),
         expr(s"CAST(CAST(n_ab AS DECIMAL(38,0)) * $nB * $Ppm DIV " +
           "(CAST(__na AS DECIMAL(38,0)) * __nc) AS BIGINT)").as("lift_ppm"))
+  }
+
+  /** Incremental rule maintenance: compose the STORED base index
+    * (unfloored pair counts, item marginals, basket sizes — the three
+    * additive relations [[pairCountsOf]]/[[itemCountsOf]]/
+    * [[basketSizesOf]] derive) with an arriving batch of WHOLE new
+    * baskets. Every count is a per-basket sum, so over DISJOINT basket
+    * ids composition is EXACT: merged = base + delta, term for term —
+    * the delta == rebuild law the oracle red-flags (it recomputes the
+    * full corpus). The batch pays only its own Σ C(|b|,2) expansion plus
+    * one merge agg over the (pair-bounded) stored index — the full
+    * corpus is never re-expanded.
+    *
+    * The premise is CHECKED, not assumed (the ssspInvalidations /
+    * capCrossings contract): a delta row whose basket id ALREADY exists
+    * in the base is a CHUNKED arrival — its cross-chunk pairs are
+    * invisible to both sides of the composition, so the refresh REFUSES
+    * loudly (one delta-bounded semi-join) rather than serving silently
+    * incomplete counts; chunked feeds are a rebuild. */
+  def basketRulesFrom(basePairs: DataFrame, baseItems: DataFrame,
+                      baseSizes: DataFrame, deltaBaskets: DataFrame,
+                      basketCol: String, itemCol: String,
+                      minPairSupport: Long,
+                      maxBasketItems: Long = DefaultMaxBasketItems): DataFrame = {
+    require(minPairSupport >= 1, s"minPairSupport=$minPairSupport")
+    val d0 = deltaBaskets.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct().localCheckpoint(true)
+    // the guard: delta basket ids must be NEW (delta-bounded semi-join)
+    val chunked = d0.select("__b").distinct()
+      .join(baseSizes.select("__b"), Seq("__b"), "left_semi").count()
+    require(chunked == 0,
+      s"basketRulesFrom: $chunked arriving basket id(s) already exist in " +
+        "the base — chunked arrivals void the additive premise (cross-" +
+        "chunk pairs are invisible to the composition); rebuild instead")
+    val dSizes = d0.groupBy("__b").agg(count(lit(1)).as("__bs"))
+    val dKept = d0.join(dSizes.where(col("__bs") <= maxBasketItems)
+      .select("__b"), Seq("__b"))
+    // bounded driver scalars: the two retained-basket counts
+    val nB = baseSizes.where(col("__bs") <= maxBasketItems).count() +
+      dKept.select("__b").distinct().count()
+    require(nB > 0, "basketRulesFrom: no baskets under the size cap")
+    val mergedPairs = basePairs.unionByName(pairCountsOf(dKept))
+      .groupBy("__ia", "__ib").agg(sum(col("n_ab")).as("n_ab"))
+    val mergedItems = baseItems.unionByName(itemCountsOf(dKept))
+      .groupBy("__it").agg(sum(col("__ni")).as("__ni"))
+    scoreRules(mergedPairs, mergedItems, nB, minPairSupport)
   }
 
   /** Item recommendation over a precomputed similarity graph: for each

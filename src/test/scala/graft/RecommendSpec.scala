@@ -59,6 +59,59 @@ class RecommendSpec extends SparkSpec {
       .apply((1L, 2L))._1 == 3L)
   }
 
+  private def rulesFrom(base: Seq[(Long, Long)], delta: Seq[(Long, Long)],
+                        minSupport: Long,
+                        maxItems: Long = Recommend.DefaultMaxBasketItems)
+  : Map[(Long, Long), (Long, Long, Long, Long)] = {
+    val b = base.toDF("bk", "it")
+    Recommend.basketRulesFrom(
+        Recommend.pairCountsOf(Recommend.keptOf(b, "bk", "it", maxItems)),
+        Recommend.itemCountsOf(Recommend.keptOf(b, "bk", "it", maxItems)),
+        Recommend.basketSizesOf(b, "bk", "it"),
+        delta.toDF("bk", "it"), "bk", "it", minSupport, maxItems)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+  }
+
+  test("basketRulesFrom: delta refresh equals the full rebuild on random splits") {
+    val rnd = new scala.util.Random(909)
+    for (trial <- 1 to 3) {
+      val all = Seq.fill(300)(((rnd.nextInt(50) + trial * 100).toLong,
+        rnd.nextInt(12).toLong)).distinct
+      val (base, delta) = all.partition { case (bk, _) => bk % 10 != 0 }
+      assert(rulesFrom(base, delta, minSupport = 2) ==
+        rules(all, minSupport = 2), s"trial $trial")
+    }
+  }
+
+  test("basketRulesFrom: an arriving batch promotes a sub-floor pair across the support floor") {
+    // base: pair (1,2) co-occurs once — below floor 2, but the UNFLOORED
+    // stored index retains it; the delta's second co-occurrence must
+    // surface the rule WITHOUT any base rescan
+    val base = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L))
+    val delta = Seq((10L, 1L), (10L, 2L))
+    val got = rulesFrom(base, delta, minSupport = 2)
+    assert(got.keySet == Set((1L, 2L), (2L, 1L)))
+    assert(got == rules(base ++ delta, minSupport = 2))
+    // and the base alone serves no rule (floor sanity)
+    assert(rules(base, minSupport = 2).isEmpty)
+  }
+
+  test("basketRulesFrom: a chunked arrival (existing basket id) refuses loudly") {
+    val base = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))
+    // basket 1 arrives AGAIN with a new item: the cross-chunk pairs
+    // (1,3)x(1,1)... are invisible to the composition — must throw
+    val chunked = Seq((1L, 3L))
+    intercept[IllegalArgumentException] {
+      rulesFrom(base, chunked, minSupport = 1)
+    }
+    // disjoint ids with the same ITEMS are fine (items are shared keys,
+    // baskets are the additivity unit)
+    assert(rulesFrom(base, Seq((9L, 1L), (9L, 2L)), minSupport = 1).nonEmpty)
+  }
+
   test("basketRules: partitioning does not change any scored rule") {
     val rnd = new scala.util.Random(42)
     val baskets = Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(15).toLong))

@@ -69,6 +69,20 @@ class SkylineSpec extends SparkSpec {
     assert(run(pts, 10L, maxSurvivors = 100L) == pts.toSet)
   }
 
+  test("negative coordinates: truncating DIV buckets stay monotone, frontier exact") {
+    // Spark's DIV truncates toward zero, so negative x values bucket
+    // differently than a flooring division would — but bucket intervals
+    // remain DISJOINT and ORDERED (bucket m < n ⇒ every x in m < every
+    // x in n), which is all the prefix-prune proof needs. Pin it.
+    val rnd = new scala.util.Random(1234)
+    val pts = (1L to 300L).map(i =>
+      (i, rnd.nextInt(400).toLong - 200L, rnd.nextInt(400).toLong - 200L))
+    val expected = refSkyline(pts)
+    assert(expected.nonEmpty)
+    for (w <- Seq(1L, 25L, 10000L))
+      assert(run(pts, w) == expected, s"width=$w")
+  }
+
   test("partitioning does not change the frontier") {
     val rnd = new scala.util.Random(88)
     val pts = (1L to 300L).map(i =>
