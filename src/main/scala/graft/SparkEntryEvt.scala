@@ -99,6 +99,11 @@ object SparkEntryEvt {
   private[graft] val SkylineBucketCents = 50000L
   /** HITS iterations — shared with the oracle's unrolled CTEs. */
   private[graft] val HitsIters = 3
+  /** Synchronous LPA rounds for x_lpa_communities — a FIXED horizon (not
+    * convergence detection) so the oracle replays the loop as this many
+    * unrolled CTEs; shared with x_modularity, which scores the same
+    * stored partition. */
+  private[graft] val LpaRounds = 3
   /** Landmark set for the multi-source BFS: customers 0..3 (node ids
     * 2c). Four sweeps in one loop — the landmark-budget knob, shared
     * with the oracle's seed CTE. */
@@ -168,6 +173,18 @@ object SparkEntryEvt {
         .where(col("__w") >= MinSharedParts)
         .select("ua", "ub")
     }
+  }
+
+  /** The stored community assignment — LPA labels over the projected
+    * customer graph, memoized+persisted like the rank/distance artifacts
+    * (at 100 TB the community table is refreshed with the corpus and
+    * read by every downstream consumer): x_lpa_communities reads it raw,
+    * x_modularity scores it, ONE propagation loop serves both. */
+  private val lpaMemo = new graft.PlanMemo
+  private[graft] def storedLpaLabels(s: SparkSession, dir: String): DataFrame = {
+    val pe = projectedCustomerEdges(s, dir)
+    lpaMemo(pe, s"lpa$LpaRounds")(
+      Graph.labelPropagation(pe, "ua", "ub", LpaRounds))
   }
 
   /** Weighted co-purchase edges for the shortest-path family: weight =
@@ -627,6 +644,59 @@ object SparkEntryEvt {
         .agg(sum(expr("1000000 DIV dist")).as("harmonic_ppm"),
           count(lit(1)).as("n_landmarks"))
     },
+    "x_lpa_communities" -> { (s, dir) =>
+      // deterministic synchronous label propagation (Raghavan'07) over
+      // the projected customer graph: LpaRounds supersteps, each ONE
+      // edges⋈labels equi-join + a two-level argmax agg (most frequent
+      // neighbor label, ties to smallest) — the stored community
+      // assignment x_modularity scores
+      storedLpaLabels(s, dir)
+        .select(col("node").as("cust"), col("community"))
+    },
+    "x_modularity" -> { (s, dir) =>
+      // Newman modularity profile of the stored LPA partition, EXACT
+      // integers only: per community the member count, internal edge
+      // count, degree mass, and the modularity numerator
+      // q_num = 4·m·m_c − D_c² (so Q = Σ q_num / 4m² for the reader) —
+      // no division anywhere, hence no truncation-vs-floor semantics to
+      // pin across engines. One bounded driver scalar (the edge count m,
+      // off the persisted artifact — the kCore/hits contract).
+      val pe = projectedCustomerEdges(s, dir)
+      val labels = storedLpaLabels(s, dir)
+      val m = pe.count()
+      val deg = pe.select(col("ua").as("node"))
+        .unionAll(pe.select(col("ub").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("__d"))
+      val byC = labels.join(deg, Seq("node"))
+        .groupBy("community").agg(count(lit(1)).as("n_members"),
+          sum(col("__d")).as("degree_total"))
+      val inner = pe
+        .join(labels.select(col("node").as("ua"), col("community").as("__ca")),
+          Seq("ua"))
+        .join(labels.select(col("node").as("ub"), col("community").as("__cb")),
+          Seq("ub"))
+        .where(col("__ca") === col("__cb"))
+        .groupBy(col("__ca").as("community"))
+        .agg(count(lit(1)).as("internal_edges"))
+      byC.join(inner, Seq("community"), "left")
+        .select(col("community"), col("n_members"),
+          coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+          col("degree_total"),
+          (lit(4L * m) * coalesce(col("internal_edges"), lit(0L)) -
+            col("degree_total") * col("degree_total")).as("q_num"))
+    },
+    "x_clustering_coeff" -> { (s, dir) =>
+      // per-vertex local clustering coefficient over the projected
+      // customer graph: the SAME degree-ordered oriented wedge join as
+      // x_triangles (O(|E|^{3/2}) regardless of hub skew), each closed
+      // wedge exploded to its three corners and counted per vertex;
+      // cc_ppm = 2·tri·10⁶ DIV (d·(d−1)) — floor division on
+      // non-negative longs only
+      Graph.triangleCounts(projectedCustomerEdges(s, dir), "ua", "ub",
+          assumeCanonical = true)
+        .select(col("node").as("cust"), col("degree"), col("triangles"),
+          col("cc_ppm"))
+    },
   )
 
   /** x_active_users_hll's estimate stash (bounded: one row per day). */
@@ -699,6 +769,34 @@ object SparkEntryEvt {
   private val prSelect =
     "SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'part' END AS node_type, " +
       "id // 2 AS node_id, r AS rank_scaled FROM "
+
+  /** The projected-customer-graph CTE chain (the x_triangles oracle's
+    * own prefix, factored so the community/coefficient oracles re-derive
+    * the SAME graph): cp → capped k → thresholded canonical pe. */
+  private def projCtes(): String =
+    "cp AS (SELECT DISTINCT o_custkey AS u, l_partkey AS v " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+      "deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM cp GROUP BY 1), " +
+      s"k AS (SELECT u, cp.v FROM cp JOIN deg USING (v) WHERE d <= $ButterflyCap), " +
+      "pe AS (SELECT a.u AS ua, b.u AS ub FROM k a JOIN k b " +
+      "ON a.v = b.v AND a.u < b.u GROUP BY 1, 2 " +
+      s"HAVING count(*) >= $MinSharedParts)"
+
+  /** [[projCtes]] plus [[LpaRounds]] unrolled synchronous LPA rounds:
+    * l0 = own id; l{i} = per-vertex (count DESC, label ASC) argmax over
+    * neighbors' l{i-1} — the engine's max(struct(count, -label)) exactly. */
+  private def projLpaCtes(): String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"c$i AS (SELECT sym.u AS x, l${i - 1}.l AS l, count(*) AS c " +
+        s"FROM sym JOIN l${i - 1} ON l${i - 1}.x = sym.nb GROUP BY 1, 2), " +
+        s"l$i AS (SELECT x, l FROM (SELECT x, l, row_number() OVER " +
+        s"(PARTITION BY x ORDER BY c DESC, l) AS rn FROM c$i) WHERE rn = 1)"
+    }
+    s"${projCtes()}, " +
+      "sym AS (SELECT ua AS u, ub AS nb FROM pe UNION ALL SELECT ub, ua FROM pe), " +
+      "l0 AS (SELECT DISTINCT u AS x, u AS l FROM sym), " +
+      rounds.mkString(", ")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "x_bfs_levels" ->
@@ -1165,6 +1263,54 @@ object SparkEntryEvt {
         "id // 2 AS node_id, CAST(hub AS BIGINT) AS hub_scaled, " +
         "CAST(auth AS BIGINT) AS auth_scaled FROM f"
     },
+
+    // the projection re-derived from scratch (the x_triangles CTE chain),
+    // then LpaRounds synchronous label-propagation rounds unrolled — each
+    // round's argmax as a (count DESC, label ASC) row_number, mirroring
+    // the engine's max(struct(count, -label)) term for term
+    "x_lpa_communities" ->
+      (s"WITH ${projLpaCtes()} " +
+        s"SELECT CAST(x AS BIGINT) AS cust, CAST(l AS BIGINT) AS community " +
+        s"FROM l$LpaRounds"),
+
+    // the same unrolled partition, scored: per community the exact
+    // integer profile and the modularity numerator 4·m·m_c − D_c² —
+    // no division on either side, so no rounding semantics to pin
+    "x_modularity" ->
+      (s"WITH ${projLpaCtes()}, " +
+        "mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pe), " +
+        "pd AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM " +
+        "(SELECT ua AS x FROM pe UNION ALL SELECT ub FROM pe) GROUP BY 1), " +
+        s"byc AS (SELECT lf.l AS community, CAST(count(*) AS BIGINT) AS n_members, " +
+        s"CAST(sum(pd.d) AS BIGINT) AS degree_total FROM l$LpaRounds lf " +
+        "JOIN pd ON pd.x = lf.x GROUP BY 1), " +
+        s"ie AS (SELECT la.l AS community, CAST(count(*) AS BIGINT) AS internal_edges " +
+        s"FROM pe JOIN l$LpaRounds la ON la.x = pe.ua " +
+        s"JOIN l$LpaRounds lb ON lb.x = pe.ub WHERE la.l = lb.l GROUP BY 1) " +
+        "SELECT CAST(byc.community AS BIGINT) AS community, n_members, " +
+        "CAST(coalesce(ie.internal_edges, 0) AS BIGINT) AS internal_edges, " +
+        "degree_total, " +
+        "CAST(4 * (SELECT m FROM mm) * coalesce(ie.internal_edges, 0) " +
+        "- degree_total * degree_total AS BIGINT) AS q_num " +
+        "FROM byc LEFT JOIN ie USING (community)"),
+
+    // triangles re-derived as the canonical x<y<z three-edge join
+    // (independent of the engine's orientation), exploded to corners;
+    // the coefficient's floor division touches non-negative values only
+    "x_clustering_coeff" ->
+      (s"WITH ${projCtes()}, " +
+        "pd AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM " +
+        "(SELECT ua AS x FROM pe UNION ALL SELECT ub FROM pe) GROUP BY 1), " +
+        "tr AS (SELECT e1.ua AS x, e1.ub AS y, e2.ub AS z FROM pe e1 " +
+        "JOIN pe e2 ON e2.ua = e1.ua AND e2.ub > e1.ub " +
+        "JOIN pe e3 ON e3.ua = e1.ub AND e3.ub = e2.ub), " +
+        "tv AS (SELECT x AS v FROM tr UNION ALL SELECT y FROM tr " +
+        "UNION ALL SELECT z FROM tr), " +
+        "tc AS (SELECT v, CAST(count(*) AS BIGINT) AS tri FROM tv GROUP BY 1) " +
+        "SELECT CAST(pd.x AS BIGINT) AS cust, pd.d AS degree, " +
+        "CAST(coalesce(tc.tri, 0) AS BIGINT) AS triangles, " +
+        "CAST(coalesce(tc.tri, 0) * 2000000 // (pd.d * (pd.d - 1)) AS BIGINT) AS cc_ppm " +
+        "FROM pd LEFT JOIN tc ON tc.v = pd.x WHERE pd.d >= 2"),
 
     // the same recursive bounded walk as x_bfs_levels, widened to the
     // (source, id) composite state

@@ -487,6 +487,16 @@ object SparkEntryExt {
       Similarity.bruteForceTopK(embs.where(col("label") === 1),
         embs.where(col("vec_id") < 10), k = 10)
     },
+    "x_hard_negatives" -> { (s, dir) =>
+      // contrastive hard-negative mining: per query vector, the exact
+      // top-k nearest neighbors whose LABEL DIFFERS from the query's —
+      // the nearest-but-wrong vectors a contrastive trainer wants as
+      // negatives. The label-inequality predicate is pre-filtering
+      // (in the join condition, before scoring), so the top-k can
+      // never starve while other-label vectors exist.
+      val embs = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(embs, embs.where(col("vec_id") < 10), k = 10)
+    },
     "x_knn_ivf" -> { (s, dir) =>
       // IVF path with LEARNED cells (deterministic seeded Lloyd's k-means,
       // no fixture column). Approximate RECALL, deterministic COMPUTATION:
@@ -1093,6 +1103,19 @@ object SparkEntryExt {
       "SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, " +
       "floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim FROM ranked WHERE rank <= 10"
 
+  /** Same exact-scan shape with the label-inequality predicate in the
+    * join — the hard-negative miner's ground truth (and its oracle:
+    * brute force IS the spec here). */
+  private[graft] val hardNegativesOracleSql: String =
+    "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+      "q AS (SELECT vec_id AS query_id, label AS ql, v AS qv FROM e WHERE vec_id < 10), " +
+      "scored AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qv, e.v) AS cos " +
+      "FROM q JOIN e ON e.vec_id <> q.query_id AND e.label <> q.ql), " +
+      "ranked AS (SELECT query_id, vec_id, cos, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM scored) " +
+      "SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, " +
+      "floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim FROM ranked WHERE rank <= 10"
+
   /** The x_knn_ivf replay SQL when the run's centroids are stashed —
     * shared with x_knn_recall's oracle (SparkEntryIdx) so the two can
     * never disagree about the replayed model. */
@@ -1503,6 +1526,7 @@ object SparkEntryExt {
         "WHERE list_cosine_similarity(a.v, b.v) > 0.45"),
 
     "x_knn_cosine" -> knnCosineOracleSql,
+    "x_hard_negatives" -> hardNegativesOracleSql,
 
     // the exact baseline's SQL with the metadata predicate on the corpus
     // CTE — query vectors stay unfiltered, like the engine side

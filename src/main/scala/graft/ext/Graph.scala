@@ -207,6 +207,28 @@ object Graph {
   def triangleCensus(edges: DataFrame, aCol: String, bCol: String,
                      maxWedges: Long = MaxExactWedges,
                      assumeCanonical: Boolean = false): DataFrame = {
+    val (e, _, oriented, nE, wedgeTotal) =
+      orientGuarded(edges, aCol, bCol, maxWedges, assumeCanonical, "triangleCensus")
+    val scalars = e.sparkSession.range(1).select(explode(array(
+        struct(lit("n_edges").as("metric"), lit(nE).as("value")),
+        struct(lit("n_wedges_oriented").as("metric"), lit(wedgeTotal).as("value"))))
+        .as("__r"))
+      .select(col("__r.metric").as("metric"), col("__r.value").as("value"))
+    val nTri = closedWedges(oriented)
+      .agg(count(lit(1)).as("value"))
+      .select(lit("n_triangles").as("metric"), col("value"))
+    scalars.unionByName(nTri)
+  }
+
+  /** Canonicalize + (deg, id)-orient an undirected edge list and take the
+    * census guard's one eager agg. Returns (canonical edges, undirected
+    * degrees, oriented edges (checkpointed), edge count, oriented wedge
+    * total) — the shared front half of [[triangleCensus]] and
+    * [[triangleCounts]]. */
+  private def orientGuarded(edges: DataFrame, aCol: String, bCol: String,
+                            maxWedges: Long, assumeCanonical: Boolean,
+                            caller: String)
+      : (DataFrame, DataFrame, DataFrame, Long, Long) = {
     val e =
       if (assumeCanonical) edges.select(col(aCol).as("__a"), col(bCol).as("__b"))
       else edges.select(least(col(aCol), col(bCol)).as("__a"),
@@ -236,27 +258,107 @@ object Graph {
       .head
     val (nE, wedgeTotal) = (row.getLong(0), row.getLong(1))
     require(wedgeTotal <= maxWedges,
-      s"triangleCensus: $wedgeTotal oriented wedges exceed the exact-join " +
+      s"$caller: $wedgeTotal oriented wedges exceed the exact-join " +
         s"bound of $maxWedges — raise the projection's thresholds (degree " +
         "cap / min edge weight) before the exact census")
-    val scalars = e.sparkSession.range(1).select(explode(array(
-        struct(lit("n_edges").as("metric"), lit(nE).as("value")),
-        struct(lit("n_wedges_oriented").as("metric"), lit(wedgeTotal).as("value"))))
-        .as("__r"))
-      .select(col("__r.metric").as("metric"), col("__r.value").as("value"))
-    // wedge at s over endpoints ordered by their (deg, id) keys: the
-    // closing edge, if present, is oriented lower → higher by definition
-    val wedges = oriented.alias("p").join(oriented.alias("q"),
+    (e, deg, oriented, nE, wedgeTotal)
+  }
+
+  /** Closed wedges of a (deg, id)-oriented edge list: one row per
+    * triangle, carrying all three corners — the wedge CENTER `__s` (the
+    * triangle's lowest-order vertex) and its two ordered endpoints
+    * `__ws < __wt` (by the orientation's (deg, id) key). The closing edge,
+    * if present, is oriented lower → higher by definition. */
+  private def closedWedges(oriented: DataFrame): DataFrame =
+    oriented.alias("p").join(oriented.alias("q"),
         col("p.__s") === col("q.__s") &&
           (col("p.__td") < col("q.__td") ||
             (col("p.__td") === col("q.__td") && col("p.__t") < col("q.__t"))))
-      .select(col("p.__t").as("__ws"), col("q.__t").as("__wt"))
-    val nTri = wedges
+      .select(col("p.__s").as("__c"), col("p.__t").as("__ws"), col("q.__t").as("__wt"))
       .join(oriented.select(col("__s").as("__ws"), col("__t").as("__wt")),
         Seq("__ws", "__wt"))
-      .agg(count(lit(1)).as("value"))
-      .select(lit("n_triangles").as("metric"), col("value"))
-    scalars.unionByName(nTri)
+
+  /** Per-vertex triangle participation + local clustering coefficient
+    * (Watts & Strogatz, Nature'98) over an undirected edge list — the
+    * SAME degree-ordered oriented wedge join as [[triangleCensus]]
+    * (Schank's forward algorithm: join volume O(|E|^{3/2}) regardless of
+    * hub skew), but instead of collapsing closed wedges to one scalar,
+    * each triangle row is exploded to its THREE corners and counted per
+    * vertex. The coefficient is exact integer ppm:
+    * `cc_ppm = 2·tri·10⁶ DIV (d·(d−1))` — floor division on non-negative
+    * longs, so Spark's DIV and DuckDB's // cannot disagree (no negative
+    * operand ever reaches a division). Degree-1 vertices have no defined
+    * coefficient (zero wedges) and are EXCLUDED — the oracle applies the
+    * same `d >= 2` predicate.
+    *
+    * Output: `(node, degree, triangles, cc_ppm)`, one row per vertex of
+    * degree ≥ 2. Identity pinned by GraphSpec: Σ triangles = 3 × the
+    * census's n_triangles. Same `maxWedges` loud-failure valve as the
+    * census. */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String,
+                     maxWedges: Long = MaxExactWedges,
+                     assumeCanonical: Boolean = false): DataFrame = {
+    val (_, deg, oriented, _, _) =
+      orientGuarded(edges, aCol, bCol, maxWedges, assumeCanonical, "triangleCounts")
+    val corners = closedWedges(oriented).select(
+      explode(array(col("__c"), col("__ws"), col("__wt"))).as("__x"))
+    val tri = corners.groupBy("__x").agg(count(lit(1)).as("__tri"))
+    deg.where(col("__d") >= 2)
+      .join(tri, Seq("__x"), "left")
+      .select(col("__x").as("node"), col("__d").as("degree"),
+        coalesce(col("__tri"), lit(0L)).as("triangles"),
+        (coalesce(col("__tri"), lit(0L)) * 2L * 1000000L)
+          .cast("long").as("__num"), col("__d"))
+      .select(col("node"), col("degree"), col("triangles"),
+        expr("__num DIV (__d * (__d - 1))").as("cc_ppm"))
+  }
+
+  /** Synchronous label propagation (Raghavan, Albert & Kumara, "Near
+    * linear time algorithm to detect community structures in large-scale
+    * networks", Phys. Rev. E 76, 2007) over an undirected edge list, made
+    * DETERMINISTIC for cross-engine replay: every vertex starts labeled
+    * with its own id; each round every vertex simultaneously adopts the
+    * label most frequent among its NEIGHBORS (self excluded — the classic
+    * form), ties broken to the SMALLEST label. The argmax is one
+    * aggregation — `max(struct(count, -label))` — so each round is
+    * exactly two vertex-keyed exchanges (edges⋈labels, then the
+    * two-level groupBy), both map-side combinable: the Pregel superstep
+    * as a relational plan, state O(|V|), never |V|² — the shape that
+    * holds at a billion vertices. A FIXED round count (not convergence
+    * detection) keeps the loop replayable as `rounds` unrolled oracle
+    * CTEs; synchronous min-tie LPA can 2-cycle on bipartite structures,
+    * and a fixed horizon pins WHICH phase of such an oscillation the
+    * result is. Each round's labels are checkpointed (the bfsLevels
+    * discipline: materialized leaves, no lineage stacking).
+    *
+    * Returns `(node, community)` for every vertex of the edge list. */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds=$rounds out of the unrolled range")
+    // canonicalize BEFORE the dedup (the triangleCensus discipline): a
+    // raw list carrying both (a,b) and (b,a) must symmetrize to ONE
+    // undirected edge, not two — a duplicate would double that
+    // neighbor's vote
+    val e0 = edges.select(least(col(aCol), col(bCol)).as("__u"),
+        greatest(col(aCol), col(bCol)).as("__v"))
+      .where(col("__u") =!= col("__v")).distinct()
+    val sym = e0.unionAll(e0.select(col("__v").as("__u"), col("__u").as("__v")))
+      .localCheckpoint(true) // scanned once per round
+    var labels = sym.select(col("__u").as("__x")).distinct()
+      .select(col("__x"), col("__x").as("__l"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.select(col("__x").as("__v"), col("__l")), Seq("__v"))
+        .groupBy(col("__u"), col("__l")).agg(count(lit(1)).as("__c"))
+        // deterministic argmax: highest count, then smallest label
+        // (struct ordering is lexicographic; -label flips min to max)
+        .groupBy(col("__u").as("__x"))
+        .agg(max(struct(col("__c"), (-col("__l")).as("__nl"))).as("__m"))
+        .select(col("__x"), (-col("__m.__nl")).as("__l"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("__x").as("node"), col("__l").as("community"))
   }
 
   /** Single-source BFS levels over a directed edge list (symmetrize for

@@ -63,6 +63,31 @@ object Similarity {
     topKPerQuery(scored, k, idCol)
   }
 
+  /** Hard-negative mining for contrastive training pairs (the standard
+    * dense-retrieval recipe — e.g. Karpukhin et al., "Dense Passage
+    * Retrieval", EMNLP'20 §4.2: the strongest negatives are the nearest
+    * neighbors that do NOT share the query's label): per query, the
+    * exact top-k by cosine among corpus vectors whose `labelCol`
+    * DIFFERS from the query's. The label predicate rides IN the
+    * broadcast join condition — pre-filtering, like [[bruteForceTopK]]'s
+    * self-exclusion, so a query surrounded by same-label vectors still
+    * fills its k from the nearest other-label ones rather than starving.
+    * Same scan/top-k shape as the brute-force baseline: one corpus pass,
+    * the two-phase skew-free top-k; at scale the same label-inequality
+    * predicate composes after an IVF probe instead (filter before the
+    * top-k, exactly the [[ivfTopK]] pattern with x_knn_filtered's
+    * pre-filter contract). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                    vecCol: String = "embedding", idCol: String = "vec_id",
+                    labelCol: String = "label"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), col(labelCol).as("__ql")))
+    val scored = corpus.join(q,
+        col("query_id") =!= col(idCol) && col("__ql") =!= col(labelCol))
+      .select(col("query_id"), col(idCol), cosine(col("__qv"), col(vecCol)).as("cos"))
+    topKPerQuery(scored, k, idCol)
+  }
+
   /** Per-query top-k WITHOUT a q-way skewed window: ranking n·q scored
     * rows by `Window.partitionBy(query_id)` alone would shuffle everything
     * onto q tasks (with a handful of queries, a handful of tasks own the

@@ -558,6 +558,35 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.45, s"full-corpus recall $recall")
   }
 
+  test("hardNegatives: label-disjoint top-k, equal to a per-query pre-filtered brute force") {
+    val embs = Tables.embeddings(spark, sf)
+    val qs = embs.where(col("vec_id") < 10)
+    val got = Similarity.hardNegatives(embs, qs, k = 10)
+    // every mined negative's label differs from its query's label
+    val labels = embs.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = got.select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (q, _, n) => labels(q) != labels(n) },
+      "a hard negative shared its query's label")
+    // full k per query: other-label vectors vastly outnumber k here
+    val perQuery = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+    assert(perQuery.values.forall(_ == (1 to 10)), "ranks must be dense 1..k")
+    // the miner IS brute force over the per-query label-disjoint slice:
+    // replay each query against the pre-filtered corpus with the shared
+    // baseline primitive and demand identical (rank, neighbor) lists
+    val queries = qs.select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    for ((qid, ql) <- queries) {
+      val expect = Similarity.bruteForceTopK(
+          embs.where(col("label") =!= ql), qs.where(col("vec_id") === qid), k = 10)
+        .select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(rows.filter(_._1 == qid).toSet == expect, s"query $qid diverges")
+    }
+  }
+
   test("ivfTopK: label-cell IVF with nprobe=2 reaches reasonable recall") {
     val embs = Tables.embeddings(spark, sf)
     val qs = embs.where(col("vec_id") < 10)

@@ -798,4 +798,102 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(got == (0L to 5L).map(i => i -> i).toMap)
   }
+
+  private def runTriCounts(edges: Seq[(Long, Long)],
+                           parts: Int = 5): Map[Long, (Long, Long, Long)] =
+    Graph.triangleCounts(edges.toDF("a", "b").repartition(parts), "a", "b")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("triangleCounts: K4 is fully clustered — cc_ppm exactly 10⁶ everywhere") {
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val got = runTriCounts(k4)
+    // every vertex: degree 3, in C(3,2)=3 triangles, cc = 2·3/(3·2) = 1
+    assert(got == (1L to 4L).map(_ -> ((3L, 3L, 1000000L))).toMap)
+    // census identity: Σ per-vertex triangles = 3 × n_triangles (K4 has 4)
+    assert(got.values.map(_._2).sum == 3L * 4L)
+  }
+
+  test("triangleCounts: a path has no triangles; degree-1 endpoints are excluded") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val got = runTriCounts(path)
+    assert(got == Map(2L -> ((2L, 0L, 0L)), 3L -> ((2L, 0L, 0L))))
+  }
+
+  test("triangleCounts: one triangle with a pendant — the floor coefficient at degree 3") {
+    // triangle 1-2-3 plus pendant 3-4: vertex 3 has degree 3, 1 triangle,
+    // cc = 2·1·10⁶ DIV (3·2) = 333333 (floor)
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val got = runTriCounts(g)
+    assert(got(1L) == ((2L, 1L, 1000000L)))
+    assert(got(2L) == ((2L, 1L, 1000000L)))
+    assert(got(3L) == ((3L, 1L, 333333L)))
+    assert(!got.contains(4L), "degree-1 pendant has no defined coefficient")
+    // Σ per-vertex triangles = 3 × the census's count (1 triangle)
+    assert(got.values.map(_._2).sum == 3L)
+  }
+
+  private def runLpa(edges: Seq[(Long, Long)], rounds: Int,
+                     parts: Int = 5): Map[Long, Long] =
+    Graph.labelPropagation(edges.toDF("a", "b").repartition(parts),
+        "a", "b", rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Driver-side replica of the synchronous min-tie LPA recurrence. */
+  private def lpaRef(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val sym = (edges ++ edges.map(_.swap)).distinct
+      .filter { case (a, b) => a != b }
+    val nbrs = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var l = nbrs.keys.map(k => k -> k).toMap
+    for (_ <- 1 to rounds) {
+      l = nbrs.map { case (v, ns) =>
+        val counts = ns.map(l).groupBy(identity).map { case (lb, xs) => lb -> xs.size }
+        // most frequent neighbor label, ties to the SMALLEST label
+        v -> counts.toSeq.minBy { case (lb, c) => (-c, lb) }._1
+      }
+    }
+    l
+  }
+
+  test("labelPropagation: path graph matches the hand-computed synchronous rounds") {
+    val path = (1L until 5L).map(i => (i, i + 1))
+    // l0 = id; r1: (2,1,2,3,4); r2: (1,2,1,2,3); r3: (2,1,2,1,2)
+    assert(runLpa(path, 1) == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    assert(runLpa(path, 2) == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+    assert(runLpa(path, 3) == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L))
+  }
+
+  test("labelPropagation: K4 converges to the all-1 community and stays there") {
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    // r1: vertex 1's neighbors all tie at count 1 → min label 2; the rest
+    // see label 1 → by r2 label 1 has majority everywhere and is absorbing
+    assert(runLpa(k4, 1) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    assert(runLpa(k4, 2) == (1L to 4L).map(_ -> 1L).toMap)
+    assert(runLpa(k4, 3) == (1L to 4L).map(_ -> 1L).toMap)
+  }
+
+  test("labelPropagation: two cliques joined by one bridge edge separate into two communities") {
+    val cliqueA = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val cliqueB = for { a <- 11L to 14L; b <- 11L to 14L if a < b } yield (a, b)
+    val g = cliqueA ++ cliqueB ++ Seq((4L, 11L))
+    val got = runLpa(g, 3)
+    val aLabels = (1L to 4L).map(got).toSet
+    val bLabels = (11L to 14L).map(got).toSet
+    assert(aLabels.size == 1 && bLabels.size == 1 && aLabels != bLabels,
+      s"cliques must settle on two distinct communities, got $got")
+    assert(got == lpaRef(g, 3))
+  }
+
+  test("labelPropagation: pseudo-random graph matches the reference fold on every node, any partitioning") {
+    val rnd = new scala.util.Random(7331)
+    val edges = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    for (r <- 1 to 4) {
+      val expected = lpaRef(edges, r)
+      assert(runLpa(edges, r, parts = 7) == expected, s"rounds=$r diverges")
+      assert(runLpa(edges, r, parts = 1) == expected,
+        s"rounds=$r: partitioning must not change labels")
+    }
+  }
 }

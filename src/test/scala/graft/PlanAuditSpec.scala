@@ -24,7 +24,11 @@ class PlanAuditSpec extends SparkSpec {
       // the hybrid fusion's vector leg IS the exact baseline
       // (bruteForceTopK's deliberate broadcast scorer); the fusion joins
       // themselves are equi-joins over bounded ranking relations
-      "x_hybrid_search")
+      "x_hybrid_search",
+      // hard-negative mining is the exact baseline with the label
+      // predicate riding in the same broadcast join condition; the
+      // IVF-probed form is the documented scale path
+      "x_hard_negatives")
 
   test("no query plans a cartesian product or an unbounded nested loop") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -299,8 +303,12 @@ class PlanAuditSpec extends SparkSpec {
     // recs: the projected-edge + bipartite artifacts' build lineage
     // prints under the vote join, the anti-join, AND the rank window
     // (one InMemoryRelation each at execution — the x_pagerank_delta
-    // inflation); executed stages pinned below
-    "x_copurchase_recs" -> 68,
+    // inflation); executed stages pinned below. 68→122 when
+    // x_clustering_coeff joined the sweep: it sorts earlier and its
+    // eager wedge guard materializes the projected artifact first, so
+    // the recs plan prints the cached build's lineage per consumer
+    // (execution unchanged — the executed pin below still holds at 5)
+    "x_copurchase_recs" -> 122,
     // skyline: survivors are localCheckpoint'd after the broadcast
     // bucket-prefix prune; the residual same-bucket joins broadcast at
     // this sf — zero printable exchanges in the returned plan
@@ -321,6 +329,17 @@ class PlanAuditSpec extends SparkSpec {
     // at execution — the x_pagerank_delta inflation); executed stages
     // pinned below
     "x_basket_rules_delta" -> 36,
+    // LPA rounds are checkpointed (the BFS discipline) — the returned
+    // plan is a select over the final materialized label relation
+    "x_lpa_communities" -> 0,
+    // hard negatives: the broadcast-bounded exact scan + two-phase rank
+    // (the x_knn_filtered shape with the label predicate in the join)
+    "x_hard_negatives" -> 2,
+    // coefficient/modularity: the projected-edge artifact's build
+    // lineage PRINTS once per consumer (degree branch + wedge sides;
+    // labels + three profile branches) — the x_copurchase_recs
+    // inflation; executed stages pinned below
+    "x_clustering_coeff" -> 114, "x_modularity" -> 167,
   )
 
   /** a node line whose name starts with "Exchange " is a shuffle;
@@ -371,7 +390,13 @@ class PlanAuditSpec extends SparkSpec {
     // expansion) + delta expansion + two merge aggs + marginal joins;
     // +1 over the 16 measured allows the timing-dependent ReusedExchange
     // stage AQE sometimes materializes (the x_pagerank_delta precedent)
-    "x_basket_rules_delta" -> 17)
+    "x_basket_rules_delta" -> 17,
+    // r15 community/coefficient additions (print budgets 114/167 from
+    // the shared projected-artifact lineage): coefficient = artifact
+    // build + degree agg + endpoint-degree joins + corner explode agg +
+    // final join (8 measured); modularity = artifact + LPA label joins
+    // + the three profile aggs (7 measured); +1 jitter each
+    "x_clustering_coeff" -> 9, "x_modularity" -> 8)
 
   /** Distinct shuffle stages of THIS query execution's final adaptive
     * plan. `collect()` (not `count()`) executes the df's own
