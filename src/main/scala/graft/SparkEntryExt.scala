@@ -497,6 +497,16 @@ object SparkEntryExt {
       val embs = Tables.embeddings(s, dir)
       Similarity.hardNegatives(embs, embs.where(col("vec_id") < 10), k = 10)
     },
+    "x_hard_negatives_ann" -> { (s, dir) =>
+      // the miner's SCALE path: the same label-disjoint top-k over the
+      // IVF index — probe the query's nprobe nearest learned cells, the
+      // label inequality filters inside them, nothing broadcasts the
+      // corpus. Centroids stash for the oracle's literal replay
+      // (the x_knn_ivf contract).
+      val embs = Tables.embeddings(s, dir)
+      Similarity.hardNegativesAnn(embs, embs.where(col("vec_id") < 10),
+        k = 10, kCells = 8, iters = 2, nprobe = 2)
+    },
     "x_knn_ivf" -> { (s, dir) =>
       // IVF path with LEARNED cells (deterministic seeded Lloyd's k-means,
       // no fixture column). Approximate RECALL, deterministic COMPUTATION:
@@ -1125,10 +1135,39 @@ object SparkEntryExt {
       case _                       => None
     }
 
+  /** The x_hard_negatives_ann replay: [[ivfOracleSql]]'s assignment +
+    * probe chain with the label riding both sides and the inequality
+    * applied inside the probed cells — the engine's pre-filter exactly. */
+  private def ivfHardNegOracleSql(cents: Seq[(Long, Array[Float])]): String = {
+    val rows = cents.map { case (c, v) =>
+      s"($c, [${v.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+    "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"cents(cell, cv) AS (VALUES $rows), " +
+      "assigned AS (SELECT vec_id, label, v, cell FROM (SELECT e.vec_id, e.label, e.v, c.cell, " +
+      "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+      "coalesce(list_cosine_similarity(e.v, c.cv), -2.0) DESC, c.cell) AS rn " +
+      "FROM e CROSS JOIN cents c) WHERE rn = 1), " +
+      "qprobe AS (SELECT query_id, ql, qv, cell FROM (SELECT e.vec_id AS query_id, " +
+      "e.label AS ql, e.v AS qv, c.cell, " +
+      "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+      "list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS rn " +
+      "FROM e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE rn <= 2), " +
+      "scored AS (SELECT p.query_id, a.vec_id, list_cosine_similarity(p.qv, a.v) AS cos " +
+      "FROM qprobe p JOIN assigned a USING (cell) " +
+      "WHERE a.vec_id <> p.query_id AND a.label <> p.ql), " +
+      knnTopKSql("scored")
+  }
+
   private def annOracles: Map[String, String] =
     Map("x_knn_lsh" -> lshOracleSql,
       "x_dedup_embed_lsh" -> embedLshOracleSql) ++
       ivfOracleSqlOpt.map("x_knn_ivf" -> _).toMap ++
+      (Similarity.lastLearnedHardNeg match {
+        case cents if cents.nonEmpty =>
+          Map("x_hard_negatives_ann" -> ivfHardNegOracleSql(cents))
+        case _ => Map.empty[String, String]
+      }) ++
       // same replay machinery, base-trained model: the frozen-centroid law
       // means one assignment CTE over ALL vectors equals the engine's
       // base-assign ∪ delta-assign exactly

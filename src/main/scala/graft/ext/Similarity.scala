@@ -314,7 +314,8 @@ object Similarity {
     * −2 floor ranking null-cosine (degenerate) pairs last. */
   private def ivfSearch(corpusWithCell: DataFrame, cents: Seq[(Long, Array[Float])],
                         queries: DataFrame, k: Int, vecCol: String, idCol: String,
-                        nprobe: Int): DataFrame = {
+                        nprobe: Int,
+                        excludeLabelCol: Option[String] = None): DataFrame = {
     if (cents.isEmpty)
       return topKPerQuery(queries
         .select(col(idCol).as("query_id"), col(idCol), lit(0d).as("cos"))
@@ -324,14 +325,49 @@ object Similarity {
     val ranked = reverse(array_sort(transform(centLit, c =>
       struct(coalesce(cosine(col("__qv"), c("centroid")), lit(-2d)).as("d"),
         (-c("cell")).as("nc")))))
-    val qCells = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    // excludeLabelCol (the hard-negative miner): the query's label rides
+    // the probe rows and the inequality filters INSIDE the probed cells,
+    // before the top-k — per-query pre-filtering, same contract as the
+    // brute-force miner's join predicate
+    val qCols = Seq(col(idCol).as("query_id"), col(vecCol).as("__qv")) ++
+      excludeLabelCol.map(c => col(c).as("__ql"))
+    val qCells = queries.select(qCols: _*)
       .withColumn("__probe", explode(slice(ranked, 1, nprobe)))
-      .select(col("query_id"), col("__qv"), (-col("__probe.nc")).as("cell"))
-    val scored = corpusWithCell
+      .select(Seq(col("query_id"), col("__qv"),
+        (-col("__probe.nc")).as("cell")) ++
+        excludeLabelCol.map(_ => col("__ql")): _*)
+    val probed = corpusWithCell
       .join(qCells, Seq("cell"))
       .where(col("query_id") =!= col(idCol))
+    val filtered = excludeLabelCol.fold(probed)(c =>
+      probed.where(col("__ql") =!= col(c)))
+    val scored = filtered
       .select(col("query_id"), col(idCol), cosine(col("__qv"), col(vecCol)).as("cos"))
     topKPerQuery(scored, k, idCol)
+  }
+
+  /** x_hard_negatives_ann's centroid stash (the [[lastLearned]] contract;
+    * separate so the miner can never clobber the x_knn_ivf oracle). */
+  @volatile var lastLearnedHardNeg: Seq[(Long, Array[Float])] = Nil
+
+  /** The hard-negative miner's SCALE path: [[hardNegatives]]' label-
+    * disjoint top-k over the IVF index instead of the full corpus — the
+    * query probes its `nprobe` nearest learned cells and the label
+    * inequality filters within them, so the scan is cells/nprobe-fold
+    * smaller and nothing broadcasts the corpus. Same approximate-recall /
+    * deterministic-computation contract as [[ivfTopKLearned]]: the
+    * learned centroids are stashed ([[lastLearnedHardNeg]]) and the
+    * oracle replays assignment + probe + label-filtered top-k as literal
+    * SQL. */
+  def hardNegativesAnn(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                       vecCol: String = "embedding", idCol: String = "vec_id",
+                       labelCol: String = "label", kCells: Int = 8,
+                       iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    val cents = learnedCentroids(corpus, kCells, iters, vecCol, idCol,
+      stash = false)
+    lastLearnedHardNeg = cents
+    ivfSearch(assignCells(corpus, cents, vecCol), cents, queries, k, vecCol,
+      idCol, nprobe, excludeLabelCol = Some(labelCol))
   }
 
   // ---------- product quantization ----------

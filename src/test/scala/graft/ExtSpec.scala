@@ -587,6 +587,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hardNegativesAnn: IVF-probed miner stays label-disjoint, decent recall vs the exact miner") {
+    val embs = Tables.embeddings(spark, sf)
+    val qs = embs.where(col("vec_id") < 10)
+    val exact = Similarity.hardNegatives(embs, qs, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.hardNegativesAnn(embs, qs, k = 10)
+    val rows = approx.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = embs.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (q, n) => labels(q) != labels(n) },
+      "an IVF-mined negative shared its query's label")
+    val recall = (exact & rows.toSet).size.toDouble / exact.size
+    assert(recall >= 0.5, s"hard-negative recall $recall vs the exact miner")
+  }
+
   test("ivfTopK: label-cell IVF with nprobe=2 reaches reasonable recall") {
     val embs = Tables.embeddings(spark, sf)
     val qs = embs.where(col("vec_id") < 10)

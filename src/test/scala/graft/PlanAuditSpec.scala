@@ -333,8 +333,10 @@ class PlanAuditSpec extends SparkSpec {
     // plan is a select over the final materialized label relation
     "x_lpa_communities" -> 0,
     // hard negatives: the broadcast-bounded exact scan + two-phase rank
-    // (the x_knn_filtered shape with the label predicate in the join)
-    "x_hard_negatives" -> 2,
+    // (the x_knn_filtered shape with the label predicate in the join);
+    // the ANN path probes the IVF cells map-only, leaving the cell
+    // equi-join + the same rank pair
+    "x_hard_negatives" -> 2, "x_hard_negatives_ann" -> 2,
     // coefficient/modularity: the projected-edge artifact's build
     // lineage PRINTS once per consumer (degree branch + wedge sides;
     // labels + three profile branches) — the x_copurchase_recs
