@@ -697,6 +697,26 @@ object SparkEntryEvt {
         .select(col("node").as("cust"), col("degree"), col("triangles"),
           col("cc_ppm"))
     },
+    "x_assortativity" -> { (s, dir) =>
+      // degree-assortativity sufficient statistics of the projected
+      // customer graph — one exact-integer row (2m directed pairs,
+      // Σd, Σd², Σd·d'), no division or float on either engine; the
+      // reader derives Newman's r from the four sums
+      Graph.assortativityProfile(projectedCustomerEdges(s, dir), "ua", "ub",
+        assumeCanonical = true)
+    },
+    "x_link_prediction" -> { (s, dir) =>
+      // resource-allocation link prediction (Zhou'09) over the stored
+      // projected graph: Σ 10⁶ DIV deg(z) over shared neighbors —
+      // the integer-exact common-neighbor score that up-weights rare
+      // bridges; candidates from the center-keyed wedge join (the
+      // census-guarded volume), already-adjacent pairs anti-joined away
+      // before scoring, deterministic per-vertex top-k
+      Recommend.resourceAllocationRecs(projectedCustomerEdges(s, dir),
+          "ua", "ub", RecsTopK)
+        .select(col("user").as("cust"), col("cand"),
+          col("common_neighbors"), col("ra_ppm"), col("rank"))
+    },
   )
 
   /** x_active_users_hll's estimate stash (bounded: one row per day). */
@@ -1311,6 +1331,36 @@ object SparkEntryEvt {
         "CAST(coalesce(tc.tri, 0) AS BIGINT) AS triangles, " +
         "CAST(coalesce(tc.tri, 0) * 2000000 // (pd.d * (pd.d - 1)) AS BIGINT) AS cc_ppm " +
         "FROM pd LEFT JOIN tc ON tc.v = pd.x WHERE pd.d >= 2"),
+
+    // the four sufficient statistics re-derived over the same
+    // re-projected graph — counts and sums only, no division to pin
+    "x_assortativity" ->
+      (s"WITH ${projCtes()}, " +
+        "sym AS (SELECT ua AS u, ub AS nb FROM pe UNION ALL SELECT ub, ua FROM pe), " +
+        "pd AS (SELECT u AS x, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(sum(du.d) AS BIGINT) AS sum_deg, " +
+        "CAST(sum(du.d * du.d) AS BIGINT) AS sum_deg_sq, " +
+        "CAST(sum(du.d * dv.d) AS BIGINT) AS sum_deg_prod " +
+        "FROM sym JOIN pd du ON du.x = sym.u JOIN pd dv ON dv.x = sym.nb"),
+
+    // the wedge-centered score re-derived from the definition: shared
+    // neighbor z contributes 10⁶ // deg(z); adjacency exclusion as
+    // NOT EXISTS; the identical (score DESC, cand ASC) deterministic rank
+    "x_link_prediction" ->
+      (s"WITH ${projCtes()}, " +
+        "sym AS (SELECT ua AS u, ub AS nb FROM pe UNION ALL SELECT ub, ua FROM pe), " +
+        "pd AS (SELECT u AS x, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1), " +
+        "wd AS (SELECT s1.u AS u, s2.nb AS w, pd.d FROM sym s1 " +
+        "JOIN sym s2 ON s2.u = s1.nb JOIN pd ON pd.x = s1.nb " +
+        "WHERE s1.u <> s2.nb AND NOT EXISTS " +
+        "(SELECT 1 FROM sym o WHERE o.u = s1.u AND o.nb = s2.nb)), " +
+        "sc AS (SELECT u, w, CAST(count(*) AS BIGINT) AS common_neighbors, " +
+        "CAST(sum(1000000 // d) AS BIGINT) AS ra_ppm FROM wd GROUP BY 1, 2) " +
+        "SELECT CAST(u AS BIGINT) AS cust, CAST(w AS BIGINT) AS cand, " +
+        "common_neighbors, ra_ppm, CAST(rn AS BIGINT) AS rank FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY u ORDER BY ra_ppm DESC, w) AS rn " +
+        s"FROM sc) WHERE rn <= $RecsTopK"),
 
     // the same recursive bounded walk as x_bfs_levels, widened to the
     // (source, id) composite state

@@ -313,6 +313,37 @@ object Graph {
         expr("__num DIV (__d * (__d - 1))").as("cc_ppm"))
   }
 
+  /** Degree-assortativity profile (Newman, "Assortative mixing in
+    * networks", PRL 89:208701, 2002) over an undirected edge list — the
+    * EXACT integer sufficient statistics of the edge-endpoint degree
+    * correlation, over the 2m DIRECTED pairs of the symmetrized list:
+    * `(n_pairs, sum_deg, sum_deg_sq, sum_deg_prod)` =
+    * (2m, Σ deg(u), Σ deg(u)², Σ deg(u)·deg(v)) — one bounded row, from
+    * which the reader derives Newman's
+    * r = (P·Sxy − Sx²) / (P·Sx2 − Sx²). NO division or float on either
+    * engine, so nothing to pin; the sums are non-negative BIGINTs
+    * (hub degree ~10⁶ at extreme scale puts deg² ~10¹² per row — switch
+    * the two squared-term aggs to DECIMAL(38,0) before a corpus where
+    * Σ deg² approaches 2⁶³). Plan: degree agg + two endpoint joins +
+    * one global agg, all map-side combinable. */
+  def assortativityProfile(edges: DataFrame, aCol: String, bCol: String,
+                           assumeCanonical: Boolean = false): DataFrame = {
+    val e =
+      if (assumeCanonical) edges.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      else edges.select(least(col(aCol), col(bCol)).as("__a"),
+          greatest(col(aCol), col(bCol)).as("__b"))
+        .where(col("__a") =!= col("__b")).distinct()
+    val sym = e.unionAll(e.select(col("__b").as("__a"), col("__a").as("__b")))
+    val deg = sym.groupBy(col("__a").as("__x")).agg(count(lit(1)).as("__d"))
+    sym
+      .join(deg.select(col("__x").as("__a"), col("__d").as("__du")), Seq("__a"))
+      .join(deg.select(col("__x").as("__b"), col("__d").as("__dv")), Seq("__b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(col("__du")), lit(0L)).as("sum_deg"),
+        coalesce(sum(col("__du") * col("__du")), lit(0L)).as("sum_deg_sq"),
+        coalesce(sum(col("__du") * col("__dv")), lit(0L)).as("sum_deg_prod"))
+  }
+
   /** Synchronous label propagation (Raghavan, Albert & Kumara, "Near
     * linear time algorithm to detect community structures in large-scale
     * networks", Phys. Rev. E 76, 2007) over an undirected edge list, made

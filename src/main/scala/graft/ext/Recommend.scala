@@ -200,4 +200,61 @@ object Recommend {
       .select(col("__u").as("user"), col("__cand").as("item"),
         col("votes"), col("rank").cast("long").as("rank"))
   }
+
+  /** Link prediction by RESOURCE ALLOCATION (Zhou, Lü & Zhang, "Predicting
+    * missing links via local information", Eur. Phys. J. B 71, 2009):
+    * score(u, w) = Σ_{z ∈ N(u) ∩ N(w)} 1/deg(z) — the common-neighbor
+    * measure that up-weights RARE bridges (a shared low-degree neighbor
+    * says far more than a shared hub), and the one whose published form
+    * is a plain reciprocal — integer-exact here as `10⁶ DIV deg(z)`
+    * summed in ppm (floor division on non-negative longs only, so Spark
+    * and DuckDB cannot disagree; Adamic-Adar's 1/log deg would put an
+    * irrational in the score). Candidates come from the center-keyed
+    * wedge join over the symmetrized similarity graph — volume
+    * Σ deg(z)·(deg(z)−1), the same quantity the triangle census bounds,
+    * guarded by the SAME eager valve before the join is committed —
+    * already-adjacent pairs anti-joined away BEFORE the score agg, then
+    * one per-vertex top-k window (skew-bounded: a vertex's candidate
+    * rows are ≤ Σ neighbor degrees, which the projection's degree cap
+    * bounds). Ties rank (score desc, candidate asc) — a total order.
+    *
+    * Output: `(user, cand, common_neighbors, ra_ppm, rank)`, top `k`
+    * predicted links per vertex. `simEdges` is assumed canonical and
+    * distinct (the stored projected-artifact contract, as
+    * [[neighborVoteRecs]]). */
+  def resourceAllocationRecs(simEdges: DataFrame, uaCol: String, ubCol: String,
+                             k: Int,
+                             maxWedges: Long = graft.ext.Graph.MaxExactWedges): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val e = simEdges.select(col(uaCol).as("__u"), col(ubCol).as("__n"))
+    val sym = e.unionByName(e.select(col("__n").as("__u"), col("__u").as("__n")))
+    val deg = sym.groupBy(col("__u").as("__z")).agg(count(lit(1)).as("__d"))
+    // the wedge valve: one eager bounded scalar off the degree agg, the
+    // triangleCensus contract — refuse the join, don't launch it
+    val wedges = deg.agg(coalesce(sum(expr("__d * (__d - 1)")), lit(0L)))
+      .head.getLong(0)
+    require(wedges <= maxWedges,
+      s"resourceAllocationRecs: $wedges directed wedges exceed the " +
+        s"exact-join bound of $maxWedges — raise the projection's " +
+        "thresholds (degree cap / min support) before link prediction")
+    val cand = sym.select(col("__u"), col("__n").as("__z"))
+      .join(sym.select(col("__u").as("__z2"), col("__n").as("__w")),
+        col("__z") === col("__z2"))
+      .where(col("__u") =!= col("__w"))
+      .select(col("__u"), col("__w"), col("__z"))
+      // predicted links only: pairs ALREADY adjacent are anti-joined
+      // away before any scoring work
+      .join(sym.select(col("__u"), col("__n").as("__w")),
+        Seq("__u", "__w"), "left_anti")
+      .join(deg, Seq("__z"))
+    val scored = cand.groupBy(col("__u"), col("__w"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(expr("1000000 DIV __d")).as("ra_ppm"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("__u")).orderBy(col("ra_ppm").desc, col("__w"))))
+      .where(col("rank") <= k)
+      .select(col("__u").as("user"), col("__w").as("cand"),
+        col("common_neighbors"), col("ra_ppm"),
+        col("rank").cast("long").as("rank"))
+  }
 }

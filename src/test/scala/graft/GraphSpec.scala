@@ -834,6 +834,35 @@ class GraphSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == 3L)
   }
 
+  private def runAssort(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+    val r = Graph.assortativityProfile(edges.toDF("a", "b"), "a", "b")
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  test("assortativityProfile: a star is perfectly disassortative (r = -1 from the sums)") {
+    // hub 1 ↔ leaves 2..4: every edge joins degree 3 to degree 1
+    val (p, sx, sx2, sxy) = runAssort(Seq((1L, 2L), (1L, 3L), (1L, 4L)))
+    assert((p, sx, sx2, sxy) == ((6L, 12L, 30L, 18L)))
+    // Newman r = (P·Sxy − Sx²)/(P·Sx2 − Sx²) = (108−144)/(180−144) = −1
+    assert(p * sxy - sx * sx == -(p * sx2 - sx * sx))
+  }
+
+  test("assortativityProfile: a regular graph degenerates — numerator and denominator both 0") {
+    // 5-cycle: every vertex degree 2, no degree variance to correlate
+    val cycle = (0L until 5L).map(i => (i, (i + 1) % 5))
+    val (p, sx, sx2, sxy) = runAssort(cycle)
+    assert(p == 10L && sx == 20L)
+    assert(p * sxy - sx * sx == 0L, "numerator must vanish")
+    assert(p * sx2 - sx * sx == 0L, "denominator must vanish")
+  }
+
+  test("assortativityProfile: duplicates and reversed directions don't inflate the sums") {
+    val clean = runAssort(Seq((1L, 2L), (2L, 3L)))
+    val noisy = runAssort(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 2L)))
+    assert(clean == noisy)
+  }
+
   private def runLpa(edges: Seq[(Long, Long)], rounds: Int,
                      parts: Int = 5): Map[Long, Long] =
     Graph.labelPropagation(edges.toDF("a", "b").repartition(parts),

@@ -308,7 +308,7 @@ class PlanAuditSpec extends SparkSpec {
     // eager wedge guard materializes the projected artifact first, so
     // the recs plan prints the cached build's lineage per consumer
     // (execution unchanged — the executed pin below still holds at 5)
-    "x_copurchase_recs" -> 122,
+    "x_copurchase_recs" -> 126,
     // skyline: survivors are localCheckpoint'd after the broadcast
     // bucket-prefix prune; the residual same-bucket joins broadcast at
     // this sf — zero printable exchanges in the returned plan
@@ -341,7 +341,11 @@ class PlanAuditSpec extends SparkSpec {
     // lineage PRINTS once per consumer (degree branch + wedge sides;
     // labels + three profile branches) — the x_copurchase_recs
     // inflation; executed stages pinned below
-    "x_clustering_coeff" -> 114, "x_modularity" -> 167,
+    "x_clustering_coeff" -> 118, "x_modularity" -> 173,
+    // assortativity/link prediction: same artifact-lineage inflation
+    // (sym scanned by the wedge sides + degree branch — 451 printed
+    // exchanges vs 7 EXECUTED stages, pinned below)
+    "x_assortativity" -> 83, "x_link_prediction" -> 451,
   )
 
   /** a node line whose name starts with "Exchange " is a shuffle;
@@ -387,7 +391,11 @@ class PlanAuditSpec extends SparkSpec {
     // lineage): ppr = edge-artifact build + seed semi/count + 2 stages
     // per iteration × 3; recs = projection reuse + vote join + anti-join
     // + rank; rules = distinct + gate + pair agg + marginals
-    "x_ppr" -> 11, "x_copurchase_recs" -> 5, "x_basket_rules" -> 8,
+    // recs: 5 measured standalone; +1 absorbs the timing-dependent
+    // ReusedExchange stage of the shared projected artifact that appears
+    // when x_clustering_coeff's eager guard materializes it earlier in
+    // the full-suite sweep (the j4/x_pagerank_delta jitter precedent)
+    "x_ppr" -> 11, "x_copurchase_recs" -> 6, "x_basket_rules" -> 8,
     // rules delta: base index builds (kept distinct + 3 aggs + pair
     // expansion) + delta expansion + two merge aggs + marginal joins;
     // +1 over the 16 measured allows the timing-dependent ReusedExchange
@@ -398,7 +406,11 @@ class PlanAuditSpec extends SparkSpec {
     // build + degree agg + endpoint-degree joins + corner explode agg +
     // final join (8 measured); modularity = artifact + LPA label joins
     // + the three profile aggs (7 measured); +1 jitter each
-    "x_clustering_coeff" -> 9, "x_modularity" -> 8)
+    "x_clustering_coeff" -> 9, "x_modularity" -> 8,
+    // assortativity: artifact + degree agg + 2 endpoint joins + final
+    // agg (7 measured); link prediction: artifact + degree agg + wedge
+    // join pair + anti-join + score agg + rank (7 measured); +1 jitter
+    "x_assortativity" -> 8, "x_link_prediction" -> 8)
 
   /** Distinct shuffle stages of THIS query execution's final adaptive
     * plan. `collect()` (not `count()`) executes the df's own

@@ -177,4 +177,75 @@ class RecommendSpec extends SparkSpec {
     assert(recs(sim, owned, k = 3) == refRecs(sim, owned, 3))
     assert(recs(sim, owned, k = 3, parts = 1) == refRecs(sim, owned, 3))
   }
+
+  private def raRecs(edges: Seq[(Long, Long)], k: Int,
+                     parts: Int = 5): Set[(Long, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    Recommend.resourceAllocationRecs(
+        edges.toDF("ua", "ub").repartition(parts), "ua", "ub", k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSet
+  }
+
+  /** Driver-side replica of the resource-allocation scorer. */
+  private def refRa(edges: Seq[(Long, Long)], k: Int)
+      : Set[(Long, Long, Long, Long, Long)] = {
+    val sym = (edges ++ edges.map(_.swap)).distinct
+    val nbrs = sym.groupBy(_._1).map { case (u, v) => u -> v.map(_._2).toSet }
+    val deg = nbrs.view.mapValues(_.size.toLong).toMap
+    val out = for {
+      (u, ns) <- nbrs.toSeq
+      w <- nbrs.keys if w != u && !ns.contains(w)
+      shared = ns & nbrs(w) if shared.nonEmpty
+    } yield (u, w, shared.size.toLong,
+      shared.toSeq.map(z => 1000000L / deg(z)).sum)
+    out.groupBy(_._1).flatMap { case (_, cands) =>
+      cands.sortBy { case (_, w, _, ra) => (-ra, w) }.take(k)
+        .zipWithIndex.map { case ((u, w, cn, ra), i) => (u, w, cn, ra, i + 1L) }
+    }.toSet
+  }
+
+  test("resourceAllocationRecs: path endpoints predict each other through the shared middle") {
+    // 1-2-3: the only missing link with a common neighbor is (1,3) via 2
+    // (deg 2) — score 10⁶ DIV 2, both directions, rank 1
+    val got = raRecs(Seq((1L, 2L), (2L, 3L)), k = 5)
+    assert(got == Set((1L, 3L, 1L, 500000L, 1L), (3L, 1L, 1L, 500000L, 1L)))
+  }
+
+  test("resourceAllocationRecs: 4-cycle opposites share TWO neighbors, scores add") {
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    val got = raRecs(c4, k = 5)
+    assert(got == Set((1L, 3L, 2L, 1000000L, 1L), (3L, 1L, 2L, 1000000L, 1L),
+      (2L, 4L, 2L, 1000000L, 1L), (4L, 2L, 2L, 1000000L, 1L)))
+  }
+
+  test("resourceAllocationRecs: rare bridges outscore hubs (the measure's point)") {
+    // u=1 reaches 6 via hub 2 (degree 4) and 7 via rare bridge 3
+    // (degree 2): the rare-bridge candidate must rank first
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L), (2L, 6L), (3L, 7L))
+    val got = raRecs(g, k = 2).filter(_._1 == 1L)
+    assert(got == Set((1L, 7L, 1L, 500000L, 1L), (1L, 4L, 1L, 250000L, 2L)))
+  }
+
+  test("resourceAllocationRecs matches the reference fold on pseudo-random graphs, any partitioning") {
+    val rnd = new scala.util.Random(2203)
+    val edges = Seq.fill(70)((rnd.nextInt(18).toLong, rnd.nextInt(18).toLong))
+      .filter { case (a, b) => a < b }.distinct
+    val expected = refRa(edges, 4)
+    assert(raRecs(edges, k = 4, parts = 7) == expected)
+    assert(raRecs(edges, k = 4, parts = 1) == expected,
+      "partitioning must not change predictions")
+  }
+
+  test("resourceAllocationRecs: the wedge valve refuses an over-budget join loudly") {
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    intercept[IllegalArgumentException] {
+      raRecs(k4.toSeq, k = 2) // fine at the default bound
+      import spark.implicits._
+      Recommend.resourceAllocationRecs(k4.toDF("ua", "ub"), "ua", "ub",
+        k = 2, maxWedges = 3).collect()
+    }
+  }
 }
