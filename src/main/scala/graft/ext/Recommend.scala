@@ -237,19 +237,27 @@ object Recommend {
       s"resourceAllocationRecs: $wedges directed wedges exceed the " +
         s"exact-join bound of $maxWedges — raise the projection's " +
         "thresholds (degree cap / min support) before link prediction")
-    val cand = sym.select(col("__u"), col("__n").as("__z"))
-      .join(sym.select(col("__u").as("__z2"), col("__n").as("__w")),
-        col("__z") === col("__z2"))
-      .where(col("__u") =!= col("__w"))
-      .select(col("__u"), col("__w"), col("__z"))
-      // predicted links only: pairs ALREADY adjacent are anti-joined
-      // away before any scoring work
-      .join(sym.select(col("__u"), col("__n").as("__w")),
-        Seq("__u", "__w"), "left_anti")
+    // deg(z) rides the edge side INTO the wedge join (one |E|-sized join,
+    // never a per-wedge one), and the pair agg runs BEFORE the adjacency
+    // anti-join: the agg is map-side combinable so the Σd(d−1) wedge rows
+    // collapse toward distinct pairs ahead of the (u, w) shuffle, and the
+    // anti-join then probes pair-sized input — anti-joining the raw wedge
+    // rows instead measured 112× (not 10×) at the 10× soak (the wedge
+    // relation outgrew the adjacency broadcast and every wedge row paid
+    // the sort-merge). Filtering after the agg is the same result: the
+    // adjacency predicate is per (u, w).
+    val symD = sym.select(col("__u"), col("__n").as("__z"))
       .join(deg, Seq("__z"))
-    val scored = cand.groupBy(col("__u"), col("__w"))
+    val scored = symD
+      .join(sym.select(col("__u").as("__z"), col("__n").as("__w")),
+        Seq("__z"))
+      .where(col("__u") =!= col("__w"))
+      .groupBy(col("__u"), col("__w"))
       .agg(count(lit(1)).as("common_neighbors"),
         sum(expr("1000000 DIV __d")).as("ra_ppm"))
+      // predicted links only: already-adjacent pairs anti-joined away
+      .join(sym.select(col("__u"), col("__n").as("__w")),
+        Seq("__u", "__w"), "left_anti")
     scored.withColumn("rank", row_number().over(
         Window.partitionBy(col("__u")).orderBy(col("ra_ppm").desc, col("__w"))))
       .where(col("rank") <= k)

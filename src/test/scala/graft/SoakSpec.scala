@@ -378,6 +378,43 @@ class SoakSpec extends SparkSpec {
     e10.unpersist(); Caches.invalidate(spark)
   }
 
+  test("link prediction at 10× edges: predictions replicate per copy, wall ~linear in wedge volume", Soak) {
+    // salted copies of the PROJECTED graph are disjoint components: every
+    // copy's neighborhoods (hence degrees, shared-neighbor sets, and the
+    // exact ppm scores) replicate the 1× graph's, so the 10× output must
+    // be exactly 10 shifted replicas — while the center-keyed wedge join
+    // (the operator's dominant cost, Σ d(d−1) candidates) processes 10×
+    // the volume. The claim under test: link-prediction cost grows with
+    // wedge volume, never quadratically in the union's vertex count.
+    val pe1 = SparkEntryEvt.projectedCustomerEdges(spark, base)
+    def salt(e: DataFrame): DataFrame = (0 until 10).map(i => e.select(
+      (col("ua") + lit(i.toLong * 4000000000L)).as("ua"),
+      (col("ub") + lit(i.toLong * 4000000000L)).as("ub")))
+      .reduce(_ unionByName _).repartition(32)
+    val pe10 = salt(pe1).persist()
+    info(s"10x projected edges: ${pe10.count()}")
+    def run(e: DataFrame): (Set[(Long, Long, Long, Long, Long)], Double) = {
+      val t0 = System.nanoTime()
+      val rows = Recommend.resourceAllocationRecs(e, "ua", "ub", 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+        .toSet
+      (rows, (System.nanoTime() - t0) / 1e9)
+    }
+    run(pe1) // warmup (JIT + codegen)
+    val (r1, t1) = run(pe1)
+    val (r10, t10) = assertNoBigSingleTaskStage(500000L) { run(pe10) }
+    info(f"link prediction: 1x=${r1.size} rows in $t1%.2fs, " +
+      f"10x=${r10.size} in $t10%.2fs ratio=${t10 / t1}%.1f")
+    assert(r10.size == 10 * r1.size, "10 disjoint copies must emit 10× the rows")
+    assert(r10.filter(_._1 < 4000000000L) == r1,
+      "copy 0's predictions must replicate the 1× run bit-exactly")
+    assert(t10 <= 30 * t1 + 5.0,
+      f"10x took ${t10 / t1}%.1f× the 1x time — not ~linear in wedge volume")
+    pe10.unpersist(); Caches.invalidate(spark)
+  }
+
   test("pagerank delta refresh beats the full rebuild at 10× edges", Soak) {
     // The delta's contract (Graph.pageRankFrom): ONE warm-start iteration
     // costs ~iters⁻¹ of the rebuild's edge shuffles plus a fixed O(V)
