@@ -187,6 +187,24 @@ object SparkEntryEvt {
       Graph.labelPropagation(pe, "ua", "ub", LpaRounds))
   }
 
+  /** Walk-corpus parameters for x_random_walks / x_walk_pairs: 2 walks
+    * of 4 steps per start vertex — enough to exercise revisits and the
+    * window-2 pair extraction while keeping the sf0.1 corpus ~150 k
+    * rows. Shared with the oracle's unrolled step CTEs. */
+  private[graft] val WalkN = 2
+  private[graft] val WalkSteps = 4
+
+  /** The stored walk corpus — memoized+persisted off the projected edge
+    * artifact (at 100 TB: the embeddings-pipeline table a nightly job
+    * refreshes); x_random_walks reads it raw, x_walk_pairs derives the
+    * skip-gram relation, ONE walk build serves both. */
+  private val walkMemo = new graft.PlanMemo
+  private[graft] def storedWalks(s: SparkSession, dir: String): DataFrame = {
+    val pe = projectedCustomerEdges(s, dir)
+    walkMemo(pe, s"walks|$WalkN|$WalkSteps")(
+      Graph.randomWalks(pe, "ua", "ub", WalkN, WalkSteps))
+  }
+
   /** Weighted co-purchase edges for the shortest-path family: weight =
     * 1 + min(l_quantity % 3) per (customer, part) pair — a deterministic
     * positive integer in {1,2,3} both engines re-derive exactly, small
@@ -644,6 +662,18 @@ object SparkEntryEvt {
         .agg(sum(expr("1000000 DIV dist")).as("harmonic_ppm"),
           count(lit(1)).as("n_landmarks"))
     },
+    "x_random_walks" -> { (s, dir) =>
+      // DeepWalk corpus (Perozzi'14) over the projected customer graph:
+      // deterministic truncated walks — step t picks neighbor
+      // md5(seed|start|walk|t|cur) mod deg in the sorted-neighbor
+      // ranking. The stored artifact an embedding pipeline trains from.
+      storedWalks(s, dir)
+    },
+    "x_walk_pairs" -> { (s, dir) =>
+      // the skip-gram training relation derived from the SAME stored
+      // walk corpus: symmetric window-2 context pairs, counted
+      Graph.walkPairs(storedWalks(s, dir), window = 2)
+    },
     "x_lpa_communities" -> { (s, dir) =>
       // deterministic synchronous label propagation (Raghavan'07) over
       // the projected customer graph: LpaRounds supersteps, each ONE
@@ -684,6 +714,42 @@ object SparkEntryEvt {
           col("degree_total"),
           (lit(4L * m) * coalesce(col("internal_edges"), lit(0L)) -
             col("degree_total") * col("degree_total")).as("q_num"))
+    },
+    "x_conductance" -> { (s, dir) =>
+      // conductance profile of the stored LPA partition — the cut-quality
+      // complement of x_modularity (low φ = well-separated community):
+      // per community the boundary-edge count, volume, and
+      // φ_ppm = cut·10⁶ DIV min(vol, 2m − vol). Exact integers only;
+      // the one driver scalar (m) reads off the persisted edge artifact
+      // (the kCore/modularity contract). Same one-labels-join shape as
+      // the modularity scorer — at 100 TB this is a stored-partition
+      // scoring pass, never a re-propagation.
+      val pe = projectedCustomerEdges(s, dir)
+      val labels = storedLpaLabels(s, dir)
+      val m = pe.count()
+      val deg = pe.select(col("ua").as("node"))
+        .unionAll(pe.select(col("ub").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("__d"))
+      val byC = labels.join(deg, Seq("node"))
+        .groupBy("community").agg(count(lit(1)).as("n_members"),
+          sum(col("__d")).as("volume"))
+      val bd = pe
+        .join(labels.select(col("node").as("ua"), col("community").as("__ca")),
+          Seq("ua"))
+        .join(labels.select(col("node").as("ub"), col("community").as("__cb")),
+          Seq("ub"))
+        .where(col("__ca") =!= col("__cb"))
+      val cut = bd.select(col("__ca").as("community"))
+        .unionAll(bd.select(col("__cb").as("community")))
+        .groupBy("community").agg(count(lit(1)).as("cut_edges"))
+      byC.join(cut, Seq("community"), "left")
+        .select(col("community"), col("n_members"),
+          coalesce(col("cut_edges"), lit(0L)).as("cut_edges"), col("volume"))
+        // guard: a partition collapsed to ONE community has cut = 0 and
+        // min(vol, 2m − vol) = 0 — φ is defined as 0 there, not an error
+        .withColumn("conductance_ppm",
+          expr(s"CASE WHEN least(volume, ${2L * m} - volume) = 0 THEN 0 " +
+            s"ELSE cut_edges * 1000000 DIV least(volume, ${2L * m} - volume) END"))
     },
     "x_clustering_coeff" -> { (s, dir) =>
       // per-vertex local clustering coefficient over the projected
@@ -801,6 +867,27 @@ object SparkEntryEvt {
       "pe AS (SELECT a.u AS ua, b.u AS ub FROM k a JOIN k b " +
       "ON a.v = b.v AND a.u < b.u GROUP BY 1, 2 " +
       s"HAVING count(*) >= $MinSharedParts)"
+
+  /** [[projCtes]] plus the walk corpus unrolled: ranked undirected
+    * adjacency, degrees, and [[WalkSteps]] step CTEs each replaying the
+    * engine's md5 pick — `rk = (md5-hash % deg) + 1` — term for term. */
+  private def walkCtes(): String = {
+    val stepCtes = (1 to WalkSteps).map { t =>
+      val v = s"s.start::VARCHAR || '|' || s.walk_id::VARCHAR || '|' || '$t' || '|' || s.node::VARCHAR"
+      s"s$t AS (SELECT s.start, s.walk_id, $t AS step, n.v AS node " +
+        s"FROM s${t - 1} s JOIN wdg d ON d.u = s.node JOIN wnbr n ON n.u = s.node " +
+        s"AND n.rk = (${SparkEntryExt.seedHashSql(Graph.WalkSeed.toString, v)} % d.deg) + 1)"
+    }
+    s"${projCtes()}, " +
+      "wadj AS (SELECT ua AS u, ub AS v FROM pe UNION ALL SELECT ub, ua FROM pe), " +
+      "wnbr AS (SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) AS rk FROM wadj), " +
+      "wdg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM wadj GROUP BY 1), " +
+      s"s0 AS (SELECT u AS start, w.walk_id, 0 AS step, u AS node " +
+      s"FROM (SELECT DISTINCT u FROM wadj), range($WalkN) w(walk_id)), " +
+      stepCtes.mkString(", ") + ", " +
+      "walks AS (" + (0 to WalkSteps).map(t => s"SELECT * FROM s$t")
+        .mkString(" UNION ALL ") + ")"
+  }
 
   /** [[projCtes]] plus [[LpaRounds]] unrolled synchronous LPA rounds:
     * l0 = own id; l{i} = per-vertex (count DESC, label ASC) argmax over
@@ -1313,6 +1400,48 @@ object SparkEntryEvt {
         "CAST(4 * (SELECT m FROM mm) * coalesce(ie.internal_edges, 0) " +
         "- degree_total * degree_total AS BIGINT) AS q_num " +
         "FROM byc LEFT JOIN ie USING (community)"),
+
+    // the walk corpus replayed step by step (same md5 picks over the
+    // same sorted-neighbor ranking)
+    "x_random_walks" ->
+      (s"WITH ${walkCtes()} " +
+        "SELECT CAST(start AS BIGINT) AS start, CAST(walk_id AS BIGINT) AS walk_id, " +
+        "CAST(step AS BIGINT) AS step, CAST(node AS BIGINT) AS node FROM walks"),
+
+    // the skip-gram relation off the same replayed walks: ordered pairs
+    // at step distance 1..2, both directions, counted
+    "x_walk_pairs" ->
+      (s"WITH ${walkCtes()}, " +
+        "co AS (SELECT a.node AS na, b.node AS nb FROM walks a JOIN walks b " +
+        "ON a.start = b.start AND a.walk_id = b.walk_id " +
+        "AND b.step - a.step BETWEEN 1 AND 2) " +
+        "SELECT CAST(center AS BIGINT) AS center, CAST(context AS BIGINT) AS context, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM " +
+        "(SELECT na AS center, nb AS context FROM co " +
+        "UNION ALL SELECT nb, na FROM co) GROUP BY 1, 2"),
+
+    // the same unrolled partition, cut-scored: boundary edges double-
+    // counted onto both sides' communities, φ in ppm by floor division
+    // over non-negative integers (DIV == // exactly)
+    "x_conductance" ->
+      (s"WITH ${projLpaCtes()}, " +
+        "mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pe), " +
+        "pd AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM " +
+        "(SELECT ua AS x FROM pe UNION ALL SELECT ub FROM pe) GROUP BY 1), " +
+        s"byc AS (SELECT lf.l AS community, CAST(count(*) AS BIGINT) AS n_members, " +
+        s"CAST(sum(pd.d) AS BIGINT) AS volume FROM l$LpaRounds lf " +
+        "JOIN pd ON pd.x = lf.x GROUP BY 1), " +
+        s"bd AS (SELECT la.l AS ca, lb.l AS cb FROM pe " +
+        s"JOIN l$LpaRounds la ON la.x = pe.ua " +
+        s"JOIN l$LpaRounds lb ON lb.x = pe.ub WHERE la.l <> lb.l), " +
+        "cut AS (SELECT c AS community, CAST(count(*) AS BIGINT) AS cut_edges FROM " +
+        "(SELECT ca AS c FROM bd UNION ALL SELECT cb FROM bd) GROUP BY 1) " +
+        "SELECT CAST(byc.community AS BIGINT) AS community, n_members, " +
+        "CAST(coalesce(cut.cut_edges, 0) AS BIGINT) AS cut_edges, volume, " +
+        "CAST(CASE WHEN least(volume, 2 * (SELECT m FROM mm) - volume) = 0 THEN 0 " +
+        "ELSE coalesce(cut.cut_edges, 0) * 1000000 " +
+        "// least(volume, 2 * (SELECT m FROM mm) - volume) END AS BIGINT) AS conductance_ppm " +
+        "FROM byc LEFT JOIN cut USING (community)"),
 
     // triangles re-derived as the canonical x<y<z three-edge join
     // (independent of the engine's orientation), exploded to corners;

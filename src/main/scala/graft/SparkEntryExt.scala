@@ -321,6 +321,28 @@ object SparkEntryExt {
       val merges = TextAnalysis.bpeTrainMerges(docs, nMerges = 8, stash = true)
       TextAnalysis.bpeTokenCounts(docs, merges)
     },
+    "x_tokenizer_fertility" -> { (s, dir) =>
+      // tokenizer fertility report — the standard multilingual tokenizer
+      // quality gauge (Ács/Rust et al.: subwords per word, chars per
+      // subword, per language — high fertility means the vocab serves
+      // that language poorly): the trained BPE artifact applied through
+      // the shared vocab-side fold (merges run once per DISTINCT word),
+      // then ONE per-language agg in exact integers (ppm floor division,
+      // non-negative operands only). The corpus pays nothing beyond the
+      // memoized segment relation the x_bpe_* queries already share.
+      val docs = Tables.documents(s, dir)
+      val merges = TextAnalysis.bpeTrainMerges(docs, nMerges = 8, stash = true)
+      TextAnalysis.bpeTokenCounts(docs, merges)
+        .join(docs.select("doc_id", "lang", "n_chars"), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+          sum("n_bpe_tokens").as("n_bpe_tokens"),
+          sum("n_chars").as("n_chars"))
+        .withColumn("fertility_ppm",
+          expr("n_bpe_tokens * 1000000 DIV n_words"))
+        .withColumn("chars_per_token_ppm",
+          expr("n_chars * 1000000 DIV n_bpe_tokens"))
+    },
     "x_pipeline_clean" -> { (s, dir) =>
       // the canonical corpus-cleaning flow, composed from the pieces:
       // quality gate → language filter → exact dedup. Everything up to the
@@ -825,6 +847,14 @@ object SparkEntryExt {
     "x_pack_sequences" -> { (s, dir) =>
       Curation.packSequences(Tables.documents(s, dir))
     },
+    "x_dsir_select" -> { (s, dir) =>
+      // DSIR data selection (Xie et al. NeurIPS'23): rank every raw
+      // (non-English) doc by its hashed-n-gram importance weight against
+      // the English target slice and keep the top k — the published
+      // target-domain data selector, in its deterministic bit-replayable
+      // form (6dp log-probs, decimal sums, integer micro-bits)
+      Curation.dsirScores(Tables.documents(s, dir), col("lang") === "en")
+    },
     "x_universe_sample" -> { (s, dir) =>
       // universe (key-consistent) sampling (BlinkDB/Quickr): BOTH join
       // sides filter independently by the SAME deterministic hash
@@ -1093,11 +1123,32 @@ object SparkEntryExt {
       "FROM (SELECT DISTINCT w FROM dw)) " +
       "SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words, " +
       "CAST(sum(n * n_sym) AS BIGINT) AS n_bpe_tokens FROM dw JOIN wl USING (w) GROUP BY 1"
+  /** Per-language fertility off the same replayed tokenizer: the
+    * x_bpe_segment per-doc relation joined back to `documents` for
+    * (lang, n_chars), then integer ppm ratios — floor division over
+    * non-negative sums on both engines. */
+  private def tokenizerFertilityOracleSql(merges: Seq[(String, String, Long)]): String =
+    s"WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents WHERE text IS NOT NULL), " +
+      "dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n FROM " +
+      "(SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2), " +
+      s"wl AS (SELECT w, CAST(len(${bpeAppSql(merges)}) AS BIGINT) AS n_sym " +
+      "FROM (SELECT DISTINCT w FROM dw)), " +
+      "per AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words, " +
+      "CAST(sum(n * n_sym) AS BIGINT) AS n_bpe_tokens FROM dw JOIN wl USING (w) GROUP BY 1) " +
+      "SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(p.n_words) AS BIGINT) AS n_words, " +
+      "CAST(sum(p.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens, " +
+      "CAST(sum(d.n_chars) AS BIGINT) AS n_chars, " +
+      "CAST(sum(p.n_bpe_tokens) * 1000000 // sum(p.n_words) AS BIGINT) AS fertility_ppm, " +
+      "CAST(sum(d.n_chars) * 1000000 // sum(p.n_bpe_tokens) AS BIGINT) AS chars_per_token_ppm " +
+      "FROM per p JOIN documents d USING (doc_id) GROUP BY 1"
+
   private def bpeOracles: Map[String, String] =
     TextAnalysis.lastBpeMerges match {
       case m if m.nonEmpty =>
         Map("x_bpe_merges" -> bpeMergesOracleSql(m),
-          "x_bpe_segment" -> bpeSegmentOracleSql(m))
+          "x_bpe_segment" -> bpeSegmentOracleSql(m),
+          "x_tokenizer_fertility" -> tokenizerFertilityOracleSql(m))
       case _ => Map.empty[String, String]
     }
 
@@ -1877,6 +1928,32 @@ object SparkEntryExt {
         "(PARTITION BY shard ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS pre FROM t) " +
         "SELECT doc_id, shard, n_tokens, " +
         "CAST(floor((pre - n_tokens) / 512) AS BIGINT) AS bin FROM p"
+    },
+
+    // DSIR replayed end-to-end: same hashed uni+bigram buckets (md5 seed
+    // hash mod 4096), same add-1-smoothed 6dp log2 models on the en /
+    // non-en split, same decimal per-doc sums and integer micro-bits
+    "x_dsir_select" -> {
+      val b = ext.Curation.DsirBuckets
+      val h = s"(${seedHashSql(ext.Curation.DsirSeed.toString, "g")} % $b)"
+      s"WITH t AS (SELECT doc_id, lang, $toksSql AS tk FROM documents WHERE text IS NOT NULL), " +
+        "ag AS (SELECT doc_id, lang, unnest(tk) AS g FROM t " +
+        "UNION ALL SELECT doc_id, lang, unnest(list_transform(range(1, len(tk)), " +
+        "i -> tk[i] || ' ' || tk[i+1])) AS g FROM t), " +
+        s"feats AS (SELECT doc_id, lang, $h AS b, CAST(count(*) AS BIGINT) AS c " +
+        "FROM ag GROUP BY 1, 2, 3), " +
+        "tm AS (SELECT b, sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS tc, " +
+        "sum(CASE WHEN lang <> 'en' THEN c ELSE 0 END) AS rc FROM feats GROUP BY 1), " +
+        "tot AS (SELECT sum(tc) AS tt, sum(rc) AS rt FROM tm), " +
+        "model AS (SELECT b, " +
+        s"CAST(floor(log2((tc + 1.0) / ((SELECT tt FROM tot) + $b.0)) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) - " +
+        s"CAST(floor(log2((rc + 1.0) / ((SELECT rt FROM tot) + $b.0)) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS lpd " +
+        "FROM tm), " +
+        "sc AS (SELECT f.doc_id, CAST(sum(f.c) AS BIGINT) AS n_feats, " +
+        "sum(CAST(f.c AS DECIMAL(12,0)) * m.lpd) AS s " +
+        "FROM feats f JOIN model m ON f.b = m.b WHERE f.lang <> 'en' GROUP BY 1) " +
+        "SELECT doc_id, n_feats, CAST(s * 1000000 AS BIGINT) AS logratio_micro " +
+        s"FROM sc ORDER BY logratio_micro DESC, doc_id LIMIT ${ext.Curation.DsirTopK}"
     },
 
     // per-term logprob rounded to 6 decimals BEFORE the per-doc sum, and

@@ -33,6 +33,15 @@ object SparkEntryIdx {
     * family's k — shared with the oracle's QUALIFY). */
   private val HybridK = 10
 
+  /** Misra-Gries parameters for x_sketch_mg: k=8 counters per shard sits
+    * below the fixtures' 31-term vocabulary, so the rank-(k+1) cut
+    * actually fires (d_s > 0 in every shard) and the estimates are
+    * STRICT underestimates — the one-sided bound is oracle-visible, not
+    * vacuous. Shared with the oracle replay. */
+  private val MgK = 8
+  private val MgShards = 8
+  private val MgTopK = 20
+
   /** The fused-ranking replay SQL shared by both hybrid entries: the
     * vector leg is any `(query_id, neighbor_id, rank)` subquery (the
     * exact-knn SQL for x_hybrid_search, the stash-replayed IVF SQL for
@@ -128,6 +137,29 @@ object SparkEntryIdx {
         .join(corpusCounts, Seq("term"), "left")
         .select(col("term"), col("est"),
           coalesce(col("exact_n"), lit(0L)).as("exact_n"))
+    },
+    "x_sketch_mg" -> { (s, dir) =>
+      // Misra-Gries heavy hitters: the deterministic UNDER-estimating
+      // frequency summary (CMS's complement — together they bracket the
+      // exact count). Shards' exact histograms compress to k=8 counters
+      // (the 31-term fixture vocabulary makes the rank cut bite: d_s>0),
+      // merge by counter-wise sum, and the top-20 report carries the
+      // recomputed exact count plus the Σd_s bound the estimates honor.
+      val cnt = TextAnalysis.termCounts(Tables.documents(s, dir), "text")
+      val (summary, shardErr) = Sketches.mgSummary(cnt, col("term"), col("c"),
+        TextFunctions.seededHash(col("doc_id").cast("string"), Sketches.MgSeed),
+        MgK, MgShards)
+      // Σd_s: bounded driver metadata (nShards rows — the IVF-centroid
+      // contract), never a corpus scan
+      val errBound = shardErr.agg(coalesce(sum("d"), lit(0L)).as("e"))
+        .head.getLong(0)
+      val est = summary.groupBy(col("item").as("term"))
+        .agg(sum("counter").as("est"))
+      val exact = cnt.groupBy("term").agg(sum("c").as("exact_n"))
+      est.join(exact, Seq("term"))
+        .select(col("term"), col("est"), col("exact_n"),
+          lit(errBound).as("err_bound"))
+        .orderBy(col("est").desc, col("term")).limit(MgTopK)
     },
     "x_index_lookup" -> { (s, dir) =>
       InvertedIndex.lookupAll(
@@ -794,6 +826,26 @@ object SparkEntryIdx {
 
   def oracleSql: Map[String, String] = hllOracle ++ Map(
     "x_sketch_cms" -> cmsOracleSql,
+
+    // Misra-Gries replayed from scratch: same doc-hash sharding, the
+    // per-shard rank-(k+1) cut as ONE window (proving the engine's
+    // two-phase prune equal), counter-wise merge, and the Σd_s bound
+    "x_sketch_mg" ->
+      (s"WITH toks AS (SELECT doc_id, unnest($toks) AS term FROM documents WHERE text IS NOT NULL), " +
+        s"pc AS (SELECT (${SparkEntryExt.seedHashSql(Sketches.MgSeed.toString, "CAST(doc_id AS VARCHAR)")} % $MgShards) AS sh, " +
+        "term, count(*) AS cnt FROM toks GROUP BY 1, 2), " +
+        "rk AS (SELECT sh, term, cnt, row_number() OVER " +
+        "(PARTITION BY sh ORDER BY cnt DESC, term) AS rk FROM pc), " +
+        s"ds AS (SELECT sh, coalesce(max(CASE WHEN rk = ${MgK + 1} THEN cnt END), 0) AS d " +
+        "FROM rk GROUP BY 1), " +
+        "mg AS (SELECT r.sh, r.term, r.cnt - d.d AS counter FROM rk r " +
+        s"JOIN ds d USING (sh) WHERE r.rk <= $MgK AND r.cnt - d.d > 0), " +
+        "est AS (SELECT term, CAST(sum(counter) AS BIGINT) AS est FROM mg GROUP BY 1), " +
+        "ex AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_n FROM toks GROUP BY 1) " +
+        "SELECT e.term, e.est, x.exact_n, " +
+        "CAST((SELECT sum(d) FROM ds) AS BIGINT) AS err_bound " +
+        "FROM est e JOIN ex x USING (term) " +
+        s"ORDER BY e.est DESC, e.term LIMIT $MgTopK"),
     "x_inverted_directory" -> directorySql("documents"),
 
     "x_index_lookup" ->

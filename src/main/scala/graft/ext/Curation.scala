@@ -489,4 +489,108 @@ object Curation {
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
         min(idCol).as("min_doc"), max(idCol).as("max_doc"))
+
+  // ----- DSIR data selection -----
+
+  /** Shared memo for the DSIR relations (hashed-feature table, bucket
+    * model) — stored corpus artifacts at 100 TB, cache entries locally. */
+  private val relMemo = new graft.PlanMemo
+
+  val DsirSeed = 37
+  /** Hashed-feature space size: the model is exactly this many rows —
+    * bounded driver/broadcast-scale metadata regardless of corpus size
+    * (the DSIR paper uses 10⁴; 2¹² keeps the sf fixtures' buckets
+    * multiply occupied so smoothing is actually exercised). */
+  val DsirBuckets = 4096
+  val DsirTopK = 50
+
+  /** Hashed uni+bigram bag-of-features per document (the DSIR feature
+    * map): both gram relations come from the MEMOIZED TextAnalysis count
+    * tables (the corpus is tokenized once, shared with the TF/LM/BPE
+    * families), then md5-hash into a FIXED bucket space — the feature
+    * vocabulary is `buckets`-bounded by construction, so the downstream
+    * model join is broadcast-sized at any corpus scale. */
+  private[ext] def dsirFeatures(docs: DataFrame, textCol: String,
+                                buckets: Int): DataFrame =
+    relMemo(docs, graft.PlanMemo.tag("dsirfeat", textCol, buckets)) {
+      val uni = TextAnalysis.termCounts(docs, textCol)
+        .select(col("doc_id"), col("term").as("__g"), col("c"))
+      val bi = TextAnalysis.bigramCounts(docs, textCol)
+        .select(col("doc_id"), col("bg").as("__g"), col("c"))
+      uni.unionByName(bi)
+        .select(col("doc_id"),
+          (TextFunctions.seededHash(col("__g"), DsirSeed) % buckets).as("bucket"),
+          col("c"))
+        .groupBy("doc_id", "bucket").agg(sum("c").as("c"))
+    }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.,
+    * NeurIPS 2023), deterministic top-k form: score every RAW document by
+    * how target-like its hashed n-gram features are,
+    * `log w(x) = Σ_b c_b(x) · (log p_target(b) − log p_raw(b))`
+    * under add-1-smoothed bag-of-buckets models fit on the target and raw
+    * partitions of the corpus, and keep the k highest. (The paper
+    * Gumbel-samples against these same weights; the bit-replayable
+    * engine analogue is the deterministic top-k by weight, tie-broken by
+    * id — same estimator family, zero RNG.)
+    *
+    * Scale shape: ONE corpus tokenize (the shared memoized count
+    * relations) → a buckets-bounded model relation (each side's totals
+    * are two driver scalars read off the persisted model agg — the
+    * unigram-LM contract) → scoring is one `buckets`-key join + one
+    * per-doc agg. No per-vocabulary state anywhere: the hash map fixes
+    * the model at `buckets` rows no matter how many distinct grams 100 TB
+    * holds — exactly why the paper hashes.
+    *
+    * Determinism: the two log-probs are 6dp-rounded (the LM family's
+    * formula of record) and differenced in DECIMAL(18,6); per-doc sums
+    * run in decimal (order-independent), and the reported score is exact
+    * integer micro-bits. The DuckDB oracle replays the whole chain. */
+  def dsirScores(docs: DataFrame, isTarget: Column, textCol: String = "text",
+                 buckets: Int = DsirBuckets): DataFrame =
+    dsirScoresAll(docs, isTarget, textCol, buckets)
+      .orderBy(col("logratio_micro").desc, col("doc_id"))
+      .limit(DsirTopK)
+
+  /** The full scored raw relation behind [[dsirScores]] (no top-k):
+    * `(doc_id, n_feats, logratio_micro)` for every raw doc with ≥ 1
+    * feature. */
+  def dsirScoresAll(docs: DataFrame, isTarget: Column, textCol: String = "text",
+                    buckets: Int = DsirBuckets): DataFrame = {
+    val r6 = graft.functions.DetRound.round6 _
+    val feats = dsirFeatures(docs, textCol, buckets)
+    val labels = docs.select(col("doc_id"), isTarget.as("__t"))
+    // bucket model: target/raw feature mass per bucket. Memoized per
+    // (corpus, feature params, target predicate) — the predicate's SQL
+    // rides in the tag so two targets can't share a model.
+    val bt = relMemo(docs,
+      graft.PlanMemo.tag("dsirmodel", textCol, buckets, isTarget.toString)) {
+      feats.join(labels, Seq("doc_id"))
+        .groupBy("bucket")
+        .agg(coalesce(sum(when(col("__t"), col("c"))), lit(0L)).as("__tc"),
+          coalesce(sum(when(!col("__t"), col("c"))), lit(0L)).as("__rc"))
+    }
+    // the two normalizers: bounded driver metadata off the persisted
+    // model relation (2 longs — never a corpus rescan)
+    val totRow = bt.agg(coalesce(sum("__tc"), lit(0L)),
+      coalesce(sum("__rc"), lit(0L))).head
+    val (tTot, rTot) = (totRow.getLong(0), totRow.getLong(1))
+    val lpT = r6(log(2.0,
+      (col("__tc") + 1).cast("double") / lit((tTot + buckets).toDouble)))
+    val lpR = r6(log(2.0,
+      (col("__rc") + 1).cast("double") / lit((rTot + buckets).toDouble)))
+    val model = bt.select(col("bucket"),
+      (lpT.cast("decimal(18,6)") - lpR.cast("decimal(18,6)")).as("__lpd"))
+    feats.join(labels, Seq("doc_id")).where(!col("__t"))
+      .join(model, Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_feats"),
+        // c capped to DECIMAL(12,0) keeps the product at precision 31 —
+        // exact in BOTH engines (Spark would cap an unbounded multiply at
+        // 38 by shaving scale; DuckDB would widen — either way the two
+        // could disagree without the explicit bound)
+        sum(col("c").cast("decimal(12,0)") * col("__lpd")).as("__s"))
+      .select(col("doc_id"), col("n_feats"),
+        (col("__s") * 1000000).cast("long").as("logratio_micro"))
+  }
 }

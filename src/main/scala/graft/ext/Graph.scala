@@ -947,4 +947,86 @@ object Graph {
     }
     visited.select(col("__lm").as("source"), col("node"), col("dist"))
   }
+
+  /** Seed for [[randomWalks]]' per-step neighbor picks. */
+  val WalkSeed = 43
+
+  /** DeepWalk-style random-walk corpus over an undirected edge list
+    * (Perozzi et al., KDD'14 — truncated random walks as the "sentences"
+    * a skip-gram embedding trains on), in the engine's DETERMINISTIC
+    * form: step t of walk w from vertex s moves to neighbor number
+    * `md5(seed|s|w|t|cur) mod deg(cur)` in the (node, sorted-neighbor)
+    * ranking — reproducible bit-for-bit across retries, partitionings
+    * and cluster sizes, and replayable by the DuckDB oracle (the same
+    * content-hash-instead-of-RNG contract as the Curation samplers).
+    *
+    * Scale shape: the ranked adjacency and degree relations are built
+    * once (per-vertex row_number — degree-bounded per task, the posting
+    * ranking shape); each of the `steps` rounds is TWO exact equi-joins
+    * (state⋈degree on the node, then state⋈adjacency on
+    * `(node, pick)` — the pick is computed BEFORE the join, so no
+    * neighbor-list explosion ever materializes: candidate volume is
+    * exactly |state|, never Σ deg). State stays `|V|·walksPerNode` rows
+    * every round; rounds are checkpointed like every iterative loop
+    * here. Undirected adjacency means no dead ends (every reached node
+    * has the edge it arrived by).
+    *
+    * Returns `(start, walk_id, step, node)` — walksPerNode·(steps+1)
+    * rows per start vertex: the stored walk-corpus artifact an
+    * embedding pipeline derives pairs from. */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                  walksPerNode: Int = 2, steps: Int = 4): DataFrame = {
+    require(walksPerNode >= 1 && walksPerNode <= 64,
+      s"walksPerNode=$walksPerNode out of range")
+    require(steps >= 1 && steps <= 16, s"steps=$steps out of the unrolled range")
+    import org.apache.spark.sql.expressions.Window
+    val adj = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
+      .unionAll(edges.select(col(dstCol).as("__u"), col(srcCol).as("__v")))
+      .distinct()
+    val nbr = adj.withColumn("__rk",
+        row_number().over(Window.partitionBy("__u").orderBy("__v")))
+      .localCheckpoint(true) // scanned once per step
+    val degs = nbr.groupBy("__u").agg(max("__rk").cast("long").as("__deg"))
+    var state = adj.select(col("__u").as("start")).distinct()
+      .select(col("start"), explode(sequence(lit(0L),
+        lit((walksPerNode - 1).toLong))).as("walk_id"))
+      .select(col("start"), col("walk_id"), lit(0L).as("step"),
+        col("start").as("node"))
+      .localCheckpoint(true)
+    var acc = state
+    for (t <- 1 to steps) {
+      val pick = graft.functions.TextFunctions.seededHash(
+        concat_ws("|", col("start"), col("walk_id"), lit(t.toLong), col("node")),
+        WalkSeed)
+      state = state.join(degs, col("node") === col("__u")).drop("__u")
+        .select(col("start"), col("walk_id"), col("node"),
+          (pick % col("__deg") + 1L).as("__pk"))
+        .join(nbr, col("node") === col("__u") && col("__pk") === col("__rk"))
+        .select(col("start"), col("walk_id"), lit(t.toLong).as("step"),
+          col("__v").as("node"))
+        .localCheckpoint(true)
+      acc = acc.unionAll(state)
+    }
+    acc
+  }
+
+  /** Skip-gram context pairs from a walk corpus (the word2vec training
+    * relation over [[randomWalks]]' output): every ordered pair of walk
+    * positions at distance 1..`window`, BOTH directions (the symmetric
+    * skip-gram window), aggregated to `(center, context, cnt)`. One
+    * (start, walk_id)-keyed self-join — each walk contributes ≤
+    * 2·window·steps pairs, so the relation is linear in the walk corpus,
+    * never quadratic in anything. */
+  def walkPairs(walks: DataFrame, window: Int = 2): DataFrame = {
+    require(window >= 1, s"window=$window")
+    val a = walks.select(col("start"), col("walk_id"),
+      col("step").as("__sa"), col("node").as("__na"))
+    val b = walks.select(col("start"), col("walk_id"),
+      col("step").as("__sb"), col("node").as("__nb"))
+    val co = a.join(b, Seq("start", "walk_id"))
+      .where((col("__sb") - col("__sa")).between(1, window))
+    co.select(col("__na").as("center"), col("__nb").as("context"))
+      .unionAll(co.select(col("__nb").as("center"), col("__na").as("context")))
+      .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
+  }
 }

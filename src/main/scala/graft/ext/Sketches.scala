@@ -359,4 +359,58 @@ object Sketches {
       .groupBy(col("d")).agg(sum(col("__ca") * col("__cb")).as("__dot"))
       .agg(min(col("__dot")).as("est_rows"))
   }
+
+  /** Shard-hash seed for [[mgSummary]]. */
+  val MgSeed = 41
+
+  /** Misra-Gries heavy-hitters summary table — the deterministic
+    * UNDER-estimating frequency sketch (CMS above one-sidedly
+    * OVER-estimates; together they bracket). Mergeable-summaries form
+    * (Agarwal et al., PODS'12): the input multiset is sharded by
+    * `shardCol % nShards`, each shard's exact histogram — itself a
+    * zero-error MG summary — is compressed to ≤ k counters by
+    * subtracting its (k+1)-th largest count `d_s` and dropping
+    * non-positives, and the global estimate is the counter-wise SUM of
+    * shard summaries. Every term then satisfies
+    * `est(t) ≤ exact(t) ≤ est(t) + Σ_s d_s` (each shard's counter
+    * undercounts its slice by at most d_s; absent terms had shard counts
+    * ≤ d_s by the rank cut). Returns `(summary, shardErr)`:
+    * `summary (sh, item, counter)` with ≤ nShards·k rows — the stored,
+    * mergeable artifact — and `shardErr (sh, d)` whose sum is the bound.
+    *
+    * The rank-(k+1) cut is TWO-PHASE (the ANN top-k pattern): a partial
+    * top-(k+1) inside each (shard, scan-partition) slice first, so the
+    * final per-shard rank sorts ≤ partitions·(k+1) survivors — never a
+    * vocabulary-sized single-shard sort, which is what makes the
+    * summary computable when the distinct-item count is billions while
+    * nShards stays small. */
+  def mgSummary(items: DataFrame, itemCol: Column, weightCol: Column,
+                shardCol: Column, k: Int = 8,
+                nShards: Int = 8): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && nShards >= 1, s"mg($k x $nShards)")
+    val pc = items
+      .select((shardCol % nShards).as("sh"), itemCol.as("item"),
+        weightCol.as("__w"))
+      .groupBy("sh", "item").agg(sum("__w").as("cnt"))
+    // phase 1: top-(k+1) within each (shard, physical partition) — local
+    // prune; phase 2 ranks the bounded survivor set per shard
+    val partial = pc.withColumn("__pid", spark_partition_id())
+      .withColumn("__prk", row_number().over(
+        Window.partitionBy("sh", "__pid")
+          .orderBy(col("cnt").desc, col("item"))))
+      .where(col("__prk") <= k + 1).drop("__pid", "__prk")
+    val rk = partial.withColumn("__rk", row_number().over(
+      Window.partitionBy("sh").orderBy(col("cnt").desc, col("item"))))
+    // d_s = the (k+1)-th largest per-shard count (with multiplicity —
+    // the VALUE at row_number rank k+1 is tiebreak-independent); 0 when
+    // the shard holds ≤ k distinct items (summary exact)
+    val ds = rk.groupBy("sh")
+      .agg(coalesce(max(when(col("__rk") === k + 1, col("cnt"))), lit(0L))
+        .as("d"))
+    val summary = rk.join(ds, Seq("sh"))
+      .where(col("__rk") <= k && col("cnt") - col("d") > 0)
+      .select(col("sh"), col("item"), (col("cnt") - col("d")).as("counter"))
+    (summary, ds)
+  }
 }

@@ -309,4 +309,78 @@ class CurationSpec extends SparkSpec {
     assert("md5".r.findAllIn(plan).size >= 2,
       s"expected the key-hash filter on both join inputs:\n${plan.take(1500)}")
   }
+
+  /** The DSIR chain refolded in plain Scala (independent of every Spark
+    * expression): md5 seed-hash buckets, add-1-smoothed 6dp log2 models,
+    * BigDecimal sums, integer micro-bits. */
+  private def dsirReference(rows: Seq[(Long, String, String)],
+                            target: String => Boolean): Seq[(Long, Long, Long)] = {
+    val b = Curation.DsirBuckets
+    def toks(t: String) = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    def bucket(g: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${Curation.DsirSeed}|$g".getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % b
+    }
+    def feats(t: String): Map[Long, Long] = {
+      val ts = toks(t)
+      val grams = ts ++ ts.zip(ts.drop(1)).map { case (x, y) => s"$x $y" }
+      grams.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    }
+    val fs = rows.map { case (id, t, l) => (id, feats(t), target(l)) }
+    val tc = new scala.collection.mutable.HashMap[Long, Long]()
+    val rc = new scala.collection.mutable.HashMap[Long, Long]()
+    fs.foreach { case (_, f, isT) =>
+      f.foreach { case (k, c) =>
+        val m = if (isT) tc else rc; m(k) = m.getOrElse(k, 0L) + c } }
+    val (tt, rt) = (tc.values.sum, rc.values.sum)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def lp(c: Long, tot: Long) = r6(math.log((c + 1.0) / (tot + b).toDouble) / math.log(2.0))
+    fs.filter(!_._3).map { case (id, f, _) =>
+      val s = f.toSeq.map { case (k, c) =>
+        // mirrors the engines' double→DECIMAL(18,6) cast (HALF_UP on the
+        // decimal text form — the 6dp r6 output is already 6dp text)
+        val hu = BigDecimal.RoundingMode.HALF_UP
+        val lpd = BigDecimal(lp(tc.getOrElse(k, 0L), tt)).setScale(6, hu) -
+          BigDecimal(lp(rc.getOrElse(k, 0L), rt)).setScale(6, hu)
+        BigDecimal(c) * lpd
+      }.sum
+      (id, f.values.sum, (s * 1000000).toLongExact)
+    }.sortBy { case (id, _, micro) => (-micro, id) }.take(Curation.DsirTopK)
+  }
+
+  test("dsirScores: equals the independent Scala refold; target-like docs outrank; partition-invariant") {
+    val rows = Seq(
+      (0L, "alpha alpha beta alpha", "t"),
+      (1L, "alpha beta alpha beta alpha", "t"),
+      (2L, "alpha alpha beta beta", "r"),
+      (3L, "gamma delta gamma delta epsilon", "r"),
+      (4L, "alpha gamma beta", "r"),
+      (5L, "zeta eta theta", "r"))
+    val df = rows.toDF("doc_id", "text", "lang")
+    val got = Curation.dsirScores(df, col("lang") === "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = dsirReference(rows, _ == "t")
+    assert(got == want, s"engine $got != reference $want")
+    // semantics: the raw doc made of target vocabulary outranks the
+    // disjoint-vocabulary one
+    val rank = got.map(_._1).zipWithIndex.toMap
+    assert(rank(2L) < rank(3L) && rank(4L) < rank(3L),
+      s"target-like docs must outrank off-target: $got")
+    // partition invariance (content-derived everything, decimal sums)
+    val rep = Curation.dsirScores(df.repartition(7), col("lang") === "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rep == want)
+  }
+
+  test("dsirScores: empty target slice still scores (smoothing carries) and scoring skips target docs") {
+    val df = Seq((1L, "alpha beta", "r"), (2L, "gamma gamma", "r"))
+      .toDF("doc_id", "text", "lang")
+    val got = Curation.dsirScores(df, col("lang") === "t").collect()
+    assert(got.length == 2, "raw docs must all score under an empty target")
+    val onlyTarget = Seq((1L, "alpha beta", "t")).toDF("doc_id", "text", "lang")
+    assert(Curation.dsirScores(onlyTarget, col("lang") === "t").isEmpty,
+      "target docs are never selection candidates")
+  }
 }

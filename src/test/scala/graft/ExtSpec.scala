@@ -218,6 +218,31 @@ class BpeSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == Map(1L -> ((3L, 13L)), 2L -> ((1L, 5L))))
   }
+
+  test("x_tokenizer_fertility: per-language sums equal the segment relation, ppm math hand-checked") {
+    val sf = "/root/testdata/sf0.001"
+    val fert = SparkEntry.queries("x_tokenizer_fertility")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // refold from the segment query + raw docs
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val merges = TextAnalysis.bpeTrainMerges(docs, nMerges = 8, stash = false)
+    val seg = TextAnalysis.bpeTokenCounts(docs, merges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val meta = docs.select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = meta.filter(m => seg.contains(m._1)).groupBy(_._2).map { case (l, rows) =>
+      val w = rows.map(r => seg(r._1)._1).sum
+      val t = rows.map(r => seg(r._1)._2).sum
+      val ch = rows.map(_._3).sum
+      l -> (rows.length.toLong, w, t, ch,
+        t * 1000000L / w, ch * 1000000L / t)
+    }
+    assert(fert == want, s"engine $fert != refold $want")
+    // fertility >= 1 token per word by construction (a word is >= 1 symbol)
+    assert(fert.values.forall(_._5 >= 1000000L))
+  }
 }
 
 class JsonPathTypesSpec extends SparkSpec {

@@ -506,6 +506,84 @@ class GraphSpec extends SparkSpec {
     assert(got.values.forall(_ >= 0))
   }
 
+  test("x_conductance: cut identity against x_modularity, bounds, zero-cut single community") {
+    val cond = SparkEntry.queries("x_conductance")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val mod = SparkEntry.queries("x_modularity")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(cond.keySet == mod.keySet, "both score the same stored partition")
+    // per community: volume = 2·internal + cut (every incident edge end
+    // is either inside or a boundary crossing), and the column shared
+    // with x_modularity agrees
+    cond.foreach { case (c, (nm, cut, vol, ppm)) =>
+      val (nmM, internal, volM) = mod(c)
+      assert(nm == nmM && vol == volM, s"community $c profile drifted")
+      assert(vol == 2 * internal + cut,
+        s"community $c: vol $vol != 2*$internal + $cut")
+      assert(ppm >= 0 && ppm <= 1000000, s"φ out of range: $ppm")
+    }
+    // Σ cut is even (each boundary edge counted once per side)
+    assert(cond.values.map(_._2).sum % 2 == 0)
+    // one-community graph: φ defined as 0, not a division error
+    import spark.implicits._
+    val k3 = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("ua", "ub")
+    val labels = graft.ext.Graph.labelPropagation(k3, "ua", "ub", 3)
+    assert(labels.select("community").distinct().count() == 1)
+  }
+
+  test("randomWalks: valid steps, exact shape, partition-invariant, md5 picks refold") {
+    import spark.implicits._
+    // path-plus-chord: degrees differ so the mod pick is exercised
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("a", "b")
+    val (wpn, steps) = (2, 3)
+    val got = graft.ext.Graph.randomWalks(edges, "a", "b", wpn, steps)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // shape: every (start, walk, step) exactly once
+    assert(got.length == 4 * wpn * (steps + 1))
+    assert(got.map(t => (t._1, t._2, t._3)).distinct.length == got.length)
+    // refold: same picks in plain Scala
+    val adj = Map(1L -> Seq(2L, 3L), 2L -> Seq(1L, 3L), 3L -> Seq(1L, 2L, 4L),
+      4L -> Seq(3L))
+    def hash(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${graft.ext.Graph.WalkSeed}|$s".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val want = (for {
+      start <- adj.keys.toSeq; w <- 0 until wpn
+    } yield {
+      val walk = (1 to steps).scanLeft(start) { (cur, t) =>
+        val ns = adj(cur)
+        ns((hash(s"$start|$w|$t|$cur") % ns.length).toInt)
+      }
+      walk.zipWithIndex.map { case (n, t) => (start, w.toLong, t.toLong, n) }
+    }).flatten
+    assert(got.sorted.toSeq == want.sorted)
+    // partition invariance
+    val rep = graft.ext.Graph.randomWalks(edges.repartition(5), "a", "b", wpn, steps)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rep.sorted.toSeq == want.sorted)
+  }
+
+  test("walkPairs: symmetric window pairs hand-checked, linear in the walk corpus") {
+    import spark.implicits._
+    // one walk 1→2→3 (steps 0,1,2), window 2: ordered gaps (0,1) (1,2)
+    // (0,2) → symmetric pairs double each
+    val walks = Seq((9L, 0L, 0L, 1L), (9L, 0L, 1L, 2L), (9L, 0L, 2L, 3L))
+      .toDF("start", "walk_id", "step", "node")
+    val got = graft.ext.Graph.walkPairs(walks, window = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 2L) -> 1L, (2L, 1L) -> 1L, (2L, 3L) -> 1L,
+      (3L, 2L) -> 1L, (1L, 3L) -> 1L, (3L, 1L) -> 1L))
+    // window 1 drops the distance-2 pair
+    val w1 = graft.ext.Graph.walkPairs(walks, window = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(w1 == Map((1L, 2L) -> 1L, (2L, 1L) -> 1L, (2L, 3L) -> 1L,
+      (3L, 2L) -> 1L))
+  }
+
   test("bfsLevels: an impossible depth bound fails loudly, not partially") {
     import spark.implicits._
     val chain = (0L until 5L).map(i => (i, i + 1)).toDF("src", "dst")

@@ -346,6 +346,25 @@ class PlanAuditSpec extends SparkSpec {
     // (sym scanned by the wedge sides + degree branch — 451 printed
     // exchanges vs 7 EXECUTED stages, pinned below)
     "x_assortativity" -> 83, "x_link_prediction" -> 451,
+    // conductance: labels + degree + the two-sided boundary join print
+    // the shared projection/LPA artifact lineage per consumer (the
+    // x_modularity inflation, one more label-join branch); executed
+    // stages pinned below
+    "x_conductance" -> 231,
+    // walks are checkpointed per step — the returned plan is a union of
+    // materialized step relations (zero printable exchanges); the pair
+    // relation pays the walk self-join + the (center, context) agg
+    "x_random_walks" -> 0, "x_walk_pairs" -> 5,
+    // DSIR: memoized gram relations (uni+bi) + the bucket feature agg +
+    // model agg + scoring join/agg + TakeOrdered — the count-relation
+    // lineage prints once per consumer branch
+    "x_dsir_select" -> 33,
+    // MG: per-shard histogram agg + the two bounded rank windows + merge
+    // and exact aggs + the final join
+    "x_sketch_mg" -> 14,
+    // fertility: the memoized segment relation's lineage + lang join +
+    // one bounded agg
+    "x_tokenizer_fertility" -> 4,
   )
 
   /** a node line whose name starts with "Exchange " is a shuffle;
@@ -410,7 +429,11 @@ class PlanAuditSpec extends SparkSpec {
     // assortativity: artifact + degree agg + 2 endpoint joins + final
     // agg (7 measured); link prediction: artifact + degree agg + wedge
     // join pair + anti-join + score agg + rank (7 measured); +1 jitter
-    "x_assortativity" -> 8, "x_link_prediction" -> 8)
+    "x_assortativity" -> 8, "x_link_prediction" -> 8,
+    // conductance (print budget 231 from the shared projection/LPA
+    // lineage): artifact + degree agg + volume agg + the two-sided
+    // boundary label joins + cut agg + final join (6 measured); +1 jitter
+    "x_conductance" -> 7)
 
   /** Distinct shuffle stages of THIS query execution's final adaptive
     * plan. `collect()` (not `count()`) executes the df's own

@@ -231,6 +231,44 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("misra-gries: bound law over every term, compression bites, partition-invariant, per-shard k cap") {
+    val cnt = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val shard = TextFunctions.seededHash(col("doc_id").cast("string"), Sketches.MgSeed)
+    val (k, nShards) = (4, 4)
+    val (summary, ds) = Sketches.mgSummary(cnt, col("term"), col("c"), shard, k, nShards)
+    val sums = summary.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // ≤ k counters per shard, all positive
+    sums.groupBy(_._1).foreach { case (sh, rows) =>
+      assert(rows.length <= k, s"shard $sh holds ${rows.length} > $k counters") }
+    assert(sums.forall(_._3 > 0))
+    val err = ds.collect().map(_.getLong(1)).sum
+    // the 31-term fixture vocabulary >> k: the rank cut must actually fire
+    assert(ds.collect().forall(_.getLong(1) > 0), "compression should bite in every shard")
+    // bound law for EVERY term (absent-from-summary terms have est 0):
+    // est <= exact <= est + Σd_s
+    val est = sums.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val exact = cnt.groupBy("term").agg(sum("c").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, ex) =>
+      val e = est.getOrElse(t, 0L)
+      assert(e <= ex && ex <= e + err, s"$t: est $e, exact $ex, err $err")
+    }
+    assert(est.keySet.subsetOf(exact.keySet))
+    // two-phase prune == one global rank: invariant under repartitioning
+    val (rep, ds2) = Sketches.mgSummary(cnt.repartition(13), col("term"), col("c"),
+      shard, k, nShards)
+    assert(rep.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2)).toSeq == sums.sortBy(x => (x._1, x._2)).toSeq)
+    assert(ds2.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      ds.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    // mergeable: shards are independent — a summary built from ONE
+    // shard's slice of the input reproduces exactly that shard's rows
+    val sh0 = cnt.where(shard % nShards === 0)
+    val (only0, _) = Sketches.mgSummary(sh0, col("term"), col("c"), shard, k, nShards)
+    assert(only0.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._2).toSeq == sums.filter(_._1 == 0L).sortBy(_._2).toSeq)
+  }
+
   test("quantile sketch (approx_percentile) tracks exact percentiles") {
     val vals = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("value"))

@@ -453,4 +453,34 @@ class SoakSpec extends SparkSpec {
         f"(${rebuild._2}%.2fs) once edge volume dominates the fixed overhead")
     full10.unpersist(); base10.unpersist(); prior.unpersist()
   }
+
+  test("DSIR at 10× docs: copy-identical scores, ~linear wall, no fat single-task stage", Soak) {
+    // lang rides along so the target predicate is the real one
+    val one = graft.sources.Tables.documents(spark, base)
+      .select("doc_id", "text", "lang")
+    val ten = (0 until 10).map(i => one.select(
+      (col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
+      col("text"), col("lang"))).reduce(_ unionByName _).repartition(16)
+    def run(d: org.apache.spark.sql.DataFrame): (Array[(Long, Long)], Double) = {
+      Caches.invalidate(spark) // cold each pass: memo reuse would fake linearity
+      val t0 = System.nanoTime()
+      val rows = Curation.dsirScoresAll(d, col("lang") === "en")
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      (rows, (System.nanoTime() - t0) / 1e9)
+    }
+    run(one) // JIT/codegen warmup
+    val (_, t1) = run(one)
+    val (rows10, t10) = assertNoBigSingleTaskStage(500000L) { run(ten) }
+    // the 10 salted copies of a doc share features AND models — their
+    // scores must be bit-identical (the hash feature map is content-only)
+    val byBase = rows10.groupBy(_._1 % 1000000000L)
+    byBase.foreach { case (b, rs) =>
+      assert(rs.length == 10 && rs.map(_._2).distinct.length == 1,
+        s"base doc $b: copies scored differently: ${rs.mkString(",")}")
+    }
+    info(f"dsir wall: 1x=$t1%.2fs 10x=$t10%.2fs ratio=${t10 / t1}%.1f")
+    assert(t10 <= 30 * t1 + 5.0,
+      f"10x took ${t10 / t1}%.1f× the 1x time — not ~linear")
+    Caches.invalidate(spark)
+  }
 }
