@@ -193,16 +193,29 @@ object SparkEntryEvt {
     * rows. Shared with the oracle's unrolled step CTEs. */
   private[graft] val WalkN = 2
   private[graft] val WalkSteps = 4
+  /** Pair-support floor for x_walk_ppmi: ≥2 co-occurrences — a window-2
+    * pair seen once carries no association signal, and the 1-count mass
+    * (most of the relation) would drown the ranking in T/(c·x) noise.
+    * Shared with the oracle. */
+  private[graft] val WalkPpmiFloor = 2L
 
   /** The stored walk corpus — memoized+persisted off the projected edge
     * artifact (at 100 TB: the embeddings-pipeline table a nightly job
     * refreshes); x_random_walks reads it raw, x_walk_pairs derives the
     * skip-gram relation, ONE walk build serves both. */
   private val walkMemo = new graft.PlanMemo
+  private val n2vMemo = new graft.PlanMemo
   private[graft] def storedWalks(s: SparkSession, dir: String): DataFrame = {
     val pe = projectedCustomerEdges(s, dir)
     walkMemo(pe, s"walks|$WalkN|$WalkSteps")(
       Graph.randomWalks(pe, "ua", "ub", WalkN, WalkSteps))
+  }
+  /** The stored skip-gram pair relation (x_walk_pairs' output, memoized —
+    * the SGNS co-occurrence table x_walk_ppmi scores). */
+  private[graft] def storedWalkPairs(s: SparkSession, dir: String): DataFrame = {
+    val pe = projectedCustomerEdges(s, dir)
+    walkMemo(pe, s"walkpairs|$WalkN|$WalkSteps")(
+      Graph.walkPairs(storedWalks(s, dir), window = 2))
   }
 
   /** Weighted co-purchase edges for the shortest-path family: weight =
@@ -672,7 +685,40 @@ object SparkEntryEvt {
     "x_walk_pairs" -> { (s, dir) =>
       // the skip-gram training relation derived from the SAME stored
       // walk corpus: symmetric window-2 context pairs, counted
-      Graph.walkPairs(storedWalks(s, dir), window = 2)
+      storedWalkPairs(s, dir)
+    },
+    "x_walk_ppmi" -> { (s, dir) =>
+      // PPMI association over the stored skip-gram relation — the matrix
+      // SGNS implicitly factorizes (Levy-Goldberg NIPS'14), as an
+      // integer lift in ppm (log is monotone, so no float in the
+      // ranking — the x_collocations arithmetic on the walk graph):
+      // lift_ppm = cnt·T·10⁶ DIV (cnt_center · cnt_context), marginals
+      // derived FROM the pair relation, support-floored, top-50 under a
+      // total order. One bounded driver scalar (T, off the persisted
+      // pair relation).
+      val pairs = storedWalkPairs(s, dir)
+      val t = pairs.agg(coalesce(sum("cnt"), lit(0L))).head.getLong(0)
+      val cm = pairs.groupBy("center").agg(sum("cnt").as("c_cnt"))
+      val xm = pairs.groupBy("context").agg(sum("cnt").as("x_cnt"))
+      pairs.join(cm, Seq("center")).join(xm, Seq("context"))
+        .where(col("cnt") >= WalkPpmiFloor)
+        .select(col("center"), col("context"), col("cnt"), col("c_cnt"),
+          col("x_cnt"),
+          expr(s"CAST(CAST(cnt AS DECIMAL(38,0)) * $t * 1000000 " +
+            "DIV (CAST(c_cnt AS DECIMAL(38,0)) * x_cnt) AS BIGINT)")
+            .as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("center"), col("context"))
+        .limit(50)
+    },
+    "x_node2vec_walks" -> { (s, dir) =>
+      // node2vec (Grover-Leskovec'16) 2nd-order biased walks at the
+      // default (1, 4, 2) = p=4, q=2 regime: return discouraged,
+      // triangle-closing favored; per step one Σdeg candidate join +
+      // two per-walk deg-bounded windows — the honest 2nd-order price.
+      // Uniform weights provably collapse to x_random_walks (spec law).
+      val pe = projectedCustomerEdges(s, dir)
+      n2vMemo(pe, s"n2v|$WalkN|$WalkSteps")(
+        Graph.node2vecWalks(pe, "ua", "ub", WalkN, WalkSteps))
     },
     "x_lpa_communities" -> { (s, dir) =>
       // deterministic synchronous label propagation (Raghavan'07) over
@@ -872,20 +918,57 @@ object SparkEntryEvt {
     * adjacency, degrees, and [[WalkSteps]] step CTEs each replaying the
     * engine's md5 pick — `rk = (md5-hash % deg) + 1` — term for term. */
   private def walkCtes(): String = {
+    // every step CTE is referenced TWICE (the next step and the final
+    // union) — DuckDB 1.0 INLINES non-materialized CTEs, so without the
+    // MATERIALIZED keyword the chain expands 2^steps copies of the
+    // md5-heavy projection (measured: minutes vs 0.2 s at sf0.01)
     val stepCtes = (1 to WalkSteps).map { t =>
       val v = s"s.start::VARCHAR || '|' || s.walk_id::VARCHAR || '|' || '$t' || '|' || s.node::VARCHAR"
-      s"s$t AS (SELECT s.start, s.walk_id, $t AS step, n.v AS node " +
+      s"s$t AS MATERIALIZED (SELECT s.start, s.walk_id, $t AS step, n.v AS node " +
         s"FROM s${t - 1} s JOIN wdg d ON d.u = s.node JOIN wnbr n ON n.u = s.node " +
         s"AND n.rk = (${SparkEntryExt.seedHashSql(Graph.WalkSeed.toString, v)} % d.deg) + 1)"
     }
     s"${projCtes()}, " +
-      "wadj AS (SELECT ua AS u, ub AS v FROM pe UNION ALL SELECT ub, ua FROM pe), " +
-      "wnbr AS (SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) AS rk FROM wadj), " +
-      "wdg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM wadj GROUP BY 1), " +
-      s"s0 AS (SELECT u AS start, w.walk_id, 0 AS step, u AS node " +
+      "wadj AS MATERIALIZED (SELECT ua AS u, ub AS v FROM pe UNION ALL SELECT ub, ua FROM pe), " +
+      "wnbr AS MATERIALIZED (SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) AS rk FROM wadj), " +
+      "wdg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM wadj GROUP BY 1), " +
+      s"s0 AS MATERIALIZED (SELECT u AS start, w.walk_id, 0 AS step, u AS node " +
       s"FROM (SELECT DISTINCT u FROM wadj), range($WalkN) w(walk_id)), " +
       stepCtes.mkString(", ") + ", " +
-      "walks AS (" + (0 to WalkSteps).map(t => s"SELECT * FROM s$t")
+      "walks AS MATERIALIZED (" + (0 to WalkSteps).map(t => s"SELECT * FROM s$t")
+        .mkString(" UNION ALL ") + ")"
+  }
+
+  /** The node2vec walk replay: per step the Σdeg candidate join with the
+    * (prev, cand) adjacency probe, the (1, 4, 2) bias CASE, the two
+    * per-walk windows and the interval pick — the engine's chain term
+    * for term. */
+  private def node2vecCtes(): String = {
+    // MATERIALIZED for the same reason as [[walkCtes]]: each n$t is
+    // referenced twice, and DuckDB's default inlining would re-derive
+    // the whole prior chain per reference — exponential in steps
+    val stepCtes = (1 to WalkSteps).flatMap { t =>
+      val v = s"s.start::VARCHAR || '|' || s.walk_id::VARCHAR || '|' || '$t' || '|' || s.node::VARCHAR"
+      val h = SparkEntryExt.seedHashSql(Graph.WalkSeed.toString, v)
+      Seq(
+        s"c$t AS MATERIALIZED (SELECT s.start, s.walk_id, s.node, n.v, n.rk, " +
+          "CASE WHEN n.v = s.prev THEN 1 WHEN a.u IS NOT NULL THEN 4 ELSE 2 END AS w, " +
+          s"($h) AS hs " +
+          s"FROM n${t - 1} s JOIN wnbr n ON n.u = s.node " +
+          "LEFT JOIN wadj a ON a.u = s.prev AND a.v = n.v)",
+        s"p$t AS MATERIALIZED (SELECT *, sum(w) OVER (PARTITION BY start, walk_id ORDER BY rk) AS cum, " +
+          s"sum(w) OVER (PARTITION BY start, walk_id) AS tot FROM c$t)",
+        s"n$t AS MATERIALIZED (SELECT start, walk_id, node AS prev, v AS node FROM p$t " +
+          "WHERE cum - w <= (hs % tot) AND (hs % tot) < cum)")
+    }
+    s"${projCtes()}, " +
+      "wadj AS MATERIALIZED (SELECT ua AS u, ub AS v FROM pe UNION ALL SELECT ub, ua FROM pe), " +
+      "wnbr AS MATERIALIZED (SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) AS rk FROM wadj), " +
+      s"n0 AS MATERIALIZED (SELECT u AS start, w.walk_id, u AS prev, u AS node " +
+      s"FROM (SELECT DISTINCT u FROM wadj), range($WalkN) w(walk_id)), " +
+      stepCtes.mkString(", ") + ", " +
+      "n2v AS MATERIALIZED (" + (0 to WalkSteps).map(t =>
+        s"SELECT start, walk_id, $t AS step, node FROM n$t")
         .mkString(" UNION ALL ") + ")"
   }
 
@@ -1408,11 +1491,39 @@ object SparkEntryEvt {
         "SELECT CAST(start AS BIGINT) AS start, CAST(walk_id AS BIGINT) AS walk_id, " +
         "CAST(step AS BIGINT) AS step, CAST(node AS BIGINT) AS node FROM walks"),
 
+    // the PPMI lift re-derived off the same replayed pair relation in
+    // HUGEINT (the x_collocations arithmetic — // == DIV on positives)
+    "x_walk_ppmi" ->
+      (s"WITH ${walkCtes()}, " +
+        "co AS MATERIALIZED (SELECT a.node AS na, b.node AS nb FROM walks a JOIN walks b " +
+        "ON a.start = b.start AND a.walk_id = b.walk_id " +
+        "AND b.step - a.step BETWEEN 1 AND 2), " +
+        "pr AS MATERIALIZED (SELECT center, context, CAST(count(*) AS BIGINT) AS cnt FROM " +
+        "(SELECT na AS center, nb AS context FROM co " +
+        "UNION ALL SELECT nb, na FROM co) GROUP BY 1, 2), " +
+        "tt AS (SELECT sum(cnt) AS t FROM pr), " +
+        "cm AS (SELECT center, CAST(sum(cnt) AS BIGINT) AS c_cnt FROM pr GROUP BY 1), " +
+        "xm AS (SELECT context, CAST(sum(cnt) AS BIGINT) AS x_cnt FROM pr GROUP BY 1) " +
+        "SELECT CAST(pr.center AS BIGINT) AS center, CAST(pr.context AS BIGINT) AS context, " +
+        "pr.cnt, cm.c_cnt, xm.x_cnt, " +
+        "CAST(CAST(pr.cnt AS HUGEINT) * (SELECT t FROM tt) * 1000000 " +
+        "// (CAST(cm.c_cnt AS HUGEINT) * xm.x_cnt) AS BIGINT) AS lift_ppm " +
+        "FROM pr JOIN cm USING (center) JOIN xm USING (context) " +
+        s"WHERE pr.cnt >= $WalkPpmiFloor " +
+        "ORDER BY lift_ppm DESC, center, context LIMIT 50"),
+
+    // the biased walks replayed with the same md5 interval picks over
+    // the same per-walk weight windows
+    "x_node2vec_walks" ->
+      (s"WITH ${node2vecCtes()} " +
+        "SELECT CAST(start AS BIGINT) AS start, CAST(walk_id AS BIGINT) AS walk_id, " +
+        "CAST(step AS BIGINT) AS step, CAST(node AS BIGINT) AS node FROM n2v"),
+
     // the skip-gram relation off the same replayed walks: ordered pairs
     // at step distance 1..2, both directions, counted
     "x_walk_pairs" ->
       (s"WITH ${walkCtes()}, " +
-        "co AS (SELECT a.node AS na, b.node AS nb FROM walks a JOIN walks b " +
+        "co AS MATERIALIZED (SELECT a.node AS na, b.node AS nb FROM walks a JOIN walks b " +
         "ON a.start = b.start AND a.walk_id = b.walk_id " +
         "AND b.step - a.step BETWEEN 1 AND 2) " +
         "SELECT CAST(center AS BIGINT) AS center, CAST(context AS BIGINT) AS context, " +

@@ -1010,6 +1010,90 @@ object Graph {
     acc
   }
 
+  /** node2vec biased walks (Grover & Leskovec, KDD'16) — [[randomWalks]]
+    * with the 2nd-order return/in-out bias, deterministic: at step t the
+    * walk at `cur` (arrived from `prev`) weighs each neighbor `cand` by
+    * the lcm-scaled INTEGER search bias α —
+    * `wReturn` (= L/p) when cand == prev, `wAdj` (= L) when (prev, cand)
+    * is an edge, `wFar` (= L/q) otherwise — and picks the candidate whose
+    * cumulative weight interval (in sorted-neighbor-rank order) contains
+    * `md5(seed|start|walk|t|cur) mod Σw`. Defaults (1, 4, 2) are p=4,
+    * q=2 scaled by L=4: return discouraged, triangle-closing favored —
+    * the BFS-ish regime the paper uses for structural roles.
+    *
+    * REDUCTION LAW (spec-pinned): with wReturn = wAdj = wFar = 1 the
+    * cumulative interval of candidate k is exactly [k−1, k) and Σw = deg,
+    * so the pick collapses term-for-term to [[randomWalks]]' uniform
+    * `hash mod deg` — same seed ⇒ bit-identical walks. The hash input
+    * deliberately omits `prev` (which only shapes the WEIGHTS) to make
+    * this reduction exact.
+    *
+    * Scale shape: the one structural difference from the 1st-order walk
+    * is honest node2vec cost — each step must EXAMINE cur's neighborhood
+    * to weigh it, so step t joins state⋈adjacency (Σ deg(cur) candidate
+    * rows), flags the prev-adjacency by one (prev, cand) equi-probe
+    * against the same edge relation, and resolves the pick with two
+    * per-walk windows (partition = one walk's candidates, deg-bounded —
+    * never a global sort). Alias-table implementations pay the same
+    * Σ deg per step; there is no o(Σ deg) 2nd-order walk. */
+  def node2vecWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                    walksPerNode: Int = 2, steps: Int = 4,
+                    wReturn: Long = 1L, wAdj: Long = 4L, wFar: Long = 2L,
+                    seed: Int = WalkSeed): DataFrame = {
+    require(walksPerNode >= 1 && walksPerNode <= 64,
+      s"walksPerNode=$walksPerNode out of range")
+    require(steps >= 1 && steps <= 16, s"steps=$steps out of the unrolled range")
+    require(wReturn >= 1 && wAdj >= 1 && wFar >= 1,
+      s"bias weights must be positive integers: ($wReturn, $wAdj, $wFar)")
+    import org.apache.spark.sql.expressions.Window
+    val adj = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
+      .unionAll(edges.select(col(dstCol).as("__u"), col(srcCol).as("__v")))
+      .distinct()
+    val nbr = adj.withColumn("__rk",
+        row_number().over(Window.partitionBy("__u").orderBy("__v")))
+      .localCheckpoint(true) // candidate lists AND the (prev, cand) probe
+    // step 0: prev = cur = start, so every first-step candidate is
+    // adjacent to prev and the bias is uniform — the paper's 1st step
+    var state = adj.select(col("__u").as("start")).distinct()
+      .select(col("start"), explode(sequence(lit(0L),
+        lit((walksPerNode - 1).toLong))).as("walk_id"))
+      .select(col("start"), col("walk_id"), col("start").as("prev"),
+        col("start").as("node"))
+      .localCheckpoint(true)
+    var acc = state.select(col("start"), col("walk_id"),
+      lit(0L).as("step"), col("node"))
+    for (t <- 1 to steps) {
+      val cands = state.join(nbr, col("node") === col("__u"))
+        .select(col("start"), col("walk_id"), col("prev"), col("node"),
+          col("__v"), col("__rk"))
+      val probe = nbr.select(col("__u").as("__pu"), col("__v").as("__pv"),
+        lit(1).as("__hit"))
+      val flagged = cands
+        .join(probe, col("prev") === col("__pu") && col("__v") === col("__pv"),
+          "left")
+        .withColumn("__w",
+          when(col("__v") === col("prev"), lit(wReturn))
+            .when(col("__hit").isNotNull, lit(wAdj))
+            .otherwise(lit(wFar)))
+      val byWalk = Window.partitionBy("start", "walk_id")
+      val cum = sum(col("__w")).over(byWalk.orderBy("__rk"))
+      val tot = sum(col("__w")).over(byWalk)
+      val r = graft.functions.TextFunctions.seededHash(
+        concat_ws("|", col("start"), col("walk_id"), lit(t.toLong), col("node")),
+        seed) % tot
+      state = flagged
+        .withColumn("__cum", cum).withColumn("__r", r)
+        .where(col("__cum") - col("__w") <= col("__r") &&
+          col("__r") < col("__cum"))
+        .select(col("start"), col("walk_id"), col("node").as("prev"),
+          col("__v").as("node"))
+        .localCheckpoint(true)
+      acc = acc.unionAll(state.select(col("start"), col("walk_id"),
+        lit(t.toLong).as("step"), col("node")))
+    }
+    acc
+  }
+
   /** Skip-gram context pairs from a walk corpus (the word2vec training
     * relation over [[randomWalks]]' output): every ordered pair of walk
     * positions at distance 1..`window`, BOTH directions (the symmetric

@@ -567,6 +567,53 @@ class GraphSpec extends SparkSpec {
     assert(rep.sorted.toSeq == want.sorted)
   }
 
+  test("node2vecWalks: md5 interval picks refold; uniform weights collapse to randomWalks") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (2L, 4L))
+      .toDF("a", "b")
+    val (wpn, steps) = (2, 3)
+    val adj = Map(1L -> Seq(2L, 3L), 2L -> Seq(1L, 3L, 4L),
+      3L -> Seq(1L, 2L, 4L), 4L -> Seq(2L, 3L))
+    def hash(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${graft.ext.Graph.WalkSeed}|$s".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    // reference fold of the biased pick at weights (1, 4, 2)
+    def refold(wR: Long, wA: Long, wF: Long) = (for {
+      start <- adj.keys.toSeq; w <- 0 until wpn
+    } yield {
+      var (prev, cur) = (start, start)
+      val nodes = scala.collection.mutable.ArrayBuffer(start)
+      for (t <- 1 to steps) {
+        val cands = adj(cur) // sorted already
+        val ws = cands.map { c =>
+          if (c == prev) wR else if (adj(prev).contains(c)) wA else wF }
+        val r = hash(s"$start|$w|$t|$cur") % ws.sum
+        val pick = cands.zip(ws.scanLeft(0L)(_ + _).tail)
+          .indexWhere { case (_, cum) => r < cum }
+        prev = cur; cur = cands(pick)
+        nodes += cur
+      }
+      nodes.zipWithIndex.map { case (n, t) => (start, w.toLong, t.toLong, n) }
+    }).flatten.sorted
+    val got = graft.ext.Graph.node2vecWalks(edges, "a", "b", wpn, steps)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(got == refold(1L, 4L, 2L), "engine != biased reference fold")
+    // REDUCTION LAW: all-1 weights == the 1st-order uniform walk
+    val uni = graft.ext.Graph.node2vecWalks(edges, "a", "b", wpn, steps,
+      wReturn = 1L, wAdj = 1L, wFar = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val dw = graft.ext.Graph.randomWalks(edges, "a", "b", wpn, steps)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(uni == dw, "uniform node2vec must equal the DeepWalk walk bit-for-bit")
+    // and the bias actually bites on this graph (else the law is vacuous)
+    assert(got != dw, "the (1,4,2) regime should diverge from uniform here")
+  }
+
   test("walkPairs: symmetric window pairs hand-checked, linear in the walk corpus") {
     import spark.implicits._
     // one walk 1→2→3 (steps 0,1,2), window 2: ordered gaps (0,1) (1,2)

@@ -352,9 +352,13 @@ class PlanAuditSpec extends SparkSpec {
     // stages pinned below
     "x_conductance" -> 231,
     // walks are checkpointed per step — the returned plan is a union of
-    // materialized step relations (zero printable exchanges); the pair
-    // relation pays the walk self-join + the (center, context) agg
-    "x_random_walks" -> 0, "x_walk_pairs" -> 5,
+    // materialized step relations (zero printable exchanges, both walk
+    // forms); the pair relation pays the walk self-join + the (center,
+    // context) agg
+    "x_random_walks" -> 0, "x_node2vec_walks" -> 0, "x_walk_pairs" -> 5,
+    // PPMI: the memoized pair relation's self-join lineage prints under
+    // each marginal branch + the lift join pair + TakeOrdered
+    "x_walk_ppmi" -> 20,
     // DSIR: memoized gram relations (uni+bi) + the bucket feature agg +
     // model agg + scoring join/agg + TakeOrdered — the count-relation
     // lineage prints once per consumer branch
