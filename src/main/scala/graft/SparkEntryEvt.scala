@@ -217,6 +217,41 @@ object SparkEntryEvt {
     walkMemo(pe, s"walkpairs|$WalkN|$WalkSteps")(
       Graph.walkPairs(storedWalks(s, dir), window = 2))
   }
+  /** The BASE projected customer graph — the same capped/support-
+    * thresholded projection chain over the 90%-of-orders base corpus
+    * (the storedBaseRanks/storedBaseDists delta convention). Arriving
+    * orders ADD projected edges (new shared support) and can also REMOVE
+    * them — a part whose degree crosses [[ButterflyCap]] drops out of
+    * `kept` and takes its support with it — so the base→full edge delta
+    * is genuinely two-directional, exactly the no-monotonicity-premise
+    * case [[Graph.walksFrom]] exists to absorb (contrast `ssspFrom`,
+    * whose premise a detector must guard). */
+  private val baseProjMemo = new graft.PlanMemo
+  private[graft] def baseProjectedCustomerEdges(s: SparkSession,
+                                                dir: String): DataFrame = {
+    val cp = Tables.orders(s, dir).where(col("o_orderkey") % 10 =!= 0)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("u"), col("l_partkey").as("v"))
+      .distinct()
+    baseProjMemo(cp, "cpProjEdgesBase") {
+      val deg = cp.groupBy("v").agg(count(lit(1)).as("__d"))
+      val kept = cp.join(deg.where(col("__d") <= ButterflyCap).select("v"),
+        Seq("v"))
+      kept.alias("a").join(kept.alias("b"),
+          col("a.v") === col("b.v") && col("a.u") < col("b.u"))
+        .groupBy(col("a.u").as("ua"), col("b.u").as("ub"))
+        .agg(count(lit(1)).as("__w"))
+        .where(col("__w") >= MinSharedParts)
+        .select("ua", "ub")
+    }
+  }
+  /** Yesterday's walk corpus — walks over the BASE projection, stored
+    * (the delta refresh's operational premise). */
+  private[graft] def storedBaseWalks(s: SparkSession, dir: String): DataFrame = {
+    val basePe = baseProjectedCustomerEdges(s, dir)
+    walkMemo(basePe, s"walksBase|$WalkN|$WalkSteps")(
+      Graph.randomWalks(basePe, "ua", "ub", WalkN, WalkSteps))
+  }
 
   /** Weighted co-purchase edges for the shortest-path family: weight =
     * 1 + min(l_quantity % 3) per (customer, part) pair — a deterministic
@@ -710,6 +745,19 @@ object SparkEntryEvt {
         .orderBy(col("lift_ppm").desc, col("center"), col("context"))
         .limit(50)
     },
+    "x_walks_delta" -> { (s, dir) =>
+      // incremental walk-corpus refresh: the stored base walks, with
+      // ONLY the walks that visited a changed-adjacency vertex (the
+      // two-anti-join invalidation relation — additions AND removals,
+      // no monotonicity premise) recomputed on the full graph. Exact:
+      // shares x_random_walks' full-rebuild oracle, so the
+      // refresh == rebuild law is driver-red-able.
+      val fullPe = projectedCustomerEdges(s, dir)
+      val changed = Graph.walkInvalidations(
+        baseProjectedCustomerEdges(s, dir), fullPe, "ua", "ub")
+      Graph.walksFrom(storedBaseWalks(s, dir), fullPe, "ua", "ub", changed,
+        WalkN, WalkSteps)
+    },
     "x_node2vec_walks" -> { (s, dir) =>
       // node2vec (Grover-Leskovec'16) 2nd-order biased walks at the
       // default (1, 4, 2) = p=4, q=2 regime: return discouraged,
@@ -913,6 +961,13 @@ object SparkEntryEvt {
       "pe AS (SELECT a.u AS ua, b.u AS ub FROM k a JOIN k b " +
       "ON a.v = b.v AND a.u < b.u GROUP BY 1, 2 " +
       s"HAVING count(*) >= $MinSharedParts)"
+
+  /** The full-graph walk rebuild — x_random_walks' oracle AND
+    * x_walks_delta's (the shared-oracle delta law). */
+  private def walksRebuildSql: String =
+    s"WITH ${walkCtes()} " +
+      "SELECT CAST(start AS BIGINT) AS start, CAST(walk_id AS BIGINT) AS walk_id, " +
+      "CAST(step AS BIGINT) AS step, CAST(node AS BIGINT) AS node FROM walks"
 
   /** [[projCtes]] plus the walk corpus unrolled: ranked undirected
     * adjacency, degrees, and [[WalkSteps]] step CTEs each replaying the
@@ -1486,10 +1541,14 @@ object SparkEntryEvt {
 
     // the walk corpus replayed step by step (same md5 picks over the
     // same sorted-neighbor ranking)
-    "x_random_walks" ->
-      (s"WITH ${walkCtes()} " +
-        "SELECT CAST(start AS BIGINT) AS start, CAST(walk_id AS BIGINT) AS walk_id, " +
-        "CAST(step AS BIGINT) AS step, CAST(node AS BIGINT) AS node FROM walks"),
+    "x_random_walks" -> walksRebuildSql,
+
+    // the delta refresh SHARES the full-rebuild oracle: refresh ==
+    // rebuild is exact with no monotonicity premise (every kept walk's
+    // visited neighborhoods are unchanged; every walk that could
+    // diverge is in the recompute set) — a drifting refresh goes
+    // driver-red, the x_sssp_delta/x_er_delta contract
+    "x_walks_delta" -> walksRebuildSql,
 
     // the PPMI lift re-derived off the same replayed pair relation in
     // HUGEINT (the x_collocations arithmetic — // == DIV on positives)

@@ -974,11 +974,12 @@ object Graph {
     * Returns `(start, walk_id, step, node)` — walksPerNode·(steps+1)
     * rows per start vertex: the stored walk-corpus artifact an
     * embedding pipeline derives pairs from. */
-  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
-                  walksPerNode: Int = 2, steps: Int = 4): DataFrame = {
-    require(walksPerNode >= 1 && walksPerNode <= 64,
-      s"walksPerNode=$walksPerNode out of range")
-    require(steps >= 1 && steps <= 16, s"steps=$steps out of the unrolled range")
+  /** Ranked undirected adjacency + degree relation — the walk family's
+    * shared physical form: `(__u, __v, __rk)` with __rk the 1-based
+    * position of __v in __u's sorted neighbor list (checkpointed — one
+    * build serves every step), and `(__u, __deg)`. */
+  private def rankedAdjacency(edges: DataFrame, srcCol: String,
+                              dstCol: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val adj = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
       .unionAll(edges.select(col(dstCol).as("__u"), col(srcCol).as("__v")))
@@ -986,9 +987,15 @@ object Graph {
     val nbr = adj.withColumn("__rk",
         row_number().over(Window.partitionBy("__u").orderBy("__v")))
       .localCheckpoint(true) // scanned once per step
-    val degs = nbr.groupBy("__u").agg(max("__rk").cast("long").as("__deg"))
-    var state = adj.select(col("__u").as("start")).distinct()
-      .select(col("start"), explode(sequence(lit(0L),
+    (nbr, nbr.groupBy("__u").agg(max("__rk").cast("long").as("__deg")))
+  }
+
+  /** The uniform-walk loop over a caller-chosen start set (the
+    * [[randomWalks]] body; [[walksFrom]] drives it with only the starts
+    * whose walks a delta actually invalidated). */
+  private def walkLoop(nbr: DataFrame, degs: DataFrame, starts: DataFrame,
+                       walksPerNode: Int, steps: Int): DataFrame = {
+    var state = starts.select(col("start"), explode(sequence(lit(0L),
         lit((walksPerNode - 1).toLong))).as("walk_id"))
       .select(col("start"), col("walk_id"), lit(0L).as("step"),
         col("start").as("node"))
@@ -1008,6 +1015,76 @@ object Graph {
       acc = acc.unionAll(state)
     }
     acc
+  }
+
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                  walksPerNode: Int = 2, steps: Int = 4): DataFrame = {
+    require(walksPerNode >= 1 && walksPerNode <= 64,
+      s"walksPerNode=$walksPerNode out of range")
+    require(steps >= 1 && steps <= 16, s"steps=$steps out of the unrolled range")
+    val (nbr, degs) = rankedAdjacency(edges, srcCol, dstCol)
+    walkLoop(nbr, degs,
+      nbr.select(col("__u").as("start")).distinct(), walksPerNode, steps)
+  }
+
+  /** Vertices whose ADJACENCY differs between two undirected edge lists:
+    * every endpoint of an edge present in exactly one of the two (both
+    * directions of change — additions AND removals). Two canonical-pair
+    * anti-joins; delta-bounded output. This is the walk family's
+    * invalidation relation: a stored walk is stale iff it VISITED one of
+    * these vertices (its picks consulted a neighbor list that changed). */
+  def walkInvalidations(baseEdges: DataFrame, fullEdges: DataFrame,
+                        srcCol: String, dstCol: String): DataFrame = {
+    def canon(e: DataFrame) = e.select(
+      least(col(srcCol), col(dstCol)).as("__a"),
+      greatest(col(srcCol), col(dstCol)).as("__b")).distinct()
+    val b = canon(baseEdges)
+    val f = canon(fullEdges)
+    b.join(f, Seq("__a", "__b"), "left_anti")
+      .unionAll(f.join(b, Seq("__a", "__b"), "left_anti"))
+      .select(explode(array(col("__a"), col("__b"))).as("node"))
+      .distinct()
+  }
+
+  /** Incremental walk-corpus refresh — the delta-family member for
+    * [[randomWalks]]' stored artifact: given yesterday's walks over the
+    * BASE graph and today's FULL edge list, recompute ONLY the walks
+    * that visited a changed-adjacency vertex (plus walks for brand-new
+    * vertices), keep every other stored row verbatim, and drop walks
+    * whose start vanished.
+    *
+    * EXACT — refresh == rebuild bit-for-bit, with NO monotonicity
+    * premise (unlike `ssspFrom`, arbitrary additions AND removals are
+    * absorbed): a kept walk's every visited vertex kept its exact sorted
+    * neighbor list, so each step's `hash mod deg` pick replays
+    * identically on the full graph; any walk whose pick stream COULD
+    * diverge visited a changed vertex by definition and is in the redo
+    * set. The law is property-tested over random graphs + deltas and
+    * driver-red-able (x_walks_delta shares x_random_walks' full-rebuild
+    * oracle).
+    *
+    * Cost: one stored-corpus join against the delta-bounded changed set
+    * (the flagging scan), then the walk loop over the AFFECTED starts
+    * only — iterative work proportional to invalidation impact, never
+    * |V|·walksPerNode. */
+  def walksFrom(stored: DataFrame, fullEdges: DataFrame,
+                srcCol: String, dstCol: String, changedNodes: DataFrame,
+                walksPerNode: Int = 2, steps: Int = 4): DataFrame = {
+    require(walksPerNode >= 1 && steps >= 1, "walksFrom: bad params")
+    val (nbr, degs) = rankedAdjacency(fullEdges, srcCol, dstCol)
+    val aff = stored.join(changedNodes.select("node"), Seq("node"))
+      .select("start", "walk_id").distinct().localCheckpoint(true)
+    val keep = stored.join(aff, Seq("start", "walk_id"), "left_anti")
+    val fullStarts = nbr.select(col("__u").as("start")).distinct()
+    // affected starts still alive + vertices new to the graph; a
+    // vanished start's edges were removed, so all its walks are affected
+    // (step 0 visits the start itself) and none re-enter via fullStarts
+    val redoStarts = aff.select("start").distinct()
+      .join(fullStarts, Seq("start"))
+      .unionByName(fullStarts.join(stored.select("start").distinct(),
+        Seq("start"), "left_anti"))
+      .distinct()
+    keep.unionByName(walkLoop(nbr, degs, redoStarts, walksPerNode, steps))
   }
 
   /** node2vec biased walks (Grover & Leskovec, KDD'16) — [[randomWalks]]
@@ -1046,15 +1123,12 @@ object Graph {
     require(wReturn >= 1 && wAdj >= 1 && wFar >= 1,
       s"bias weights must be positive integers: ($wReturn, $wAdj, $wFar)")
     import org.apache.spark.sql.expressions.Window
-    val adj = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
-      .unionAll(edges.select(col(dstCol).as("__u"), col(srcCol).as("__v")))
-      .distinct()
-    val nbr = adj.withColumn("__rk",
-        row_number().over(Window.partitionBy("__u").orderBy("__v")))
-      .localCheckpoint(true) // candidate lists AND the (prev, cand) probe
+    // candidate lists AND the (prev, cand) probe share the one ranked
+    // adjacency checkpoint
+    val (nbr, _) = rankedAdjacency(edges, srcCol, dstCol)
     // step 0: prev = cur = start, so every first-step candidate is
     // adjacent to prev and the bias is uniform — the paper's 1st step
-    var state = adj.select(col("__u").as("start")).distinct()
+    var state = nbr.select(col("__u").as("start")).distinct()
       .select(col("start"), explode(sequence(lit(0L),
         lit((walksPerNode - 1).toLong))).as("walk_id"))
       .select(col("start"), col("walk_id"), col("start").as("prev"),

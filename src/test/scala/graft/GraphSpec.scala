@@ -567,6 +567,43 @@ class GraphSpec extends SparkSpec {
     assert(rep.sorted.toSeq == want.sorted)
   }
 
+  test("walksFrom: refresh == rebuild over random two-direction deltas; empty delta keeps all rows") {
+    import spark.implicits._
+    val G = graft.ext.Graph
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val rnd = new scala.util.Random(99)
+    var deltasSeen = 0
+    for (trial <- 1 to 4) {
+      val n = 8 + rnd.nextInt(5)
+      val all = for { a <- 0 until n; b <- a + 1 until n }
+        yield (a.toLong, b.toLong)
+      val base = all.filter(_ => rnd.nextDouble() < 0.35)
+      val removed = base.filter(_ => rnd.nextDouble() < 0.3).toSet
+      val added = all.filterNot(base.contains).filter(_ => rnd.nextDouble() < 0.15)
+      val full = base.filterNot(removed.contains) ++ added
+      if (base.nonEmpty && full.nonEmpty) {
+        val baseDf = base.toDF("a", "b")
+        val fullDf = full.toDF("a", "b")
+        val stored = G.randomWalks(baseDf, "a", "b", 2, 3)
+        val changed = G.walkInvalidations(baseDf, fullDf, "a", "b")
+        if (removed.nonEmpty || added.nonEmpty) deltasSeen += 1
+        val refresh = G.walksFrom(stored, fullDf, "a", "b", changed, 2, 3)
+        assert(rows(refresh) == rows(G.randomWalks(fullDf, "a", "b", 2, 3)),
+          s"trial $trial: refresh != rebuild (removed=${removed.size}, added=${added.size})")
+      }
+    }
+    assert(deltasSeen >= 2, "the trials must actually exercise non-empty deltas")
+    // empty delta: the invalidation relation is empty and every stored
+    // row survives verbatim — no vacuous recompute
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val stored = G.randomWalks(e, "a", "b", 2, 2)
+    val changed = G.walkInvalidations(e, e, "a", "b")
+    assert(changed.isEmpty)
+    assert(rows(G.walksFrom(stored, e, "a", "b", changed, 2, 2)) == rows(stored))
+  }
+
   test("node2vecWalks: md5 interval picks refold; uniform weights collapse to randomWalks") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (2L, 4L))

@@ -356,6 +356,9 @@ class PlanAuditSpec extends SparkSpec {
     // forms); the pair relation pays the walk self-join + the (center,
     // context) agg
     "x_random_walks" -> 0, "x_node2vec_walks" -> 0, "x_walk_pairs" -> 5,
+    // delta refresh: stored walks × changed-vertex flag join + the
+    // keep anti-join; the redo loop's steps are checkpointed away
+    "x_walks_delta" -> 2,
     // PPMI: the memoized pair relation's self-join lineage prints under
     // each marginal branch + the lift join pair + TakeOrdered
     "x_walk_ppmi" -> 20,
