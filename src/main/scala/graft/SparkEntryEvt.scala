@@ -193,6 +193,12 @@ object SparkEntryEvt {
     * rows. Shared with the oracle's unrolled step CTEs. */
   private[graft] val WalkN = 2
   private[graft] val WalkSteps = 4
+  /** Degree-threshold ladder for x_rich_club: {32, 64, 128, 256} spans
+    * the projected graph's degree distribution (median 64, p99 270 at
+    * sf0.01), so the rich sets shrink ~{70%, 50%, 15%, 1.5%} — each rung
+    * non-degenerate. Shared with the oracle's unnest. */
+  private[graft] val RichClubKs: Seq[Long] = Seq(32L, 64L, 128L, 256L)
+
   /** Pair-support floor for x_walk_ppmi: ≥2 co-occurrences — a window-2
     * pair seen once carries no association signal, and the 1-count mass
     * (most of the relation) would drown the ranking in T/(c·x) noise.
@@ -354,6 +360,55 @@ object SparkEntryEvt {
             .otherwise(lit("part")).as("node_type"),
           expr("node DIV 2").as("node_id"),
           col("level"))
+    },
+    "x_rich_club" -> { (s, dir) =>
+      // rich-club profile (Colizza et al. Nature Phys.'06): for each
+      // degree threshold k in a fixed ladder, the density of the
+      // subgraph induced by nodes of degree > k —
+      // φ_ppm = 2·E_k·10⁶ DIV (N_k·(N_k−1)), exact integers (the
+      // hub-interconnection gauge: φ rising with k = hubs form a club).
+      // Fully relational over the ladder: degrees × ladder filter, the
+      // edge list joined against the rich set on BOTH endpoints — ladder
+      // size × |E| bounded, one pass, no per-k jobs.
+      val pe = projectedCustomerEdges(s, dir)
+      val deg = pe.select(col("ua").as("node"))
+        .unionAll(pe.select(col("ub").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("__d"))
+      val rich = deg.select(
+          explode(array(RichClubKs.map(lit): _*)).as("k"),
+          col("node"), col("__d"))
+        .where(col("__d") > col("k"))
+        .select("k", "node")
+      val nk = rich.groupBy("k").agg(count(lit(1)).as("n_rich"))
+      val ek = pe
+        .join(rich.select(col("k"), col("node").as("ua")), Seq("ua"))
+        .join(rich.select(col("k"), col("node").as("ub")), Seq("ub", "k"))
+        .groupBy("k").agg(count(lit(1)).as("e_rich"))
+      nk.join(ek, Seq("k"), "left")
+        .select(col("k"), col("n_rich"),
+          coalesce(col("e_rich"), lit(0L)).as("e_rich"))
+        .withColumn("phi_ppm",
+          expr("CASE WHEN n_rich > 1 THEN 2 * e_rich * 1000000 " +
+            "DIV (n_rich * (n_rich - 1)) ELSE 0 END"))
+    },
+    "x_diameter" -> { (s, dir) =>
+      // double-sweep diameter lower bound (Magnien-Latapy-Habib JEA'09):
+      // BFS from customer 0, then BFS from the farthest vertex found —
+      // the second eccentricity lower-bounds the true diameter and is
+      // exact on trees. Two frontier-bounded BFS loops over the stored
+      // co-purchase artifact; the two argmax picks are bounded driver
+      // scalars off checkpointed distance relations (ties to lowest id
+      // on both engines).
+      val e = coPurchaseEdges(s, dir)
+      val far1 = Graph.bfsLevels(e, "src", "dst", source = 0L)
+        .orderBy(col("level").desc, col("node")).limit(1).head
+      val (u, ecc0) = (far1.getLong(0), far1.getLong(1))
+      val far2 = Graph.bfsLevels(e, "src", "dst", source = u)
+        .orderBy(col("level").desc, col("node")).limit(1).head
+      import s.implicits._
+      Seq((0L, ecc0, u, far2.getLong(1), far2.getLong(0)))
+        .toDF("sweep1_source", "ecc_source", "sweep2_source",
+          "diameter_lb", "peripheral_node")
     },
     "x_sssp" -> { (s, dir) =>
       // weighted single-source shortest paths from customer 0: min-plus
@@ -1053,6 +1108,42 @@ object SparkEntryEvt {
         "UNION SELECT e.dst, b.lvl + 1 FROM b JOIN e ON e.src = b.id WHERE b.lvl < 64) " +
         "SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'part' END AS node_type, " +
         "id // 2 AS node_id, CAST(min(lvl) AS BIGINT) AS level FROM b GROUP BY 1, 2"),
+    // the rich-club profile re-derived: same ladder, same induced-edge
+    // double join, same guarded ppm floor division
+    "x_rich_club" ->
+      (s"WITH ${projCtes()}, " +
+        "pd AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM " +
+        "(SELECT ua AS x FROM pe UNION ALL SELECT ub FROM pe) GROUP BY 1), " +
+        s"lad AS (SELECT unnest([${RichClubKs.mkString(", ")}]) AS k), " +
+        "rich AS (SELECT l.k, pd.x AS node FROM pd, lad l WHERE pd.d > l.k), " +
+        "nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_rich FROM rich GROUP BY 1), " +
+        "ek AS (SELECT a.k, CAST(count(*) AS BIGINT) AS e_rich FROM pe " +
+        "JOIN rich a ON a.node = pe.ua JOIN rich b ON b.node = pe.ub AND b.k = a.k " +
+        "GROUP BY 1) " +
+        "SELECT CAST(nk.k AS BIGINT) AS k, nk.n_rich, " +
+        "CAST(coalesce(ek.e_rich, 0) AS BIGINT) AS e_rich, " +
+        "CAST(CASE WHEN nk.n_rich > 1 THEN 2 * coalesce(ek.e_rich, 0) * 1000000 " +
+        "// (nk.n_rich * (nk.n_rich - 1)) ELSE 0 END AS BIGINT) AS phi_ppm " +
+        "FROM nk LEFT JOIN ek USING (k)"),
+
+    // both sweeps replayed as bounded recursive walks; the argmax picks
+    // use the same (lvl DESC, id) total order
+    "x_diameter" ->
+      ("WITH RECURSIVE " + graphCteFor("", "") + ", " +
+        "b1(id, lvl) AS (SELECT CAST(0 AS BIGINT) AS id, 0 AS lvl " +
+        "UNION SELECT e.dst, b1.lvl + 1 FROM b1 JOIN e ON e.src = b1.id WHERE b1.lvl < 64), " +
+        "d1 AS (SELECT id, CAST(min(lvl) AS BIGINT) AS lvl FROM b1 GROUP BY 1), " +
+        "u1 AS (SELECT id, lvl FROM d1 ORDER BY lvl DESC, id LIMIT 1), " +
+        "b2(id, lvl) AS (SELECT (SELECT id FROM u1) AS id, 0 AS lvl " +
+        "UNION SELECT e.dst, b2.lvl + 1 FROM b2 JOIN e ON e.src = b2.id WHERE b2.lvl < 64), " +
+        "d2 AS (SELECT id, CAST(min(lvl) AS BIGINT) AS lvl FROM b2 GROUP BY 1), " +
+        "u2 AS (SELECT id, lvl FROM d2 ORDER BY lvl DESC, id LIMIT 1) " +
+        "SELECT CAST(0 AS BIGINT) AS sweep1_source, " +
+        "(SELECT lvl FROM u1) AS ecc_source, " +
+        "(SELECT id FROM u1) AS sweep2_source, " +
+        "(SELECT lvl FROM u2) AS diameter_lb, " +
+        "(SELECT id FROM u2) AS peripheral_node"),
+
     "x_sssp" -> ssspRebuildSql,
     // the delta == rebuild law: min-plus monotonicity makes the
     // incremental composition EXACTLY the full rebuild, so it shares

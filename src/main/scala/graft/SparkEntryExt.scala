@@ -280,6 +280,40 @@ object SparkEntryExt {
     "x_text_langid" -> { (s, dir) =>
       TextAnalysis.withLangId(Tables.documents(s, dir)).select("doc_id", "pred_lang")
     },
+    "x_quality_gopher" -> { (s, dir) =>
+      // the Gopher quality rules (Rae et al.'21 §A1.1) — the published
+      // pretraining document filter — in EXACT integer form: every ratio
+      // threshold is cross-multiplied (mean word length ∈ [3,10] ⇔
+      // 3n ≤ Σlen ≤ 10n; ≥80% alphabetic words ⇔ 5·n_alpha ≥ 4n; ≤10%
+      // symbol words ⇔ 10·n_sym ≤ n), so no division or float exists on
+      // either engine; the stop-word rule requires ≥2 DISTINCT hits from
+      // the paper's 8-word set. All sufficient statistics come off the
+      // shared memoized term-count relation — zero new corpus scans.
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val st = TextAnalysis.termCounts(Tables.documents(s, dir), "text")
+        .groupBy("doc_id").agg(
+          sum("c").as("n_words"),
+          sum(length(col("term")).cast("long") * col("c")).as("sum_len"),
+          sum(when(col("term").rlike("[a-z]"), col("c")).otherwise(0L))
+            .as("n_alpha"),
+          sum(when(col("term").contains("#") || col("term").contains("..."),
+            col("c")).otherwise(0L)).as("n_symbol"),
+          count_distinct(when(col("term").isin(stops: _*), col("term")))
+            .as("stop_hits"))
+      st.select(col("doc_id"), col("n_words"), col("sum_len"), col("n_alpha"),
+          col("n_symbol"), col("stop_hits"),
+          (col("n_words") >= 50L && col("n_words") <= 100000L)
+            .as("f_word_count"),
+          (lit(3L) * col("n_words") <= col("sum_len") &&
+            col("sum_len") <= lit(10L) * col("n_words")).as("f_mean_len"),
+          (lit(5L) * col("n_alpha") >= lit(4L) * col("n_words"))
+            .as("f_alpha_words"),
+          (lit(10L) * col("n_symbol") <= col("n_words")).as("f_symbol"),
+          (col("stop_hits") >= 2L).as("f_stopwords"))
+        .withColumn("pass",
+          col("f_word_count") && col("f_mean_len") && col("f_alpha_words") &&
+            col("f_symbol") && col("f_stopwords"))
+    },
     "x_text_fingerprint" -> { (s, dir) =>
       TextAnalysis.withFingerprint(Tables.documents(s, dir)).select("doc_id", "fingerprint")
     },
@@ -1929,6 +1963,27 @@ object SparkEntryExt {
         "SELECT doc_id, shard, n_tokens, " +
         "CAST(floor((pre - n_tokens) / 512) AS BIGINT) AS bin FROM p"
     },
+
+    // Gopher rules refolded: same per-occurrence sufficient statistics,
+    // same cross-multiplied integer thresholds — booleans on both sides
+    "x_quality_gopher" ->
+      (s"WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents WHERE text IS NOT NULL), " +
+        "st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+        "CAST(sum(len(term)) AS BIGINT) AS sum_len, " +
+        "CAST(sum(CASE WHEN regexp_matches(term, '[a-z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha, " +
+        "CAST(sum(CASE WHEN contains(term, '#') OR contains(term, '...') THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol, " +
+        "CAST(count(DISTINCT CASE WHEN term IN ('the','be','to','of','and','that','have','with') " +
+        "THEN term END) AS BIGINT) AS stop_hits FROM toks GROUP BY 1) " +
+        "SELECT doc_id, n_words, sum_len, n_alpha, n_symbol, stop_hits, " +
+        "n_words >= 50 AND n_words <= 100000 AS f_word_count, " +
+        "3 * n_words <= sum_len AND sum_len <= 10 * n_words AS f_mean_len, " +
+        "5 * n_alpha >= 4 * n_words AS f_alpha_words, " +
+        "10 * n_symbol <= n_words AS f_symbol, " +
+        "stop_hits >= 2 AS f_stopwords, " +
+        "(n_words >= 50 AND n_words <= 100000) AND " +
+        "(3 * n_words <= sum_len AND sum_len <= 10 * n_words) AND " +
+        "(5 * n_alpha >= 4 * n_words) AND (10 * n_symbol <= n_words) AND " +
+        "stop_hits >= 2 AS pass FROM st"),
 
     // DSIR replayed end-to-end: same hashed uni+bigram buckets (md5 seed
     // hash mod 4096), same add-1-smoothed 6dp log2 models on the en /

@@ -413,4 +413,21 @@ object Sketches {
       .select(col("sh"), col("item"), (col("cnt") - col("d")).as("counter"))
     (summary, ds)
   }
+
+  /** The PODS'12 MERGE of MG summaries into one k-counter summary:
+    * counter-wise sum per item, then the same rank-(k+1) compression —
+    * which is exactly [[mgSummary]] on the summed counters with a single
+    * shard. Error ADDS: the merged summary undercounts any item by at
+    * most (Σ input shards' d) + the merge's own cut d, so a summary tree
+    * of any shape keeps a computable bound — the property that makes MG
+    * a STORED, incrementally-maintained artifact at 100 TB (each ingest
+    * batch summarizes itself; merges touch only summaries). Returns
+    * `((item, counter) ≤ k rows, the merge's d)`. */
+  def mgMerge(summaries: DataFrame, k: Int): (DataFrame, Long) = {
+    val (m, ds) = mgSummary(summaries, col("item"), col("counter"),
+      lit(0L), k, 1)
+    val dRow = ds.collect() // ≤ 1 row: bounded driver metadata
+    (m.select("item", "counter"),
+      if (dRow.isEmpty) 0L else dRow.head.getLong(1))
+  }
 }

@@ -567,6 +567,29 @@ class GraphSpec extends SparkSpec {
     assert(rep.sorted.toSeq == want.sorted)
   }
 
+  test("x_diameter: double sweep is exact on a path and a lower bound on a cycle") {
+    import spark.implicits._
+    val G = graft.ext.Graph
+    def sweep(edges: org.apache.spark.sql.DataFrame, s0: Long): (Long, Long) = {
+      val f1 = G.bfsLevels(edges, "a", "b", source = s0)
+        .orderBy(col("level").desc, col("node")).limit(1).head
+      val f2 = G.bfsLevels(edges, "a", "b", source = f1.getLong(0))
+        .orderBy(col("level").desc, col("node")).limit(1).head
+      (f1.getLong(0), f2.getLong(1))
+    }
+    // path 0-1-2-3-4 from the middle: sweep finds an endpoint, then the
+    // full length — exact diameter 4
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("a", "b")
+    val (endpoint, diamPath) = sweep(path, 2L)
+    assert((endpoint == 0L || endpoint == 4L) && diamPath == 4L)
+    // 6-cycle: true diameter 3; the double sweep reports >= ecc >= 3
+    // and <= 3 trivially — equals 3
+    val cyc = (0L until 6L).map(i => (i, (i + 1) % 6))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("a", "b")
+    assert(sweep(cyc, 0L)._2 == 3L)
+  }
+
   test("walksFrom: refresh == rebuild over random two-direction deltas; empty delta keeps all rows") {
     import spark.implicits._
     val G = graft.ext.Graph

@@ -359,6 +359,11 @@ class PlanAuditSpec extends SparkSpec {
     // delta refresh: stored walks × changed-vertex flag join + the
     // keep anti-join; the redo loop's steps are checkpointed away
     "x_walks_delta" -> 2,
+    // double sweep: both BFS loops and their argmax picks run eagerly
+    // behind checkpoints — the returned plan is a 1-row local relation
+    "x_diameter" -> 0,
+    // Gopher rules: the memoized term-count lineage + the one stats agg
+    "x_quality_gopher" -> 4,
     // PPMI: the memoized pair relation's self-join lineage prints under
     // each marginal branch + the lift join pair + TakeOrdered
     "x_walk_ppmi" -> 20,

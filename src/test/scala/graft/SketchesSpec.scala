@@ -269,6 +269,29 @@ class SketchesSpec extends SparkSpec {
       .sortBy(_._2).toSeq == sums.filter(_._1 == 0L).sortBy(_._2).toSeq)
   }
 
+  test("misra-gries merge: compressed-to-k union keeps the additive error bound") {
+    val cnt = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val shard = TextFunctions.seededHash(col("doc_id").cast("string"), Sketches.MgSeed)
+    val (k, nShards) = (4, 4)
+    val (summary, ds) = Sketches.mgSummary(cnt, col("term"), col("c"), shard, k, nShards)
+    val shardErr = ds.collect().map(_.getLong(1)).sum
+    val (merged, dMerge) = Sketches.mgMerge(summary, k)
+    val m = merged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.size <= k, s"merged summary must hold <= $k counters, got ${m.size}")
+    assert(m.values.forall(_ > 0))
+    val exact = cnt.groupBy("term").agg(sum("c").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the PODS'12 additive law: est <= exact <= est + (sum of shard d's
+    // + the merge's own cut) for EVERY term
+    val bound = shardErr + dMerge
+    exact.foreach { case (t, ex) =>
+      val e = m.getOrElse(t, 0L)
+      assert(e <= ex && ex <= e + bound, s"$t: est $e exact $ex bound $bound")
+    }
+    // compression must have actually cut something (31-term vocab >> k)
+    assert(dMerge > 0)
+  }
+
   test("quantile sketch (approx_percentile) tracks exact percentiles") {
     val vals = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("value"))
