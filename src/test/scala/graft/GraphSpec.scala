@@ -567,6 +567,31 @@ class GraphSpec extends SparkSpec {
     assert(rep.sorted.toSeq == want.sorted)
   }
 
+  test("x_rich_club: ladder profile refolds from the collected projected graph") {
+    val got = SparkEntry.queries("x_rich_club")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val pe = SparkEntryEvt.projectedCustomerEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (pe.map(_._1) ++ pe.map(_._2)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val want = Seq(32L, 64L, 128L, 256L).flatMap { k =>
+      val rich = deg.filter(_._2 > k).keySet
+      val n = rich.size.toLong
+      if (n == 0) None // a rung with no members emits no row (inner agg)
+      else {
+        val e = pe.count(p => rich(p._1) && rich(p._2)).toLong
+        val phi = if (n > 1) 2 * e * 1000000L / (n * (n - 1)) else 0L
+        Some(k -> ((n, e, phi)))
+      }
+    }.toMap
+    assert(got == want, s"engine $got != refold $want")
+    // the ladder must be non-degenerate on the fixture: shrinking rich
+    // sets, at least two occupied rungs
+    assert(got.size >= 2)
+    val ns = got.toSeq.sortBy(_._1).map(_._2._1)
+    assert(ns == ns.sorted.reverse, s"rich sets must shrink with k: $ns")
+  }
+
   test("x_diameter: double sweep is exact on a path and a lower bound on a cycle") {
     import spark.implicits._
     val G = graft.ext.Graph

@@ -351,6 +351,10 @@ class PlanAuditSpec extends SparkSpec {
     // x_modularity inflation, one more label-join branch); executed
     // stages pinned below
     "x_conductance" -> 231,
+    // rich club: the projected-artifact lineage prints under the degree
+    // branch and BOTH induced-edge join sides (the link-prediction
+    // inflation shape); executed stages pinned below
+    "x_rich_club" -> 397,
     // walks are checkpointed per step — the returned plan is a union of
     // materialized step relations (zero printable exchanges, both walk
     // forms); the pair relation pays the walk self-join + the (center,
@@ -445,7 +449,11 @@ class PlanAuditSpec extends SparkSpec {
     // conductance (print budget 231 from the shared projection/LPA
     // lineage): artifact + degree agg + volume agg + the two-sided
     // boundary label joins + cut agg + final join (6 measured); +1 jitter
-    "x_conductance" -> 7)
+    "x_conductance" -> 7,
+    // rich club (print budget 397, same artifact-lineage inflation):
+    // artifact + degree agg + ladder-rich filter + the two induced-edge
+    // joins + nk/ek aggs + final join
+    "x_rich_club" -> 9)
 
   /** Distinct shuffle stages of THIS query execution's final adaptive
     * plan. `collect()` (not `count()`) executes the df's own
