@@ -873,32 +873,8 @@ object SparkEntryEvt {
       // (the kCore/modularity contract). Same one-labels-join shape as
       // the modularity scorer — at 100 TB this is a stored-partition
       // scoring pass, never a re-propagation.
-      val pe = projectedCustomerEdges(s, dir)
-      val labels = storedLpaLabels(s, dir)
-      val m = pe.count()
-      val deg = pe.select(col("ua").as("node"))
-        .unionAll(pe.select(col("ub").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("__d"))
-      val byC = labels.join(deg, Seq("node"))
-        .groupBy("community").agg(count(lit(1)).as("n_members"),
-          sum(col("__d")).as("volume"))
-      val bd = pe
-        .join(labels.select(col("node").as("ua"), col("community").as("__ca")),
-          Seq("ua"))
-        .join(labels.select(col("node").as("ub"), col("community").as("__cb")),
-          Seq("ub"))
-        .where(col("__ca") =!= col("__cb"))
-      val cut = bd.select(col("__ca").as("community"))
-        .unionAll(bd.select(col("__cb").as("community")))
-        .groupBy("community").agg(count(lit(1)).as("cut_edges"))
-      byC.join(cut, Seq("community"), "left")
-        .select(col("community"), col("n_members"),
-          coalesce(col("cut_edges"), lit(0L)).as("cut_edges"), col("volume"))
-        // guard: a partition collapsed to ONE community has cut = 0 and
-        // min(vol, 2m − vol) = 0 — φ is defined as 0 there, not an error
-        .withColumn("conductance_ppm",
-          expr(s"CASE WHEN least(volume, ${2L * m} - volume) = 0 THEN 0 " +
-            s"ELSE cut_edges * 1000000 DIV least(volume, ${2L * m} - volume) END"))
+      Graph.conductanceProfile(projectedCustomerEdges(s, dir),
+        storedLpaLabels(s, dir), "ua", "ub")
     },
     "x_clustering_coeff" -> { (s, dir) =>
       // per-vertex local clustering coefficient over the projected

@@ -314,6 +314,16 @@ object SparkEntryExt {
           col("f_word_count") && col("f_mean_len") && col("f_alpha_words") &&
             col("f_symbol") && col("f_stopwords"))
     },
+    "x_quality_gopher_full" -> { (s, dir) =>
+      // the COMPLETE Gopher filter as one relation (r15 verdict item 8):
+      // the five word-statistics rules of x_quality_gopher plus the
+      // line rules (duplicate-line fraction <= 30%, ellipsis-terminated
+      // lines <= 30%, bullet-initial lines <= 10%) — all exact
+      // cross-multiplied integers, folded off the SHARED memoized
+      // term-count and exploded-line relations (zero new corpus scans
+      // in a pipeline already computing TF/LM/line-dedup features)
+      TextAnalysis.gopherRules(Tables.documents(s, dir))
+    },
     "x_text_fingerprint" -> { (s, dir) =>
       TextAnalysis.withFingerprint(Tables.documents(s, dir)).select("doc_id", "fingerprint")
     },
@@ -592,6 +602,23 @@ object SparkEntryExt {
       Similarity.ivfDeltaTopK(
         embs.where(col("vec_id") % 5 =!= 4),
         embs.where(col("vec_id") % 5 === 4),
+        embs.where(col("vec_id") < 10), k = 10, kCells = 8, iters = 2, nprobe = 2)
+    },
+    "x_knn_ivf_delete" -> { (s, dir) =>
+      // the DELETE direction of index maintenance: every 7th vector is
+      // dropped from the corpus (a post-dedup document drop) as a
+      // TOMBSTONE — the frozen model and stored assignment are untouched,
+      // search anti-joins the probed candidates against the tombstone
+      // set (candidate-bounded, zero index I/O). Tombstoned ids still
+      // appear among the query vectors (vec_id 0 and 7), so the oracle
+      // hash proves deleted rows vanish as NEIGHBORS while remaining
+      // valid probes. Oracle: x_knn_ivf's replay with the tombstone
+      // predicate filtering the assigned CTE.
+      val embs = Tables.embeddings(s, dir)
+      Similarity.ivfTombstoneTopK(
+        embs.where(col("vec_id") % 5 =!= 4),
+        embs.where(col("vec_id") % 5 === 4),
+        embs.where(col("vec_id") % 7 === 0),
         embs.where(col("vec_id") < 10), k = 10, kCells = 8, iters = 2, nprobe = 2)
     },
 
@@ -1083,7 +1110,8 @@ object SparkEntryExt {
   // queries before dumping oracle SQL, so the stash is always populated;
   // if not (defensive), the entry is omitted and the driver records the
   // old rows-only check.
-  private def ivfOracleSql(cents: Seq[(Long, Array[Float])]): String = {
+  private def ivfOracleSql(cents: Seq[(Long, Array[Float])],
+                           extraNeighborPred: String = ""): String = {
     val rows = cents.map { case (c, v) =>
       s"($c, [${v.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
     }.mkString(", ")
@@ -1101,7 +1129,8 @@ object SparkEntryExt {
       "list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS rn " +
       "FROM e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE rn <= 2), " +
       "scored AS (SELECT p.query_id, a.vec_id, list_cosine_similarity(p.qv, a.v) AS cos " +
-      "FROM qprobe p JOIN assigned a USING (cell) WHERE a.vec_id <> p.query_id), " +
+      "FROM qprobe p JOIN assigned a USING (cell) " +
+      s"WHERE a.vec_id <> p.query_id$extraNeighborPred), " +
       knnTopKSql("scored")
   }
   // x_dedup_embed's LSH path: same deterministic bucket machinery as the
@@ -1259,6 +1288,16 @@ object SparkEntryExt {
       (Similarity.lastLearnedDelta match {
         case cents if cents.nonEmpty => Map("x_knn_ivf_delta" -> ivfOracleSql(cents))
         case _                       => Map.empty[String, String]
+      }) ++
+      // the delete replay: identical chain, with the tombstone predicate
+      // (vec_id % 7 = 0) excluding NEIGHBOR rows only — query vectors are
+      // deliberately untouched, so a tombstoned id probing the index is
+      // covered by the same hash
+      (Similarity.lastLearnedTomb match {
+        case cents if cents.nonEmpty =>
+          Map("x_knn_ivf_delete" -> ivfOracleSql(cents,
+            extraNeighborPred = " AND a.vec_id % 7 <> 0"))
+        case _ => Map.empty[String, String]
       })
 
   // closed-form average-hash assembly over an 8x8-per-doc pixel formula —
@@ -1984,6 +2023,43 @@ object SparkEntryExt {
         "(3 * n_words <= sum_len AND sum_len <= 10 * n_words) AND " +
         "(5 * n_alpha >= 4 * n_words) AND (10 * n_symbol <= n_words) AND " +
         "stop_hits >= 2 AS pass FROM st"),
+
+    // the full composite re-derived rule by rule: word stats off the
+    // token relation, line stats off a per-(doc, line) count (the engine's
+    // map-side-combinable shape), every threshold the same cross-multiplied
+    // integer comparison
+    "x_quality_gopher_full" ->
+      (s"WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents WHERE text IS NOT NULL), " +
+        "st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+        "CAST(sum(len(term)) AS BIGINT) AS sum_len, " +
+        "CAST(sum(CASE WHEN regexp_matches(term, '[a-z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha, " +
+        "CAST(sum(CASE WHEN contains(term, '#') OR contains(term, '...') THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol, " +
+        "CAST(count(DISTINCT CASE WHEN term IN ('the','be','to','of','and','that','have','with') " +
+        "THEN term END) AS BIGINT) AS stop_hits FROM toks GROUP BY 1), " +
+        "pl AS (SELECT doc_id, line, count(*) AS c FROM (SELECT doc_id, " +
+        "unnest(string_split(text, chr(10))) AS line FROM documents WHERE text IS NOT NULL) GROUP BY 1, 2), " +
+        "ls AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines, " +
+        "CAST(count(*) AS BIGINT) AS n_unique, " +
+        "CAST(sum(CASE WHEN regexp_matches(line, '\\.\\.\\.$') THEN c ELSE 0 END) AS BIGINT) AS n_ellipsis, " +
+        "CAST(sum(CASE WHEN regexp_matches(line, '^[-*•]') THEN c ELSE 0 END) AS BIGINT) AS n_bullet " +
+        "FROM pl GROUP BY 1) " +
+        "SELECT doc_id, n_words, sum_len, n_alpha, n_symbol, stop_hits, " +
+        "n_lines, n_unique, n_ellipsis, n_bullet, " +
+        "n_words >= 50 AND n_words <= 100000 AS f_word_count, " +
+        "3 * n_words <= sum_len AND sum_len <= 10 * n_words AS f_mean_len, " +
+        "5 * n_alpha >= 4 * n_words AS f_alpha_words, " +
+        "10 * n_symbol <= n_words AS f_symbol, " +
+        "stop_hits >= 2 AS f_stopwords, " +
+        "10 * (n_lines - n_unique) <= 3 * n_lines AS f_dup_lines, " +
+        "10 * n_ellipsis <= 3 * n_lines AS f_ellipsis_lines, " +
+        "10 * n_bullet <= n_lines AS f_bullet_lines, " +
+        "(n_words >= 50 AND n_words <= 100000) AND " +
+        "(3 * n_words <= sum_len AND sum_len <= 10 * n_words) AND " +
+        "(5 * n_alpha >= 4 * n_words) AND (10 * n_symbol <= n_words) AND " +
+        "stop_hits >= 2 AND " +
+        "(10 * (n_lines - n_unique) <= 3 * n_lines) AND " +
+        "(10 * n_ellipsis <= 3 * n_lines) AND (10 * n_bullet <= n_lines) " +
+        "AS pass FROM st JOIN ls USING (doc_id)"),
 
     // DSIR replayed end-to-end: same hashed uni+bigram buckets (md5 seed
     // hash mod 4096), same add-1-smoothed 6dp log2 models on the en /

@@ -67,13 +67,22 @@ object InvertedIndex {
   /** The posting relation `(term, doc_id, tf)` — one explode + one
     * map-side-combinable aggregation, derived once per doc plan (memo
     * above). Bucket-by-term writable: this is the layout a term lookup
-    * wants at any scale. */
+    * wants at any scale.
+    *
+    * Built FROM the shared [[TextAnalysis.termCounts]] relation (r15
+    * verdict item 5 — the artifact-pass audit): `(doc_id, term, c)` and
+    * `(term, doc_id, tf)` are the same aggregation, so a corpus that
+    * already pays the TF/DF/LM tokenize never tokenizes a second time
+    * for its search index — the postings build is a rename over the
+    * persisted relation. A fresh JVM still faults THIS artifact straight
+    * from disk without touching the termCounts one. */
   def postings(docs: DataFrame, textCol: String = "text"): DataFrame = synchronized {
     val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized, textCol)
     repersist(postMemo.computeIfAbsent(key, _ =>
       graft.ArtifactStore.getOrBuildDf(docs.sparkSession, // the stored index
         graft.ArtifactStore.dfKey(graft.PlanMemo.tag("postings", textCol), Seq(docs)))(
-        tokenizePostings(docs, textCol))))
+        TextAnalysis.termCounts(docs, textCol)
+          .select(col("term"), col("doc_id"), col("c").as("tf")))))
   }
 
   /** Per-term directory (the index's "dictionary" page): document

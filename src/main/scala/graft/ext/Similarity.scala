@@ -187,6 +187,71 @@ object Similarity {
       cents, queries, k, vecCol, idCol, nprobe)
   }
 
+  /** x_knn_ivf_delete's centroid stash (the [[lastLearned]] contract;
+    * separate so the delete query can never clobber the other IVF
+    * oracles, whatever the execution order). */
+  @volatile var lastLearnedTomb: Seq[(Long, Array[Float])] = Nil
+
+  /** The DELETE side of incremental IVF maintenance — [[ivfDeltaTopK]]'s
+    * missing direction (a training-data pipeline that DROPS documents
+    * after a dedup pass should not re-train its vector index): removed
+    * ids arrive as TOMBSTONES, applied at READ time. The model stays
+    * frozen and the stored base assignment is NEVER rewritten; search
+    * merges base ∪ delta and anti-joins the probed candidates against
+    * the tombstone set — the anti-join input is the cells/nprobe-bounded
+    * candidate relation, so a delete batch costs O(|tombstones|) to
+    * store and O(|candidates|) per search, zero index I/O. This is
+    * exactly the LSM/base+delta+compaction contract the rest of the
+    * engine's index family uses (delete markers in the LSM store, the
+    * inverted-index delta): an OFFLINE periodic compaction folds
+    * tombstones into a rewritten assignment and re-trains when drift
+    * warrants — the same cadence that already repairs cell balance.
+    * Tombstoned ids may still appear as QUERIES (an external probe
+    * vector is not an index row); they are only excluded as NEIGHBORS. */
+  def ivfTombstoneTopK(base: DataFrame, delta: DataFrame, deletes: DataFrame,
+                       queries: DataFrame, k: Int = 10,
+                       vecCol: String = "embedding", idCol: String = "vec_id",
+                       kCells: Int = 8, iters: Int = 2,
+                       nprobe: Int = 2): DataFrame = {
+    val cents = learnedCentroids(base, kCells, iters, vecCol, idCol, stash = false)
+    lastLearnedTomb = cents
+    ivfSearch(
+      assignCells(base, cents, vecCol)
+        .unionByName(assignCells(delta, cents, vecCol)),
+      cents, queries, k, vecCol, idCol, nprobe, tombstones = Some(deletes))
+  }
+
+  /** The rebuild-warranted detector for [[ivfTombstoneTopK]] — third
+    * member of the engine's refresh-premise-audit family (the ER
+    * capCrossings and `Graph.ssspInvalidations` contract): a cell whose
+    * LIVE fraction fell below `liveFloorPpm` is hollowed out — probes
+    * routed there scan mostly tombstones and return thin candidate sets
+    * (recall sags while cost stays flat), which no read-time merge can
+    * repair. Non-empty ⇒ compact + retrain is warranted; empty ⇒ the
+    * tombstone merge stays sound. Consult it once per arriving delete
+    * batch (the per-version changelog audit, not a per-query cost).
+    *
+    * Cost: one map-only assignment pass over base ∪ delta (at 100 TB:
+    * read the STORED assignment instead — this recomputation is the
+    * local stand-in), one tombstone left join on the id key, one
+    * per-cell agg — kCells-bounded output `(cell, n_total, n_live,
+    * live_ppm)`, exact integer ppm. */
+  def ivfTombstoneInvalidations(base: DataFrame, delta: DataFrame,
+                                deletes: DataFrame,
+                                cents: Seq[(Long, Array[Float])],
+                                vecCol: String = "embedding",
+                                idCol: String = "vec_id",
+                                liveFloorPpm: Long = 500000L): DataFrame = {
+    val assigned = assignCells(base, cents, vecCol)
+      .unionByName(assignCells(delta, cents, vecCol))
+    assigned
+      .join(deletes.select(col(idCol), lit(1L).as("__tomb")), Seq(idCol), "left")
+      .groupBy("cell").agg(count(lit(1)).as("n_total"),
+        sum(when(col("__tomb").isNull, 1L).otherwise(0L)).as("n_live"))
+      .withColumn("live_ppm", expr("n_live * 1000000 DIV n_total"))
+      .where(col("live_ppm") < liveFloorPpm)
+  }
+
   /** Deterministic bounded training sample: the `n` rows with the
     * smallest `xxhash64(id)` (ties to the lowest id). k-means/PQ model
     * quality saturates far below corpus size (FAISS trains on ~100–256
@@ -315,7 +380,8 @@ object Similarity {
   private def ivfSearch(corpusWithCell: DataFrame, cents: Seq[(Long, Array[Float])],
                         queries: DataFrame, k: Int, vecCol: String, idCol: String,
                         nprobe: Int,
-                        excludeLabelCol: Option[String] = None): DataFrame = {
+                        excludeLabelCol: Option[String] = None,
+                        tombstones: Option[DataFrame] = None): DataFrame = {
     if (cents.isEmpty)
       return topKPerQuery(queries
         .select(col(idCol).as("query_id"), col(idCol), lit(0d).as("cos"))
@@ -339,8 +405,13 @@ object Similarity {
     val probed = corpusWithCell
       .join(qCells, Seq("cell"))
       .where(col("query_id") =!= col(idCol))
-    val filtered = excludeLabelCol.fold(probed)(c =>
-      probed.where(col("__ql") =!= col(c)))
+    // tombstones (the delete path): anti-join AFTER the cell probe, so
+    // its input is the cells/nprobe-bounded candidate set — never a
+    // full-index rewrite or a corpus-sized scan per search
+    val live = tombstones.fold(probed)(t =>
+      probed.join(t.select(col(idCol)), Seq(idCol), "left_anti"))
+    val filtered = excludeLabelCol.fold(live)(c =>
+      live.where(col("__ql") =!= col(c)))
     val scored = filtered
       .select(col("query_id"), col(idCol), cosine(col("__qv"), col(vecCol)).as("cos"))
     topKPerQuery(scored, k, idCol)

@@ -742,6 +742,79 @@ class SimilaritySpec extends SparkSpec {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("ivfTombstoneTopK: read-time delete merge — no rewrite, no retrain, exact vs post-filter") {
+    val embs = Tables.embeddings(spark, sf)
+    val base = embs.where(col("vec_id") % 5 =!= 4)
+    val delta = embs.where(col("vec_id") % 5 === 4)
+    val dels = embs.where(col("vec_id") % 7 === 0)
+    val qs = embs.where(col("vec_id") < 10)
+    // kBig covers every probed candidate, so the read-time-merge law is
+    // checkable exactly: tombstone search == the no-delete search with
+    // deleted NEIGHBORS removed and ranks recompacted per query
+    val kBig = 100000
+    val noDel = Similarity.ivfDeltaTopK(base, delta, qs, k = kBig,
+      kCells = 8, iters = 2, nprobe = 2)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val withDel = Similarity.ivfTombstoneTopK(base, delta, dels, qs, k = kBig,
+      kCells = 8, iters = 2, nprobe = 2)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // frozen-model law holds on the delete path too
+    val baseOnly = Similarity.learnedCentroids(base, kCells = 8, iters = 2,
+      stash = false)
+    assert(Similarity.lastLearnedTomb.map { case (c, v) => (c, v.toSeq) } ==
+      baseOnly.map { case (c, v) => (c, v.toSeq) },
+      "deletes must not move centroids")
+    // deleted ids are gone as neighbors...
+    assert(withDel.forall { case (_, _, n) => n % 7 != 0 },
+      "a tombstoned id surfaced as a neighbor")
+    // ...but remain valid query probes (0 and 7 are tombstoned AND < 10)
+    assert(withDel.exists { case (q, _, _) => q % 7 == 0 },
+      "a tombstoned id must still be able to query the index")
+    // exactness: removing deleted neighbors from the no-delete result and
+    // recompacting ranks reproduces the tombstone result bit-for-bit —
+    // the anti-join changes WHAT is ranked, never HOW
+    val expected = noDel.filter { case (_, _, n) => n % 7 != 0 }
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy(_._2).zipWithIndex.map { case ((_, _, n), i) =>
+          (q, i + 1, n)
+        }
+      }.toSet
+    assert(withDel.toSet == expected, "tombstone search != post-filtered search")
+    // and an EMPTY tombstone set is exactly the delta search
+    val none = Similarity.ivfTombstoneTopK(base, delta,
+      embs.where(lit(false)), qs, k = kBig, kCells = 8, iters = 2, nprobe = 2)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(none.toSet == noDel.toSet)
+  }
+
+  test("ivfTombstoneInvalidations: fires on exactly the hollowed cell, silent otherwise") {
+    val embs = Tables.embeddings(spark, sf)
+    val base = embs.where(col("vec_id") % 5 =!= 4)
+    val delta = embs.where(col("vec_id") % 5 === 4)
+    val cents = Similarity.learnedCentroids(base, kCells = 8, iters = 2,
+      stash = false)
+    // hollow ONE cell: tombstone every vector assigned to the fullest
+    // cell — its live fraction drops to 0, every other cell stays whole
+    val assigned = Similarity.assignCells(embs, cents).persist()
+    val hollow = assigned.groupBy("cell").count()
+      .orderBy(col("count").desc, col("cell")).head.getLong(0)
+    val dels = assigned.where(col("cell") === hollow).select("vec_id", "embedding")
+    val fired = Similarity.ivfTombstoneInvalidations(base, delta, dels, cents)
+      .collect()
+    assert(fired.map(_.getLong(0)).toSet == Set(hollow),
+      "the detector must flag the hollowed cell and ONLY it")
+    val row = fired.head
+    assert(row.getAs[Long]("n_live") == 0 && row.getAs[Long]("live_ppm") == 0)
+    // sound premise ⇒ silent: no deletes, no flags
+    val quiet = Similarity.ivfTombstoneInvalidations(base, delta,
+      embs.where(lit(false)), cents)
+    assert(quiet.isEmpty, "an empty delete batch must not warrant a rebuild")
+    assigned.unpersist()
+  }
+
   test("lshTopK tolerates NULL, empty, and off-dim vectors (degenerate rows opt out)") {
     import spark.implicits._
     val base = Tables.embeddings(spark, sf).select("vec_id", "embedding").limit(50)

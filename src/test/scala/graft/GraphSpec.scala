@@ -526,11 +526,20 @@ class GraphSpec extends SparkSpec {
     }
     // Σ cut is even (each boundary edge counted once per side)
     assert(cond.values.map(_._2).sum % 2 == 0)
-    // one-community graph: φ defined as 0, not a division error
+    // one-community graph: φ defined as 0, not a division error — LPA
+    // absorbs K3 into one community, and SCORING that partition through
+    // the real conductance computation exercises the
+    // least(vol, 2m − vol) = 0 guard (vol = 2m = 6, so the min is 0)
     import spark.implicits._
     val k3 = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("ua", "ub")
     val labels = graft.ext.Graph.labelPropagation(k3, "ua", "ub", 3)
     assert(labels.select("community").distinct().count() == 1)
+    val phi = graft.ext.Graph.conductanceProfile(k3, labels, "ua", "ub").collect()
+    assert(phi.length == 1, "one community, one profile row")
+    val r = phi.head
+    assert(r.getAs[Long]("n_members") == 3 && r.getAs[Long]("volume") == 6)
+    assert(r.getAs[Long]("cut_edges") == 0, "no boundary edges in one community")
+    assert(r.getAs[Long]("conductance_ppm") == 0, "0/0 defined as 0, not an error")
   }
 
   test("randomWalks: valid steps, exact shape, partition-invariant, md5 picks refold") {
@@ -714,6 +723,38 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(w1 == Map((1L, 2L) -> 1L, (2L, 1L) -> 1L, (2L, 3L) -> 1L,
       (3L, 2L) -> 1L))
+  }
+
+  test("walkPairs: PPMI symmetric-marginal law — center marginal == context marginal, Σ == 2·events") {
+    import spark.implicits._
+    // a REAL walk corpus (not a hand fixture), so the law is exercised
+    // on the relation x_walk_ppmi actually consumes: the symmetrization
+    // in walkPairs makes the pair relation an undirected multigraph, so
+    // (a) every node's center marginal equals its context marginal
+    // EXACTLY (these are SGNS's word and context frequency vectors —
+    // their equality is what makes the PPMI matrix symmetric), and
+    // (b) the grand total T is exactly twice the one-directional
+    // co-occurrence event count (each event emits both orientations).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("a", "b")
+    val walks = Graph.randomWalks(edges, "a", "b", walksPerNode = 3, steps = 5)
+    val pairs = Graph.walkPairs(walks, window = 2).persist()
+    val centerM = pairs.groupBy(col("center").as("node"))
+      .agg(sum("cnt").as("m")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val contextM = pairs.groupBy(col("context").as("node"))
+      .agg(sum("cnt").as("m")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(centerM.nonEmpty && centerM == contextM,
+      "PPMI marginals must be symmetric node-for-node")
+    val total = centerM.values.sum
+    // one-directional events: ordered step gaps in [1, window] per walk
+    val events = walks.alias("a").join(walks.alias("b"),
+        col("a.start") === col("b.start") && col("a.walk_id") === col("b.walk_id") &&
+          (col("b.step") - col("a.step")).between(1, 2))
+      .count()
+    assert(total == 2 * events, s"Σ cnt $total != 2 × $events events")
+    pairs.unpersist()
   }
 
   test("bfsLevels: an impossible depth bound fails loudly, not partially") {

@@ -106,6 +106,9 @@ class PlanAuditSpec extends SparkSpec {
     "x_event_paths" -> 2, "x_attribution" -> 2, "x_retention" -> 3,
     // ANN
     "x_knn_cosine" -> 2, "x_knn_ivf" -> 2, "x_knn_ivf_delta" -> 2,
+    // tombstone search = the delta plan + one candidate-bounded anti-join
+    // below the same two exchanges
+    "x_knn_ivf_delete" -> 2,
     "x_knn_ivfpq" -> 2,
     "x_knn_lsh" -> 3, "x_knn_mrr" -> 16, "x_knn_pq" -> 2,
     "x_knn_recall" -> 18,
@@ -118,7 +121,14 @@ class PlanAuditSpec extends SparkSpec {
     // text/quality/tokenizers
     "x_text_fingerprint" -> 0, "x_text_langid" -> 0, "x_text_quality" -> 0,
     "x_text_tf_df" -> 4, "x_text_tokens" -> 0, "x_token_bpeish" -> 0,
-    "x_bpe_merges" -> 0, "x_bpe_segment" -> 3, "x_top_terms" -> 3,
+    // bpe_segment rose 3 -> 6 in r16: its word relation now reads the
+    // shared memoized termCounts artifact, whose cached lineage prints
+    // per consumer (executed shape unchanged; one corpus tokenize fewer)
+    "x_bpe_merges" -> 0, "x_bpe_segment" -> 6, "x_top_terms" -> 3,
+    // the composite filter reads the memoized term-count AND exploded-line
+    // relations (cached lineage prints per consumer) + its own two aggs
+    // and the doc-key join
+    "x_quality_gopher_full" -> 8,
     // segment/ppl read the MEMOIZED (doc, word, n) + per-word
     // segmentation relations (cached lineage prints per consumer)
     "x_unigram_train" -> 0, "x_unigram_segment" -> 4, "x_unigram_ppl" -> 4,
@@ -131,15 +141,20 @@ class PlanAuditSpec extends SparkSpec {
     // sparse all-pairs similarity: df agg + pruned-posting join (on the
     // memoized posting relation, whose lineage prints per consumer) +
     // pair agg + two norm joins + the two-phase rank
-    "x_sparse_topk_sim" -> 16,
+    // +8 in r16: the posting relation is now derived from the shared
+    // memoized termCounts artifact (one corpus tokenize for TF/LM/index),
+    // whose cached lineage prints under every posting consumer
+    "x_sparse_topk_sim" -> 24,
     // x_index_delta's print rose 9→11 when x_bm25_delta (alphabetically
     // earlier in the sweep) began memoizing the same base postings —
     // cached lineage prints per consumer, executed shape unchanged
-    "x_inverted_directory" -> 5, "x_index_delta" -> 11,
-    "x_index_lookup" -> 2, "x_bm25_topk" -> 7, "x_phrase_search" -> 1,
+    // the r16 postings-from-termCounts sharing prints the tc lineage per
+    // consumer across the index family (executed stages unchanged)
+    "x_inverted_directory" -> 7, "x_index_delta" -> 15,
+    "x_index_lookup" -> 3, "x_bm25_topk" -> 7, "x_phrase_search" -> 1,
     // delta-served BM25: the merged union (stored scan + batch
     // tokenize) feeds dl/df/score aggs + the two-phase rank
-    "x_bm25_delta" -> 16,
+    "x_bm25_delta" -> 22,
     // curation
     "x_bloom_prune" -> 1, "x_chunk_docs" -> 0, "x_mix_sample" -> 0,
     "x_pack_sequences" -> 1, "x_pii_detect" -> 0, "x_pii_redact" -> 0,
@@ -181,10 +196,12 @@ class PlanAuditSpec extends SparkSpec {
     // into each round's checkpoint) — the returned plan is a select over
     // the final materialized best relation, zero printable exchanges
     "x_sssp" -> 0,
-    // delta refresh: same incremental-best shape — the guard's
-    // invalidation scan and the delta-frontier build run eagerly behind
-    // memo/checkpoints, so the returned plan is the materialized best
-    "x_sssp_delta" -> 0,
+    // delta refresh (r16 overlay shape): the iterative work runs eagerly
+    // behind checkpoints, but the returned plan IS the one end-of-loop
+    // compact — prior anti-join overlay + union — so exactly the two
+    // exchanges of that final |V|-sized pass print here (the per-round
+    // O(|V|) materialization they replace is gone)
+    "x_sssp_delta" -> 2,
     // triangle census: the projected-edge artifact's lineage + degree agg
     // + two endpoint-degree joins feeding the wedge/closing joins; the
     // scalar metric rows ride a range(1) — 5 printable exchanges at the
@@ -203,7 +220,9 @@ class PlanAuditSpec extends SparkSpec {
     // the fused full-outer join and per-query re-rank — all over bounded
     // ranking relations once the legs are memoized; the ANN variant's
     // IVF leg prints the same count (cell assignment is map-only)
-    "x_hybrid_search" -> 12, "x_hybrid_search_ann" -> 12,
+    // +3 each in r16: the BM25 leg's postings now print the shared
+    // termCounts lineage (the index-family sharing note above)
+    "x_hybrid_search" -> 15, "x_hybrid_search_ann" -> 15,
     // delta refresh: base chain (3 iters over the filtered edge
     // artifact) + seed join/renormalize + ONE full-graph iteration —
     // print count inflated by the two edge artifacts' shared lineage
@@ -379,8 +398,8 @@ class PlanAuditSpec extends SparkSpec {
     // and exact aggs + the final join
     "x_sketch_mg" -> 14,
     // fertility: the memoized segment relation's lineage + lang join +
-    // one bounded agg
-    "x_tokenizer_fertility" -> 4,
+    // one bounded agg; +3 in r16 via the shared-termCounts print
+    "x_tokenizer_fertility" -> 7,
   )
 
   /** a node line whose name starts with "Exchange " is a shuffle;
