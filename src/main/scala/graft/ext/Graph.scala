@@ -1142,12 +1142,21 @@ object Graph {
     * directions of change — additions AND removals). Two canonical-pair
     * anti-joins; delta-bounded output. This is the walk family's
     * invalidation relation: a stored walk is stale iff it VISITED one of
-    * these vertices (its picks consulted a neighbor list that changed). */
+    * these vertices (its picks consulted a neighbor list that changed).
+    *
+    * Each side's canonical-pair set is a pure function of ITS edge list,
+    * so both live behind the stored-artifact contract like the ranked
+    * adjacency (r16): per delta version the refresh pays the two
+    * anti-joins and the endpoint explode, not two full-corpus distincts
+    * — at 100 TB the canon sets are maintained beside the edge table
+    * itself. */
+  private val canonMemo = new graft.PlanMemo
   def walkInvalidations(baseEdges: DataFrame, fullEdges: DataFrame,
                         srcCol: String, dstCol: String): DataFrame = {
-    def canon(e: DataFrame) = e.select(
-      least(col(srcCol), col(dstCol)).as("__a"),
-      greatest(col(srcCol), col(dstCol)).as("__b")).distinct()
+    def canon(e: DataFrame) =
+      canonMemo(e, graft.PlanMemo.tag("walkCanon", srcCol, dstCol))(
+        e.select(least(col(srcCol), col(dstCol)).as("__a"),
+          greatest(col(srcCol), col(dstCol)).as("__b")).distinct())
     val b = canon(baseEdges)
     val f = canon(fullEdges)
     b.join(f, Seq("__a", "__b"), "left_anti")
@@ -1182,14 +1191,23 @@ object Graph {
                 walksPerNode: Int = 2, steps: Int = 4): DataFrame = {
     require(walksPerNode >= 1 && steps >= 1, "walksFrom: bad params")
     val (nbr, degs) = rankedAdjacency(fullEdges, srcCol, dstCol)
-    val aff = stored.join(changedNodes.select("node"), Seq("node"))
-      .select("start", "walk_id").distinct().localCheckpoint(true)
-    val keep = stored.join(aff, Seq("start", "walk_id"), "left_anti")
+    // affected STARTS, not (start, walk) pairs: the redo loop regenerates
+    // every walk of a start it is given, so keep/redo must partition the
+    // corpus on the same key — dropping only the affected (start, walk)
+    // pairs while redoing whole starts duplicated a start's UNaffected
+    // walks verbatim whenever its walks split between the two sets (the
+    // r16 10×-soak catch: 1,390 bit-identical duplicate rows on a 1%
+    // delta; exactness is untouched since a regenerated unaffected walk
+    // replays its kept twin bit-for-bit — the duplication, not the
+    // values, was the bug)
+    val affStarts = stored.join(changedNodes.select("node"), Seq("node"))
+      .select("start").distinct().localCheckpoint(true)
+    val keep = stored.join(affStarts, Seq("start"), "left_anti")
     val fullStarts = nbr.select(col("__u").as("start")).distinct()
     // affected starts still alive + vertices new to the graph; a
     // vanished start's edges were removed, so all its walks are affected
     // (step 0 visits the start itself) and none re-enter via fullStarts
-    val redoStarts = aff.select("start").distinct()
+    val redoStarts = affStarts
       .join(fullStarts, Seq("start"))
       .unionByName(fullStarts.join(stored.select("start").distinct(),
         Seq("start"), "left_anti"))

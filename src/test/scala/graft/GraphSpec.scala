@@ -652,6 +652,26 @@ class GraphSpec extends SparkSpec {
       }
     }
     assert(deltasSeen >= 2, "the trials must actually exercise non-empty deltas")
+    // sparse graph + ONE-edge delta — the regime where a start's walks
+    // split between affected and unaffected (most starts are far from
+    // the change, some have exactly one walk that wanders into it): the
+    // r16 10×-soak caught whole-start redo + pair-level keep emitting
+    // the unaffected twin twice here; the sorted-multiset equality
+    // below fails on any duplicate row
+    locally {
+      val n = 30
+      val ring = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+      val base = ring ++ Seq((0L, 15L), (7L, 22L))
+      val full = base :+ ((3L, 18L))
+      val baseDf = base.toDF("a", "b")
+      val fullDf = full.toDF("a", "b")
+      val stored = G.randomWalks(baseDf, "a", "b", 2, 4)
+      val changed = G.walkInvalidations(baseDf, fullDf, "a", "b")
+      assert(changed.collect().map(_.getLong(0)).toSet == Set(3L, 18L))
+      val refresh = G.walksFrom(stored, fullDf, "a", "b", changed, 2, 4)
+      assert(rows(refresh) == rows(G.randomWalks(fullDf, "a", "b", 2, 4)),
+        "one-edge delta: refresh must equal the rebuild with no duplicates")
+    }
     // empty delta: the invalidation relation is empty and every stored
     // row survives verbatim — no vacuous recompute
     val e = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
