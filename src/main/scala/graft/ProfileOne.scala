@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler._
+
+/** Job-level profiling harness for the optimization rounds: run one named
+  * query from [[SparkEntry.queries]] and print every Spark job's wall time,
+  * stage count and task count — the local-mode stand-in for the UI's Jobs
+  * page (guide §7.1), telling an iterative operator's per-round fixed cost
+  * apart from its data cost. Args: <name> [sfDir] [reps].
+  */
+object ProfileOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", String.valueOf(64L * 1024 * 1024))
+      .config("spark.ui.enabled", "false")
+    // experiment passthrough: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" (guide §1:
+    // measure a config hypothesis before committing it anywhere)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int, Int)]()
+    @volatile var collect = false
+    @volatile var lastEnd = 0L
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        if (collect) {
+          val now = System.nanoTime()
+          val gap = if (lastEnd == 0) 0.0 else (now - lastEnd) / 1e6
+          jobStart.put(j.jobId, (now, j.stageInfos.size, j.stageInfos.map(_.numTasks).sum))
+          if (gap > 50) println(f"[gap] ${gap}%8.1f ms before job ${j.jobId}")
+        }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        if (collect) Option(jobStart.get(j.jobId)).foreach { case (t0, st, tk) =>
+          lastEnd = System.nanoTime()
+          println(f"[job] id=${j.jobId}%4d wall=${(lastEnd - t0) / 1e6}%8.1f ms stages=$st%2d tasks=$tk%4d")
+        }
+    })
+    spark.range(1000000).selectExpr("count(md5(cast(id as string)))").collect()
+    val fn = SparkEntry.queries(name)
+    (1 to reps).foreach { i =>
+      if (i == reps) { collect = true; Thread.sleep(300) }
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"[profile] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    Thread.sleep(500) // let the listener bus drain
+    spark.stop()
+  }
+}

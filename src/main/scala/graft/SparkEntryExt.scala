@@ -329,17 +329,21 @@ object SparkEntryExt {
     },
     "x_text_tf_df" -> { (s, dir) =>
       // term statistics (the TF-IDF building block): per-doc term
-      // frequency joined with corpus document frequency — one explode, two
-      // hash aggregations (both map-side combinable), one shuffle join on
-      // term. The vocabulary side is NOT broadcast: distinct-term counts
-      // grow with the corpus (heavy-tailed, unbounded), so a forced
-      // broadcast is a driver OOM at 100 TB; both aggregations already
-      // share the term-keyed shuffle, and AQE still converts to broadcast
-      // at runtime when the vocabulary genuinely fits.
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
-      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfx = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      // frequency joined with corpus document frequency, BOTH folded off
+      // the shared memoized (doc_id, term, c) relation — tf IS c, and df
+      // is a plain row count per term because the relation holds exactly
+      // one row per (doc, term), so countDistinct never needs its
+      // two-phase dedup agg. Before r16 this query built its own exploded
+      // token stream with two consumers, and Catalyst re-inlined the
+      // tokenize+explode into each branch: the plan carried TWO corpus
+      // scans + TWO Generates where the whole pipeline needs one. The
+      // vocabulary side is NOT broadcast: distinct-term counts grow with
+      // the corpus (heavy-tailed, unbounded), so a forced broadcast is a
+      // driver OOM at 100 TB; AQE still converts to broadcast at runtime
+      // when the vocabulary genuinely fits.
+      val tc = graft.ext.TextAnalysis.termCounts(Tables.documents(s, dir), "text")
+      val tf = tc.select(col("doc_id"), col("term"), col("c").as("tf"))
+      val dfx = tc.groupBy("term").agg(count(lit(1)).as("df"))
       tf.join(dfx, Seq("term")).select("doc_id", "term", "tf", "df")
     },
     "x_token_bpeish" -> { (s, dir) =>

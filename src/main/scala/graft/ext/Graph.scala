@@ -453,31 +453,51 @@ object Graph {
     var level = 0L
     var more = true
     while (more) {
-      level += 1
-      val next = frontier.join(e, col("node") === col("__s"))
+      // TWO levels per materialization (r16): the loop is driver-latency
+      // bound (each round = one checkpoint job + one emptiness probe +
+      // AQE replans), so batch f1 = N(f)∖V at level+1 and f2 = N(f1)∖
+      // (V ∪ f1) at level+2 into ONE checkpointed relation. f1's distinct
+      // exchange is referenced by all three consumers (the union branch,
+      // f2's expansion input, f2's anti-join side) and deduped by
+      // ReuseExchange, so the batch pays the same two expansion joins as
+      // two single-step rounds while halving the sequential driver
+      // round-trips; the per-level emptiness/valve semantics are read off
+      // one bounded per-level count agg over the cached batch. Levels are
+      // exactly single-step BFS's (each set is neighbors-minus-visited of
+      // the previous), so results are bit-identical.
+      val f1 = frontier.join(e, col("node") === col("__s"))
         .select(col("__d").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
-        .select(col("node"), lit(level).as("level"))
-        .localCheckpoint(true)
-      if (next.isEmpty) more = false
-      else if (level > maxRounds)
-        // checked only against a NON-EMPTY next frontier, so an
-        // eccentricity of exactly maxRounds completes (the valve fires
-        // when depth maxRounds+1 provably exists, matching the oracle's
-        // lvl < maxRounds recursion emitting level-maxRounds nodes)
-        throw new IllegalStateException(
-          s"bfsLevels: source $source has eccentricity > $maxRounds — " +
-            "raise maxRounds explicitly if the graph really is that deep")
+        .select(col("node"), lit(level + 1).as("level"))
+      val f2 = f1.select("node").join(e, col("node") === col("__s"))
+        .select(col("__d").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .join(f1.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(level + 2).as("level"))
+      val batch = f1.unionByName(f2).localCheckpoint(true)
+      val counts = batch.groupBy("level").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // every reached node belongs in the result, however the loop exits
+      visited = visited.unionByName(batch)
+      // the valve keeps single-step semantics: it fires only against a
+      // NON-EMPTY frontier past maxRounds, so an eccentricity of exactly
+      // maxRounds completes (depth maxRounds+1 must provably exist)
+      if (counts.getOrElse(level + 1, 0L) == 0L) more = false
+      else if (level + 1 > maxRounds) throw tooDeep("bfsLevels", source, maxRounds)
+      else if (counts.getOrElse(level + 2, 0L) == 0L) more = false
+      else if (level + 2 > maxRounds) throw tooDeep("bfsLevels", source, maxRounds)
       else {
-        // plain union of ALREADY-checkpointed frontiers: every leaf is
-        // materialized, so the accumulated set needs no re-checkpoint —
-        // one fewer job per round on a loop that is job-latency-bound
-        visited = visited.unionByName(next)
-        frontier = next
+        frontier = batch.where(col("level") === (level + 2))
+        level += 2
       }
     }
     visited
   }
+
+  private def tooDeep(caller: String, source: Long, maxRounds: Int) =
+    new IllegalStateException(
+      s"$caller: source $source has eccentricity > $maxRounds — " +
+        "raise maxRounds explicitly if the graph really is that deep")
 
   /** Upper weight bound for [[pageRankWeighted]]: the per-edge
     * contribution is plain Long `__r * __w` with r ≤ [[Scale]] = 10¹²,
@@ -1026,24 +1046,37 @@ object Graph {
     var level = 0L
     var more = true
     while (more) {
-      level += 1
-      val next = frontier.join(e, col("node") === col("__s"))
+      // two levels per materialization — the [[bfsLevels]] r16 batching
+      // with the composite (__lm, node) key; see the shape note there
+      val f1 = frontier.join(e, col("node") === col("__s"))
         .select(col("__lm"), col("__d").as("node")).distinct()
         .join(visited.select("__lm", "node"), Seq("__lm", "node"), "left_anti")
-        .select(col("__lm"), col("node"), lit(level).as("dist"))
-        .localCheckpoint(true)
-      if (next.isEmpty) more = false
-      else if (level > maxRounds)
-        throw new IllegalStateException(
-          s"multiSourceBfs: a source has eccentricity > $maxRounds — " +
-            "raise maxRounds explicitly if the graph really is that deep")
+        .select(col("__lm"), col("node"), lit(level + 1).as("dist"))
+      val f2 = f1.select("__lm", "node").join(e, col("node") === col("__s"))
+        .select(col("__lm"), col("__d").as("node")).distinct()
+        .join(visited.select("__lm", "node"), Seq("__lm", "node"), "left_anti")
+        .join(f1.select("__lm", "node"), Seq("__lm", "node"), "left_anti")
+        .select(col("__lm"), col("node"), lit(level + 2).as("dist"))
+      val batch = f1.unionByName(f2).localCheckpoint(true)
+      val counts = batch.groupBy("dist").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      visited = visited.unionByName(batch)
+      if (counts.getOrElse(level + 1, 0L) == 0L) more = false
+      else if (level + 1 > maxRounds) throw msbTooDeep(maxRounds)
+      else if (counts.getOrElse(level + 2, 0L) == 0L) more = false
+      else if (level + 2 > maxRounds) throw msbTooDeep(maxRounds)
       else {
-        visited = visited.unionByName(next)
-        frontier = next
+        frontier = batch.where(col("dist") === (level + 2))
+        level += 2
       }
     }
     visited.select(col("__lm").as("source"), col("node"), col("dist"))
   }
+
+  private def msbTooDeep(maxRounds: Int) =
+    new IllegalStateException(
+      s"multiSourceBfs: a source has eccentricity > $maxRounds — " +
+        "raise maxRounds explicitly if the graph really is that deep")
 
   /** Seed for [[randomWalks]]' per-step neighbor picks. */
   val WalkSeed = 43

@@ -95,6 +95,32 @@ object Tables {
     val it = legacyEvents.entrySet().iterator()
     while (it.hasNext) if (it.next().getKey._1 eq spark) it.remove()
   }
-  def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
-  def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
+  /** Scale-adaptive fan-out for scans whose consumers do heavy PER-ROW
+    * work before any exchange (tokenize/regexp over documents, media
+    * decode over synthesized assets, vector math over embeddings): a
+    * single-row-group parquet file reads as ONE task no matter how many
+    * cores the session has, so every map-side kernel above it runs
+    * single-threaded — the unsplittable-input case of the optimization
+    * guide (§2.5: "repartition immediately after the read"). The exchange
+    * moves only the columns the consumer keeps (projection pushes below
+    * a keyed repartition), is keyed on the row id so the layout is
+    * deterministic under task retry, and is SKIPPED whenever the scan
+    * already carries at least the session's parallelism — at warehouse
+    * scale these are many-split tables and this is a no-op, so nothing
+    * here tunes for local mode. */
+  private def fanOut(spark: SparkSession, df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, col(keyCol))
+  }
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    fanOut(spark, apply(spark, sfDir, "documents"), "doc_id")
+  /** embeddings deliberately does NOT fan out: the vector kernels either
+    * get their parallelism from their own bucketing exchanges (IVF cells,
+    * LSH bands) or carry a map-only-plan contract (the IVF delta path is
+    * pinned exchange-free by ExtSpec — a batch assignment that shuffles
+    * before assigning has lost its O(batch) claim). */
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    apply(spark, sfDir, "embeddings")
 }

@@ -95,13 +95,20 @@ class CurationSpec extends SparkSpec {
   }
 
   test("plan shapes: mixSample is map-only, packSequences pays one exchange") {
+    // the OPERATORS must add no shuffle of their own; the deliberate r16
+    // doc-scan fan-out (Tables.documents, REPARTITION_BY_NUM — a no-op
+    // on a many-split table at scale) is the input's, not theirs, so the
+    // assertions count computational (ENSURE_REQUIREMENTS) exchanges
+    def required(plan: String): Int =
+      plan.linesIterator.count(l => l.contains("Exchange hashpartitioning")
+        && l.contains("ENSURE_REQUIREMENTS"))
     val real = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val mixPlan = Curation.mixSample(real).select("doc_id", "lang", "source")
       .queryExecution.executedPlan.toString
-    assert(!mixPlan.contains("Exchange"), s"mixSample must not shuffle:\n$mixPlan")
+    assert(required(mixPlan) == 0, s"mixSample must not shuffle:\n$mixPlan")
     val packPlan = Curation.packSequences(real).queryExecution.executedPlan.toString
-    val ex = "Exchange hashpartitioning".r.findAllIn(packPlan).size
-    assert(ex == 1, s"packSequences should pay exactly 1 shuffle, got $ex:\n$packPlan")
+    assert(required(packPlan) == 1,
+      s"packSequences should pay exactly 1 computational shuffle:\n$packPlan")
   }
 
   test("chunkDocuments: overlap windows, short tail, empty docs vanish, map-only determinism") {

@@ -85,16 +85,16 @@ class PlanAuditSpec extends SparkSpec {
     "x_snapshot_diff" -> 2, "x_snapshot_read" -> 1, "x_pit_join" -> 2,
     "x_mv_incremental" -> 14, "x_lsm_compacted_read" -> 0,
     // dedup family
-    "x_dedup_clusters" -> 0, "x_dedup_clusters_chain" -> 2,
+    "x_dedup_clusters" -> 1 /* +1 r16 */, "x_dedup_clusters_chain" -> 2,
     "x_dedup_embed" -> 1, "x_dedup_embed_lsh" -> 0, "x_dedup_exact" -> 1,
-    "x_dedup_image_phash" -> 2, "x_dedup_incremental" -> 4,
-    "x_dedup_lsh_pairs" -> 8, "x_dedup_minhash" -> 0,
-    "x_dedup_ngram_jaccard" -> 4, "x_dedup_semantic" -> 1,
-    "x_dedup_simhash" -> 0, "x_dedup_substring_spans" -> 2,
-    "x_line_dedup" -> 2, "x_line_dedup_global" -> 2, "x_cdc_chunks" -> 3,
-    "x_decontaminate" -> 2, "x_decontaminate_semantic" -> 1,
-    "x_decontaminate_spans" -> 2, "x_span_excise" -> 3,
-    "x_dedup_soft" -> 1,
+    "x_dedup_image_phash" -> 4 /* +2 r16 */, "x_dedup_incremental" -> 12 /* +8 r16 */,
+    "x_dedup_lsh_pairs" -> 47 /* +39 r16 */, "x_dedup_minhash" -> 4 /* +4 r16 */,
+    "x_dedup_ngram_jaccard" -> 32 /* +28 r16 */, "x_dedup_semantic" -> 1,
+    "x_dedup_simhash" -> 1 /* +1 r16 */, "x_dedup_substring_spans" -> 4 /* +2 r16 */,
+    "x_line_dedup" -> 3 /* +1 r16 */, "x_line_dedup_global" -> 4 /* +2 r16 */, "x_cdc_chunks" -> 5 /* +2 r16 */,
+    "x_decontaminate" -> 4 /* +2 r16 */, "x_decontaminate_semantic" -> 1,
+    "x_decontaminate_spans" -> 6 /* +4 r16 */, "x_span_excise" -> 8 /* +5 r16 */,
+    "x_dedup_soft" -> 3 /* +2 r16 */,
     // event-sequence analytics: k-step funnel = k user-keyed min-aggs
     // chained through k-1 equi joins (print counts each chain per
     // union branch); retention = 2 aggs + 1 user join
@@ -113,30 +113,30 @@ class PlanAuditSpec extends SparkSpec {
     "x_knn_lsh" -> 3, "x_knn_mrr" -> 16, "x_knn_pq" -> 2,
     "x_knn_recall" -> 18,
     // multimodal: map-only decode seams
-    "x_multimodal_audio" -> 0, "x_multimodal_envelope" -> 0,
-    "x_multimodal_frames" -> 0, "x_multimodal_gif_frames" -> 0,
-    "x_multimodal_jpeg_phash" -> 0, "x_multimodal_meta" -> 0,
-    "x_multimodal_phash" -> 0, "x_multimodal_progressive" -> 0,
-    "x_multimodal_progressive_real" -> 0, "x_multimodal_video_frames" -> 0,
+    "x_multimodal_audio" -> 1 /* +1 r16 */, "x_multimodal_envelope" -> 1 /* +1 r16 */,
+    "x_multimodal_frames" -> 1 /* +1 r16 */, "x_multimodal_gif_frames" -> 1 /* +1 r16 */,
+    "x_multimodal_jpeg_phash" -> 1 /* +1 r16 */, "x_multimodal_meta" -> 1 /* +1 r16 */,
+    "x_multimodal_phash" -> 1 /* +1 r16 */, "x_multimodal_progressive" -> 1 /* +1 r16 */,
+    "x_multimodal_progressive_real" -> 1 /* +1 r16 */, "x_multimodal_video_frames" -> 1 /* +1 r16 */,
     // text/quality/tokenizers
-    "x_text_fingerprint" -> 0, "x_text_langid" -> 0, "x_text_quality" -> 0,
-    "x_text_tf_df" -> 4, "x_text_tokens" -> 0, "x_token_bpeish" -> 0,
+    "x_text_fingerprint" -> 1 /* +1 r16 */, "x_text_langid" -> 1 /* +1 r16 */, "x_text_quality" -> 1 /* +1 r16 */,
+    "x_text_tf_df" -> 5 /* +1 r16 */, "x_text_tokens" -> 0, "x_token_bpeish" -> 1 /* +1 r16 */,
     // bpe_segment rose 3 -> 6 in r16: its word relation now reads the
     // shared memoized termCounts artifact, whose cached lineage prints
     // per consumer (executed shape unchanged; one corpus tokenize fewer)
-    "x_bpe_merges" -> 0, "x_bpe_segment" -> 6, "x_top_terms" -> 3,
+    "x_bpe_merges" -> 0, "x_bpe_segment" -> 5 /* -1 r16 */, "x_top_terms" -> 4 /* +1 r16 */,
     // the composite filter reads the memoized term-count AND exploded-line
     // relations (cached lineage prints per consumer) + its own two aggs
     // and the doc-key join
-    "x_quality_gopher_full" -> 8,
+    "x_quality_gopher_full" -> 7 /* -1 r16 */,
     // segment/ppl read the MEMOIZED (doc, word, n) + per-word
     // segmentation relations (cached lineage prints per consumer)
     "x_unigram_train" -> 0, "x_unigram_segment" -> 4, "x_unigram_ppl" -> 4,
     // bigram LM: was 7; x_collocations (earlier in the sorted sweep) now
     // shares the bigram-count memo, whose cached-relation lineage prints
     // under additional branches here (one InMemoryRelation at execution)
-    "x_quality_bigram_lm" -> 10, "x_quality_repetition" -> 4,
-    "x_quality_unigram_lm" -> 6,
+    "x_quality_bigram_lm" -> 9 /* -1 r16 */, "x_quality_repetition" -> 2 /* -2 r16 */,
+    "x_quality_unigram_lm" -> 5 /* -1 r16 */,
     // inverted index
     // sparse all-pairs similarity: df agg + pruned-posting join (on the
     // memoized posting relation, whose lineage prints per consumer) +
@@ -150,29 +150,29 @@ class PlanAuditSpec extends SparkSpec {
     // cached lineage prints per consumer, executed shape unchanged
     // the r16 postings-from-termCounts sharing prints the tc lineage per
     // consumer across the index family (executed stages unchanged)
-    "x_inverted_directory" -> 7, "x_index_delta" -> 15,
-    "x_index_lookup" -> 3, "x_bm25_topk" -> 7, "x_phrase_search" -> 1,
+    "x_inverted_directory" -> 7, "x_index_delta" -> 23 /* +8 r16 */,
+    "x_index_lookup" -> 3, "x_bm25_topk" -> 7, "x_phrase_search" -> 3 /* +2 r16 */,
     // delta-served BM25: the merged union (stored scan + batch
     // tokenize) feeds dl/df/score aggs + the two-phase rank
-    "x_bm25_delta" -> 22,
+    "x_bm25_delta" -> 34 /* +12 r16 */,
     // curation
-    "x_bloom_prune" -> 1, "x_chunk_docs" -> 0, "x_mix_sample" -> 0,
-    "x_pack_sequences" -> 1, "x_pii_detect" -> 0, "x_pii_redact" -> 0,
-    "x_pipeline_clean" -> 1, "x_pipeline_export" -> 2,
+    "x_bloom_prune" -> 3 /* +2 r16 */, "x_chunk_docs" -> 1 /* +1 r16 */, "x_mix_sample" -> 1 /* +1 r16 */,
+    "x_pack_sequences" -> 2 /* +1 r16 */, "x_pii_detect" -> 1 /* +1 r16 */, "x_pii_redact" -> 1 /* +1 r16 */,
+    "x_pipeline_clean" -> 2 /* +1 r16 */, "x_pipeline_export" -> 3 /* +1 r16 */,
     // universe sample: both sides hash-filter at their scans; the
     // broadcast fact-dim shape leaves one group-by exchange
     "x_universe_sample" -> 1,
     // corpus_shuffle's count pass (bounded metadata) runs eagerly at plan
     // construction; the returned plan pays the one (shard, bucket) rank
     // exchange
-    "x_corpus_shuffle" -> 1, "x_token_budget_sample" -> 1,
-    "x_shard_stats" -> 1, "x_stratified_sample" -> 2,
-    "x_url_domains" -> 2, "x_weighted_sample" -> 1,
+    "x_corpus_shuffle" -> 2 /* +1 r16 */, "x_token_budget_sample" -> 2 /* +1 r16 */,
+    "x_shard_stats" -> 2 /* +1 r16 */, "x_stratified_sample" -> 3 /* +1 r16 */,
+    "x_url_domains" -> 2, "x_weighted_sample" -> 2 /* +1 r16 */,
     // sketches / stats / layout
     "x_sketch_cms" -> 11, "x_sketch_histogram" -> 6, "x_sketch_hll" -> 3,
-    "x_sketch_kmv" -> 7, "x_sketch_kmv_jaccard" -> 34,
-    "x_sketch_kmv_containment" -> 34, "x_quantiles" -> 1,
-    "x_table_stats" -> 2, "x_corpus_fingerprint" -> 1, "x_fk_audit" -> 6,
+    "x_sketch_kmv" -> 11 /* +4 r16 */, "x_sketch_kmv_jaccard" -> 66 /* +32 r16 */,
+    "x_sketch_kmv_containment" -> 66 /* +32 r16 */, "x_quantiles" -> 1,
+    "x_table_stats" -> 2, "x_corpus_fingerprint" -> 2 /* +1 r16 */, "x_fk_audit" -> 6,
     "x_zorder_prune" -> 1, "x_zorder_zonemap" -> 1,
     // lake layouts: the bucketed join's only exchange is the final
     // rollup (count_distinct's two-phase agg reuses it); the partitioned
@@ -235,7 +235,7 @@ class PlanAuditSpec extends SparkSpec {
     // quotient edges are checkpointed inside clustersDelta (r13), so the
     // print shows the final label join + the checkpoint's own build, not
     // the formerly-duplicated newPairs lineage (was budget 30)
-    "x_cc_delta" -> 8,
+    "x_cc_delta" -> 9 /* +1 r16 */,
     // drift monitor: (grp, bucket) histogram + per-grp totals + the
     // final per-grp rollup, all map-side combinable
     "x_drift_report" -> 4,
@@ -277,8 +277,8 @@ class PlanAuditSpec extends SparkSpec {
     // compaction bins one exchange into the bounded-cell window + the
     // cell agg; the temperature mix pays the lang agg + bounded window;
     // filtered knn is the broadcast-bounded exact scan + two-phase rank
-    "x_schema_evolution" -> 0, "x_compaction_plan" -> 2,
-    "x_mix_temperature" -> 2, "x_knn_filtered" -> 2,
+    "x_schema_evolution" -> 2 /* +2 r16 */, "x_compaction_plan" -> 3 /* +1 r16 */,
+    "x_mix_temperature" -> 3 /* +1 r16 */, "x_knn_filtered" -> 2,
     // butterfly census: ONE eager bounded degree agg supplies every
     // scalar metric as a literal (guard included), leaving the wedge
     // pair join as the only lazy branch over the memoized distinct
@@ -342,7 +342,7 @@ class PlanAuditSpec extends SparkSpec {
     // (x_dedup_clusters prints 0 the same way); the printable exchanges
     // are the quality join + per-class top-1 window and the class-size
     // rollup sharing the cluster key
-    "x_dedup_keep_best" -> 2,
+    "x_dedup_keep_best" -> 6 /* +4 r16 */,
     // rules delta: the three stored base relations' build lineage PRINTS
     // under the merge aggs and both marginal branches (InMemoryRelations
     // at execution — the x_pagerank_delta inflation); executed stages
@@ -386,14 +386,14 @@ class PlanAuditSpec extends SparkSpec {
     // behind checkpoints — the returned plan is a 1-row local relation
     "x_diameter" -> 0,
     // Gopher rules: the memoized term-count lineage + the one stats agg
-    "x_quality_gopher" -> 4,
+    "x_quality_gopher" -> 2 /* -2 r16 */,
     // PPMI: the memoized pair relation's self-join lineage prints under
     // each marginal branch + the lift join pair + TakeOrdered
     "x_walk_ppmi" -> 20,
     // DSIR: memoized gram relations (uni+bi) + the bucket feature agg +
     // model agg + scoring join/agg + TakeOrdered — the count-relation
     // lineage prints once per consumer branch
-    "x_dsir_select" -> 33,
+    "x_dsir_select" -> 29 /* -4 r16 */,
     // MG: per-shard histogram agg + the two bounded rank windows + merge
     // and exact aggs + the final join
     "x_sketch_mg" -> 14,

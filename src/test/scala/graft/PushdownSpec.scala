@@ -100,7 +100,15 @@ class PushdownSpec extends SparkSpec {
     assert(scans(q).size == 1, "expected a single corpus scan")
     val exchanges = nodesIn[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec](
       q.queryExecution.executedPlan)
-    assert(exchanges.size == 1,
-      s"expected exactly the dedup hash-agg exchange, got ${exchanges.size}")
+    // the computation itself demands exactly ONE shuffle (the dedup
+    // hash-agg, planned ENSURE_REQUIREMENTS); the deliberate r16
+    // single-row-group scan fan-out (Tables.documents — REPARTITION_BY_NUM
+    // keyed on doc_id, a no-op on a many-split table at scale) is allowed
+    // and anything else still fails
+    val (fanOut, required) = exchanges.partition(
+      _.shuffleOrigin == org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM)
+    assert(required.size == 1,
+      s"expected exactly the dedup hash-agg exchange, got ${required.size}")
+    assert(fanOut.size <= 1, s"at most the scan fan-out, got ${fanOut.size}")
   }
 }
