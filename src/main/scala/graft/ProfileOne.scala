@@ -46,12 +46,39 @@ object ProfileOne {
         }
     })
     spark.range(1000000).selectExpr("count(md5(cast(id as string)))").collect()
+    // driver-side stack sampler (guide §7.3's thread-dump loop, in-process):
+    // samples the main thread every 50 ms during the LAST rep and prints a
+    // frame histogram — names the single-threaded driver work behind the
+    // inter-job gaps that job walls can't see
+    val samples = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    @volatile var sampling = false
+    val mainThread = Thread.currentThread()
+    val sampler = new Thread(() => {
+      while (true) {
+        if (sampling) {
+          val st = mainThread.getStackTrace
+          // first in-Spark frame below the scala/java plumbing
+          val frame = st.find(f => f.getClassName.startsWith("org.apache.spark"))
+            .map(f => s"${f.getClassName}.${f.getMethodName}").getOrElse(
+              st.headOption.map(f => s"${f.getClassName}.${f.getMethodName}")
+                .getOrElse("<none>"))
+          samples.merge(frame, 1, (a, b) => a + b)
+        }
+        Thread.sleep(50)
+      }
+    })
+    sampler.setDaemon(true); sampler.start()
     val fn = SparkEntry.queries(name)
     (1 to reps).foreach { i =>
-      if (i == reps) { collect = true; Thread.sleep(300) }
+      if (i == reps) { collect = true; sampling = true; Thread.sleep(300) }
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"[profile] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    sampling = false
+    import scala.jdk.CollectionConverters._
+    samples.asScala.toSeq.sortBy(-_._2).take(15).foreach { case (f, n) =>
+      println(f"[stack] $n%4d  $f")
     }
     Thread.sleep(500) // let the listener bus drain
     spark.stop()
