@@ -29,9 +29,17 @@ object ProfileOne {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int, Int)]()
+    // per-rep executor CPU + job tally — the load-robust channel: walls on
+    // the shared box swing 2-8x under external load, CPU-ms does not
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    val jobCount = new java.util.concurrent.atomic.AtomicLong
     @volatile var collect = false
     @volatile var lastEnd = 0L
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+      }
       override def onJobStart(j: SparkListenerJobStart): Unit =
         if (collect) {
           val now = System.nanoTime()
@@ -39,11 +47,13 @@ object ProfileOne {
           jobStart.put(j.jobId, (now, j.stageInfos.size, j.stageInfos.map(_.numTasks).sum))
           if (gap > 50) println(f"[gap] ${gap}%8.1f ms before job ${j.jobId}")
         }
-      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        jobCount.incrementAndGet()
         if (collect) Option(jobStart.get(j.jobId)).foreach { case (t0, st, tk) =>
           lastEnd = System.nanoTime()
           println(f"[job] id=${j.jobId}%4d wall=${(lastEnd - t0) / 1e6}%8.1f ms stages=$st%2d tasks=$tk%4d")
         }
+      }
     })
     spark.range(1000000).selectExpr("count(md5(cast(id as string)))").collect()
     // driver-side stack sampler (guide §7.3's thread-dump loop, in-process):
@@ -72,8 +82,11 @@ object ProfileOne {
     (1 to reps).foreach { i =>
       if (i == reps) { collect = true; sampling = true; Thread.sleep(300) }
       val t0 = System.nanoTime()
+      val cpu0 = cpuNs.get(); val jobs0 = jobCount.get()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[profile] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      Thread.sleep(150) // listener-bus drain so the CPU delta is honest
+      println(f"[profile] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+        f"cpu=${(cpuNs.get() - cpu0) / 1e9}%.2f s jobs=${jobCount.get() - jobs0}")
     }
     sampling = false
     import scala.jdk.CollectionConverters._

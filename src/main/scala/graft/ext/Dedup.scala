@@ -613,19 +613,21 @@ object Dedup {
     }
 
     var edges = canon(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
-      .localCheckpoint(true)
-    // counts come off the just-materialized checkpoint RDD — free relative
-    // to a join — and gate the equality check: both sides are DISTINCT
-    // canonical sets, so (a) unequal cardinality ⇒ not converged, no join
-    // needed at all, and (b) equal cardinality means next ⊆ edges ⟺
-    // next == edges — ONE anti-join, not two. On a converging graph most
-    // rounds change the edge count, so the typical round pays zero
-    // fixpoint-check jobs.
+      .localCheckpoint(false)
+    // LAZY checkpoints (r17): the per-round count is the loop control
+    // anyway, and counting a lazy checkpoint materializes its cache on
+    // the way — so each round pays ONE blocking job (the count) instead
+    // of the former eager-materialize + count pair. The counts gate the
+    // equality check: both sides are DISTINCT canonical sets, so
+    // (a) unequal cardinality ⇒ not converged, no join needed at all,
+    // and (b) equal cardinality means next ⊆ edges ⟺ next == edges —
+    // ONE anti-join, not two. On a converging graph most rounds change
+    // the edge count, so the typical round pays zero fixpoint-check jobs.
     var nEdges = edges.count()
     var i = 0
     var done = nEdges == 0L
     while (i < maxIter && !done) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nNext = next.count()
       done = nNext == nEdges &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty

@@ -375,9 +375,13 @@ object Graph {
       .where(col("__u") =!= col("__v")).distinct()
     val sym = e0.unionAll(e0.select(col("__v").as("__u"), col("__u").as("__v")))
       .localCheckpoint(true) // scanned once per round
+    // LAZY checkpoints (r17): the horizon is FIXED, so no driver read is
+    // needed between rounds — each round's LogicalRDD still truncates the
+    // plan (no lineage stacking), but the whole recurrence submits as one
+    // DAG instead of paying a count-to-materialize job per round
     var labels = sym.select(col("__u").as("__x")).distinct()
       .select(col("__x"), col("__x").as("__l"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (_ <- 1 to rounds) {
       labels = sym
         .join(labels.select(col("__x").as("__v"), col("__l")), Seq("__v"))
@@ -387,7 +391,7 @@ object Graph {
         .groupBy(col("__u").as("__x"))
         .agg(max(struct(col("__c"), (-col("__l")).as("__nl"))).as("__m"))
         .select(col("__x"), (-col("__m.__nl")).as("__l"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     labels.select(col("__x").as("node"), col("__l").as("community"))
   }
@@ -465,6 +469,14 @@ object Graph {
       // one bounded per-level count agg over the cached batch. Levels are
       // exactly single-step BFS's (each set is neighbors-minus-visited of
       // the previous), so results are bit-identical.
+      //
+      // r17 measured and REJECTED two variants here: a LAZY batch
+      // checkpoint (counts-agg-as-materializer) raised per-rep executor
+      // CPU ~1.5× (14 vs 9 CPU-s), and a THREE-level batch raised it
+      // ~4× (29-42 CPU-s) — past two levels ReuseExchange no longer
+      // dedupes the deeper frontier's shared subtrees and the expansion
+      // joins recompute. The eager two-level batch is the measured
+      // optimum of this family.
       val f1 = frontier.join(e, col("node") === col("__s"))
         .select(col("__d").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
@@ -695,36 +707,60 @@ object Graph {
     if (frontier0 eq acc0) relaxCold(eGuarded, acc0, maxRounds)
     else relaxOverlay(eGuarded, acc0, frontier0, maxRounds)
 
-  /** Cold-rebuild loop: best carried whole, one full-outer + checkpoint
-    * per round (right when reached ≈ |V|: the merge IS the state). */
+  /** Per-round candidate expansion shared by both relaxation loops:
+    * frontier ⋈ edges on the source key, per-destination min. */
+  private def relaxExpand(eGuarded: DataFrame, frontier: DataFrame): DataFrame =
+    frontier.join(eGuarded, col("node") === col("__s"))
+      .select(col("__d").as("node"), (col("dist") + col("__w")).as("__cd"))
+      .groupBy("node").agg(min(col("__cd")).as("__cd"))
+
+  /** Cold-rebuild loop: best carried whole, one full-outer merge per
+    * round (right when reached ≈ |V|: the merge IS the state).
+    *
+    * TWO rounds per blocking job (r17, the bfsLevels batching applied to
+    * relaxation): each batch builds round r's merge, the improvement
+    * frontier off it, round r+1's merge off THAT, and reads both rounds'
+    * improvement counts in ONE collect (a union of two 1-row aggs). The
+    * merges are LAZY checkpoints, so the stats job materializes both
+    * caches on the way and every later consumer (next best / frontier)
+    * is a narrow map over a cached relation — per-round values are
+    * bit-identical to the single-step loop (each merge is exactly the
+    * same full-outer of the same candidate set against the same running
+    * best); only the number of sequential driver round-trips halves. The
+    * price is one wasted round-(r+1) merge (an O(|best|) pass) when round
+    * r turns out to be the fixpoint — paid once, at the final batch. */
   private def relaxCold(eGuarded: DataFrame, seed: DataFrame,
                         maxRounds: Int): DataFrame = {
+    val improvedPred = col("__cd").isNotNull &&
+      (col("__best").isNull || col("__cd") < col("__best"))
+    def mergeWith(b: DataFrame, cand: DataFrame): DataFrame = cand
+      .join(b.withColumnRenamed("dist", "__best"), Seq("node"), "full")
+      .localCheckpoint(false)
+    def improvedOf(m: DataFrame): DataFrame =
+      m.where(improvedPred).select(col("node"), col("__cd").as("dist"))
+    def bestOf(m: DataFrame): DataFrame = m.select(col("node"),
+      when(improvedPred, col("__cd")).otherwise(col("__best")).as("dist"))
     var best = seed
     var frontier = seed
     var round = 0
     var more = !frontier.isEmpty
     while (more) {
-      round += 1
-      val cand = frontier.join(eGuarded, col("node") === col("__s"))
-        .select(col("__d").as("node"), (col("dist") + col("__w")).as("__cd"))
-        .groupBy("node").agg(min(col("__cd")).as("__cd"))
-      // ONE full-outer join per round carries BOTH outputs — the
-      // improvement frontier (candidate strictly below the running best,
-      // or a first sighting) and the next best (per-node min of the two
-      // sides) — checkpointed once; improved/best are narrow maps over it
-      val merged = cand
-        .join(best.withColumnRenamed("dist", "__best"), Seq("node"), "full")
-        .localCheckpoint(true)
-      val improvedPred = col("__cd").isNotNull &&
-        (col("__best").isNull || col("__cd") < col("__best"))
-      val improved = merged.where(improvedPred)
-        .select(col("node"), col("__cd").as("dist"))
-      if (improved.isEmpty) more = false
-      else if (round > maxRounds) throw stillImproving(maxRounds)
+      val merged1 = mergeWith(best, relaxExpand(eGuarded, frontier))
+      val improved1 = improvedOf(merged1)
+      val best1 = bestOf(merged1)
+      val merged2 = mergeWith(best1, relaxExpand(eGuarded, improved1))
+      val improved2 = improvedOf(merged2)
+      val ns = improved1.agg(count(lit(1)).as("n"))
+        .unionAll(improved2.agg(count(lit(1)).as("n")))
+        .collect().map(_.getLong(0))
+      if (ns(0) == 0L) more = false
+      else if (round + 1 > maxRounds) throw stillImproving(maxRounds)
+      else if (ns(1) == 0L) { best = best1; round += 1; more = false }
+      else if (round + 2 > maxRounds) throw stillImproving(maxRounds)
       else {
-        best = merged.select(col("node"),
-          when(improvedPred, col("__cd")).otherwise(col("__best")).as("dist"))
-        frontier = improved
+        best = bestOf(merged2)
+        frontier = improved2
+        round += 2
       }
     }
     best.select(col("node"), col("dist"))
@@ -737,33 +773,48 @@ object Graph {
     * invariant "overlay wins over acc0" holds inductively. */
   private def relaxOverlay(eGuarded: DataFrame, acc0: DataFrame,
                            frontier0: DataFrame, maxRounds: Int): DataFrame = {
+    // effective running best for a candidate node = its overlay row if
+    // present (overlay wins), else its prior row, else unreached
+    val eff = coalesce(col("__ov"), col("__acc"))
+    def probe(cand: DataFrame, ov: DataFrame): DataFrame = cand
+      .join(ov.withColumnRenamed("dist", "__ov"), Seq("node"), "left")
+      .join(acc0.withColumnRenamed("dist", "__acc"), Seq("node"), "left")
+      .where(eff.isNull || col("__cd") < eff)
+      .select(col("node"), col("__cd").as("dist"))
+      .localCheckpoint(false)
+    // improvements strictly beat the old overlay row, so (overlay minus
+    // improved) ∪ improved is exactly the per-node min
+    def fold(ov: DataFrame, improved: DataFrame): DataFrame =
+      ov.join(improved.select("node"), Seq("node"), "left_anti")
+        .unionByName(improved)
+        .localCheckpoint(false)
     var overlay = frontier0
     var frontier = frontier0
     var round = 0
     var more = !frontier.isEmpty
+    // TWO rounds per blocking job with LAZY checkpoints throughout — the
+    // relaxCold r17 batching, overlay-shaped: round r+1 probes against
+    // overlay ∘ round-r improvements, and one collect reads both rounds'
+    // improvement counts (materializing every lazy checkpoint on the
+    // way). Values are bit-identical to the single-step loop; only the
+    // sequential driver round-trips halve. The wasted-final-batch cost
+    // here is delta-bounded (an empty expansion + one overlay-sized
+    // anti-join), never |V|.
     while (more) {
-      round += 1
-      val cand = frontier.join(eGuarded, col("node") === col("__s"))
-        .select(col("__d").as("node"), (col("dist") + col("__w")).as("__cd"))
-        .groupBy("node").agg(min(col("__cd")).as("__cd"))
-      // effective running best for a candidate node = its overlay row if
-      // present (overlay wins), else its prior row, else unreached
-      val eff = coalesce(col("__ov"), col("__acc"))
-      val improved = cand
-        .join(overlay.withColumnRenamed("dist", "__ov"), Seq("node"), "left")
-        .join(acc0.withColumnRenamed("dist", "__acc"), Seq("node"), "left")
-        .where(eff.isNull || col("__cd") < eff)
-        .select(col("node"), col("__cd").as("dist"))
-        .localCheckpoint(true)
-      if (improved.isEmpty) more = false
-      else if (round > maxRounds) throw stillImproving(maxRounds)
+      val improved1 = probe(relaxExpand(eGuarded, frontier), overlay)
+      val overlay1 = fold(overlay, improved1)
+      val improved2 = probe(relaxExpand(eGuarded, improved1), overlay1)
+      val ns = improved1.agg(count(lit(1)).as("n"))
+        .unionAll(improved2.agg(count(lit(1)).as("n")))
+        .collect().map(_.getLong(0))
+      if (ns(0) == 0L) more = false
+      else if (round + 1 > maxRounds) throw stillImproving(maxRounds)
+      else if (ns(1) == 0L) { overlay = overlay1; round += 1; more = false }
+      else if (round + 2 > maxRounds) throw stillImproving(maxRounds)
       else {
-        // improvements strictly beat the old overlay row, so (overlay
-        // minus improved) ∪ improved is exactly the per-node min
-        overlay = overlay.join(improved.select("node"), Seq("node"), "left_anti")
-          .unionByName(improved)
-          .localCheckpoint(true)
-        frontier = improved
+        overlay = fold(overlay1, improved2)
+        frontier = improved2
+        round += 2
       }
     }
     // the ONE |V|-sized pass: compact prior + overlay into the output
@@ -922,14 +973,18 @@ object Graph {
       else edges.select(least(col(aCol), col(bCol)).as("__a"),
           greatest(col(aCol), col(bCol)).as("__b"))
         .where(col("__a") =!= col("__b")).distinct()
-      ).localCheckpoint(true)
+      ).localCheckpoint(false)
     var round = 0
     var more = true
     var deg: DataFrame = null
     while (more) {
+      // LAZY checkpoints + the scalar agg as the one blocking job per
+      // round (r17): the agg's head materializes deg's cache (and the
+      // surviving edge set's, one level down) on the way — the former
+      // two eager count-to-materialize jobs per round collapse into it
       deg = e.select(col("__a").as("__x")).unionAll(e.select(col("__b").as("__x")))
         .groupBy("__x").agg(count(lit(1)).as("__d"))
-        .localCheckpoint(true) // scanned by the scalar agg + the semi-joins
+        .localCheckpoint(false) // scanned by the scalar agg + the semi-joins
       // ONE eager scalar job per round carries both loop controls
       // (vertex total and sub-k count) — bounded driver metadata
       val row = deg.agg(count(lit(1)).as("__n"),
@@ -946,7 +1001,7 @@ object Graph {
         e = e.join(keep.select(col("__x").as("__a")), Seq("__a"), "left_semi")
           .join(keep.select(col("__x").as("__b")), Seq("__b"), "left_semi")
           .select("__a", "__b")
-          .localCheckpoint(true)
+          .localCheckpoint(false)
       }
     }
     deg.select(col("__x").as("node"), col("__d").as("core_deg"))
@@ -991,13 +1046,24 @@ object Graph {
     val srcs = e.select(col("__s").as("__id")).distinct().localCheckpoint(true)
     val nH = srcs.count() // driver scalar: hub count (bounded metadata)
     require(nH > 0, "hits: empty edge list")
-    /** raw · Scale DIV total in DECIMAL(38,0) — exact, wrap-free. */
+    /** raw · Scale DIV total in DECIMAL(38,0) — exact, wrap-free. The
+      * total rides as a ONE-ROW broadcast instead of a driver literal
+      * (same integer value, so every iteration stays bit-identical), and
+      * the checkpoint is LAZY: the logical plan still truncates at the
+      * LogicalRDD (no doubled subtrees across supersteps), but no
+      * count-to-materialize job or scalar read blocks the driver between
+      * supersteps — the whole fixed-iteration recurrence executes as one
+      * submitted DAG instead of 4 sequential driver round-trips per
+      * iteration. The zero-collapse guard moves in-expression
+      * (raise_error), so it still fails loudly, at execution. */
     def renorm(raw: DataFrame, vCol: String, sCol: String): DataFrame = {
-      val ck = raw.localCheckpoint(true)
-      val total = ck.agg(coalesce(sum(col(sCol)), lit(0L))).head.getLong(0)
-      require(total > 0, "hits: a mass total collapsed to zero")
-      ck.select(col(vCol),
-        expr(s"CAST(CAST($sCol AS DECIMAL(38,0)) * ${Scale} DIV $total AS BIGINT)")
+      val ck = raw.localCheckpoint(false)
+      val tot = ck.agg(coalesce(sum(col(sCol)), lit(0L)).as("__rawtot"))
+        .select(when(col("__rawtot") <= 0,
+            raise_error(lit("hits: a mass total collapsed to zero")))
+          .otherwise(col("__rawtot")).as("__tot"))
+      ck.crossJoin(broadcast(tot)).select(col(vCol),
+        expr(s"CAST(CAST($sCol AS DECIMAL(38,0)) * ${Scale} DIV __tot AS BIGINT)")
           .as(sCol))
     }
     var h = srcs.select(col("__id").as("__u"), lit(Scale / nH).as("__h"))
@@ -1048,6 +1114,7 @@ object Graph {
     while (more) {
       // two levels per materialization — the [[bfsLevels]] r16 batching
       // with the composite (__lm, node) key; see the shape note there
+      // (incl. the r17 measured-and-rejected lazy/3-level variants)
       val f1 = frontier.join(e, col("node") === col("__s"))
         .select(col("__lm"), col("__d").as("node")).distinct()
         .join(visited.select("__lm", "node"), Seq("__lm", "node"), "left_anti")
@@ -1138,11 +1205,16 @@ object Graph {
     * whose walks a delta actually invalidated). */
   private def walkLoop(nbr: DataFrame, degs: DataFrame, starts: DataFrame,
                        walksPerNode: Int, steps: Int): DataFrame = {
+    // LAZY checkpoints (r17): `steps` is a fixed horizon, so the loop has
+    // no data-dependent driver read — each step's LogicalRDD truncates
+    // the plan and is cached at first compute (shared by the next step
+    // AND the corpus union), but no count-to-materialize job serializes
+    // the driver between steps
     var state = starts.select(col("start"), explode(sequence(lit(0L),
         lit((walksPerNode - 1).toLong))).as("walk_id"))
       .select(col("start"), col("walk_id"), lit(0L).as("step"),
         col("start").as("node"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var acc = state
     for (t <- 1 to steps) {
       val pick = graft.functions.TextFunctions.seededHash(
@@ -1154,7 +1226,7 @@ object Graph {
         .join(nbr, col("node") === col("__u") && col("__pk") === col("__rk"))
         .select(col("start"), col("walk_id"), lit(t.toLong).as("step"),
           col("__v").as("node"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       acc = acc.unionAll(state)
     }
     acc
@@ -1289,12 +1361,14 @@ object Graph {
     val (nbr, _) = rankedAdjacency(edges, srcCol, dstCol)
     // step 0: prev = cur = start, so every first-step candidate is
     // adjacent to prev and the bias is uniform — the paper's 1st step
+    // LAZY checkpoints (r17): fixed horizon, no driver read per step —
+    // the walkLoop rationale
     var state = nbr.select(col("__u").as("start")).distinct()
       .select(col("start"), explode(sequence(lit(0L),
         lit((walksPerNode - 1).toLong))).as("walk_id"))
       .select(col("start"), col("walk_id"), col("start").as("prev"),
         col("start").as("node"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var acc = state.select(col("start"), col("walk_id"),
       lit(0L).as("step"), col("node"))
     for (t <- 1 to steps) {
@@ -1322,7 +1396,7 @@ object Graph {
           col("__r") < col("__cum"))
         .select(col("start"), col("walk_id"), col("node").as("prev"),
           col("__v").as("node"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       acc = acc.unionAll(state.select(col("start"), col("walk_id"),
         lit(t.toLong).as("step"), col("node")))
     }

@@ -141,8 +141,11 @@ object Recommend {
                       minPairSupport: Long,
                       maxBasketItems: Long = DefaultMaxBasketItems): DataFrame = {
     require(minPairSupport >= 1, s"minPairSupport=$minPairSupport")
+    // lazy checkpoint: the guard count right below is the materializing
+    // job (it scans d0), so the former eager-count + guard-count pair
+    // collapses into one blocking job (r17)
     val d0 = deltaBaskets.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     // the guard: delta basket ids must be NEW (delta-bounded semi-join)
     val chunked = d0.select("__b").distinct()
       .join(baseSizes.select("__b"), Seq("__b"), "left_semi").count()

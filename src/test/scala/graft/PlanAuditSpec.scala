@@ -28,7 +28,13 @@ class PlanAuditSpec extends SparkSpec {
       // hard-negative mining is the exact baseline with the label
       // predicate riding in the same broadcast join condition; the
       // IVF-probed form is the documented scale path
-      "x_hard_negatives")
+      "x_hard_negatives",
+      // HITS renorm (r17): each superstep's L1 mass total rides as a
+      // ONE-ROW broadcast cross join instead of a blocking driver scalar
+      // — the nested loop's build side is a single aggregate row by
+      // construction, the same bounded-metadata contract the old .head
+      // carried
+      "x_hits")
 
   test("no query plans a cartesian product or an unbounded nested loop") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -336,8 +342,13 @@ class PlanAuditSpec extends SparkSpec {
     // kCore discipline); the returned plan is the final hub⋈auth full
     // join over two materialized vectors. landmarks reads the memoized
     // BFS relation raw (checkpointed rounds — zero printable exchanges);
-    // closeness pays the one (node_type, node_id) agg over it
-    "x_hits" -> 2, "x_landmarks" -> 0, "x_closeness" -> 1,
+    // closeness pays the one (node_type, node_id) agg over it.
+    // x_hits' 4 = the final full-outer's 2 + the LAST two renorms'
+    // single-ROW mass-total aggs (r17: the totals ride as 1-row
+    // broadcasts above the lazy checkpoints instead of driver scalars,
+    // so exactly two of those aggs print in the output plan; each
+    // exchange carries ≤ nPartitions partial-agg rows)
+    "x_hits" -> 4, "x_landmarks" -> 0, "x_closeness" -> 1,
     // keep-best: the closure hides behind the star loop's checkpoints
     // (x_dedup_clusters prints 0 the same way); the printable exchanges
     // are the quality join + per-class top-1 window and the class-size
